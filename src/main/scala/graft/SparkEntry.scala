@@ -1,13 +1,60 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.analytics.Analytics
+import graft.queries.{OracleSql, Q}
+
+/** Driver contract — see /root/repo/SURVEY.md §2 for the operator inventory.
+  * Every `queries` key with an `oracleSql` entry is hash-checked against
+  * DuckDB; the rest get a rows-only check.
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Analytics.q1(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // analytics / streaming-batch backbone
+    "q1_agg" -> (Analytics.q1 _),
+    "q3_join" -> (Analytics.q3 _),
+    "q5_multijoin" -> (Analytics.q5 _),
+    "topn_window" -> (Analytics.topnPerGroup(_, _)),
+    "events_sessionize" -> (Analytics.sessionize(_, _)),
+    "events_window" -> (Analytics.eventsWindow _),
+    // imputer core
+    "imp_missing_indicator" -> (Q.impMissingIndicator _),
+    "imp_missing_metrics" -> (Q.impMissingMetrics _),
+    "imp_ffill_bfill" -> (Q.impFfillBfill _),
+    "imp_class_threshold" -> (Q.impClassThreshold _),
+    "imp_onehot" -> (Q.impOnehot _),
+    "imp_minmax_scale" -> (Q.impMinmaxScale _),
+    "imp_mean" -> (Q.impMean _),
+    "imp_median" -> (Q.impMedian _),
+    "imp_mode" -> (Q.impMode _),
+    "imp_group_mean" -> (Q.impGroupMean _),
+    "imp_regression" -> (Q.impRegression _),
+    "imp_simulation" -> (Q.impSimulation _),
+    "imp_select_model" -> (Q.impSelectModel _),
+    "imp_variance" -> (Q.impVariance _),
+    "imp_feature_matrix" -> (Q.impFeatureMatrix _),
+    // text analysis
+    "text_tokens" -> (Q.textTokens _),
+    "text_quality" -> (Q.textQuality _),
+    "text_langid" -> (Q.textLangid _),
+    "text_fingerprint" -> (Q.textFingerprint _),
+    // dedup
+    "dedup_exact" -> (Q.dedupExact _),
+    "dedup_jaccard" -> (Q.dedupJaccard _),
+    "dedup_embed" -> (Q.dedupEmbed _),
+    // similarity
+    "ann_topk" -> (Q.annTopk _),
+    // multimodal
+    "mm_binary" -> (Q.mmBinary _)
+  )
+
+  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
+    * same parquet tables. Omitted keys get a rows-only check. */
+  def oracleSql: Map[String, String] = OracleSql.sql
 }

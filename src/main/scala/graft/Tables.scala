@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Loaders for the driver-generated parquet tables plus the deterministic
+  * missingness maskers used by the imputation operators.
+  *
+  * The testdata contains no NULLs, so imputation queries mask values with a
+  * deterministic modulo rule on the table key. The identical rule is applied
+  * in the DuckDB oracle SQL (see [[graft.queries.OracleSql]]), which makes
+  * model-free imputation strategies exactly hash-checkable.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** NULL out `valueCol` where `keyCol % m == r` — mirrored in oracle SQL. */
+  def maskMod(df: DataFrame, valueCol: String, keyExpr: String, m: Int, r: Int): DataFrame =
+    df.withColumn(valueCol,
+      when(expr(keyExpr) % m === r, lit(null)).otherwise(col(valueCol)))
+
+  /** customer with c_acctbal masked (custkey%7==3) and c_mktsegment masked
+    * (custkey%11==5). ~14% / ~9% missing respectively. */
+  def maskedCustomer(spark: SparkSession, dir: String): DataFrame = {
+    val c = apply(spark, dir, "customer")
+    maskMod(maskMod(c, "c_acctbal", "c_custkey", 7, 3), "c_mktsegment", "c_custkey", 11, 5)
+  }
+
+  /** lineitem with l_extendedprice masked ((orderkey+linenumber)%13==1);
+    * l_quantity stays observed and is the regression feature. */
+  def maskedLineitem(spark: SparkSession, dir: String): DataFrame =
+    maskMod(apply(spark, dir, "lineitem"), "l_extendedprice", "l_orderkey + l_linenumber", 13, 1)
+}

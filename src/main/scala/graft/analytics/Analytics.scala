@@ -1,0 +1,127 @@
+package graft.analytics
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Relational backbone queries over the TPC-H-ish tables. Declarative
+  * DataFrame plans — Catalyst handles pushdown/pruning; small dimension
+  * tables are explicitly broadcast so the fact table never shuffles for them.
+  *
+  * Numeric discipline: monetary/quantity aggregates are summed as integer
+  * "cents" (BIGINT) — `round(x·10^k, 0)` per row is exact for fixed-decimal
+  * source data — then converted back with a single division. Integer sums are
+  * order-independent, so results are bitwise-reproducible across engines and
+  * across shuffle orders (a plain double sum of 600k values drifts ~1e-4 with
+  * partition order, which would break verification AND reproducibility at
+  * 100 TB).
+  */
+object Analytics {
+
+  /** Exact fixed-point lift: x·10^scale rounded to BIGINT. */
+  def cents(c: Column, scale: Int): Column =
+    round(c * math.pow(10, scale), 0).cast("bigint")
+
+  /** TPC-H Q1-style pricing summary: one shuffle, partial aggregation
+    * map-side, group-key cardinality 6. */
+  def q1(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "lineitem")
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum(cents(col("l_quantity"), 2)).as("_qc"),
+        sum(cents(col("l_extendedprice"), 2)).as("_pc"),
+        sum(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)).as("_dpc"),
+        sum(cents(col("l_discount"), 4)).as("_dc"),
+        count(lit(1)).as("count_order"))
+      .select(
+        col("l_returnflag"), col("l_linestatus"),
+        (col("_qc").cast("double") / 100.0).as("sum_qty"),
+        (col("_pc").cast("double") / 100.0).as("sum_base_price"),
+        (col("_dpc").cast("double") / 10000.0).as("sum_disc_price"),
+        (col("_qc").cast("double") / (lit(100.0) * col("count_order"))).as("avg_qty"),
+        (col("_dc").cast("double") / (lit(10000.0) * col("count_order"))).as("avg_disc"),
+        col("count_order"))
+
+  /** TPC-H Q3-style revenue per order for one market segment. The
+    * customer⋈orders build side is broadcast; the only shuffle is the final
+    * aggregation on orderkey. */
+  def q3(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables(spark, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+    val ord = Tables(spark, dir, "orders")
+    val li = Tables(spark, dir, "lineitem")
+    li.join(broadcast(ord.join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_orderkey", "o_orderpriority")
+      .agg(sum(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)).as("_rc"))
+      .select(col("l_orderkey"), col("o_orderpriority"),
+        (col("_rc").cast("double") / 10000.0).as("revenue"))
+  }
+
+  /** TPC-H Q5-style revenue by nation: region→nation→customer dim chain is
+    * built once and broadcast; lineitem is scanned once. */
+  def q5(spark: SparkSession, dir: String): DataFrame = {
+    val region = Tables(spark, dir, "region").filter(col("r_name") === "ASIA")
+    val nation = Tables(spark, dir, "nation")
+    val cust = Tables(spark, dir, "customer")
+    val ord = Tables(spark, dir, "orders")
+    val li = Tables(spark, dir, "lineitem")
+    val dims = cust
+      .join(broadcast(nation), cust("c_nationkey") === nation("n_nationkey"))
+      .join(broadcast(region), nation("n_regionkey") === region("r_regionkey"))
+      .select(col("c_custkey"), col("n_name"))
+    li.join(broadcast(ord), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(dims), col("o_custkey") === col("c_custkey"))
+      .groupBy("n_name")
+      .agg(sum(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)).as("_rc"))
+      .select(col("n_name"), (col("_rc").cast("double") / 10000.0).as("revenue"))
+  }
+
+  /** Top-3 orders by totalprice per priority class; deterministic tie-break
+    * on orderkey. */
+  def topnPerGroup(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+    Tables(spark, dir, "orders")
+      .withColumn("rn", row_number().over(w).cast("bigint"))
+      .filter(col("rn") <= 3)
+      .select("o_orderpriority", "rn", "o_orderkey", "o_totalprice")
+  }
+
+  /** Gap-based sessionization (30-min inactivity) per user. The events
+    * table stores TIMESTAMP(NANOS); it is read as raw int64 ns
+    * (`spark.sql.legacy.parquet.nanosAsLong=true`) and reduced to exact
+    * integer epoch seconds, so ns/µs precision differences can't shift a
+    * session boundary. */
+  def sessionize(spark: SparkSession, dir: String, gapSec: Long = 1800): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables(spark, dir, "events")
+      .select(col("user_id"), col("event_id"),
+        expr("ts div 1000000000").as("t"), col("value"))
+    val w = Window.partitionBy("user_id").orderBy("t", "event_id")
+    val cum = Window.partitionBy("user_id").orderBy("t", "event_id")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    e.withColumn("brk",
+        when(col("t") - lag("t", 1).over(w) > gapSec || lag("t", 1).over(w).isNull, 1)
+          .otherwise(0))
+      .withColumn("session_id", sum("brk").over(cum))
+      .groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("n_events"),
+        (max("t") - min("t")).as("duration_sec"),
+        sum(cents(col("value"), 2)).as("_vc"))
+      .select(col("user_id"), col("session_id"), col("n_events"), col("duration_sec"),
+        (col("_vc").cast("double") / 100.0).as("session_value"))
+  }
+
+  /** Tumbling 1-hour window aggregation by event type (batch face of the
+    * streaming operator in graft.streaming). */
+  def eventsWindow(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "events")
+      .groupBy(
+        expr("(ts div 3600000000000) * 3600").as("window_start"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(cents(col("value"), 2)).as("_vc"))
+      .select(col("window_start"), col("event_type"), col("n_events"),
+        (col("_vc").cast("double") / 100.0).as("sum_value"),
+        (col("_vc").cast("double") / (lit(100.0) * col("n_events"))).as("avg_value"))
+}

@@ -1,0 +1,52 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Document deduplication operators.
+  *
+  * Exact dedup is a hash-groupBy (one shuffle on the content hash, map-side
+  * partial aggregation). Near-dup variants never do an unblocked cross join:
+  * candidate pairs come from equality joins on blocking keys (source, LSH
+  * band buckets, …) so the shuffle is on the blocking key and each join is
+  * bucket-local — the only shape that survives 100 TB.
+  */
+object Dedup {
+
+  /** Exact duplicate groups keyed by md5(text): group hash, group size, and
+    * the kept (minimum) id. */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(md5(col(textCol)).as("content_hash"))
+      .agg(count(lit(1)).as("n_copies"), min(col(idCol)).as("keep_id"))
+
+  /** Word n-gram shingles of `text` (distinct), as an array column.
+    * Documents shorter than n tokens yield an empty array. */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = split(text, " ")
+    when(size(toks) < n, array().cast("array<string>")).otherwise(
+      array_distinct(
+        transform(
+          sequence(lit(0), size(toks) - n),
+          i => concat_ws(" ", slice(toks, i + 1, lit(n))))))
+  }
+
+  /** Jaccard similarity of two distinct-element array columns. */
+  def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") / size(array_union(a, b))
+
+  /** N-gram Jaccard near-dup pairs, blocked by `blockCol` (pairs are only
+    * compared within a block — the shuffle key is the block, never a global
+    * cross join). Emits id pairs (a < b) with similarity ≥ `threshold`. */
+  def jaccardPairs(df: DataFrame, idCol: String, textCol: String, blockCol: String,
+                   n: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val sh = df.select(col(idCol).as("id"), col(blockCol).as("block"),
+      shingles(col(textCol), n).as("sh"))
+    val a = sh.select(col("block"), col("id").as("id_a"), col("sh").as("sh_a"))
+    val b = sh.select(col("block"), col("id").as("id_b"), col("sh").as("sh_b"))
+    a.join(b, Seq("block"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+}

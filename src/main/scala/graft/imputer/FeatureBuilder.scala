@@ -1,0 +1,58 @@
+package graft.imputer
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Feature-space construction — the reference's `create_features()`
+  * (scikit_learn_imputer.py:140-176): hierarchical impute, class-threshold
+  * filter, one-hot encoding, optional missing flags — plus the MinMax scaling
+  * applied in `fit()` (scikit_learn_imputer.py:201-205).
+  *
+  * One-hot category sets are collected to the driver, but only for columns
+  * that passed the class threshold (≤ `classThreshold` ≤ ~30 values), so the
+  * collect is O(threshold) — scale-safe by construction, exactly like the
+  * reference's rationale for the threshold (ref L56-58).
+  */
+object FeatureBuilder {
+
+  /** Distinct-value counts per candidate categorical column with the
+    * keep/drop decision — a single aggregation pass using exact
+    * count_distinct (scale path: approx_count_distinct). */
+  def classThreshold(df: DataFrame, catCols: Seq[String], threshold: Int = 30): DataFrame = {
+    val aggs = catCols.map(c => countDistinct(col(c)).as(s"_n_$c"))
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = catCols.map(c => s"'$c', _n_$c").mkString(", ")
+    one.selectExpr(s"stack(${catCols.size}, $stackArgs) AS (variable, n_classes)")
+      .withColumn("keep", col("n_classes") <= threshold)
+  }
+
+  /** One-hot encode `catCol` into 0/1 integer columns `<prefix>_<value>`.
+    * If `values` is empty, the distinct observed values are collected
+    * (bounded by the class threshold) and sorted for determinism. */
+  def oneHot(df: DataFrame, catCol: String, prefix: String, values: Seq[String] = Nil): DataFrame = {
+    val vals =
+      if (values.nonEmpty) values
+      else df.select(catCol).distinct().collect()
+        .map(_.get(0)).filter(_ != null).map(_.toString).sorted.toSeq
+    val encoded = vals.map(v =>
+      when(col(catCol) === v, 1).otherwise(0).as(s"${prefix}_${sanitize(v)}"))
+    df.select(df.columns.map(col).toIndexedSeq ++ encoded: _*)
+  }
+
+  /** Min-max scale to [0,1]; constant columns map to 0.0 (sklearn
+    * MinMaxScaler behavior). Global min/max is one aggregation, broadcast
+    * back as scalars. */
+  def minMaxScale(df: DataFrame, cols: Seq[String], suffix: String = "_scaled"): DataFrame = {
+    val aggs = cols.flatMap(c => Seq(min(col(c)).as(s"_mn_$c"), max(col(c)).as(s"_mx_$c")))
+    val stats = df.agg(aggs.head, aggs.tail: _*)
+    val out = df.crossJoin(broadcast(stats))
+    val scaled = cols.foldLeft(out) { (d, c) =>
+      d.withColumn(s"$c$suffix",
+        when(col(s"_mx_$c") === col(s"_mn_$c"), lit(0.0))
+          .otherwise((col(c) - col(s"_mn_$c")) / (col(s"_mx_$c") - col(s"_mn_$c"))))
+    }
+    scaled.drop(cols.flatMap(c => Seq(s"_mn_$c", s"_mx_$c")): _*)
+  }
+
+  def sanitize(v: String): String = v.replaceAll("[^A-Za-z0-9]", "_")
+}

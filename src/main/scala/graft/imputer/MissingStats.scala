@@ -1,0 +1,38 @@
+package graft.imputer
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Missing-data diagnostics.
+  *
+  * Mirrors the reference's `missing_indicator()` (scikit_learn_imputer.py:109)
+  * and `missing_metrics()` (scikit_learn_imputer.py:117), re-expressed as a
+  * single aggregation pass — one scan, map-side partial aggregation, no
+  * per-column jobs. Scales to arbitrary row counts; width is bounded by the
+  * column count.
+  */
+object MissingStats {
+
+  /** Per-column boolean missing flags (`<col>_flag`), keeping `idCols` for
+    * joinability. A pure projection — codegen'd, no shuffle. */
+  def indicator(df: DataFrame, idCols: Seq[String], flagCols: Seq[String] = Nil): DataFrame = {
+    val targets = if (flagCols.nonEmpty) flagCols else df.columns.toSeq.diff(idCols)
+    val flags = targets.map(c => col(c).isNull.as(s"${c}_flag"))
+    df.select(idCols.map(col) ++ flags: _*)
+  }
+
+  /** variable / observed / missing / total / imputation_rate, one row per
+    * column. One aggregation over the data, then a `stack` unpivot of the
+    * single result row. */
+  def metrics(df: DataFrame): DataFrame = {
+    val cols = df.columns.toSeq
+    val aggs = count(lit(1)).as("_total") +: cols.map(c => count(col(c)).as(s"_obs_$c"))
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = cols.map(c => s"'$c', _obs_$c").mkString(", ")
+    one
+      .selectExpr(s"stack(${cols.size}, $stackArgs) AS (variable, observed)", "_total AS total")
+      .withColumn("missing", col("total") - col("observed"))
+      .withColumn("imputation_rate", col("missing").cast("double") / col("total"))
+      .select("variable", "observed", "missing", "total", "imputation_rate")
+  }
+}

@@ -1,0 +1,73 @@
+package graft.imputer
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Model-free imputation strategies (the reference's Dummy* / LinearRegression
+  * paths, ref scikit_learn_imputer.py:178-304 with sklearn estimators).
+  *
+  * Every strategy is: (1) one distributed aggregation producing a TINY stats
+  * frame (1..#groups rows), (2) a broadcast join back, (3) a `coalesce`
+  * projection. No windows over unpartitioned data, no driver-side row loops —
+  * the shape that survives 100 TB.
+  */
+object Strategies {
+
+  private def withScalar(df: DataFrame, stats: DataFrame)(impute: DataFrame => DataFrame): DataFrame =
+    impute(df.crossJoin(broadcast(stats)))
+
+  /** Impute `valueCol` with the global mean of observed values. */
+  def mean(df: DataFrame, valueCol: String, outCol: String): DataFrame =
+    withScalar(df, df.agg(avg(col(valueCol)).as("_stat"))) { d =>
+      d.withColumn(outCol, coalesce(col(valueCol), col("_stat"))).drop("_stat")
+    }
+
+  /** Impute with the exact interpolated median (matches SQL percentile_cont
+    * 0.5). Scale path: swap `percentile` for `approx_percentile` — exact
+    * median needs a sort of the observed values. */
+  def median(df: DataFrame, valueCol: String, outCol: String): DataFrame =
+    withScalar(df, df.agg(expr(s"percentile($valueCol, 0.5)").as("_stat"))) { d =>
+      d.withColumn(outCol, coalesce(col(valueCol), col("_stat"))).drop("_stat")
+    }
+
+  /** Impute a categorical with the most frequent observed value.
+    * Deterministic tie-break: higher count wins, then smaller value. */
+  def mode(df: DataFrame, valueCol: String, outCol: String): DataFrame = {
+    val m = df.filter(col(valueCol).isNotNull)
+      .groupBy(valueCol).agg(count(lit(1)).as("_cnt"))
+      .orderBy(desc("_cnt"), asc(valueCol))
+      .limit(1)
+      .select(col(valueCol).as("_stat"))
+    withScalar(df, m) { d =>
+      d.withColumn(outCol, coalesce(col(valueCol), col("_stat"))).drop("_stat")
+    }
+  }
+
+  /** Hierarchical group-wise mean: impute from the group's observed mean,
+    * falling back to the global mean for all-missing groups. The per-group
+    * stats frame is small (#groups rows) and broadcast. */
+  def groupMean(df: DataFrame, valueCol: String, groupCol: String, outCol: String): DataFrame = {
+    val gm = df.groupBy(groupCol).agg(avg(col(valueCol)).as("_gm"))
+    val g = df.agg(avg(col(valueCol)).as("_g"))
+    df.join(broadcast(gm), Seq(groupCol), "left")
+      .crossJoin(broadcast(g))
+      .withColumn(outCol, coalesce(col(valueCol), col("_gm"), col("_g")))
+      .drop("_gm", "_g")
+  }
+
+  /** One-feature OLS imputation: y ~ a + b*x with the closed form
+    * b = covar_pop(y,x)/var_pop(x) over rows where y is observed. One
+    * aggregation pass — no iterative solver needed for the univariate case
+    * the reference exercises with LinearRegression. */
+  def regression(df: DataFrame, yCol: String, xCol: String, outCol: String): DataFrame = {
+    val obs = df.filter(col(yCol).isNotNull)
+    val stats = obs.agg(
+      (covar_pop(col(yCol), col(xCol)) / var_pop(col(xCol))).as("_b"),
+      avg(col(yCol)).as("_my"), avg(col(xCol)).as("_mx"))
+    withScalar(df, stats) { d =>
+      d.withColumn(outCol,
+          coalesce(col(yCol), col("_my") - col("_b") * col("_mx") + col("_b") * col(xCol)))
+        .drop("_b", "_my", "_mx")
+    }
+  }
+}

@@ -1,0 +1,421 @@
+package graft.queries
+
+/** DuckDB oracle SQL for every SQL-checkable query in [[Q]].
+  *
+  * Discipline (SURVEY.md §4): expression trees mirror the Spark plans
+  * operation-for-operation so doubles are bitwise-identical — integer-cents
+  * sums for monetary aggregates, raw passthrough for source doubles, 6dp
+  * rounding only on order-nondeterministic fp statistics before reuse.
+  */
+object OracleSql {
+
+  /** Masked customer — mirrors [[graft.Tables.maskedCustomer]]. */
+  private val MCV =
+    """SELECT c_custkey, c_name, c_nationkey,
+      | CASE WHEN c_custkey % 7 = 3 THEN NULL ELSE c_acctbal END AS c_acctbal,
+      | CASE WHEN c_custkey % 11 = 5 THEN NULL ELSE c_mktsegment END AS c_mktsegment
+      |FROM customer""".stripMargin
+
+  /** Masked lineitem — mirrors [[graft.Tables.maskedLineitem]]. */
+  private val MLV =
+    """SELECT l_orderkey, l_linenumber, l_suppkey, l_quantity,
+      | CASE WHEN (l_orderkey + l_linenumber) % 13 = 1 THEN NULL ELSE l_extendedprice END AS l_extendedprice
+      |FROM lineitem""".stripMargin
+
+  private def ac(c: String) = s"CAST(round($c * 100.0, 0) AS BIGINT)"
+
+  val sql: Map[String, String] = Map(
+
+    // -------------------------------------------------------------- backbone
+    "q1_agg" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         | CAST(SUM(${ac("l_quantity")}) AS DOUBLE) / 100.0 AS sum_qty,
+         | CAST(SUM(${ac("l_extendedprice")}) AS DOUBLE) / 100.0 AS sum_base_price,
+         | CAST(SUM(CAST(round((l_extendedprice * (1.0 - l_discount)) * 10000.0, 0) AS BIGINT)) AS DOUBLE) / 10000.0 AS sum_disc_price,
+         | CAST(SUM(${ac("l_quantity")}) AS DOUBLE) / (100.0 * count(*)) AS avg_qty,
+         | CAST(SUM(CAST(round(l_discount * 10000.0, 0) AS BIGINT)) AS DOUBLE) / (10000.0 * count(*)) AS avg_disc,
+         | count(*) AS count_order
+         |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q3_join" ->
+      s"""SELECT l_orderkey, o_orderpriority,
+         | CAST(SUM(CAST(round((l_extendedprice * (1.0 - l_discount)) * 10000.0, 0) AS BIGINT)) AS DOUBLE) / 10000.0 AS revenue
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |WHERE c_mktsegment = 'BUILDING'
+         |GROUP BY l_orderkey, o_orderpriority""".stripMargin,
+
+    "q5_multijoin" ->
+      s"""SELECT n_name,
+         | CAST(SUM(CAST(round((l_extendedprice * (1.0 - l_discount)) * 10000.0, 0) AS BIGINT)) AS DOUBLE) / 10000.0 AS revenue
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |WHERE r_name = 'ASIA'
+         |GROUP BY n_name""".stripMargin,
+
+    "topn_window" ->
+      """SELECT o_orderpriority, rn, o_orderkey, o_totalprice FROM (
+        | SELECT o_orderpriority,
+        |  CAST(row_number() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey ASC) AS BIGINT) AS rn,
+        |  o_orderkey, o_totalprice
+        | FROM orders) t
+        |WHERE rn <= 3""".stripMargin,
+
+    "events_sessionize" ->
+      """WITH e AS (
+        | SELECT user_id, event_id, epoch_ns(ts) // 1000000000 AS t,
+        |        CAST(round(value * 100.0, 0) AS BIGINT) AS vc
+        | FROM events),
+        |b AS (
+        | SELECT user_id, t, vc, event_id,
+        |  CASE WHEN t - lag(t) OVER (PARTITION BY user_id ORDER BY t, event_id) > 1800
+        |         OR lag(t) OVER (PARTITION BY user_id ORDER BY t, event_id) IS NULL
+        |       THEN 1 ELSE 0 END AS brk
+        | FROM e),
+        |s AS (
+        | SELECT user_id, t, vc,
+        |  CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY t, event_id
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        | FROM b)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        | max(t) - min(t) AS duration_sec,
+        | CAST(SUM(vc) AS DOUBLE) / 100.0 AS session_value
+        |FROM s GROUP BY user_id, session_id""".stripMargin,
+
+    "events_window" ->
+      """SELECT (epoch_ns(ts) // 3600000000000) * 3600 AS window_start, event_type,
+        | count(*) AS n_events,
+        | CAST(SUM(CAST(round(value * 100.0, 0) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_value,
+        | CAST(SUM(CAST(round(value * 100.0, 0) AS BIGINT)) AS DOUBLE) / (100.0 * count(*)) AS avg_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    // --------------------------------------------------------------- imputer
+    "imp_missing_indicator" ->
+      s"""WITH mcv AS ($MCV)
+         |SELECT c_custkey, c_acctbal IS NULL AS c_acctbal_flag,
+         |       c_mktsegment IS NULL AS c_mktsegment_flag
+         |FROM mcv""".stripMargin,
+
+    "imp_missing_metrics" -> {
+      val cols = Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+      cols.map { c =>
+        s"""SELECT '$c' AS variable, count($c) AS observed,
+           | count(*) - count($c) AS missing, count(*) AS total,
+           | CAST(count(*) - count($c) AS DOUBLE) / count(*) AS imputation_rate
+           |FROM mcv""".stripMargin
+      }.mkString(s"WITH mcv AS ($MCV)\n", "\nUNION ALL\n", "")
+    },
+
+    "imp_ffill_bfill" ->
+      s"""WITH mcv AS ($MCV),
+         |ff AS (
+         | SELECT c_custkey,
+         |  last_value(c_acctbal IGNORE NULLS) OVER w AS a1,
+         |  last_value(c_mktsegment IGNORE NULLS) OVER w AS s1
+         | FROM mcv
+         | WINDOW w AS (ORDER BY c_custkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         |fb AS (
+         | SELECT c_custkey,
+         |  coalesce(a1, first_value(a1 IGNORE NULLS) OVER w2) AS acctbal_filled,
+         |  coalesce(s1, first_value(s1 IGNORE NULLS) OVER w2) AS seg_filled
+         | FROM ff
+         | WINDOW w2 AS (ORDER BY c_custkey ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+         |SELECT c_custkey, acctbal_filled, seg_filled FROM fb""".stripMargin,
+
+    "imp_class_threshold" -> {
+      Seq("c_name", "c_mktsegment", "c_nationkey").map { c =>
+        s"""SELECT '$c' AS variable, CAST(count(DISTINCT $c) AS BIGINT) AS n_classes,
+           | count(DISTINCT $c) <= 30 AS keep FROM customer""".stripMargin
+      }.mkString("\nUNION ALL\n")
+    },
+
+    "imp_onehot" -> {
+      val segs = Q.segments
+      val cases = segs.map(v =>
+        s"CASE WHEN c_mktsegment = '$v' THEN 1 ELSE 0 END AS mkt_$v").mkString(",\n ")
+      s"SELECT c_custkey,\n $cases\nFROM customer"
+    },
+
+    "imp_minmax_scale" ->
+      """WITH s AS (SELECT min(c_acctbal) AS mn, max(c_acctbal) AS mx FROM customer)
+        |SELECT c_custkey,
+        | CASE WHEN mx = mn THEN 0.0 ELSE (c_acctbal - mn) / (mx - mn) END AS acctbal_scaled
+        |FROM customer CROSS JOIN s""".stripMargin,
+
+    "imp_mean" ->
+      s"""WITH mcv AS ($MCV),
+         |s AS (SELECT CAST(round(CAST(SUM(${ac("c_acctbal")}) AS DOUBLE) / count(c_acctbal), 0) AS BIGINT) AS m FROM mcv)
+         |SELECT c_custkey, coalesce(c_acctbal, CAST(m AS DOUBLE) / 100.0) AS acctbal_imp
+         |FROM mcv CROSS JOIN s""".stripMargin,
+
+    "imp_median" ->
+      s"""WITH mcv AS ($MCV),
+         |s AS (SELECT CAST(round(quantile_cont(${ac("c_acctbal")}, 0.5), 0) AS BIGINT) AS m FROM mcv)
+         |SELECT c_custkey, coalesce(c_acctbal, CAST(m AS DOUBLE) / 100.0) AS acctbal_imp
+         |FROM mcv CROSS JOIN s""".stripMargin,
+
+    "imp_mode" ->
+      s"""WITH mcv AS ($MCV),
+         |m AS (SELECT c_mktsegment AS v FROM mcv WHERE c_mktsegment IS NOT NULL
+         |      GROUP BY 1 ORDER BY count(*) DESC, v ASC LIMIT 1)
+         |SELECT c_custkey, coalesce(c_mktsegment, v) AS seg_imp FROM mcv CROSS JOIN m""".stripMargin,
+
+    "imp_group_mean" ->
+      s"""WITH mcv AS ($MCV),
+         |gm AS (SELECT c_nationkey,
+         |  CAST(round(CAST(SUM(${ac("c_acctbal")}) AS DOUBLE) / count(c_acctbal), 0) AS BIGINT) AS gmv
+         | FROM mcv GROUP BY c_nationkey),
+         |g AS (SELECT CAST(round(CAST(SUM(${ac("c_acctbal")}) AS DOUBLE) / count(c_acctbal), 0) AS BIGINT) AS gv FROM mcv)
+         |SELECT c_custkey,
+         | coalesce(c_acctbal, CAST(gmv AS DOUBLE) / 100.0, CAST(gv AS DOUBLE) / 100.0) AS acctbal_imp
+         |FROM mcv LEFT JOIN gm USING (c_nationkey) CROSS JOIN g""".stripMargin,
+
+    "imp_regression" ->
+      s"""WITH mlv AS ($MLV),
+         |c AS (SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+         |  ${ac("l_quantity")} AS xc, ${ac("l_extendedprice")} AS yc FROM mlv),
+         |s AS (SELECT CAST(SUM(xc * yc) AS DOUBLE) AS sxy, CAST(SUM(xc * xc) AS DOUBLE) AS sxx,
+         |  CAST(SUM(xc) AS DOUBLE) AS sx, CAST(SUM(yc) AS DOUBLE) AS sy,
+         |  CAST(count(*) AS DOUBLE) AS n
+         | FROM c WHERE l_extendedprice IS NOT NULL),
+         |s2 AS (SELECT sy / n AS my, sx / n AS mx,
+         |  (sxy - sx * sy / n) / (sxx - sx * sx / n) AS b FROM s)
+         |SELECT l_orderkey, l_linenumber,
+         | coalesce(l_extendedprice, (my - b * mx + b * ${ac("l_quantity")}) / 100.0) AS price_imp
+         |FROM mlv CROSS JOIN s2""".stripMargin,
+
+    "imp_simulation" ->
+      s"""WITH mcv AS ($MCV),
+         |obs AS (SELECT c_custkey, ${ac("c_acctbal")} AS acv FROM mcv WHERE c_acctbal IS NOT NULL),
+         |m AS (SELECT CAST(round(CAST(SUM(acv) AS DOUBLE) / count(*), 0) AS BIGINT) AS m
+         |      FROM obs WHERE c_custkey % 10 <> 0),
+         |mse AS (SELECT CAST(SUM((m - acv) * (m - acv)) AS DOUBLE) / (10000.0 * count(*)) AS score
+         |        FROM obs CROSS JOIN m WHERE c_custkey % 10 = 0),
+         |obc AS (SELECT c_custkey, c_mktsegment FROM mcv WHERE c_mktsegment IS NOT NULL),
+         |md AS (SELECT c_mktsegment AS v FROM obc WHERE c_custkey % 10 <> 0
+         |       GROUP BY 1 ORDER BY count(*) DESC, v ASC LIMIT 1),
+         |acc AS (SELECT CAST(SUM(CASE WHEN c_mktsegment = v THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS score
+         |        FROM obc CROSS JOIN md WHERE c_custkey % 10 = 0)
+         |SELECT 'c_acctbal' AS variable, 'mse' AS metric, score FROM mse
+         |UNION ALL
+         |SELECT 'c_mktsegment' AS variable, 'accuracy' AS metric, score FROM acc""".stripMargin,
+
+    "imp_select_model" ->
+      s"""WITH mlv AS ($MLV),
+         |c AS (SELECT l_suppkey, ${ac("l_quantity")} AS xc, ${ac("l_extendedprice")} AS yc,
+         |  (l_orderkey + l_linenumber) % 10 AS k FROM mlv),
+         |obs AS (SELECT * FROM c WHERE yc IS NOT NULL),
+         |train AS (SELECT * FROM obs WHERE k <> 0),
+         |test AS (SELECT * FROM obs WHERE k = 0),
+         |meanstat AS (SELECT CAST(round(CAST(SUM(yc) AS DOUBLE) / count(*), 0) AS BIGINT) AS m FROM train),
+         |medstat AS (SELECT CAST(round(quantile_cont(yc, 0.5), 0) AS BIGINT) AS m FROM train),
+         |gmstat AS (SELECT l_suppkey, CAST(round(CAST(SUM(yc) AS DOUBLE) / count(*), 0) AS BIGINT) AS gm
+         |           FROM train GROUP BY l_suppkey),
+         |regstat AS (SELECT sy / n AS my, sx / n AS mx,
+         |   (sxy - sx * sy / n) / (sxx - sx * sx / n) AS b
+         |  FROM (SELECT CAST(SUM(xc * yc) AS DOUBLE) AS sxy, CAST(SUM(xc * xc) AS DOUBLE) AS sxx,
+         |         CAST(SUM(xc) AS DOUBLE) AS sx, CAST(SUM(yc) AS DOUBLE) AS sy,
+         |         CAST(count(*) AS DOUBLE) AS n FROM train) t),
+         |m_mean AS (SELECT CAST(SUM((m - yc) * (m - yc)) AS DOUBLE) / (10000.0 * count(*)) AS mse
+         |           FROM test CROSS JOIN meanstat),
+         |m_median AS (SELECT CAST(SUM((m - yc) * (m - yc)) AS DOUBLE) / (10000.0 * count(*)) AS mse
+         |             FROM test CROSS JOIN medstat),
+         |m_group AS (SELECT CAST(SUM((p - yc) * (p - yc)) AS DOUBLE) / (10000.0 * count(*)) AS mse
+         |            FROM (SELECT coalesce(gm, m) AS p, yc
+         |                  FROM test LEFT JOIN gmstat USING (l_suppkey) CROSS JOIN meanstat) t),
+         |m_reg AS (SELECT CAST(SUM((p - yc) * (p - yc)) AS DOUBLE) / (10000.0 * count(*)) AS mse
+         |          FROM (SELECT CAST(round(my - b * mx + b * xc, 0) AS BIGINT) AS p, yc
+         |                FROM test CROSS JOIN regstat) t),
+         |allm AS (
+         | SELECT 'mean' AS strategy, mse FROM m_mean
+         | UNION ALL SELECT 'median', mse FROM m_median
+         | UNION ALL SELECT 'group_mean', mse FROM m_group
+         | UNION ALL SELECT 'regression', mse FROM m_reg)
+         |SELECT strategy, mse,
+         | CAST(row_number() OVER (ORDER BY mse ASC, strategy ASC) AS BIGINT) AS rank
+         |FROM allm""".stripMargin,
+
+    "imp_variance" ->
+      s"""WITH mcv AS ($MCV),
+         |meanstat AS (SELECT CAST(round(CAST(SUM(${ac("c_acctbal")}) AS DOUBLE) / count(c_acctbal), 0) AS BIGINT) AS m FROM mcv),
+         |medstat AS (SELECT CAST(round(quantile_cont(${ac("c_acctbal")}, 0.5), 0) AS BIGINT) AS m FROM mcv),
+         |gmstat AS (SELECT c_nationkey, CAST(round(CAST(SUM(${ac("c_acctbal")}) AS DOUBLE) / count(c_acctbal), 0) AS BIGINT) AS gm
+         |           FROM mcv GROUP BY c_nationkey),
+         |d1 AS (SELECT coalesce(${ac("c_acctbal")}, m) AS ic FROM mcv CROSS JOIN meanstat),
+         |d2 AS (SELECT coalesce(${ac("c_acctbal")}, m) AS ic FROM mcv CROSS JOIN medstat),
+         |d3 AS (SELECT coalesce(${ac("c_acctbal")}, gm, m) AS ic
+         |       FROM mcv LEFT JOIN gmstat USING (c_nationkey) CROSS JOIN meanstat),
+         |ms AS (
+         | SELECT round(CAST(SUM(ic) AS DOUBLE) / (100.0 * count(*)), 6) AS dm FROM d1
+         | UNION ALL SELECT round(CAST(SUM(ic) AS DOUBLE) / (100.0 * count(*)), 6) FROM d2
+         | UNION ALL SELECT round(CAST(SUM(ic) AS DOUBLE) / (100.0 * count(*)), 6) FROM d3),
+         |contv AS (SELECT round(var_samp(dm), 8) AS imputation_variance FROM ms),
+         |modestat AS (SELECT c_mktsegment AS v FROM mcv WHERE c_mktsegment IS NOT NULL
+         |             GROUP BY 1 ORDER BY count(*) DESC, v ASC LIMIT 1),
+         |gmodestat AS (SELECT c_nationkey, c_mktsegment AS gv FROM (
+         |   SELECT c_nationkey, c_mktsegment,
+         |    row_number() OVER (PARTITION BY c_nationkey ORDER BY count(*) DESC, c_mktsegment ASC) AS rn
+         |   FROM mcv WHERE c_mktsegment IS NOT NULL GROUP BY c_nationkey, c_mktsegment) t
+         |  WHERE rn = 1),
+         |c1 AS (SELECT coalesce(c_mktsegment, v) AS sv FROM mcv CROSS JOIN modestat),
+         |c2 AS (SELECT coalesce(c_mktsegment, gv, v) AS sv
+         |       FROM mcv LEFT JOIN gmodestat USING (c_nationkey) CROSS JOIN modestat),
+         |sfill AS (SELECT coalesce(s1, first_value(s1 IGNORE NULLS) OVER w2) AS sv FROM (
+         |   SELECT last_value(c_mktsegment IGNORE NULLS) OVER w AS s1, c_custkey FROM mcv
+         |   WINDOW w AS (ORDER BY c_custkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) t
+         |  WINDOW w2 AS (ORDER BY c_custkey ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)),
+         |es AS (
+         | SELECT round(ln(CAST(SUM(c) AS DOUBLE)) - SUM(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))) / CAST(SUM(c) AS DOUBLE), 6) AS ent
+         |  FROM (SELECT count(*) AS c FROM c1 GROUP BY sv) t
+         | UNION ALL
+         | SELECT round(ln(CAST(SUM(c) AS DOUBLE)) - SUM(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))) / CAST(SUM(c) AS DOUBLE), 6)
+         |  FROM (SELECT count(*) AS c FROM c2 GROUP BY sv) t
+         | UNION ALL
+         | SELECT round(ln(CAST(SUM(c) AS DOUBLE)) - SUM(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))) / CAST(SUM(c) AS DOUBLE), 6)
+         |  FROM (SELECT count(*) AS c FROM sfill GROUP BY sv) t),
+         |catv AS (SELECT round(var_samp(ent), 8) AS imputation_variance FROM es)
+         |SELECT 'c_acctbal' AS variable, imputation_variance FROM contv
+         |UNION ALL
+         |SELECT 'c_mktsegment' AS variable, imputation_variance FROM catv""".stripMargin,
+
+    "imp_feature_matrix" -> {
+      val segs = Q.segments
+      val ohCases = segs.map(v =>
+        s"CASE WHEN seg_f = '$v' THEN 1 ELSE 0 END AS mkt_$v").mkString(",\n  ")
+      val feats = Seq("acctbal_f" -> "f_acctbal", "c_nationkey" -> "f_nationkey") ++
+        segs.map(v => s"mkt_$v" -> s"f_mkt_$v") ++
+        Seq("acctbal_flag" -> "f_acctbal_flag", "seg_flag" -> "f_seg_flag")
+      val statSel = feats.map { case (c, _) => s"min($c) AS mn_$c, max($c) AS mx_$c" }.mkString(", ")
+      val outSel = feats.map { case (c, o) =>
+        s"CASE WHEN mx_$c = mn_$c THEN 0.0 ELSE ($c - mn_$c) / (mx_$c - mn_$c) END AS $o"
+      }.mkString(",\n ")
+      s"""WITH mcv AS ($MCV),
+         |ff AS (
+         | SELECT c_custkey, c_nationkey,
+         |  last_value(c_acctbal IGNORE NULLS) OVER w AS a1,
+         |  last_value(c_mktsegment IGNORE NULLS) OVER w AS s1
+         | FROM mcv
+         | WINDOW w AS (ORDER BY c_custkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         |fb AS (
+         | SELECT c_custkey, c_nationkey,
+         |  coalesce(a1, first_value(a1 IGNORE NULLS) OVER w2) AS acctbal_f,
+         |  coalesce(s1, first_value(s1 IGNORE NULLS) OVER w2) AS seg_f
+         | FROM ff
+         | WINDOW w2 AS (ORDER BY c_custkey ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)),
+         |fm AS (
+         | SELECT c_custkey, c_nationkey, acctbal_f,
+         |  $ohCases,
+         |  CASE WHEN c_custkey % 7 = 3 THEN 1 ELSE 0 END AS acctbal_flag,
+         |  CASE WHEN c_custkey % 11 = 5 THEN 1 ELSE 0 END AS seg_flag
+         | FROM fb),
+         |st AS (SELECT $statSel FROM fm)
+         |SELECT c_custkey,
+         | $outSel
+         |FROM fm CROSS JOIN st""".stripMargin
+    },
+
+    // ------------------------------------------------------------------ text
+    "text_tokens" ->
+      """SELECT doc_id,
+        | CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        | CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_bpeish
+        |FROM documents""".stripMargin,
+
+    "text_quality" -> {
+      val stops = graft.text.TextAnalysis.stopwordsEn.map(w => s"'$w'").mkString(", ")
+      s"""WITH d AS (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents),
+         |q AS (SELECT doc_id,
+         |  CAST(length(text) AS BIGINT) AS n_chars_obs,
+         |  CAST(len(t) AS BIGINT) AS n_tokens,
+         |  CAST(len(list_filter(t, x -> x IN ($stops))) AS BIGINT) AS stop,
+         |  CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS BIGINT) AS alpha
+         | FROM d)
+         |SELECT doc_id, n_chars_obs, n_tokens,
+         | CAST(stop AS DOUBLE) / n_tokens AS stop_ratio,
+         | CAST(alpha AS DOUBLE) / n_chars_obs AS alpha_ratio,
+         | least(CAST(n_tokens AS DOUBLE) / 50.0, 1.0) * 0.5
+         |   + (1.0 - CAST(stop AS DOUBLE) / n_tokens) * 0.3
+         |   + CAST(alpha AS DOUBLE) / n_chars_obs * 0.2 AS quality_score
+         |FROM q""".stripMargin
+    },
+
+    "text_langid" -> {
+      val markers = graft.text.TextAnalysis.langMarkers
+      val scores = markers.map { case (l, ws) =>
+        val in = ws.map(w => s"'$w'").mkString(", ")
+        s"CAST(len(list_filter(t, x -> x IN ($in))) AS BIGINT) AS s_$l"
+      }.mkString(",\n  ")
+      val names = markers.map { case (l, _) => s"s_$l" }.mkString(", ")
+      val cases = markers.init.map { case (l, _) =>
+        s"WHEN s_$l = m THEN '$l'"
+      }.mkString(" ")
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         |sc AS (SELECT doc_id,
+         |  $scores
+         | FROM d),
+         |g AS (SELECT *, greatest($names) AS m FROM sc)
+         |SELECT doc_id,
+         | CASE $cases ELSE '${markers.last._1}' END AS pred_lang,
+         | m AS lang_score
+         |FROM g""".stripMargin
+    },
+
+    "text_fingerprint" ->
+      """SELECT doc_id,
+        | list_reduce(
+        |   list_prepend(CAST(0 AS BIGINT),
+        |     list_transform(string_split(text, ' '), x -> CAST(7 * length(x) + ascii(x) AS BIGINT))),
+        |   (a, b) -> (a * 131 + b) % 1000000007) AS fingerprint
+        |FROM documents""".stripMargin,
+
+    // ----------------------------------------------------------------- dedup
+    "dedup_exact" ->
+      """SELECT md5(text) AS content_hash, count(*) AS n_copies, min(doc_id) AS keep_id
+        |FROM documents GROUP BY md5(text)""".stripMargin,
+
+    "dedup_jaccard" ->
+      """WITH s AS (
+        | SELECT doc_id, source,
+        |  list_distinct([array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)]) AS sh
+        | FROM (SELECT doc_id, source, string_split(text, ' ') AS t FROM documents) d)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        | CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+        |FROM s a JOIN s b ON a.source = b.source AND a.doc_id < b.doc_id
+        |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.10""".stripMargin,
+
+    "dedup_embed" ->
+      """WITH e AS (SELECT vec_id, label, [CAST(x AS DOUBLE) for x in embedding] AS v FROM embeddings),
+        |p AS (
+        | SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  list_sum([a.v[i] * b.v[i] for i in range(1, 65)])
+        |   / (sqrt(list_sum([a.v[i] * a.v[i] for i in range(1, 65)]))
+        |      * sqrt(list_sum([b.v[i] * b.v[i] for i in range(1, 65)]))) AS cos
+        | FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
+        |SELECT id_a, id_b, cos FROM p WHERE cos > 0.35""".stripMargin,
+
+    // ------------------------------------------------------------ similarity
+    "ann_topk" ->
+      """WITH e AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 97 = 0),
+        |sims AS (
+        | SELECT query_id, c.vec_id AS neighbor_id,
+        |  list_sum([qv[i] * c.v[i] for i in range(1, 65)])
+        |   / (sqrt(list_sum([qv[i] * qv[i] for i in range(1, 65)]))
+        |      * sqrt(list_sum([c.v[i] * c.v[i] for i in range(1, 65)]))) AS cos
+        | FROM q JOIN e c ON c.vec_id <> q.query_id),
+        |r AS (SELECT query_id, neighbor_id, cos,
+        |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS BIGINT) AS rank
+        | FROM sims)
+        |SELECT query_id, neighbor_id, rank, cos FROM r WHERE rank <= 5""".stripMargin,
+
+    // ------------------------------------------------------------ multimodal
+    "mm_binary" ->
+      """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        | sha256(text) AS digest
+        |FROM documents""".stripMargin
+  )
+}

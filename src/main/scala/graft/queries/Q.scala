@@ -1,0 +1,340 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.analytics.Analytics
+import graft.analytics.Analytics.cents
+import graft.imputer.{FeatureBuilder, FfillBfill, MissingStats, Strategies}
+import graft.text.TextAnalysis
+import graft.dedup.Dedup
+import graft.functions.VectorFunctions._
+
+/** The Spark faces of every operator in SURVEY.md §2. Each query has a
+  * DuckDB oracle in [[OracleSql]] built with the identical expression trees
+  * (see SURVEY.md §4 for the bitwise-reproducibility discipline).
+  */
+object Q {
+
+  val segments: Seq[String] =
+    Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
+
+  // ---------------------------------------------------------------- imputer
+
+  def impMissingIndicator(s: SparkSession, dir: String): DataFrame =
+    MissingStats.indicator(Tables.maskedCustomer(s, dir),
+      Seq("c_custkey"), Seq("c_acctbal", "c_mktsegment"))
+
+  def impMissingMetrics(s: SparkSession, dir: String): DataFrame =
+    MissingStats.metrics(Tables.maskedCustomer(s, dir))
+
+  def impFfillBfill(s: SparkSession, dir: String): DataFrame =
+    FfillBfill.ffillThenBfill(Tables.maskedCustomer(s, dir), "c_custkey",
+        Seq("c_acctbal", "c_mktsegment"))
+      .select(col("c_custkey"), col("c_acctbal").as("acctbal_filled"),
+        col("c_mktsegment").as("seg_filled"))
+
+  def impClassThreshold(s: SparkSession, dir: String): DataFrame =
+    FeatureBuilder.classThreshold(Tables(s, dir, "customer"),
+      Seq("c_name", "c_mktsegment", "c_nationkey"), 30)
+
+  def impOnehot(s: SparkSession, dir: String): DataFrame =
+    FeatureBuilder.oneHot(Tables(s, dir, "customer"), "c_mktsegment", "mkt", segments)
+      .select((col("c_custkey") +: segments.map(v => col(s"mkt_$v"))): _*)
+
+  def impMinmaxScale(s: SparkSession, dir: String): DataFrame =
+    FeatureBuilder.minMaxScale(Tables(s, dir, "customer"), Seq("c_acctbal"))
+      .select(col("c_custkey"), col("c_acctbal_scaled").as("acctbal_scaled"))
+
+  /** Mean of observed acctbal (exact integer cents, rounded to a cent) fills
+    * the masked rows. */
+  def impMean(s: SparkSession, dir: String): DataFrame = {
+    val mc = Tables.maskedCustomer(s, dir)
+    val ac = cents(col("c_acctbal"), 2)
+    val stats = mc.agg(
+      round(sum(ac).cast("double") / count(col("c_acctbal")), 0).cast("bigint").as("_m"))
+    mc.crossJoin(broadcast(stats))
+      .select(col("c_custkey"),
+        coalesce(col("c_acctbal"), col("_m").cast("double") / 100.0).as("acctbal_imp"))
+  }
+
+  def impMedian(s: SparkSession, dir: String): DataFrame = {
+    val mc = Tables.maskedCustomer(s, dir)
+    val stats = mc.select(cents(col("c_acctbal"), 2).as("_ac"))
+      .agg(round(expr("percentile(_ac, 0.5)"), 0).cast("bigint").as("_m"))
+    mc.crossJoin(broadcast(stats))
+      .select(col("c_custkey"),
+        coalesce(col("c_acctbal"), col("_m").cast("double") / 100.0).as("acctbal_imp"))
+  }
+
+  def impMode(s: SparkSession, dir: String): DataFrame =
+    Strategies.mode(Tables.maskedCustomer(s, dir), "c_mktsegment", "seg_imp")
+      .select("c_custkey", "seg_imp")
+
+  def impGroupMean(s: SparkSession, dir: String): DataFrame = {
+    val mc = Tables.maskedCustomer(s, dir)
+    val ac = cents(col("c_acctbal"), 2)
+    val gm = mc.groupBy("c_nationkey").agg(
+      round(sum(ac).cast("double") / count(col("c_acctbal")), 0).cast("bigint").as("_gm"))
+    val g = mc.agg(
+      round(sum(ac).cast("double") / count(col("c_acctbal")), 0).cast("bigint").as("_g"))
+    mc.join(broadcast(gm), Seq("c_nationkey"), "left")
+      .crossJoin(broadcast(g))
+      .select(col("c_custkey"),
+        coalesce(col("c_acctbal"), col("_gm").cast("double") / 100.0,
+          col("_g").cast("double") / 100.0).as("acctbal_imp"))
+  }
+
+  /** Closed-form univariate OLS (price ~ quantity) in exact cents space. */
+  def impRegression(s: SparkSession, dir: String): DataFrame = {
+    val ml = Tables.maskedLineitem(s, dir)
+    val xc = cents(col("l_quantity"), 2)
+    val yc = cents(col("l_extendedprice"), 2)
+    val stats = ml.filter(col("l_extendedprice").isNotNull)
+      .select(xc.as("_xc"), yc.as("_yc"))
+      .agg(
+        sum(col("_xc") * col("_yc")).cast("double").as("_sxy"),
+        sum(col("_xc") * col("_xc")).cast("double").as("_sxx"),
+        sum(col("_xc")).cast("double").as("_sx"),
+        sum(col("_yc")).cast("double").as("_sy"),
+        count(lit(1)).cast("double").as("_n"))
+      .select(
+        (col("_sy") / col("_n")).as("_my"),
+        (col("_sx") / col("_n")).as("_mx"),
+        ((col("_sxy") - col("_sx") * col("_sy") / col("_n"))
+          / (col("_sxx") - col("_sx") * col("_sx") / col("_n"))).as("_b"))
+    ml.crossJoin(broadcast(stats))
+      .select(col("l_orderkey"), col("l_linenumber"),
+        coalesce(col("l_extendedprice"),
+          (col("_my") - col("_b") * col("_mx") + col("_b") * xc) / 100.0).as("price_imp"))
+  }
+
+  /** Simulation study (ref fit() test split): deterministic modulo split,
+    * mean-impute MSE on the continuous column, mode-impute accuracy on the
+    * categorical one. */
+  def impSimulation(s: SparkSession, dir: String): DataFrame = {
+    val mc = Tables.maskedCustomer(s, dir)
+    val ac = cents(col("c_acctbal"), 2)
+    val obs = mc.filter(col("c_acctbal").isNotNull).select(col("c_custkey"), ac.as("_ac"))
+    val m = obs.filter(col("c_custkey") % 10 =!= 0)
+      .agg(round(sum(col("_ac")).cast("double") / count(lit(1)), 0).cast("bigint").as("_m"))
+    val mse = obs.filter(col("c_custkey") % 10 === 0).crossJoin(broadcast(m))
+      .agg(sum((col("_m") - col("_ac")) * (col("_m") - col("_ac"))).cast("double").as("_sse"),
+        count(lit(1)).as("_n"))
+      .select((col("_sse") / (lit(10000.0) * col("_n"))).as("score"))
+
+    val obc = mc.filter(col("c_mktsegment").isNotNull)
+    val md = obc.filter(col("c_custkey") % 10 =!= 0)
+      .groupBy("c_mktsegment").agg(count(lit(1)).as("_cnt"))
+      .orderBy(desc("_cnt"), asc("c_mktsegment")).limit(1)
+      .select(col("c_mktsegment").as("_mode"))
+    val acc = obc.filter(col("c_custkey") % 10 === 0).crossJoin(broadcast(md))
+      .agg(sum(when(col("c_mktsegment") === col("_mode"), 1).otherwise(0)).cast("double").as("_h"),
+        count(lit(1)).as("_n"))
+      .select((col("_h") / col("_n")).as("score"))
+
+    mse.select(lit("c_acctbal").as("variable"), lit("mse").as("metric"), col("score"))
+      .unionAll(acc.select(lit("c_mktsegment").as("variable"), lit("accuracy").as("metric"), col("score")))
+  }
+
+  /** select_model (ref L427): four strategies scored on the same
+    * deterministic test split of masked lineitem, ranked by test MSE. */
+  def impSelectModel(s: SparkSession, dir: String): DataFrame = {
+    val ml = Tables.maskedLineitem(s, dir)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_suppkey"),
+        cents(col("l_quantity"), 2).as("_xc"), cents(col("l_extendedprice"), 2).as("_yc"),
+        ((col("l_orderkey") + col("l_linenumber")) % 10).as("_k"))
+    val obs = ml.filter(col("_yc").isNotNull)
+    val train = obs.filter(col("_k") =!= 0)
+    val test = obs.filter(col("_k") === 0)
+
+    def mseOf(pred: DataFrame): DataFrame =
+      // pred: test rows with column _p (BIGINT predicted cents)
+      pred.agg(sum((col("_p") - col("_yc")) * (col("_p") - col("_yc"))).cast("double").as("_sse"),
+          count(lit(1)).as("_n"))
+        .select((col("_sse") / (lit(10000.0) * col("_n"))).as("mse"))
+
+    val meanStat = train.agg(
+      round(sum(col("_yc")).cast("double") / count(lit(1)), 0).cast("bigint").as("_m"))
+    val mseMean = mseOf(test.crossJoin(broadcast(meanStat)).withColumn("_p", col("_m")))
+
+    val medStat = train.agg(
+      round(expr("percentile(_yc, 0.5)"), 0).cast("bigint").as("_m"))
+    val mseMedian = mseOf(test.crossJoin(broadcast(medStat)).withColumn("_p", col("_m")))
+
+    val gmStat = train.groupBy("l_suppkey").agg(
+      round(sum(col("_yc")).cast("double") / count(lit(1)), 0).cast("bigint").as("_gm"))
+    val mseGroup = mseOf(
+      test.join(broadcast(gmStat), Seq("l_suppkey"), "left")
+        .crossJoin(broadcast(meanStat))
+        .withColumn("_p", coalesce(col("_gm"), col("_m"))))
+
+    val regStat = train.agg(
+        sum(col("_xc") * col("_yc")).cast("double").as("_sxy"),
+        sum(col("_xc") * col("_xc")).cast("double").as("_sxx"),
+        sum(col("_xc")).cast("double").as("_sx"),
+        sum(col("_yc")).cast("double").as("_sy"),
+        count(lit(1)).cast("double").as("_n"))
+      .select(
+        (col("_sy") / col("_n")).as("_my"), (col("_sx") / col("_n")).as("_mx"),
+        ((col("_sxy") - col("_sx") * col("_sy") / col("_n"))
+          / (col("_sxx") - col("_sx") * col("_sx") / col("_n"))).as("_b"))
+    val mseReg = mseOf(test.crossJoin(broadcast(regStat))
+      .withColumn("_p",
+        round(col("_my") - col("_b") * col("_mx") + col("_b") * col("_xc"), 0).cast("bigint")))
+
+    val all = mseMean.select(lit("mean").as("strategy"), col("mse"))
+      .unionAll(mseMedian.select(lit("median").as("strategy"), col("mse")))
+      .unionAll(mseGroup.select(lit("group_mean").as("strategy"), col("mse")))
+      .unionAll(mseReg.select(lit("regression").as("strategy"), col("mse")))
+    all.withColumn("rank",
+      row_number().over(Window.orderBy(asc("mse"), asc("strategy"))).cast("bigint"))
+  }
+
+  /** find_imputation_variance (ref L556): three deterministic imputations per
+    * variable; variance of per-dataset means (continuous) / per-dataset class
+    * entropy (categorical). */
+  def impVariance(s: SparkSession, dir: String): DataFrame = {
+    val mc = Tables.maskedCustomer(s, dir)
+    val ac = cents(col("c_acctbal"), 2)
+
+    // continuous: mean-, median-, and nation-group-mean-imputed datasets
+    val meanStat = mc.agg(
+      round(sum(ac).cast("double") / count(col("c_acctbal")), 0).cast("bigint").as("_m"))
+    val medStat = mc.select(ac.as("_ac"))
+      .agg(round(expr("percentile(_ac, 0.5)"), 0).cast("bigint").as("_m"))
+    val gmStat = mc.groupBy("c_nationkey").agg(
+      round(sum(ac).cast("double") / count(col("c_acctbal")), 0).cast("bigint").as("_gm"))
+
+    def dsMean(imputed: DataFrame): DataFrame =
+      // imputed: one BIGINT column _ic (imputed cents); exact mean, 6dp-rounded
+      imputed.agg(round(sum(col("_ic")).cast("double") / (lit(100.0) * count(lit(1))), 6).as("_dm"))
+
+    val m1 = dsMean(mc.crossJoin(broadcast(meanStat)).select(coalesce(ac, col("_m")).as("_ic")))
+    val m2 = dsMean(mc.crossJoin(broadcast(medStat)).select(coalesce(ac, col("_m")).as("_ic")))
+    val m3 = dsMean(mc.join(broadcast(gmStat), Seq("c_nationkey"), "left")
+      .crossJoin(broadcast(meanStat))
+      .select(coalesce(ac, col("_gm"), col("_m")).as("_ic")))
+    val contVar = m1.unionAll(m2).unionAll(m3)
+      .agg(round(var_samp(col("_dm")), 8).as("imputation_variance"))
+      .select(lit("c_acctbal").as("variable"), col("imputation_variance"))
+
+    // categorical: mode-, group-mode-, and ffill/bfill-imputed datasets
+    val modeStat = mc.filter(col("c_mktsegment").isNotNull)
+      .groupBy("c_mktsegment").agg(count(lit(1)).as("_cnt"))
+      .orderBy(desc("_cnt"), asc("c_mktsegment")).limit(1)
+      .select(col("c_mktsegment").as("_mode"))
+    val gmodeStat = mc.filter(col("c_mktsegment").isNotNull)
+      .groupBy("c_nationkey", "c_mktsegment").agg(count(lit(1)).as("_cnt"))
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy("c_nationkey").orderBy(desc("_cnt"), asc("c_mktsegment"))))
+      .filter(col("_rn") === 1)
+      .select(col("c_nationkey"), col("c_mktsegment").as("_gmode"))
+
+    def entropy(ds: DataFrame): DataFrame =
+      // ds: one string column _v; entropy = ln N − Σ c·ln c / N, 6dp-rounded
+      ds.groupBy("_v").agg(count(lit(1)).as("_c"))
+        .agg(round(
+          log(sum(col("_c")).cast("double"))
+            - sum(col("_c").cast("double") * log(col("_c").cast("double")))
+              / sum(col("_c")).cast("double"), 6).as("_ent"))
+
+    val e1 = entropy(mc.crossJoin(broadcast(modeStat))
+      .select(coalesce(col("c_mktsegment"), col("_mode")).as("_v")))
+    val e2 = entropy(mc.join(broadcast(gmodeStat), Seq("c_nationkey"), "left")
+      .crossJoin(broadcast(modeStat))
+      .select(coalesce(col("c_mktsegment"), col("_gmode"), col("_mode")).as("_v")))
+    val e3 = entropy(
+      FfillBfill.ffillThenBfill(mc, "c_custkey", Seq("c_mktsegment"))
+        .select(col("c_mktsegment").as("_v")))
+    val catVar = e1.unionAll(e2).unionAll(e3)
+      .agg(round(var_samp(col("_ent")), 8).as("imputation_variance"))
+      .select(lit("c_mktsegment").as("variable"), col("imputation_variance"))
+
+    contVar.unionAll(catVar)
+  }
+
+  /** create_features (ref L140): ffill/bfill impute → one-hot (class-
+    * threshold keeps c_mktsegment, drops c_name) → missing flags → MinMax
+    * scale of every feature column. */
+  def impFeatureMatrix(s: SparkSession, dir: String): DataFrame = {
+    val mc = Tables.maskedCustomer(s, dir)
+    val filled = FfillBfill.ffillThenBfill(mc, "c_custkey", Seq("c_acctbal", "c_mktsegment"))
+    val oh = FeatureBuilder.oneHot(filled, "c_mktsegment", "mkt", segments)
+    val flagged = oh
+      .withColumn("acctbal_flag", when(col("c_custkey") % 7 === 3, 1).otherwise(0))
+      .withColumn("seg_flag", when(col("c_custkey") % 11 === 5, 1).otherwise(0))
+    val featCols = Seq("c_acctbal", "c_nationkey") ++ segments.map(v => s"mkt_$v") ++
+      Seq("acctbal_flag", "seg_flag")
+    val scaled = FeatureBuilder.minMaxScale(flagged, featCols)
+    val renames = Seq(col("c_acctbal_scaled").as("f_acctbal"), col("c_nationkey_scaled").as("f_nationkey")) ++
+      segments.map(v => col(s"mkt_${v}_scaled").as(s"f_mkt_$v")) ++
+      Seq(col("acctbal_flag_scaled").as("f_acctbal_flag"), col("seg_flag_scaled").as("f_seg_flag"))
+    scaled.select(col("c_custkey") +: renames: _*)
+  }
+
+  // ------------------------------------------------------------------ text
+
+  def textTokens(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.withTokenCounts(Tables(s, dir, "documents"), "text")
+      .select("doc_id", "n_tokens", "n_bpeish")
+
+  def textQuality(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.withQuality(Tables(s, dir, "documents"), "text")
+      .select("doc_id", "n_chars_obs", "n_tokens", "stop_ratio", "alpha_ratio", "quality_score")
+
+  def textLangid(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.withLangId(Tables(s, dir, "documents"), "text")
+      .select("doc_id", "pred_lang", "lang_score")
+
+  def textFingerprint(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.withFingerprint(Tables(s, dir, "documents"), "text")
+      .select("doc_id", "fingerprint")
+
+  // ----------------------------------------------------------------- dedup
+
+  def dedupExact(s: SparkSession, dir: String): DataFrame =
+    Dedup.exact(Tables(s, dir, "documents"), "doc_id", "text")
+
+  def dedupJaccard(s: SparkSession, dir: String): DataFrame =
+    Dedup.jaccardPairs(Tables(s, dir, "documents"), "doc_id", "text", "source",
+      n = 3, threshold = 0.10)
+
+  def dedupEmbed(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables(s, dir, "embeddings")
+      .select(col("vec_id"), col("label"), toDouble(col("embedding")).as("v"))
+    val a = e.select(col("label"), col("vec_id").as("id_a"), col("v").as("va"))
+    val b = e.select(col("label"), col("vec_id").as("id_b"), col("v").as("vb"))
+    a.join(b, Seq("label"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos", cosine(col("va"), col("vb")))
+      .filter(col("cos") > 0.35)
+      .select("id_a", "id_b", "cos")
+  }
+
+  // ------------------------------------------------------------ similarity
+
+  def annTopk(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables(s, dir, "embeddings")
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+    val q = e.filter(col("vec_id") % 97 === 0)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val sims = e.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        cosine(col("qv"), col("v")).as("cos"))
+    sims.withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(desc("cos"), asc("neighbor_id"))).cast("bigint"))
+      .filter(col("rank") <= 5)
+      .select("query_id", "neighbor_id", "rank", "cos")
+  }
+
+  // ------------------------------------------------------------ multimodal
+
+  def mmBinary(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+      .select(col("doc_id"),
+        octet_length(col("text")).cast("bigint").as("n_bytes"),
+        sha2(col("text"), 256).as("digest"))
+}

@@ -1,0 +1,85 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines: token
+  * counting, quality scoring, language-ID heuristic, and a deterministic
+  * rolling-hash document fingerprint.
+  *
+  * Everything is a pure column expression (split / filter / aggregate
+  * higher-order functions) — codegen'd, no UDFs, no shuffle until the caller
+  * aggregates. The fingerprint uses only integer math expressible in ANSI-ish
+  * SQL so the DuckDB oracle reproduces it bit-for-bit.
+  */
+object TextAnalysis {
+
+  val stopwordsEn: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
+
+  /** Language-ID stopword lists (ISO code -> marker words). The heuristic
+    * scores languages by marker-token hits and takes the alphabetically
+    * first argmax. */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "und", "das", "nicht", "ein"),
+    "en" -> Seq("the", "a", "of", "and", "to", "is"),
+    "es" -> Seq("el", "la", "de", "que", "los", "una"),
+    "fr" -> Seq("le", "la", "les", "et", "une", "est"),
+    "zh" -> Seq("de", "shi", "bu", "le", "wo", "zai"))
+
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Whitespace token count plus a BPE-ish regex token count (alpha runs,
+    * digit runs, single other chars). BIGINT counts to match the oracle. */
+  def withTokenCounts(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("n_tokens", size(tokens(col(textCol))).cast("bigint"))
+      .withColumn("n_bpeish",
+        size(expr(s"regexp_extract_all($textCol, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)")).cast("bigint"))
+
+  /** Quality features + a composite score in [0,1]:
+    * 0.5·min(n_tokens/50,1) + 0.3·(1 − stopword_ratio) + 0.2·alpha_ratio.
+    * Ratios stay raw (integer/integer division is bitwise-reproducible). */
+  def withQuality(df: DataFrame, textCol: String): DataFrame = {
+    val t = tokens(col(textCol))
+    val nTok = size(t).cast("bigint")
+    val stopHits = size(filter(t, x => x.isInCollection(stopwordsEn))).cast("bigint")
+    val alphaChars = length(regexp_replace(col(textCol), "[^a-z]", "")).cast("bigint")
+    df.withColumn("n_chars_obs", length(col(textCol)).cast("bigint"))
+      .withColumn("n_tokens", nTok)
+      .withColumn("stop_ratio", stopHits.cast("double") / nTok)
+      .withColumn("alpha_ratio", alphaChars.cast("double") / col("n_chars_obs"))
+      .withColumn("quality_score",
+        least(nTok.cast("double") / 50.0, lit(1.0)) * 0.5
+          + (lit(1.0) - stopHits.cast("double") / nTok) * 0.3
+          + alphaChars.cast("double") / col("n_chars_obs") * 0.2)
+  }
+
+  /** Stopword-hit language ID. Integer scores ⇒ exact argmax; tie-break is
+    * the alphabetically first language. */
+  def withLangId(df: DataFrame, textCol: String): DataFrame = {
+    val t = tokens(col(textCol))
+    val scored = langMarkers.foldLeft(df) { case (d, (lang, words)) =>
+      d.withColumn(s"_s_$lang", size(filter(t, x => x.isInCollection(words))).cast("bigint"))
+    }
+    val best = greatest(langMarkers.map { case (l, _) => col(s"_s_$l") }: _*)
+    val pred = langMarkers.foldRight(lit("und"): Column) { case ((l, _), acc) =>
+      when(col(s"_s_$l") === best, lit(l)).otherwise(acc)
+    }
+    // foldRight gives priority to the FIRST (alphabetically smallest) lang.
+    scored.withColumn("pred_lang", pred)
+      .withColumn("lang_score", best)
+      .drop(langMarkers.map { case (l, _) => s"_s_$l" }: _*)
+  }
+
+  /** Rolling polynomial fingerprint over the token stream:
+    * h ← (h·131 + len(tok)·7 + ascii(tok[0])) mod 1e9+7.
+    * Order-sensitive (a true rolling hash) yet pure integer math, so the
+    * oracle reproduces it with list_reduce. */
+  def fingerprint(text: Column): Column =
+    aggregate(
+      tokens(text),
+      lit(0L),
+      (h, tok) => (h * 131L + length(tok).cast("bigint") * 7L + ascii(substring(tok, 1, 1)).cast("bigint")) % 1000000007L)
+
+  def withFingerprint(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("fingerprint", fingerprint(col(textCol)))
+}
