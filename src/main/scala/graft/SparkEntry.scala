@@ -51,7 +51,13 @@ object SparkEntry {
     // similarity
     "ann_topk" -> (Q.annTopk _),
     // multimodal
-    "mm_binary" -> (Q.mmBinary _)
+    "mm_binary" -> (Q.mmBinary _),
+    // rows-only: model-based / hash-family operators
+    "imp_ml_tree" -> (Q.impMlTree _),
+    "dedup_minhash" -> (Q.dedupMinhash _),
+    "dedup_simhash" -> (Q.dedupSimhash _),
+    "ann_lsh" -> (Q.annLsh _),
+    "mm_features" -> (Q.mmFeatures _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the

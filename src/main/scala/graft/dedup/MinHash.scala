@@ -1,0 +1,58 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** MinHash + LSH-banding near-duplicate detection.
+  *
+  * Pipeline (all codegen'd column expressions, no UDFs):
+  *   1. shingle the text (word n-grams, distinct);
+  *   2. k universal hashes h_i(x) = (a_i·x + b_i) mod p over the shingles'
+  *      xxhash64 values; signature_i = min over shingles;
+  *   3. group the signature into b bands of r rows; band bucket key =
+  *      hash(band values);
+  *   4. candidate pairs = equality join on (band, bucket) — the ONLY shuffle
+  *      is on bucket keys, never a cross join;
+  *   5. verify candidates with exact Jaccard over the shingle sets.
+  *
+  * All hash constants derive deterministically from the seed, so results are
+  * stable across runs and cluster layouts.
+  */
+object MinHash {
+
+  /** MinHash signature column (array<bigint> of length k) over a distinct
+    * shingle array column: h_i = min over shingles of xxhash64(seed+i, s) —
+    * a keyed 64-bit hash family (equivalent to a·x+b universal hashing for
+    * LSH purposes, without 128-bit modular arithmetic). */
+  def signature(shingles: Column, k: Int, seed: Long): Column =
+    array((0 until k).map { i =>
+      array_min(transform(shingles, s => xxhash64(lit(seed + i), s)))
+    }: _*)
+
+  /** Near-dup pairs: (id_a, id_b, jaccard) for verified candidates. */
+  def pairs(df: DataFrame, idCol: String, textCol: String,
+            n: Int = 3, k: Int = 32, bands: Int = 8,
+            threshold: Double = 0.5, seed: Long = 42L): DataFrame = {
+    require(k % bands == 0, "k must be divisible by bands")
+    val r = k / bands
+    val sh = df.select(col(idCol).as("id"), Dedup.shingles(col(textCol), n).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .withColumn("sig", signature(col("sh"), k, seed))
+
+    // explode into b band buckets: (band, hash(sig slice)) — shuffle key
+    val banded = sh.select(col("id"), col("sh"), col("sig"),
+        explode(sequence(lit(0), lit(bands - 1))).as("band"))
+      .withColumn("bucket", hash(col("band"), slice(col("sig"), col("band") * r + 1, lit(r))))
+    // self-join on (band, bucket); distinct candidate pairs
+    val left = banded.select(col("band"), col("bucket"), col("id").as("id_a"), col("sh").as("sh_a"))
+    val right = banded.select(col("band"), col("bucket"), col("id").as("id_b"), col("sh").as("sh_b"))
+    val cands = left.join(right, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "sh_a", "sh_b")
+      .dropDuplicates("id_a", "id_b")
+    cands
+      .withColumn("jaccard", Dedup.jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+}

@@ -1,0 +1,53 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** SimHash near-duplicate detection.
+  *
+  * 64-bit SimHash: for each bit j, sum +1/−1 over the tokens' xxhash64 bit j;
+  * the sign of the sum is bit j of the fingerprint. Documents within hamming
+  * distance `maxHamming` are near-dups.
+  *
+  * Candidate generation uses the pigeonhole trick: split the 64-bit
+  * fingerprint into `maxHamming + 1` chunks — two fingerprints within the
+  * hamming budget must agree on at least one chunk, so an equality join per
+  * chunk finds every candidate with shuffles only on chunk keys.
+  */
+object SimHash {
+
+  /** 64-bit simhash of a token array column (bigint). Pure fold over the
+    * token stream with integer ops — codegen'd, no UDF. */
+  def simhash64(tokens: Column, seed: Long): Column = {
+    val hashed = transform(tokens, t => xxhash64(lit(seed), t))
+    val bitCols = (0 until 64).map { j =>
+      // +1 if bit j set else -1, summed over tokens
+      val votes = aggregate(hashed, lit(0L),
+        (acc, h) => acc + when(shiftright(h, j).bitwiseAND(1) === 1, 1L).otherwise(-1L))
+      when(votes > 0, shiftleft(lit(1L), j)).otherwise(0L)
+    }
+    bitCols.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** Near-dup pairs (id_a, id_b, hamming ≤ maxHamming). */
+  def pairs(df: DataFrame, idCol: String, textCol: String,
+            maxHamming: Int = 3, seed: Long = 42L): DataFrame = {
+    val chunks = maxHamming + 1
+    val bitsPer = 64 / chunks
+    val fp = df.select(col(idCol).as("id"),
+      simhash64(split(col(textCol), " "), seed).as("fp"))
+
+    val chunked = fp.select(col("id"), col("fp"),
+        explode(sequence(lit(0), lit(chunks - 1))).as("chunk"))
+      .withColumn("ckey",
+        expr(s"shiftright(fp, chunk * $bitsPer)").bitwiseAND((1L << bitsPer) - 1))
+    val left = chunked.select(col("chunk"), col("ckey"), col("id").as("id_a"), col("fp").as("fp_a"))
+    val right = chunked.select(col("chunk"), col("ckey"), col("id").as("id_b"), col("fp").as("fp_b"))
+    left.join(right, Seq("chunk", "ckey"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).as("hamming"))
+      .dropDuplicates("id_a", "id_b")
+      .filter(col("hamming") <= maxHamming)
+  }
+}

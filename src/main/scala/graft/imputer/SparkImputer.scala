@@ -1,0 +1,277 @@
+package graft.imputer
+
+import org.apache.spark.ml.{Pipeline, PipelineModel, PipelineStage}
+import org.apache.spark.ml.feature.{IndexToString, StringIndexer, StringIndexerModel, VectorAssembler}
+import org.apache.spark.ml.param.{ParamMap, Params}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{NumericType, StringType}
+
+/** Spark-native re-expression of the reference `SklearnImputer`
+  * (scikit_learn_imputer.py:35-553): impute missing values in mixed-type
+  * frames by training one MLlib model per column-with-missing-values —
+  * classifiers for categorical targets, regressors for continuous ones.
+  *
+  * Differences from the pandas original are deliberate scale decisions:
+  *   - rows are identified by an explicit numeric `idCol` (the reference
+  *     uses the pandas index) — any unique BIGINT works;
+  *   - the train/test simulation split is a deterministic modulo on the id,
+  *     not an RNG shuffle, so results are reproducible across cluster
+  *     topologies;
+  *   - feature preparation (ffill/bfill, one-hot, scaling) runs as
+  *     distributed DataFrame transforms (see [[FeatureBuilder]],
+  *     [[FfillBfill]]);
+  *   - per-column models are MLlib estimators wrapped in a Pipeline
+  *     (StringIndexer ≈ LabelEncoder, VectorAssembler, model,
+  *     IndexToString ≈ inverse_transform), trained distributed;
+  *   - persistence uses MLlib's native writers, so saved models live on
+  *     HDFS/S3-compatible storage, not a local joblib file.
+  *
+  * The per-COLUMN loop is driver-side but bounded by the schema width, never
+  * the row count.
+  */
+class SparkImputer(
+    val idCol: String,
+    val categorical: Seq[String] = Nil,
+    val roundColumns: Seq[String] = Nil,
+    val classThreshold: Int = 30,
+    val features: Seq[String] = Nil,
+    val includeMissingFlags: Boolean = false,
+    val testModulo: Int = 10,
+    val seed: Long = 42L) extends Serializable {
+
+  /** Missing flags frame (ref missing_indicator, L109). */
+  def missingIndicator(df: DataFrame): DataFrame =
+    MissingStats.indicator(df, Seq(idCol))
+
+  /** Per-variable missing metrics (ref missing_metrics, L117). */
+  def missingMetrics(df: DataFrame): DataFrame =
+    MissingStats.metrics(df.drop(idCol))
+
+  /** Feature matrix (ref create_features, L140): ffill→bfill the selected
+    * columns, drop categoricals over the class threshold, one-hot encode the
+    * rest, optionally append missing flags. Columns are suffixed `f_`. */
+  def createFeatures(df: DataFrame): DataFrame = {
+    val cols = if (features.nonEmpty) features else df.columns.toSeq.filterNot(_ == idCol)
+    val cats = categorical.filter(cols.contains)
+    val filled = FfillBfill.ffillThenBfill(
+      df.select((idCol +: cols).map(col): _*), idCol, cols)
+
+    val catCounts: Map[String, Long] =
+      if (cats.isEmpty) Map.empty
+      else {
+        val aggs = cats.map(c => countDistinct(col(c)).as(c))
+        val row = filled.agg(aggs.head, aggs.tail: _*).collect()(0)
+        cats.map(c => c -> row.getAs[Long](c)).toMap
+      }
+    val keptCats = cats.filter(c => catCounts(c) <= classThreshold)
+    val dropped = cats.filterNot(keptCats.contains)
+
+    val base = filled.drop(dropped: _*)
+    val encoded = keptCats.foldLeft(base) { (d, c) =>
+      FeatureBuilder.oneHot(d, c, c).drop(c)
+    }
+    if (includeMissingFlags) {
+      val flags = missingIndicator(df.select((idCol +: cols).map(col): _*))
+      val intFlags = flags.select(col(idCol) +:
+        flags.columns.filter(_ != idCol).map(c => col(c).cast("int").as(c)): _*)
+      encoded.join(intFlags, Seq(idCol))
+    } else encoded
+  }
+
+  /** Columns that need imputing, in schema order. */
+  def columnsToImpute(df: DataFrame): Seq[String] = {
+    val cols = df.columns.toSeq.filterNot(_ == idCol)
+    val aggs = cols.map(c => (count(lit(1)) - count(col(c))).as(c))
+    val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    cols.filter(c => row.getAs[Long](c) > 0)
+  }
+
+  /** Train one model per missing column (ref fit, L178). `classification` /
+    * `regression` are any MLlib Predictor instances (DecisionTree*, RandomForest*,
+    * LogisticRegression, LinearRegression, GBT*, MLP, …) — mirroring "any
+    * algorithm compatible with the scikit-learn API". Each column gets a
+    * fresh copy with featuresCol/labelCol rebound. Returns the fitted
+    * [[SparkImputerModel]] carrying per-column test performance. */
+  def fit(df: DataFrame,
+          classification: Params with PipelineStage,
+          regression: Params with PipelineStage): SparkImputerModel = {
+    val toImpute = columnsToImpute(df)
+    val featureFrame = scaledFeatures(df)
+    val models = toImpute.map { target =>
+      val isCat = categorical.contains(target)
+      // exclude features derived from the target column itself (ref L236)
+      val featCols = featureFrame.columns.toSeq
+        .filterNot(_ == idCol).filterNot(_.contains(target))
+      val observed = df.select(col(idCol), col(target))
+        .filter(col(target).isNotNull)
+        .join(featureFrame.select((idCol +: featCols).map(col): _*), Seq(idCol))
+      val train = observed.filter(pmod(col(idCol), lit(testModulo)) =!= 0)
+      val test = observed.filter(pmod(col(idCol), lit(testModulo)) === 0)
+
+      val assembler = new VectorAssembler()
+        .setInputCols(featCols.toArray).setOutputCol("_features")
+      def bind(proto: Params with PipelineStage, labelCol: String): PipelineStage = {
+        val est = proto.copy(ParamMap.empty).asInstanceOf[Params with PipelineStage]
+        est.set(est.getParam("featuresCol"), "_features")
+        est.set(est.getParam("labelCol"), labelCol)
+        if (est.hasParam("seed")) est.set(est.getParam("seed"), seed)
+        est
+      }
+      val stages: Array[PipelineStage] =
+        if (isCat) {
+          val indexer = new StringIndexer().setInputCol(target).setOutputCol("_label")
+            .setStringOrderType("alphabetAsc").setHandleInvalid("keep")
+          Array(indexer, assembler, bind(classification, "_label"))
+        } else {
+          Array(assembler, bind(regression, target))
+        }
+      val t0 = System.nanoTime()
+      val pm = new Pipeline().setStages(stages).fit(train)
+      val trainTime = (System.nanoTime() - t0) / 1e9
+
+      val t1 = System.nanoTime()
+      val predictions = withPrediction(pm, test, target, isCat)
+      val perf = if (isCat)
+        ("accuracy", predictions.agg(
+          avg(when(col("_predicted") === col(target), 1.0).otherwise(0.0))).collect()(0).getDouble(0))
+      else {
+        val p = maybeRound(target, col("_predicted"))
+        ("mse", predictions.agg(
+          avg((p - col(target)) * (p - col(target)))).collect()(0).getDouble(0))
+      }
+      val testTime = (System.nanoTime() - t1) / 1e9
+      target -> ColumnModel(pm, isCat, featCols, perf._1, perf._2, trainTime, testTime)
+    }.toMap
+    new SparkImputerModel(this, models)
+  }
+
+  /** Fit and impute in one call (ref fit(transform=True)). */
+  def fitTransform(df: DataFrame,
+                   classification: Params with PipelineStage,
+                   regression: Params with PipelineStage): DataFrame =
+    fit(df, classification, regression).transform(df)
+
+  private[imputer] def maybeRound(target: String, c: org.apache.spark.sql.Column) =
+    if (roundColumns.contains(target)) round(c, 0) else c
+
+  /** MinMax-scaled feature matrix (ref fit scales features, L201). */
+  private[imputer] def scaledFeatures(df: DataFrame): DataFrame = {
+    val feats = createFeatures(df)
+    val numCols = feats.schema.fields
+      .filter(f => f.name != idCol && f.dataType.isInstanceOf[NumericType])
+      .map(_.name).toSeq
+    val scaled = FeatureBuilder.minMaxScale(feats, numCols)
+    scaled.select(col(idCol) +: numCols.map(c => col(s"${c}_scaled").as(c)): _*)
+  }
+
+  private[imputer] def withPrediction(pm: PipelineModel, rows: DataFrame,
+                                      target: String, isCat: Boolean): DataFrame = {
+    val out = pm.transform(rows)
+    if (isCat) {
+      val labels = pm.stages.collectFirst { case m: StringIndexerModel => m }
+        .map(_.labelsArray(0)).getOrElse(Array.empty)
+      val toStr = new IndexToString().setInputCol("prediction")
+        .setOutputCol("_predicted").setLabels(labels)
+      toStr.transform(out)
+    } else out.withColumnRenamed("prediction", "_predicted")
+  }
+}
+
+/** One trained per-column model plus its simulation-study stats. */
+case class ColumnModel(
+    pipeline: PipelineModel,
+    isCategorical: Boolean,
+    featureCols: Seq[String],
+    metricName: String,
+    metricValue: Double,
+    trainTime: Double,
+    testTime: Double)
+
+/** The fitted imputer: per-column MLlib pipelines (ref trained_models dict).
+  * `transform` imputes any frame with the same schema; `validate` scores the
+  * models on a frame's observed values (ref validate, L362). */
+class SparkImputerModel(val imputer: SparkImputer,
+                        val models: Map[String, ColumnModel]) extends Serializable {
+
+  /** Impute every missing cell using the trained models (ref transform). */
+  def transform(df: DataFrame): DataFrame = {
+    val featureFrame = imputer.scaledFeatures(df)
+    models.foldLeft(df) { case (acc, (target, cm)) =>
+      val missing = df.filter(col(target).isNull).select(col(imputer.idCol))
+        .join(featureFrame, Seq(imputer.idCol))
+      val preds = imputer.withPrediction(cm.pipeline, missing, target, cm.isCategorical)
+        .select(col(imputer.idCol),
+          imputer.maybeRound(target, col("_predicted")).as("_p"))
+      acc.join(preds, Seq(imputer.idCol), "left")
+        .withColumn(target,
+          coalesce(col(target), col("_p").cast(df.schema(target).dataType)))
+        .drop("_p")
+    }
+  }
+
+  /** Score the saved models against a frame's observed values. Returns
+    * (variable, metric, score, n_rows). */
+  def validate(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val featureFrame = imputer.scaledFeatures(df)
+    val rows = models.toSeq.map { case (target, cm) =>
+      // `_actual` alias avoids clashing with the (scaled) feature column of
+      // the same name in featureFrame
+      val observed = df.filter(col(target).isNotNull)
+        .select(col(imputer.idCol), col(target).as("_actual"))
+        .join(featureFrame, Seq(imputer.idCol))
+      val preds = imputer.withPrediction(cm.pipeline, observed, target, cm.isCategorical)
+      val (metric, score) =
+        if (cm.isCategorical)
+          ("accuracy", preds.agg(
+            avg(when(col("_predicted") === col("_actual"), 1.0).otherwise(0.0))).collect()(0).getDouble(0))
+        else {
+          val p = imputer.maybeRound(target, col("_predicted"))
+          ("mse", preds.agg(
+            avg((p - col("_actual")) * (p - col("_actual")))).collect()(0).getDouble(0))
+        }
+      (target, metric, score, observed.count())
+    }
+    import spark.implicits._
+    rows.toDF("variable", "metric", "score", "n_rows")
+  }
+
+  /** Per-column performance summary from the fit-time simulation study. */
+  def performance(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    models.toSeq.map { case (t, cm) =>
+      (t, cm.metricName, cm.metricValue, cm.trainTime, cm.testTime)
+    }.toDF("variable", "metric", "score", "train_time", "test_time")
+  }
+
+  /** Persist every per-column pipeline with MLlib's native writer (cluster
+    * storage, not a local pickle). Layout: path/_meta + path/model_<col>/. */
+  def save(spark: SparkSession, path: String): Unit = {
+    models.foreach { case (target, cm) =>
+      cm.pipeline.write.overwrite().save(s"$path/model_$target")
+    }
+    val meta = models.map { case (t, cm) =>
+      val feats = cm.featureCols.map(f => "\"" + f + "\"").mkString("[", ",", "]")
+      s"""{"target":"$t","categorical":${cm.isCategorical},"features":$feats,"metric":"${cm.metricName}","score":${cm.metricValue}}"""
+    }.mkString("[", ",", "]")
+    import spark.implicits._
+    Seq(meta).toDS().coalesce(1).write.mode("overwrite").text(s"$path/_meta")
+  }
+}
+
+object SparkImputerModel {
+  /** Reload a model saved by [[SparkImputerModel.save]]. */
+  def load(spark: SparkSession, path: String, imputer: SparkImputer): SparkImputerModel = {
+    val meta = spark.read.text(s"$path/_meta").collect().map(_.getString(0)).mkString
+    // minimal parse: targets + flags from the controlled writer format
+    val entries = "\\{\"target\":\"([^\"]+)\",\"categorical\":(true|false)".r
+      .findAllMatchIn(meta).map(m => (m.group(1), m.group(2).toBoolean)).toSeq
+    val models = entries.map { case (target, isCat) =>
+      val pm = PipelineModel.load(s"$path/model_$target")
+      target -> ColumnModel(pm, isCat, Nil, if (isCat) "accuracy" else "mse",
+        Double.NaN, 0.0, 0.0)
+    }.toMap
+    new SparkImputerModel(imputer, models)
+  }
+}

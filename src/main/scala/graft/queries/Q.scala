@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.analytics.Analytics
 import graft.analytics.Analytics.cents
-import graft.imputer.{FeatureBuilder, FfillBfill, MissingStats, Strategies}
+import graft.imputer.{FeatureBuilder, FfillBfill, MissingStats, SparkImputer, Strategies}
 import graft.text.TextAnalysis
 import graft.dedup.Dedup
 import graft.functions.VectorFunctions._
@@ -337,4 +337,42 @@ object Q {
       .select(col("doc_id"),
         octet_length(col("text")).cast("bigint").as("n_bytes"),
         sha2(col("text"), 256).as("digest"))
+
+  /** Binary payload → partition-parallel (stub) decode; rows-only check. */
+  def mmFeatures(s: SparkSession, dir: String): DataFrame = {
+    import graft.multimodal.{Multimodal, StubDecoder}
+    val bin = Multimodal.asBinaryTable(Tables(s, dir, "documents"), "doc_id", "text")
+    Multimodal.decodeFeatures(bin, StubDecoder, 16)
+      .select(col("doc_id"), col("n_bytes"), col("width"), col("height"),
+        element_at(col("features"), 1).cast("double").as("f0"))
+  }
+
+  // ------------------------------------------------- rows-only (model/hash)
+
+  /** MLlib decision-tree imputation through the full SparkImputer API
+    * (per-column pipelines, simulation split) — model-based, rows-only. */
+  def impMlTree(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.ml.classification.DecisionTreeClassifier
+    import org.apache.spark.ml.regression.DecisionTreeRegressor
+    val mc = Tables.maskedCustomer(s, dir)
+    val imp = new SparkImputer(idCol = "c_custkey",
+      categorical = Seq("c_mktsegment", "c_name"), classThreshold = 30)
+    val model = imp.fit(mc, new DecisionTreeClassifier(), new DecisionTreeRegressor())
+    model.transform(mc).select(col("c_custkey"),
+      col("c_acctbal").as("acctbal_imp"), col("c_mktsegment").as("seg_imp"))
+  }
+
+  def dedupMinhash(s: SparkSession, dir: String): DataFrame =
+    graft.dedup.MinHash.pairs(Tables(s, dir, "documents"), "doc_id", "text",
+      n = 3, k = 32, bands = 8, threshold = 0.10)
+
+  def dedupSimhash(s: SparkSession, dir: String): DataFrame =
+    graft.dedup.SimHash.pairs(Tables(s, dir, "documents"), "doc_id", "text",
+      maxHamming = 7)
+
+  def annLsh(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables(s, dir, "embeddings")
+    graft.similarity.AnnLsh.lshTopK(e, e.filter(col("vec_id") % 97 === 0),
+      "vec_id", "embedding", dim = 64, k = 5, planes = 8, tables = 8)
+  }
 }

@@ -1,0 +1,82 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions._
+
+/** Approximate nearest-neighbor search over embedding columns.
+  *
+  * Two paths, same interface:
+  *   - [[bruteTopK]]: exact cosine top-k — the small-query baseline. Queries
+  *     are BROADCAST (the small side); candidates stream once; per-partition
+  *     top-k happens inside the window's partial sort before the merge.
+  *   - [[lshTopK]]: the 100-TB path — random-hyperplane LSH. Each vector gets
+  *     a `planes`-bit signature (sign of dot with deterministic pseudo-random
+  *     hyperplanes); candidates are the bucket collisions across `tables`
+  *     independent hash tables; only candidates are reranked by exact cosine.
+  *     Shuffles only on (table, bucket) keys.
+  */
+object AnnLsh {
+
+  /** Deterministic pseudo-random hyperplane component in [-0.5, 0.5): a
+    * splitmix-style integer mix of (table, plane, dim) — identical on every
+    * executor, no RNG state to ship. */
+  private def planeComponent(table: Int, plane: Int, dim: Int): Double = {
+    var z = table.toLong * 0x9E3779B97F4A7C15L + plane.toLong * 0xBF58476D1CE4E5B9L +
+      dim.toLong * 0x94D049BB133111EBL + 0x2545F4914F6CDD1DL
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z = z ^ (z >>> 31)
+    (z.toDouble / math.pow(2, 64)) // in [-0.5, 0.5)
+  }
+
+  /** `planes`-bit signature of a double-array column for one hash table. */
+  def signature(v: Column, dim: Int, planes: Int, table: Int): Column = {
+    val bits = (0 until planes).map { p =>
+      val dot = (0 until dim).map { d =>
+        element_at(v, d + 1) * lit(planeComponent(table, p, d))
+      }.reduce(_ + _)
+      when(dot >= 0, lit(1L << p)).otherwise(lit(0L))
+    }
+    bits.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** Exact brute-force cosine top-k for a (small) query set. */
+  def bruteTopK(candidates: DataFrame, queries: DataFrame, idCol: String,
+                vecCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val c = candidates.select(col(idCol).as("neighbor_id"), toDouble(col(vecCol)).as("v"))
+    val q = queries.select(col(idCol).as("query_id"), toDouble(col(vecCol)).as("qv"))
+    val sims = c.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"), cosine(col("qv"), col("v")).as("cos"))
+    sims.withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(desc("cos"), asc("neighbor_id"))).cast("bigint"))
+      .filter(col("rank") <= k)
+  }
+
+  /** LSH-bucketed approximate top-k: join query/candidate signatures per
+    * table, rerank collisions with exact cosine, keep the best k. */
+  def lshTopK(candidates: DataFrame, queries: DataFrame, idCol: String,
+              vecCol: String, dim: Int, k: Int,
+              planes: Int = 12, tables: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def signed(df: DataFrame, id: String, vec: String): DataFrame = {
+      val base = df.select(col(idCol).as(id), toDouble(col(vecCol)).as(vec))
+      val tabs = (0 until tables).map { t =>
+        base.select(col(id), col(vec), lit(t).as("table"),
+          signature(col(vec), dim, planes, t).as("bucket"))
+      }
+      tabs.reduce(_ unionAll _)
+    }
+    val c = signed(candidates, "neighbor_id", "v")
+    val q = signed(queries, "query_id", "qv")
+    val cands = c.join(broadcast(q), Seq("table", "bucket"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"), col("qv"), col("v"))
+      .dropDuplicates("query_id", "neighbor_id")
+    cands.select(col("query_id"), col("neighbor_id"), cosine(col("qv"), col("v")).as("cos"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(desc("cos"), asc("neighbor_id"))).cast("bigint"))
+      .filter(col("rank") <= k)
+  }
+}

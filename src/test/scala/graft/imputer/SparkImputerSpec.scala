@@ -1,0 +1,107 @@
+package graft.imputer
+
+import org.apache.spark.ml.classification.DecisionTreeClassifier
+import org.apache.spark.ml.regression.DecisionTreeRegressor
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** End-to-end SparkImputer behavior on the reference README examples
+  * (readme.md "Example Usage"): mixed continuous/categorical frames with
+  * NaNs come back fully imputed; models persist and reload. */
+class SparkImputerSpec extends SparkSpec {
+
+  private def mixedFrame = {
+    import spark.implicits._
+    // ref readme second example: A,B,C continuous; D,E,F categorical
+    Seq(
+      (0L, Some(1.0), 1.0, None: Option[Double], Some("1"), Some("1"), Some("0")),
+      (1L, None: Option[Double], 3.0, None: Option[Double], Some("0"), Some("1"), None: Option[String]),
+      (2L, Some(2.0), 4.0, Some(2.0), None: Option[String], None: Option[String], None: Option[String]),
+      (3L, Some(3.0), 3.0, Some(1.0), Some("1"), Some("1"), Some("1")),
+      (4L, Some(4.0), 4.0, Some(2.0), Some("0"), None: Option[String], Some("0")),
+      (5L, Some(2.5), 2.0, Some(1.0), Some("1"), Some("0"), Some("1")),
+      (6L, None: Option[Double], 1.0, Some(2.0), Some("0"), Some("1"), Some("0")),
+      (7L, Some(1.5), 2.0, Some(1.5), Some("1"), Some("0"), Some("1")),
+      (8L, Some(3.5), 3.0, Some(2.0), Some("0"), Some("1"), Some("0")),
+      (9L, Some(2.2), 1.0, Some(1.2), Some("1"), Some("0"), Some("1"))
+    ).toDF("id", "A", "B", "C", "D", "E", "F")
+  }
+
+  private val imputer = new SparkImputer(idCol = "id",
+    categorical = Seq("D", "E", "F"), testModulo = 5)
+
+  test("missingMetrics reports per-variable rates") {
+    val m = imputer.missingMetrics(mixedFrame).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(m("A") == (8L, 2L))
+    assert(m("B") == (10L, 0L))
+    assert(m("C") == (8L, 2L))
+    assert(m("F") == (8L, 2L))
+  }
+
+  test("columnsToImpute finds exactly the columns with nulls") {
+    assert(imputer.columnsToImpute(mixedFrame).toSet == Set("A", "C", "D", "E", "F"))
+  }
+
+  test("fitTransform imputes every missing cell (ref tests.py no-null check)") {
+    val out = imputer.fitTransform(mixedFrame,
+      new DecisionTreeClassifier(), new DecisionTreeRegressor())
+    val nulls = out.columns.map(c => out.filter(col(c).isNull).count()).sum
+    assert(nulls == 0)
+    // observed values are untouched
+    val a0 = out.filter(col("id") === 0).select("A").collect()(0).getDouble(0)
+    assert(a0 == 1.0)
+  }
+
+  test("categorical imputation returns observed label values") {
+    val out = imputer.fitTransform(mixedFrame,
+      new DecisionTreeClassifier(), new DecisionTreeRegressor())
+    val dVals = out.select("D").distinct().collect().map(_.getString(0)).toSet
+    assert(dVals.subsetOf(Set("0", "1")))
+  }
+
+  test("save/load roundtrip imputes like the original") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_imp").toString
+    val model = imputer.fit(mixedFrame, new DecisionTreeClassifier(), new DecisionTreeRegressor())
+    val direct = model.transform(mixedFrame).orderBy("id").collect()
+    model.save(spark, dir)
+    val loaded = SparkImputerModel.load(spark, dir, imputer)
+    assert(loaded.models.keySet == model.models.keySet)
+    val replayed = loaded.transform(mixedFrame).orderBy("id").collect()
+    assert(replayed.toSeq == direct.toSeq)
+  }
+
+  test("validate scores observed rows for every trained column") {
+    val model = imputer.fit(mixedFrame, new DecisionTreeClassifier(), new DecisionTreeRegressor())
+    val v = model.validate(mixedFrame).collect()
+    assert(v.map(_.getString(0)).toSet == Set("A", "C", "D", "E", "F"))
+    v.foreach { r =>
+      val metric = r.getString(1)
+      assert(metric == "mse" || metric == "accuracy")
+      assert(!r.isNullAt(2))
+    }
+  }
+
+  test("selectModel ranks candidate pairs") {
+    val res = ModelSelection.selectModel(imputer, mixedFrame, Seq(
+      ModelOption("tree", new DecisionTreeClassifier(), new DecisionTreeRegressor()),
+      ModelOption("tree_d2",
+        new DecisionTreeClassifier().setMaxDepth(2),
+        new DecisionTreeRegressor().setMaxDepth(2))))
+    val rows = res.collect()
+    assert(rows.length == 2)
+    assert(rows.map(_.getString(0)).toSet == Set("tree", "tree_d2"))
+  }
+
+  test("findImputationVariance: zero for identical datasets, positive for different") {
+    import spark.implicits._
+    val d1 = Seq((1.0, "a"), (2.0, "a"), (3.0, "b")).toDF("x", "c")
+    val d2 = Seq((1.0, "a"), (2.0, "a"), (5.0, "a")).toDF("x", "c")
+    val same = ImputationVariance.findImputationVariance(Seq(d1, d1), Seq("c"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(same("x") == 0.0 && same("c") == 0.0)
+    val diff = ImputationVariance.findImputationVariance(Seq(d1, d2), Seq("c"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(diff("x") > 0.0 && diff("c") > 0.0)
+  }
+}

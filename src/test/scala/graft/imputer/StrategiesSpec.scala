@@ -1,0 +1,74 @@
+package graft.imputer
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class StrategiesSpec extends SparkSpec {
+
+  private def df = {
+    import spark.implicits._
+    Seq(
+      (1L, Some(10.0), Some("a"), "g1"),
+      (2L, Some(20.0), Some("b"), "g1"),
+      (3L, None: Option[Double], Some("a"), "g1"),
+      (4L, Some(40.0), None: Option[String], "g2"),
+      (5L, None: Option[Double], Some("a"), "g2")
+    ).toDF("id", "x", "c", "g")
+  }
+
+  private def vals(d: org.apache.spark.sql.DataFrame, c: String) =
+    d.orderBy("id").select(c).collect().map(r => if (r.isNullAt(0)) null else r.get(0)).toSeq
+
+  test("mean impute fills with observed mean") {
+    val out = Strategies.mean(df, "x", "xi")
+    assert(vals(out, "xi") == Seq(10.0, 20.0, 70.0 / 3, 40.0, 70.0 / 3))
+  }
+
+  test("median impute uses interpolated median") {
+    val out = Strategies.median(df, "x", "xi")
+    assert(vals(out, "xi") == Seq(10.0, 20.0, 20.0, 40.0, 20.0))
+  }
+
+  test("mode impute uses most frequent with deterministic tie-break") {
+    val out = Strategies.mode(df, "c", "ci")
+    assert(vals(out, "ci") == Seq("a", "b", "a", "a", "a"))
+  }
+
+  test("group mean falls back to global mean for all-null groups") {
+    import spark.implicits._
+    val d = Seq((1L, Some(10.0), "g1"), (2L, Some(30.0), "g1"),
+      (3L, None: Option[Double], "g2")).toDF("id", "x", "g")
+    val out = Strategies.groupMean(d, "x", "g", "xi")
+    assert(vals(out, "xi") == Seq(10.0, 30.0, 20.0))
+  }
+
+  test("regression impute predicts from the covariate") {
+    import spark.implicits._
+    // y = 2x exactly on observed rows → imputed row must get 2*x
+    val d = Seq((1L, 1.0, Some(2.0)), (2L, 2.0, Some(4.0)), (3L, 3.0, Some(6.0)),
+      (4L, 10.0, None: Option[Double])).toDF("id", "x", "y")
+    val out = Strategies.regression(d, "y", "x", "yi")
+    val yi = vals(out, "yi")
+    assert(math.abs(yi(3).asInstanceOf[Double] - 20.0) < 1e-9)
+  }
+
+  test("missing metrics + indicator") {
+    val m = MissingStats.metrics(df.select("x", "c")).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(4))).toMap
+    assert(m("x") == (3L, 2L, 0.4))
+    assert(m("c") == (4L, 1L, 0.2))
+    val ind = MissingStats.indicator(df, Seq("id"), Seq("x", "c")).orderBy("id").collect()
+    assert(ind.map(_.getBoolean(1)).toSeq == Seq(false, false, true, false, true))
+  }
+
+  test("one-hot + minmax scale + class threshold") {
+    val oh = FeatureBuilder.oneHot(df, "c", "c")
+    assert(oh.columns.contains("c_a") && oh.columns.contains("c_b"))
+    assert(vals(oh, "c_a") == Seq(1, 0, 1, 0, 1))
+    val sc = FeatureBuilder.minMaxScale(df, Seq("x"))
+    assert(vals(sc, "x_scaled") == Seq(0.0, 1.0 / 3, null, 1.0, null))
+    val ct = FeatureBuilder.classThreshold(df, Seq("c", "g"), 1).collect()
+      .map(r => r.getString(0) -> r.getBoolean(2)).toMap
+    assert(ct == Map("c" -> false, "g" -> false))
+  }
+}
