@@ -11,6 +11,8 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // warm up session/codegen so the first measured query isn't charged for it
+    try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

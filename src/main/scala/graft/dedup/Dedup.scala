@@ -30,9 +30,13 @@ object Dedup {
           i => concat_ws(" ", slice(toks, i + 1, lit(n))))))
   }
 
-  /** Jaccard similarity of two distinct-element array columns. */
-  def jaccard(a: Column, b: Column): Column =
-    size(array_intersect(a, b)).cast("double") / size(array_union(a, b))
+  /** Jaccard similarity of two distinct-element array columns. Uses
+    * |A∩B| / (|A| + |B| − |A∩B|) so only ONE hash-set build (the
+    * intersection) runs per pair instead of intersect + union. */
+  def jaccard(a: Column, b: Column): Column = {
+    val i = size(array_intersect(a, b)).cast("bigint")
+    i.cast("double") / (size(a).cast("bigint") + size(b).cast("bigint") - i)
+  }
 
   /** N-gram Jaccard near-dup pairs, blocked by `blockCol` (pairs are only
     * compared within a block — the shuffle key is the block, never a global

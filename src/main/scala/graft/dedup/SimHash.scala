@@ -16,10 +16,11 @@ import org.apache.spark.sql.functions._
   */
 object SimHash {
 
-  /** 64-bit simhash of a token array column (bigint). Pure fold over the
-    * token stream with integer ops — codegen'd, no UDF. */
-  def simhash64(tokens: Column, seed: Long): Column = {
-    val hashed = transform(tokens, t => xxhash64(lit(seed), t))
+  /** 64-bit simhash over a column of PRE-HASHED tokens (array<bigint>).
+    * 64 bit-vote folds — pure integer ops, codegen'd, no UDF. Hash the
+    * tokens in a separate projection first so xxhash64 runs once per token,
+    * not once per (token, bit). */
+  def simhashFromHashes(hashed: Column): Column = {
     val bitCols = (0 until 64).map { j =>
       // +1 if bit j set else -1, summed over tokens
       val votes = aggregate(hashed, lit(0L),
@@ -29,13 +30,19 @@ object SimHash {
     bitCols.reduce((a, b) => a.bitwiseOR(b))
   }
 
+  /** 64-bit simhash of a token array column. */
+  def simhash64(tokens: Column, seed: Long): Column =
+    simhashFromHashes(transform(tokens, t => xxhash64(lit(seed), t)))
+
   /** Near-dup pairs (id_a, id_b, hamming ≤ maxHamming). */
   def pairs(df: DataFrame, idCol: String, textCol: String,
             maxHamming: Int = 3, seed: Long = 42L): DataFrame = {
     val chunks = maxHamming + 1
     val bitsPer = 64 / chunks
-    val fp = df.select(col(idCol).as("id"),
-      simhash64(split(col(textCol), " "), seed).as("fp"))
+    val fp = df
+      .select(col(idCol).as("id"),
+        transform(split(col(textCol), " "), t => xxhash64(lit(seed), t)).as("_th"))
+      .select(col("id"), simhashFromHashes(col("_th")).as("fp"))
 
     val chunked = fp.select(col("id"), col("fp"),
         explode(sequence(lit(0), lit(chunks - 1))).as("chunk"))

@@ -383,9 +383,11 @@ object OracleSql {
         |  list_distinct([array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)]) AS sh
         | FROM (SELECT doc_id, source, string_split(text, ' ') AS t FROM documents) d)
         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        | CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+        | CAST(CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS DOUBLE)
+        |  / (CAST(len(a.sh) AS BIGINT) + CAST(len(b.sh) AS BIGINT) - CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT)) AS jaccard
         |FROM s a JOIN s b ON a.source = b.source AND a.doc_id < b.doc_id
-        |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.10""".stripMargin,
+        |WHERE CAST(CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS DOUBLE)
+        |  / (CAST(len(a.sh) AS BIGINT) + CAST(len(b.sh) AS BIGINT) - CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT)) >= 0.10""".stripMargin,
 
     "dedup_embed" ->
       """WITH e AS (SELECT vec_id, label, [CAST(x AS DOUBLE) for x in embedding] AS v FROM embeddings),

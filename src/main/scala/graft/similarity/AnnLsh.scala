@@ -18,24 +18,31 @@ import graft.functions.VectorFunctions._
   */
 object AnnLsh {
 
-  /** Deterministic pseudo-random hyperplane component in [-0.5, 0.5): a
-    * splitmix-style integer mix of (table, plane, dim) — identical on every
-    * executor, no RNG state to ship. */
-  private def planeComponent(table: Int, plane: Int, dim: Int): Double = {
+  /** Deterministic splitmix-style mix of (table, plane, dim) — identical on
+    * every executor, no RNG state to ship. */
+  private def mix(table: Int, plane: Int, dim: Int): Long = {
     var z = table.toLong * 0x9E3779B97F4A7C15L + plane.toLong * 0xBF58476D1CE4E5B9L +
       dim.toLong * 0x94D049BB133111EBL + 0x2545F4914F6CDD1DL
     z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
     z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-    z = z ^ (z >>> 31)
-    (z.toDouble / math.pow(2, 64)) // in [-0.5, 0.5)
+    z ^ (z >>> 31)
   }
 
-  /** `planes`-bit signature of a double-array column for one hash table. */
+  /** `planes`-bit signature of a double-array column for one hash table.
+    * Sparse random projections (Achlioptas): component ∈ {+1, 0, −1} with
+    * probability {1/6, 2/3, 1/6}, so each plane's dot product touches ~dim/3
+    * coordinates — the zero terms are dropped from the plan entirely,
+    * keeping the projection inside whole-stage codegen. */
   def signature(v: Column, dim: Int, planes: Int, table: Int): Column = {
     val bits = (0 until planes).map { p =>
-      val dot = (0 until dim).map { d =>
-        element_at(v, d + 1) * lit(planeComponent(table, p, d))
-      }.reduce(_ + _)
+      val terms = (0 until dim).flatMap { d =>
+        java.lang.Math.floorMod(mix(table, p, d), 6L) match {
+          case 0L => Some(element_at(v, d + 1))
+          case 1L => Some(-element_at(v, d + 1))
+          case _ => None
+        }
+      }
+      val dot = if (terms.isEmpty) lit(0.0) else terms.reduce(_ + _)
       when(dot >= 0, lit(1L << p)).otherwise(lit(0L))
     }
     bits.reduce((a, b) => a.bitwiseOR(b))
@@ -60,13 +67,13 @@ object AnnLsh {
               vecCol: String, dim: Int, k: Int,
               planes: Int = 12, tables: Int = 4): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // One scan per side: all table signatures in a single projection, then
+    // posexplode into (table, bucket) rows — no repeated source scans.
     def signed(df: DataFrame, id: String, vec: String): DataFrame = {
       val base = df.select(col(idCol).as(id), toDouble(col(vecCol)).as(vec))
-      val tabs = (0 until tables).map { t =>
-        base.select(col(id), col(vec), lit(t).as("table"),
-          signature(col(vec), dim, planes, t).as("bucket"))
-      }
-      tabs.reduce(_ unionAll _)
+      base.select(col(id), col(vec),
+          array((0 until tables).map(t => signature(col(vec), dim, planes, t)): _*).as("_sigs"))
+        .select(col(id), col(vec), posexplode(col("_sigs")).as(Seq("table", "bucket")))
     }
     val c = signed(candidates, "neighbor_id", "v")
     val q = signed(queries, "query_id", "qv")
