@@ -16,8 +16,10 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
     spark.read.parquet(s"$dir/$name.parquet")
+  }
 
   /** NULL out `valueCol` where `keyCol % m == r` — mirrored in oracle SQL. */
   def maskMod(df: DataFrame, valueCol: String, keyExpr: String, m: Int, r: Int): DataFrame =

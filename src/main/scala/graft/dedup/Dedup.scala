@@ -19,22 +19,25 @@ object Dedup {
     df.groupBy(md5(col(textCol)).as("content_hash"))
       .agg(count(lit(1)).as("n_copies"), min(col(idCol)).as("keep_id"))
 
-  /** Word n-gram shingles of `text` (distinct), as an array column.
-    * Documents shorter than n tokens yield an empty array. */
+  /** Word n-gram shingles of `text` (distinct, SORTED), as an array column.
+    * Documents shorter than n tokens yield an empty array. Sorting once per
+    * document lets every pairwise comparison use the allocation-free sorted
+    * merge instead of a hash-set intersect. */
   def shingles(text: Column, n: Int): Column = {
     val toks = split(text, " ")
     when(size(toks) < n, array().cast("array<string>")).otherwise(
-      array_distinct(
+      sort_array(array_distinct(
         transform(
           sequence(lit(0), size(toks) - n),
-          i => concat_ws(" ", slice(toks, i + 1, lit(n))))))
+          i => concat_ws(" ", slice(toks, i + 1, lit(n)))))))
   }
 
-  /** Jaccard similarity of two distinct-element array columns. Uses
-    * |A∩B| / (|A| + |B| − |A∩B|) so only ONE hash-set build (the
-    * intersection) runs per pair instead of intersect + union. */
+  /** Jaccard similarity of two SORTED distinct-element string arrays:
+    * |A∩B| / (|A| + |B| − |A∩B|) with the intersection counted by the
+    * native sorted-merge expression ([[graft.functions.SortedIntersectSizeExpr]]).
+    * Requires GraftFunctions.register on the session (graft.Tables does). */
   def jaccard(a: Column, b: Column): Column = {
-    val i = size(array_intersect(a, b)).cast("bigint")
+    val i = call_function("graft_sorted_intersect_size", a, b).cast("bigint")
     i.cast("double") / (size(a).cast("bigint") + size(b).cast("bigint") - i)
   }
 

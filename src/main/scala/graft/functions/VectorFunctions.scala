@@ -13,8 +13,11 @@ object VectorFunctions {
   /** Cast array<float> to array<double> (parquet embeddings are float32). */
   def toDouble(a: Column): Column = transform(a, x => x.cast("double"))
 
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+  /** Native fused multiply-add loop ([[DotProductExpr]]) — same sequential
+    * accumulation as a `zip_with`+`aggregate` fold, without the per-row
+    * intermediate array. Requires [[GraftFunctions.register]] on the session
+    * (done by graft.Tables loaders). */
+  def dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
