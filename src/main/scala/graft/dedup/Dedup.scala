@@ -41,18 +41,37 @@ object Dedup {
     i.cast("double") / (size(a).cast("bigint") + size(b).cast("bigint") - i)
   }
 
+  /** Shingles as SORTED distinct xxhash64 values (array<bigint>). 8 bytes
+    * per shingle instead of a ~20-byte string — pair joins shuffle 60%
+    * less and the merge compares longs. Set sizes (and thus Jaccard) equal
+    * the string-shingle version up to a ~2⁻⁶⁴ collision probability. */
+  def shingleHashes(text: Column, n: Int): Column = {
+    val toks = split(text, " ")
+    when(size(toks) < n, array().cast("array<bigint>")).otherwise(
+      sort_array(array_distinct(
+        transform(
+          sequence(lit(0), size(toks) - n),
+          i => xxhash64(concat_ws(" ", slice(toks, i + 1, lit(n))))))))
+  }
+
+  /** Jaccard over sorted hashed-shingle arrays (array<bigint>). */
+  def jaccardHashed(a: Column, b: Column): Column = {
+    val i = call_function("graft_sorted_intersect_size_l", a, b).cast("bigint")
+    i.cast("double") / (size(a).cast("bigint") + size(b).cast("bigint") - i)
+  }
+
   /** N-gram Jaccard near-dup pairs, blocked by `blockCol` (pairs are only
     * compared within a block — the shuffle key is the block, never a global
     * cross join). Emits id pairs (a < b) with similarity ≥ `threshold`. */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String, blockCol: String,
                    n: Int = 3, threshold: Double = 0.5): DataFrame = {
     val sh = df.select(col(idCol).as("id"), col(blockCol).as("block"),
-      shingles(col(textCol), n).as("sh"))
+      shingleHashes(col(textCol), n).as("sh"))
     val a = sh.select(col("block"), col("id").as("id_a"), col("sh").as("sh_a"))
     val b = sh.select(col("block"), col("id").as("id_b"), col("sh").as("sh_b"))
     a.join(b, Seq("block"))
       .filter(col("id_a") < col("id_b"))
-      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .withColumn("jaccard", jaccardHashed(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }

@@ -20,10 +20,10 @@ import org.apache.spark.sql.functions._
   */
 object MinHash {
 
-  /** MinHash signature column (array<bigint> of length k) over a distinct
-    * shingle array column: h_i = min over shingles of xxhash64(seed+i, s) —
-    * a keyed 64-bit hash family (equivalent to a·x+b universal hashing for
-    * LSH purposes, without 128-bit modular arithmetic). */
+  /** MinHash signature column (array<bigint> of length k) over a
+    * hashed-shingle array column: h_i = min over shingles of
+    * xxhash64(seed+i, h) — a keyed 64-bit hash family (equivalent to a·x+b
+    * universal hashing for LSH purposes, without 128-bit modular math). */
   def signature(shingles: Column, k: Int, seed: Long): Column =
     array((0 until k).map { i =>
       array_min(transform(shingles, s => xxhash64(lit(seed + i), s)))
@@ -35,7 +35,7 @@ object MinHash {
             threshold: Double = 0.5, seed: Long = 42L): DataFrame = {
     require(k % bands == 0, "k must be divisible by bands")
     val r = k / bands
-    val sh = df.select(col(idCol).as("id"), Dedup.shingles(col(textCol), n).as("sh"))
+    val sh = df.select(col(idCol).as("id"), Dedup.shingleHashes(col(textCol), n).as("sh"))
       .filter(size(col("sh")) > 0)
       .withColumn("sig", signature(col("sh"), k, seed))
 
@@ -51,7 +51,7 @@ object MinHash {
       .select("id_a", "id_b", "sh_a", "sh_b")
       .dropDuplicates("id_a", "id_b")
     cands
-      .withColumn("jaccard", Dedup.jaccard(col("sh_a"), col("sh_b")))
+      .withColumn("jaccard", Dedup.jaccardHashed(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }

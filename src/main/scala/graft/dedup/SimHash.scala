@@ -16,19 +16,11 @@ import org.apache.spark.sql.functions._
   */
 object SimHash {
 
-  /** 64-bit simhash over a column of PRE-HASHED tokens (array<bigint>).
-    * 64 bit-vote folds — pure integer ops, codegen'd, no UDF. Hash the
-    * tokens in a separate projection first so xxhash64 runs once per token,
-    * not once per (token, bit). */
-  def simhashFromHashes(hashed: Column): Column = {
-    val bitCols = (0 until 64).map { j =>
-      // +1 if bit j set else -1, summed over tokens
-      val votes = aggregate(hashed, lit(0L),
-        (acc, h) => acc + when(shiftright(h, j).bitwiseAND(1) === 1, 1L).otherwise(-1L))
-      when(votes > 0, shiftleft(lit(1L), j)).otherwise(0L)
-    }
-    bitCols.reduce((a, b) => a.bitwiseOR(b))
-  }
+  /** 64-bit simhash over a column of PRE-HASHED tokens (array<bigint>),
+    * via the native [[graft.functions.SimHash64Expr]] — one generated
+    * bit-vote loop per row, no per-bit fold expressions. */
+  def simhashFromHashes(hashed: Column): Column =
+    call_function("graft_simhash64", hashed)
 
   /** 64-bit simhash of a token array column. */
   def simhash64(tokens: Column, seed: Long): Column =

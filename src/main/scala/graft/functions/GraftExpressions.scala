@@ -109,6 +109,115 @@ case class SortedIntersectSizeExpr(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+case class SortedIntersectSizeLongExpr(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(LongType, _), ArrayType(LongType, _)) => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"graft_sorted_intersect_size_l expects (array<bigint>, array<bigint>), got (${left.dataType}, ${right.dataType})")
+  }
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "graft_sorted_intersect_size_l"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    var i = 0; var j = 0; var c = 0
+    val nx = x.numElements(); val ny = y.numElements()
+    while (i < nx && j < ny) {
+      val l = x.getLong(i); val r = y.getLong(j)
+      if (l == r) { c += 1; i += 1; j += 1 }
+      else if (l < r) i += 1
+      else j += 1
+    }
+    c
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val nx = ctx.freshName("nx")
+      val ny = ctx.freshName("ny")
+      val l = ctx.freshName("l")
+      val r = ctx.freshName("r")
+      s"""
+         |${ev.value} = 0;
+         |int $i = 0; int $j = 0;
+         |int $nx = $a.numElements(); int $ny = $b.numElements();
+         |while ($i < $nx && $j < $ny) {
+         |  long $l = $a.getLong($i); long $r = $b.getLong($j);
+         |  if ($l == $r) { ${ev.value}++; $i++; $j++; }
+         |  else if ($l < $r) { $i++; } else { $j++; }
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): SortedIntersectSizeLongExpr =
+    copy(left = newLeft, right = newRight)
+}
+
+/** 64-bit SimHash of an array<bigint> of token hashes: per bit j, sum ±1
+  * votes over tokens; the sign of the vote total is bit j. One generated
+  * loop instead of 64 separate `aggregate` folds over the array. */
+case class SimHash64Expr(child: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"graft_simhash64 expects array<bigint>, got $t")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_simhash64"
+
+  override protected def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val votes = new Array[Int](64)
+    var i = 0
+    val n = x.numElements()
+    while (i < n) {
+      val h = x.getLong(i)
+      var j = 0
+      while (j < 64) {
+        if (((h >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
+        j += 1
+      }
+      i += 1
+    }
+    var fp = 0L
+    var j = 0
+    while (j < 64) { if (votes(j) > 0) fp |= (1L << j); j += 1 }
+    fp
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val votes = ctx.freshName("votes")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val n = ctx.freshName("n")
+      val h = ctx.freshName("h")
+      s"""
+         |${ev.value} = 0L;
+         |int[] $votes = new int[64];
+         |int $n = $a.numElements();
+         |for (int $i = 0; $i < $n; $i++) {
+         |  long $h = $a.getLong($i);
+         |  for (int $j = 0; $j < 64; $j++) {
+         |    $votes[$j] += ((($h >>> $j) & 1L) == 1L) ? 1 : -1;
+         |  }
+         |}
+         |for (int $j = 0; $j < 64; $j++) {
+         |  if ($votes[$j] > 0) ${ev.value} |= (1L << $j);
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64Expr =
+    copy(child = newChild)
+}
+
 object GraftFunctions {
   /** Idempotently register the native expressions with a session's function
     * registry (temp functions — per-session, no catalog writes). */
@@ -118,5 +227,9 @@ object GraftFunctions {
       exprs => DotProductExpr(exprs(0), exprs(1)), "built-in")
     registry.createOrReplaceTempFunction("graft_sorted_intersect_size",
       exprs => SortedIntersectSizeExpr(exprs(0), exprs(1)), "built-in")
+    registry.createOrReplaceTempFunction("graft_sorted_intersect_size_l",
+      exprs => SortedIntersectSizeLongExpr(exprs(0), exprs(1)), "built-in")
+    registry.createOrReplaceTempFunction("graft_simhash64",
+      exprs => SimHash64Expr(exprs(0)), "built-in")
   }
 }

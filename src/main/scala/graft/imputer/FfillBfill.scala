@@ -49,8 +49,10 @@ object FfillBfill {
 
     val schema = sorted.schema
     val valueIdx = valueCols.map(c => schema.fieldIndex(c)).toArray
+    // NOT cached: both passes share the repartitionByRange lineage, so the
+    // second job reuses the shuffle files (map stage skipped) — disk-backed
+    // reuse without pinning executor memory across unrelated queries.
     val rdd = sorted.rdd
-    rdd.cache()
 
     // Pass 1: last non-null per column per partition (tiny: parts × cols).
     val tails: Array[(Int, Array[Any])] = rdd

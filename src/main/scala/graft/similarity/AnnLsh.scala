@@ -28,22 +28,16 @@ object AnnLsh {
     z ^ (z >>> 31)
   }
 
-  /** `planes`-bit signature of a double-array column for one hash table.
-    * Sparse random projections (Achlioptas): component ∈ {+1, 0, −1} with
-    * probability {1/6, 2/3, 1/6}, so each plane's dot product touches ~dim/3
-    * coordinates — the zero terms are dropped from the plan entirely,
-    * keeping the projection inside whole-stage codegen. */
+  /** `planes`-bit signature of a double-array column for one hash table:
+    * sign bits of dot products with deterministic ±1 hyperplanes. Each
+    * plane is a LITERAL array evaluated by the native graft_dot loop — a
+    * handful of tiny generated loops instead of a planes×dim expression
+    * tree that would blow past codegen method limits. */
   def signature(v: Column, dim: Int, planes: Int, table: Int): Column = {
     val bits = (0 until planes).map { p =>
-      val terms = (0 until dim).flatMap { d =>
-        java.lang.Math.floorMod(mix(table, p, d), 6L) match {
-          case 0L => Some(element_at(v, d + 1))
-          case 1L => Some(-element_at(v, d + 1))
-          case _ => None
-        }
-      }
-      val dot = if (terms.isEmpty) lit(0.0) else terms.reduce(_ + _)
-      when(dot >= 0, lit(1L << p)).otherwise(lit(0L))
+      val plane = (0 until dim).map(d => if ((mix(table, p, d) & 1L) == 0L) 1.0 else -1.0).toArray
+      val dotp = call_function("graft_dot", v, lit(plane))
+      when(dotp >= 0, lit(1L << p)).otherwise(lit(0L))
     }
     bits.reduce((a, b) => a.bitwiseOR(b))
   }
