@@ -20,6 +20,8 @@ object SparkEntry {
     "q1_agg" -> (Analytics.q1 _),
     "q3_join" -> (Analytics.q3 _),
     "q5_multijoin" -> (Analytics.q5 _),
+    "q6_filter" -> (Analytics.q6 _),
+    "events_json" -> (Analytics.eventsJson _),
     "topn_window" -> (Analytics.topnPerGroup(_, _)),
     "events_sessionize" -> (Analytics.sessionize(_, _)),
     "events_window" -> (Analytics.eventsWindow _),

@@ -76,6 +76,25 @@ object Analytics {
       .select(col("n_name"), (col("_rc").cast("double") / 10000.0).as("revenue"))
   }
 
+  /** TPC-H Q6-style selective revenue aggregate: every predicate reaches the
+    * parquet scan (PushedFilters) and only three columns are read. */
+  def q6(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "lineitem")
+      .filter(col("l_discount") >= 0.02 && col("l_discount") <= 0.05 &&
+        col("l_quantity") < 24)
+      .agg(sum(cents(col("l_extendedprice") * col("l_discount"), 4)).as("_rc"),
+        count(lit(1)).as("n_rows"))
+      .select((col("_rc").cast("double") / 10000.0).as("revenue"), col("n_rows"))
+
+  /** Semi-structured extraction: pull an int out of the JSON `props` column
+    * and aggregate — the JSON path evaluates inside codegen, no UDF. */
+  def eventsJson(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "events")
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("bigint").as("k"))
+      .groupBy(col("event_type"), (col("k") % 10).as("k_bucket"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))
+
   /** Top-3 orders by totalprice per priority class; deterministic tie-break
     * on orderkey. */
   def topnPerGroup(spark: SparkSession, dir: String): DataFrame = {

@@ -57,6 +57,19 @@ object OracleSql {
          |WHERE r_name = 'ASIA'
          |GROUP BY n_name""".stripMargin,
 
+    "q6_filter" ->
+      s"""SELECT
+         | CAST(SUM(CAST(round((l_extendedprice * l_discount) * 10000.0, 0) AS BIGINT)) AS DOUBLE) / 10000.0 AS revenue,
+         | count(*) AS n_rows
+         |FROM lineitem
+         |WHERE l_discount >= 0.02 AND l_discount <= 0.05 AND l_quantity < 24""".stripMargin,
+
+    "events_json" ->
+      """SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+        | count(*) AS n,
+        | CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
     "topn_window" ->
       """SELECT o_orderpriority, rn, o_orderkey, o_totalprice FROM (
         | SELECT o_orderpriority,
