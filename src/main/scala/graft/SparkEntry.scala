@@ -22,6 +22,7 @@ object SparkEntry {
     "q5_multijoin" -> (Analytics.q5 _),
     "q6_filter" -> (Analytics.q6 _),
     "events_json" -> (Analytics.eventsJson _),
+    "asof_join" -> (Q.asofJoin _),
     "topn_window" -> (Analytics.topnPerGroup(_, _)),
     "events_sessionize" -> (Analytics.sessionize(_, _)),
     "events_window" -> (Analytics.eventsWindow _),

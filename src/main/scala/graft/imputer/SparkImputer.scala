@@ -40,6 +40,17 @@ class SparkImputer(
     val testModulo: Int = 10,
     val seed: Long = 42L) extends Serializable {
 
+  /** Input checks mirroring the reference __init__ validation (ref L83-99):
+    * declared columns must exist in the frame. */
+  private[imputer] def validateAgainst(df: DataFrame): Unit = {
+    val cols = df.columns.toSet
+    require(cols.contains(idCol), s"id column '$idCol' is not in the data frame")
+    val badCat = categorical.filterNot(cols.contains)
+    require(badCat.isEmpty, s"The following columns are not in data frame: $badCat")
+    val badFeat = features.filterNot(cols.contains)
+    require(badFeat.isEmpty, s"The following feature columns are not in data frame: $badFeat")
+  }
+
   /** Missing flags frame (ref missing_indicator, L109). */
   def missingIndicator(df: DataFrame): DataFrame =
     MissingStats.indicator(df, Seq(idCol))
@@ -96,6 +107,7 @@ class SparkImputer(
   def fit(df: DataFrame,
           classification: Params with PipelineStage,
           regression: Params with PipelineStage): SparkImputerModel = {
+    validateAgainst(df)
     val toImpute = columnsToImpute(df)
     val featureFrame = scaledFeatures(df)
     val models = toImpute.map { target =>

@@ -1,0 +1,36 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Skew mitigation for hot join keys.
+  *
+  * AQE's skew-join handling covers sort-merge joins at runtime; salting is
+  * the explicit fallback when a handful of keys dominate (the classic
+  * power-law user_id / null-key cases) or when AQE can't split (e.g.
+  * aggregations). `saltedJoin` replicates the (small) right side `salt`
+  * ways and scatters the left side across the replicas, so one hot key
+  * spreads over `salt` reducers instead of one straggler task.
+  */
+object SkewTools {
+
+  /** Inner equi-join with an exploded right side. `salt` multiplies the
+    * right side's row count — keep it ≤ ~64 and the right side the smaller
+    * relation. Deterministic scatter: left salt = pmod(hash of key & a
+    * per-row uniquifier), so results are stable across retries. */
+  def saltedJoin(left: DataFrame, right: DataFrame, key: String,
+                 salt: Int, leftUniquifier: String): DataFrame = {
+    val l = left.withColumn("_salt",
+      pmod(hash(col(key), col(leftUniquifier)), lit(salt)))
+    val r = right.withColumn("_salt",
+      explode(sequence(lit(0), lit(salt - 1))))
+    l.join(r.withColumnRenamed(key, s"_r_$key"),
+        l("_salt") === r("_salt") && l(key) === col(s"_r_$key"))
+      .drop("_salt", s"_r_$key")
+  }
+
+  /** Per-key frequency sketch to decide whether salting is warranted:
+    * returns keys whose row count exceeds `threshold`. */
+  def hotKeys(df: DataFrame, key: String, threshold: Long): DataFrame =
+    df.groupBy(col(key)).agg(count(lit(1)).as("n")).filter(col("n") > threshold)
+}

@@ -70,6 +70,13 @@ object OracleSql {
         | CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
         |FROM events GROUP BY 1, 2""".stripMargin,
 
+    "asof_join" ->
+      """WITH o AS (SELECT o_orderkey, o_custkey, epoch_ms(o_orderdate) // 1000 AS t FROM orders),
+        |e0 AS (SELECT user_id, epoch_ns(ts) // 1000000000 AS t, max_by(value, event_id) AS value
+        |       FROM events GROUP BY 1, 2)
+        |SELECT o.o_orderkey, o.o_custkey, e0.t AS event_t, e0.value AS event_value
+        |FROM o ASOF LEFT JOIN e0 ON o.o_custkey = e0.user_id AND e0.t <= o.t""".stripMargin,
+
     "topn_window" ->
       """SELECT o_orderpriority, rn, o_orderkey, o_totalprice FROM (
         | SELECT o_orderpriority,

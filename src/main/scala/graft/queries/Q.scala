@@ -330,6 +330,24 @@ object Q {
       .select("query_id", "neighbor_id", "rank", "cos")
   }
 
+  /** As-of join: each order matched to the user's latest event at or before
+    * the order date — union+window algorithm, one shuffle on the key.
+    * Oracle: DuckDB's native ASOF LEFT JOIN. */
+  def asofJoin(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.AsOfJoin
+    // o_orderdate is TIMESTAMP_NTZ; session is UTC, so the cast's epoch
+    // equals DuckDB's naive epoch_ms
+    val orders = Tables(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"),
+      expr("unix_micros(cast(o_orderdate as timestamp)) div 1000000").as("t"))
+    val events = Tables(s, dir, "events")
+      .select(col("user_id"), expr("ts div 1000000000").as("t"),
+        col("value"), col("event_id"))
+      .groupBy("user_id", "t").agg(max_by(col("value"), col("event_id")).as("value"))
+    AsOfJoin.latestPrior(orders, events, "o_custkey", "user_id", "t", "t", Seq("t", "value"))
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("asof_t").as("event_t"), col("asof_value").as("event_value"))
+  }
+
   // ------------------------------------------------------------ multimodal
 
   def mmBinary(s: SparkSession, dir: String): DataFrame =

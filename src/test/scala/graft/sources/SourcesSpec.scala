@@ -1,0 +1,71 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.SparkSpec
+import graft.imputer.SparkImputer
+import org.apache.spark.ml.classification.DecisionTreeClassifier
+import org.apache.spark.ml.regression.DecisionTreeRegressor
+
+/** CSV landing-file → impute → partitioned parquet, the reference's
+  * territories-CSV workflow end-to-end at the engine's surface. */
+class SourcesSpec extends SparkSpec {
+
+  test("csv → SparkImputer → partitioned parquet roundtrip") {
+    val dir = Files.createTempDirectory("graft_src").toString
+    val csvPath = s"$dir/territories.csv"
+    // territories-like frame: name/location categorical, numerics with gaps
+    val rows = "id,name,location,km2,gdp_per_capita,population" +:
+      (1 to 60).map { i =>
+        val km2 = if (i % 7 == 3) "" else (100 + i * 3).toString
+        val loc = if (i % 11 == 5) "" else s"Region${i % 4}"
+        s"$i,Territory$i,$loc,$km2,${1000 + i * 17},${500 + i * 13}"
+      }
+    Files.write(java.nio.file.Paths.get(csvPath),
+      String.join("\n", rows: _*).getBytes)
+
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType),
+      StructField("location", StringType), StructField("km2", DoubleType),
+      StructField("gdp_per_capita", DoubleType), StructField("population", DoubleType)))
+    val df = Sources.csv(spark, csvPath, schema)
+    assert(df.count() == 60)
+    assert(df.filter(col("km2").isNull).count() > 0)
+
+    val imputer = new SparkImputer(idCol = "id",
+      categorical = Seq("name", "location"), classThreshold = 14,
+      roundColumns = Seq("population"))
+    val imputed = imputer.fitTransform(df,
+      new DecisionTreeClassifier(), new DecisionTreeRegressor())
+    val nulls = imputed.columns.map(c => imputed.filter(col(c).isNull).count()).sum
+    assert(nulls == 0)
+
+    Sources.writePartitioned(imputed, s"$dir/out", Seq("location"))
+    val back = Sources.parquet(spark, s"$dir/out")
+    assert(back.count() == 60)
+    // partition pruning works on the layout
+    val pruned = Sources.parquet(spark, s"$dir/out").filter(col("location") === "Region1")
+    assert(pruned.count() > 0)
+  }
+
+  test("jsonLines reads with explicit schema") {
+    val dir = Files.createTempDirectory("graft_json").toString
+    Files.write(java.nio.file.Paths.get(s"$dir/a.jsonl"),
+      "{\"a\": 1, \"b\": \"x\"}\n{\"a\": 2, \"b\": \"y\"}".getBytes)
+    val schema = StructType(Seq(StructField("a", LongType), StructField("b", StringType)))
+    val df = Sources.jsonLines(spark, dir, schema)
+    assert(df.count() == 2 && df.schema == schema)
+  }
+
+  test("imputer validation rejects unknown columns (ref KeyError test)") {
+    import spark.implicits._
+    val df = Seq((1L, 1.0)).toDF("id", "x")
+    val bad = new SparkImputer(idCol = "id", categorical = Seq("pilot", "space"))
+    val e = intercept[IllegalArgumentException] {
+      bad.fit(df, new DecisionTreeClassifier(), new DecisionTreeRegressor())
+    }
+    assert(e.getMessage.contains("pilot"))
+  }
+}
