@@ -60,6 +60,7 @@ object SparkEntry {
     "dedup_minhash" -> (Q.dedupMinhash _),
     "dedup_simhash" -> (Q.dedupSimhash _),
     "ann_lsh" -> (Q.annLsh _),
+    "ann_ivf" -> (Q.annIvf _),
     "mm_features" -> (Q.mmFeatures _)
   )
 

@@ -231,5 +231,7 @@ object GraftFunctions {
       exprs => SortedIntersectSizeLongExpr(exprs(0), exprs(1)), "built-in")
     registry.createOrReplaceTempFunction("graft_simhash64",
       exprs => SimHash64Expr(exprs(0)), "built-in")
+    registry.createOrReplaceTempFunction("graft_vec_avg",
+      exprs => VectorAvgAgg(exprs(0)).toAggregateExpression(), "built-in")
   }
 }

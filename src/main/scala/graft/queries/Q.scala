@@ -393,4 +393,10 @@ object Q {
     graft.similarity.AnnLsh.lshTopK(e, e.filter(col("vec_id") % 97 === 0),
       "vec_id", "embedding", dim = 64, k = 5, planes = 8, tables = 8)
   }
+
+  def annIvf(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables(s, dir, "embeddings")
+    graft.similarity.AnnLsh.ivfTopK(e, e.filter(col("vec_id") % 97 === 0),
+      "vec_id", "embedding", listCol = "label", k = 5, nProbe = 3)
+  }
 }

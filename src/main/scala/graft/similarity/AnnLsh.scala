@@ -55,6 +55,35 @@ object AnnLsh {
       .filter(col("rank") <= k)
   }
 
+  /** IVF-style approximate top-k with a precomputed coarse assignment
+    * (`listCol`, e.g. a cluster/label id): centroids are the per-list
+    * element-wise mean (native graft_vec_avg aggregate, map-side partial);
+    * each query probes its `nProbe` nearest centroids (tiny frame,
+    * broadcast) and exact-reranks only those lists' vectors. The scan is
+    * list-pruned exactly like an IVF index at 100 TB. */
+  def ivfTopK(candidates: DataFrame, queries: DataFrame, idCol: String,
+              vecCol: String, listCol: String, k: Int, nProbe: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val c = candidates.select(col(idCol).as("neighbor_id"), col(listCol).as("list"),
+      toDouble(col(vecCol)).as("v"))
+    val q = queries.select(col(idCol).as("query_id"), toDouble(col(vecCol)).as("qv"))
+    val centroids = c.groupBy("list")
+      .agg(call_function("graft_vec_avg", col("v")).as("cv"))
+    // nProbe nearest lists per query (centroid frame is tiny → broadcast)
+    val probes = q.join(broadcast(centroids), lit(true))
+      .select(col("query_id"), col("qv"), col("list"), cosine(col("qv"), col("cv")).as("_cs"))
+      .withColumn("_pr", row_number().over(
+        Window.partitionBy("query_id").orderBy(desc("_cs"), asc("list"))))
+      .filter(col("_pr") <= nProbe)
+      .select("query_id", "qv", "list")
+    val cands = c.join(broadcast(probes), Seq("list"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+    cands.select(col("query_id"), col("neighbor_id"), cosine(col("qv"), col("v")).as("cos"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(desc("cos"), asc("neighbor_id"))).cast("bigint"))
+      .filter(col("rank") <= k)
+  }
+
   /** LSH-bucketed approximate top-k: join query/candidate signatures per
     * table, rerank collisions with exact cosine, keep the best k. */
   def lshTopK(candidates: DataFrame, queries: DataFrame, idCol: String,

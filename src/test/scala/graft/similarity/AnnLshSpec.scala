@@ -48,6 +48,28 @@ class AnnLshSpec extends SparkSpec {
     assert(lsh == brute)
   }
 
+  test("ivf top-k with per-cluster lists recovers brute-force neighbors") {
+    import spark.implicits._
+    // reuse the two-cluster vectors; list = parity (the true cluster id)
+    val withList = vectors.withColumn("list", (col("vec_id") % 2).cast("int"))
+    val q = withList.filter(col("vec_id") < 2)
+    val brute = AnnLsh.bruteTopK(withList, q, "vec_id", "embedding", k = 3)
+      .collect().map(r => (r.getLong(0), r.getAs[Long]("neighbor_id"))).toSet
+    val ivf = AnnLsh.ivfTopK(withList, q, "vec_id", "embedding", "list", k = 3, nProbe = 1)
+      .collect().map(r => (r.getLong(0), r.getAs[Long]("neighbor_id"))).toSet
+    // probing only the nearest list suffices: neighbors live in the query's own cluster
+    assert(ivf == brute)
+  }
+
+  test("graft_vec_avg centroid equals the element-wise mean") {
+    import spark.implicits._
+    val df = Seq((0, Seq(1.0, 2.0)), (0, Seq(3.0, 6.0)), (1, Seq(10.0, 10.0)))
+      .toDF("list", "v")
+    val got = df.groupBy("list").agg(call_function("graft_vec_avg", col("v")).as("c"))
+      .orderBy("list").collect().map(_.getSeq[Double](1).toSeq)
+    assert(got.toSeq == Seq(Seq(2.0, 4.0), Seq(10.0, 10.0)))
+  }
+
   test("lsh signature is deterministic across invocations") {
     val s1 = vectors.select(AnnLsh.signature(
       graft.functions.VectorFunctions.toDouble(col("embedding")), 8, 6, 0)).collect()
