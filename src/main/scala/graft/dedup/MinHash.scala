@@ -21,13 +21,12 @@ import org.apache.spark.sql.functions._
 object MinHash {
 
   /** MinHash signature column (array<bigint> of length k) over a
-    * hashed-shingle array column: h_i = min over shingles of
-    * xxhash64(seed+i, h) — a keyed 64-bit hash family (equivalent to a·x+b
-    * universal hashing for LSH purposes, without 128-bit modular math). */
+    * hashed-shingle array column: h_i = min over shingles of a keyed
+    * splitmix remix of the shingle hash — one native pass over the array
+    * ([[graft.functions.MinHashSigExpr]]) instead of k transform+array_min
+    * expressions. */
   def signature(shingles: Column, k: Int, seed: Long): Column =
-    array((0 until k).map { i =>
-      array_min(transform(shingles, s => xxhash64(lit(seed + i), s)))
-    }: _*)
+    call_function("graft_minhash", shingles, lit(k), lit(seed))
 
   /** Near-dup pairs: (id_a, id_b, jaccard) for verified candidates. */
   def pairs(df: DataFrame, idCol: String, textCol: String,

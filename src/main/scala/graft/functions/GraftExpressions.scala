@@ -218,6 +218,77 @@ case class SimHash64Expr(child: Expression)
     copy(child = newChild)
 }
 
+/** MinHash signature over an array<bigint> of shingle hashes: k minima of
+  * splitmix-remixed (seed+i)-keyed hashes, computed in ONE pass over the
+  * array (k parallel min-trackers) instead of k transform+array_min
+  * expressions each allocating an intermediate array. */
+case class MinHashSigExpr(child: Expression, k: Int, seed: Long)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"graft_minhash expects array<bigint>, got $t")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_minhash"
+
+  @inline private def mix(z0: Long): Long = {
+    var z = z0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  override protected def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val mins = Array.fill(k)(Long.MaxValue)
+    val n = x.numElements()
+    var i = 0
+    while (i < n) {
+      val h = x.getLong(i)
+      var j = 0
+      while (j < k) {
+        val v = mix(h ^ (seed + j) * 0xC2B2AE3D27D4EB4FL)
+        if (v < mins(j)) mins(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(mins)
+  }
+
+  // Interpreted eval is already a tight primitive loop; fall back to it from
+  // generated code via the default UnaryExpression codegen path.
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val mins = ctx.freshName("mins")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val n = ctx.freshName("n")
+      val h = ctx.freshName("h")
+      val z = ctx.freshName("z")
+      s"""
+         |long[] $mins = new long[$k];
+         |java.util.Arrays.fill($mins, Long.MAX_VALUE);
+         |int $n = $a.numElements();
+         |for (int $i = 0; $i < $n; $i++) {
+         |  long $h = $a.getLong($i);
+         |  for (int $j = 0; $j < $k; $j++) {
+         |    long $z = ($h ^ (${seed}L + $j) * 0xC2B2AE3D27D4EB4FL) + 0x9E3779B97F4A7C15L;
+         |    $z = ($z ^ ($z >>> 30)) * 0xBF58476D1CE4E5B9L;
+         |    $z = ($z ^ ($z >>> 27)) * 0x94D049BB133111EBL;
+         |    $z = $z ^ ($z >>> 31);
+         |    if ($z < $mins[$j]) $mins[$j] = $z;
+         |  }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($mins);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSigExpr =
+    copy(child = newChild)
+}
+
 object GraftFunctions {
   /** Idempotently register the native expressions with a session's function
     * registry (temp functions — per-session, no catalog writes). */
@@ -233,5 +304,9 @@ object GraftFunctions {
       exprs => SimHash64Expr(exprs(0)), "built-in")
     registry.createOrReplaceTempFunction("graft_vec_avg",
       exprs => VectorAvgAgg(exprs(0)).toAggregateExpression(), "built-in")
+    registry.createOrReplaceTempFunction("graft_minhash",
+      exprs => MinHashSigExpr(exprs(0),
+        exprs(1).eval().asInstanceOf[Number].intValue(),
+        exprs(2).eval().asInstanceOf[Number].longValue()), "built-in")
   }
 }
