@@ -1,7 +1,18 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Event record for stateful sessionization. */
+case class SessionEvent(user_id: Long, t: Long, value: Double)
+
+/** Closed session emitted by [[Streams.sessionize]]. */
+case class Session(user_id: Long, session_start: Long, session_end: Long,
+                   n_events: Long, session_value: Double)
+
+/** Mutable per-user session state. */
+case class SessionState(start: Long, last: Long, n: Long, value: Double)
 
 /** Structured Streaming faces of the batch operators: the same logical
   * transforms applied to a streaming DataFrame (`readStream` source), with
@@ -18,6 +29,50 @@ object Streams {
             watermark: String = "1 hour"): DataFrame =
     events.withWatermark(tsCol, watermark)
       .dropDuplicates(keyCols :+ tsCol)
+
+  /** Stateful gap-based sessionization with
+    * `flatMapGroupsWithState` — the streaming face of the batch
+    * `Analytics.sessionize`. Per-user state holds the open session; a
+    * processing-time timeout (or an event beyond the gap) closes it and
+    * emits a [[Session]] row. State is one small record per active user —
+    * bounded by the active-user cardinality, not the event volume. */
+  def sessionize(events: Dataset[SessionEvent], gapSec: Long = 1800,
+                 timeout: Option[String] = None): Dataset[Session] = {
+    implicit val sessionEnc = Encoders.product[Session]
+    implicit val stateEnc = Encoders.product[SessionState]
+    val timeoutConf =
+      if (timeout.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    events.groupByKey(_.user_id)(Encoders.scalaLong)
+      .flatMapGroupsWithState[SessionState, Session](OutputMode.Append, timeoutConf) {
+        (userId: Long, batch: Iterator[SessionEvent], state: GroupState[SessionState]) =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[Session]
+          var cur = state.getOption
+          // events within a micro-batch arrive unordered: sort the group
+          batch.toSeq.sortBy(e => e.t).foreach { e =>
+            cur match {
+              case Some(s) if e.t - s.last <= gapSec =>
+                cur = Some(SessionState(s.start, e.t, s.n + 1, s.value + e.value))
+              case Some(s) =>
+                out += Session(userId, s.start, s.last, s.n, s.value)
+                cur = Some(SessionState(e.t, e.t, 1, e.value))
+              case None =>
+                cur = Some(SessionState(e.t, e.t, 1, e.value))
+            }
+          }
+          if (state.hasTimedOut) {
+            // production path: idle users flush their open session
+            cur.foreach(s => out += Session(userId, s.start, s.last, s.n, s.value))
+            state.remove()
+          } else {
+            cur.foreach { s =>
+              state.update(s)
+              timeout.foreach(state.setTimeoutDuration)
+            }
+          }
+          out.iterator
+      }
+  }
 
   /** Streaming tumbling-window count/sum per event type. Late data beyond
     * the watermark is dropped; state is evicted as the watermark advances. */

@@ -41,6 +41,28 @@ class StreamsSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("stateful sessionization closes a session on gap, keeps open ones in state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[SessionEvent]
+    val out = Streams.sessionize(input.toDS(), gapSec = 1800)
+    val query = out.writeStream.format("memory").queryName("sess_out")
+      .outputMode("append").start()
+    try {
+      // user 1: two events 10 min apart (one open session), then a 2h gap
+      // event that closes it; user 2: single event stays in state
+      input.addData(
+        SessionEvent(1L, 1000L, 1.0), SessionEvent(1L, 1600L, 2.0),
+        SessionEvent(2L, 5000L, 9.0))
+      query.processAllAvailable()
+      assert(spark.table("sess_out").count() == 0) // everything still open
+      input.addData(SessionEvent(1L, 1600L + 7200L, 4.0))
+      query.processAllAvailable()
+      val closed = spark.table("sess_out").as[Session].collect()
+      assert(closed.toSeq == Seq(Session(1L, 1000L, 1600L, 2L, 3.0)))
+    } finally query.stop()
+  }
+
   test("streaming dedup drops duplicate keys within the watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
