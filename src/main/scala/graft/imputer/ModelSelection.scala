@@ -2,44 +2,94 @@ package graft.imputer
 
 import org.apache.spark.ml.PipelineStage
 import org.apache.spark.ml.param.Params
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
-/** Candidate model pair for [[ModelSelection.selectModel]]. */
+/** Candidate model pair for [[ModelSelection.selectModel]].
+  * `checkSeparateFitTransformTime` additionally measures the saved-model
+  * rollout path (save → load → transform) and the on-disk model size, like
+  * the reference flag of the same name (scikit_learn_imputer.py:436-441). */
 case class ModelOption(name: String,
                        classification: Params with PipelineStage,
-                       regression: Params with PipelineStage)
+                       regression: Params with PipelineStage,
+                       checkSeparateFitTransformTime: Boolean = false)
 
 /** The reference's select_model simulation study (scikit_learn_imputer.py:427):
-  * fit every candidate (classifier, regressor) pair, collect per-column test
-  * metrics and fit time, rank candidates (lower MSE better, higher accuracy
-  * better, lower time better) and sum the performance ranks.
+  * fit every candidate pair, collect per-column test metrics and timings,
+  * rank each metric (MSE/time/size ascending, accuracy descending) and sum
+  * the performance ranks — lower is better.
+  *
+  * Orchestration is driver-side over per-candidate DISTRIBUTED fits; the
+  * result frame is tiny (one row per candidate).
   */
 object ModelSelection {
 
   def selectModel(imputer: SparkImputer, df: DataFrame,
-                  options: Seq[ModelOption]): DataFrame = {
+                  options: Seq[ModelOption], savePath: String = null): DataFrame = {
     val spark = df.sparkSession
-    import spark.implicits._
-    val rows = options.flatMap { opt =>
+
+    val measured = options.map { opt =>
       val t0 = System.nanoTime()
       val model = imputer.fit(df, opt.classification, opt.regression)
       val fitTime = (System.nanoTime() - t0) / 1e9
-      model.models.toSeq.map { case (target, cm) =>
-        (opt.name, target, cm.metricName, cm.metricValue, fitTime)
-      }
+
+      val t1 = System.nanoTime()
+      model.transform(df).count() // force the imputation
+      val fitTransformTime = fitTime + (System.nanoTime() - t1) / 1e9
+
+      val (rolloutTime, modelSize): (Option[Double], Option[Long]) =
+        if (opt.checkSeparateFitTransformTime) {
+          val dir = if (savePath != null) s"$savePath/${opt.name}"
+            else java.nio.file.Files.createTempDirectory("graft_sel").toString
+          model.save(spark, dir)
+          val fs = org.apache.hadoop.fs.FileSystem.get(
+            spark.sparkContext.hadoopConfiguration)
+          val size = fs.getContentSummary(new org.apache.hadoop.fs.Path(dir)).getLength
+          val t2 = System.nanoTime()
+          val loaded = SparkImputerModel.load(spark, dir, imputer)
+          loaded.transform(df).count()
+          (Some((System.nanoTime() - t2) / 1e9), Some(size))
+        } else (None, None)
+
+      (opt.name, fitTime, rolloutTime, fitTransformTime, modelSize,
+        model.models.map { case (c, cm) => (c, cm.metricName, cm.metricValue) }.toSeq)
     }
-    val long = rows.toDF("model", "variable", "metric", "score", "fit_time")
-    // rank per (variable, metric): mse ascending, accuracy descending
-    val ranked = long.withColumn("rank",
-      when(col("metric") === "accuracy",
-        rank().over(Window.partitionBy("variable").orderBy(desc("score"), asc("model"))))
-        .otherwise(
-          rank().over(Window.partitionBy("variable").orderBy(asc("score"), asc("model")))))
-    ranked.groupBy("model")
-      .agg(sum("rank").as("sum_of_performance_ranks"),
-        max("fit_time").as("fit_function_time"))
+
+    val metricCols = measured.head._6.map { case (c, m, _) => s"${c}_$m" }
+    val schema = StructType(
+      Seq(StructField("model", StringType),
+        StructField("fit_function_time", DoubleType),
+        StructField("user_rollout_time_transform", DoubleType, nullable = true),
+        StructField("user_rollout_time_fit_transform", DoubleType),
+        StructField("model_size", LongType, nullable = true)) ++
+        metricCols.map(c => StructField(c, DoubleType)))
+    val rows: Seq[Row] = measured.map { case (name, ft, rt, ftt, ms, metrics) =>
+      Row.fromSeq(Seq[Any](name, ft, rt.getOrElse(null), ftt, ms.getOrElse(null)) ++
+        metrics.map(_._3))
+    }
+    val base = spark.createDataFrame(
+      spark.sparkContext.parallelize[Row](rows.toIndexedSeq, 1), schema)
+      .withColumn("time_saved_by_saved_model",
+        col("user_rollout_time_fit_transform") - col("user_rollout_time_transform"))
+
+    // ranks: lower-better for times/size/mse, higher-better for accuracy
+    val lowerBetter = Seq("fit_function_time", "user_rollout_time_transform",
+      "user_rollout_time_fit_transform", "model_size") ++
+      metricCols.filter(_.endsWith("_mse"))
+    val higherBetter = metricCols.filter(_.endsWith("_accuracy"))
+    val ranked0 = lowerBetter.foldLeft(base) { (d, c) =>
+      d.withColumn(s"${c}_rank",
+        rank().over(Window.orderBy(asc_nulls_last(c), asc("model"))).cast("bigint"))
+    }
+    val ranked = higherBetter.foldLeft(ranked0) { (d, c) =>
+      d.withColumn(s"${c}_rank",
+        rank().over(Window.orderBy(desc_nulls_last(c), asc("model"))).cast("bigint"))
+    }
+    val perfRanks = metricCols.map(c => col(s"${c}_rank"))
+    ranked.withColumn("sum_of_performance_ranks",
+        perfRanks.reduce(_ + _))
       .orderBy(asc("sum_of_performance_ranks"), asc("model"))
   }
 }

@@ -82,15 +82,32 @@ class SparkImputerSpec extends SparkSpec {
     }
   }
 
-  test("selectModel ranks candidate pairs") {
+  test("selectModel ranks candidate pairs with timings, sizes, rank sums") {
     val res = ModelSelection.selectModel(imputer, mixedFrame, Seq(
-      ModelOption("tree", new DecisionTreeClassifier(), new DecisionTreeRegressor()),
+      ModelOption("tree", new DecisionTreeClassifier(), new DecisionTreeRegressor(),
+        checkSeparateFitTransformTime = true),
       ModelOption("tree_d2",
         new DecisionTreeClassifier().setMaxDepth(2),
         new DecisionTreeRegressor().setMaxDepth(2))))
     val rows = res.collect()
     assert(rows.length == 2)
     assert(rows.map(_.getString(0)).toSet == Set("tree", "tree_d2"))
+    val cols = res.columns
+    assert(cols.contains("sum_of_performance_ranks"))
+    assert(cols.contains("A_mse_rank") && cols.contains("D_accuracy_rank"))
+    val tree = rows.find(_.getString(0) == "tree").get
+    assert(!tree.isNullAt(tree.fieldIndex("model_size")))          // measured
+    assert(!tree.isNullAt(tree.fieldIndex("user_rollout_time_transform")))
+    val d2 = rows.find(_.getString(0) == "tree_d2").get
+    assert(d2.isNullAt(d2.fieldIndex("model_size")))               // not requested
+  }
+
+  test("createFeatures with missing flags appends int flag columns") {
+    val withFlags = new SparkImputer(idCol = "id", categorical = Seq("D", "E", "F"),
+      includeMissingFlags = true)
+    val f = withFlags.createFeatures(mixedFrame)
+    assert(f.columns.contains("A_flag") && f.columns.contains("F_flag"))
+    assert(f.filter(col("A_flag") === 1).count() == 2) // two missing A rows
   }
 
   test("findImputationVariance: zero for identical datasets, positive for different") {
