@@ -106,10 +106,15 @@ class SparkImputer(
     * [[SparkImputerModel]] carrying per-column test performance. */
   def fit(df: DataFrame,
           classification: Params with PipelineStage,
-          regression: Params with PipelineStage): SparkImputerModel = {
+          regression: Params with PipelineStage): SparkImputerModel =
+    fitInternal(df, classification, regression, scaledFeatures(df))
+
+  private[imputer] def fitInternal(df: DataFrame,
+          classification: Params with PipelineStage,
+          regression: Params with PipelineStage,
+          featureFrame: DataFrame): SparkImputerModel = {
     validateAgainst(df)
     val toImpute = columnsToImpute(df)
-    val featureFrame = scaledFeatures(df)
     val models = toImpute.map { target =>
       val isCat = categorical.contains(target)
       // exclude features derived from the target column itself (ref L236)
@@ -158,11 +163,15 @@ class SparkImputer(
     new SparkImputerModel(this, models)
   }
 
-  /** Fit and impute in one call (ref fit(transform=True)). */
+  /** Fit and impute in one call (ref fit(transform=True)). The feature
+    * matrix (whose ffill passes run eager jobs) is built ONCE and shared
+    * between training and imputation. */
   def fitTransform(df: DataFrame,
                    classification: Params with PipelineStage,
-                   regression: Params with PipelineStage): DataFrame =
-    fit(df, classification, regression).transform(df)
+                   regression: Params with PipelineStage): DataFrame = {
+    val ff = scaledFeatures(df)
+    fitInternal(df, classification, regression, ff).transformInternal(df, ff)
+  }
 
   private[imputer] def maybeRound(target: String, c: org.apache.spark.sql.Column) =
     if (roundColumns.contains(target)) round(c, 0) else c
@@ -207,8 +216,10 @@ class SparkImputerModel(val imputer: SparkImputer,
                         val models: Map[String, ColumnModel]) extends Serializable {
 
   /** Impute every missing cell using the trained models (ref transform). */
-  def transform(df: DataFrame): DataFrame = {
-    val featureFrame = imputer.scaledFeatures(df)
+  def transform(df: DataFrame): DataFrame =
+    transformInternal(df, imputer.scaledFeatures(df))
+
+  private[imputer] def transformInternal(df: DataFrame, featureFrame: DataFrame): DataFrame = {
     models.foldLeft(df) { case (acc, (target, cm)) =>
       val missing = df.filter(col(target).isNull).select(col(imputer.idCol))
         .join(featureFrame, Seq(imputer.idCol))

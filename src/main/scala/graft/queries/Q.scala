@@ -375,9 +375,9 @@ object Q {
     val mc = Tables.maskedCustomer(s, dir)
     val imp = new SparkImputer(idCol = "c_custkey",
       categorical = Seq("c_mktsegment", "c_name"), classThreshold = 30)
-    val model = imp.fit(mc, new DecisionTreeClassifier(), new DecisionTreeRegressor())
-    model.transform(mc).select(col("c_custkey"),
-      col("c_acctbal").as("acctbal_imp"), col("c_mktsegment").as("seg_imp"))
+    imp.fitTransform(mc, new DecisionTreeClassifier(), new DecisionTreeRegressor())
+      .select(col("c_custkey"),
+        col("c_acctbal").as("acctbal_imp"), col("c_mktsegment").as("seg_imp"))
   }
 
   def dedupMinhash(s: SparkSession, dir: String): DataFrame =
