@@ -36,20 +36,26 @@ object MinHash {
     val r = k / bands
     val sh = df.select(col(idCol).as("id"), Dedup.shingleHashes(col(textCol), n).as("sh"))
       .filter(size(col("sh")) > 0)
-      .withColumn("sig", signature(col("sh"), k, seed))
+    val sigs = sh.withColumn("sig", signature(col("sh"), k, seed))
 
-    // explode into b band buckets: (band, hash(sig slice)) — shuffle key
-    val banded = sh.select(col("id"), col("sh"), col("sig"),
+    // explode into b band buckets: (band, hash(sig slice)) — shuffle key.
+    // Only (id, band, bucket) travels through the candidate join; shingle
+    // arrays join back AFTER pair dedup so band collisions never replicate
+    // the heavy arrays.
+    val banded = sigs.select(col("id"), col("sig"),
         explode(sequence(lit(0), lit(bands - 1))).as("band"))
-      .withColumn("bucket", hash(col("band"), slice(col("sig"), col("band") * r + 1, lit(r))))
-    // self-join on (band, bucket); distinct candidate pairs
-    val left = banded.select(col("band"), col("bucket"), col("id").as("id_a"), col("sh").as("sh_a"))
-    val right = banded.select(col("band"), col("bucket"), col("id").as("id_b"), col("sh").as("sh_b"))
+      .withColumn("bucket", hash(col("band"),
+        slice(col("sig"), col("band") * r + 1, lit(r))))
+      .select("id", "band", "bucket")
+    val left = banded.select(col("band"), col("bucket"), col("id").as("id_a"))
+    val right = banded.select(col("band"), col("bucket"), col("id").as("id_b"))
     val cands = left.join(right, Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "sh_a", "sh_b")
+      .select("id_a", "id_b")
       .dropDuplicates("id_a", "id_b")
     cands
+      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .withColumn("jaccard", Dedup.jaccardHashed(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
