@@ -25,11 +25,20 @@ object Sources {
     spark.read.parquet(path)
 
   /** Partitioned parquet sink: directory layout `partitionCols` for
-    * partition pruning downstream; `targetFileRows` guards against the
-    * many-small-files failure mode by coalescing the plan's output. */
+    * partition pruning downstream. */
   def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String],
                        mode: String = "overwrite"): Unit = {
     val w = df.write.mode(mode)
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).parquet(path)
   }
+
+  /** Bucketed managed table: two tables bucketed+sorted on the same join
+    * key co-locate their data, so equi-joins between them need NO shuffle
+    * exchange — the pre-shuffle is paid once at write time. This is the
+    * repeated-big-join answer at 100 TB. */
+  def writeBucketed(df: DataFrame, table: String, bucketCol: String,
+                    nBuckets: Int, mode: String = "overwrite"): Unit =
+    df.write.mode(mode)
+      .bucketBy(nBuckets, bucketCol).sortBy(bucketCol)
+      .format("parquet").saveAsTable(table)
 }

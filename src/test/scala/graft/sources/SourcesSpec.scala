@@ -50,6 +50,27 @@ class SourcesSpec extends SparkSpec {
     assert(pruned.count() > 0)
   }
 
+  test("bucketed tables join without a shuffle exchange") {
+    import spark.implicits._
+    val facts = (1 to 1000).map(i => (i.toLong % 50, i.toLong)).toDF("k", "v")
+    val dims = (0 to 49).map(k => (k.toLong, s"d$k")).toDF("k", "attr")
+    Sources.writeBucketed(facts, "b_facts", "k", 8)
+    Sources.writeBucketed(dims, "b_dims", "k", 8)
+    // force a sort-merge join (broadcast would win at this toy size and
+    // hide the bucket co-location we're asserting)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("b_facts").join(spark.table("b_dims"), "k")
+      assert(joined.count() == 1000)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), s"expected SMJ in:\n$plan")
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"unexpected shuffle in:\n$plan")
+      assert(plan.contains("Bucketed: true"), s"bucketed scan not used in:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("jsonLines reads with explicit schema") {
     val dir = Files.createTempDirectory("graft_json").toString
     Files.write(java.nio.file.Paths.get(s"$dir/a.jsonl"),
