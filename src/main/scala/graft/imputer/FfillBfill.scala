@@ -39,6 +39,23 @@ object FfillBfill {
   def ffillThenBfill(df: DataFrame, orderCol: String, valueCols: Seq[String], numPartitions: Int = 0): DataFrame =
     bfill(ffill(df, orderCol, valueCols, numPartitions), orderCol, valueCols, numPartitions)
 
+  /** Group-scoped ffill→bfill (e.g. per user / per series): plain windows
+    * partitioned by the group key — already parallel over groups, no
+    * two-pass machinery needed. */
+  def ffillThenBfillWithinGroups(df: DataFrame, groupCol: String, orderCol: String,
+                                 valueCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val wf = Window.partitionBy(groupCol).orderBy(orderCol)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wb = Window.partitionBy(groupCol).orderBy(orderCol)
+      .rowsBetween(0, Window.unboundedFollowing)
+    valueCols.foldLeft(df) { (d, c) =>
+      d.withColumn(c, last(col(c), ignoreNulls = true).over(wf))
+        .withColumn(c, first(col(c), ignoreNulls = true).over(wb))
+    }
+  }
+
   private def fill(df: DataFrame, orderCol: String, valueCols: Seq[String],
                    numPartitions: Int, backward: Boolean): DataFrame = {
     val spark = df.sparkSession

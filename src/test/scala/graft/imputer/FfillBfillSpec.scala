@@ -47,6 +47,18 @@ class FfillBfillSpec extends SparkSpec {
     assert(out.filter(col("x").isNull || col("s").isNull).count() == 0)
   }
 
+  test("group-scoped fill never leaks values across groups") {
+    import spark.implicits._
+    val df = Seq(
+      ("u1", 1L, Some(1.0)), ("u1", 2L, None: Option[Double]),
+      ("u2", 1L, None: Option[Double]), ("u2", 2L, Some(9.0))).toDF("g", "id", "x")
+    val out = FfillBfill.ffillThenBfillWithinGroups(df, "g", "id", Seq("x"))
+      .orderBy("g", "id").as[(String, Long, Option[Double])].collect()
+    assert(out.toSeq == Seq(
+      ("u1", 1L, Some(1.0)), ("u1", 2L, Some(1.0)),   // ffill within u1
+      ("u2", 1L, Some(9.0)), ("u2", 2L, Some(9.0)))) // bfill within u2, no leak
+  }
+
   test("leading nulls survive ffill, are filled by bfill") {
     import spark.implicits._
     val df = Seq((1L, None: Option[Double]), (2L, None), (3L, Some(9.0)), (4L, None))
