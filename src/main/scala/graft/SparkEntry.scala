@@ -23,6 +23,7 @@ object SparkEntry {
     "q6_filter" -> (Analytics.q6 _),
     "events_json" -> (Analytics.eventsJson _),
     "asof_join" -> (Q.asofJoin _),
+    "profile_numeric" -> (graft.analytics.Profile.lineitemProfile _),
     "topn_window" -> (Analytics.topnPerGroup(_, _)),
     "events_sessionize" -> (Analytics.sessionize(_, _)),
     "events_window" -> (Analytics.eventsWindow _),

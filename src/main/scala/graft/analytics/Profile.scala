@@ -1,0 +1,37 @@
+package graft.analytics
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.analytics.Analytics.cents
+
+/** Column profiling for pipeline data quality: per-variable row/distinct
+  * counts, min/max, exact fixed-point mean, exact median. One aggregation
+  * pass per statistic family; the scale path swaps exact distinct/median
+  * for `approx_count_distinct` / `approx_percentile` (same shape, no sort).
+  */
+object Profile {
+
+  /** Profile the given numeric columns (fixed-decimal data, `scales(i)`
+    * decimal places) of a table. Output: one row per variable. */
+  def numeric(df: DataFrame, cols: Seq[(String, Int)]): DataFrame = {
+    val parts = cols.map { case (c, scale) =>
+      val k = math.pow(10, scale)
+      df.select(cents(col(c), scale).as("_c"), col(c).as("_raw"))
+        .agg(
+          count(lit(1)).as("n"),
+          countDistinct(col("_raw")).as("n_distinct"),
+          min(col("_raw")).as("min_value"),
+          max(col("_raw")).as("max_value"),
+          (sum(col("_c")).cast("double") / (lit(k) * count(lit(1)))).as("mean_value"),
+          (expr("percentile(_c, 0.5)") / k).as("p50"))
+        .select(lit(c).as("variable"), col("n"), col("n_distinct"),
+          col("min_value"), col("max_value"), col("mean_value"), col("p50"))
+    }
+    parts.reduce(_ unionAll _)
+  }
+
+  def lineitemProfile(spark: SparkSession, dir: String): DataFrame =
+    numeric(Tables(spark, dir, "lineitem"),
+      Seq("l_quantity" -> 2, "l_extendedprice" -> 2, "l_discount" -> 4, "l_tax" -> 4))
+}

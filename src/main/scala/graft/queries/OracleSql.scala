@@ -70,6 +70,17 @@ object OracleSql {
         | CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
         |FROM events GROUP BY 1, 2""".stripMargin,
 
+    "profile_numeric" -> {
+      Seq("l_quantity" -> "100.0", "l_extendedprice" -> "100.0",
+        "l_discount" -> "10000.0", "l_tax" -> "10000.0").map { case (c, k) =>
+        s"""SELECT '$c' AS variable, count(*) AS n, count(DISTINCT $c) AS n_distinct,
+           | min($c) AS min_value, max($c) AS max_value,
+           | CAST(SUM(CAST(round($c * $k, 0) AS BIGINT)) AS DOUBLE) / ($k * count(*)) AS mean_value,
+           | quantile_cont(CAST(round($c * $k, 0) AS BIGINT), 0.5) / $k AS p50
+           |FROM lineitem""".stripMargin
+      }.mkString("\nUNION ALL\n")
+    },
+
     "asof_join" ->
       """WITH o AS (SELECT o_orderkey, o_custkey, epoch_ms(o_orderdate) // 1000 AS t FROM orders),
         |e0 AS (SELECT user_id, epoch_ns(ts) // 1000000000 AS t, max_by(value, event_id) AS value
