@@ -55,6 +55,21 @@ object Strategies {
       .drop("_gm", "_g")
   }
 
+  /** MLlib's built-in Imputer as the strategy engine for numeric columns —
+    * strategies "mean" | "median" | "mode". Fits one distributed pass over
+    * all `cols` at once and returns the frame with `<col>_imp` outputs;
+    * the fitted ImputerModel can be persisted with MLlib writers. */
+  def mllib(df: DataFrame, cols: Seq[String], strategy: String,
+            suffix: String = "_imp"): DataFrame = {
+    import org.apache.spark.ml.feature.Imputer
+    new Imputer()
+      .setInputCols(cols.toArray)
+      .setOutputCols(cols.map(_ + suffix).toArray)
+      .setStrategy(strategy)
+      .fit(df)
+      .transform(df)
+  }
+
   /** One-feature OLS imputation: y ~ a + b*x with the closed form
     * b = covar_pop(y,x)/var_pop(x) over rows where y is observed. One
     * aggregation pass — no iterative solver needed for the univariate case

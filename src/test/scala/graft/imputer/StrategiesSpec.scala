@@ -52,6 +52,23 @@ class StrategiesSpec extends SparkSpec {
     assert(math.abs(yi(3).asInstanceOf[Double] - 20.0) < 1e-9)
   }
 
+  test("MLlib Imputer strategy engine fills numerics like our exact mean") {
+    val out = Strategies.mllib(df, Seq("x"), "mean")
+    assert(out.filter(col("x_imp").isNull).count() == 0)
+    val mean = df.agg(avg("x")).collect()(0).getDouble(0)
+    val imputedRows = out.filter(col("x").isNull).select("x_imp")
+      .collect().map(_.getDouble(0))
+    assert(imputedRows.forall(v => math.abs(v - mean) < 1e-9))
+    val med = Strategies.mllib(df, Seq("x"), "median")
+    assert(med.filter(col("x_imp").isNull).count() == 0)
+  }
+
+  test("driver contract: entry() returns rows; every query name has a fn") {
+    val e = graft.SparkEntry.entry(spark)
+    assert(e.count() > 0)
+    assert(graft.SparkEntry.oracleSql.keySet.subsetOf(graft.SparkEntry.queries.keySet))
+  }
+
   test("missing metrics + indicator") {
     val m = MissingStats.metrics(df.select("x", "c")).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(4))).toMap
