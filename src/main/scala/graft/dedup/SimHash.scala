@@ -46,7 +46,8 @@ object SimHash {
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).as("hamming"))
-      .dropDuplicates("id_a", "id_b")
+      // hamming filter BEFORE the pair-dedup shuffle: far fewer rows travel
       .filter(col("hamming") <= maxHamming)
+      .dropDuplicates("id_a", "id_b")
   }
 }
