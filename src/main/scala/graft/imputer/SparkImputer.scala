@@ -107,7 +107,14 @@ class SparkImputer(
   def fit(df: DataFrame,
           classification: Params with PipelineStage,
           regression: Params with PipelineStage): SparkImputerModel =
-    fitInternal(df, classification, regression, scaledFeatures(df))
+    fitInternal(df, classification, regression, materializedFeatures(df))
+
+  /** The feature matrix is consumed by several joins per target column;
+    * its ffill lineage contains eager two-pass jobs that would otherwise
+    * re-run each time. localCheckpoint materializes it once and truncates
+    * the lineage (cluster path: persist(DISK) + explicit unpersist). */
+  private[imputer] def materializedFeatures(df: DataFrame): DataFrame =
+    scaledFeatures(df).localCheckpoint()
 
   private[imputer] def fitInternal(df: DataFrame,
           classification: Params with PipelineStage,
@@ -169,7 +176,7 @@ class SparkImputer(
   def fitTransform(df: DataFrame,
                    classification: Params with PipelineStage,
                    regression: Params with PipelineStage): DataFrame = {
-    val ff = scaledFeatures(df)
+    val ff = materializedFeatures(df)
     fitInternal(df, classification, regression, ff).transformInternal(df, ff)
   }
 
@@ -217,7 +224,7 @@ class SparkImputerModel(val imputer: SparkImputer,
 
   /** Impute every missing cell using the trained models (ref transform). */
   def transform(df: DataFrame): DataFrame =
-    transformInternal(df, imputer.scaledFeatures(df))
+    transformInternal(df, imputer.materializedFeatures(df))
 
   private[imputer] def transformInternal(df: DataFrame, featureFrame: DataFrame): DataFrame = {
     models.foldLeft(df) { case (acc, (target, cm)) =>
