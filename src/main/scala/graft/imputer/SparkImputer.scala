@@ -38,7 +38,12 @@ class SparkImputer(
     val features: Seq[String] = Nil,
     val includeMissingFlags: Boolean = false,
     val testModulo: Int = 10,
-    val seed: Long = 42L) extends Serializable {
+    val seed: Long = 42L,
+    /** Feature scaler (ref fit's `scaler` parameter, default MinMaxScaler):
+      * any (frame, numericCols, suffix) => frame producing `<col><suffix>`
+      * outputs. Swap for a standardizer, a no-op, etc. */
+    val scaler: (DataFrame, Seq[String], String) => DataFrame =
+      (d, cs, suf) => FeatureBuilder.minMaxScale(d, cs, suf)) extends Serializable {
 
   /** Input checks mirroring the reference __init__ validation (ref L83-99):
     * declared columns must exist in the frame. */
@@ -183,13 +188,14 @@ class SparkImputer(
   private[imputer] def maybeRound(target: String, c: org.apache.spark.sql.Column) =
     if (roundColumns.contains(target)) round(c, 0) else c
 
-  /** MinMax-scaled feature matrix (ref fit scales features, L201). */
+  /** Scaled feature matrix (ref fit scales features, L201) via the
+    * configured scaler (default MinMax). */
   private[imputer] def scaledFeatures(df: DataFrame): DataFrame = {
     val feats = createFeatures(df)
     val numCols = feats.schema.fields
       .filter(f => f.name != idCol && f.dataType.isInstanceOf[NumericType])
       .map(_.name).toSeq
-    val scaled = FeatureBuilder.minMaxScale(feats, numCols)
+    val scaled = scaler(feats, numCols, "_scaled")
     scaled.select(col(idCol) +: numCols.map(c => col(s"${c}_scaled").as(c)): _*)
   }
 

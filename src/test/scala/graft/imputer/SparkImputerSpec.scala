@@ -102,6 +102,19 @@ class SparkImputerSpec extends SparkSpec {
     assert(d2.isNullAt(d2.fieldIndex("model_size")))               // not requested
   }
 
+  test("custom scaler is honored (ref fit's scaler parameter)") {
+    // identity scaler: features keep raw values
+    val identity = new SparkImputer(idCol = "id", categorical = Seq("D", "E", "F"),
+      testModulo = 5,
+      scaler = (d, cs, suf) => cs.foldLeft(d)((acc, c) => acc.withColumn(s"$c$suf", col(c))))
+    val feats = identity.scaledFeatures(mixedFrame)
+    val b = feats.select("B").collect().map(_.getDouble(0)).toSet
+    assert(b == Set(1.0, 2.0, 3.0, 4.0)) // raw, not scaled to [0,1]
+    val out = identity.fitTransform(mixedFrame,
+      new DecisionTreeClassifier(), new DecisionTreeRegressor())
+    assert(out.columns.map(c => out.filter(col(c).isNull).count()).sum == 0)
+  }
+
   test("createFeatures with missing flags appends int flag columns") {
     val withFlags = new SparkImputer(idCol = "id", categorical = Seq("D", "E", "F"),
       includeMissingFlags = true)
