@@ -5,7 +5,7 @@ import org.apache.spark.ml.feature.{IndexToString, StringIndexer, StringIndexerM
 import org.apache.spark.ml.param.{ParamMap, Params}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{NumericType, StringType}
+import org.apache.spark.sql.types.{ByteType, DoubleType, FloatType, IntegerType, LongType, NumericType, ShortType, StringType}
 
 /** Spark-native re-expression of the reference `SklearnImputer`
   * (scikit_learn_imputer.py:35-553): impute missing values in mixed-type
@@ -56,18 +56,37 @@ class SparkImputer(
     require(badFeat.isEmpty, s"The following feature columns are not in data frame: $badFeat")
   }
 
+  /** The reference detects missingness with pandas isna(), which treats both
+    * None and NaN as missing; Spark's `count`/`isNull` see only SQL NULL.
+    * Normalize NaN → NULL in float/double columns once at every public entry
+    * point so downstream fills, metrics, and training skip NaN labels exactly
+    * like the reference. No-op (same plan) for frames without float columns. */
+  private[imputer] def nanAsNull(df: DataFrame): DataFrame = {
+    val hasFloats = df.schema.fields.exists(f =>
+      f.dataType == DoubleType || f.dataType == FloatType)
+    if (!hasFloats) df
+    else df.select(df.schema.fields.map { f =>
+      f.dataType match {
+        case DoubleType | FloatType =>
+          when(isnan(col(f.name)), lit(null)).otherwise(col(f.name)).as(f.name)
+        case _ => col(f.name)
+      }
+    }.toSeq: _*)
+  }
+
   /** Missing flags frame (ref missing_indicator, L109). */
   def missingIndicator(df: DataFrame): DataFrame =
-    MissingStats.indicator(df, Seq(idCol))
+    MissingStats.indicator(nanAsNull(df), Seq(idCol))
 
   /** Per-variable missing metrics (ref missing_metrics, L117). */
   def missingMetrics(df: DataFrame): DataFrame =
-    MissingStats.metrics(df.drop(idCol))
+    MissingStats.metrics(nanAsNull(df).drop(idCol))
 
   /** Feature matrix (ref create_features, L140): ffill→bfill the selected
     * columns, drop categoricals over the class threshold, one-hot encode the
     * rest, optionally append missing flags. Columns are suffixed `f_`. */
-  def createFeatures(df: DataFrame): DataFrame = {
+  def createFeatures(df0: DataFrame): DataFrame = {
+    val df = nanAsNull(df0)
     val cols = if (features.nonEmpty) features else df.columns.toSeq.filterNot(_ == idCol)
     val cats = categorical.filter(cols.contains)
     val filled = FfillBfill.ffillThenBfill(
@@ -96,7 +115,8 @@ class SparkImputer(
   }
 
   /** Columns that need imputing, in schema order. */
-  def columnsToImpute(df: DataFrame): Seq[String] = {
+  def columnsToImpute(df0: DataFrame): Seq[String] = {
+    val df = nanAsNull(df0)
     val cols = df.columns.toSeq.filterNot(_ == idCol)
     val aggs = cols.map(c => (count(lit(1)) - count(col(c))).as(c))
     val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
@@ -109,10 +129,12 @@ class SparkImputer(
     * algorithm compatible with the scikit-learn API". Each column gets a
     * fresh copy with featuresCol/labelCol rebound. Returns the fitted
     * [[SparkImputerModel]] carrying per-column test performance. */
-  def fit(df: DataFrame,
+  def fit(df0: DataFrame,
           classification: Params with PipelineStage,
-          regression: Params with PipelineStage): SparkImputerModel =
+          regression: Params with PipelineStage): SparkImputerModel = {
+    val df = nanAsNull(df0)
     fitInternal(df, classification, regression, materializedFeatures(df))
+  }
 
   /** The feature matrix is consumed by several joins per target column;
     * its ffill lineage contains eager two-pass jobs that would otherwise
@@ -161,13 +183,21 @@ class SparkImputer(
 
       val t1 = System.nanoTime()
       val predictions = withPrediction(pm, test, target, isCat)
+      // The modulo split can leave an empty test set (no observed id with
+      // id % testModulo == 0) on small or sparsely-keyed frames; avg over
+      // zero rows is NULL — report NaN rather than NPE (the reference's
+      // random split always yields ≥1 test row).
+      def metricOrNaN(agg: DataFrame): Double = {
+        val row = agg.collect()(0)
+        if (row.isNullAt(0)) Double.NaN else row.getDouble(0)
+      }
       val perf = if (isCat)
-        ("accuracy", predictions.agg(
-          avg(when(col("_predicted") === col(target), 1.0).otherwise(0.0))).collect()(0).getDouble(0))
+        ("accuracy", metricOrNaN(predictions.agg(
+          avg(when(col("_predicted") === col(target), 1.0).otherwise(0.0)))))
       else {
         val p = maybeRound(target, col("_predicted"))
-        ("mse", predictions.agg(
-          avg((p - col(target)) * (p - col(target)))).collect()(0).getDouble(0))
+        ("mse", metricOrNaN(predictions.agg(
+          avg((p - col(target)) * (p - col(target))))))
       }
       val testTime = (System.nanoTime() - t1) / 1e9
       target -> ColumnModel(pm, isCat, featCols, perf._1, perf._2, trainTime, testTime)
@@ -178,9 +208,10 @@ class SparkImputer(
   /** Fit and impute in one call (ref fit(transform=True)). The feature
     * matrix (whose ffill passes run eager jobs) is built ONCE and shared
     * between training and imputation. */
-  def fitTransform(df: DataFrame,
+  def fitTransform(df0: DataFrame,
                    classification: Params with PipelineStage,
                    regression: Params with PipelineStage): DataFrame = {
+    val df = nanAsNull(df0)
     val ff = materializedFeatures(df)
     fitInternal(df, classification, regression, ff).transformInternal(df, ff)
   }
@@ -229,19 +260,29 @@ class SparkImputerModel(val imputer: SparkImputer,
                         val models: Map[String, ColumnModel]) extends Serializable {
 
   /** Impute every missing cell using the trained models (ref transform). */
-  def transform(df: DataFrame): DataFrame =
+  def transform(df0: DataFrame): DataFrame = {
+    val df = imputer.nanAsNull(df0)
     transformInternal(df, imputer.materializedFeatures(df))
+  }
 
   private[imputer] def transformInternal(df: DataFrame, featureFrame: DataFrame): DataFrame = {
     models.foldLeft(df) { case (acc, (target, cm)) =>
       val missing = df.filter(col(target).isNull).select(col(imputer.idCol))
         .join(featureFrame, Seq(imputer.idCol))
       val preds = imputer.withPrediction(cm.pipeline, missing, target, cm.isCategorical)
-        .select(col(imputer.idCol),
-          imputer.maybeRound(target, col("_predicted")).as("_p"))
-      acc.join(preds, Seq(imputer.idCol), "left")
+      val targetType = df.schema(target).dataType
+      // Integral targets would otherwise TRUNCATE toward zero on the
+      // double→int cast (2.9 → 2); round to the nearest integer instead.
+      val isIntegral = targetType match {
+        case ByteType | ShortType | IntegerType | LongType => true
+        case _ => false
+      }
+      val p0 = imputer.maybeRound(target, col("_predicted"))
+      val p = if (isIntegral && !imputer.roundColumns.contains(target)) round(p0, 0) else p0
+      val predsP = preds.select(col(imputer.idCol), p.as("_p"))
+      acc.join(predsP, Seq(imputer.idCol), "left")
         .withColumn(target,
-          coalesce(col(target), col("_p").cast(df.schema(target).dataType)))
+          coalesce(col(target), col("_p").cast(targetType)))
         .drop("_p")
     }
   }
