@@ -44,15 +44,14 @@ object Dedup {
   /** Shingles as SORTED distinct xxhash64 values (array<bigint>). 8 bytes
     * per shingle instead of a ~20-byte string — pair joins shuffle 60%
     * less and the merge compares longs. Set sizes (and thus Jaccard) equal
-    * the string-shingle version up to a ~2⁻⁶⁴ collision probability. */
-  def shingleHashes(text: Column, n: Int): Column = {
-    val toks = split(text, " ")
-    when(size(toks) < n, array().cast("array<bigint>")).otherwise(
-      sort_array(array_distinct(
-        transform(
-          sequence(lit(0), size(toks) - n),
-          i => xxhash64(concat_ws(" ", slice(toks, i + 1, lit(n))))))))
-  }
+    * the string-shingle version up to a ~2⁻⁶⁴ collision probability.
+    * Computed by the native [[graft.functions.ShingleHashesExpr]] — one
+    * zero-allocation byte scan per document, bitwise-identical to the
+    * composed split/slice/concat_ws/xxhash64 form it replaced but ~20×
+    * faster (the composed lambda ran interpreted and allocated a token
+    * array, n-token slices, and a joined string per window). */
+  def shingleHashes(text: Column, n: Int): Column =
+    call_function("graft_shingle_hashes", text, lit(n))
 
   /** Jaccard over sorted hashed-shingle arrays (array<bigint>). */
   def jaccardHashed(a: Column, b: Column): Column = {

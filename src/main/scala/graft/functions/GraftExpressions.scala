@@ -289,7 +289,101 @@ case class MinHashSigExpr(child: Expression, k: Int, seed: Long)
     copy(child = newChild)
 }
 
+/** Word n-gram shingle hashes straight from the text bytes: sorted distinct
+  * xxhash64 values of each n-token window. Bitwise-identical to
+  * `sort_array(array_distinct(transform(sequence(...), i ->
+  * xxhash64(concat_ws(" ", slice(split(text, " "), i+1, n))))))` — tokens
+  * split on single spaces reassemble to the exact byte range of the original
+  * string, so each window hashes in place with ZERO allocations (the
+  * composed form allocates a token array, n-element slices, and a joined
+  * string per window, and the lambda runs interpreted — ~20× slower). */
+case class ShingleHashesExpr(child: Expression, n: Int)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"graft_shingle_hashes expects string, got $t")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_shingle_hashes"
+
+  override protected def nullSafeEval(t: Any): Any =
+    ShingleHashesExpr.compute(t.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.ShingleHashesExpr.compute($a, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashesExpr =
+    copy(child = newChild)
+}
+
+object ShingleHashesExpr {
+  /** Shared by interpreted eval and generated code (via static forwarder). */
+  def compute(s: org.apache.spark.unsafe.types.UTF8String, n: Int): ArrayData = {
+    val base = s.getBaseObject
+    val off = s.getBaseOffset
+    val len = s.numBytes
+    // Token boundaries: split on every single space byte (0x20 never occurs
+    // inside a UTF-8 multi-byte sequence, so a byte scan is safe).
+    var spaces = 0
+    var i = 0
+    while (i < len) { if (s.getByte(i) == 0x20) spaces += 1; i += 1 }
+    val tokenCount = spaces + 1
+    if (tokenCount < n) return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Long])
+    val starts = new Array[Int](tokenCount + 1)
+    var t = 1
+    i = 0
+    while (i < len) { if (s.getByte(i) == 0x20) { starts(t) = i + 1; t += 1 }; i += 1 }
+    starts(tokenCount) = len + 1 // virtual space past the end: window end = starts(j) - 1
+    val m = tokenCount - n + 1
+    val hashes = new Array[Long](m)
+    var w = 0
+    while (w < m) {
+      val from = starts(w)
+      val until = starts(w + n) - 1
+      // seed 42 = Spark's xxhash64() default
+      hashes(w) = org.apache.spark.sql.catalyst.expressions.XXH64
+        .hashUnsafeBytes(base, off + from, until - from, 42L)
+      w += 1
+    }
+    java.util.Arrays.sort(hashes)
+    var out = 0
+    var r = 0
+    while (r < m) {
+      if (r == 0 || hashes(r) != hashes(r - 1)) { hashes(out) = hashes(r); out += 1 }
+      r += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      if (out == m) hashes else java.util.Arrays.copyOf(hashes, out))
+  }
+}
+
 object GraftFunctions {
+
+  /** Scalar args like k/seed parameterize generated code, so they must be
+    * compile-time constants: reject non-foldable expressions with the
+    * standard NON_FOLDABLE_ARGUMENT AnalysisException instead of the opaque
+    * ClassCastException/NPE `eval()` would throw on a column reference. */
+  private def foldableArg(fn: String, param: String, tpe: String, e: Expression): Expression = {
+    if (!e.foldable)
+      throw new org.apache.spark.sql.AnalysisException(
+        "NON_FOLDABLE_ARGUMENT",
+        Map("funcName" -> s"`$fn`", "paramName" -> s"`$param`", "paramType" -> s""""$tpe""""),
+        None)
+    val v = e.eval()
+    if (v == null || !v.isInstanceOf[Number])
+      throw new org.apache.spark.sql.AnalysisException(
+        "NON_FOLDABLE_ARGUMENT",
+        Map("funcName" -> s"`$fn`", "paramName" -> s"`$param`", "paramType" -> s""""$tpe""""),
+        None)
+    e
+  }
+  private def intArg(fn: String, param: String, e: Expression): Int =
+    foldableArg(fn, param, "INT", e).eval().asInstanceOf[Number].intValue()
+  private def longArg(fn: String, param: String, e: Expression): Long =
+    foldableArg(fn, param, "BIGINT", e).eval().asInstanceOf[Number].longValue()
+
   /** Idempotently register the native expressions with a session's function
     * registry (temp functions — per-session, no catalog writes). */
   def register(spark: SparkSession): Unit = {
@@ -306,7 +400,13 @@ object GraftFunctions {
       exprs => VectorAvgAgg(exprs(0)).toAggregateExpression(), "built-in")
     registry.createOrReplaceTempFunction("graft_minhash",
       exprs => MinHashSigExpr(exprs(0),
-        exprs(1).eval().asInstanceOf[Number].intValue(),
-        exprs(2).eval().asInstanceOf[Number].longValue()), "built-in")
+        intArg("graft_minhash", "k", exprs(1)),
+        longArg("graft_minhash", "seed", exprs(2))), "built-in")
+    registry.createOrReplaceTempFunction("graft_shingle_hashes",
+      exprs => ShingleHashesExpr(exprs(0),
+        intArg("graft_shingle_hashes", "n", exprs(1))), "built-in")
+    registry.createOrReplaceTempFunction("graft_topk",
+      exprs => TopKAgg(exprs(0), exprs(1),
+        intArg("graft_topk", "k", exprs(2))).toAggregateExpression(), "built-in")
   }
 }

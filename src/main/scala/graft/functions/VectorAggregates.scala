@@ -98,3 +98,134 @@ case class VectorAvgAgg(
   override protected def withNewChildInternal(newChild: Expression): VectorAvgAgg =
     copy(child = newChild)
 }
+
+/** Bounded top-k buffer for [[TopKAgg]]: a size-k binary min-heap whose root
+  * is the WORST kept entry under (score desc, id asc), so each update is
+  * O(log k) and the buffer never exceeds k entries. */
+final class TopKBuffer(val k: Int) {
+  var size = 0
+  val scores = new Array[Double](math.max(k, 1))
+  val ids = new Array[Long](math.max(k, 1))
+
+  /** true if (s1,id1) ranks strictly worse than (s2,id2). */
+  @inline private def worse(s1: Double, id1: Long, s2: Double, id2: Long): Boolean =
+    s1 < s2 || (s1 == s2 && id1 > id2)
+
+  def insert(s: Double, id: Long): Unit = {
+    if (k <= 0) return
+    if (size < k) {
+      var i = size
+      scores(i) = s; ids(i) = id; size += 1
+      // sift up
+      while (i > 0 && worse(scores(i), ids(i), scores((i - 1) / 2), ids((i - 1) / 2))) {
+        swap(i, (i - 1) / 2); i = (i - 1) / 2
+      }
+    } else if (worse(scores(0), ids(0), s, id)) {
+      scores(0) = s; ids(0) = id
+      // sift down
+      var i = 0
+      var done = false
+      while (!done) {
+        val l = 2 * i + 1; val r = 2 * i + 2
+        var w = i
+        if (l < size && worse(scores(l), ids(l), scores(w), ids(w))) w = l
+        if (r < size && worse(scores(r), ids(r), scores(w), ids(w))) w = r
+        if (w == i) done = true else { swap(i, w); i = w }
+      }
+    }
+  }
+
+  @inline private def swap(i: Int, j: Int): Unit = {
+    val ts = scores(i); scores(i) = scores(j); scores(j) = ts
+    val ti = ids(i); ids(i) = ids(j); ids(j) = ti
+  }
+
+  /** Entries ordered best-first: (score desc, id asc). */
+  def sortedPairs: Array[(Double, Long)] = {
+    val out = Array.tabulate(size)(i => (scores(i), ids(i)))
+    out.sortBy { case (s, id) => (-s, id) }
+  }
+}
+
+/** Distributed top-k as a REAL aggregate: per query key, keep the k best
+  * (score, id) pairs under (score desc, id asc). Because it is a
+  * TypedImperativeAggregate, Spark runs it with map-side partial aggregation
+  * (ObjectHashAggregate) — each input partition reduces its rows to at most
+  * k entries per key BEFORE the shuffle, so the exchange carries k·P rows
+  * per key instead of the full scored candidate set, and no single task ever
+  * sorts a query's whole corpus. This replaces the
+  * `row_number() OVER (PARTITION BY query)`-then-filter formulation, which
+  * funnels every scored row of a query into one window task.
+  *
+  * Returns array<struct<score:double, id:bigint>> ordered best-first.
+  */
+case class TopKAgg(
+    score: Expression,
+    id: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[TopKBuffer]
+  with org.apache.spark.sql.catalyst.trees.BinaryLike[Expression] {
+
+  override def left: Expression = score
+  override def right: Expression = id
+
+  override def checkInputDataTypes(): TypeCheckResult = (score.dataType, id.dataType) match {
+    case (DoubleType, LongType) => TypeCheckResult.TypeCheckSuccess
+    case (s, i) => TypeCheckResult.TypeCheckFailure(
+      s"graft_topk expects (double, bigint, int k), got ($s, $i)")
+  }
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("score", DoubleType), StructField("id", LongType))),
+    containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "graft_topk"
+
+  override def createAggregationBuffer(): TopKBuffer = new TopKBuffer(k)
+
+  override def update(buf: TopKBuffer, input: InternalRow): TopKBuffer = {
+    val s = score.eval(input)
+    val i = id.eval(input)
+    if (s != null && i != null)
+      buf.insert(s.asInstanceOf[Double], i.asInstanceOf[Long])
+    buf
+  }
+
+  override def merge(a: TopKBuffer, b: TopKBuffer): TopKBuffer = {
+    var i = 0
+    while (i < b.size) { a.insert(b.scores(i), b.ids(i)); i += 1 }
+    a
+  }
+
+  override def eval(buf: TopKBuffer): Any = {
+    val pairs = buf.sortedPairs
+    new GenericArrayData(pairs.map { case (s, id) =>
+      InternalRow(s, id)
+    }.asInstanceOf[Array[Any]])
+  }
+
+  override def serialize(buf: TopKBuffer): Array[Byte] = {
+    val bb = ByteBuffer.allocate(4 + 16 * buf.size)
+    bb.putInt(buf.size)
+    var i = 0
+    while (i < buf.size) { bb.putDouble(buf.scores(i)); bb.putLong(buf.ids(i)); i += 1 }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): TopKBuffer = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt()
+    val buf = new TopKBuffer(k)
+    var i = 0
+    while (i < n) { buf.insert(bb.getDouble(), bb.getLong()); i += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): TopKAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): TopKAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): TopKAgg =
+    copy(score = newLeft, id = newRight)
+}

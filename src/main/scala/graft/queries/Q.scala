@@ -316,17 +316,13 @@ object Q {
 
   // ------------------------------------------------------------ similarity
 
+  /** Brute-force cosine top-k via the native bounded-heap `graft_topk`
+    * aggregate: map-side partial top-k per partition, then a k·P-row merge —
+    * never a per-query global sort (see [[graft.similarity.AnnLsh.topK]]). */
   def annTopk(s: SparkSession, dir: String): DataFrame = {
     val e = Tables(s, dir, "embeddings")
-      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
-    val q = e.filter(col("vec_id") % 97 === 0)
-      .select(col("vec_id").as("query_id"), col("v").as("qv"))
-    val sims = e.join(broadcast(q), col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        cosine(col("qv"), col("v")).as("cos"))
-    sims.withColumn("rank", row_number().over(
-        Window.partitionBy("query_id").orderBy(desc("cos"), asc("neighbor_id"))).cast("bigint"))
-      .filter(col("rank") <= 5)
+    graft.similarity.AnnLsh.bruteTopK(e, e.filter(col("vec_id") % 97 === 0),
+        "vec_id", "embedding", k = 5)
       .select("query_id", "neighbor_id", "rank", "cos")
   }
 

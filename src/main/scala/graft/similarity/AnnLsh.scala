@@ -42,17 +42,30 @@ object AnnLsh {
     bits.reduce((a, b) => a.bitwiseOR(b))
   }
 
+  /** Per-query top-k of a scored candidate frame (query_id, neighbor_id,
+    * cos) via the native bounded-heap aggregate `graft_topk`
+    * ([[graft.functions.TopKAgg]]). Map-side partial aggregation reduces
+    * each input partition to ≤k entries per query BEFORE the shuffle, so the
+    * exchange carries k·P rows per query and no task ever sorts a query's
+    * full scored corpus — the scale-safe replacement for
+    * `row_number() OVER (PARTITION BY query_id)` + filter, which funnels
+    * all of a query's scored rows into one window task. Output order and
+    * ranks are identical: (cos desc, neighbor_id asc). */
+  def topK(sims: DataFrame, k: Int): DataFrame =
+    sims.groupBy("query_id")
+      .agg(call_function("graft_topk", col("cos"), col("neighbor_id"), lit(k)).as("_tk"))
+      .select(col("query_id"), posexplode(col("_tk")).as(Seq("_i", "_s")))
+      .select(col("query_id"), col("_s.id").as("neighbor_id"),
+        (col("_i") + 1).cast("bigint").as("rank"), col("_s.score").as("cos"))
+
   /** Exact brute-force cosine top-k for a (small) query set. */
   def bruteTopK(candidates: DataFrame, queries: DataFrame, idCol: String,
                 vecCol: String, k: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val c = candidates.select(col(idCol).as("neighbor_id"), toDouble(col(vecCol)).as("v"))
     val q = queries.select(col(idCol).as("query_id"), toDouble(col(vecCol)).as("qv"))
     val sims = c.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"), cosine(col("qv"), col("v")).as("cos"))
-    sims.withColumn("rank", row_number().over(
-        Window.partitionBy("query_id").orderBy(desc("cos"), asc("neighbor_id"))).cast("bigint"))
-      .filter(col("rank") <= k)
+    topK(sims, k)
   }
 
   /** IVF-style approximate top-k with a precomputed coarse assignment
@@ -78,10 +91,8 @@ object AnnLsh {
       .select("query_id", "qv", "list")
     val cands = c.join(broadcast(probes), Seq("list"))
       .filter(col("neighbor_id") =!= col("query_id"))
-    cands.select(col("query_id"), col("neighbor_id"), cosine(col("qv"), col("v")).as("cos"))
-      .withColumn("rank", row_number().over(
-        Window.partitionBy("query_id").orderBy(desc("cos"), asc("neighbor_id"))).cast("bigint"))
-      .filter(col("rank") <= k)
+    topK(cands.select(col("query_id"), col("neighbor_id"),
+      cosine(col("qv"), col("v")).as("cos")), k)
   }
 
   /** LSH-bucketed approximate top-k: join query/candidate signatures per
@@ -104,9 +115,7 @@ object AnnLsh {
       .filter(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"), col("qv"), col("v"))
       .dropDuplicates("query_id", "neighbor_id")
-    cands.select(col("query_id"), col("neighbor_id"), cosine(col("qv"), col("v")).as("cos"))
-      .withColumn("rank", row_number().over(
-        Window.partitionBy("query_id").orderBy(desc("cos"), asc("neighbor_id"))).cast("bigint"))
-      .filter(col("rank") <= k)
+    topK(cands.select(col("query_id"), col("neighbor_id"),
+      cosine(col("qv"), col("v")).as("cos")), k)
   }
 }

@@ -50,3 +50,87 @@ class GraftExpressionsSpec extends SparkSpec {
     assert(r(0).isNullAt(0))
   }
 }
+
+/** Parity + argument-validation specs for round-3 native expressions. */
+class ShingleTopKSpec extends SparkSpec {
+
+  test("graft_shingle_hashes is bitwise-identical to the composed split/concat_ws/xxhash64 form") {
+    // synthesize texts with repeated words (duplicate shingles), multiple
+    // and trailing spaces, short docs (< n tokens), and empty strings —
+    // from spark.range so both paths run codegen'd where possible
+    val df = spark.range(0, 200).selectExpr(
+      """CASE
+         | WHEN id % 13 = 0 THEN ''
+         | WHEN id % 13 = 1 THEN 'one'
+         | WHEN id % 13 = 2 THEN 'one two'
+         | WHEN id % 13 = 3 THEN 'a  b c' -- double space → empty token
+         | WHEN id % 13 = 4 THEN 'a b c '
+         | ELSE concat_ws(' ', transform(sequence(0, CAST(id % 37 AS INT)),
+         |                     j -> concat('w', pmod(id * 7 + j * 3, 11))))
+         |END AS text""".stripMargin)
+    val native = df.select(call_function("graft_shingle_hashes", col("text"), lit(3)))
+      .collect().map(_.getSeq[Long](0))
+    val composed = df.selectExpr(
+      """CASE WHEN size(split(text, ' ')) < 3 THEN array()
+         |ELSE sort_array(array_distinct(transform(
+         |  sequence(0, size(split(text, ' ')) - 3),
+         |  i -> xxhash64(concat_ws(' ', slice(split(text, ' '), i + 1, 3))))))
+         |END""".stripMargin)
+      .collect().map(_.getSeq[Long](0))
+    assert(native.length == composed.length)
+    native.zip(composed).foreach { case (a, b) => assert(a == b) }
+  }
+
+  test("graft_shingle_hashes: null text yields null, short text yields empty array") {
+    import spark.implicits._
+    val df = Seq(Some("a b"), None).toDF("text")
+    val rows = df.select(call_function("graft_shingle_hashes", col("text"), lit(3))).collect()
+    assert(rows(0).getSeq[Long](0).isEmpty)
+    assert(rows(1).isNullAt(0))
+  }
+
+  test("graft_topk matches the row_number window formulation exactly (ties included)") {
+    import org.apache.spark.sql.expressions.Window
+    // scores with deliberate ties: pmod produces repeated values
+    val sims = spark.range(0, 5000).selectExpr(
+      "CAST(id % 7 AS BIGINT) AS query_id",
+      "id AS neighbor_id",
+      "CAST(pmod(id * 31, 97) AS DOUBLE) / 97.0 AS cos")
+    val got = graft.similarity.AnnLsh.topK(sims, 5)
+      .orderBy("query_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val want = sims.withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(desc("cos"), asc("neighbor_id"))).cast("bigint"))
+      .filter(col("rank") <= 5)
+      .select("query_id", "neighbor_id", "rank", "cos")
+      .orderBy("query_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == want.toSeq)
+  }
+
+  test("graft_topk with fewer candidates than k returns all, ranked") {
+    val sims = spark.range(0, 3).selectExpr(
+      "CAST(0 AS BIGINT) AS query_id", "id AS neighbor_id", "CAST(id AS DOUBLE) AS cos")
+    val got = graft.similarity.AnnLsh.topK(sims, 10).orderBy("rank")
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq((2L, 1L), (1L, 2L), (0L, 3L)))
+  }
+
+  test("non-literal k/seed arguments raise a clear analysis error, not an opaque NPE") {
+    import spark.implicits._
+    val df = Seq((Seq(1L, 2L), 4)).toDF("sh", "k")
+    val e1 = intercept[org.apache.spark.sql.AnalysisException] {
+      df.select(call_function("graft_minhash", col("sh"), col("k"), lit(42L))).collect()
+    }
+    assert(e1.getMessage.contains("graft_minhash"))
+    val e2 = intercept[org.apache.spark.sql.AnalysisException] {
+      df.select(call_function("graft_topk", lit(1.0), lit(1L), col("k"))).collect()
+    }
+    assert(e2.getMessage.contains("graft_topk"))
+    val e3 = intercept[org.apache.spark.sql.AnalysisException] {
+      Seq(("a b c d", 2)).toDF("t", "n")
+        .select(call_function("graft_shingle_hashes", col("t"), col("n"))).collect()
+    }
+    assert(e3.getMessage.contains("graft_shingle_hashes"))
+  }
+}
