@@ -59,17 +59,55 @@ object Dedup {
     i.cast("double") / (size(a).cast("bigint") + size(b).cast("bigint") - i)
   }
 
-  /** N-gram Jaccard near-dup pairs, blocked by `blockCol` (pairs are only
-    * compared within a block — the shuffle key is the block, never a global
-    * cross join). Emits id pairs (a < b) with similarity ≥ `threshold`. */
+  /** N-gram Jaccard near-dup pairs within `blockCol` blocks, EXACT (same
+    * result set as the all-pairs comparison) but never an all-pairs block
+    * join: candidate generation is the prefix-filter set-similarity join of
+    * AllPairs/PPJoin (Bayardo et al., WWW'07; Xiao et al., WWW'08).
+    *
+    * For Jaccard ≥ t, a qualifying pair (a,b) shares ≥ ceil(t·|x|) shingles
+    * with each side x, so under ANY global shingle order the first
+    * |x| − ceil(t·|x|) + 1 shingles of BOTH sides must intersect — pairs are
+    * found by an EQUALITY join on (block, prefix-shingle), shuffling on the
+    * shingle key instead of exploding O(block²) pairs. Shingles are ordered
+    * rarest-first (ascending within-block document frequency) so prefixes
+    * hold the rarest shingles and candidate fan-out stays near the true pair
+    * count; a length filter (t·|a| ≤ |b| ∧ t·|b| ≤ |a|) prunes size-skewed
+    * candidates before the exact merge-intersect verify. At 100 TB the
+    * block-quadratic version explodes with block size; this one scales with
+    * Σ_shingle freq² of the PREFIX shingles — bounded by construction. */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String, blockCol: String,
                    n: Int = 3, threshold: Double = 0.5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val sh = df.select(col(idCol).as("id"), col(blockCol).as("block"),
-      shingleHashes(col(textCol), n).as("sh"))
-    val a = sh.select(col("block"), col("id").as("id_a"), col("sh").as("sh_a"))
-    val b = sh.select(col("block"), col("id").as("id_b"), col("sh").as("sh_b"))
-    a.join(b, Seq("block"))
+        shingleHashes(col(textCol), n).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val tokens = sh.select(col("id"), col("block"), size(col("sh")).cast("int").as("sz"),
+      explode(col("sh")).as("t"))
+    // within-block document frequency — the canonical rare-first prefix order
+    val dfreq = tokens.groupBy("block", "t").agg(count(lit(1)).as("_df"))
+    // ε guards the float ceil/compares: at worst the prefix grows by one
+    // element (more candidates, still exact); without it a t·sz that lands
+    // a hair above an integer could shorten the prefix and MISS a pair
+    // sitting exactly at the threshold.
+    val eps = 1e-9
+    val prefixLen = (col("sz") - ceil(lit(threshold) * col("sz") - lit(eps)) + 1).cast("int")
+    val prefix = tokens.join(dfreq, Seq("block", "t"))
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy("block", "id").orderBy(asc("_df"), asc("t"))))
+      .filter(col("_rn") <= prefixLen)
+      .select("block", "t", "id", "sz")
+    val a = prefix.select(col("block"), col("t"), col("id").as("id_a"), col("sz").as("sz_a"))
+    val b = prefix.select(col("block"), col("t"), col("id").as("id_b"), col("sz").as("sz_b"))
+    val cands = a.join(b, Seq("block", "t"))
       .filter(col("id_a") < col("id_b"))
+      // J ≥ t ⇒ t·max(|a|,|b|) ≤ |a∩b| ≤ min(|a|,|b|)
+      .filter(col("sz_b") >= lit(threshold) * col("sz_a") - lit(eps) &&
+        col("sz_a") >= lit(threshold) * col("sz_b") - lit(eps))
+      .select("id_a", "id_b")
+      .dropDuplicates("id_a", "id_b")
+    cands
+      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .withColumn("jaccard", jaccardHashed(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")

@@ -32,6 +32,43 @@ class DedupSpec extends SparkSpec {
     assert(!p.exists { case (a, b) => b == 4L || a == 4L })
   }
 
+  test("prefix-filter jaccard pairs equal brute-force all-pairs exactly") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta",
+      "theta", "iota", "kappa", "lam", "mu", "nu", "xi", "omicron", "pi", "rho",
+      "sigma", "tau", "upsilon")
+    def randDoc(): Array[String] =
+      Array.fill(8 + rnd.nextInt(20))(vocab(rnd.nextInt(vocab.size)))
+    val bases = Vector.fill(60)(randDoc())
+    // 60 random docs + 60 mutations of them → pairs across the whole
+    // similarity range, including some sitting right at the threshold
+    val rows = bases.zipWithIndex.map { case (d, i) => (i + 1L, d.mkString(" "), s"s${i % 3}") } ++
+      bases.zipWithIndex.map { case (d, i) =>
+        val m = d.clone()
+        (0 until (1 + rnd.nextInt(4))).foreach { _ =>
+          m(rnd.nextInt(m.length)) = vocab(rnd.nextInt(vocab.size))
+        }
+        (i + 61L, m.mkString(" "), s"s${i % 3}")
+      }
+    val d = rows.toDF("doc_id", "text", "source")
+    val t = 0.25
+    def pairSet(p: org.apache.spark.sql.DataFrame) =
+      p.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val fast = pairSet(Dedup.jaccardPairs(d, "doc_id", "text", "source", n = 3, threshold = t))
+    val sh = d.select(col("doc_id").as("id"), col("source").as("block"),
+      Dedup.shingleHashes(col("text"), 3).as("sh")).filter(size(col("sh")) > 0)
+    val brute = pairSet(
+      sh.select(col("block"), col("id").as("id_a"), col("sh").as("sh_a"))
+        .join(sh.select(col("block"), col("id").as("id_b"), col("sh").as("sh_b")), Seq("block"))
+        .filter(col("id_a") < col("id_b"))
+        .withColumn("jaccard", Dedup.jaccardHashed(col("sh_a"), col("sh_b")))
+        .filter(col("jaccard") >= t)
+        .select("id_a", "id_b", "jaccard"))
+    assert(brute.nonEmpty, "test corpus produced no qualifying pairs")
+    assert(fast == brute)
+  }
+
   test("minhash finds the same near-dups as exact jaccard at its threshold") {
     val got = MinHash.pairs(docs, "doc_id", "text", n = 3, k = 32, bands = 16, threshold = 0.3)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
