@@ -89,8 +89,14 @@ class SparkImputer(
     val df = nanAsNull(df0)
     val cols = if (features.nonEmpty) features else df.columns.toSeq.filterNot(_ == idCol)
     val cats = categorical.filter(cols.contains)
+    // Materialize the filled frame ONCE: every stats job below (class
+    // threshold counts, one-hot category collects, the scaler's min/max
+    // aggregation, the final feature checkpoint) would otherwise replay the
+    // two-pass ffill/bfill lineage end to end. One checkpoint trades a
+    // single materialization for 3-4 full replays (cluster path:
+    // persist(DISK_ONLY) + unpersist after the feature frame is built).
     val filled = FfillBfill.ffillThenBfill(
-      df.select((idCol +: cols).map(col): _*), idCol, cols)
+      df.select((idCol +: cols).map(col): _*), idCol, cols).localCheckpoint()
 
     val catCounts: Map[String, Long] =
       if (cats.isEmpty) Map.empty
@@ -143,13 +149,41 @@ class SparkImputer(
   private[imputer] def materializedFeatures(df: DataFrame): DataFrame =
     scaledFeatures(df).localCheckpoint()
 
+  /** avg/metric aggregates return SQL NULL over zero rows; surface NaN (the
+    * reference's float('nan')) instead of an NPE. */
+  private[imputer] def metricOrNaN(agg: DataFrame): Double = {
+    val row = agg.collect()(0)
+    if (row.isNullAt(0)) Double.NaN else row.getDouble(0)
+  }
+
   private[imputer] def fitInternal(df: DataFrame,
           classification: Params with PipelineStage,
           regression: Params with PipelineStage,
           featureFrame: DataFrame): SparkImputerModel = {
     validateAgainst(df)
     val toImpute = columnsToImpute(df)
-    val models = toImpute.map { target =>
+    // Columns are independent: fit them CONCURRENTLY so their many small
+    // jobs (indexer fit, tree fit, metric agg) interleave in the scheduler
+    // instead of serializing on the driver. Parallelism is bounded by the
+    // schema width, and each future submits distributed jobs — the cluster
+    // still does the heavy lifting.
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.max(1, math.min(toImpute.size, 4)))
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
+    val modelFutures = toImpute.map { target => Future { fitOne(df, target,
+      classification, regression, featureFrame) } }
+    val models =
+      try Await.result(Future.sequence(modelFutures), Duration.Inf).toMap
+      finally pool.shutdown()
+    new SparkImputerModel(this, models)
+  }
+
+  private def fitOne(df: DataFrame, target: String,
+          classification: Params with PipelineStage,
+          regression: Params with PipelineStage,
+          featureFrame: DataFrame): (String, ColumnModel) = {
       val isCat = categorical.contains(target)
       // exclude features derived from the target column itself (ref L236)
       val featCols = featureFrame.columns.toSeq
@@ -185,12 +219,8 @@ class SparkImputer(
       val predictions = withPrediction(pm, test, target, isCat)
       // The modulo split can leave an empty test set (no observed id with
       // id % testModulo == 0) on small or sparsely-keyed frames; avg over
-      // zero rows is NULL — report NaN rather than NPE (the reference's
-      // random split always yields ≥1 test row).
-      def metricOrNaN(agg: DataFrame): Double = {
-        val row = agg.collect()(0)
-        if (row.isNullAt(0)) Double.NaN else row.getDouble(0)
-      }
+      // zero rows is NULL — metricOrNaN reports NaN rather than NPE (the
+      // reference's random split always yields ≥1 test row).
       val perf = if (isCat)
         ("accuracy", metricOrNaN(predictions.agg(
           avg(when(col("_predicted") === col(target), 1.0).otherwise(0.0)))))
@@ -201,8 +231,6 @@ class SparkImputer(
       }
       val testTime = (System.nanoTime() - t1) / 1e9
       target -> ColumnModel(pm, isCat, featCols, perf._1, perf._2, trainTime, testTime)
-    }.toMap
-    new SparkImputerModel(this, models)
   }
 
   /** Fit and impute in one call (ref fit(transform=True)). The feature
@@ -288,9 +316,13 @@ class SparkImputerModel(val imputer: SparkImputer,
   }
 
   /** Score the saved models against a frame's observed values. Returns
-    * (variable, metric, score, n_rows). */
-  def validate(df: DataFrame): DataFrame = {
-    val spark = df.sparkSession
+    * (variable, metric, score, n_rows). Like every public entry point this
+    * starts with nanAsNull, so NaN cells count as missing (ref validate's
+    * fillna sentinel, scikit_learn_imputer.py:389-390) and never pass the
+    * observed filter into the metric. */
+  def validate(df0: DataFrame): DataFrame = {
+    val spark = df0.sparkSession
+    val df = imputer.nanAsNull(df0)
     val featureFrame = imputer.scaledFeatures(df)
     val rows = models.toSeq.map { case (target, cm) =>
       // `_actual` alias avoids clashing with the (scaled) feature column of
@@ -299,14 +331,16 @@ class SparkImputerModel(val imputer: SparkImputer,
         .select(col(imputer.idCol), col(target).as("_actual"))
         .join(featureFrame, Seq(imputer.idCol))
       val preds = imputer.withPrediction(cm.pipeline, observed, target, cm.isCategorical)
+      // metricOrNaN: a target entirely missing in this frame leaves zero
+      // observed rows → avg is SQL NULL → score NaN, not an NPE
       val (metric, score) =
         if (cm.isCategorical)
-          ("accuracy", preds.agg(
-            avg(when(col("_predicted") === col("_actual"), 1.0).otherwise(0.0))).collect()(0).getDouble(0))
+          ("accuracy", imputer.metricOrNaN(preds.agg(
+            avg(when(col("_predicted") === col("_actual"), 1.0).otherwise(0.0)))))
         else {
           val p = imputer.maybeRound(target, col("_predicted"))
-          ("mse", preds.agg(
-            avg((p - col("_actual")) * (p - col("_actual")))).collect()(0).getDouble(0))
+          ("mse", imputer.metricOrNaN(preds.agg(
+            avg((p - col("_actual")) * (p - col("_actual"))))))
         }
       (target, metric, score, observed.count())
     }
@@ -330,7 +364,7 @@ class SparkImputerModel(val imputer: SparkImputer,
     }
     val meta = models.map { case (t, cm) =>
       val feats = cm.featureCols.map(f => "\"" + f + "\"").mkString("[", ",", "]")
-      s"""{"target":"$t","categorical":${cm.isCategorical},"features":$feats,"metric":"${cm.metricName}","score":${cm.metricValue}}"""
+      s"""{"target":"$t","categorical":${cm.isCategorical},"features":$feats,"metric":"${cm.metricName}","score":${cm.metricValue},"train_time":${cm.trainTime},"test_time":${cm.testTime}}"""
     }.mkString("[", ",", "]")
     import spark.implicits._
     Seq(meta).toDS().coalesce(1).write.mode("overwrite").text(s"$path/_meta")
@@ -338,16 +372,25 @@ class SparkImputerModel(val imputer: SparkImputer,
 }
 
 object SparkImputerModel {
-  /** Reload a model saved by [[SparkImputerModel.save]]. */
+  /** Reload a model saved by [[SparkImputerModel.save]], round-tripping the
+    * whole ColumnModel: feature columns, metric name/score, and the fit-time
+    * train/test timings, so `performance()` of a loaded model matches the
+    * saved one. */
   def load(spark: SparkSession, path: String, imputer: SparkImputer): SparkImputerModel = {
     val meta = spark.read.text(s"$path/_meta").collect().map(_.getString(0)).mkString
-    // minimal parse: targets + flags from the controlled writer format
-    val entries = "\\{\"target\":\"([^\"]+)\",\"categorical\":(true|false)".r
-      .findAllMatchIn(meta).map(m => (m.group(1), m.group(2).toBoolean)).toSeq
-    val models = entries.map { case (target, isCat) =>
+    // minimal parse of the controlled writer format (regex, not a JSON lib:
+    // the writer emits bare NaN for missing scores, which JSON parsers
+    // reject but our reader must round-trip)
+    val entry = ("\\{\"target\":\"([^\"]+)\",\"categorical\":(true|false)," +
+      "\"features\":\\[([^\\]]*)\\],\"metric\":\"([^\"]+)\",\"score\":([^,}]+)" +
+      "(?:,\"train_time\":([^,}]+),\"test_time\":([^,}]+))?\\}").r
+    def num(s: String): Double = if (s == null) 0.0 else s.toDouble // "NaN".toDouble = NaN
+    val models = entry.findAllMatchIn(meta).map { m =>
+      val target = m.group(1)
+      val feats = "\"([^\"]+)\"".r.findAllMatchIn(m.group(3)).map(_.group(1)).toSeq
       val pm = PipelineModel.load(s"$path/model_$target")
-      target -> ColumnModel(pm, isCat, Nil, if (isCat) "accuracy" else "mse",
-        Double.NaN, 0.0, 0.0)
+      target -> ColumnModel(pm, m.group(2).toBoolean, feats, m.group(4),
+        num(m.group(5)), num(m.group(6)), num(m.group(7)))
     }.toMap
     new SparkImputerModel(imputer, models)
   }

@@ -69,6 +69,45 @@ class SparkImputerSpec extends SparkSpec {
     assert(loaded.models.keySet == model.models.keySet)
     val replayed = loaded.transform(mixedFrame).orderBy("id").collect()
     assert(replayed.toSeq == direct.toSeq)
+    // _meta round-trips the whole ColumnModel, not just the pipelines:
+    // featureCols, metric name/score, and timings survive save→load, so a
+    // loaded model's performance() matches the saved one
+    model.models.foreach { case (t, cm) =>
+      val lm = loaded.models(t)
+      assert(lm.featureCols == cm.featureCols, s"featureCols of $t")
+      assert(lm.metricName == cm.metricName)
+      assert(lm.metricValue == cm.metricValue ||
+        (lm.metricValue.isNaN && cm.metricValue.isNaN), s"score of $t")
+      assert(lm.trainTime == cm.trainTime && lm.testTime == cm.testTime)
+    }
+    val perfSaved = model.performance(spark).orderBy("variable").collect().toSeq
+    val perfLoaded = loaded.performance(spark).orderBy("variable").collect().toSeq
+    assert(perfLoaded == perfSaved)
+  }
+
+  test("validate treats NaN cells as missing and survives all-null targets") {
+    import spark.implicits._
+    val frame = Seq(
+      (0L, Option(1.0), 10.0), (1L, None: Option[Double], 20.0), (2L, Option(3.0), 30.0),
+      (3L, Option(4.0), 40.0), (4L, Option(5.0), 50.0), (5L, None: Option[Double], 60.0),
+      (6L, Option(7.0), 70.0), (7L, Option(8.0), 80.0), (8L, Option(9.0), 90.0),
+      (9L, Option(10.0), 100.0)
+    ).toDF("id", "x", "y")
+    val imp = new SparkImputer(idCol = "id", testModulo = 5)
+    val model = imp.fit(frame, new DecisionTreeClassifier(), new DecisionTreeRegressor())
+    // NaN cells are missing (ref validate's fillna sentinel): they must drop
+    // out of the observed rows, not score as actual values
+    val poisoned = frame.withColumn("x",
+      when(col("id") < 5, lit(Double.NaN)).otherwise(col("x")))
+    val v1 = model.validate(poisoned).collect()
+      .map(r => r.getString(0) -> (r.getDouble(2), r.getLong(3))).toMap
+    assert(v1("x")._2 == 4L)      // ids 6..9 observed (5 was already null)
+    assert(!v1("x")._1.isNaN)
+    // entirely-null target: zero observed rows → NaN score, not an NPE
+    val blank = frame.withColumn("x", lit(null).cast("double"))
+    val v2 = model.validate(blank).collect()
+      .map(r => r.getString(0) -> (r.getDouble(2), r.getLong(3))).toMap
+    assert(v2("x")._1.isNaN && v2("x")._2 == 0L)
   }
 
   test("validate scores observed rows for every trained column") {
