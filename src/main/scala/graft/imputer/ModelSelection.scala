@@ -74,20 +74,35 @@ object ModelSelection {
       .withColumn("time_saved_by_saved_model",
         col("user_rollout_time_fit_transform") - col("user_rollout_time_transform"))
 
-    // ranks: lower-better for times/size/mse, higher-better for accuracy
+    // ranks: lower-better for times/size/mse, higher-better for accuracy.
+    // Pandas .rank() semantics (ref L534-541): ties share the AVERAGE of
+    // their positions (rank 'min position' + (ties-1)/2, a fractional
+    // double), and missing values keep a missing rank (na_option='keep' —
+    // both SQL NULL and NaN count as missing, like pandas NaN).
+    def avgRank(c: String, ascending: Boolean): org.apache.spark.sql.Column = {
+      val missing = base.schema(c).dataType match {
+        case DoubleType => col(c).isNull || isnan(col(c))
+        case _ => col(c).isNull
+      }
+      val ord = if (ascending) asc_nulls_last(c) else desc_nulls_last(c)
+      // missing rows (NULL or NaN) must sort after every real value — NaN
+      // would otherwise sort FIRST under desc and shift the real positions
+      val minPos = rank().over(Window.orderBy(when(missing, 1).otherwise(0).asc, ord))
+      val ties = count(lit(1)).over(Window.partitionBy(col(c)))
+      when(missing, lit(null)).otherwise(minPos + (ties - 1) / 2.0)
+    }
     val lowerBetter = Seq("fit_function_time", "user_rollout_time_transform",
       "user_rollout_time_fit_transform", "model_size") ++
       metricCols.filter(_.endsWith("_mse"))
     val higherBetter = metricCols.filter(_.endsWith("_accuracy"))
     val ranked0 = lowerBetter.foldLeft(base) { (d, c) =>
-      d.withColumn(s"${c}_rank",
-        rank().over(Window.orderBy(asc_nulls_last(c), asc("model"))).cast("bigint"))
+      d.withColumn(s"${c}_rank", avgRank(c, ascending = true))
     }
     val ranked = higherBetter.foldLeft(ranked0) { (d, c) =>
-      d.withColumn(s"${c}_rank",
-        rank().over(Window.orderBy(desc_nulls_last(c), asc("model"))).cast("bigint"))
+      d.withColumn(s"${c}_rank", avgRank(c, ascending = false))
     }
-    val perfRanks = metricCols.map(c => col(s"${c}_rank"))
+    // pandas .sum(axis=1) skips missing ranks
+    val perfRanks = metricCols.map(c => coalesce(col(s"${c}_rank"), lit(0.0)))
     ranked.withColumn("sum_of_performance_ranks",
         perfRanks.reduce(_ + _))
       .orderBy(asc("sum_of_performance_ranks"), asc("model"))

@@ -39,11 +39,38 @@ class SparkImputer(
     val includeMissingFlags: Boolean = false,
     val testModulo: Int = 10,
     val seed: Long = 42L,
+    /** Optional default save location (ref __init__ save_models_to). When
+      * set, fit() pre-flights that the parent directory exists BEFORE
+      * training — the reference raises OSError at __init__ for the same
+      * reason: a bad path must not surface after hours of fitting. */
+    val saveModelsTo: String = null,
     /** Feature scaler (ref fit's `scaler` parameter, default MinMaxScaler):
       * any (frame, numericCols, suffix) => frame producing `<col><suffix>`
       * outputs. Swap for a standardizer, a no-op, etc. */
     val scaler: (DataFrame, Seq[String], String) => DataFrame =
       (d, cs, suf) => FeatureBuilder.minMaxScale(d, cs, suf)) extends Serializable {
+
+  // Eager argument checks (ref __init__ TypeErrors are unrepresentable in a
+  // typed constructor; the value constraints remain): a clear message at
+  // construction beats a confusing one mid-fit.
+  require(classThreshold > 0,
+    s"class_threshold must be a positive int, got $classThreshold")
+  require(testModulo >= 2,
+    s"testModulo must be >= 2 (rows with id % testModulo == 0 form the test split), got $testModulo")
+
+  /** Pre-flight the save location (ref __init__ OSError,
+    * scikit_learn_imputer.py:97-98): the parent directory must already
+    * exist. Uses the session's Hadoop filesystem so the check is valid on
+    * HDFS/S3 paths, not just local disk. */
+  private[imputer] def preflightSavePath(spark: SparkSession, path: String): Unit = {
+    require(path != null && path.nonEmpty, "save path must be non-empty")
+    val p = new org.apache.hadoop.fs.Path(path)
+    val parent = p.getParent
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (parent != null && !fs.exists(parent))
+      throw new java.io.IOException(
+        "The directory specified in save_models_to does not exist")
+  }
 
   /** Input checks mirroring the reference __init__ validation (ref L83-99):
     * declared columns must exist in the frame. */
@@ -139,6 +166,8 @@ class SparkImputer(
           classification: Params with PipelineStage,
           regression: Params with PipelineStage): SparkImputerModel = {
     val df = nanAsNull(df0)
+    validateAgainst(df)
+    if (saveModelsTo != null) preflightSavePath(df.sparkSession, saveModelsTo)
     fitInternal(df, classification, regression, materializedFeatures(df))
   }
 
@@ -161,6 +190,7 @@ class SparkImputer(
           regression: Params with PipelineStage,
           featureFrame: DataFrame): SparkImputerModel = {
     validateAgainst(df)
+    if (saveModelsTo != null) preflightSavePath(df.sparkSession, saveModelsTo)
     val toImpute = columnsToImpute(df)
     // Columns are independent: fit them CONCURRENTLY so their many small
     // jobs (indexer fit, tree fit, metric agg) interleave in the scheduler
@@ -240,6 +270,8 @@ class SparkImputer(
                    classification: Params with PipelineStage,
                    regression: Params with PipelineStage): DataFrame = {
     val df = nanAsNull(df0)
+    validateAgainst(df)
+    if (saveModelsTo != null) preflightSavePath(df.sparkSession, saveModelsTo)
     val ff = materializedFeatures(df)
     fitInternal(df, classification, regression, ff).transformInternal(df, ff)
   }
@@ -356,9 +388,17 @@ class SparkImputerModel(val imputer: SparkImputer,
     }.toDF("variable", "metric", "score", "train_time", "test_time")
   }
 
+  /** Save to the imputer's configured `saveModelsTo` location. */
+  def save(spark: SparkSession): Unit = {
+    require(imputer.saveModelsTo != null,
+      "no path given and the imputer has no saveModelsTo configured")
+    save(spark, imputer.saveModelsTo)
+  }
+
   /** Persist every per-column pipeline with MLlib's native writer (cluster
     * storage, not a local pickle). Layout: path/_meta + path/model_<col>/. */
   def save(spark: SparkSession, path: String): Unit = {
+    imputer.preflightSavePath(spark, path)
     models.foreach { case (target, cm) =>
       cm.pipeline.write.overwrite().save(s"$path/model_$target")
     }

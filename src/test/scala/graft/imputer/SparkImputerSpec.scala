@@ -141,6 +141,30 @@ class SparkImputerSpec extends SparkSpec {
     assert(d2.isNullAt(d2.fieldIndex("model_size")))               // not requested
   }
 
+  test("selectModel gives tied metrics pandas average ranks") {
+    // two IDENTICAL candidates → every metric ties → both must get the
+    // average of positions 1 and 2 (= 1.5), not distinct ranks 1 and 2
+    // (pandas .rank() default method='average', ref L534-541)
+    val res = ModelSelection.selectModel(imputer, mixedFrame, Seq(
+      ModelOption("twin_a", new DecisionTreeClassifier(), new DecisionTreeRegressor()),
+      ModelOption("twin_b", new DecisionTreeClassifier(), new DecisionTreeRegressor())))
+    val rows = res.collect()
+    val rankCols = res.columns.filter(c => c.endsWith("_mse_rank") || c.endsWith("_accuracy_rank"))
+    assert(rankCols.nonEmpty)
+    rows.foreach { r =>
+      rankCols.foreach { c =>
+        assert(r.getDouble(r.fieldIndex(c)) == 1.5, s"$c of ${r.getString(0)}")
+      }
+      // 5 metric columns (A,C mse; D,E,F accuracy) × 1.5 each
+      assert(r.getDouble(r.fieldIndex("sum_of_performance_ranks")) == 7.5)
+    }
+    // unmeasured rollout/size columns keep missing ranks (pandas na_option='keep')
+    rows.foreach { r =>
+      assert(r.isNullAt(r.fieldIndex("user_rollout_time_transform_rank")))
+      assert(r.isNullAt(r.fieldIndex("model_size_rank")))
+    }
+  }
+
   test("custom scaler is honored (ref fit's scaler parameter)") {
     // identity scaler: features keep raw values
     val identity = new SparkImputer(idCol = "id", categorical = Seq("D", "E", "F"),
@@ -160,6 +184,31 @@ class SparkImputerSpec extends SparkSpec {
     val f = withFlags.createFeatures(mixedFrame)
     assert(f.columns.contains("A_flag") && f.columns.contains("F_flag"))
     assert(f.filter(col("A_flag") === 1).count() == 2) // two missing A rows
+  }
+
+  test("constructor and save-path validation mirror the reference error tests") {
+    // ref tests.py test_key_error: unknown categorical columns
+    val e1 = intercept[IllegalArgumentException] {
+      new SparkImputer(idCol = "id", categorical = Seq("pilot", "space"))
+        .fit(mixedFrame, new DecisionTreeClassifier(), new DecisionTreeRegressor())
+    }
+    assert(e1.getMessage.contains("The following columns are not in data frame")
+      && e1.getMessage.contains("pilot"))
+    // ref tests.py test_os_error: save dir must exist BEFORE training starts
+    val badPath = new SparkImputer(idCol = "id", categorical = Seq("D", "E", "F"),
+      testModulo = 5, saveModelsTo = "/graft_no_such_dir_xyz/model")
+    val e2 = intercept[java.io.IOException] {
+      badPath.fit(mixedFrame, new DecisionTreeClassifier(), new DecisionTreeRegressor())
+    }
+    assert(e2.getMessage == "The directory specified in save_models_to does not exist")
+    // same pre-flight on an explicit save path
+    val model = imputer.fit(mixedFrame, new DecisionTreeClassifier(), new DecisionTreeRegressor())
+    intercept[java.io.IOException] {
+      model.save(spark, "/graft_no_such_dir_xyz/model")
+    }
+    // eager value checks at construction (ref __init__ raises before any work)
+    intercept[IllegalArgumentException] { new SparkImputer(idCol = "id", testModulo = 1) }
+    intercept[IllegalArgumentException] { new SparkImputer(idCol = "id", classThreshold = 0) }
   }
 
   test("findImputationVariance: zero for identical datasets, positive for different") {
