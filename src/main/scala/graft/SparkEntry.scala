@@ -45,12 +45,14 @@ object SparkEntry {
     "imp_feature_matrix" -> (Q.impFeatureMatrix _),
     // text analysis
     "text_tokens" -> (Q.textTokens _),
+    "text_pack" -> (Q.textPack _),
     "text_quality" -> (Q.textQuality _),
     "text_langid" -> (Q.textLangid _),
     "text_fingerprint" -> (Q.textFingerprint _),
     // dedup
     "dedup_exact" -> (Q.dedupExact _),
     "dedup_jaccard" -> (Q.dedupJaccard _),
+    "dedup_cluster" -> (Q.dedupCluster _),
     "dedup_embed" -> (Q.dedupEmbed _),
     // similarity
     "ann_topk" -> (Q.annTopk _),

@@ -59,6 +59,44 @@ object Dedup {
     i.cast("double") / (size(a).cast("bigint") + size(b).cast("bigint") - i)
   }
 
+  /** Duplicate-cluster assignment: connected components over a near-dup
+    * pair list, so "drop all but one copy per cluster" becomes a groupBy.
+    * HashMin label propagation: every vertex starts as its own label (its
+    * id) and each round takes the min label among itself and its neighbors
+    * until a fixpoint — O(component diameter) rounds, each one equality
+    * join + one groupBy, both shuffling on the vertex id only. Near-dup
+    * graphs are forests of small dense blobs, so diameters are tiny; for
+    * adversarial chain graphs switch to alternating large-star/small-star
+    * (pointer doubling) with the same join shapes. Labels localCheckpoint
+    * each round to truncate the iterative lineage (cluster path:
+    * checkpoint to reliable storage).
+    *
+    * Returns (id, cluster_id) for EVERY vertex; cluster_id is the minimum
+    * vertex id of its component (singletons keep their own id). */
+  def connectedComponents(vertices: DataFrame, idCol: String, edges: DataFrame,
+                          srcCol: String, dstCol: String, maxIter: Int = 25): DataFrame = {
+    val sym = edges.select(col(srcCol).as("_src"), col(dstCol).as("_dst"))
+      .union(edges.select(col(dstCol).as("_src"), col(srcCol).as("_dst")))
+    var labels = vertices.select(col(idCol).as("id"), col(idCol).as("cluster_id"))
+      .localCheckpoint()
+    var changed = 1L
+    var it = 0
+    while (changed > 0 && it < maxIter) {
+      val nbrMin = sym.join(labels, sym("_dst") === labels("id"))
+        .groupBy(col("_src")).agg(min(col("cluster_id")).as("_nl"))
+      val next = labels.join(nbrMin, labels("id") === nbrMin("_src"), "left")
+        .select(labels("id"),
+          least(col("cluster_id"), coalesce(col("_nl"), col("cluster_id"))).as("cluster_id"))
+        .localCheckpoint()
+      val prev = labels.select(col("id"), col("cluster_id").as("_prev"))
+      changed = next.join(prev, "id").filter(col("cluster_id") =!= col("_prev")).count()
+      labels = next
+      it += 1
+    }
+    require(changed == 0, s"connectedComponents did not converge in $maxIter rounds")
+    labels
+  }
+
   /** N-gram Jaccard near-dup pairs within `blockCol` blocks, EXACT (same
     * result set as the all-pairs comparison) but never an all-pairs block
     * join: candidate generation is the prefix-filter set-similarity join of

@@ -38,6 +38,13 @@ class SparkImputer(
     val features: Seq[String] = Nil,
     val includeMissingFlags: Boolean = false,
     val testModulo: Int = 10,
+    /** Arbitrary test fraction (ref fit's `test_size=0.1`, any float).
+      * NaN (default) keeps the 1/testModulo modulo split; a value in (0,1)
+      * selects test rows deterministically by id hash — `pmod(xxhash64(id),
+      * 10000) < testSize·10000` — so any fraction works (0.01% resolution)
+      * and the split is stable across cluster topologies, unlike the
+      * reference's RNG shuffle. */
+    val testSize: Double = Double.NaN,
     val seed: Long = 42L,
     /** Optional default save location (ref __init__ save_models_to). When
       * set, fit() pre-flights that the parent directory exists BEFORE
@@ -57,6 +64,13 @@ class SparkImputer(
     s"class_threshold must be a positive int, got $classThreshold")
   require(testModulo >= 2,
     s"testModulo must be >= 2 (rows with id % testModulo == 0 form the test split), got $testModulo")
+  require(testSize.isNaN || (testSize > 0.0 && testSize < 1.0),
+    s"test_size must be in (0, 1), got $testSize")
+
+  /** Deterministic membership predicate for the test split. */
+  private[imputer] def isTestRow(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    if (testSize.isNaN) pmod(id, lit(testModulo)) === 0
+    else pmod(xxhash64(id, lit(seed)), lit(10000)) < math.round(testSize * 10000)
 
   /** Pre-flight the save location (ref __init__ OSError,
     * scikit_learn_imputer.py:97-98): the parent directory must already
@@ -221,8 +235,8 @@ class SparkImputer(
       val observed = df.select(col(idCol), col(target))
         .filter(col(target).isNotNull)
         .join(featureFrame.select((idCol +: featCols).map(col): _*), Seq(idCol))
-      val train = observed.filter(pmod(col(idCol), lit(testModulo)) =!= 0)
-      val test = observed.filter(pmod(col(idCol), lit(testModulo)) === 0)
+      val train = observed.filter(!isTestRow(col(idCol)))
+      val test = observed.filter(isTestRow(col(idCol)))
 
       val assembler = new VectorAssembler()
         .setInputCols(featCols.toArray).setOutputCol("_features")

@@ -350,6 +350,16 @@ object OracleSql {
     },
 
     // ------------------------------------------------------------------ text
+    "text_pack" ->
+      """WITH d AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents),
+        |c AS (SELECT doc_id, n_tokens,
+        |  COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_start
+        | FROM d)
+        |SELECT doc_id, n_tokens, tok_start,
+        | tok_start // 512 AS pack_id,
+        | ((tok_start + greatest(n_tokens - 1, 0)) // 512) - (tok_start // 512) + 1 AS n_packs
+        |FROM c""".stripMargin,
+
     "text_tokens" ->
       """SELECT doc_id,
         | CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
@@ -419,6 +429,23 @@ object OracleSql {
         |FROM s a JOIN s b ON a.source = b.source AND a.doc_id < b.doc_id
         |WHERE CAST(CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS DOUBLE)
         |  / (CAST(len(a.sh) AS BIGINT) + CAST(len(b.sh) AS BIGINT) - CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT)) >= 0.10""".stripMargin,
+
+    "dedup_cluster" ->
+      """WITH RECURSIVE s AS (
+        | SELECT doc_id, source,
+        |  list_distinct([array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)]) AS sh
+        | FROM (SELECT doc_id, source, string_split(text, ' ') AS t FROM documents) d),
+        |p AS (
+        | SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        | FROM s a JOIN s b ON a.source = b.source AND a.doc_id < b.doc_id
+        | WHERE CAST(CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS DOUBLE)
+        |  / (CAST(len(a.sh) AS BIGINT) + CAST(len(b.sh) AS BIGINT) - CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT)) >= 0.10),
+        |e AS (SELECT id_a AS src, id_b AS dst FROM p UNION ALL SELECT id_b, id_a FROM p),
+        |reach(node, lab) AS (
+        | SELECT doc_id, doc_id FROM documents
+        | UNION
+        | SELECT e.src, r.lab FROM e JOIN reach r ON e.dst = r.node)
+        |SELECT node AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY node""".stripMargin,
 
     "dedup_embed" ->
       """WITH e AS (SELECT vec_id, label, [CAST(x AS DOUBLE) for x in embedding] AS v FROM embeddings),

@@ -289,6 +289,12 @@ object Q {
     TextAnalysis.withLangId(Tables(s, dir, "documents"), "text")
       .select("doc_id", "pred_lang", "lang_score")
 
+  /** Context-window packing: global token offsets over doc_id order (two-pass
+    * distributed cumsum) chunked into 512-token windows. */
+  def textPack(s: SparkSession, dir: String): DataFrame =
+    graft.text.Packing.packWindows(Tables(s, dir, "documents"), "doc_id",
+      size(split(col("text"), " ")).cast("bigint"), budget = 512)
+
   def textFingerprint(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.withFingerprint(Tables(s, dir, "documents"), "text")
       .select("doc_id", "fingerprint")
@@ -301,6 +307,17 @@ object Q {
   def dedupJaccard(s: SparkSession, dir: String): DataFrame =
     Dedup.jaccardPairs(Tables(s, dir, "documents"), "doc_id", "text", "source",
       n = 3, threshold = 0.10)
+
+  /** Duplicate clusters: connected components over the near-dup Jaccard
+    * pairs; every document gets the min doc_id of its component (singletons
+    * keep their own id). Oracle: DuckDB recursive-CTE transitive closure. */
+  def dedupCluster(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", "source",
+      n = 3, threshold = 0.10)
+    Dedup.connectedComponents(docs.select("doc_id"), "doc_id", pairs, "id_a", "id_b")
+      .select(col("id").as("doc_id"), col("cluster_id"))
+  }
 
   def dedupEmbed(s: SparkSession, dir: String): DataFrame = {
     val e = Tables(s, dir, "embeddings")

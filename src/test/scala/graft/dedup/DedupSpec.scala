@@ -80,6 +80,19 @@ class DedupSpec extends SparkSpec {
     assert(got.subsetOf(exact + ((4L, 5L))))
   }
 
+  test("connected components: chains, blobs, and singletons get min-id labels") {
+    import spark.implicits._
+    // component {1,2,3,4} as a chain (diameter 3), blob {10,11,12} as a
+    // triangle, {20} isolated
+    val verts = Seq(1L, 2L, 3L, 4L, 10L, 11L, 12L, 20L).toDF("doc_id")
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L), (10L, 12L))
+      .toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponents(verts, "doc_id", edges, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L))
+  }
+
   test("simhash: identical docs at hamming 0, unrelated docs far apart") {
     val p = SimHash.pairs(docs, "doc_id", "text", maxHamming = 0)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -186,6 +186,26 @@ class SparkImputerSpec extends SparkSpec {
     assert(f.filter(col("A_flag") === 1).count() == 2) // two missing A rows
   }
 
+  test("arbitrary test_size fraction splits deterministically (ref fit test_size)") {
+    import spark.implicits._
+    val n = 2000
+    val frame = (0L until n).map(i => (i, i.toDouble, (i * 7 % 100).toDouble))
+      .toDF("id", "x", "y")
+    val imp = new SparkImputer(idCol = "id", testSize = 0.3)
+    val testRows = frame.filter(imp.isTestRow(col("id"))).count()
+    // hash split: fraction within a few percent of the requested 30%
+    assert(math.abs(testRows.toDouble / n - 0.3) < 0.04, s"got $testRows of $n")
+    // deterministic: same predicate, same rows every time
+    val again = frame.filter(imp.isTestRow(col("id"))).count()
+    assert(again == testRows)
+    // unrepresentable fractions under the old 1/m scheme now work end to end
+    val frame2 = frame.withColumn("x",
+      when(col("id") % 5 === 0, lit(null).cast("double")).otherwise(col("x")))
+    val model = imp.fit(frame2, new DecisionTreeClassifier(), new DecisionTreeRegressor())
+    assert(!model.models("x").metricValue.isNaN)
+    intercept[IllegalArgumentException] { new SparkImputer(idCol = "id", testSize = 1.5) }
+  }
+
   test("constructor and save-path validation mirror the reference error tests") {
     // ref tests.py test_key_error: unknown categorical columns
     val e1 = intercept[IllegalArgumentException] {
