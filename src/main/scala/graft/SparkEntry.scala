@@ -46,10 +46,12 @@ object SparkEntry {
     // text analysis
     "text_tokens" -> (Q.textTokens _),
     "text_pack" -> (Q.textPack _),
+    "pipeline_curate" -> (Q.pipelineCurate _),
     "text_quality" -> (Q.textQuality _),
     "text_langid" -> (Q.textLangid _),
     "text_fingerprint" -> (Q.textFingerprint _),
     // dedup
+    "sample_stratified" -> (Q.sampleStratified _),
     "dedup_exact" -> (Q.dedupExact _),
     "dedup_jaccard" -> (Q.dedupJaccard _),
     "dedup_cluster" -> (Q.dedupCluster _),

@@ -1,0 +1,43 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling for training-data pipelines: reproducible
+  * subsets without RNG state, so a sample is re-derivable from the data
+  * alone (auditable, stable across reruns, cluster topologies, and even
+  * engines — the splitter is plain integer arithmetic any SQL dialect can
+  * reproduce, unlike engine-specific hash functions).
+  *
+  * Sampling is a pure FILTER: no shuffle, pushdown-friendly, and on a
+  * 1000-executor scan it costs nothing beyond the scan itself.
+  */
+object Sampling {
+
+  /** Deterministic bucket in [0, 10000) from an integer id: multiplicative
+    * scramble with Knuth's 2654435761, which is coprime to 10^4 — a
+    * bijection on residues, so dense id ranges land EXACTLY uniformly.
+    * The inner mod keeps the product well inside 63 bits. */
+  def bucket(id: Column): Column =
+    pmod(pmod(id, lit(10000L)) * lit(2654435761L), lit(10000L))
+
+  /** Keep rows whose bucket falls under `fraction` (resolution 0.01%). */
+  def uniform(df: DataFrame, idCol: String, fraction: Double): DataFrame = {
+    require(fraction >= 0 && fraction <= 1, s"fraction must be in [0,1], got $fraction")
+    df.filter(bucket(col(idCol)) < math.round(fraction * 10000))
+  }
+
+  /** Stratified sample: per-stratum inclusion fractions (strata absent from
+    * the map fall back to `defaultFraction`). Deterministic in the id. */
+  def stratified(df: DataFrame, idCol: String, stratumCol: String,
+                 fractions: Map[String, Double],
+                 defaultFraction: Double = 0.0): DataFrame = {
+    require((defaultFraction +: fractions.values.toSeq).forall(f => f >= 0 && f <= 1),
+      "all fractions must be in [0,1]")
+    val thresh = fractions.foldLeft(lit(math.round(defaultFraction * 10000))) {
+      case (acc, (k, f)) =>
+        when(col(stratumCol) === k, lit(math.round(f * 10000))).otherwise(acc)
+    }
+    df.filter(bucket(col(idCol)) < thresh)
+  }
+}

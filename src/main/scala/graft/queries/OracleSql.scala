@@ -405,6 +405,40 @@ object OracleSql {
          |FROM g""".stripMargin
     },
 
+    "pipeline_curate" -> {
+      val stops = graft.text.TextAnalysis.stopwordsEn.map(w => s"'$w'").mkString(", ")
+      val markers = graft.text.TextAnalysis.langMarkers
+      val scores = markers.map { case (l, ws) =>
+        val in = ws.map(w => s"'$w'").mkString(", ")
+        s"CAST(len(list_filter(t, x -> x IN ($in))) AS BIGINT) AS s_$l"
+      }.mkString(",\n  ")
+      val names = markers.map { case (l, _) => s"s_$l" }.mkString(", ")
+      val cases = markers.init.map { case (l, _) =>
+        s"WHEN s_$l = m THEN '$l'"
+      }.mkString(" ")
+      s"""WITH d AS (SELECT doc_id, source, text, string_split(text, ' ') AS t FROM documents),
+         |q AS (SELECT doc_id, source, text, t,
+         |  CAST(length(text) AS BIGINT) AS n_chars_obs,
+         |  CAST(len(t) AS BIGINT) AS n_tokens,
+         |  CAST(len(list_filter(t, x -> x IN ($stops))) AS BIGINT) AS stop,
+         |  CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS BIGINT) AS alpha,
+         |  $scores
+         | FROM d),
+         |g AS (SELECT *, greatest($names) AS m,
+         |  least(CAST(n_tokens AS DOUBLE) / 50.0, 1.0) * 0.5
+         |    + (1.0 - CAST(stop AS DOUBLE) / n_tokens) * 0.3
+         |    + CAST(alpha AS DOUBLE) / n_chars_obs * 0.2 AS quality_score
+         | FROM q),
+         |kept AS (SELECT * FROM g
+         | WHERE quality_score >= 0.5
+         |   AND CASE $cases ELSE '${markers.last._1}' END = 'en'),
+         |dedup AS (SELECT *, MIN(doc_id) OVER (PARTITION BY md5(text)) AS keep_id FROM kept)
+         |SELECT doc_id, source, n_tokens, quality_score
+         |FROM dedup
+         |WHERE doc_id = keep_id
+         |  AND ((doc_id % 10000) * 2654435761) % 10000 < 5000""".stripMargin
+    },
+
     "text_fingerprint" ->
       """SELECT doc_id,
         | list_reduce(
@@ -429,6 +463,13 @@ object OracleSql {
         |FROM s a JOIN s b ON a.source = b.source AND a.doc_id < b.doc_id
         |WHERE CAST(CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS DOUBLE)
         |  / (CAST(len(a.sh) AS BIGINT) + CAST(len(b.sh) AS BIGINT) - CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT)) >= 0.10""".stripMargin,
+
+    "sample_stratified" ->
+      """SELECT doc_id, source FROM documents
+        |WHERE ((doc_id % 10000) * 2654435761) % 10000 <
+        | CASE WHEN source = 'src0' THEN 5000
+        |      WHEN source = 'src1' THEN 2500
+        |      ELSE 1000 END""".stripMargin,
 
     "dedup_cluster" ->
       """WITH RECURSIVE s AS (

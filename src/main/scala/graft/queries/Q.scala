@@ -295,11 +295,35 @@ object Q {
     graft.text.Packing.packWindows(Tables(s, dir, "documents"), "doc_id",
       size(split(col("text"), " ")).cast("bigint"), budget = 512)
 
+  /** End-to-end corpus curation — the composed LLM-data pipeline: quality
+    * gate → English-only gate → exact-dedup keep-one-per-content-hash →
+    * deterministic 50% thin. Every stage is one of the library's operators;
+    * the whole thing stays a single declarative plan (filters fuse into the
+    * scan, one shuffle for the content-hash window, sample is a filter). */
+  def pipelineCurate(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = TextAnalysis.withLangId(
+      TextAnalysis.withQuality(Tables(s, dir, "documents"), "text"), "text")
+    val kept = scored.filter(col("quality_score") >= 0.5 && col("pred_lang") === "en")
+    val deduped = kept
+      .withColumn("_keep", min(col("doc_id")).over(Window.partitionBy(md5(col("text")))))
+      .filter(col("doc_id") === col("_keep"))
+    graft.operators.Sampling.uniform(deduped, "doc_id", 0.5)
+      .select("doc_id", "source", "n_tokens", "quality_score")
+  }
+
   def textFingerprint(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.withFingerprint(Tables(s, dir, "documents"), "text")
       .select("doc_id", "fingerprint")
 
   // ----------------------------------------------------------------- dedup
+
+  /** Stratified corpus sample: up-weight two sources, thin the rest —
+    * deterministic id-arithmetic splitter, reproducible in any engine. */
+  def sampleStratified(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.stratified(Tables(s, dir, "documents"),
+        "doc_id", "source", Map("src0" -> 0.5, "src1" -> 0.25), defaultFraction = 0.1)
+      .select("doc_id", "source")
 
   def dedupExact(s: SparkSession, dir: String): DataFrame =
     Dedup.exact(Tables(s, dir, "documents"), "doc_id", "text")
