@@ -74,6 +74,28 @@ object Streams {
       }
   }
 
+  /** Streaming corpus curation — the streaming face of the batch
+    * `Q.pipelineCurate`: score each arriving document (quality + language
+    * ID are pure column expressions, so they run unchanged on a stream),
+    * gate on both, then drop content-hash duplicates within the watermark
+    * horizon. State is one hash per kept doc inside the horizon — bounded
+    * by arrival rate × watermark, never corpus size. */
+  def curate(docs: DataFrame, tsCol: String, textCol: String,
+             minQuality: Double = 0.5, lang: String = "en",
+             watermark: String = "1 hour"): DataFrame = {
+    import graft.text.TextAnalysis
+    val scored = TextAnalysis.withLangId(
+      TextAnalysis.withQuality(docs, textCol), textCol)
+    scored.filter(col("quality_score") >= minQuality && col("pred_lang") === lang)
+      .withColumn("_content_hash", md5(col(textCol)))
+      .withWatermark(tsCol, watermark)
+      // dropDuplicatesWithinWatermark (not plain dropDuplicates): the key
+      // excludes the event-time column, so only the watermark variant
+      // evicts state as time advances
+      .dropDuplicatesWithinWatermark(Seq("_content_hash"))
+      .drop("_content_hash")
+  }
+
   /** Streaming tumbling-window count/sum per event type. Late data beyond
     * the watermark is dropped; state is evicted as the watermark advances. */
   def windowedAgg(events: DataFrame, tsCol: String, typeCol: String,

@@ -93,6 +93,18 @@ class DedupSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L))
   }
 
+  test("connected components: a 200-node chain converges via path halving") {
+    import spark.implicits._
+    // pure HashMin would need ~200 rounds; path halving needs O(log n)
+    val n = 200L
+    val verts = (1L to n).toDF("doc_id")
+    val edges = (1L until n).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponents(verts, "doc_id", edges, "id_a", "id_b", maxIter = 15)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(cc.length == n)
+    assert(cc.forall(_._2 == 1L))
+  }
+
   test("simhash: identical docs at hamming 0, unrelated docs far apart") {
     val p = SimHash.pairs(docs, "doc_id", "text", maxHamming = 0)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet

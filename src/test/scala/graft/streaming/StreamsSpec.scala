@@ -7,6 +7,7 @@ import org.apache.spark.sql.functions._
 import graft.SparkSpec
 
 case class Ev(ts: Timestamp, event_type: String, value: Double, event_id: Long)
+case class Doc(ts: Timestamp, doc_id: Long, text: String)
 
 class StreamsSpec extends SparkSpec {
 
@@ -60,6 +61,26 @@ class StreamsSpec extends SparkSpec {
       query.processAllAvailable()
       val closed = spark.table("sess_out").as[Session].collect()
       assert(closed.toSeq == Seq(Session(1L, 1000L, 1600L, 2L, 3.0)))
+    } finally query.stop()
+  }
+
+  test("streaming curation gates quality+language and dedups content") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Doc]
+    val good = ("the of and to is " * 10).trim // english, long, high quality
+    val out = Streams.curate(input.toDF(), "ts", "text")
+    val query = out.writeStream.format("memory").queryName("curate_out")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        Doc(t(0), 1L, good),
+        Doc(t(1), 2L, good),            // exact duplicate content → dropped
+        Doc(t(2), 3L, ("der und das nicht ein " * 8).trim), // german → gated
+        Doc(t(3), 4L, "x"))             // too short → low quality → gated
+      query.processAllAvailable()
+      val kept = spark.table("curate_out").select("doc_id").as[Long].collect().toSet
+      assert(kept == Set(1L))
     } finally query.stop()
   }
 
