@@ -76,8 +76,12 @@ object Dedup {
     * vertex id of its component (singletons keep their own id). */
   def connectedComponents(vertices: DataFrame, idCol: String, edges: DataFrame,
                           srcCol: String, dstCol: String, maxIter: Int = 50): DataFrame = {
+    // materialize the edge list ONCE: `edges` may carry an arbitrarily
+    // expensive lineage (e.g. the whole prefix-filter Jaccard join) that
+    // would otherwise re-execute inside every convergence round
     val sym = edges.select(col(srcCol).as("_src"), col(dstCol).as("_dst"))
       .union(edges.select(col(dstCol).as("_src"), col(srcCol).as("_dst")))
+      .localCheckpoint()
     var labels = vertices.select(col(idCol).as("id"), col(idCol).as("cluster_id"))
       .localCheckpoint()
     var changed = 1L

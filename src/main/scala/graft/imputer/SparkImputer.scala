@@ -46,6 +46,10 @@ class SparkImputer(
       * reference's RNG shuffle. */
     val testSize: Double = Double.NaN,
     val seed: Long = 42L,
+    /** Max columns fitted concurrently. Per-column train/test timings are
+      * wall-clock and include scheduler contention when >1; set to 1 for
+      * contention-free per-column timings (sequential fits). */
+    val fitParallelism: Int = 4,
     /** Optional default save location (ref __init__ save_models_to). When
       * set, fit() pre-flights that the parent directory exists BEFORE
       * training — the reference raises OSError at __init__ for the same
@@ -66,6 +70,7 @@ class SparkImputer(
     s"testModulo must be >= 2 (rows with id % testModulo == 0 form the test split), got $testModulo")
   require(testSize.isNaN || (testSize > 0.0 && testSize < 1.0),
     s"test_size must be in (0, 1), got $testSize")
+  require(fitParallelism >= 1, s"fitParallelism must be >= 1, got $fitParallelism")
 
   /** Deterministic membership predicate for the test split. */
   private[imputer] def isTestRow(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
@@ -203,8 +208,9 @@ class SparkImputer(
           classification: Params with PipelineStage,
           regression: Params with PipelineStage,
           featureFrame: DataFrame): SparkImputerModel = {
-    validateAgainst(df)
-    if (saveModelsTo != null) preflightSavePath(df.sparkSession, saveModelsTo)
+    // input checks live in the public entry points (fit/fitTransform),
+    // BEFORE the feature matrix is built — not here, where the expensive
+    // work has already happened
     val toImpute = columnsToImpute(df)
     // Columns are independent: fit them CONCURRENTLY so their many small
     // jobs (indexer fit, tree fit, metric agg) interleave in the scheduler
@@ -214,7 +220,7 @@ class SparkImputer(
     import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration.Duration
     val pool = java.util.concurrent.Executors.newFixedThreadPool(
-      math.max(1, math.min(toImpute.size, 4)))
+      math.max(1, math.min(toImpute.size, fitParallelism)))
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
     val modelFutures = toImpute.map { target => Future { fitOne(df, target,
       classification, regression, featureFrame) } }

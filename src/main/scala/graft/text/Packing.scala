@@ -20,7 +20,8 @@ import org.apache.spark.sql.functions._
   */
 object Packing {
 
-  /** @param tokensCol token count expression (e.g. `size(split(text, " "))`)
+  /** @param tokensCol token count expression (e.g. `size(split(text, " "))`);
+    *                  NULL counts (e.g. from NULL text) pack as 0 tokens
     * @param budget    tokens per context window */
   def packWindows(df: DataFrame, idCol: String, tokensCol: Column, budget: Int,
                   numPartitions: Int = 0): DataFrame = {
@@ -30,7 +31,7 @@ object Packing {
       else spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
     // localCheckpoint pins the sampled range boundaries so the stats job and
     // the final job see identical partition ids
-    val base = df.select(col(idCol), tokensCol.cast("bigint").as("n_tokens"))
+    val base = df.select(col(idCol), coalesce(tokensCol.cast("bigint"), lit(0L)).as("n_tokens"))
       .repartitionByRange(parts, col(idCol).asc)
       .sortWithinPartitions(col(idCol).asc)
       .withColumn("_pid", spark_partition_id())
