@@ -353,11 +353,11 @@ object OracleSql {
     "text_pack" ->
       """WITH d AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents),
         |c AS (SELECT doc_id, n_tokens,
-        |  COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_start
+        |  CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_start
         | FROM d)
         |SELECT doc_id, n_tokens, tok_start,
         | tok_start // 512 AS pack_id,
-        | ((tok_start + greatest(n_tokens - 1, 0)) // 512) - (tok_start // 512) + 1 AS n_packs
+        | CAST(((tok_start + greatest(n_tokens - 1, 0)) // 512) - (tok_start // 512) + 1 AS BIGINT) AS n_packs
         |FROM c""".stripMargin,
 
     "text_tokens" ->

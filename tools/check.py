@@ -66,6 +66,14 @@ def main() -> None:
             continue
         bad = 0
         for c in got.columns:
+            gk, ek = got[c].dtype.kind, expect[c].dtype.kind
+            if {gk, ek} == {"i", "f"}:
+                # the driver hashes typed values: int64 vs float64 is a FAIL
+                # even when numerically equal (e.g. DuckDB SUM(BIGINT)→HUGEINT
+                # →float64 in fetchdf; CAST the oracle column to BIGINT)
+                print(f"FAIL {name}: col {c} dtype {got[c].dtype} vs {expect[c].dtype}")
+                bad += 1
+        for c in got.columns:
             ga, ea = got[c].tolist(), expect[c].tolist()
             for i, (x, y) in enumerate(zip(ga, ea)):
                 if not cmp_cell(x, y):
