@@ -50,6 +50,8 @@ object SparkEntry {
     "text_quality" -> (Q.textQuality _),
     "text_langid" -> (Q.textLangid _),
     "text_fingerprint" -> (Q.textFingerprint _),
+    "text_ngrams" -> (Q.textNgrams _),
+    "text_scrub" -> (Q.textScrub _),
     // dedup
     "sample_stratified" -> (Q.sampleStratified _),
     "dedup_exact" -> (Q.dedupExact _),

@@ -360,6 +360,21 @@ object OracleSql {
         | CAST(((tok_start + greatest(n_tokens - 1, 0)) // 512) - (tok_start // 512) + 1 AS BIGINT) AS n_packs
         |FROM c""".stripMargin,
 
+    "text_ngrams" ->
+      """WITH d AS (SELECT string_split(text, ' ') AS t FROM documents),
+        |b AS (SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+        |                                   i -> t[i] || ' ' || t[i + 1])) AS bigram
+        |      FROM d)
+        |SELECT bigram, CAST(count(*) AS BIGINT) AS cnt
+        |FROM b GROUP BY bigram
+        |ORDER BY cnt DESC, bigram ASC LIMIT 20""".stripMargin,
+
+    "text_scrub" ->
+      """SELECT doc_id,
+        | regexp_replace(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}|https?://[^ ]+|[0-9]{4,}|\bspark\b', '<x>', 'g') AS scrubbed,
+        | CAST(len(regexp_extract_all(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}|https?://[^ ]+|[0-9]{4,}|\bspark\b')) AS BIGINT) AS n_hits
+        |FROM documents""".stripMargin,
+
     "text_tokens" ->
       """SELECT doc_id,
         | CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,

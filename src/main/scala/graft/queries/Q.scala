@@ -316,6 +316,17 @@ object Q {
     TextAnalysis.withFingerprint(Tables(s, dir, "documents"), "text")
       .select("doc_id", "fingerprint")
 
+  /** Corpus-wide top-20 bigrams — TakeOrderedAndProject over one count
+    * shuffle, deterministic (cnt desc, bigram asc) tie-break. */
+  def textNgrams(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.topBigrams(Tables(s, dir, "documents"), "text", 20)
+
+  /** PII-style redaction pass over the corpus (emails / URLs / digit runs /
+    * blocklist term → sentinel) with per-doc hit counts. */
+  def textScrub(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.withScrub(Tables(s, dir, "documents"), "text")
+      .select("doc_id", "scrubbed", "n_hits")
+
   // ----------------------------------------------------------------- dedup
 
   /** Stratified corpus sample: up-weight two sources, thin the rest —

@@ -70,6 +70,42 @@ object TextAnalysis {
       .drop(langMarkers.map { case (l, _) => s"_s_$l" }: _*)
   }
 
+  /** Adjacent-token bigrams of a document: zip the token array against
+    * itself shifted by one. Pure codegen'd array ops — no UDF, no shuffle. */
+  def bigrams(text: Column): Column = {
+    val t = tokens(text)
+    zip_with(slice(t, lit(1), size(t) - 1), slice(t, lit(2), size(t) - 1),
+      (a, b) => concat(a, lit(" "), b))
+  }
+
+  /** Corpus-wide top-k bigram counts with a deterministic tie-break
+    * (count desc, bigram asc). The explode is map-side; the count groupBy is
+    * ONE hash shuffle with partial aggregation; the top-k is
+    * `TakeOrderedAndProject` (per-partition heap of k, driver merges k·P
+    * rows) — never a global sort. That plan holds at 100 TB: the shuffle
+    * carries only distinct-bigram partials, not the token stream. */
+  def topBigrams(df: DataFrame, textCol: String, k: Int): DataFrame =
+    df.select(explode(bigrams(col(textCol))).as("bigram"))
+      .groupBy("bigram").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("bigram").asc)
+      .limit(k)
+
+  /** Union pattern of scrub-worthy spans: emails, URLs, long digit runs,
+    * and a blocklisted term. Kept to syntax that means the same thing in
+    * Java regex (Spark) and RE2 (DuckDB oracle): no captures in the
+    * replacement, no lookaround. */
+  val scrubPattern: String =
+    "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}|https?://[^ ]+|[0-9]{4,}|\\bspark\\b"
+
+  /** PII-style redaction for training corpora: every match of
+    * [[scrubPattern]] is replaced with the sentinel, plus a per-document
+    * match count. Pure codegen'd string expressions — the scrub runs inside
+    * the scan's whole-stage-codegen, no shuffle at all. */
+  def withScrub(df: DataFrame, textCol: String, sentinel: String = "<x>"): DataFrame =
+    df.withColumn("scrubbed", regexp_replace(col(textCol), scrubPattern, sentinel))
+      .withColumn("n_hits",
+        size(regexp_extract_all(col(textCol), lit(scrubPattern), lit(0))).cast("bigint"))
+
   /** Rolling polynomial fingerprint over the token stream:
     * h ← (h·131 + len(tok)·7 + ascii(tok[0])) mod 1e9+7.
     * Order-sensitive (a true rolling hash) yet pure integer math, so the
