@@ -51,6 +51,7 @@ object SparkEntry {
     "text_langid" -> (Q.textLangid _),
     "text_fingerprint" -> (Q.textFingerprint _),
     "text_ngrams" -> (Q.textNgrams _),
+    "text_tfidf" -> (Q.textTfidf _),
     "text_scrub" -> (Q.textScrub _),
     // dedup
     "sample_stratified" -> (Q.sampleStratified _),
@@ -60,6 +61,7 @@ object SparkEntry {
     "dedup_embed" -> (Q.dedupEmbed _),
     // similarity
     "ann_topk" -> (Q.annTopk _),
+    "embed_quantize" -> (Q.embedQuantize _),
     // multimodal
     "mm_binary" -> (Q.mmBinary _),
     // rows-only: model-based / hash-family operators

@@ -360,6 +360,31 @@ object OracleSql {
         | CAST(((tok_start + greatest(n_tokens - 1, 0)) // 512) - (tok_start // 512) + 1 AS BIGINT) AS n_packs
         |FROM c""".stripMargin,
 
+    "embed_quantize" ->
+      """WITH e AS (SELECT vec_id, embedding,
+        |             CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE) AS scale
+        |           FROM embeddings),
+        |x AS (SELECT vec_id, scale, embedding AS emb,
+        |        unnest(generate_series(1, len(embedding))) AS i
+        |      FROM e)
+        |SELECT vec_id, CAST(i - 1 AS INT) AS dim,
+        | CAST(emb[i] AS DOUBLE) AS v,
+        | CASE WHEN scale = 0.0 THEN 0
+        |      ELSE CAST(floor(CAST(emb[i] AS DOUBLE) * 127.0 / scale + 0.5) AS INT) END AS q,
+        | scale
+        |FROM x""".stripMargin,
+
+    "text_tfidf" ->
+      """WITH n AS (SELECT CAST(count(*) AS DOUBLE) AS nn FROM documents),
+        |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |tfc AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY doc_id, term),
+        |dfc AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tfc GROUP BY term),
+        |s AS (SELECT doc_id, tfc.term AS term, tf,
+        |        CAST(tf AS DOUBLE) * (ln((1.0 + nn) / (1.0 + CAST(df AS DOUBLE))) + 1.0) AS tfidf
+        |      FROM tfc JOIN dfc ON tfc.term = dfc.term CROSS JOIN n),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rk FROM s)
+        |SELECT doc_id, term, tf, tfidf FROM r WHERE rk <= 5""".stripMargin,
+
     "text_ngrams" ->
       """WITH d AS (SELECT string_split(text, ' ') AS t FROM documents),
         |b AS (SELECT unnest(list_transform(generate_series(1, len(t) - 1),

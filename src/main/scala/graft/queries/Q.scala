@@ -316,6 +316,11 @@ object Q {
     TextAnalysis.withFingerprint(Tables(s, dir, "documents"), "text")
       .select("doc_id", "fingerprint")
 
+  /** Per-doc top-5 tf-idf terms (sklearn smoothed idf, ln bitwise-matched
+    * by the oracle). */
+  def textTfidf(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.tfidfTopK(Tables(s, dir, "documents"), "doc_id", "text", 5)
+
   /** Corpus-wide top-20 bigrams — TakeOrderedAndProject over one count
     * shuffle, deterministic (cnt desc, bigram asc) tie-break. */
   def textNgrams(s: SparkSession, dir: String): DataFrame =
@@ -326,6 +331,12 @@ object Q {
   def textScrub(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.withScrub(Tables(s, dir, "documents"), "text")
       .select("doc_id", "scrubbed", "n_hits")
+
+  /** Int8 max-abs quantization of the embedding corpus, exploded to
+    * per-component rows for the exact-integer oracle. */
+  def embedQuantize(s: SparkSession, dir: String): DataFrame =
+    graft.similarity.Quantize.int8Exploded(
+      Tables(s, dir, "embeddings"), "vec_id", "embedding")
 
   // ----------------------------------------------------------------- dedup
 

@@ -90,6 +90,33 @@ object TextAnalysis {
       .orderBy(col("cnt").desc, col("bigram").asc)
       .limit(k)
 
+  /** Per-document top-k terms by tf-idf with sklearn's smoothed idf:
+    * `idf = ln((1 + N) / (1 + df)) + 1`, `tfidf = tf · idf` (no vector
+    * normalization — scores stay per-term comparable and bitwise
+    * oracle-checkable; `ln` is libm on both engines).
+    *
+    * Shape at scale: tf is one (doc, term) hash shuffle with map-side
+    * partial counts; df re-aggregates the (already distinct) tf pairs on
+    * term — vocabulary-sized, far smaller than the token stream; N rides in
+    * as a broadcast 1-row aggregate, so the whole thing is one declarative
+    * plan (no driver-side count). The term join is left to Catalyst/AQE:
+    * at bench scale it broadcasts, at 100 TB vocabulary it degrades to a
+    * shuffle join rather than OOMing the driver. The final top-k window
+    * partitions on doc_id — max parallelism, no global funnel. */
+  def tfidfTopK(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = df.select(col(idCol), explode(tokens(col(textCol))).as("term"))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = df.agg(count(lit(1)).cast("double").as("_n"))
+    val scored = tf.join(dfreq, Seq("term")).crossJoin(broadcast(n))
+      .withColumn("tfidf", col("tf").cast("double") *
+        (log((lit(1.0) + col("_n")) / (lit(1.0) + col("df").cast("double"))) + lit(1.0)))
+    val w = Window.partitionBy(idCol).orderBy(col("tfidf").desc, col("term").asc)
+    scored.withColumn("_rk", row_number().over(w)).filter(col("_rk") <= k)
+      .select(col(idCol), col("term"), col("tf"), col("tfidf"))
+  }
+
   /** Union pattern of scrub-worthy spans: emails, URLs, long digit runs,
     * and a blocklisted term. Kept to syntax that means the same thing in
     * Java regex (Spark) and RE2 (DuckDB oracle): no captures in the
