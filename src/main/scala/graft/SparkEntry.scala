@@ -38,6 +38,7 @@ object SparkEntry {
     "imp_median" -> (Q.impMedian _),
     "imp_mode" -> (Q.impMode _),
     "imp_group_mean" -> (Q.impGroupMean _),
+    "imp_knn" -> (Q.impKnn _),
     "imp_regression" -> (Q.impRegression _),
     "imp_simulation" -> (Q.impSimulation _),
     "imp_select_model" -> (Q.impSelectModel _),

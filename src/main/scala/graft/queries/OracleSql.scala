@@ -189,6 +189,21 @@ object OracleSql {
          |SELECT c_custkey, coalesce(c_acctbal, CAST(m AS DOUBLE) / 100.0) AS acctbal_imp
          |FROM mcv CROSS JOIN s""".stripMargin,
 
+    "imp_knn" ->
+      s"""WITH mcv AS ($MCV),
+         |obs AS (SELECT c_custkey AS oid, CAST(c_custkey AS DOUBLE) AS ox,
+         |               ${ac("c_acctbal")} AS yc
+         |        FROM mcv WHERE c_acctbal IS NOT NULL),
+         |miss AS (SELECT c_custkey AS mid, CAST(c_custkey AS DOUBLE) AS mx
+         |         FROM mcv WHERE c_acctbal IS NULL),
+         |r AS (SELECT mid, yc,
+         |        row_number() OVER (PARTITION BY mid ORDER BY abs(ox - mx), ox, oid) AS rk
+         |      FROM miss CROSS JOIN obs),
+         |im AS (SELECT mid, CAST(round(CAST(sum(yc) AS DOUBLE) / count(*), 0) AS BIGINT) AS myc
+         |       FROM r WHERE rk <= 3 GROUP BY mid)
+         |SELECT c_custkey, coalesce(c_acctbal, CAST(myc AS DOUBLE) / 100.0) AS acctbal_imp
+         |FROM mcv LEFT JOIN im ON mcv.c_custkey = im.mid""".stripMargin,
+
     "imp_mode" ->
       s"""WITH mcv AS ($MCV),
          |m AS (SELECT c_mktsegment AS v FROM mcv WHERE c_mktsegment IS NOT NULL

@@ -69,6 +69,12 @@ object Q {
         coalesce(col("c_acctbal"), col("_m").cast("double") / 100.0).as("acctbal_imp"))
   }
 
+  /** KNN impute (k=3 nearest by custkey) — distributed sorted-neighbor
+    * algorithm, oracle is the brute-force definition. */
+  def impKnn(s: SparkSession, dir: String): DataFrame =
+    graft.imputer.KnnImpute.impute1d(Tables.maskedCustomer(s, dir),
+      "c_custkey", col("c_custkey"), "c_acctbal", "acctbal_imp", k = 3)
+
   def impMode(s: SparkSession, dir: String): DataFrame =
     Strategies.mode(Tables.maskedCustomer(s, dir), "c_mktsegment", "seg_imp")
       .select("c_custkey", "seg_imp")
