@@ -40,6 +40,7 @@ object SparkEntry {
     "imp_group_mean" -> (Q.impGroupMean _),
     "imp_knn" -> (Q.impKnn _),
     "imp_regression" -> (Q.impRegression _),
+    "imp_iterative" -> (Q.impIterative _),
     "imp_simulation" -> (Q.impSimulation _),
     "imp_select_model" -> (Q.impSelectModel _),
     "imp_variance" -> (Q.impVariance _),

@@ -37,4 +37,10 @@ object Tables {
     * l_quantity stays observed and is the regression feature. */
   def maskedLineitem(spark: SparkSession, dir: String): DataFrame =
     maskMod(apply(spark, dir, "lineitem"), "l_extendedprice", "l_orderkey + l_linenumber", 13, 1)
+
+  /** lineitem with BOTH l_quantity ((ok+ln)%17==2) and l_extendedprice
+    * ((ok+ln)%13==1) masked — the chained-imputation (MICE) input, where
+    * each column is sometimes the predictor and sometimes the target. */
+  def miceLineitem(spark: SparkSession, dir: String): DataFrame =
+    maskMod(maskedLineitem(spark, dir), "l_quantity", "l_orderkey + l_linenumber", 17, 2)
 }

@@ -234,6 +234,48 @@ object OracleSql {
          | coalesce(l_extendedprice, (my - b * mx + b * ${ac("l_quantity")}) / 100.0) AS price_imp
          |FROM mlv CROSS JOIN s2""".stripMargin,
 
+    "imp_iterative" -> {
+      // MICE: mean init then 2 chained OLS sweeps (y~x on y-observed rows,
+      // then x~y), every fill quantized to integer cents so each sweep's
+      // moments stay exact. Mirrors graft.imputer.IterativeImpute.mice2.
+      val mv =
+        """SELECT l_orderkey, l_linenumber,
+          | CASE WHEN (l_orderkey + l_linenumber) % 17 = 2 THEN NULL ELSE l_quantity END AS x,
+          | CASE WHEN (l_orderkey + l_linenumber) % 13 = 1 THEN NULL ELSE l_extendedprice END AS y
+          |FROM lineitem""".stripMargin
+      val sweeps = (1 to 2).flatMap(_ => Seq(("xf", "yc", "yf"), ("yf", "xc", "xf")))
+      val (ctes, last) = sweeps.zipWithIndex.foldLeft((List.empty[String], "f0")) {
+        case ((acc, prev), ((pred, tgt, tgtf), i)) =>
+          val s = s"s${i + 1}"
+          val f = s"f${i + 1}"
+          val sCte =
+            s"""$s AS (SELECT sy / n AS my, sx / n AS mx,
+               |  (sxy - sx * sy / n) / (sxx - sx * sx / n) AS b FROM (
+               |  SELECT CAST(SUM(CAST($pred AS HUGEINT) * $tgt) AS DOUBLE) AS sxy,
+               |   CAST(SUM(CAST($pred AS HUGEINT) * $pred) AS DOUBLE) AS sxx,
+               |   CAST(SUM($pred) AS DOUBLE) AS sx, CAST(SUM($tgt) AS DOUBLE) AS sy,
+               |   CAST(count(*) AS DOUBLE) AS n FROM $prev WHERE $tgt IS NOT NULL))""".stripMargin
+          val keepF = if (tgtf == "yf") "xf" else "yf"
+          val fCte =
+            s"""$f AS (SELECT l_orderkey, l_linenumber, xc, yc, $keepF,
+               |  CASE WHEN $tgt IS NOT NULL THEN $tgt
+               |       ELSE CAST(round(my - b * mx + b * CAST($pred AS DOUBLE), 0) AS BIGINT) END AS $tgtf
+               |  FROM $prev CROSS JOIN $s)""".stripMargin
+          (acc :+ sCte :+ fCte, f)
+      }
+      s"""WITH mv AS ($mv),
+         |b AS (SELECT l_orderkey, l_linenumber, ${ac("x")} AS xc, ${ac("y")} AS yc FROM mv),
+         |m0 AS (SELECT CAST(round(CAST(SUM(xc) AS DOUBLE) / count(xc), 0) AS BIGINT) AS mxc,
+         |              CAST(round(CAST(SUM(yc) AS DOUBLE) / count(yc), 0) AS BIGINT) AS myc FROM b),
+         |f0 AS (SELECT l_orderkey, l_linenumber, xc, yc,
+         |        coalesce(xc, mxc) AS xf, coalesce(yc, myc) AS yf FROM b CROSS JOIN m0),
+         |${ctes.mkString(",\n")}
+         |SELECT l_orderkey, l_linenumber,
+         | CAST(xf AS DOUBLE) / 100.0 AS l_quantity_imp,
+         | CAST(yf AS DOUBLE) / 100.0 AS l_extendedprice_imp
+         |FROM $last""".stripMargin
+    },
+
     "imp_simulation" ->
       s"""WITH mcv AS ($MCV),
          |obs AS (SELECT c_custkey, ${ac("c_acctbal")} AS acv FROM mcv WHERE c_acctbal IS NOT NULL),

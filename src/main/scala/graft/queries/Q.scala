@@ -117,6 +117,13 @@ object Q {
           (col("_my") - col("_b") * col("_mx") + col("_b") * xc) / 100.0).as("price_imp"))
   }
 
+  /** MICE chained imputation: quantity and price both partially missing,
+    * two closed-form OLS sweeps after mean init, cents-quantized so the
+    * oracle reproduces every sweep bitwise. */
+  def impIterative(s: SparkSession, dir: String): DataFrame =
+    graft.imputer.IterativeImpute.mice2(Tables.miceLineitem(s, dir),
+      Seq("l_orderkey", "l_linenumber"), "l_quantity", "l_extendedprice")
+
   /** Simulation study (ref fit() test split): deterministic modulo split,
     * mean-impute MSE on the continuous column, mode-impute accuracy on the
     * categorical one. */
