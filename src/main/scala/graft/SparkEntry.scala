@@ -66,7 +66,8 @@ object SparkEntry {
     "embed_quantize" -> (Q.embedQuantize _),
     // multimodal
     "mm_binary" -> (Q.mmBinary _),
-    // rows-only: model-based / hash-family operators
+    // rows-only: model-based / hash-family / sketch operators
+    "profile_approx" -> (graft.analytics.Profile.lineitemProfileApprox _),
     "imp_ml_tree" -> (Q.impMlTree _),
     "dedup_minhash" -> (Q.dedupMinhash _),
     "dedup_simhash" -> (Q.dedupSimhash _),

@@ -34,4 +34,32 @@ object Profile {
   def lineitemProfile(spark: SparkSession, dir: String): DataFrame =
     numeric(Tables(spark, dir, "lineitem"),
       Seq("l_quantity" -> 2, "l_extendedprice" -> 2, "l_discount" -> 4, "l_tax" -> 4))
+
+  /** The 100 TB profiling face: identical output schema to [[numeric]] but
+    * sketch-based distinct (HyperLogLog++ `approx_count_distinct`) and
+    * quantile (`approx_percentile`, 1e-4 relative error) — no exact-median
+    * sort, no exact-distinct shuffle; every statistic is a single-pass
+    * mergeable sketch with map-side partials. `rsd`/`accuracy` trade
+    * memory for error explicitly. */
+  def numericApprox(df: DataFrame, cols: Seq[(String, Int)],
+                    rsd: Double = 0.05, accuracy: Int = 10000): DataFrame = {
+    val parts = cols.map { case (c, scale) =>
+      val k = math.pow(10, scale)
+      df.select(cents(col(c), scale).as("_c"), col(c).as("_raw"))
+        .agg(
+          count(lit(1)).as("n"),
+          approx_count_distinct(col("_raw"), rsd).as("n_distinct"),
+          min(col("_raw")).as("min_value"),
+          max(col("_raw")).as("max_value"),
+          (sum(col("_c")).cast("double") / (lit(k) * count(lit(1)))).as("mean_value"),
+          (expr(s"approx_percentile(_c, 0.5, $accuracy)") / k).as("p50"))
+        .select(lit(c).as("variable"), col("n"), col("n_distinct"),
+          col("min_value"), col("max_value"), col("mean_value"), col("p50"))
+    }
+    parts.reduce(_ unionAll _)
+  }
+
+  def lineitemProfileApprox(spark: SparkSession, dir: String): DataFrame =
+    numericApprox(Tables(spark, dir, "lineitem"),
+      Seq("l_quantity" -> 2, "l_extendedprice" -> 2, "l_discount" -> 4, "l_tax" -> 4))
 }

@@ -1,0 +1,46 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.{col, udf}
+import org.apache.spark.util.sketch.BloomFilter
+
+/** Bloom-filter probe-side pruning for asymmetric joins: when a 100 TB fact
+  * table joins a few-million-row key set that is still too big to broadcast
+  * as a hash relation, shuffling the whole fact side is the dominant cost.
+  * A Bloom sketch of the build-side keys (built with a distributed
+  * `treeAggregate` via `DataFrameStatFunctions.bloomFilter`, a few MB for
+  * ~1% fpp) broadcasts to every scan task and drops non-joining fact rows
+  * BEFORE the exchange — the shuffle then carries only true matches plus
+  * the fpp fraction.
+  *
+  * Guarantees: NO false negatives (the subsequent real join sees every
+  * matching row), ≤ fpp false positives (removed by the join itself).
+  * The membership probe is a broadcast-closure filter rather than a
+  * codegen'd expression (Spark's `might_contain` is optimizer-internal,
+  * wired in by `InjectRuntimeFilter` when
+  * `spark.sql.optimizer.runtime.bloomFilter.enabled` is set — this helper
+  * is the explicit form for when the optimizer can't prove the pattern);
+  * trading one virtual call per row for orders of magnitude less shuffle
+  * I/O is the right side of that bargain.
+  */
+object BloomPrune {
+
+  /** Build a Bloom sketch of `buildKey` and prune `probe` rows whose
+    * `probeKey` cannot match. Follow with the real join for exactness. */
+  def prune(probe: DataFrame, probeKey: String,
+            build: DataFrame, buildKey: String,
+            expectedKeys: Long, fpp: Double = 0.01): DataFrame = {
+    val bf: BloomFilter = build.stat.bloomFilter(buildKey, expectedKeys, fpp)
+    val bc = probe.sparkSession.sparkContext.broadcast(bf)
+    val might = udf((k: Any) => k != null && bc.value.mightContain(k))
+    probe.filter(might(col(probeKey)))
+  }
+
+  /** Bloom-pruned inner equi-join: sketch-prune the probe side, then do
+    * the exact join on the survivors. */
+  def join(probe: DataFrame, probeKey: String,
+           build: DataFrame, buildKey: String,
+           expectedKeys: Long, fpp: Double = 0.01): DataFrame =
+    prune(probe, probeKey, build, buildKey, expectedKeys, fpp)
+      .join(build, col(probeKey) === build(buildKey))
+}

@@ -32,6 +32,16 @@ object Sources {
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).parquet(path)
   }
 
+  /** ORC read — columnar alternative ingest format; same pushdown story as
+    * parquet (predicate + column pruning reach the stripe reader). */
+  def orc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
+  /** ORC sink (zlib by default; Spark's ORC writer carries min/max stripe
+    * statistics used for predicate pushdown on re-read). */
+  def writeOrc(df: DataFrame, path: String, mode: String = "overwrite"): Unit =
+    df.write.mode(mode).orc(path)
+
   /** Bucketed managed table: two tables bucketed+sorted on the same join
     * key co-locate their data, so equi-joins between them need NO shuffle
     * exchange — the pre-shuffle is paid once at write time. This is the

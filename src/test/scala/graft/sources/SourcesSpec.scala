@@ -80,6 +80,36 @@ class SourcesSpec extends SparkSpec {
     assert(df.count() == 2 && df.schema == schema)
   }
 
+  test("orc roundtrip preserves schema and values") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_orc").toString
+    val df = Seq((1L, "a", 1.5), (2L, "b", -0.25), (3L, null.asInstanceOf[String], 0.0))
+      .toDF("id", "name", "score")
+    Sources.writeOrc(df, s"$dir/t.orc")
+    val back = Sources.orc(spark, s"$dir/t.orc")
+    // file formats read back as nullable — compare names and types
+    assert(back.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+      df.schema.fields.map(f => (f.name, f.dataType)).toSeq)
+    assert(back.orderBy("id").collect().toSeq == df.orderBy("id").collect().toSeq)
+  }
+
+  test("approx profile tracks the exact profile within sketch error") {
+    import spark.implicits._
+    val df = (1 to 2000).map(i => (i.toDouble / 100.0, (i % 37).toDouble)).toDF("a", "b")
+    val exact = graft.analytics.Profile.numeric(df, Seq("a" -> 2, "b" -> 0))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val approx = graft.analytics.Profile.numericApprox(df, Seq("a" -> 2, "b" -> 0))
+      .collect().map(r => r.getString(0) -> r).toMap
+    for (c <- Seq("a", "b")) {
+      assert(approx(c).getLong(1) == exact(c).getLong(1))                   // n exact
+      val (dA, dE) = (approx(c).getLong(2).toDouble, exact(c).getLong(2).toDouble)
+      assert(math.abs(dA - dE) / dE <= 0.15, s"$c distinct $dA vs $dE")     // hll rsd
+      assert(approx(c).getDouble(5) == exact(c).getDouble(5))               // mean exact
+      val (pA, pE) = (approx(c).getDouble(6), exact(c).getDouble(6))
+      assert(math.abs(pA - pE) <= math.max(0.02, 0.02 * math.abs(pE)), s"$c p50")
+    }
+  }
+
   test("imputer validation rejects unknown columns (ref KeyError test)") {
     import spark.implicits._
     val df = Seq((1L, 1.0)).toDF("id", "x")
