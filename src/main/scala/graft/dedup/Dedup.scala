@@ -92,17 +92,20 @@ object Dedup {
         .groupBy(col("_src")).agg(min(col("cluster_id")).as("_nl"))
       val stepped = labels.join(nbrMin, labels("id") === nbrMin("_src"), "left")
         .select(labels("id"),
-          least(col("cluster_id"), coalesce(col("_nl"), col("cluster_id"))).as("cluster_id"))
+          least(col("cluster_id"), coalesce(col("_nl"), col("cluster_id"))).as("cluster_id"),
+          labels("cluster_id").as("_prev"))
       // path-halving step: label ← label(label). Labels are always vertex
       // ids (mins of ids), so the lookup join always hits.
+      // carry the pre-step label through the halving join so convergence is
+      // a filter over the frame we materialize anyway — no extra join job
       val next = stepped.join(
           stepped.select(col("id").as("cluster_id"), col("cluster_id").as("_ll")),
           Seq("cluster_id"))
-        .select(col("id"), least(col("cluster_id"), col("_ll")).as("cluster_id"))
+        .select(col("id"), least(col("cluster_id"), col("_ll")).as("cluster_id"),
+          col("_prev"))
         .localCheckpoint()
-      val prev = labels.select(col("id"), col("cluster_id").as("_prev"))
-      changed = next.join(prev, "id").filter(col("cluster_id") =!= col("_prev")).count()
-      labels = next
+      changed = next.filter(col("cluster_id") =!= col("_prev")).count()
+      labels = next.select("id", "cluster_id")
       it += 1
     }
     require(changed == 0, s"connectedComponents did not converge in $maxIter rounds")
