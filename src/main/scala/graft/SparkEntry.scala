@@ -27,6 +27,7 @@ object SparkEntry {
     "topn_window" -> (Analytics.topnPerGroup(_, _)),
     "events_sessionize" -> (Analytics.sessionize(_, _)),
     "events_window" -> (Analytics.eventsWindow _),
+    "events_funnel" -> (Analytics.eventsFunnel _),
     // imputer core
     "imp_missing_indicator" -> (Q.impMissingIndicator _),
     "imp_missing_metrics" -> (Q.impMissingMetrics _),
@@ -55,6 +56,7 @@ object SparkEntry {
     "text_ngrams" -> (Q.textNgrams _),
     "text_tfidf" -> (Q.textTfidf _),
     "text_scrub" -> (Q.textScrub _),
+    "text_boilerplate" -> (Q.textBoilerplate _),
     // dedup
     "sample_stratified" -> (Q.sampleStratified _),
     "dedup_exact" -> (Q.dedupExact _),

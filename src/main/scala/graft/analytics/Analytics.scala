@@ -143,4 +143,31 @@ object Analytics {
       .select(col("window_start"), col("event_type"), col("n_events"),
         (col("_vc").cast("double") / 100.0).as("sum_value"),
         (col("_vc").cast("double") / (lit(100.0) * col("n_events"))).as("avg_value"))
+
+  /** Ordered-stage funnel (view → click → purchase, strictly increasing
+    * timestamps): per-stage user counts plus the median seconds from first
+    * view to completing purchase.
+    *
+    * Each stage is a user-keyed groupBy-min chained through a user-keyed
+    * join — shuffles only on user_id (high cardinality), stage frames
+    * shrink monotonically, and the final counts are broadcast 1-row
+    * aggregates. No window over the raw event stream, no per-user
+    * event-list collection. */
+  def eventsFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir, "events").select(col("user_id"), col("ts"), col("event_type"))
+    val a = e.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ts").as("t_a"))
+    val b = e.filter(col("event_type") === "click").join(a, "user_id")
+      .filter(col("ts") > col("t_a")).groupBy("user_id").agg(min("ts").as("t_b"))
+    val c = e.filter(col("event_type") === "purchase").join(b, "user_id")
+      .filter(col("ts") > col("t_b")).groupBy("user_id").agg(min("ts").as("t_c"))
+    val conv = c.join(a, "user_id")
+      .select(expr("(t_c - t_a) div 1000000000").as("_secs"))
+    e.agg(countDistinct(col("user_id")).as("n_users"))
+      .crossJoin(broadcast(a.agg(count(lit(1)).as("n_view"))))
+      .crossJoin(broadcast(b.agg(count(lit(1)).as("n_view_click"))))
+      .crossJoin(broadcast(c.agg(count(lit(1)).as("n_full_funnel"))))
+      .crossJoin(broadcast(conv.agg(
+        round(expr("percentile(_secs, 0.5)"), 0).cast("bigint").as("median_convert_sec"))))
+  }
 }

@@ -431,6 +431,36 @@ object OracleSql {
         | scale
         |FROM x""".stripMargin,
 
+    "events_funnel" ->
+      """WITH e AS (SELECT user_id, epoch_ns(ts) AS t, event_type FROM events),
+        |a AS (SELECT user_id, min(t) AS ta FROM e WHERE event_type = 'view' GROUP BY user_id),
+        |b AS (SELECT e.user_id, min(t) AS tb FROM e JOIN a USING (user_id)
+        |      WHERE event_type = 'click' AND t > ta GROUP BY e.user_id),
+        |c AS (SELECT e.user_id, min(t) AS tc FROM e JOIN b USING (user_id)
+        |      WHERE event_type = 'purchase' AND t > tb GROUP BY e.user_id),
+        |conv AS (SELECT (tc - ta) // 1000000000 AS secs FROM c JOIN a USING (user_id))
+        |SELECT (SELECT count(DISTINCT user_id) FROM e) AS n_users,
+        | (SELECT count(*) FROM a) AS n_view,
+        | (SELECT count(*) FROM b) AS n_view_click,
+        | (SELECT count(*) FROM c) AS n_full_funnel,
+        | (SELECT CAST(round(quantile_cont(secs, 0.5), 0) AS BIGINT) FROM conv) AS median_convert_sec""".stripMargin,
+
+    "text_boilerplate" ->
+      """WITH s AS (SELECT doc_id,
+        |    list_distinct([array_to_string(t[i:i+4], ' ') for i in range(1, len(t) - 3)]) AS sh
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents) d),
+        |ex AS (SELECT doc_id, unnest(sh) AS sg FROM s),
+        |dfq AS (SELECT sg, count(*) AS df FROM ex GROUP BY sg),
+        |st AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+        |        CAST(SUM(CASE WHEN df >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler
+        |       FROM ex JOIN dfq USING (sg) GROUP BY doc_id)
+        |SELECT d.doc_id,
+        | COALESCE(n_shingles, 0) AS n_shingles,
+        | COALESCE(n_boiler, 0) AS n_boiler,
+        | CASE WHEN COALESCE(n_shingles, 0) = 0 THEN 0.0
+        |      ELSE CAST(n_boiler AS DOUBLE) / n_shingles END AS boiler_ratio
+        |FROM documents d LEFT JOIN st ON d.doc_id = st.doc_id""".stripMargin,
+
     "text_tfidf" ->
       """WITH n AS (SELECT CAST(count(*) AS DOUBLE) AS nn FROM documents),
         |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),

@@ -334,6 +334,11 @@ object Q {
   def textTfidf(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.tfidfTopK(Tables(s, dir, "documents"), "doc_id", "text", 5)
 
+  /** Cross-doc boilerplate detection: 5-token shingles appearing in ≥3
+    * documents, per-doc counts and ratio. */
+  def textBoilerplate(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.withBoilerplate(Tables(s, dir, "documents"), "doc_id", "text")
+
   /** Corpus-wide top-20 bigrams — TakeOrderedAndProject over one count
     * shuffle, deterministic (cnt desc, bigram asc) tie-break. */
   def textNgrams(s: SparkSession, dir: String): DataFrame =

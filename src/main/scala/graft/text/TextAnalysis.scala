@@ -117,6 +117,42 @@ object TextAnalysis {
       .select(col(idCol), col("term"), col("tf"), col("tfidf"))
   }
 
+  /** Distinct n-token shingles of a document as strings (order of the array
+    * irrelevant downstream — callers aggregate). Codegen'd array ops. */
+  def shingles(text: Column, n: Int): Column = {
+    val t = tokens(text)
+    when(size(t) >= n,
+      array_distinct(transform(sequence(lit(1), size(t) - (n - 1)),
+        i => concat_ws(" ", slice(t, i, lit(n))))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Boilerplate detection — the cross-document repeated-span curation
+    * signal: a shingle appearing in ≥ `minDocs` DISTINCT documents is
+    * boilerplate (headers, licence blocks, navigation chrome); each doc
+    * reports its shingle count, boilerplate-shingle count and ratio.
+    *
+    * Shape at scale: per-doc DISTINCT shingles explode map-side; the
+    * document-frequency groupBy is one hash shuffle over the shingle
+    * vocabulary; the flag join is shingle-keyed (never a doc×doc join) and
+    * the per-doc roll-up shuffles on doc_id. Linear in corpus shingle
+    * volume — no pairwise anything. */
+  def withBoilerplate(df: DataFrame, idCol: String, textCol: String,
+                      n: Int = 5, minDocs: Int = 3): DataFrame = {
+    val ex = df.select(col(idCol), explode(shingles(col(textCol), n)).as("_s"))
+    val dfreq = ex.groupBy("_s").agg(count(lit(1)).as("_df"))
+    val stats = ex.join(dfreq, "_s").groupBy(idCol)
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("_df") >= minDocs, 1L).otherwise(0L)).as("n_boiler"))
+    df.select(col(idCol)).join(stats, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+        coalesce(col("n_boiler"), lit(0L)).as("n_boiler"))
+      .withColumn("boiler_ratio",
+        when(col("n_shingles") === 0, lit(0.0))
+          .otherwise(col("n_boiler").cast("double") / col("n_shingles")))
+  }
+
   /** Union pattern of scrub-worthy spans: emails, URLs, long digit runs,
     * and a blocklisted term. Kept to syntax that means the same thing in
     * Java regex (Spark) and RE2 (DuckDB oracle): no captures in the
