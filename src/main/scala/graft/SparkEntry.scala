@@ -57,6 +57,8 @@ object SparkEntry {
     "text_tfidf" -> (Q.textTfidf _),
     "text_scrub" -> (Q.textScrub _),
     "text_boilerplate" -> (Q.textBoilerplate _),
+    "text_logprob" -> (Q.textLogprob _),
+    "clip_outliers" -> (Q.clipOutliers _),
     // dedup
     "sample_stratified" -> (Q.sampleStratified _),
     "dedup_exact" -> (Q.dedupExact _),

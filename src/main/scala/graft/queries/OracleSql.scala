@@ -445,6 +445,32 @@ object OracleSql {
         | (SELECT count(*) FROM c) AS n_full_funnel,
         | (SELECT CAST(round(quantile_cont(secs, 0.5), 0) AS BIGINT) FROM conv) AS median_convert_sec""".stripMargin,
 
+    "text_logprob" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+        |tf AS (SELECT doc_id, t, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY doc_id, t),
+        |freq AS (SELECT t, CAST(SUM(tf) AS BIGINT) AS cnt FROM tf GROUP BY t),
+        |tot AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS tot FROM freq),
+        |sc AS (SELECT doc_id, t, tf,
+        |        CAST(tf AS DOUBLE) * ln(CAST(cnt AS DOUBLE) / tot) AS lp
+        |       FROM tf JOIN freq USING (t) CROSS JOIN tot),
+        |ag AS (SELECT doc_id, list(lp ORDER BY t) AS lps,
+        |        CAST(SUM(tf) AS BIGINT) AS n_tokens
+        |       FROM sc GROUP BY doc_id)
+        |SELECT doc_id, n_tokens,
+        | list_reduce(list_prepend(CAST(0.0 AS DOUBLE), lps), (a, b) -> a + b) AS logprob,
+        | list_reduce(list_prepend(CAST(0.0 AS DOUBLE), lps), (a, b) -> a + b)
+        |   / CAST(n_tokens AS DOUBLE) AS avg_logprob
+        |FROM ag""".stripMargin,
+
+    "clip_outliers" ->
+      s"""WITH c AS (SELECT l_orderkey, l_linenumber,
+         |            ${ac("l_extendedprice")} AS vc FROM lineitem),
+         |b AS (SELECT CAST(round(quantile_cont(vc, 0.05), 0) AS BIGINT) AS lo,
+         |             CAST(round(quantile_cont(vc, 0.95), 0) AS BIGINT) AS hi FROM c)
+         |SELECT l_orderkey, l_linenumber,
+         | CAST(least(greatest(vc, lo), hi) AS DOUBLE) / 100.0 AS price_clip
+         |FROM c CROSS JOIN b""".stripMargin,
+
     "text_boilerplate" ->
       """WITH s AS (SELECT doc_id,
         |    list_distinct([array_to_string(t[i:i+4], ' ') for i in range(1, len(t) - 3)]) AS sh

@@ -334,6 +334,17 @@ object Q {
   def textTfidf(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.tfidfTopK(Tables(s, dir, "documents"), "doc_id", "text", 5)
 
+  /** Unigram LM (perplexity-proxy) scoring of every document against the
+    * corpus's own token distribution; deterministic ordered-fold sum. */
+  def textLogprob(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.withLogprob(Tables(s, dir, "documents"), "doc_id", "text")
+
+  /** Winsorize lineitem prices at the exact [p05, p95] cents percentiles. */
+  def clipOutliers(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Outliers.winsorize(Tables(s, dir, "lineitem"),
+        "l_extendedprice", "price_clip")
+      .select("l_orderkey", "l_linenumber", "price_clip")
+
   /** Cross-doc boilerplate detection: 5-token shingles appearing in ≥3
     * documents, per-doc counts and ratio. */
   def textBoilerplate(s: SparkSession, dir: String): DataFrame =

@@ -117,6 +117,36 @@ object TextAnalysis {
       .select(col(idCol), col("term"), col("tf"), col("tfidf"))
   }
 
+  /** Unigram language-model scoring — the classic perplexity-proxy quality
+    * signal: each document's log-probability under the corpus's own unigram
+    * distribution, `logprob = Σ_tokens ln(count(token)/total)`, plus the
+    * length-normalized `avg_logprob` (perplexity = exp(−avg_logprob)).
+    *
+    * Distributed shape: (doc,term) counts and the corpus term frequencies
+    * are two hash shuffles (the second vocabulary-sized); the corpus total
+    * is a broadcast 1-row aggregate. The per-doc Σ of ln-terms is computed
+    * as an ORDERED fold (sort_array of (term, lp) structs, then a
+    * left-to-right `aggregate`) so the double accumulation is
+    * bitwise-deterministic — a plain SUM would vary with partitioning. The
+    * collected list is bounded by the document's distinct-term count, never
+    * by the corpus. */
+  def withLogprob(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = df.select(col(idCol), explode(tokens(col(textCol))).as("_t"))
+    val tf = tok.groupBy(col(idCol), col("_t")).agg(count(lit(1)).as("_tf"))
+    val freq = tf.groupBy("_t").agg(sum("_tf").as("_cnt"))
+    val tot = freq.agg(sum("_cnt").cast("double").as("_tot"))
+    val scored = tf.join(freq, "_t").crossJoin(broadcast(tot))
+      .withColumn("_lp",
+        col("_tf").cast("double") * log(col("_cnt").cast("double") / col("_tot")))
+    scored.groupBy(idCol)
+      .agg(sort_array(collect_list(struct(col("_t"), col("_lp")))).as("_l"),
+        sum("_tf").as("n_tokens"))
+      .withColumn("logprob",
+        aggregate(col("_l"), lit(0.0), (acc, x) => acc + x.getField("_lp")))
+      .withColumn("avg_logprob", col("logprob") / col("n_tokens").cast("double"))
+      .select(col(idCol), col("n_tokens"), col("logprob"), col("avg_logprob"))
+  }
+
   /** Distinct n-token shingles of a document as strings (order of the array
     * irrelevant downstream — callers aggregate). Codegen'd array ops. */
   def shingles(text: Column, n: Int): Column = {
