@@ -68,6 +68,7 @@ object SparkEntry {
     // similarity
     "ann_topk" -> (Q.annTopk _),
     "embed_quantize" -> (Q.embedQuantize _),
+    "embed_cluster" -> (Q.embedCluster _),
     // multimodal
     "mm_binary" -> (Q.mmBinary _),
     // rows-only: model-based / hash-family / sketch operators

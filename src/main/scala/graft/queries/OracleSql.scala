@@ -651,6 +651,21 @@ object OracleSql {
         | FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
         |SELECT id_a, id_b, cos FROM p WHERE cos > 0.35""".stripMargin,
 
+    "embed_cluster" ->
+      """WITH RECURSIVE em AS (SELECT vec_id, label, [CAST(x AS DOUBLE) for x in embedding] AS v FROM embeddings),
+        |p AS (
+        | SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        | FROM em a JOIN em b ON a.label = b.label AND a.vec_id < b.vec_id
+        | WHERE list_sum([a.v[i] * b.v[i] for i in range(1, 65)])
+        |   / (sqrt(list_sum([a.v[i] * a.v[i] for i in range(1, 65)]))
+        |      * sqrt(list_sum([b.v[i] * b.v[i] for i in range(1, 65)]))) > 0.35),
+        |e AS (SELECT id_a AS src, id_b AS dst FROM p UNION ALL SELECT id_b, id_a FROM p),
+        |reach(node, lab) AS (
+        | SELECT vec_id, vec_id FROM embeddings
+        | UNION
+        | SELECT e.src, r.lab FROM e JOIN reach r ON e.dst = r.node)
+        |SELECT node AS vec_id, min(lab) AS cluster_id FROM reach GROUP BY node""".stripMargin,
+
     // ------------------------------------------------------------ similarity
     "ann_topk" ->
       """WITH e AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v FROM embeddings),

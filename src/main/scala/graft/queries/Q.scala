@@ -406,6 +406,16 @@ object Q {
       .select("id_a", "id_b", "cos")
   }
 
+  /** Semantic duplicate clusters: connected components over the
+    * embedding-cosine near-dup pairs — same CC engine as dedup_cluster,
+    * composed over a different pair generator. */
+  def embedCluster(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables(s, dir, "embeddings")
+    Dedup.connectedComponents(e.select(col("vec_id")), "vec_id",
+        dedupEmbed(s, dir), "id_a", "id_b")
+      .select(col("id").as("vec_id"), col("cluster_id"))
+  }
+
   // ------------------------------------------------------------ similarity
 
   /** Brute-force cosine top-k via the native bounded-heap `graft_topk`

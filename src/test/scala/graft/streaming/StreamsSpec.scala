@@ -98,4 +98,27 @@ class StreamsSpec extends SparkSpec {
       assert(spark.table("dedup_out").count() == 2)
     } finally query.stop()
   }
+
+  test("stateless text operators (scrub, quality, logprob-free) run on streams unchanged") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Doc]
+    // scrub + quality are pure column expressions: the same code path as
+    // batch compiles into the streaming plan with zero state
+    val out = graft.text.TextAnalysis.withScrub(
+      graft.text.TextAnalysis.withQuality(input.toDF(), "text"), "text")
+      .select("doc_id", "scrubbed", "n_hits", "quality_score")
+    val query = out.writeStream.format("memory").queryName("scrub_out")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        Doc(t(0), 1L, "mail bob@x.example now the a of and to in is on for"),
+        Doc(t(1), 2L, "spark and sparkly words"))
+      query.processAllAvailable()
+      val rows = spark.table("scrub_out").orderBy("doc_id")
+        .select("scrubbed").as[String].collect()
+      assert(rows(0).startsWith("mail <x> now"))
+      assert(rows(1) == "<x> and sparkly words")
+    } finally query.stop()
+  }
 }
