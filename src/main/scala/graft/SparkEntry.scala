@@ -40,6 +40,7 @@ object SparkEntry {
     "imp_mode" -> (Q.impMode _),
     "imp_group_mean" -> (Q.impGroupMean _),
     "imp_knn" -> (Q.impKnn _),
+    "imp_group_mode" -> (Q.impGroupMode _),
     "imp_regression" -> (Q.impRegression _),
     "imp_iterative" -> (Q.impIterative _),
     "imp_simulation" -> (Q.impSimulation _),
@@ -58,6 +59,7 @@ object SparkEntry {
     "text_scrub" -> (Q.textScrub _),
     "text_boilerplate" -> (Q.textBoilerplate _),
     "text_logprob" -> (Q.textLogprob _),
+    "text_chunk" -> (Q.textChunk _),
     "clip_outliers" -> (Q.clipOutliers _),
     // dedup
     "sample_stratified" -> (Q.sampleStratified _),

@@ -43,6 +43,30 @@ object Strategies {
     }
   }
 
+  /** Hierarchical group-wise mode: fill a categorical from its group's most
+    * frequent observed value (count desc, value asc tie-break), falling
+    * back to the global mode for all-missing groups. Per-group argmax is a
+    * window over the (group, value) count frame — #groups·#values rows,
+    * tiny next to the data — broadcast-joined back. */
+  def groupMode(df: DataFrame, valueCol: String, groupCol: String, outCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = df.filter(col(valueCol).isNotNull)
+      .groupBy(col(groupCol), col(valueCol)).agg(count(lit(1)).as("_cnt"))
+    val gm = counts
+      .withColumn("_rk", row_number().over(
+        Window.partitionBy(groupCol).orderBy(desc("_cnt"), asc(valueCol))))
+      .filter(col("_rk") === 1)
+      .select(col(groupCol), col(valueCol).as("_gmode"))
+    val g = df.filter(col(valueCol).isNotNull)
+      .groupBy(valueCol).agg(count(lit(1)).as("_cnt"))
+      .orderBy(desc("_cnt"), asc(valueCol)).limit(1)
+      .select(col(valueCol).as("_mode"))
+    df.join(broadcast(gm), Seq(groupCol), "left")
+      .crossJoin(broadcast(g))
+      .withColumn(outCol, coalesce(col(valueCol), col("_gmode"), col("_mode")))
+      .drop("_gmode", "_mode")
+  }
+
   /** Hierarchical group-wise mean: impute from the group's observed mean,
     * falling back to the global mean for all-missing groups. The per-group
     * stats frame is small (#groups rows) and broadcast. */

@@ -210,6 +210,19 @@ object OracleSql {
          |      GROUP BY 1 ORDER BY count(*) DESC, v ASC LIMIT 1)
          |SELECT c_custkey, coalesce(c_mktsegment, v) AS seg_imp FROM mcv CROSS JOIN m""".stripMargin,
 
+    "imp_group_mode" ->
+      s"""WITH mcv AS ($MCV),
+         |cnt AS (SELECT c_nationkey, c_mktsegment AS v, count(*) AS c FROM mcv
+         |        WHERE c_mktsegment IS NOT NULL GROUP BY 1, 2),
+         |gm AS (SELECT c_nationkey, v AS gmode FROM (
+         |        SELECT c_nationkey, v,
+         |          row_number() OVER (PARTITION BY c_nationkey ORDER BY c DESC, v ASC) AS rk
+         |        FROM cnt) WHERE rk = 1),
+         |g AS (SELECT c_mktsegment AS gmode0 FROM mcv WHERE c_mktsegment IS NOT NULL
+         |      GROUP BY 1 ORDER BY count(*) DESC, gmode0 ASC LIMIT 1)
+         |SELECT c_custkey, coalesce(c_mktsegment, gmode, gmode0) AS seg_imp
+         |FROM mcv LEFT JOIN gm USING (c_nationkey) CROSS JOIN g""".stripMargin,
+
     "imp_group_mean" ->
       s"""WITH mcv AS ($MCV),
          |gm AS (SELECT c_nationkey,
@@ -444,6 +457,16 @@ object OracleSql {
         | (SELECT count(*) FROM b) AS n_view_click,
         | (SELECT count(*) FROM c) AS n_full_funnel,
         | (SELECT CAST(round(quantile_cont(secs, 0.5), 0) AS BIGINT) FROM conv) AS median_convert_sec""".stripMargin,
+
+    "text_chunk" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |c AS (SELECT doc_id, t, CAST(len(t) AS BIGINT) AS n,
+        |        unnest(range(0, (len(t) + 63) // 64)) AS i
+        |      FROM d)
+        |SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
+        | array_to_string(t[i * 64 + 1 : least((i + 1) * 64, n)], ' ') AS chunk_text,
+        | CAST(least((i + 1) * 64, n) - i * 64 AS BIGINT) AS n_chunk_tokens
+        |FROM c""".stripMargin,
 
     "text_logprob" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),

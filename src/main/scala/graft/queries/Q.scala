@@ -79,6 +79,13 @@ object Q {
     Strategies.mode(Tables.maskedCustomer(s, dir), "c_mktsegment", "seg_imp")
       .select("c_custkey", "seg_imp")
 
+  /** Group-wise mode: each nation's most frequent observed segment fills
+    * that nation's masked rows (global mode fallback). */
+  def impGroupMode(s: SparkSession, dir: String): DataFrame =
+    Strategies.groupMode(Tables.maskedCustomer(s, dir),
+        "c_mktsegment", "c_nationkey", "seg_imp")
+      .select("c_custkey", "seg_imp")
+
   def impGroupMean(s: SparkSession, dir: String): DataFrame = {
     val mc = Tables.maskedCustomer(s, dir)
     val ac = cents(col("c_acctbal"), 2)
@@ -344,6 +351,10 @@ object Q {
     graft.operators.Outliers.winsorize(Tables(s, dir, "lineitem"),
         "l_extendedprice", "price_clip")
       .select("l_orderkey", "l_linenumber", "price_clip")
+
+  /** RAG chunking: 64-token chunks per document, one row per chunk. */
+  def textChunk(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.chunk(Tables(s, dir, "documents"), "doc_id", "text", 64)
 
   /** Cross-doc boilerplate detection: 5-token shingles appearing in ≥3
     * documents, per-doc counts and ratio. */

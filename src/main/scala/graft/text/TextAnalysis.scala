@@ -117,6 +117,25 @@ object TextAnalysis {
       .select(col(idCol), col("term"), col("tf"), col("tfidf"))
   }
 
+  /** RAG-style document chunking: split each document's token stream into
+    * fixed-budget chunks (last chunk ragged), one output row per chunk with
+    * its reassembled text. Pure per-row array expressions (`sequence` →
+    * `slice` → `explode`) — no shuffle, no state; chunking 100 TB is one
+    * scan inside whole-stage codegen. */
+  def chunk(df: DataFrame, idCol: String, textCol: String, size: Int): DataFrame = {
+    require(size > 0, s"chunk size must be positive, got $size")
+    val t = tokens(col(textCol))
+    val n = org.apache.spark.sql.functions.size(t)
+    val nChunks = expr(s"(size(split($textCol, ' ')) + ${size - 1}) div $size")
+    df.select(col(idCol),
+        explode(transform(sequence(lit(0L), nChunks - 1),
+          i => struct(i.as("chunk_id"),
+            concat_ws(" ", slice(t, (i * size + 1).cast("int"), lit(size))).as("chunk_text"),
+            (least((i + 1) * size, n.cast("bigint")) - i * size).as("n_chunk_tokens"))))
+          .as("_c"))
+      .select(col(idCol), col("_c.chunk_id"), col("_c.chunk_text"), col("_c.n_chunk_tokens"))
+  }
+
   /** Unigram language-model scoring — the classic perplexity-proxy quality
     * signal: each document's log-probability under the corpus's own unigram
     * distribution, `logprob = Σ_tokens ln(count(token)/total)`, plus the
