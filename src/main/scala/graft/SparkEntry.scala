@@ -20,7 +20,9 @@ object SparkEntry {
     "q1_agg" -> (Analytics.q1 _),
     "q3_join" -> (Analytics.q3 _),
     "q5_multijoin" -> (Analytics.q5 _),
+    "q4_semijoin" -> (Analytics.q4 _),
     "q6_filter" -> (Analytics.q6 _),
+    "q12_condagg" -> (Analytics.q12 _),
     "events_json" -> (Analytics.eventsJson _),
     "asof_join" -> (Q.asofJoin _),
     "profile_numeric" -> (graft.analytics.Profile.lineitemProfile _),

@@ -76,6 +76,32 @@ object Analytics {
       .select(col("n_name"), (col("_rc").cast("double") / 10000.0).as("revenue"))
   }
 
+  /** TPC-H Q4-style EXISTS: orders with at least one line shipped after the
+    * order date, counted per priority. The left-semi join short-circuits on
+    * first match and never widens the orders row — THE pattern for
+    * existence predicates at scale (a plain join + distinct would shuffle
+    * every matching lineitem). */
+  def q4(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables(spark, dir, "orders")
+    val l = Tables(spark, dir, "lineitem").select("l_orderkey", "l_shipdate")
+    o.join(l, o("o_orderkey") === l("l_orderkey") && l("l_shipdate") > o("o_orderdate"),
+        "left_semi")
+      .groupBy("o_orderpriority").agg(count(lit(1)).as("order_count"))
+  }
+
+  /** TPC-H Q12-style conditional aggregation: one equi-join, then
+    * high/low-priority line counts per return flag as map-side
+    * sum(CASE WHEN) partials — no second shuffle for the pivot. */
+  def q12(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables(spark, dir, "orders").select("o_orderkey", "o_orderpriority")
+    val l = Tables(spark, dir, "lineitem").select("l_orderkey", "l_returnflag")
+    val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .groupBy("l_returnflag")
+      .agg(sum(when(high, 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(!high, 1L).otherwise(0L)).as("low_line_count"))
+  }
+
   /** TPC-H Q6-style selective revenue aggregate: every predicate reaches the
     * parquet scan (PushedFilters) and only three columns are read. */
   def q6(spark: SparkSession, dir: String): DataFrame =

@@ -57,6 +57,20 @@ object OracleSql {
          |WHERE r_name = 'ASIA'
          |GROUP BY n_name""".stripMargin,
 
+    "q4_semijoin" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+        |GROUP BY 1""".stripMargin,
+
+    "q12_condagg" ->
+      """SELECT l_returnflag,
+        | CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        | CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1""".stripMargin,
+
     "q6_filter" ->
       s"""SELECT
          | CAST(SUM(CAST(round((l_extendedprice * l_discount) * 10000.0, 0) AS BIGINT)) AS DOUBLE) / 10000.0 AS revenue,

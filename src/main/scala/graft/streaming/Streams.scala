@@ -14,6 +14,16 @@ case class Session(user_id: Long, session_start: Long, session_end: Long,
 /** Mutable per-user session state. */
 case class SessionState(start: Long, last: Long, n: Long, value: Double)
 
+/** Event record for the streaming funnel. */
+case class FunnelEvent(user_id: Long, t: Long, event_type: String)
+
+/** Per-user funnel stage timestamps (−1 = stage not reached). */
+case class FunnelState(tA: Long, tB: Long, tC: Long)
+
+/** Funnel progress emitted per user per batch: highest stage reached
+  * (0..3) and seconds from stage-1 to stage-3 once complete (−1 before). */
+case class FunnelProgress(user_id: Long, stage: Int, convert_sec: Long)
+
 /** Structured Streaming faces of the batch operators: the same logical
   * transforms applied to a streaming DataFrame (`readStream` source), with
   * watermarks bounding state.
@@ -94,6 +104,36 @@ object Streams {
       // evicts state as time advances
       .dropDuplicatesWithinWatermark(Seq("_content_hash"))
       .drop("_content_hash")
+  }
+
+  /** Stateful streaming funnel — the streaming face of the batch
+    * `Analytics.eventsFunnel`: per-user stage machine (A then B then C with
+    * strictly increasing event times) held in `mapGroupsWithState`. Events
+    * within a batch are applied in event-time order; the state ratchets
+    * forward monotonically (the first qualifying time per stage sticks, so
+    * replays/duplicates are idempotent). State is three longs per user —
+    * bounded by user cardinality, never event volume. Update output mode:
+    * each batch re-emits the user's current stage. */
+  def funnel(events: Dataset[FunnelEvent],
+             stages: (String, String, String) = ("view", "click", "purchase")): Dataset[FunnelProgress] = {
+    implicit val progressEnc = Encoders.product[FunnelProgress]
+    implicit val stateEnc = Encoders.product[FunnelState]
+    events.groupByKey(_.user_id)(Encoders.scalaLong)
+      .mapGroupsWithState[FunnelState, FunnelProgress](GroupStateTimeout.NoTimeout) {
+        (uid: Long, evs: Iterator[FunnelEvent], state: GroupState[FunnelState]) =>
+          var st = state.getOption.getOrElse(FunnelState(-1L, -1L, -1L))
+          evs.toSeq.sortBy(e => (e.t, e.event_type)).foreach { e =>
+            if (e.event_type == stages._1 && st.tA < 0)
+              st = st.copy(tA = e.t)
+            else if (e.event_type == stages._2 && st.tA >= 0 && st.tB < 0 && e.t > st.tA)
+              st = st.copy(tB = e.t)
+            else if (e.event_type == stages._3 && st.tB >= 0 && st.tC < 0 && e.t > st.tB)
+              st = st.copy(tC = e.t)
+          }
+          state.update(st)
+          val stage = if (st.tC >= 0) 3 else if (st.tB >= 0) 2 else if (st.tA >= 0) 1 else 0
+          FunnelProgress(uid, stage, if (st.tC >= 0) st.tC - st.tA else -1L)
+      }
   }
 
   /** Streaming tumbling-window count/sum per event type. Late data beyond

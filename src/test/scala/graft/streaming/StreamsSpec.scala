@@ -99,6 +99,34 @@ class StreamsSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("stateful streaming funnel ratchets stages across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[FunnelEvent]
+    val out = Streams.funnel(input.toDS())
+    val query = out.writeStream.format("memory").queryName("funnel_out")
+      .outputMode("update").start()
+    def stages(): Map[Long, (Int, Long)] =
+      spark.table("funnel_out").as[FunnelProgress].collect()
+        .groupBy(_.user_id).view.mapValues { rs =>
+          val last = rs.last; (last.stage, last.convert_sec)
+        }.toMap
+    try {
+      // batch 1: user 1 views+clicks; user 2 clicks BEFORE viewing
+      input.addData(FunnelEvent(1L, 10, "view"), FunnelEvent(1L, 20, "click"),
+        FunnelEvent(2L, 5, "click"), FunnelEvent(2L, 8, "view"))
+      query.processAllAvailable()
+      val s1 = stages()
+      assert(s1(1L)._1 == 2 && s1(2L)._1 == 1)
+      // batch 2: user 1 purchases (full funnel, 30s convert); user 2 clicks post-view
+      input.addData(FunnelEvent(1L, 40, "purchase"), FunnelEvent(2L, 12, "click"))
+      query.processAllAvailable()
+      val s2 = stages()
+      assert(s2(1L) == ((3, 30L)))
+      assert(s2(2L)._1 == 2)
+    } finally query.stop()
+  }
+
   test("stateless text operators (scrub, quality, logprob-free) run on streams unchanged") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
