@@ -25,6 +25,7 @@ object SparkEntry {
     "q12_condagg" -> (Analytics.q12 _),
     "events_json" -> (Analytics.eventsJson _),
     "asof_join" -> (Q.asofJoin _),
+    "asof_nearest" -> (Q.asofNearest _),
     "profile_numeric" -> (graft.analytics.Profile.lineitemProfile _),
     "topn_window" -> (Analytics.topnPerGroup(_, _)),
     "events_sessionize" -> (Analytics.sessionize(_, _)),

@@ -48,4 +48,45 @@ object AsOfJoin {
       }
       .select((leftCols.map(col) ++ payload.map(c => col(s"asof_$c"))): _*)
   }
+
+  /** Nearest-in-time variant: for each left row, the right row minimizing
+    * |rightTime − leftTime| on the same key; equal-distance ties (and exact
+    * time matches) resolve to the PRIOR row. Same union+window shape as
+    * [[latestPrior]], with a second (mirror) window for the first following
+    * row — still ONE shuffle on the join key, both sides arbitrarily large.
+    * `right` must have at most one row per (key, time). Emitted columns:
+    * `near_<col>`. */
+  def nearest(left: DataFrame, right: DataFrame,
+              leftKey: String, rightKey: String,
+              leftTime: String, rightTime: String,
+              payload: Seq[String]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val l = left
+      .withColumn("_k", col(leftKey)).withColumn("_t", col(leftTime))
+      .withColumn("_tag", lit(1))
+    val r = right.select(
+      col(rightKey).as("_k"), col(rightTime).as("_t"), lit(0).as("_tag"),
+      struct(col(rightTime).as("_rt") +: payload.map(col): _*).as("_payload"))
+    val unioned = l.unionByName(r, allowMissingColumns = true)
+
+    // right rows tag-sort before left at equal time → equal-time rows land
+    // in the prior window (inclusive), never the following one
+    val ord = Window.partitionBy("_k").orderBy("_t", "_tag")
+    val wPrior = ord.rowsBetween(Window.unboundedPreceding, 0)
+    val wNext = ord.rowsBetween(0, Window.unboundedFollowing)
+    val prior = col("_prior"); val next = col("_next")
+    val matched = unioned
+      .withColumn("_prior", last("_payload", ignoreNulls = true).over(wPrior))
+      .withColumn("_next", first("_payload", ignoreNulls = true).over(wNext))
+      .filter(col("_tag") === 1)
+      .withColumn("_match",
+        when(prior.isNull, next)
+          .when(next.isNull, prior)
+          .when(col("_t") - prior.getField("_rt") <= next.getField("_rt") - col("_t"), prior)
+          .otherwise(next))
+    payload.foldLeft(matched) { (d, c) =>
+        d.withColumn(s"near_$c", col("_match").getField(c))
+      }
+      .select((leftCols.map(col) ++ payload.map(c => col(s"near_$c"))): _*)
+  }
 }

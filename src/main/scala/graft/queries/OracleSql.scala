@@ -102,6 +102,18 @@ object OracleSql {
         |SELECT o.o_orderkey, o.o_custkey, e0.t AS event_t, e0.value AS event_value
         |FROM o ASOF LEFT JOIN e0 ON o.o_custkey = e0.user_id AND e0.t <= o.t""".stripMargin,
 
+    "asof_nearest" ->
+      """WITH o AS (SELECT o_orderkey, o_custkey, epoch_ms(o_orderdate) // 1000 AS t FROM orders),
+        |e0 AS (SELECT user_id, epoch_ns(ts) // 1000000000 AS t, max_by(value, event_id) AS value
+        |       FROM events GROUP BY 1, 2)
+        |SELECT o.o_orderkey, o.o_custkey, n.t AS event_t, n.value AS event_value
+        |FROM o LEFT JOIN LATERAL (
+        |  SELECT t, value FROM e0
+        |  WHERE e0.user_id = o.o_custkey
+        |  ORDER BY CASE WHEN e0.t <= o.t THEN o.t - e0.t ELSE e0.t - o.t END ASC,
+        |           CASE WHEN e0.t <= o.t THEN 0 ELSE 1 END ASC
+        |  LIMIT 1) n ON TRUE""".stripMargin,
+
     "topn_window" ->
       """SELECT o_orderpriority, rn, o_orderkey, o_totalprice FROM (
         | SELECT o_orderpriority,

@@ -352,6 +352,21 @@ object Q {
         "l_extendedprice", "price_clip")
       .select("l_orderkey", "l_linenumber", "price_clip")
 
+  /** Nearest-event as-of variant: same frames as asofJoin, nearest in
+    * |time| with prior-wins ties. */
+  def asofNearest(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.AsOfJoin
+    val orders = Tables(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"),
+      expr("unix_micros(cast(o_orderdate as timestamp)) div 1000000").as("t"))
+    val events = Tables(s, dir, "events")
+      .select(col("user_id"), expr("ts div 1000000000").as("t"),
+        col("value"), col("event_id"))
+      .groupBy("user_id", "t").agg(max_by(col("value"), col("event_id")).as("value"))
+    AsOfJoin.nearest(orders, events, "o_custkey", "user_id", "t", "t", Seq("t", "value"))
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("near_t").as("event_t"), col("near_value").as("event_value"))
+  }
+
   /** RAG chunking: 64-token chunks per document, one row per chunk. */
   def textChunk(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.chunk(Tables(s, dir, "documents"), "doc_id", "text", 64)

@@ -23,6 +23,23 @@ class OperatorsSpec extends SparkSpec {
       (4L, null, null))) // key absent on the right
   }
 
+  test("nearest as-of picks the closer side, prior wins ties") {
+    import spark.implicits._
+    val orders = Seq((1L, 10L, 100L), (2L, 10L, 140L), (3L, 10L, 190L),
+      (4L, 20L, 10L), (5L, 30L, 7L)).toDF("order_id", "cust", "t")
+    val events = Seq((10L, 90L, 1.0), (10L, 200L, 2.0), (20L, 60L, 9.0))
+      .toDF("user", "t", "value")
+    val got = AsOfJoin.nearest(orders, events, "cust", "user", "t", "t", Seq("t", "value"))
+      .orderBy("order_id").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(3)) null else r.getLong(3)))
+    assert(got.toSeq == Seq(
+      (1L, 90L),    // prior at d=10 beats next at d=100
+      (2L, 90L),    // d_prior=50 < d_next=60 → prior
+      (3L, 200L),   // next at d=10 beats prior at d=100
+      (4L, 60L),    // only a LATER event exists → still matches
+      (5L, null)))  // key absent on the right
+  }
+
   test("salted join equals the plain join") {
     import spark.implicits._
     // one hot key (80% of rows) + uniform tail
