@@ -27,6 +27,7 @@ object SparkEntry {
     "asof_join" -> (Q.asofJoin _),
     "asof_nearest" -> (Q.asofNearest _),
     "profile_numeric" -> (graft.analytics.Profile.lineitemProfile _),
+    "profile_categorical" -> (graft.analytics.Profile.customerCategoricalProfile _),
     "topn_window" -> (Analytics.topnPerGroup(_, _)),
     "events_sessionize" -> (Analytics.sessionize(_, _)),
     "events_window" -> (Analytics.eventsWindow _),

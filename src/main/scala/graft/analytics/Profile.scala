@@ -62,4 +62,32 @@ object Profile {
   def lineitemProfileApprox(spark: SparkSession, dir: String): DataFrame =
     numericApprox(Tables(spark, dir, "lineitem"),
       Seq("l_quantity" -> 2, "l_extendedprice" -> 2, "l_discount" -> 4, "l_tax" -> 4))
+
+  /** Categorical profiling: observed count, distinct count, deterministic
+    * mode (count desc, value asc) with its frequency, and the Shannon
+    * entropy of the value distribution (6dp-rounded; the imp_variance
+    * discipline — ln(N) − Σc·ln(c)/N with rounding absorbing double
+    * sum-order noise). One count shuffle per column over its value
+    * cardinality; everything downstream of the counts is tiny. */
+  def categorical(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val parts = cols.map { c =>
+      val counts = df.filter(col(c).isNotNull)
+        .groupBy(col(c).cast("string").as("_v")).agg(count(lit(1)).as("_c"))
+      val mode = counts.orderBy(desc("_c"), asc("_v")).limit(1)
+        .select(col("_v").as("mode_value"), col("_c").as("mode_n"))
+      counts.agg(
+          sum("_c").as("n"),
+          count(lit(1)).as("n_distinct"),
+          round(log(sum(col("_c")).cast("double"))
+            - sum(col("_c").cast("double") * log(col("_c").cast("double")))
+              / sum(col("_c")).cast("double"), 6).as("entropy"))
+        .crossJoin(broadcast(mode))
+        .select(lit(c).as("variable"), col("n"), col("n_distinct"),
+          col("mode_value"), col("mode_n"), col("entropy"))
+    }
+    parts.reduce(_ unionAll _)
+  }
+
+  def customerCategoricalProfile(spark: SparkSession, dir: String): DataFrame =
+    categorical(Tables(spark, dir, "customer"), Seq("c_mktsegment", "c_nationkey"))
 }

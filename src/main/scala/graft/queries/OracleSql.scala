@@ -102,6 +102,22 @@ object OracleSql {
         |SELECT o.o_orderkey, o.o_custkey, e0.t AS event_t, e0.value AS event_value
         |FROM o ASOF LEFT JOIN e0 ON o.o_custkey = e0.user_id AND e0.t <= o.t""".stripMargin,
 
+    "profile_categorical" -> {
+      def one(c: String) =
+        s"""SELECT '$c' AS variable, n, n_distinct, mode_value, mode_n, entropy FROM
+           | (SELECT CAST(SUM(c) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS n_distinct,
+           |   round(ln(CAST(SUM(c) AS DOUBLE))
+           |     - SUM(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))) / CAST(SUM(c) AS DOUBLE), 6) AS entropy
+           |  FROM (SELECT CAST($c AS VARCHAR) AS v, count(*) AS c FROM customer
+           |        WHERE $c IS NOT NULL GROUP BY 1))
+           | CROSS JOIN
+           | (SELECT v AS mode_value, CAST(c AS BIGINT) AS mode_n
+           |  FROM (SELECT CAST($c AS VARCHAR) AS v, count(*) AS c FROM customer
+           |        WHERE $c IS NOT NULL GROUP BY 1)
+           |  ORDER BY c DESC, v ASC LIMIT 1)""".stripMargin
+      Seq("c_mktsegment", "c_nationkey").map(one).mkString("\nUNION ALL\n")
+    },
+
     "asof_nearest" ->
       """WITH o AS (SELECT o_orderkey, o_custkey, epoch_ms(o_orderdate) // 1000 AS t FROM orders),
         |e0 AS (SELECT user_id, epoch_ns(ts) // 1000000000 AS t, max_by(value, event_id) AS value

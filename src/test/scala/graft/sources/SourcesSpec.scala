@@ -80,6 +80,20 @@ class SourcesSpec extends SparkSpec {
     assert(df.count() == 2 && df.schema == schema)
   }
 
+  test("partitioned writes enable partition pruning on re-read") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_part").toString
+    val df = (1 to 300).map(i => (i.toLong, s"src${i % 3}", i * 1.5)).toDF("id", "source", "v")
+    Sources.writePartitioned(df, s"$dir/docs", Seq("source"))
+    val back = Sources.parquet(spark, s"$dir/docs").filter($"source" === "src1")
+    assert(back.count() == 100)
+    // the source predicate must become a partition filter, not a data filter
+    val plan = back.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      plan.replaceAll("(?s).*PartitionFilters: \\[([^\\]]*)\\].*", "$1").contains("source"),
+      s"no partition filter in plan:\n$plan")
+  }
+
   test("orc roundtrip preserves schema and values") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_orc").toString
