@@ -32,6 +32,8 @@ object SparkEntry {
     "events_sessionize" -> (Analytics.sessionize(_, _)),
     "events_window" -> (Analytics.eventsWindow _),
     "events_funnel" -> (Analytics.eventsFunnel _),
+    "events_cohort" -> (Analytics.eventsCohort _),
+    "orders_rfm" -> (Analytics.ordersRfm _),
     // imputer core
     "imp_missing_indicator" -> (Q.impMissingIndicator _),
     "imp_missing_metrics" -> (Q.impMissingMetrics _),

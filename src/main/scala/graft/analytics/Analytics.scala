@@ -170,6 +170,44 @@ object Analytics {
         (col("_vc").cast("double") / 100.0).as("sum_value"),
         (col("_vc").cast("double") / (lit(100.0) * col("n_events"))).as("avg_value"))
 
+  /** Cohort retention matrix: users grouped by first-activity day, distinct
+    * active users counted per (cohort, days-since-cohort) cell. Two
+    * user-keyed shuffles (first-day agg, distinct activity) and one cell
+    * aggregation — nothing windows over the raw stream. */
+  def eventsCohort(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir, "events")
+      .select(col("user_id"), expr("ts div 86400000000000").as("d")).distinct()
+    val first = e.groupBy("user_id").agg(min("d").as("cohort_d"))
+    e.join(first, "user_id")
+      .groupBy(col("cohort_d"), (col("d") - col("cohort_d")).as("age_days"))
+      .agg(countDistinct("user_id").as("n_users"))
+  }
+
+  /** RFM customer scoring with scale-safe quartile bucketing: per-customer
+    * recency/frequency/monetary aggregates, then quartile assignment by
+    * comparing against broadcast percentile thresholds — NOT `ntile` over a
+    * global ORDER BY, which funnels every customer into one task. Monetary
+    * stays exact integer cents until the final projection. */
+  def ordersRfm(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables(spark, dir, "orders").groupBy("o_custkey").agg(
+      max(expr("unix_micros(cast(o_orderdate as timestamp)) div 1000000")).as("recency_t"),
+      count(lit(1)).as("frequency"),
+      sum(cents(col("o_totalprice"), 2)).as("_mc"))
+    val th = base.agg(
+      expr("percentile(recency_t, array(0.25, 0.5, 0.75))").as("_rt"),
+      expr("percentile(frequency, array(0.25, 0.5, 0.75))").as("_ft"),
+      expr("percentile(_mc, array(0.25, 0.5, 0.75))").as("_mt"))
+    def quartile(v: org.apache.spark.sql.Column, t: String) =
+      lit(1) + (v > element_at(col(t), 1)).cast("int") +
+        (v > element_at(col(t), 2)).cast("int") + (v > element_at(col(t), 3)).cast("int")
+    base.crossJoin(broadcast(th)).select(
+      col("o_custkey"), col("recency_t"), col("frequency"),
+      (col("_mc").cast("double") / 100.0).as("monetary"),
+      quartile(col("recency_t"), "_rt").as("r_q"),
+      quartile(col("frequency"), "_ft").as("f_q"),
+      quartile(col("_mc"), "_mt").as("m_q"))
+  }
+
   /** Ordered-stage funnel (view → click → purchase, strictly increasing
     * timestamps): per-stage user counts plus the median seconds from first
     * view to completing purchase.

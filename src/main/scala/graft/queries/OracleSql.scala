@@ -102,6 +102,29 @@ object OracleSql {
         |SELECT o.o_orderkey, o.o_custkey, e0.t AS event_t, e0.value AS event_value
         |FROM o ASOF LEFT JOIN e0 ON o.o_custkey = e0.user_id AND e0.t <= o.t""".stripMargin,
 
+    "events_cohort" ->
+      """WITH e AS (SELECT DISTINCT user_id, epoch_ns(ts) // 86400000000000 AS d FROM events),
+        |f AS (SELECT user_id, min(d) AS cohort_d FROM e GROUP BY 1)
+        |SELECT cohort_d, d - cohort_d AS age_days,
+        | CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
+        |FROM e JOIN f USING (user_id) GROUP BY 1, 2""".stripMargin,
+
+    "orders_rfm" ->
+      """WITH b AS (SELECT o_custkey,
+        |    max(epoch_ms(o_orderdate) // 1000) AS recency_t,
+        |    count(*) AS frequency,
+        |    SUM(CAST(round(o_totalprice * 100.0, 0) AS BIGINT)) AS mc
+        |  FROM orders GROUP BY 1),
+        |t AS (SELECT quantile_cont(recency_t, [0.25, 0.5, 0.75]) AS rt,
+        |             quantile_cont(frequency, [0.25, 0.5, 0.75]) AS ft,
+        |             quantile_cont(mc, [0.25, 0.5, 0.75]) AS mt FROM b)
+        |SELECT o_custkey, recency_t, CAST(frequency AS BIGINT) AS frequency,
+        | CAST(mc AS DOUBLE) / 100.0 AS monetary,
+        | CAST(1 + CAST(recency_t > rt[1] AS INT) + CAST(recency_t > rt[2] AS INT) + CAST(recency_t > rt[3] AS INT) AS INT) AS r_q,
+        | CAST(1 + CAST(frequency > ft[1] AS INT) + CAST(frequency > ft[2] AS INT) + CAST(frequency > ft[3] AS INT) AS INT) AS f_q,
+        | CAST(1 + CAST(mc > mt[1] AS INT) + CAST(mc > mt[2] AS INT) + CAST(mc > mt[3] AS INT) AS INT) AS m_q
+        |FROM b CROSS JOIN t""".stripMargin,
+
     "profile_categorical" -> {
       def one(c: String) =
         s"""SELECT '$c' AS variable, n, n_distinct, mode_value, mode_n, entropy FROM
