@@ -79,6 +79,7 @@ object SparkEntry {
     "embed_cluster" -> (Q.embedCluster _),
     // multimodal
     "mm_binary" -> (Q.mmBinary _),
+    "mm_dedup" -> (Q.mmDedup _),
     // rows-only: model-based / hash-family / sketch operators
     "profile_approx" -> (graft.analytics.Profile.lineitemProfileApprox _),
     "imp_ml_tree" -> (Q.impMlTree _),

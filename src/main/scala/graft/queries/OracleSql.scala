@@ -773,6 +773,13 @@ object OracleSql {
     "mm_binary" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         | sha256(text) AS digest
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+
+    "mm_dedup" ->
+      """SELECT sha256(text) AS digest,
+        | min(doc_id) AS keep_id,
+        | count(*) AS n_copies,
+        | min(CAST(octet_length(encode(text)) AS BIGINT)) AS n_bytes
+        |FROM documents GROUP BY 1""".stripMargin
   )
 }

@@ -480,6 +480,18 @@ object Q {
         octet_length(col("text")).cast("bigint").as("n_bytes"),
         sha2(col("text"), 256).as("digest"))
 
+  /** Binary-payload dedup: group identical payloads by content digest —
+    * the multimodal face of exact dedup (images/audio dedup by bytes,
+    * never by decoding). One digest-keyed shuffle with map-side partials;
+    * the payload itself never shuffles. */
+  def mmDedup(s: SparkSession, dir: String): DataFrame = {
+    import graft.multimodal.Multimodal
+    Multimodal.asBinaryTable(Tables(s, dir, "documents"), "doc_id", "text")
+      .groupBy("digest")
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"),
+        min("n_bytes").as("n_bytes"))
+  }
+
   /** Binary payload → partition-parallel (stub) decode; rows-only check. */
   def mmFeatures(s: SparkSession, dir: String): DataFrame = {
     import graft.multimodal.{Multimodal, StubDecoder}

@@ -47,6 +47,15 @@ class KnnImputeSpec extends SparkSpec {
     expected.foreach { case (id, v) => assert(got(id) == v, s"id $id") }
   }
 
+  test("heavy ties: constant predictor degenerates to k smallest observed ids") {
+    val rows = (0L until 30L).map { i =>
+      (i, 5.0, if (i % 3 == 0) None: Option[Double] else Some(i.toDouble * 1.5))
+    }
+    val expected = brute(rows, 4)
+    val got = run(rows, 4, parts = 5)
+    expected.foreach { case (id, v) => assert(got(id) == v, s"id $id") }
+  }
+
   test("ties at equal distance break by smaller x") {
     // missing at x=5; observed at 3,4,6,7 (dist 2,1,1,2), k=2 → {4,6}; k=3 adds x=3
     val rows: Seq[(Long, Double, Option[Double])] = Seq(
