@@ -23,6 +23,8 @@ object SparkEntry {
     "q4_semijoin" -> (Analytics.q4 _),
     "q6_filter" -> (Analytics.q6 _),
     "q12_condagg" -> (Analytics.q12 _),
+    "q14_promo" -> (Analytics.q14 _),
+    "events_anomaly" -> (Analytics.eventsAnomaly _),
     "events_json" -> (Analytics.eventsJson _),
     "asof_join" -> (Q.asofJoin _),
     "asof_nearest" -> (Q.asofNearest _),

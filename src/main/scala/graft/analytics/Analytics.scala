@@ -170,6 +170,40 @@ object Analytics {
         (col("_vc").cast("double") / 100.0).as("sum_value"),
         (col("_vc").cast("double") / (lit(100.0) * col("n_events"))).as("avg_value"))
 
+  /** TPC-H Q14-style promo revenue share: part-keyed join, then ONE
+    * aggregation holding both the conditional and total revenue in exact
+    * integer 10⁻⁴ units — the ratio is a single double division at the
+    * end. */
+  def q14(spark: SparkSession, dir: String): DataFrame = {
+    val rc = cents(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)
+    Tables(spark, dir, "lineitem").select(col("l_partkey"), rc.as("_rc"))
+      .join(Tables(spark, dir, "part").select(col("p_partkey"), col("p_type")),
+        col("l_partkey") === col("p_partkey"))
+      .agg(sum(when(col("p_type") === "PROMO", col("_rc")).otherwise(0L)).as("_promo"),
+        sum(col("_rc")).as("_total"))
+      .select((lit(100.0) * col("_promo").cast("double") / col("_total").cast("double"))
+        .as("promo_revenue_pct"))
+  }
+
+  /** Volume-anomaly detection: per-day event counts z-scored against the
+    * corpus of days. Moments are exact integer sums (Σc, Σc²) so μ and σ
+    * are bitwise-deterministic; the stats ride back as a broadcast 1-row
+    * frame and the z-score is a projection. */
+  def eventsAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables(spark, dir, "events")
+      .groupBy(expr("ts div 86400000000000").as("d"))
+      .agg(count(lit(1)).as("n_events"))
+    val st = daily.agg(
+        sum("n_events").cast("double").as("_s"),
+        sum(col("n_events") * col("n_events")).cast("double").as("_ss"),
+        count(lit(1)).cast("double").as("_n"))
+      .select((col("_s") / col("_n")).as("_mu"),
+        sqrt((col("_ss") - col("_s") * col("_s") / col("_n")) / (col("_n") - 1.0)).as("_sigma"))
+    daily.crossJoin(broadcast(st))
+      .select(col("d"), col("n_events"),
+        ((col("n_events").cast("double") - col("_mu")) / col("_sigma")).as("z"))
+  }
+
   /** Cohort retention matrix: users grouped by first-activity day, distinct
     * active users counted per (cohort, days-since-cohort) cell. Two
     * user-keyed shuffles (first-day agg, distinct activity) and one cell

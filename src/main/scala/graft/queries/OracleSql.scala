@@ -102,6 +102,23 @@ object OracleSql {
         |SELECT o.o_orderkey, o.o_custkey, e0.t AS event_t, e0.value AS event_value
         |FROM o ASOF LEFT JOIN e0 ON o.o_custkey = e0.user_id AND e0.t <= o.t""".stripMargin,
 
+    "q14_promo" ->
+      """SELECT 100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO' THEN rc ELSE 0 END) AS DOUBLE)
+        |  / CAST(SUM(rc) AS DOUBLE) AS promo_revenue_pct
+        |FROM (SELECT CAST(round((l_extendedprice * (1.0 - l_discount)) * 10000.0, 0) AS BIGINT) AS rc,
+        |             p_type
+        |      FROM lineitem JOIN part ON l_partkey = p_partkey)""".stripMargin,
+
+    "events_anomaly" ->
+      """WITH daily AS (SELECT epoch_ns(ts) // 86400000000000 AS d, count(*) AS n_events
+        |               FROM events GROUP BY 1),
+        |st AS (SELECT CAST(SUM(n_events) AS DOUBLE) AS s,
+        |              CAST(SUM(n_events * n_events) AS DOUBLE) AS ss,
+        |              CAST(count(*) AS DOUBLE) AS n FROM daily),
+        |mu AS (SELECT s / n AS mu, sqrt((ss - s * s / n) / (n - 1.0)) AS sigma FROM st)
+        |SELECT d, n_events, (CAST(n_events AS DOUBLE) - mu) / sigma AS z
+        |FROM daily CROSS JOIN mu""".stripMargin,
+
     "events_cohort" ->
       """WITH e AS (SELECT DISTINCT user_id, epoch_ns(ts) // 86400000000000 AS d FROM events),
         |f AS (SELECT user_id, min(d) AS cohort_d FROM e GROUP BY 1)

@@ -99,6 +99,25 @@ class StreamsSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("stream-static broadcast enrichment joins a dimension into the stream") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((10L, "gold"), (20L, "silver")).toDF("user_id", "tier")
+    val input = MemoryStream[Ev]
+    // static side broadcasts; each micro-batch joins without stream state
+    val out = input.toDF().withColumnRenamed("event_id", "user_id")
+      .join(broadcast(dim), Seq("user_id"), "left")
+    val query = out.writeStream.format("memory").queryName("enrich_out")
+      .outputMode("append").start()
+    try {
+      input.addData(Ev(t(0), "click", 1.0, 10), Ev(t(1), "view", 2.0, 30))
+      query.processAllAvailable()
+      val rows = spark.table("enrich_out").select("user_id", "tier")
+        .as[(Long, Option[String])].collect().toMap
+      assert(rows(10L).contains("gold") && rows(30L).isEmpty)
+    } finally query.stop()
+  }
+
   test("stateful streaming funnel ratchets stages across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
