@@ -74,6 +74,7 @@ object SparkEntry {
     "dedup_exact" -> (Q.dedupExact _),
     "dedup_jaccard" -> (Q.dedupJaccard _),
     "dedup_cluster" -> (Q.dedupCluster _),
+    "dedup_stats" -> (Q.dedupStats _),
     "dedup_embed" -> (Q.dedupEmbed _),
     // similarity
     "ann_topk" -> (Q.annTopk _),

@@ -746,6 +746,25 @@ object OracleSql {
         | SELECT e.src, r.lab FROM e JOIN reach r ON e.dst = r.node)
         |SELECT node AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY node""".stripMargin,
 
+    "dedup_stats" ->
+      """WITH RECURSIVE s AS (
+        | SELECT doc_id, source,
+        |  list_distinct([array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)]) AS sh
+        | FROM (SELECT doc_id, source, string_split(text, ' ') AS t FROM documents) d),
+        |p AS (
+        | SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        | FROM s a JOIN s b ON a.source = b.source AND a.doc_id < b.doc_id
+        | WHERE CAST(CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS DOUBLE)
+        |  / (CAST(len(a.sh) AS BIGINT) + CAST(len(b.sh) AS BIGINT) - CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT)) >= 0.10),
+        |e AS (SELECT id_a AS src, id_b AS dst FROM p UNION ALL SELECT id_b, id_a FROM p),
+        |reach(node, lab) AS (
+        | SELECT doc_id, doc_id FROM documents
+        | UNION
+        | SELECT e.src, r.lab FROM e JOIN reach r ON e.dst = r.node),
+        |cl AS (SELECT node, min(lab) AS cluster_id FROM reach GROUP BY node),
+        |sz AS (SELECT cluster_id, count(*) AS cluster_size FROM cl GROUP BY 1)
+        |SELECT cluster_size, count(*) AS n_clusters FROM sz GROUP BY 1""".stripMargin,
+
     "dedup_embed" ->
       """WITH e AS (SELECT vec_id, label, [CAST(x AS DOUBLE) for x in embedding] AS v FROM embeddings),
         |p AS (

@@ -420,6 +420,14 @@ object Q {
       .select(col("id").as("doc_id"), col("cluster_id"))
   }
 
+  /** Duplication report: histogram of near-dup cluster sizes (size 1 =
+    * unique docs) — the corpus-health summary a curation run reads first.
+    * Two tiny aggregations over the CC labels. */
+  def dedupStats(s: SparkSession, dir: String): DataFrame =
+    dedupCluster(s, dir)
+      .groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
+      .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
+
   def dedupEmbed(s: SparkSession, dir: String): DataFrame = {
     val e = Tables(s, dir, "embeddings")
       .select(col("vec_id"), col("label"), toDouble(col("embedding")).as("v"))
