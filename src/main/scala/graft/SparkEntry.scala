@@ -66,6 +66,7 @@ object SparkEntry {
     "text_tfidf" -> (Q.textTfidf _),
     "text_scrub" -> (Q.textScrub _),
     "text_boilerplate" -> (Q.textBoilerplate _),
+    "text_contamination" -> (Q.textContamination _),
     "text_logprob" -> (Q.textLogprob _),
     "text_chunk" -> (Q.textChunk _),
     "clip_outliers" -> (Q.clipOutliers _),

@@ -576,6 +576,23 @@ object OracleSql {
          | CAST(least(greatest(vc, lo), hi) AS DOUBLE) / 100.0 AS price_clip
          |FROM c CROSS JOIN b""".stripMargin,
 
+    "text_contamination" ->
+      """WITH sh AS (SELECT doc_id, source,
+        |    list_distinct([array_to_string(t[i:i+4], ' ') for i in range(1, len(t) - 3)]) AS s
+        |  FROM (SELECT doc_id, source, string_split(text, ' ') AS t FROM documents) d),
+        |ev AS (SELECT DISTINCT unnest(s) AS sg FROM sh WHERE source = 'src0'),
+        |tr AS (SELECT doc_id, unnest(s) AS sg FROM sh WHERE source <> 'src0'),
+        |st AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+        |        CAST(SUM(CASE WHEN ev.sg IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated
+        |       FROM tr LEFT JOIN ev USING (sg) GROUP BY doc_id)
+        |SELECT d.doc_id,
+        | COALESCE(n_shingles, 0) AS n_shingles,
+        | COALESCE(n_contaminated, 0) AS n_contaminated,
+        | CASE WHEN COALESCE(n_shingles, 0) = 0 THEN 0.0
+        |      ELSE CAST(n_contaminated AS DOUBLE) / n_shingles END AS contamination_ratio
+        |FROM (SELECT doc_id FROM documents WHERE source <> 'src0') d
+        |LEFT JOIN st ON d.doc_id = st.doc_id""".stripMargin,
+
     "text_boilerplate" ->
       """WITH s AS (SELECT doc_id,
         |    list_distinct([array_to_string(t[i:i+4], ' ') for i in range(1, len(t) - 3)]) AS sh

@@ -371,6 +371,15 @@ object Q {
   def textChunk(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.chunk(Tables(s, dir, "documents"), "doc_id", "text", 64)
 
+  /** Decontamination gate: src0 plays the held-out eval benchmark, every
+    * other source is training data; per-doc eval-shingle overlap. */
+  def textContamination(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+    TextAnalysis.withContamination(
+      docs.filter(col("source") =!= "src0"),
+      docs.filter(col("source") === "src0"), "doc_id", "text")
+  }
+
   /** Cross-doc boilerplate detection: 5-token shingles appearing in ≥3
     * documents, per-doc counts and ratio. */
   def textBoilerplate(s: SparkSession, dir: String): DataFrame =

@@ -202,6 +202,32 @@ object TextAnalysis {
           .otherwise(col("n_boiler").cast("double") / col("n_shingles")))
   }
 
+  /** Benchmark-contamination check — the decontamination gate every
+    * training pipeline needs: for each training document, how many of its
+    * n-token shingles also appear in the (small) evaluation corpus. The
+    * eval shingle set is DISTINCT and broadcast (eval benchmarks are tiny
+    * next to training data); training shingles explode map-side and the
+    * membership test is a broadcast left join — the 100 TB training side
+    * shuffles only for its own per-doc roll-up.
+    * Returns (idCol, n_shingles, n_contaminated, contamination_ratio). */
+  def withContamination(train: DataFrame, eval_ : DataFrame, idCol: String,
+                        textCol: String, n: Int = 5): DataFrame = {
+    val evalSet = eval_.select(explode(shingles(col(textCol), n)).as("_s"))
+      .distinct().withColumn("_hit", lit(1L))
+    val ex = train.select(col(idCol), explode(shingles(col(textCol), n)).as("_s"))
+    val stats = ex.join(broadcast(evalSet), Seq("_s"), "left")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(coalesce(col("_hit"), lit(0L))).as("n_contaminated"))
+    train.select(col(idCol)).join(stats, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+        coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"))
+      .withColumn("contamination_ratio",
+        when(col("n_shingles") === 0, lit(0.0))
+          .otherwise(col("n_contaminated").cast("double") / col("n_shingles")))
+  }
+
   /** Union pattern of scrub-worthy spans: emails, URLs, long digit runs,
     * and a blocklisted term. Kept to syntax that means the same thing in
     * Java regex (Spark) and RE2 (DuckDB oracle): no captures in the
