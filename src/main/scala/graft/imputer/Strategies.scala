@@ -30,14 +30,20 @@ object Strategies {
       d.withColumn(outCol, coalesce(col(valueCol), col("_stat"))).drop("_stat")
     }
 
+  /** Deterministic mode as an always-1-row aggregate: min_by over
+    * (−count, value) = highest count, then smallest value. Unlike an
+    * orderBy+limit(1) frame this yields ONE row (null) even when nothing
+    * is observed, so a crossJoin never annihilates the input. */
+  private def modeAgg(valueCol: Column, cntCol: Column): Column =
+    min_by(valueCol, struct((-cntCol).as("nc"), valueCol.as("v")))
+
   /** Impute a categorical with the most frequent observed value.
-    * Deterministic tie-break: higher count wins, then smaller value. */
+    * Deterministic tie-break: higher count wins, then smaller value.
+    * An entirely-null column imputes to null (rows preserved). */
   def mode(df: DataFrame, valueCol: String, outCol: String): DataFrame = {
-    val m = df.filter(col(valueCol).isNotNull)
+    val counts = df.filter(col(valueCol).isNotNull)
       .groupBy(valueCol).agg(count(lit(1)).as("_cnt"))
-      .orderBy(desc("_cnt"), asc(valueCol))
-      .limit(1)
-      .select(col(valueCol).as("_stat"))
+    val m = counts.agg(modeAgg(col(valueCol), col("_cnt")).as("_stat"))
     withScalar(df, m) { d =>
       d.withColumn(outCol, coalesce(col(valueCol), col("_stat"))).drop("_stat")
     }
@@ -57,10 +63,11 @@ object Strategies {
         Window.partitionBy(groupCol).orderBy(desc("_cnt"), asc(valueCol))))
       .filter(col("_rk") === 1)
       .select(col(groupCol), col(valueCol).as("_gmode"))
-    val g = df.filter(col(valueCol).isNotNull)
+    val gcnt = df.filter(col(valueCol).isNotNull)
       .groupBy(valueCol).agg(count(lit(1)).as("_cnt"))
-      .orderBy(desc("_cnt"), asc(valueCol)).limit(1)
-      .select(col(valueCol).as("_mode"))
+    // 1-row aggregate, not orderBy+limit: an all-null column must impute to
+    // null with rows preserved, never annihilate the crossJoin
+    val g = gcnt.agg(modeAgg(col(valueCol), col("_cnt")).as("_mode"))
     df.join(broadcast(gm), Seq(groupCol), "left")
       .crossJoin(broadcast(g))
       .withColumn(outCol, coalesce(col(valueCol), col("_gmode"), col("_mode")))

@@ -14,14 +14,18 @@ case class Session(user_id: Long, session_start: Long, session_end: Long,
 /** Mutable per-user session state. */
 case class SessionState(start: Long, last: Long, n: Long, value: Double)
 
-/** Event record for the streaming funnel. */
+/** Event record for the streaming funnel; `t` in any integer tick unit
+  * (pass the matching `ticksPerSec` to [[Streams.funnel]] — 1e9 for the
+  * nanosecond event streams used elsewhere in this repo). */
 case class FunnelEvent(user_id: Long, t: Long, event_type: String)
 
 /** Per-user funnel stage timestamps (−1 = stage not reached). */
 case class FunnelState(tA: Long, tB: Long, tC: Long)
 
 /** Funnel progress emitted per user per batch: highest stage reached
-  * (0..3) and seconds from stage-1 to stage-3 once complete (−1 before). */
+  * (0..3) and seconds from stage-1 to stage-3 once complete (−1 before).
+  * Seconds presume the caller told [[Streams.funnel]] the tick unit of
+  * `FunnelEvent.t` via `ticksPerSec`. */
 case class FunnelProgress(user_id: Long, stage: Int, convert_sec: Long)
 
 /** Structured Streaming faces of the batch operators: the same logical
@@ -115,7 +119,9 @@ object Streams {
     * bounded by user cardinality, never event volume. Update output mode:
     * each batch re-emits the user's current stage. */
   def funnel(events: Dataset[FunnelEvent],
-             stages: (String, String, String) = ("view", "click", "purchase")): Dataset[FunnelProgress] = {
+             stages: (String, String, String) = ("view", "click", "purchase"),
+             ticksPerSec: Long = 1L): Dataset[FunnelProgress] = {
+    require(ticksPerSec > 0, s"ticksPerSec must be positive, got $ticksPerSec")
     implicit val progressEnc = Encoders.product[FunnelProgress]
     implicit val stateEnc = Encoders.product[FunnelState]
     events.groupByKey(_.user_id)(Encoders.scalaLong)
@@ -132,7 +138,8 @@ object Streams {
           }
           state.update(st)
           val stage = if (st.tC >= 0) 3 else if (st.tB >= 0) 2 else if (st.tA >= 0) 1 else 0
-          FunnelProgress(uid, stage, if (st.tC >= 0) st.tC - st.tA else -1L)
+          FunnelProgress(uid, stage,
+            if (st.tC >= 0) (st.tC - st.tA) / ticksPerSec else -1L)
       }
   }
 

@@ -126,7 +126,10 @@ object TextAnalysis {
     require(size > 0, s"chunk size must be positive, got $size")
     val t = tokens(col(textCol))
     val n = org.apache.spark.sql.functions.size(t)
-    val nChunks = expr(s"(size(split($textCol, ' ')) + ${size - 1}) div $size")
+    // ceil-div from the same token array the slices read — no re-tokenizing
+    // through SQL text (keeps odd column names working and the tokenizer
+    // definition single-sourced)
+    val nChunks = floor((n.cast("bigint") + lit(size - 1)) / lit(size)).cast("bigint")
     df.select(col(idCol),
         explode(transform(sequence(lit(0L), nChunks - 1),
           i => struct(i.as("chunk_id"),

@@ -78,6 +78,16 @@ class StrategiesSpec extends SparkSpec {
     assert(ind.map(_.getBoolean(1)).toSeq == Seq(false, false, true, false, true))
   }
 
+  test("mode and groupMode preserve rows when the column is entirely null") {
+    import spark.implicits._
+    val allNull = Seq((1L, "g1"), (2L, "g1"), (3L, "g2"))
+      .toDF("id", "g").withColumn("c", lit(null).cast("string"))
+    val m = Strategies.mode(allNull, "c", "c_imp")
+    assert(m.count() == 3 && m.filter(col("c_imp").isNotNull).count() == 0)
+    val gm = Strategies.groupMode(allNull, "c", "g", "c_imp")
+    assert(gm.count() == 3 && gm.filter(col("c_imp").isNotNull).count() == 0)
+  }
+
   test("one-hot + minmax scale + class threshold") {
     val oh = FeatureBuilder.oneHot(df, "c", "c")
     assert(oh.columns.contains("c_a") && oh.columns.contains("c_b"))
