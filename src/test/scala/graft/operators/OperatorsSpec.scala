@@ -40,6 +40,15 @@ class OperatorsSpec extends SparkSpec {
       (5L, null)))  // key absent on the right
   }
 
+  test("nearest as-of: exact distance tie resolves to the prior row") {
+    import spark.implicits._
+    val orders = Seq((1L, 10L, 100L)).toDF("order_id", "cust", "t")
+    val events = Seq((10L, 90L, 1.0), (10L, 110L, 2.0)).toDF("user", "t", "value")
+    val got = AsOfJoin.nearest(orders, events, "cust", "user", "t", "t", Seq("t", "value"))
+      .collect().head
+    assert(got.getLong(3) == 90L && got.getDouble(4) == 1.0)
+  }
+
   test("salted join equals the plain join") {
     import spark.implicits._
     // one hot key (80% of rows) + uniform tail

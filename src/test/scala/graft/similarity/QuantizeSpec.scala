@@ -19,6 +19,13 @@ class QuantizeSpec extends SparkSpec {
     assert(out(1)._2 == 0.0 && out(1)._3 == Seq(0, 0, 0))
   }
 
+  test("exact half values round half-up toward +inf on both signs") {
+    // scale = 1.0; ±0.5 · 127 = ±63.5 → floor(x + 0.5): 64 and -63
+    val df = Seq((0L, Seq(1.0f, 0.5f, -0.5f))).toDF("vec_id", "embedding")
+    val q = Quantize.int8(df, "embedding").select($"q").as[Seq[Int]].head()
+    assert(q == Seq(127, 64, -63))
+  }
+
   test("int8Exploded matches the array face component-wise") {
     val df = Seq((7L, Seq(0.3f, -0.9f, 0.6f, 0.9f))).toDF("vec_id", "embedding")
     val arr = Quantize.int8(df, "embedding").select($"q").as[Seq[Int]].head()

@@ -33,4 +33,15 @@ class PackingSpec extends SparkSpec {
     case _ => ()
     }
   }
+
+  test("more partitions than rows still yields a correct global cumsum") {
+    import spark.implicits._
+    val docs = Seq((1L, 3L), (2L, 5L), (3L, 2L)).toDF("doc_id", "n")
+    val out = Packing.packWindows(docs, "doc_id", col("n"), budget = 4,
+        numPartitions = 16)
+      .orderBy("doc_id").select("tok_start", "pack_id", "n_packs")
+      .as[(Long, Long, Long)].collect().toSeq
+    // offsets 0,3,8; budget 4 → packs: [0], [0..1], [2]
+    assert(out == Seq((0L, 0L, 1L), (3L, 0L, 2L), (8L, 2L, 1L)))
+  }
 }
