@@ -46,6 +46,8 @@ object SparkEntry {
     "imp_mean" -> (Q.impMean _),
     "imp_median" -> (Q.impMedian _),
     "imp_mode" -> (Q.impMode _),
+    "imp_constant" -> (Q.impConstant _),
+    "imp_interpolate" -> (Q.impInterpolate _),
     "imp_group_mean" -> (Q.impGroupMean _),
     "imp_knn" -> (Q.impKnn _),
     "imp_group_mode" -> (Q.impGroupMode _),

@@ -22,6 +22,12 @@ object Strategies {
       d.withColumn(outCol, coalesce(col(valueCol), col("_stat"))).drop("_stat")
     }
 
+  /** Impute with a caller-supplied constant (sklearn
+    * SimpleImputer(strategy='constant', fill_value=...)). Pure projection —
+    * zero shuffle. */
+  def constant(df: DataFrame, valueCol: String, fill: Any, outCol: String): DataFrame =
+    df.withColumn(outCol, coalesce(col(valueCol), lit(fill)))
+
   /** Impute with the exact interpolated median (matches SQL percentile_cont
     * 0.5). Scale path: swap `percentile` for `approx_percentile` — exact
     * median needs a sort of the observed values. */

@@ -286,6 +286,29 @@ object OracleSql {
          |SELECT c_custkey, coalesce(c_acctbal, CAST(myc AS DOUBLE) / 100.0) AS acctbal_imp
          |FROM mcv LEFT JOIN im ON mcv.c_custkey = im.mid""".stripMargin,
 
+    "imp_constant" ->
+      s"""WITH mcv AS ($MCV)
+         |SELECT c_custkey, coalesce(c_mktsegment, 'UNKNOWN') AS seg_imp FROM mcv""".stripMargin,
+
+    "imp_interpolate" ->
+      s"""WITH mcv AS ($MCV),
+         |w AS (SELECT c_custkey, c_acctbal,
+         |  last_value(CASE WHEN c_acctbal IS NOT NULL THEN CAST(c_custkey AS DOUBLE) END IGNORE NULLS)
+         |    OVER (ORDER BY c_custkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS x0,
+         |  last_value(c_acctbal IGNORE NULLS)
+         |    OVER (ORDER BY c_custkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS y0,
+         |  first_value(CASE WHEN c_acctbal IS NOT NULL THEN CAST(c_custkey AS DOUBLE) END IGNORE NULLS)
+         |    OVER (ORDER BY c_custkey ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS x1,
+         |  first_value(c_acctbal IGNORE NULLS)
+         |    OVER (ORDER BY c_custkey ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS y1
+         | FROM mcv)
+         |SELECT c_custkey,
+         | CASE WHEN c_acctbal IS NOT NULL THEN c_acctbal
+         |      WHEN y0 IS NULL THEN y1
+         |      WHEN y1 IS NULL THEN y0
+         |      ELSE y0 + (y1 - y0) * (CAST(c_custkey AS DOUBLE) - x0) / (x1 - x0) END AS acctbal_interp
+         |FROM w""".stripMargin,
+
     "imp_mode" ->
       s"""WITH mcv AS ($MCV),
          |m AS (SELECT c_mktsegment AS v FROM mcv WHERE c_mktsegment IS NOT NULL

@@ -75,6 +75,19 @@ object Q {
     graft.imputer.KnnImpute.impute1d(Tables.maskedCustomer(s, dir),
       "c_custkey", col("c_custkey"), "c_acctbal", "acctbal_imp", k = 3)
 
+  /** Constant-fill impute (SimpleImputer strategy='constant'). */
+  def impConstant(s: SparkSession, dir: String): DataFrame =
+    Strategies.constant(Tables.maskedCustomer(s, dir), "c_mktsegment",
+        "UNKNOWN", "seg_imp")
+      .select("c_custkey", "seg_imp")
+
+  /** pandas interpolate(): linear fill between observed neighbors in
+    * custkey order, edge gaps taking the nearest observed value. */
+  def impInterpolate(s: SparkSession, dir: String): DataFrame =
+    graft.imputer.Interpolate.linear1d(Tables.maskedCustomer(s, dir),
+        "c_custkey", "c_acctbal", "acctbal_interp")
+      .select("c_custkey", "acctbal_interp")
+
   def impMode(s: SparkSession, dir: String): DataFrame =
     Strategies.mode(Tables.maskedCustomer(s, dir), "c_mktsegment", "seg_imp")
       .select("c_custkey", "seg_imp")
