@@ -35,7 +35,12 @@ object SparkEntry {
     "events_window" -> (Analytics.eventsWindow _),
     "events_funnel" -> (Analytics.eventsFunnel _),
     "events_cohort" -> (Analytics.eventsCohort _),
+    "events_rolling" -> (Analytics.eventsRolling _),
     "orders_rfm" -> (Analytics.ordersRfm _),
+    "q_basket" -> (Analytics.qBasket _),
+    "q_cube" -> (Analytics.qCube _),
+    "profile_group_quantiles" -> (graft.analytics.Profile.lineitemGroupQuantiles _),
+    "profile_corr" -> (graft.analytics.Profile.lineitemCorr _),
     // imputer core
     "imp_missing_indicator" -> (Q.impMissingIndicator _),
     "imp_missing_metrics" -> (Q.impMissingMetrics _),
@@ -46,6 +51,7 @@ object SparkEntry {
     "imp_mean" -> (Q.impMean _),
     "imp_median" -> (Q.impMedian _),
     "imp_mode" -> (Q.impMode _),
+    "imp_zscore" -> (Q.impZscore _),
     "imp_constant" -> (Q.impConstant _),
     "imp_interpolate" -> (Q.impInterpolate _),
     "imp_group_mean" -> (Q.impGroupMean _),
@@ -71,9 +77,11 @@ object SparkEntry {
     "text_contamination" -> (Q.textContamination _),
     "text_logprob" -> (Q.textLogprob _),
     "text_chunk" -> (Q.textChunk _),
+    "text_repetition" -> (Q.textRepetition _),
     "clip_outliers" -> (Q.clipOutliers _),
     // dedup
     "sample_stratified" -> (Q.sampleStratified _),
+    "corpus_mix" -> (Q.corpusMix _),
     "dedup_exact" -> (Q.dedupExact _),
     "dedup_jaccard" -> (Q.dedupJaccard _),
     "dedup_cluster" -> (Q.dedupCluster _),
@@ -81,6 +89,7 @@ object SparkEntry {
     "dedup_embed" -> (Q.dedupEmbed _),
     // similarity
     "ann_topk" -> (Q.annTopk _),
+    "ann_range" -> (Q.annRange _),
     "embed_quantize" -> (Q.embedQuantize _),
     "embed_cluster" -> (Q.embedCluster _),
     // multimodal

@@ -268,4 +268,57 @@ object Analytics {
       .crossJoin(broadcast(conv.agg(
         round(expr("percentile(_secs, 0.5)"), 0).cast("bigint").as("median_convert_sec"))))
   }
+
+  /** Market-basket co-occurrence: top-20 part pairs appearing in the same
+    * order. The (order, part) frame is deduped first, the self-join is
+    * keyed on the order — per-key blocks are order line counts (bounded,
+    * single digits), so pair volume stays linear in orders. The top-k is
+    * TakeOrderedAndProject (per-partition heap, k·P merge), never a global
+    * sort; the total order (count desc, part_a, part_b) is deterministic
+    * through the limit boundary. */
+  def qBasket(spark: SparkSession, dir: String): DataFrame = {
+    val lp = Tables(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val a = lp.select(col("l_orderkey"), col("l_partkey").as("part_a"))
+    val b = lp.select(col("l_orderkey"), col("l_partkey").as("part_b"))
+    a.join(b, Seq("l_orderkey"))
+      .filter(col("part_a") < col("part_b"))
+      .groupBy("part_a", "part_b").agg(count(lit(1)).as("n_orders"))
+      .orderBy(desc("n_orders"), asc("part_a"), asc("part_b"))
+      .limit(20)
+  }
+
+  /** CUBE aggregation: quantity/row totals at every grouping granularity of
+    * (returnflag, linestatus) in ONE pass — Spark expands the grouping sets
+    * before the single hash aggregate, so the scan isn't repeated per
+    * granularity. Subtotal NULLs are folded to 'ALL' (the data itself is
+    * null-free, so the sentinel is unambiguous). */
+  def qCube(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "lineitem")
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(cents(col("l_quantity"), 2)).as("_qc"), count(lit(1)).as("n_rows"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        (col("_qc").cast("double") / 100.0).as("sum_qty"), col("n_rows"))
+
+  /** Rolling time-series stats over the daily event counts: per event type,
+    * a 7-day moving sum/average and the running total. Windows run over the
+    * PRE-AGGREGATED daily frame (one row per (type, day)) — thousands of
+    * rows per type even at decades of 100 TB history — never over the raw
+    * stream; the integer day key within a type makes frames deterministic,
+    * and the moving average is exact-integer division. */
+  def eventsRolling(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables(spark, dir, "events")
+      .groupBy(col("event_type"), expr("ts div 86400000000000").as("d"))
+      .agg(count(lit(1)).as("n_events"))
+    val w7 = Window.partitionBy("event_type").orderBy("d").rowsBetween(-6, 0)
+    val wRun = Window.partitionBy("event_type").orderBy("d")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    daily.select(col("event_type"), col("d"), col("n_events"),
+      sum("n_events").over(w7).as("sum_7d"),
+      round(sum("n_events").over(w7).cast("double")
+        / count(lit(1)).over(w7).cast("double"), 6).as("avg_7d"),
+      sum("n_events").over(wRun).as("running_total"))
+  }
 }

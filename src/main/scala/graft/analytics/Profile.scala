@@ -90,4 +90,66 @@ object Profile {
 
   def customerCategoricalProfile(spark: SparkSession, dir: String): DataFrame =
     categorical(Tables(spark, dir, "customer"), Seq("c_mktsegment", "c_nationkey"))
+
+  /** Exact per-group quantiles of a fixed-decimal column, cent-quantized
+    * like [[graft.operators.Outliers]]: one `percentile` aggregation per
+    * group (group cardinality is tiny — the sort happens within each
+    * group's partial state, not globally). Scale path: swap `percentile`
+    * for `approx_percentile`, identical shape. */
+  def groupQuantiles(df: DataFrame, groupCol: String, valueCol: String,
+                     scale: Int, ps: Seq[Double]): DataFrame = {
+    val k = math.pow(10, scale)
+    val arr = ps.map(p => s"${p}D").mkString("array(", ", ", ")")
+    df.select(col(groupCol), cents(col(valueCol), scale).as("_vc"))
+      .groupBy(groupCol)
+      .agg(count(lit(1)).as("n"), expr(s"percentile(_vc, $arr)").as("_q"))
+      .select(col(groupCol) +: col("n") +: ps.zipWithIndex.map { case (p, i) =>
+        (round(element_at(col("_q"), i + 1), 0).cast("bigint").cast("double") / k)
+          .as(s"p${math.round(p * 100)}")
+      }: _*)
+  }
+
+  def lineitemGroupQuantiles(spark: SparkSession, dir: String): DataFrame =
+    groupQuantiles(Tables(spark, dir, "lineitem"), "l_returnflag",
+      "l_extendedprice", 2, Seq(0.25, 0.5, 0.75, 0.95))
+
+  /** Exact Pearson correlation matrix from a SINGLE aggregation pass:
+    * every moment (Σx, Σx², Σxy) accumulates in decimal(38,0) over the
+    * cent-quantized columns (HUGEINT on the oracle side), so the
+    * correlations are closed-form doubles computed from exact integers —
+    * bitwise-reproducible across engines and shuffle orders, no
+    * second-pass centering, no `corr()` nondeterminism. One map-side
+    * partial agg → one 1-row reduce regardless of data size; the pair
+    * expansion is a driver-side projection of that row. */
+  def corrMatrix(df: DataFrame, cols: Seq[(String, Int)]): DataFrame = {
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    val names = cols.map(_._1)
+    val moments =
+      Seq(count(lit(1)).cast("decimal(38,0)").as("_n")) ++
+      cols.flatMap { case (c, s) =>
+        val v = dec(cents(col(c), s))
+        Seq(sum(v).as(s"_s_$c"), sum(v * v).as(s"_ss_$c"))
+      } ++
+      names.combinations(2).map { case Seq(a, b) =>
+        val sa = cols.find(_._1 == a).get._2; val sb = cols.find(_._1 == b).get._2
+        sum(dec(cents(col(a), sa)) * dec(cents(col(b), sb))).as(s"_sp_${a}_${b}")
+      }.toSeq
+    val m = df.agg(moments.head, moments.tail: _*)
+    val pairs = names.combinations(2).toSeq
+    val stackArgs = pairs.map { case Seq(a, b) =>
+      val num = (col("_n") * col(s"_sp_${a}_${b}") - col(s"_s_$a") * col(s"_s_$b")).cast("double")
+      val da = (col("_n") * col(s"_ss_$a") - col(s"_s_$a") * col(s"_s_$a")).cast("double")
+      val db = (col("_n") * col(s"_ss_$b") - col(s"_s_$b") * col(s"_s_$b")).cast("double")
+      (lit(a), lit(b), round(num / (sqrt(da) * sqrt(db)), 6))
+    }
+    val rows = stackArgs.map { case (a, b, c) =>
+      struct(a.as("col_a"), b.as("col_b"), c.as("corr"))
+    }
+    m.select(explode(array(rows: _*)).as("_r"))
+      .select(col("_r.col_a"), col("_r.col_b"), col("_r.corr"))
+  }
+
+  def lineitemCorr(spark: SparkSession, dir: String): DataFrame =
+    corrMatrix(Tables(spark, dir, "lineitem"),
+      Seq("l_quantity" -> 2, "l_extendedprice" -> 2, "l_discount" -> 4, "l_tax" -> 4))
 }

@@ -845,6 +845,124 @@ object OracleSql {
         | FROM sims)
         |SELECT query_id, neighbor_id, rank, cos FROM r WHERE rank <= 5""".stripMargin,
 
+    // ---------------------------------------------------------- round 5
+    "events_rolling" ->
+      """WITH daily AS (SELECT event_type, epoch_ns(ts) // 86400000000000 AS d,
+        |                CAST(count(*) AS BIGINT) AS n_events
+        |               FROM events GROUP BY 1, 2)
+        |SELECT event_type, d, n_events,
+        | CAST(SUM(n_events) OVER w7 AS BIGINT) AS sum_7d,
+        | round(CAST(SUM(n_events) OVER w7 AS DOUBLE)
+        |   / CAST(count(*) OVER w7 AS DOUBLE), 6) AS avg_7d,
+        | CAST(SUM(n_events) OVER (PARTITION BY event_type ORDER BY d
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_total
+        |FROM daily
+        |WINDOW w7 AS (PARTITION BY event_type ORDER BY d
+        |              ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    "q_basket" ->
+      """WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+        |SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+        | CAST(count(*) AS BIGINT) AS n_orders
+        |FROM lp a JOIN lp b ON a.l_orderkey = b.l_orderkey
+        | AND a.l_partkey < b.l_partkey
+        |GROUP BY 1, 2
+        |ORDER BY n_orders DESC, part_a ASC, part_b ASC
+        |LIMIT 20""".stripMargin,
+
+    "q_cube" ->
+      s"""SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+         | COALESCE(l_linestatus, 'ALL') AS linestatus,
+         | CAST(SUM(${ac("l_quantity")}) AS DOUBLE) / 100.0 AS sum_qty,
+         | count(*) AS n_rows
+         |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
+
+    "profile_group_quantiles" ->
+      s"""WITH c AS (SELECT l_returnflag, ${ac("l_extendedprice")} AS vc FROM lineitem)
+         |SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+         | CAST(CAST(round(quantile_cont(vc, 0.25), 0) AS BIGINT) AS DOUBLE) / 100.0 AS p25,
+         | CAST(CAST(round(quantile_cont(vc, 0.5), 0) AS BIGINT) AS DOUBLE) / 100.0 AS p50,
+         | CAST(CAST(round(quantile_cont(vc, 0.75), 0) AS BIGINT) AS DOUBLE) / 100.0 AS p75,
+         | CAST(CAST(round(quantile_cont(vc, 0.95), 0) AS BIGINT) AS DOUBLE) / 100.0 AS p95
+         |FROM c GROUP BY l_returnflag""".stripMargin,
+
+    "profile_corr" -> {
+      val pairs = Seq(("q", "l_quantity"), ("e", "l_extendedprice"),
+        ("d", "l_discount"), ("t", "l_tax"))
+      val corrRow = (a: String, an: String, b: String, bn: String) =>
+        s"""SELECT '$an' AS col_a, '$bn' AS col_b,
+           | round(CAST(n*sp_$a$b - s_$a*s_$b AS DOUBLE)
+           |  / (sqrt(CAST(n*ss_$a - s_$a*s_$a AS DOUBLE))
+           |     * sqrt(CAST(n*ss_$b - s_$b*s_$b AS DOUBLE))), 6) AS corr FROM m""".stripMargin
+      val rows = pairs.combinations(2).map { case Seq((a, an), (b, bn)) =>
+        corrRow(a, an, b, bn)
+      }.mkString("\nUNION ALL\n")
+      s"""WITH c AS (SELECT
+         |  CAST(${ac("l_quantity")} AS HUGEINT) AS q,
+         |  CAST(${ac("l_extendedprice")} AS HUGEINT) AS e,
+         |  CAST(CAST(round(l_discount * 10000.0, 0) AS BIGINT) AS HUGEINT) AS d,
+         |  CAST(CAST(round(l_tax * 10000.0, 0) AS BIGINT) AS HUGEINT) AS t
+         | FROM lineitem),
+         |m AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+         |  SUM(q) AS s_q, SUM(q*q) AS ss_q, SUM(e) AS s_e, SUM(e*e) AS ss_e,
+         |  SUM(d) AS s_d, SUM(d*d) AS ss_d, SUM(t) AS s_t, SUM(t*t) AS ss_t,
+         |  SUM(q*e) AS sp_qe, SUM(q*d) AS sp_qd, SUM(q*t) AS sp_qt,
+         |  SUM(e*d) AS sp_ed, SUM(e*t) AS sp_et, SUM(d*t) AS sp_dt
+         | FROM c)
+         |$rows""".stripMargin
+    },
+
+    "imp_zscore" ->
+      s"""WITH mc AS ($MCV),
+         |c AS (SELECT c_custkey, ${ac("c_acctbal")} AS ac, c_acctbal FROM mc),
+         |st AS (SELECT CAST(SUM(ac) AS DOUBLE) AS s, CAST(SUM(ac*ac) AS DOUBLE) AS ss,
+         |        CAST(count(c_acctbal) AS DOUBLE) AS n FROM c),
+         |p AS (SELECT s / n AS mu, sqrt((ss - s * s / n) / (n - 1.0)) AS sigma,
+         |       CAST(round(s / n, 0) AS BIGINT) AS mc_imp FROM st)
+         |SELECT c_custkey,
+         | (CAST(COALESCE(ac, mc_imp) AS DOUBLE) - mu) / sigma AS acctbal_z
+         |FROM c CROSS JOIN p""".stripMargin,
+
+    "text_repetition" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |b AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+        |       CAST(len(list_distinct(t)) AS BIGINT) AS n_distinct FROM d),
+        |bg AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(t) - 1),
+        |                                            i -> t[i] || ' ' || t[i + 1])) AS bigram
+        |       FROM d),
+        |cnt AS (SELECT doc_id, bigram, count(*) AS c FROM bg GROUP BY 1, 2),
+        |m AS (SELECT doc_id, CAST(max(c) AS BIGINT) AS top_bigram_cnt FROM cnt GROUP BY 1)
+        |SELECT b.doc_id, n_tokens, n_distinct,
+        | round(CAST(n_tokens - n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) AS dup_word_frac,
+        | COALESCE(top_bigram_cnt, 0) AS top_bigram_cnt,
+        | CASE WHEN n_tokens > 1
+        |      THEN round(CAST(COALESCE(top_bigram_cnt, 0) AS DOUBLE)
+        |             / CAST(n_tokens - 1 AS DOUBLE), 6)
+        |      ELSE 0.0 END AS top_bigram_frac
+        |FROM b LEFT JOIN m ON b.doc_id = m.doc_id""".stripMargin,
+
+    "corpus_mix" -> {
+      val cases = (0 until 20).map(i =>
+        s"WHEN 'src$i' THEN ${Seq("1.0", "0.5", "0.25", "0.1")(i % 4)}").mkString(" ")
+      s"""WITH cnt AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+         |r AS (SELECT source, (CASE source $cases ELSE 0.0 END) / n AS r FROM cnt),
+         |t AS (SELECT source,
+         |       CAST(round(r / (max(r) OVER ()) * 10000.0, 0) AS BIGINT) AS thresh FROM r)
+         |SELECT doc_id, source FROM documents JOIN t USING (source)
+         |WHERE ((doc_id % 10000) * 2654435761) % 10000 < thresh""".stripMargin
+    },
+
+    "ann_range" ->
+      """WITH e AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 97 = 0),
+        |sims AS (
+        | SELECT query_id, c.vec_id AS neighbor_id,
+        |  list_sum([qv[i] * c.v[i] for i in range(1, 65)])
+        |   / (sqrt(list_sum([qv[i] * qv[i] for i in range(1, 65)]))
+        |      * sqrt(list_sum([c.v[i] * c.v[i] for i in range(1, 65)]))) AS cos
+        | FROM q JOIN e c ON c.vec_id <> q.query_id)
+        |SELECT query_id, neighbor_id, cos FROM sims WHERE cos >= 0.30""".stripMargin,
+
     // ------------------------------------------------------------ multimodal
     "mm_binary" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

@@ -60,6 +60,30 @@ object Q {
         coalesce(col("c_acctbal"), col("_m").cast("double") / 100.0).as("acctbal_imp"))
   }
 
+  /** Standard-scaler impute face: mean-impute the masked balances (exact
+    * integer-cents mean, like [[impMean]]) then z-score every row against
+    * the OBSERVED distribution — μ and the sample σ come from one exact
+    * integer-moment pass (Σc, Σc², n), broadcast back as scalars, and the
+    * z itself is the only double arithmetic (identical expression tree in
+    * the oracle ⇒ bitwise match, the events_anomaly discipline). */
+  def impZscore(s: SparkSession, dir: String): DataFrame = {
+    val mc = Tables.maskedCustomer(s, dir)
+    val ac = cents(col("c_acctbal"), 2)
+    val st = mc.agg(
+        sum(ac).cast("double").as("_s"),
+        sum(ac * ac).cast("double").as("_ss"),
+        count(col("c_acctbal")).cast("double").as("_n"))
+      .select(
+        (col("_s") / col("_n")).as("_mu"),
+        sqrt((col("_ss") - col("_s") * col("_s") / col("_n"))
+          / (col("_n") - 1.0)).as("_sigma"),
+        round(col("_s") / col("_n"), 0).cast("bigint").as("_mc"))
+    mc.crossJoin(broadcast(st))
+      .select(col("c_custkey"),
+        ((coalesce(ac, col("_mc")).cast("double") - col("_mu")) / col("_sigma"))
+          .as("acctbal_z"))
+  }
+
   def impMedian(s: SparkSession, dir: String): DataFrame = {
     val mc = Tables.maskedCustomer(s, dir)
     val stats = mc.select(cents(col("c_acctbal"), 2).as("_ac"))
@@ -424,6 +448,22 @@ object Q {
         "doc_id", "source", Map("src0" -> 0.5, "src1" -> 0.25), defaultFraction = 0.1)
       .select("doc_id", "source")
 
+  /** Target mixture for [[corpusMix]]: cycle the 20 sources through four
+    * weight tiers (1.0 / 0.5 / 0.25 / 0.1) — mirrored literally in the
+    * oracle's CASE. */
+  val mixWeights: Map[String, Double] =
+    (0 until 20).map(i => s"src$i" -> Seq(1.0, 0.5, 0.25, 0.1)(i % 4)).toMap
+
+  /** Corpus source-mixing: deterministic down-sample to the target domain
+    * mixture (the "data recipe" step of corpus assembly). */
+  def corpusMix(s: SparkSession, dir: String): DataFrame =
+    graft.operators.CorpusMix.resample(Tables(s, dir, "documents"),
+      "doc_id", "source", mixWeights)
+
+  /** Gopher-style per-document repetition signals over the word stream. */
+  def textRepetition(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.repetition(Tables(s, dir, "documents"), "doc_id", "text")
+
   def dedupExact(s: SparkSession, dir: String): DataFrame =
     Dedup.exact(Tables(s, dir, "documents"), "doc_id", "text")
 
@@ -482,6 +522,14 @@ object Q {
     graft.similarity.AnnLsh.bruteTopK(e, e.filter(col("vec_id") % 97 === 0),
         "vec_id", "embedding", k = 5)
       .select("query_id", "neighbor_id", "rank", "cos")
+  }
+
+  /** Radius similarity search: all candidates with cosine ≥ 0.30 of each
+    * query vector — pure broadcast-join + filter, no window. */
+  def annRange(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables(s, dir, "embeddings")
+    graft.similarity.AnnLsh.rangeSearch(e, e.filter(col("vec_id") % 97 === 0),
+      "vec_id", "embedding", minCos = 0.30)
   }
 
   /** As-of join: each order matched to the user's latest event at or before

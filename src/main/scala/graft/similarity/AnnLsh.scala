@@ -68,6 +68,21 @@ object AnnLsh {
     topK(sims, k)
   }
 
+  /** Range search: every candidate within `minCos` of each query — the
+    * radius-based face of similarity search (retrieval dedup, semantic
+    * blocklists). Queries broadcast, candidates stream ONCE, and the
+    * threshold is a pure filter — no window, no sort, no shuffle at all
+    * downstream of the scan, so the plan is embarrassingly parallel at any
+    * scale. */
+  def rangeSearch(candidates: DataFrame, queries: DataFrame, idCol: String,
+                  vecCol: String, minCos: Double): DataFrame = {
+    val c = candidates.select(col(idCol).as("neighbor_id"), toDouble(col(vecCol)).as("v"))
+    val q = queries.select(col(idCol).as("query_id"), toDouble(col(vecCol)).as("qv"))
+    c.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"), cosine(col("qv"), col("v")).as("cos"))
+      .filter(col("cos") >= minCos)
+  }
+
   /** IVF-style approximate top-k with a precomputed coarse assignment
     * (`listCol`, e.g. a cluster/label id): centroids are the per-list
     * element-wise mean (native graft_vec_avg aggregate, map-side partial);

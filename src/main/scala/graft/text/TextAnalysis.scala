@@ -90,6 +90,35 @@ object TextAnalysis {
       .orderBy(col("cnt").desc, col("bigram").asc)
       .limit(k)
 
+  /** Per-document repetition signals (Gopher-style quality rules adapted to
+    * flat word streams): duplicate-word fraction and the fraction of bigram
+    * slots taken by the single most frequent bigram. Repetitious documents
+    * (boilerplate, keyword stuffing, degenerate generations) score high and
+    * get filtered before training.
+    *
+    * Shape at scale: the scalar stats are a pure projection; the top-bigram
+    * count is one exploded (doc, bigram) hash shuffle with map-side partial
+    * counts followed by a doc-keyed max — both linear in token volume, no
+    * doc×doc or quadratic-in-length work anywhere. */
+  def repetition(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = tokens(col(textCol))
+    val base = df.select(col(idCol),
+      size(t).cast("bigint").as("n_tokens"),
+      size(array_distinct(t)).cast("bigint").as("n_distinct"))
+    val top = df.select(col(idCol), explode(bigrams(col(textCol))).as("bigram"))
+      .groupBy(col(idCol), col("bigram")).agg(count(lit(1)).as("_c"))
+      .groupBy(col(idCol)).agg(max(col("_c")).as("top_bigram_cnt"))
+    base.join(top, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"), col("n_distinct"),
+        round((col("n_tokens") - col("n_distinct")).cast("double")
+          / col("n_tokens").cast("double"), 6).as("dup_word_frac"),
+        coalesce(col("top_bigram_cnt"), lit(0L)).as("top_bigram_cnt"),
+        when(col("n_tokens") > 1,
+          round(coalesce(col("top_bigram_cnt"), lit(0L)).cast("double")
+            / (col("n_tokens") - 1).cast("double"), 6))
+          .otherwise(lit(0.0)).as("top_bigram_frac"))
+  }
+
   /** Per-document top-k terms by tf-idf with sklearn's smoothed idf:
     * `idf = ln((1 + N) / (1 + df)) + 1`, `tfidf = tf · idf` (no vector
     * normalization — scores stay per-term comparable and bitwise
