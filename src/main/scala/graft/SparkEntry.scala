@@ -82,6 +82,8 @@ object SparkEntry {
     // dedup
     "sample_stratified" -> (Q.sampleStratified _),
     "corpus_mix" -> (Q.corpusMix _),
+    "dedup_incremental" -> (Q.dedupIncremental _),
+    "feat_rank" -> (Q.featRank _),
     "dedup_exact" -> (Q.dedupExact _),
     "dedup_jaccard" -> (Q.dedupJaccard _),
     "dedup_cluster" -> (Q.dedupCluster _),

@@ -270,23 +270,24 @@ object Analytics {
   }
 
   /** Market-basket co-occurrence: top-20 part pairs appearing in the same
-    * order. The (order, part) frame is deduped first, the self-join is
-    * keyed on the order — per-key blocks are order line counts (bounded,
-    * single digits), so pair volume stays linear in orders. The top-k is
+    * order. ONE shuffle on the order key builds each order's sorted
+    * distinct-part set (map-side partial collect_set); the pair expansion
+    * is a per-row array comprehension over those bounded sets (order line
+    * counts are single digits), so pair volume stays linear in orders and
+    * no self-join or distinct pre-shuffle is needed. The top-k is
     * TakeOrderedAndProject (per-partition heap, k·P merge), never a global
     * sort; the total order (count desc, part_a, part_b) is deterministic
     * through the limit boundary. */
-  def qBasket(spark: SparkSession, dir: String): DataFrame = {
-    val lp = Tables(spark, dir, "lineitem")
-      .select(col("l_orderkey"), col("l_partkey")).distinct()
-    val a = lp.select(col("l_orderkey"), col("l_partkey").as("part_a"))
-    val b = lp.select(col("l_orderkey"), col("l_partkey").as("part_b"))
-    a.join(b, Seq("l_orderkey"))
-      .filter(col("part_a") < col("part_b"))
+  def qBasket(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "lineitem")
+      .groupBy("l_orderkey").agg(sort_array(collect_set(col("l_partkey"))).as("_ps"))
+      .select(explode(expr(
+        "flatten(transform(_ps, (x, i) -> " +
+          "transform(slice(_ps, i + 2, size(_ps)), y -> struct(x, y))))")).as("_p"))
+      .select(col("_p.x").as("part_a"), col("_p.y").as("part_b"))
       .groupBy("part_a", "part_b").agg(count(lit(1)).as("n_orders"))
       .orderBy(desc("n_orders"), asc("part_a"), asc("part_b"))
       .limit(20)
-  }
 
   /** CUBE aggregation: quantity/row totals at every grouping granularity of
     * (returnflag, linestatus) in ONE pass — Spark expands the grouping sets

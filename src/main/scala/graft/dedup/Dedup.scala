@@ -19,6 +19,23 @@ object Dedup {
     df.groupBy(md5(col(textCol)).as("content_hash"))
       .agg(count(lit(1)).as("n_copies"), min(col(idCol)).as("keep_id"))
 
+  /** Incremental ingest dedup: keep only the batch rows whose content is
+    * NOT already in the corpus. A Bloom sketch of the corpus digests
+    * short-circuits the overwhelmingly-novel majority before any shuffle
+    * ([[graft.operators.BloomPrune.antiJoin]]); only sketch hits — true
+    * duplicates plus the fpp sliver — pay the exact digest anti-join. The
+    * corpus side ships only digests (32 B/doc), never payloads.
+    * `expectedCorpusKeys` sizes the sketch; overshooting costs memory,
+    * undershooting only raises the false-positive (= needless-verify)
+    * rate, never correctness. */
+  def incremental(batch: DataFrame, corpus: DataFrame, idCol: String,
+                  textCol: String, expectedCorpusKeys: Long = 1000000L): DataFrame = {
+    val b = batch.select(col(idCol), sha2(col(textCol), 256).as("digest"))
+    val c = corpus.select(sha2(col(textCol), 256).as("digest"))
+    graft.operators.BloomPrune.antiJoin(b, "digest", c, "digest", expectedCorpusKeys)
+      .select(col(idCol), col("digest"))
+  }
+
   /** Word n-gram shingles of `text` (distinct, SORTED), as an array column.
     * Documents shorter than n tokens yield an empty array. Sorting once per
     * document lets every pairwise comparison use the allocation-free sorted

@@ -55,4 +55,27 @@ object FeatureBuilder {
   }
 
   def sanitize(v: String): String = v.replaceAll("[^A-Za-z0-9]", "_")
+
+  /** Percent-rank (quantile) feature transform of a fixed-decimal column
+    * WITHOUT the naive `percent_rank() OVER (ORDER BY v)` — a global row
+    * window funnels the entire table through one task. Instead the rank is
+    * computed on the VALUE HISTOGRAM: one groupBy over the value domain
+    * (bounded by the fixed-decimal range, e.g. ≤ ~1.1M distinct cents for
+    * a ±10k-dollar balance — independent of row count), a cumulative sum
+    * over that tiny frame, and a broadcast join back. Every row gets
+    * `(#rows with strictly smaller value) / (n − 1)` — exactly SQL
+    * percent_rank, bitwise, since both factors are exact integers. */
+  def percentRank(df: DataFrame, idCol: String, valueCol: String,
+                  scale: Int, outCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val vc = df.select(col(idCol),
+      graft.analytics.Analytics.cents(col(valueCol), scale).as("_v"))
+    val hist = vc.groupBy("_v").agg(count(lit(1)).as("_c"))
+    val w = Window.orderBy("_v").rowsBetween(Window.unboundedPreceding, -1)
+    val ranks = hist.select(col("_v"), coalesce(sum("_c").over(w), lit(0L)).as("_lt"))
+    val n = vc.agg(count(lit(1)).as("_n"))
+    vc.join(broadcast(ranks), Seq("_v")).crossJoin(broadcast(n))
+      .select(col(idCol),
+        (col("_lt").cast("double") / (col("_n") - lit(1L)).cast("double")).as(outCol))
+  }
 }

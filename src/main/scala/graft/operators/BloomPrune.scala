@@ -43,4 +43,23 @@ object BloomPrune {
            expectedKeys: Long, fpp: Double = 0.01): DataFrame =
     prune(probe, probeKey, build, buildKey, expectedKeys, fpp)
       .join(build, col(probeKey) === build(buildKey))
+
+  /** Bloom-accelerated ANTI join: probe rows whose key the sketch rules out
+    * are emitted immediately (no false negatives ⇒ they are certainly
+    * absent from the build side and never reach a shuffle); only the
+    * `mightContain` candidates — the true matches plus the fpp fraction —
+    * go through the exact left-anti join. On a mostly-novel 100 TB ingest
+    * the shuffle carries a few percent of the batch instead of all of it. */
+  def antiJoin(probe: DataFrame, probeKey: String,
+               build: DataFrame, buildKey: String,
+               expectedKeys: Long, fpp: Double = 0.01): DataFrame = {
+    val bf: BloomFilter = build.stat.bloomFilter(buildKey, expectedKeys, fpp)
+    val bc = probe.sparkSession.sparkContext.broadcast(bf)
+    val might = udf((k: Any) => k != null && bc.value.mightContain(k))
+    val certainlyNovel = probe.filter(!might(col(probeKey)))
+    val verified = probe.filter(might(col(probeKey)))
+      .join(build.select(col(buildKey).as(probeKey)).distinct(),
+        Seq(probeKey), "left_anti")
+    certainlyNovel.unionByName(verified)
+  }
 }

@@ -952,6 +952,18 @@ object OracleSql {
          |WHERE ((doc_id % 10000) * 2654435761) % 10000 < thresh""".stripMargin
     },
 
+    "dedup_incremental" ->
+      """WITH batch AS (SELECT doc_id, sha256(text) AS digest FROM documents
+        |               WHERE source = 'src0' OR (source = 'src1' AND doc_id % 3 = 0)),
+        |corpus AS (SELECT sha256(text) AS digest FROM documents WHERE source <> 'src0')
+        |SELECT doc_id, digest FROM batch b
+        |WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.digest = b.digest)""".stripMargin,
+
+    "feat_rank" ->
+      s"""SELECT c_custkey,
+         | percent_rank() OVER (ORDER BY ${ac("c_acctbal")}) AS acctbal_pctrank
+         |FROM customer""".stripMargin,
+
     "ann_range" ->
       """WITH e AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v FROM embeddings),
         |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 97 = 0),

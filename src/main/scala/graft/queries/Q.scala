@@ -464,6 +464,23 @@ object Q {
   def textRepetition(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.repetition(Tables(s, dir, "documents"), "doc_id", "text")
 
+  /** Incremental ingest dedup: src0 plus a slice of src1 arrive as the new
+    * batch against the src≠0 corpus — the src1 slice is already present
+    * (caught by the digest anti-join), src0 is novel and kept. */
+  def dedupIncremental(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+    val batch = docs.filter(col("source") === "src0" ||
+      (col("source") === "src1" && col("doc_id") % 3 === 0))
+    val corpus = docs.filter(col("source") =!= "src0")
+    Dedup.incremental(batch, corpus, "doc_id", "text")
+  }
+
+  /** Percent-rank feature transform of customer balances — histogram
+    * ranks, no global row window. */
+  def featRank(s: SparkSession, dir: String): DataFrame =
+    FeatureBuilder.percentRank(Tables(s, dir, "customer"),
+      "c_custkey", "c_acctbal", 2, "acctbal_pctrank")
+
   def dedupExact(s: SparkSession, dir: String): DataFrame =
     Dedup.exact(Tables(s, dir, "documents"), "doc_id", "text")
 

@@ -1,0 +1,54 @@
+package graft.dedup
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class IncrementalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("incremental dedup keeps novel docs and drops corpus duplicates") {
+    val corpus = Seq((100L, "existing document one"), (101L, "existing document two"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (1L, "a brand new document"),
+      (2L, "existing document one"),      // exact dup of corpus 100
+      (3L, "another novel document"),
+      (4L, "existing document two")       // exact dup of corpus 101
+    ).toDF("doc_id", "text")
+    val novel = Dedup.incremental(batch, corpus, "doc_id", "text",
+      expectedCorpusKeys = 100L)
+    assert(novel.select("doc_id").as[Long].collect().sorted.toSeq == Seq(1L, 3L))
+  }
+
+  test("bloom antiJoin equals a plain left-anti join at any fpp") {
+    val probe = (1L to 500L).map(i => (i, s"k$i")).toDF("id", "k")
+    val build = (1L to 500L).filter(_ % 7 == 0).map(i => (s"k$i", i))
+      .toDF("k", "v")
+    // high fpp forces many false positives through the verify join —
+    // the result must still be exact
+    val viaBloom = graft.operators.BloomPrune
+      .antiJoin(probe, "k", build, "k", expectedKeys = 10L, fpp = 0.5)
+      .select("id").as[Long].collect().sorted.toSeq
+    val direct = probe.join(build, Seq("k"), "left_anti")
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(viaBloom == direct)
+    assert(direct.size == 500 - 71) // 71 multiples of 7 ≤ 500
+  }
+
+  test("percentRank matches the SQL percent_rank definition including ties") {
+    val df = Seq((1L, 10.0), (2L, 20.0), (3L, 20.0), (4L, 30.0), (5L, 5.0))
+      .toDF("id", "v")
+    val out = graft.imputer.FeatureBuilder.percentRank(df, "id", "v", 2, "pr")
+      .as[(Long, Double)].collect().toMap
+    // sorted: 5 < 10 < 20 = 20 < 30; lt-counts: 0,1,2,2,4; n-1 = 4
+    assert(out(5L) == 0.0)
+    assert(out(1L) == 0.25)
+    assert(out(2L) == 0.5 && out(3L) == 0.5)
+    assert(out(4L) == 1.0)
+    // cross-check against Spark's own window percent_rank
+    val win = org.apache.spark.sql.expressions.Window.orderBy("v")
+    val ref = df.select(col("id"), percent_rank().over(win).as("pr"))
+      .as[(Long, Double)].collect().toMap
+    assert(out == ref)
+  }
+}
