@@ -36,6 +36,7 @@ object SparkEntry {
     "events_funnel" -> (Analytics.eventsFunnel _),
     "events_cohort" -> (Analytics.eventsCohort _),
     "events_rolling" -> (Analytics.eventsRolling _),
+    "events_attribution" -> (Q.eventsAttribution _),
     "orders_rfm" -> (Analytics.ordersRfm _),
     "q_basket" -> (Analytics.qBasket _),
     "q_cube" -> (Analytics.qCube _),
@@ -52,6 +53,7 @@ object SparkEntry {
     "imp_median" -> (Q.impMedian _),
     "imp_mode" -> (Q.impMode _),
     "imp_zscore" -> (Q.impZscore _),
+    "imp_trimmed_mean" -> (Q.impTrimmedMean _),
     "imp_constant" -> (Q.impConstant _),
     "imp_interpolate" -> (Q.impInterpolate _),
     "imp_group_mean" -> (Q.impGroupMean _),
@@ -84,6 +86,8 @@ object SparkEntry {
     "corpus_mix" -> (Q.corpusMix _),
     "dedup_incremental" -> (Q.dedupIncremental _),
     "feat_rank" -> (Q.featRank _),
+    "feat_bucketize" -> (Q.featBucketize _),
+    "hot_keys" -> (Q.hotKeys _),
     "dedup_exact" -> (Q.dedupExact _),
     "dedup_jaccard" -> (Q.dedupJaccard _),
     "dedup_cluster" -> (Q.dedupCluster _),

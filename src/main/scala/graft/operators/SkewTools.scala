@@ -33,4 +33,17 @@ object SkewTools {
     * returns keys whose row count exceeds `threshold`. */
   def hotKeys(df: DataFrame, key: String, threshold: Long): DataFrame =
     df.groupBy(col(key)).agg(count(lit(1)).as("n")).filter(col("n") > threshold)
+
+  /** Scale-invariant skew detection: keys whose frequency exceeds `factor`×
+    * the mean key frequency. The threshold is self-calibrating (no absolute
+    * count to re-tune per data size), and the comparison `n·k > factor·Σn`
+    * stays in exact integers — one count shuffle plus a broadcast 1-row
+    * aggregate, valid at any scale. Feed the result to [[saltedJoin]]. */
+  def hotKeysRelative(df: DataFrame, key: String, factor: Long = 3L): DataFrame = {
+    val counts = df.groupBy(col(key)).agg(count(lit(1)).as("n"))
+    val stats = counts.agg(sum(col("n")).as("_tot"), count(lit(1)).as("_k"))
+    counts.crossJoin(broadcast(stats))
+      .filter(col("n") * col("_k") > lit(factor) * col("_tot"))
+      .select(col(key), col("n"))
+  }
 }

@@ -952,6 +952,44 @@ object OracleSql {
          |WHERE ((doc_id % 10000) * 2654435761) % 10000 < thresh""".stripMargin
     },
 
+    "events_attribution" ->
+      """WITH e AS (SELECT event_id, user_id, event_type,
+        |            epoch_ns(ts) // 1000000000 AS t FROM events),
+        |p AS (SELECT event_id AS purchase_id, user_id, t FROM e
+        |      WHERE event_type = 'purchase'),
+        |tc AS (SELECT user_id, t, max(event_id) AS touch_id,
+        |        arg_max(event_type, event_id) AS touch_type
+        |       FROM e WHERE event_type IN ('view', 'click') GROUP BY 1, 2)
+        |SELECT p.purchase_id, p.user_id, p.t AS purchase_t,
+        | tc.t AS touch_t, tc.touch_id, tc.touch_type,
+        | p.t - tc.t AS gap_sec
+        |FROM p ASOF LEFT JOIN tc ON p.user_id = tc.user_id AND tc.t <= p.t""".stripMargin,
+
+    "feat_bucketize" ->
+      s"""SELECT bin, CAST(bin AS DOUBLE) * 500.0 AS bin_lo,
+         | CAST(count(*) AS BIGINT) AS n_rows
+         |FROM (SELECT CAST(${ac("l_extendedprice")} // 50000 AS BIGINT) AS bin
+         |      FROM lineitem)
+         |GROUP BY bin""".stripMargin,
+
+    "imp_trimmed_mean" ->
+      s"""WITH mc AS ($MCV),
+         |c AS (SELECT c_custkey, c_acctbal, ${ac("c_acctbal")} AS ac FROM mc),
+         |band AS (SELECT CAST(round(quantile_cont(ac, 0.05), 0) AS BIGINT) AS lo,
+         |                CAST(round(quantile_cont(ac, 0.95), 0) AS BIGINT) AS hi FROM c),
+         |st AS (SELECT CAST(round(CAST(SUM(ac) AS DOUBLE) / count(*), 0) AS BIGINT) AS m
+         |       FROM c CROSS JOIN band WHERE ac >= lo AND ac <= hi)
+         |SELECT c_custkey,
+         | COALESCE(c_acctbal, CAST(m AS DOUBLE) / 100.0) AS acctbal_imp
+         |FROM c CROSS JOIN st""".stripMargin,
+
+    "hot_keys" ->
+      """WITH counts AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS n
+        |                FROM lineitem GROUP BY 1),
+        |st AS (SELECT SUM(n) AS tot, CAST(count(*) AS BIGINT) AS k FROM counts)
+        |SELECT l_partkey, n FROM counts CROSS JOIN st
+        |WHERE n * k > 3 * tot""".stripMargin,
+
     "dedup_incremental" ->
       """WITH batch AS (SELECT doc_id, sha256(text) AS digest FROM documents
         |               WHERE source = 'src0' OR (source = 'src1' AND doc_id % 3 = 0)),

@@ -481,6 +481,41 @@ object Q {
     FeatureBuilder.percentRank(Tables(s, dir, "customer"),
       "c_custkey", "c_acctbal", 2, "acctbal_pctrank")
 
+  /** Fixed-width discretization histogram: $500 price bins over lineitem.
+    * The bin id is exact integer division on cents (`div` truncates, all
+    * prices positive) — a single hash-aggregate shuffle over bin
+    * cardinality, nothing else. */
+  def featBucketize(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "lineitem")
+      .select(expr("cast(round(l_extendedprice * 100.0, 0) as bigint) div 50000")
+        .as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as("n_rows"))
+      .select(col("bin"), (col("bin") * 500.0).as("bin_lo"), col("n_rows"))
+
+  /** Robust (trimmed-mean) impute: the fill value is the mean of observed
+    * balances inside the exact [p05, p95] cents band — outliers don't
+    * drag the imputation. Two broadcast scalar stats, then a projection. */
+  def impTrimmedMean(s: SparkSession, dir: String): DataFrame = {
+    val mc = Tables.maskedCustomer(s, dir)
+    val ac = cents(col("c_acctbal"), 2)
+    val band = mc.select(ac.as("_ac"))
+      .agg(round(expr("percentile(_ac, 0.05D)"), 0).cast("bigint").as("_lo"),
+        round(expr("percentile(_ac, 0.95D)"), 0).cast("bigint").as("_hi"))
+    val stat = mc.select(ac.as("_ac")).crossJoin(broadcast(band))
+      .filter(col("_ac") >= col("_lo") && col("_ac") <= col("_hi"))
+      .agg(round(sum(col("_ac")).cast("double") / count(lit(1)), 0)
+        .cast("bigint").as("_m"))
+    mc.crossJoin(broadcast(stat))
+      .select(col("c_custkey"),
+        coalesce(col("c_acctbal"), col("_m").cast("double") / 100.0).as("acctbal_imp"))
+  }
+
+  /** Skew-detection face: parts whose lineitem frequency exceeds 3× the
+    * mean part frequency — exact-integer comparison, scale-invariant. */
+  def hotKeys(s: SparkSession, dir: String): DataFrame =
+    graft.operators.SkewTools.hotKeysRelative(
+      Tables(s, dir, "lineitem"), "l_partkey", factor = 3L)
+
   def dedupExact(s: SparkSession, dir: String): DataFrame =
     Dedup.exact(Tables(s, dir, "documents"), "doc_id", "text")
 
@@ -547,6 +582,31 @@ object Q {
     val e = Tables(s, dir, "embeddings")
     graft.similarity.AnnLsh.rangeSearch(e, e.filter(col("vec_id") % 97 === 0),
       "vec_id", "embedding", minCos = 0.30)
+  }
+
+  /** Last-touch marketing attribution: every purchase is credited to the
+    * same user's latest preceding view/click. Pure composition of the
+    * as-of join over two filtered faces of the event stream — one
+    * user-keyed shuffle, no per-user event-list collection. Ties at one
+    * timestamp are pre-collapsed deterministically (max event_id wins),
+    * mirroring the oracle's arg_max. */
+  def eventsAttribution(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.AsOfJoin
+    val e = Tables(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        expr("ts div 1000000000").as("t"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("t"))
+    val touches = e.filter(col("event_type").isin("view", "click"))
+      .groupBy("user_id", "t")
+      .agg(max(col("event_id")).as("touch_id"),
+        max_by(col("event_type"), col("event_id")).as("touch_type"))
+    AsOfJoin.latestPrior(purchases, touches, "user_id", "user_id", "t", "t",
+        Seq("t", "touch_id", "touch_type"))
+      .select(col("purchase_id"), col("user_id"), col("t").as("purchase_t"),
+        col("asof_t").as("touch_t"), col("asof_touch_id").as("touch_id"),
+        col("asof_touch_type").as("touch_type"),
+        (col("t") - col("asof_t")).as("gap_sec"))
   }
 
   /** As-of join: each order matched to the user's latest event at or before
