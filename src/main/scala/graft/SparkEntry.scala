@@ -39,6 +39,8 @@ object SparkEntry {
     "events_attribution" -> (Q.eventsAttribution _),
     "orders_rfm" -> (Analytics.ordersRfm _),
     "q_basket" -> (Analytics.qBasket _),
+    "q22_antijoin" -> (Analytics.q22 _),
+    "events_pivot" -> (Analytics.eventsPivot _),
     "q_cube" -> (Analytics.qCube _),
     "profile_group_quantiles" -> (graft.analytics.Profile.lineitemGroupQuantiles _),
     "profile_corr" -> (graft.analytics.Profile.lineitemCorr _),

@@ -289,6 +289,37 @@ object Analytics {
       .orderBy(desc("n_orders"), asc("part_a"), asc("part_b"))
       .limit(20)
 
+  /** TPC-H Q22-flavored ANTI join: per-nation count and balance total of
+    * above-average-balance customers who never ordered. The average rides
+    * back as a broadcast scalar; the anti join shuffles only custkeys from
+    * the orders side (payload never moves) and short-circuits on first
+    * match. */
+  def q22(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables(spark, dir, "customer")
+    val ac = cents(col("c_acctbal"), 2)
+    val avgStat = c.agg(
+      round(sum(ac).cast("double") / count(lit(1)), 0).cast("bigint").as("_avg"))
+    c.crossJoin(broadcast(avgStat))
+      .filter(ac > col("_avg"))
+      .join(Tables(spark, dir, "orders").select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy("c_nationkey")
+      .agg(count(lit(1)).as("numcust"),
+        (sum(ac).cast("double") / 100.0).as("totacctbal"))
+  }
+
+  /** Dynamic pivot: daily event counts spread across one column per event
+    * type (explicit value list ⇒ deterministic schema, no extra
+    * values-discovery job). ONE hash aggregate with map-side partials —
+    * the pivot is a projection inside the aggregate, not a per-type scan. */
+  def eventsPivot(spark: SparkSession, dir: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    Tables(spark, dir, "events")
+      .groupBy(expr("ts div 86400000000000").as("d"))
+      .pivot("event_type", types).agg(count(lit(1)))
+      .select(col("d") +: types.map(t => coalesce(col(t), lit(0L)).as(s"n_$t")): _*)
+  }
+
   /** CUBE aggregation: quantity/row totals at every grouping granularity of
     * (returnflag, linestatus) in ONE pass — Spark expands the grouping sets
     * before the single hash aggregate, so the scan isn't repeated per

@@ -952,6 +952,26 @@ object OracleSql {
          |WHERE ((doc_id % 10000) * 2654435761) % 10000 < thresh""".stripMargin
     },
 
+    "q22_antijoin" ->
+      s"""WITH a AS (SELECT CAST(round(CAST(SUM(${ac("c_acctbal")}) AS DOUBLE)
+         |                        / count(*), 0) AS BIGINT) AS avgc FROM customer)
+         |SELECT c_nationkey, CAST(count(*) AS BIGINT) AS numcust,
+         | CAST(SUM(${ac("c_acctbal")}) AS DOUBLE) / 100.0 AS totacctbal
+         |FROM customer CROSS JOIN a
+         |WHERE ${ac("c_acctbal")} > avgc
+         | AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+         |GROUP BY c_nationkey""".stripMargin,
+
+    "events_pivot" -> {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val cols = types.map(t =>
+        s"CAST(SUM(CASE WHEN event_type = '$t' THEN 1 ELSE 0 END) AS BIGINT) AS n_$t")
+        .mkString(",\n ")
+      s"""SELECT epoch_ns(ts) // 86400000000000 AS d,
+         | $cols
+         |FROM events GROUP BY 1""".stripMargin
+    },
+
     "events_attribution" ->
       """WITH e AS (SELECT event_id, user_id, event_type,
         |            epoch_ns(ts) // 1000000000 AS t FROM events),

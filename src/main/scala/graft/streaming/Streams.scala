@@ -28,6 +28,18 @@ case class FunnelState(tA: Long, tB: Long, tC: Long)
   * `FunnelEvent.t` via `ticksPerSec`. */
 case class FunnelProgress(user_id: Long, stage: Int, convert_sec: Long)
 
+/** Event record for streaming attribution: any event type; view/click
+  * update the per-user touch state, purchase emits. */
+case class TouchEvent(user_id: Long, t: Long, event_type: String, event_id: Long)
+
+/** Latest view/click per user (−1 t = no touch yet). */
+case class TouchState(t: Long, touch_id: Long, touch_type: String)
+
+/** One attributed purchase emitted by [[Streams.attribution]]. */
+case class AttributionHit(user_id: Long, purchase_id: Long, purchase_t: Long,
+                          touch_id: Long, touch_t: Long, touch_type: String,
+                          gap_sec: Long)
+
 /** Structured Streaming faces of the batch operators: the same logical
   * transforms applied to a streaming DataFrame (`readStream` source), with
   * watermarks bounding state.
@@ -140,6 +152,35 @@ object Streams {
           val stage = if (st.tC >= 0) 3 else if (st.tB >= 0) 2 else if (st.tA >= 0) 1 else 0
           FunnelProgress(uid, stage,
             if (st.tC >= 0) (st.tC - st.tA) / ticksPerSec else -1L)
+      }
+  }
+
+  /** Stateful streaming last-touch attribution — the streaming face of the
+    * batch `Q.eventsAttribution`: per-user state holds the latest
+    * view/click seen so far ((t, eventId)-max, so replays are idempotent);
+    * each purchase emits one attribution row against that state. State is
+    * three fields per user — bounded by user cardinality. Events within a
+    * batch apply in (t, eventId) order; cross-batch ordering is the
+    * producer's contract (same as [[funnel]]). */
+  def attribution(events: Dataset[TouchEvent]): Dataset[AttributionHit] = {
+    implicit val hitEnc = Encoders.product[AttributionHit]
+    implicit val stEnc = Encoders.product[TouchState]
+    events.groupByKey(_.user_id)(Encoders.scalaLong)
+      .flatMapGroupsWithState[TouchState, AttributionHit](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (uid: Long, evs: Iterator[TouchEvent], state: GroupState[TouchState]) =>
+          var st = state.getOption.getOrElse(TouchState(-1L, -1L, ""))
+          val out = scala.collection.mutable.ArrayBuffer.empty[AttributionHit]
+          evs.toSeq.sortBy(e => (e.t, e.event_id)).foreach { e =>
+            if (e.event_type == "view" || e.event_type == "click") {
+              if (e.t > st.t || (e.t == st.t && e.event_id > st.touch_id))
+                st = TouchState(e.t, e.event_id, e.event_type)
+            } else if (e.event_type == "purchase" && st.t >= 0)
+              out += AttributionHit(uid, e.event_id, e.t,
+                st.touch_id, st.t, st.touch_type, e.t - st.t)
+          }
+          state.update(st)
+          out.iterator
       }
   }
 

@@ -64,6 +64,36 @@ class Round5Spec extends SparkSpec {
     assert(m(("y", "z")) == -1.0)
   }
 
+  test("q22: anti-join keeps exactly the above-average never-ordered customers") {
+    val out = Analytics.q22(spark, sf).as[(Long, Long, Double)].collect()
+    val c = graft.Tables(spark, sf, "customer")
+    val o = graft.Tables(spark, sf, "orders").select("o_custkey").distinct()
+      .as[Long].collect().toSet
+    val avgBal = {
+      val cents = c.select((round(col("c_acctbal") * 100.0, 0)).cast("long").as("v"))
+        .as[Long].collect()
+      math.round(cents.sum.toDouble / cents.length)
+    }
+    val direct = c.select(col("c_custkey"), col("c_nationkey"),
+        round(col("c_acctbal") * 100.0, 0).cast("long").as("v"))
+      .as[(Long, Long, Long)].collect()
+      .filter { case (k, _, v) => v > avgBal && !o.contains(k) }
+    assert(out.map(_._2).sum == direct.length)
+    assert(out.map(_._1).toSet == direct.map(_._2).toSet)
+  }
+
+  test("events_pivot: per-day type counts sum to the daily totals") {
+    val out = Analytics.eventsPivot(spark, sf)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    val daily = graft.Tables(spark, sf, "events")
+      .groupBy(expr("ts div 86400000000000").as("d")).count()
+      .as[(Long, Long)].collect().toMap
+    assert(out.nonEmpty && out.length == daily.size)
+    out.foreach { case (d, a, b, c2, e, f) =>
+      assert(a + b + c2 + e + f == daily(d))
+    }
+  }
+
   test("groupQuantiles: per-group medians match a direct percentile") {
     val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("b", 10.0), ("b", 20.0))
       .toDF("g", "v")

@@ -168,4 +168,39 @@ class StreamsSpec extends SparkSpec {
       assert(rows(1) == "<x> and sparkly words")
     } finally query.stop()
   }
+
+  test("streaming attribution credits each purchase to the latest prior touch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[TouchEvent]
+    val out = Streams.attribution(input.toDS())
+    val query = out.writeStream.format("memory").queryName("attr_out")
+      .outputMode("append").start()
+    try {
+      // batch 1: view then purchase → attributed to the view; a purchase
+      // with no prior touch emits nothing
+      input.addData(
+        TouchEvent(1L, 100L, "view", 10L),
+        TouchEvent(1L, 160L, "purchase", 11L),
+        TouchEvent(2L, 100L, "purchase", 20L))
+      query.processAllAvailable()
+      val b1 = spark.table("attr_out")
+        .as[AttributionHit].collect()
+      assert(b1.toSeq == Seq(AttributionHit(1L, 11L, 160L, 10L, 100L, "view", 60L)))
+      // batch 2: the touch state survives batches; a newer click wins over
+      // the older view; same-time tie resolves to the higher event_id
+      input.addData(
+        TouchEvent(1L, 200L, "click", 12L),
+        TouchEvent(1L, 200L, "view", 13L),
+        TouchEvent(1L, 260L, "purchase", 14L),
+        TouchEvent(2L, 300L, "purchase", 21L))
+      query.processAllAvailable()
+      val b2 = spark.table("attr_out").as[AttributionHit].collect()
+        .filter(_.purchase_id == 14L)
+      assert(b2.toSeq == Seq(AttributionHit(1L, 14L, 260L, 13L, 200L, "view", 60L)))
+      // user 2 still has no touch → its purchase never emits
+      assert(!spark.table("attr_out").as[AttributionHit].collect()
+        .exists(_.user_id == 2L))
+    } finally query.stop()
+  }
 }
