@@ -1,6 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types.StructType
 
 /** Source/sink helpers. The reference tool ingests CSV frames
@@ -51,4 +52,20 @@ object Sources {
     df.write.mode(mode)
       .bucketBy(nBuckets, bucketCol).sortBy(bucketCol)
       .format("parquet").saveAsTable(table)
+
+  /** Clustered data layout: range-repartition on the clustering columns and
+    * sort within each partition before writing, so every output file holds
+    * a narrow, non-overlapping key range. Parquet row-group min/max stats
+    * then prune whole files for range predicates on those columns — the
+    * write-once, skip-forever layout step of a 100 TB table (the practical
+    * core of Z-ordering when one clustering dimension dominates).
+    * `targetPartitions` controls file count/size (at scale: total bytes /
+    * desired file size). */
+  def writeClustered(df: DataFrame, path: String, clusterCols: Seq[String],
+                     targetPartitions: Int, mode: String = "overwrite"): Unit = {
+    require(clusterCols.nonEmpty, "clusterCols must be non-empty")
+    df.repartitionByRange(targetPartitions, clusterCols.map(col): _*)
+      .sortWithinPartitions(clusterCols.map(col): _*)
+      .write.mode(mode).parquet(path)
+  }
 }

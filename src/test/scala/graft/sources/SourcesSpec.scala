@@ -133,4 +133,27 @@ class SourcesSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("pilot"))
   }
+
+  test("clustered write yields non-overlapping per-file key ranges") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_cluster").toString
+    val df = (1 to 5000).map(i => ((i * 2654435761L) % 10007L, i.toLong))
+      .toDF("k", "payload")                      // scrambled, unsorted input
+    Sources.writeClustered(df, dir, Seq("k"), targetPartitions = 8)
+    val files = new java.io.File(dir).listFiles()
+      .filter(f => f.getName.endsWith(".parquet")).map(_.getPath)
+    assert(files.length > 1)
+    val ranges = files.flatMap { f =>
+      val r = spark.read.parquet(f).agg(min($"k"), max($"k"), count($"k")).head()
+      if (r.getLong(2) == 0L) None else Some((r.getLong(0), r.getLong(1)))
+    }.sortBy(_._1)
+    // each file holds a narrow range disjoint from the next — the property
+    // parquet min/max pruning needs to skip whole files on range predicates
+    ranges.sliding(2).foreach {
+      case Array((_, hi), (lo2, _)) => assert(hi < lo2, s"overlap: $hi vs $lo2")
+      case _ => ()
+    }
+    // nothing lost in the relayout
+    assert(spark.read.parquet(dir).count() == 5000L)
+  }
 }
