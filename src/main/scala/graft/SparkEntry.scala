@@ -36,6 +36,7 @@ object SparkEntry {
     "events_funnel" -> (Analytics.eventsFunnel _),
     "events_cohort" -> (Analytics.eventsCohort _),
     "events_rolling" -> (Analytics.eventsRolling _),
+    "events_path" -> (Analytics.eventsPath _),
     "events_attribution" -> (Q.eventsAttribution _),
     "orders_rfm" -> (Analytics.ordersRfm _),
     "q_basket" -> (Analytics.qBasket _),
@@ -85,6 +86,8 @@ object SparkEntry {
     "clip_outliers" -> (Q.clipOutliers _),
     // dedup
     "sample_stratified" -> (Q.sampleStratified _),
+    "sample_split" -> (Q.sampleSplit _),
+    "feat_target_encode" -> (Q.featTargetEncode _),
     "corpus_mix" -> (Q.corpusMix _),
     "dedup_incremental" -> (Q.dedupIncremental _),
     "feat_rank" -> (Q.featRank _),

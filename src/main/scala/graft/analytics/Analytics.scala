@@ -217,6 +217,24 @@ object Analytics {
       .agg(countDistinct("user_id").as("n_users"))
   }
 
+  /** Top-20 opening navigation paths: each user's first five event types
+    * (ordered by time, event_id tie-break) joined into a path string, then
+    * counted. ONE shuffle on user_id builds the per-user sequence with a
+    * map-side partial collect_list; the sort + slice happen inside the
+    * aggregated row (bounded arrays), never in a global window. The top-k
+    * is TakeOrderedAndProject (per-partition heaps, k·P merge) with a
+    * deterministic total order through the limit boundary. */
+  def eventsPath(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "events")
+      .groupBy("user_id")
+      .agg(expr(
+        """array_join(slice(transform(
+          |  sort_array(collect_list(struct(ts, event_id, event_type))),
+          |  x -> x.event_type), 1, 5), '>')""".stripMargin).as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n_users"))
+      .orderBy(col("n_users").desc, col("path"))
+      .limit(20)
+
   /** RFM customer scoring with scale-safe quartile bucketing: per-customer
     * recency/frequency/monetary aggregates, then quartile assignment by
     * comparing against broadcast percentile thresholds — NOT `ntile` over a

@@ -78,4 +78,26 @@ object FeatureBuilder {
       .select(col(idCol),
         (col("_lt").cast("double") / (col("_n") - lit(1L)).cast("double")).as(outCol))
   }
+
+  /** Smoothed mean target encoding of a categorical column:
+    * `enc = (sum + m·global_mean) / (n + m)` — the additive-smoothing
+    * estimator that shrinks rare categories toward the prior. The target is
+    * summed as EXACT integer fixed-decimal (no float drift at any scale);
+    * the plan is two aggregations over the same frame (per-category +
+    * global scalar) and a broadcast of the one-row prior — category
+    * cardinality never touches more than one shuffle. */
+  def targetEncode(df: DataFrame, catCol: String, targetCol: String,
+                   scale: Int, smoothing: Double, outCol: String): DataFrame = {
+    require(smoothing >= 0, s"smoothing must be non-negative, got $smoothing")
+    val vc = df.select(col(catCol),
+      graft.analytics.Analytics.cents(col(targetCol), scale).as("_t"))
+    val per = vc.groupBy(catCol).agg(sum("_t").as("_s"), count(lit(1)).as("_n"))
+    val g = vc.agg(sum("_t").as("_gs"), count(lit(1)).as("_gn"))
+    per.crossJoin(broadcast(g)).select(
+      col(catCol), col("_n").as("n_rows"),
+      (((col("_s").cast("double")
+          + lit(smoothing) * (col("_gs").cast("double") / col("_gn").cast("double")))
+        / (col("_n").cast("double") + lit(smoothing)))
+        / lit(math.pow(10, scale))).as(outCol))
+  }
 }

@@ -27,6 +27,22 @@ object Sampling {
     df.filter(bucket(col(idCol)) < math.round(fraction * 10000))
   }
 
+  /** Train/val/test assignment: adds `outCol` ('train'/'val'/'test') from
+    * the same deterministic bucket, so the split is disjoint, exhaustive,
+    * reproducible from ids alone, and consistent with [[uniform]] — a pure
+    * projection (no shuffle, no RNG), the only safe way to split a 100 TB
+    * corpus whose rows must never migrate between splits across reruns. */
+  def split(df: DataFrame, idCol: String, trainFrac: Double, valFrac: Double,
+            outCol: String = "split"): DataFrame = {
+    require(trainFrac >= 0 && valFrac >= 0 && trainFrac + valFrac <= 1,
+      s"fractions must be non-negative and sum to at most 1, got $trainFrac + $valFrac")
+    val b = bucket(col(idCol))
+    df.withColumn(outCol,
+      when(b < math.round(trainFrac * 10000), lit("train"))
+        .when(b < math.round((trainFrac + valFrac) * 10000), lit("val"))
+        .otherwise(lit("test")))
+  }
+
   /** Stratified sample: per-stratum inclusion fractions (strata absent from
     * the map fall back to `defaultFraction`). Deterministic in the id. */
   def stratified(df: DataFrame, idCol: String, stratumCol: String,

@@ -762,6 +762,13 @@ object OracleSql {
         |WHERE CAST(CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS DOUBLE)
         |  / (CAST(len(a.sh) AS BIGINT) + CAST(len(b.sh) AS BIGINT) - CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT)) >= 0.10""".stripMargin,
 
+    "sample_split" ->
+      """SELECT doc_id, source,
+        | CASE WHEN ((doc_id % 10000) * 2654435761) % 10000 < 8000 THEN 'train'
+        |      WHEN ((doc_id % 10000) * 2654435761) % 10000 < 9000 THEN 'val'
+        |      ELSE 'test' END AS split
+        |FROM documents""".stripMargin,
+
     "sample_stratified" ->
       """SELECT doc_id, source FROM documents
         |WHERE ((doc_id % 10000) * 2654435761) % 10000 <
@@ -846,6 +853,13 @@ object OracleSql {
         |SELECT query_id, neighbor_id, rank, cos FROM r WHERE rank <= 5""".stripMargin,
 
     // ---------------------------------------------------------- round 5
+    "events_path" ->
+      """WITH p AS (SELECT user_id,
+        |  array_to_string(list(event_type ORDER BY ts, event_id)[1:5], '>') AS path
+        | FROM events GROUP BY user_id)
+        |SELECT path, CAST(count(*) AS BIGINT) AS n_users
+        |FROM p GROUP BY path ORDER BY n_users DESC, path LIMIT 20""".stripMargin,
+
     "events_rolling" ->
       """WITH daily AS (SELECT event_type, epoch_ns(ts) // 86400000000000 AS d,
         |                CAST(count(*) AS BIGINT) AS n_events
@@ -1016,6 +1030,17 @@ object OracleSql {
         |corpus AS (SELECT sha256(text) AS digest FROM documents WHERE source <> 'src0')
         |SELECT doc_id, digest FROM batch b
         |WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.digest = b.digest)""".stripMargin,
+
+    "feat_target_encode" ->
+      s"""WITH j AS (SELECT p_brand, ${ac("l_extendedprice")} AS t
+         |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+         |per AS (SELECT p_brand, CAST(SUM(t) AS DOUBLE) AS s,
+         |        CAST(count(*) AS BIGINT) AS n FROM j GROUP BY 1),
+         |g AS (SELECT CAST(SUM(t) AS DOUBLE) AS gs,
+         |      CAST(count(*) AS BIGINT) AS gn FROM j)
+         |SELECT p_brand, n AS n_rows,
+         | (s + 20.0 * (gs / CAST(gn AS DOUBLE))) / (CAST(n AS DOUBLE) + 20.0) / 100.0 AS price_enc
+         |FROM per, g""".stripMargin,
 
     "feat_rank" ->
       s"""SELECT c_custkey,

@@ -448,6 +448,13 @@ object Q {
         "doc_id", "source", Map("src0" -> 0.5, "src1" -> 0.25), defaultFraction = 0.1)
       .select("doc_id", "source")
 
+  /** Deterministic 80/10/10 train/val/test assignment over documents — a
+    * pure projection on the id bucket, no RNG, no shuffle. */
+  def sampleSplit(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.split(Tables(s, dir, "documents"),
+        "doc_id", trainFrac = 0.8, valFrac = 0.1)
+      .select("doc_id", "source", "split")
+
   /** Target mixture for [[corpusMix]]: cycle the 20 sources through four
     * weight tiers (1.0 / 0.5 / 0.25 / 0.1) — mirrored literally in the
     * oracle's CASE. */
@@ -480,6 +487,17 @@ object Q {
   def featRank(s: SparkSession, dir: String): DataFrame =
     FeatureBuilder.percentRank(Tables(s, dir, "customer"),
       "c_custkey", "c_acctbal", 2, "acctbal_pctrank")
+
+  /** Smoothed target encoding of part brand by line-item price: broadcast
+    * dimension join, then [[FeatureBuilder.targetEncode]]'s exact-cents
+    * shrinkage estimator (m = 20). */
+  def featTargetEncode(s: SparkSession, dir: String): DataFrame = {
+    val joined = Tables(s, dir, "lineitem")
+      .join(broadcast(Tables(s, dir, "part")),
+        col("l_partkey") === col("p_partkey"))
+    FeatureBuilder.targetEncode(joined, "p_brand", "l_extendedprice",
+      scale = 2, smoothing = 20.0, outCol = "price_enc")
+  }
 
   /** Fixed-width discretization histogram: $500 price bins over lineitem.
     * The bin id is exact integer division on cents (`div` truncates, all

@@ -33,6 +33,34 @@ class Round5bSpec extends SparkSpec {
     }
   }
 
+  test("target encoding shrinks rare categories toward the global mean") {
+    val df = Seq(("a", 1.0), ("a", 3.0), ("b", 10.0)).toDF("cat", "v")
+    val enc = graft.imputer.FeatureBuilder
+      .targetEncode(df, "cat", "v", scale = 2, smoothing = 20.0, outCol = "enc")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val gMean = 14.0 / 3.0
+    // exact shrinkage: (sum_cents + 20·global_mean_cents) / (n + 20) / 100
+    assert(enc("a")._1 == 2L)
+    assert(math.abs(enc("a")._2 - (400.0 + 20.0 * 1400.0 / 3.0) / 22.0 / 100.0) < 1e-12)
+    assert(math.abs(enc("b")._2 - (1000.0 + 20.0 * 1400.0 / 3.0) / 21.0 / 100.0) < 1e-12)
+    // each estimate lands strictly between its category mean and the prior
+    assert(enc("a")._2 > 2.0 && enc("a")._2 < gMean)
+    assert(enc("b")._2 > gMean && enc("b")._2 < 10.0)
+  }
+
+  test("events_path caps paths at five hops and orders by support") {
+    val out = graft.analytics.Analytics.eventsPath(spark, "/root/testdata/sf0.001")
+      .as[(String, Long)].collect()
+    assert(out.nonEmpty && out.length <= 20)
+    // ≤ 5 event types per path
+    assert(out.forall(_._1.split(">").length <= 5))
+    // deterministic total order: support desc, then path asc
+    assert(out.sliding(2).forall {
+      case Array((p1, n1), (p2, n2)) => n1 > n2 || (n1 == n2 && p1 < p2)
+      case _ => true
+    })
+  }
+
   test("trimmed-mean impute fills every masked row with one in-band value") {
     val out = graft.queries.Q.impTrimmedMean(spark, "/root/testdata/sf0.001")
       .as[(Long, Double)].collect()

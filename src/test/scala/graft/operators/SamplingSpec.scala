@@ -16,6 +16,30 @@ class SamplingSpec extends SparkSpec {
     assert(again == first)
   }
 
+  test("split is exhaustive, disjoint, exact on dense ids, and agrees with uniform") {
+    import spark.implicits._
+    val ids = (0L until 10000L).toDF("id")
+    val got = Sampling.split(ids, "id", trainFrac = 0.8, valFrac = 0.1)
+    val bySplit = got.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // bijective scramble on dense residues → EXACT proportions
+    assert(bySplit == Map("train" -> 8000L, "val" -> 1000L, "test" -> 1000L))
+    // the train split is precisely the 0.8 uniform sample: splits never
+    // migrate when the val/test boundary moves
+    val train = got.filter(col("split") === "train").select("id")
+    assert(train.exceptAll(Sampling.uniform(ids, "id", 0.8)).count() == 0L)
+    assert(Sampling.uniform(ids, "id", 0.8).exceptAll(train).count() == 0L)
+  }
+
+  test("split rejects fractions that overflow the unit interval") {
+    import spark.implicits._
+    val ids = (0L until 10L).toDF("id")
+    val e = intercept[IllegalArgumentException] {
+      Sampling.split(ids, "id", trainFrac = 0.9, valFrac = 0.2)
+    }
+    assert(e.getMessage.contains("sum to at most 1"))
+  }
+
   test("stratified fractions apply per stratum with a default fallback") {
     import spark.implicits._
     val rows = (0L until 10000L).map(i => (i, s"s${i % 2}")).toDF("id", "stratum")
