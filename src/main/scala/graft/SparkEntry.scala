@@ -24,6 +24,12 @@ object SparkEntry {
     "q6_filter" -> (Analytics.q6 _),
     "q12_condagg" -> (Analytics.q12 _),
     "q14_promo" -> (Analytics.q14 _),
+    "q7_volume" -> (Analytics.q7 _),
+    "q10_returns" -> (Analytics.q10 _),
+    "q13_custdist" -> (Analytics.q13 _),
+    "q17_smallqty" -> (Analytics.q17 _),
+    "q18_bigorders" -> (Analytics.q18 _),
+    "q19_disjunct" -> (Analytics.q19 _),
     "events_anomaly" -> (Analytics.eventsAnomaly _),
     "events_json" -> (Analytics.eventsJson _),
     "asof_join" -> (Q.asofJoin _),

@@ -351,6 +351,136 @@ object Analytics {
         coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
         (col("_qc").cast("double") / 100.0).as("sum_qty"), col("n_rows"))
 
+  /** TPC-H Q7-style volume shipping between two disjoint nation groups
+    * (supplier nations keyed < 13, customer nations ≥ 13), by ship year.
+    * Both nation-filtered dimension chains (supplier⋈nation, customer⋈nation)
+    * collapse to keyed frames and broadcast; lineitem joins orders on the
+    * order key (the one genuine big-big shuffle, left to AQE) only after the
+    * broadcast supplier filter and the ship-date pushdown have pruned it. */
+  def q7(spark: SparkSession, dir: String): DataFrame = {
+    val n = Tables(spark, dir, "nation")
+    val s2 = Tables(spark, dir, "supplier")
+      .join(broadcast(n.filter(col("n_nationkey") < 13)),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val c2 = Tables(spark, dir, "customer")
+      .join(broadcast(n.filter(col("n_nationkey") >= 13)),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name").as("cust_nation"))
+    val o2 = Tables(spark, dir, "orders").select("o_orderkey", "o_custkey")
+      .join(broadcast(c2), col("o_custkey") === col("c_custkey"))
+    Tables(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01") &&
+        col("l_shipdate") < lit("1998-01-01"))
+      .join(broadcast(s2), col("l_suppkey") === col("s_suppkey"))
+      .join(o2, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).cast("bigint").as("l_year"))
+      .agg(sum(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)).as("_rc"))
+      .select(col("supp_nation"), col("cust_nation"), col("l_year"),
+        (col("_rc").cast("double") / 10000.0).as("revenue"))
+  }
+
+  /** TPC-H Q10-style returned-item report: top-20 customers by revenue lost
+    * to returns in one quarter. The orderkey join is the only big shuffle;
+    * the customer names ride in on a broadcast only AFTER the per-customer
+    * aggregation has shrunk the frame, and the top-k is
+    * TakeOrderedAndProject (per-partition heaps), never a global sort. */
+  def q10(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables(spark, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01") &&
+        col("o_orderdate") < lit("1996-07-01"))
+      .select("o_orderkey", "o_custkey")
+    val rev = Tables(spark, dir, "lineitem")
+      .filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"),
+        cents(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4).as("_rc"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_custkey").agg(sum(col("_rc")).as("_rc"))
+    val c = Tables(spark, dir, "customer")
+      .join(broadcast(Tables(spark, dir, "nation")),
+        col("c_nationkey") === col("n_nationkey"))
+      .select("c_custkey", "c_name", "c_acctbal", "n_name")
+    rev.join(c, col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("n_name"), col("c_acctbal"),
+        (col("_rc").cast("double") / 10000.0).as("revenue"))
+      .orderBy(desc("revenue"), asc("c_custkey"))
+      .limit(20)
+  }
+
+  /** TPC-H Q13-style customer order-count distribution, including the
+    * never-ordered zero bucket. Orders aggregate per custkey first (the big
+    * shuffle), then the LEFT join against customer runs at customer
+    * cardinality — the distribution aggregate at the end is tiny. */
+  def q13(spark: SparkSession, dir: String): DataFrame = {
+    val cnt = Tables(spark, dir, "orders")
+      .filter(col("o_orderpriority") =!= "4-NOT SPECIFIED")
+      .groupBy("o_custkey").agg(count(lit(1)).as("_n"))
+    Tables(spark, dir, "customer").select("c_custkey")
+      .join(cnt, col("c_custkey") === col("o_custkey"), "left")
+      .select(coalesce(col("_n"), lit(0L)).as("c_count"))
+      .groupBy("c_count").agg(count(lit(1)).as("custdist"))
+  }
+
+  /** TPC-H Q17-style small-quantity revenue: lines of one brand's small
+    * parts whose quantity is below 20% of that part's average quantity.
+    * The brand/size filter broadcasts into BOTH lineitem passes (per-part
+    * average, then the qualifying-line scan), and the per-part threshold
+    * comparison `5·qty·n < Σqty` is exact integer cents — no double
+    * division anywhere before the single output projection. */
+  def q17(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables(spark, dir, "part")
+      .filter(col("p_brand") === "Brand#3" && col("p_size") <= 10)
+      .select("p_partkey")
+    val li = Tables(spark, dir, "lineitem")
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+    val stats = li.groupBy(col("l_partkey").as("_pk"))
+      .agg(sum(cents(col("l_quantity"), 2)).as("_sq"), count(lit(1)).as("_nq"))
+    li.join(broadcast(stats), col("l_partkey") === col("_pk"))
+      .filter(cents(col("l_quantity"), 2) * lit(5L) * col("_nq") < col("_sq"))
+      .agg(sum(cents(col("l_extendedprice"), 2)).as("_pc"), count(lit(1)).as("n_lines"))
+      .select((col("_pc").cast("double") / 700.0).as("avg_yearly"), col("n_lines"))
+  }
+
+  /** TPC-H Q18-style large-volume orders: orders whose total quantity tops
+    * 300 units. The per-order quantity rollup is the one big shuffle; its
+    * survivors are a handful of rows that broadcast into orders, and the
+    * customer dimension broadcasts last — the fact table never re-shuffles. */
+  def q18(spark: SparkSession, dir: String): DataFrame = {
+    val big = Tables(spark, dir, "lineitem")
+      .groupBy(col("l_orderkey").as("_ok"))
+      .agg(sum(cents(col("l_quantity"), 2)).as("_qc"))
+      .filter(col("_qc") > 300L * 100L)
+    Tables(spark, dir, "orders")
+      .join(broadcast(big), col("o_orderkey") === col("_ok"))
+      .join(broadcast(Tables(spark, dir, "customer").select("c_custkey", "c_name")),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000").as("o_day"),
+        col("o_totalprice"),
+        (col("_qc").cast("double") / 100.0).as("sum_qty"))
+  }
+
+  /** TPC-H Q19-style disjunctive-predicate revenue: three (brand, size,
+    * quantity) branches OR-ed together. One broadcast part join; the
+    * disjunction is a single codegen'd filter — no per-branch scan, no
+    * union of three plans. */
+  def q19(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables(spark, dir, "part").select("p_partkey", "p_brand", "p_size")
+    val branch1 = col("p_brand") === "Brand#1" && col("p_size").between(1, 10) &&
+      col("l_quantity").between(1, 20)
+    val branch2 = col("p_brand") === "Brand#2" && col("p_size").between(11, 25) &&
+      col("l_quantity").between(10, 30)
+    val branch3 = col("p_brand") === "Brand#3" && col("p_size").between(26, 50) &&
+      col("l_quantity").between(20, 40)
+    Tables(spark, dir, "lineitem")
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .filter(branch1 || branch2 || branch3)
+      .agg(sum(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)).as("_rc"),
+        count(lit(1)).as("n_lines"))
+      .select((col("_rc").cast("double") / 10000.0).as("revenue"), col("n_lines"))
+  }
+
   /** Rolling time-series stats over the daily event counts: per event type,
     * a 7-day moving sum/average and the running total. Windows run over the
     * PRE-AGGREGATED daily frame (one row per (type, day)) — thousands of

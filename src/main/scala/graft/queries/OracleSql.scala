@@ -1069,6 +1069,79 @@ object OracleSql {
         | min(doc_id) AS keep_id,
         | count(*) AS n_copies,
         | min(CAST(octet_length(encode(text)) AS BIGINT)) AS n_bytes
-        |FROM documents GROUP BY 1""".stripMargin
+        |FROM documents GROUP BY 1""".stripMargin,
+
+    // ------------------------------------------------- round 5, second wave
+    "q7_volume" ->
+      """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+        | CAST(year(l_shipdate) AS BIGINT) AS l_year,
+        | CAST(SUM(CAST(round((l_extendedprice * (1.0 - l_discount)) * 10000.0, 0) AS BIGINT)) AS DOUBLE) / 10000.0 AS revenue
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation cn ON c_nationkey = cn.n_nationkey
+        |WHERE sn.n_nationkey < 13
+        |  AND cn.n_nationkey >= 13
+        |  AND l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'
+        |GROUP BY 1, 2, 3""".stripMargin,
+
+    "q10_returns" ->
+      """SELECT c_custkey, c_name, n_name, c_acctbal,
+        | CAST(SUM(CAST(round((l_extendedprice * (1.0 - l_discount)) * 10000.0, 0) AS BIGINT)) AS DOUBLE) / 10000.0 AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1996-07-01'
+        |GROUP BY 1, 2, 3, 4
+        |ORDER BY revenue DESC, c_custkey ASC
+        |LIMIT 20""".stripMargin,
+
+    "q13_custdist" ->
+      """WITH cnt AS (SELECT o_custkey, CAST(count(*) AS BIGINT) AS n
+        |             FROM orders WHERE o_orderpriority <> '4-NOT SPECIFIED'
+        |             GROUP BY 1)
+        |SELECT COALESCE(n, 0) AS c_count, CAST(count(*) AS BIGINT) AS custdist
+        |FROM customer LEFT JOIN cnt ON c_custkey = o_custkey
+        |GROUP BY 1""".stripMargin,
+
+    "q17_smallqty" ->
+      s"""WITH p AS (SELECT p_partkey FROM part
+         |           WHERE p_brand = 'Brand#3' AND p_size <= 10),
+         |li AS (SELECT l_partkey, ${ac("l_quantity")} AS qc,
+         |        ${ac("l_extendedprice")} AS pc
+         |       FROM lineitem JOIN p ON l_partkey = p_partkey),
+         |st AS (SELECT l_partkey AS pk, SUM(qc) AS sq,
+         |        CAST(count(*) AS BIGINT) AS nq
+         |       FROM li GROUP BY 1)
+         |SELECT CAST(SUM(pc) AS DOUBLE) / 700.0 AS avg_yearly,
+         | CAST(count(*) AS BIGINT) AS n_lines
+         |FROM li JOIN st ON l_partkey = pk
+         |WHERE qc * 5 * nq < sq""".stripMargin,
+
+    "q18_bigorders" ->
+      s"""WITH big AS (SELECT l_orderkey AS ok, SUM(${ac("l_quantity")}) AS qc
+         |             FROM lineitem GROUP BY 1 HAVING SUM(${ac("l_quantity")}) > 30000)
+         |SELECT c_custkey, c_name, o_orderkey,
+         | epoch_us(o_orderdate) // 86400000000 AS o_day,
+         | o_totalprice,
+         | CAST(qc AS DOUBLE) / 100.0 AS sum_qty
+         |FROM orders
+         |JOIN big ON o_orderkey = ok
+         |JOIN customer ON o_custkey = c_custkey""".stripMargin,
+
+    "q19_disjunct" ->
+      """SELECT
+        | CAST(SUM(CAST(round((l_extendedprice * (1.0 - l_discount)) * 10000.0, 0) AS BIGINT)) AS DOUBLE) / 10000.0 AS revenue,
+        | CAST(count(*) AS BIGINT) AS n_lines
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 1 AND 20)
+        |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 11 AND 25 AND l_quantity BETWEEN 10 AND 30)
+        |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 26 AND 50 AND l_quantity BETWEEN 20 AND 40)""".stripMargin
   )
 }
