@@ -42,6 +42,8 @@ object SparkEntry {
     "events_funnel" -> (Analytics.eventsFunnel _),
     "events_cohort" -> (Analytics.eventsCohort _),
     "events_rolling" -> (Analytics.eventsRolling _),
+    "events_gap_fill" -> (Analytics.eventsGapFill _),
+    "events_stickiness" -> (Analytics.eventsStickiness _),
     "events_path" -> (Analytics.eventsPath _),
     "events_attribution" -> (Q.eventsAttribution _),
     "orders_rfm" -> (Analytics.ordersRfm _),
@@ -51,6 +53,7 @@ object SparkEntry {
     "q_cube" -> (Analytics.qCube _),
     "profile_group_quantiles" -> (graft.analytics.Profile.lineitemGroupQuantiles _),
     "profile_corr" -> (graft.analytics.Profile.lineitemCorr _),
+    "profile_drift" -> (Q.profileDrift _),
     // imputer core
     "imp_missing_indicator" -> (Q.impMissingIndicator _),
     "imp_missing_metrics" -> (Q.impMissingMetrics _),
@@ -89,6 +92,7 @@ object SparkEntry {
     "text_logprob" -> (Q.textLogprob _),
     "text_chunk" -> (Q.textChunk _),
     "text_repetition" -> (Q.textRepetition _),
+    "text_entropy" -> (Q.textEntropy _),
     "clip_outliers" -> (Q.clipOutliers _),
     // dedup
     "sample_stratified" -> (Q.sampleStratified _),

@@ -481,6 +481,45 @@ object Analytics {
       .select((col("_rc").cast("double") / 10000.0).as("revenue"), col("n_lines"))
   }
 
+  /** Time-series gap filling: densify the per-type daily counts onto the
+    * full day spine so downstream windows see explicit zeros instead of
+    * silently skipping quiet days. The spine is generated from ONE broadcast
+    * min/max row (`sequence` + `explode` — days × types is bounded no matter
+    * how big the raw stream), and the left join against the pre-aggregated
+    * daily frame runs at spine cardinality, never over raw events. The type
+    * list is explicit, so there is no values-discovery job (same rationale
+    * as [[eventsPivot]]). */
+  def eventsGapFill(spark: SparkSession, dir: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val daily = Tables(spark, dir, "events")
+      .groupBy(col("event_type"), expr("ts div 86400000000000").as("d"))
+      .agg(count(lit(1)).as("_n"))
+    val bounds = Tables(spark, dir, "events")
+      .agg(expr("min(ts div 86400000000000)").as("_lo"),
+        expr("max(ts div 86400000000000)").as("_hi"))
+    val spine = broadcast(bounds)
+      .select(explode(expr("sequence(_lo, _hi)")).as("d"))
+      .select(col("d"), explode(array(types.map(lit): _*)).as("event_type"))
+    spine.join(daily, Seq("event_type", "d"), "left")
+      .select(col("event_type"), col("d"), coalesce(col("_n"), lit(0L)).as("n_events"))
+  }
+
+  /** DAU/WAU stickiness: daily active users over 7-day-window active users.
+    * The distinct (user, day) frame is the only user-keyed shuffle; each
+    * active day then fans out to the ≤7 window days it supports (linear 7×
+    * blowup, never a range join) and WAU is a count-distinct per day. The
+    * ratio is one exact-integer division — bitwise-deterministic. */
+  def eventsStickiness(spark: SparkSession, dir: String): DataFrame = {
+    val a = Tables(spark, dir, "events")
+      .select(col("user_id"), expr("ts div 86400000000000").as("d")).distinct()
+    val dau = a.groupBy("d").agg(count(lit(1)).as("dau"))
+    val wau = a.select(col("user_id"), explode(expr("sequence(d, d + 6)")).as("d"))
+      .groupBy("d").agg(countDistinct("user_id").as("wau"))
+    dau.join(wau, "d")
+      .select(col("d"), col("dau"), col("wau"),
+        (col("dau").cast("double") / col("wau").cast("double")).as("stickiness"))
+  }
+
   /** Rolling time-series stats over the daily event counts: per event type,
     * a 7-day moving sum/average and the running total. Windows run over the
     * PRE-AGGREGATED daily frame (one row per (type, day)) — thousands of

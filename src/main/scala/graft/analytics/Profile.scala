@@ -152,4 +152,45 @@ object Profile {
   def lineitemCorr(spark: SparkSession, dir: String): DataFrame =
     corrMatrix(Tables(spark, dir, "lineitem"),
       Seq("l_quantity" -> 2, "l_extendedprice" -> 2, "l_discount" -> 4, "l_tax" -> 4))
+
+  /** Population-stability-index drift report between two slices of the same
+    * frame (train-vs-serve, yesterday-vs-today): fixed-width bins over the
+    * cent-quantized value, per-bin counts for both slices in ONE conditional
+    * aggregation pass (sum(CASE WHEN) map-side partials — the slices are
+    * never scanned separately), totals broadcast back as a 1-row frame.
+    * PSI = Σ (p−q)·ln(p/q) over bins populated in both slices; each term is
+    * a bitwise-deterministic double (exact-integer inputs, one expression
+    * tree) quantized to integer 1e-12 units so the SUM itself is exact and
+    * order-independent — the profile_corr discipline applied to drift. Bins
+    * seen in only one slice are reported as counts (they'd make PSI
+    * infinite; at scale they're the signal you alert on first). */
+  def drift(df: DataFrame, valueCol: String, scale: Int, binWidth: Long,
+            inA: org.apache.spark.sql.Column): DataFrame = {
+    val bin = (cents(col(valueCol), scale) / lit(binWidth)).cast("bigint")
+    val binned = df
+      .select(bin.as("_bin"), inA.as("_a"))
+      .groupBy("_bin")
+      .agg(sum(when(col("_a"), 1L).otherwise(0L)).as("_na"),
+        sum(when(col("_a"), 0L).otherwise(1L)).as("_nb"))
+    val totals = binned.agg(sum("_na").as("_ta"), sum("_nb").as("_tb"))
+    val p = col("_na").cast("double") / col("_ta").cast("double")
+    val q = col("_nb").cast("double") / col("_tb").cast("double")
+    binned.crossJoin(broadcast(totals))
+      .select(col("_na"), col("_nb"),
+        when(col("_na") > 0 && col("_nb") > 0,
+          round((p - q) * log(p / q) * 1e12, 0).cast("bigint"))
+          .otherwise(lit(null)).as("_term"))
+      .agg(
+        sum(when(col("_term").isNotNull, 1L).otherwise(0L)).as("n_bins_common"),
+        sum(when(col("_na") > 0 && col("_nb") === 0, 1L).otherwise(0L)).as("n_bins_a_only"),
+        sum(when(col("_na") === 0 && col("_nb") > 0, 1L).otherwise(0L)).as("n_bins_b_only"),
+        (sum(col("_term")).cast("double") / 1e12).as("psi"))
+  }
+
+  /** Drift face on the testdata: even-keyed vs odd-keyed order halves of
+    * lineitem prices, $500 bins — a deterministic A/B with expected PSI≈0,
+    * the calibration point for real train-vs-serve runs. */
+  def lineitemDrift(spark: SparkSession, dir: String): DataFrame =
+    drift(Tables(spark, dir, "lineitem"), "l_extendedprice", 2, 50000L,
+      col("l_orderkey") % 2 === 0)
 }

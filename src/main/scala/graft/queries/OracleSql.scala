@@ -1135,6 +1135,68 @@ object OracleSql {
          |JOIN big ON o_orderkey = ok
          |JOIN customer ON o_custkey = c_custkey""".stripMargin,
 
+    "events_gap_fill" ->
+      """WITH b AS (SELECT min(epoch_ns(ts) // 86400000000000) AS lo,
+        |                  max(epoch_ns(ts) // 86400000000000) AS hi FROM events),
+        |daily AS (SELECT event_type, epoch_ns(ts) // 86400000000000 AS d,
+        |           CAST(count(*) AS BIGINT) AS n
+        |          FROM events GROUP BY 1, 2),
+        |days AS (SELECT unnest(generate_series(lo, hi)) AS d FROM b),
+        |spine AS (SELECT t.event_type, days.d
+        |          FROM days,
+        |           (VALUES ('click'), ('error'), ('purchase'), ('signup'), ('view'))
+        |            t(event_type))
+        |SELECT s.event_type, s.d, COALESCE(daily.n, 0) AS n_events
+        |FROM spine s LEFT JOIN daily
+        |  ON s.event_type = daily.event_type AND s.d = daily.d""".stripMargin,
+
+    "events_stickiness" ->
+      """WITH a AS (SELECT DISTINCT user_id, epoch_ns(ts) // 86400000000000 AS d
+        |           FROM events),
+        |dau AS (SELECT d, CAST(count(*) AS BIGINT) AS dau FROM a GROUP BY 1),
+        |w AS (SELECT DISTINCT a.user_id, a.d + g.x AS d
+        |      FROM a, generate_series(0, 6) g(x)),
+        |wau AS (SELECT d, CAST(count(*) AS BIGINT) AS wau FROM w GROUP BY 1)
+        |SELECT dau.d AS d, dau, wau,
+        | CAST(dau AS DOUBLE) / CAST(wau AS DOUBLE) AS stickiness
+        |FROM dau JOIN wau ON dau.d = wau.d""".stripMargin,
+
+    "text_entropy" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+        |tf AS (SELECT doc_id, t, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY doc_id, t),
+        |h AS (SELECT doc_id, t, tf,
+        |       CAST(tf AS DOUBLE) * ln(CAST(tf AS DOUBLE)) AS hv FROM tf),
+        |ag AS (SELECT doc_id, list(hv ORDER BY t) AS hs,
+        |        CAST(SUM(tf) AS BIGINT) AS n_tokens,
+        |        CAST(count(*) AS BIGINT) AS n_distinct
+        |       FROM h GROUP BY doc_id)
+        |SELECT doc_id, n_tokens, n_distinct,
+        | round(ln(CAST(n_tokens AS DOUBLE))
+        |  - list_reduce(list_prepend(CAST(0.0 AS DOUBLE), hs), (a, b) -> a + b)
+        |    / CAST(n_tokens AS DOUBLE), 6) AS entropy
+        |FROM ag""".stripMargin,
+
+    "profile_drift" ->
+      """WITH binned AS (
+        | SELECT CAST(round(l_extendedprice * 100.0, 0) AS BIGINT) // 50000 AS bin,
+        |  CAST(SUM(CASE WHEN l_orderkey % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na,
+        |  CAST(SUM(CASE WHEN l_orderkey % 2 = 0 THEN 0 ELSE 1 END) AS BIGINT) AS nb
+        | FROM lineitem GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(na) AS BIGINT) AS ta, CAST(SUM(nb) AS BIGINT) AS tb
+        |        FROM binned),
+        |terms AS (SELECT na, nb,
+        |  CASE WHEN na > 0 AND nb > 0 THEN CAST(round(
+        |    (CAST(na AS DOUBLE) / CAST(ta AS DOUBLE) - CAST(nb AS DOUBLE) / CAST(tb AS DOUBLE))
+        |     * ln((CAST(na AS DOUBLE) / CAST(ta AS DOUBLE)) / (CAST(nb AS DOUBLE) / CAST(tb AS DOUBLE)))
+        |     * 1e12, 0) AS BIGINT) ELSE NULL END AS term
+        | FROM binned CROSS JOIN tot)
+        |SELECT
+        | CAST(SUM(CASE WHEN term IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_bins_common,
+        | CAST(SUM(CASE WHEN na > 0 AND nb = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_bins_a_only,
+        | CAST(SUM(CASE WHEN na = 0 AND nb > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_bins_b_only,
+        | CAST(SUM(term) AS DOUBLE) / 1e12 AS psi
+        |FROM terms""".stripMargin,
+
     "q19_disjunct" ->
       """SELECT
         | CAST(SUM(CAST(round((l_extendedprice * (1.0 - l_discount)) * 10000.0, 0) AS BIGINT)) AS DOUBLE) / 10000.0 AS revenue,

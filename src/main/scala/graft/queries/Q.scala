@@ -383,6 +383,16 @@ object Q {
   def textLogprob(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.withLogprob(Tables(s, dir, "documents"), "doc_id", "text")
 
+  /** Token-distribution entropy per document — the diversity/repetition
+    * quality signal (ordered-fold deterministic doubles). */
+  def textEntropy(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.withEntropy(Tables(s, dir, "documents"), "doc_id", "text")
+
+  /** PSI drift report between the even- and odd-keyed halves of lineitem
+    * prices ($500 bins) — the train-vs-serve distribution monitor. */
+  def profileDrift(s: SparkSession, dir: String): DataFrame =
+    graft.analytics.Profile.lineitemDrift(s, dir)
+
   /** Winsorize lineitem prices at the exact [p05, p95] cents percentiles. */
   def clipOutliers(s: SparkSession, dir: String): DataFrame =
     graft.operators.Outliers.winsorize(Tables(s, dir, "lineitem"),

@@ -198,6 +198,27 @@ object TextAnalysis {
       .select(col(idCol), col("n_tokens"), col("logprob"), col("avg_logprob"))
   }
 
+  /** Per-document token-distribution Shannon entropy — the repetition-aware
+    * diversity signal (spam and template docs score low even when long).
+    * One (doc, token) count shuffle; the per-doc reduction is
+    * H = ln n − (Σ tf·ln tf)/n with the Σ as an ORDERED fold over the
+    * token-sorted list (the [[withLogprob]] discipline), so the double sum
+    * is order-independent; the final 6dp rounding absorbs the ≤1-ulp
+    * ln() disagreement between engines on small-integer arguments. */
+  def withEntropy(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tf = df.select(col(idCol), explode(tokens(col(textCol))).as("_t"))
+      .groupBy(col(idCol), col("_t")).agg(count(lit(1)).as("_tf"))
+      .withColumn("_h", col("_tf").cast("double") * log(col("_tf").cast("double")))
+    tf.groupBy(idCol)
+      .agg(sort_array(collect_list(struct(col("_t"), col("_h")))).as("_l"),
+        sum("_tf").as("n_tokens"), count(lit(1)).as("n_distinct"))
+      .withColumn("entropy",
+        round(log(col("n_tokens").cast("double"))
+          - aggregate(col("_l"), lit(0.0), (acc, x) => acc + x.getField("_h"))
+            / col("n_tokens").cast("double"), 6))
+      .select(col(idCol), col("n_tokens"), col("n_distinct"), col("entropy"))
+  }
+
   /** Distinct n-token shingles of a document as strings (order of the array
     * irrelevant downstream — callers aggregate). Codegen'd array ops. */
   def shingles(text: Column, n: Int): Column = {
