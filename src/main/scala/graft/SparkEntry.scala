@@ -123,6 +123,7 @@ object SparkEntry {
     "dedup_simhash" -> (Q.dedupSimhash _),
     "ann_lsh" -> (Q.annLsh _),
     "ann_ivf" -> (Q.annIvf _),
+    "embed_pca" -> (Q.embedPca _),
     "mm_features" -> (Q.mmFeatures _)
   )
 

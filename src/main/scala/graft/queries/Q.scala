@@ -713,6 +713,13 @@ object Q {
       "vec_id", "embedding", dim = 64, k = 5, planes = 8, tables = 8)
   }
 
+  /** Distributed PCA of the embedding corpus: one covariance pass, driver
+    * eigensolve, broadcast projection to the top-2 axes — rows-only (float
+    * accumulation order). */
+  def embedPca(s: SparkSession, dir: String): DataFrame =
+    graft.similarity.Pca.fitTransform(Tables(s, dir, "embeddings"),
+      "vec_id", "embedding", nComponents = 2)
+
   def annIvf(s: SparkSession, dir: String): DataFrame = {
     val e = Tables(s, dir, "embeddings")
     graft.similarity.AnnLsh.ivfTopK(e, e.filter(col("vec_id") % 97 === 0),

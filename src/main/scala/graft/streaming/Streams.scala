@@ -184,6 +184,27 @@ object Streams {
       }
   }
 
+  /** Streaming volume-anomaly alerting — the streaming face of the batch
+    * `Analytics.eventsAnomaly`: tumbling-window counts per type, z-scored
+    * against a STATIC baseline frame (per-type μ/σ, typically produced by a
+    * batch profiling run) via a stream-static broadcast join; only windows
+    * beyond the z threshold emit. The baseline never shuffles the stream —
+    * it broadcasts into each micro-batch — and window state is evicted by
+    * the watermark like any windowed aggregate. */
+  def anomalyAlert(events: DataFrame, tsCol: String, typeCol: String,
+                   baseline: DataFrame, zThreshold: Double = 3.0,
+                   windowLen: String = "1 hour",
+                   watermark: String = "30 minutes"): DataFrame =
+    events.withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowLen), col(typeCol))
+      .agg(count(lit(1)).as("n_events"))
+      .join(broadcast(baseline), typeCol)
+      .withColumn("z",
+        (col("n_events").cast("double") - col("mu")) / col("sigma"))
+      .filter(abs(col("z")) >= zThreshold)
+      .select(col("window.start").as("window_start"), col(typeCol),
+        col("n_events"), col("z"))
+
   /** Streaming tumbling-window count/sum per event type. Late data beyond
     * the watermark is dropped; state is evicted as the watermark advances. */
   def windowedAgg(events: DataFrame, tsCol: String, typeCol: String,

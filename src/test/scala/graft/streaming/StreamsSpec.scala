@@ -42,6 +42,29 @@ class StreamsSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming anomaly alert emits only windows beyond the baseline z") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val baseline = Seq(("click", 2.0, 1.0), ("view", 2.0, 1.0))
+      .toDF("event_type", "mu", "sigma")
+    val out = Streams.anomalyAlert(input.toDF(), "ts", "event_type",
+      baseline, zThreshold = 3.0)
+    val query = out.writeStream.format("memory").queryName("alert_out")
+      .outputMode("complete").start()
+    try {
+      // window 0: 2 clicks (z = 0, quiet); window 1: 8 clicks (z = 6, alert)
+      val quiet = Seq(Ev(t(0), "click", 1.0, 1), Ev(t(5), "click", 1.0, 2))
+      val burst = (1 to 8).map(i => Ev(t(60 + i), "click", 1.0, 10 + i))
+      input.addData(quiet ++ burst: _*)
+      query.processAllAvailable()
+      val got = spark.table("alert_out")
+        .select("event_type", "n_events", "z")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      assert(got.toSeq == Seq(("click", 8L, 6.0)))
+    } finally query.stop()
+  }
+
   test("stateful sessionization closes a session on gap, keeps open ones in state") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
