@@ -30,6 +30,7 @@ object SparkEntry {
     "q17_smallqty" -> (Analytics.q17 _),
     "q18_bigorders" -> (Analytics.q18 _),
     "q19_disjunct" -> (Analytics.q19 _),
+    "q15_topsupplier" -> (Analytics.q15 _),
     "events_anomaly" -> (Analytics.eventsAnomaly _),
     "events_json" -> (Analytics.eventsJson _),
     "asof_join" -> (Q.asofJoin _),
@@ -93,6 +94,7 @@ object SparkEntry {
     "text_chunk" -> (Q.textChunk _),
     "text_repetition" -> (Q.textRepetition _),
     "text_entropy" -> (Q.textEntropy _),
+    "text_hashfeat" -> (Q.textHashfeat _),
     "clip_outliers" -> (Q.clipOutliers _),
     // dedup
     "sample_stratified" -> (Q.sampleStratified _),

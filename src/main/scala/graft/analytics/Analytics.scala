@@ -461,6 +461,26 @@ object Analytics {
         (col("_qc").cast("double") / 100.0).as("sum_qty"))
   }
 
+  /** TPC-H Q15-style top supplier: suppliers whose quarterly revenue equals
+    * the global maximum. The per-supplier rollup is the one shuffle; the max
+    * rides back as a broadcast 1-row frame (exact integer — ties are exact,
+    * no epsilon), and the supplier dimension broadcasts into the surviving
+    * handful of rows. */
+  def q15(spark: SparkSession, dir: String): DataFrame = {
+    val rev = Tables(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01") &&
+        col("l_shipdate") < lit("1996-04-01"))
+      .groupBy("l_suppkey")
+      .agg(sum(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)).as("_rc"))
+    val mx = rev.agg(max("_rc").as("_mx"))
+    rev.crossJoin(broadcast(mx))
+      .filter(col("_rc") === col("_mx"))
+      .join(broadcast(Tables(spark, dir, "supplier").select("s_suppkey", "s_name")),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        (col("_rc").cast("double") / 10000.0).as("total_revenue"))
+  }
+
   /** TPC-H Q19-style disjunctive-predicate revenue: three (brand, size,
     * quantity) branches OR-ed together. One broadcast part join; the
     * disjunction is a single codegen'd filter — no per-branch scan, no

@@ -1197,6 +1197,29 @@ object OracleSql {
         | CAST(SUM(term) AS DOUBLE) / 1e12 AS psi
         |FROM terms""".stripMargin,
 
+    "q15_topsupplier" ->
+      """WITH rev AS (SELECT l_suppkey,
+        |  CAST(SUM(CAST(round((l_extendedprice * (1.0 - l_discount)) * 10000.0, 0) AS BIGINT)) AS BIGINT) AS rc
+        | FROM lineitem
+        | WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |   AND l_shipdate < TIMESTAMP '1996-04-01'
+        | GROUP BY 1)
+        |SELECT s_suppkey, s_name, CAST(rc AS DOUBLE) / 10000.0 AS total_revenue
+        |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE rc = (SELECT max(rc) FROM rev)""".stripMargin,
+
+    "text_hashfeat" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+        |tf AS (SELECT doc_id, t, CAST(count(*) AS BIGINT) AS tf
+        |       FROM tok WHERE length(t) > 0 GROUP BY doc_id, t),
+        |sc AS (SELECT doc_id, tf,
+        |        (ascii(t) * 31 + ascii(right(t, 1)) * 7 + length(t)) % 64 AS b
+        |       FROM tf)
+        |SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
+        | CAST(SUM(tf * ((b * 2654435761) % 1000 - 500)) AS DOUBLE)
+        |   / (1000.0 * CAST(SUM(tf) AS DOUBLE)) AS hash_score
+        |FROM sc GROUP BY doc_id""".stripMargin,
+
     "q19_disjunct" ->
       """SELECT
         | CAST(SUM(CAST(round((l_extendedprice * (1.0 - l_discount)) * 10000.0, 0) AS BIGINT)) AS DOUBLE) / 10000.0 AS revenue,

@@ -388,6 +388,11 @@ object Q {
   def textEntropy(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.withEntropy(Tables(s, dir, "documents"), "doc_id", "text")
 
+  /** Hashed-feature linear scoring of every document (the learned-quality-
+    * classifier shape, deterministic stand-in weights). */
+  def textHashfeat(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.withHashScore(Tables(s, dir, "documents"), "doc_id", "text")
+
   /** PSI drift report between the even- and odd-keyed halves of lineitem
     * prices ($500 bins) — the train-vs-serve distribution monitor. */
   def profileDrift(s: SparkSession, dir: String): DataFrame =

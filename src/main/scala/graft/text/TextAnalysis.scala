@@ -198,6 +198,32 @@ object TextAnalysis {
       .select(col(idCol), col("n_tokens"), col("logprob"), col("avg_logprob"))
   }
 
+  /** Hashing-trick linear text scorer — the fasttext-style shape of a
+    * learned quality/topic classifier, run as pure column expressions:
+    * every token hashes to one of `buckets` feature slots (a cheap
+    * first/last-codepoint + length hash both engines can compute; swap in
+    * `xxhash64` for production hashing where no SQL oracle is needed), each
+    * slot carries a deterministic integer weight in [−500, 500), and the
+    * document score is Σ tf·w / (1000·n). All arithmetic is exact integers
+    * until the single final division — bitwise-reproducible, zero UDFs,
+    * one (doc, token) count shuffle. A trained model drops in by replacing
+    * the weight formula with a broadcast weight table. */
+  def withHashScore(df: DataFrame, idCol: String, textCol: String,
+                    buckets: Int = 64): DataFrame = {
+    val tf = df.select(col(idCol), explode(tokens(col(textCol))).as("_t"))
+      .filter(length(col("_t")) > 0)
+      .groupBy(col(idCol), col("_t")).agg(count(lit(1)).as("_tf"))
+    val bucket = (ascii(col("_t")) * 31L + ascii(expr("right(_t, 1)")) * 7L
+      + length(col("_t"))) % buckets
+    val w = (bucket * lit(2654435761L)) % 1000L - 500L
+    tf.select(col(idCol), col("_tf"), w.as("_w"))
+      .groupBy(idCol)
+      .agg(sum("_tf").as("n_tokens"), sum(col("_tf") * col("_w")).as("_num"))
+      .select(col(idCol), col("n_tokens"),
+        (col("_num").cast("double") / (lit(1000.0) * col("n_tokens").cast("double")))
+          .as("hash_score"))
+  }
+
   /** Per-document token-distribution Shannon entropy — the repetition-aware
     * diversity signal (spam and template docs score low even when long).
     * One (doc, token) count shuffle; the per-doc reduction is

@@ -70,6 +70,34 @@ class TpchBreadthSpec extends SparkSpec {
     assert(out.length == direct)
   }
 
+  test("q15: reported suppliers hold exactly the maximum quarterly revenue") {
+    val out = Analytics.q15(spark, sf).as[(Long, String, Double)].collect()
+    assert(out.nonEmpty)
+    val all = graft.Tables(spark, sf, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01") &&
+        col("l_shipdate") < lit("1996-04-01"))
+      .groupBy("l_suppkey")
+      .agg(sum(expr(
+        "cast(round(l_extendedprice * (1.0 - l_discount) * 10000.0, 0) as bigint)"))
+        .as("rc"))
+      .as[(Long, Long)].collect()
+    val mx = all.map(_._2).max
+    assert(out.map(_._1).toSet == all.filter(_._2 == mx).map(_._1).toSet)
+    assert(out.forall(_._3 == mx.toDouble / 10000.0))
+  }
+
+  test("hashScore: deterministic weights, score bounded by max |w|") {
+    val df = Seq((1L, "alpha beta beta"), (2L, "alpha alpha alpha")).toDF("doc_id", "text")
+    val out = graft.text.TextAnalysis.withHashScore(df, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L)._2 == 3 && out(2L)._2 == 3)
+    assert(out.values.forall(r => math.abs(r._3) <= 0.5))
+    // a doc of one repeated token scores exactly that token's weight
+    val b = (('a'.toInt * 31 + 'a'.toInt * 7 + 5) % 64).toLong
+    val w = (b * 2654435761L) % 1000L - 500L
+    assert(out(2L)._3 == w.toDouble / 1000.0)
+  }
+
   test("q19: disjunction matches the union of per-branch recomputations") {
     val (rev, n) = Analytics.q19(spark, sf).as[(Double, Long)].collect().head
     assert(n > 0 && rev > 0)
