@@ -45,6 +45,7 @@ object SparkEntry {
     "events_rolling" -> (Analytics.eventsRolling _),
     "events_gap_fill" -> (Analytics.eventsGapFill _),
     "events_stickiness" -> (Analytics.eventsStickiness _),
+    "events_markov" -> (Analytics.eventsMarkov _),
     "events_path" -> (Analytics.eventsPath _),
     "events_attribution" -> (Q.eventsAttribution _),
     "orders_rfm" -> (Analytics.ordersRfm _),

@@ -501,6 +501,28 @@ object Analytics {
       .select((col("_rc").cast("double") / 10000.0).as("revenue"), col("n_lines"))
   }
 
+  /** Behavioral Markov transitions: per-user consecutive event-type pairs
+    * (lag window keyed on user_id — the sessionize shuffle shape, never a
+    * self-join on the stream), counted into a type×type matrix with
+    * transition probabilities. The matrix is bounded by type cardinality
+    * squared; the probability is one exact-integer division against the
+    * broadcast per-source row totals. */
+  def eventsMarkov(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("t", "event_id")
+    val pairs = Tables(spark, dir, "events")
+      .select(col("user_id"), col("event_id"),
+        expr("ts div 1000000000").as("t"), col("event_type"))
+      .withColumn("next_type", lead("event_type", 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = pairs.groupBy("from_type").agg(sum("n").as("_tot"))
+    pairs.join(broadcast(totals), "from_type")
+      .select(col("from_type"), col("to_type"), col("n"),
+        (col("n").cast("double") / col("_tot").cast("double")).as("p"))
+  }
+
   /** Time-series gap filling: densify the per-type daily counts onto the
     * full day spine so downstream windows see explicit zeros instead of
     * silently skipping quiet days. The spine is generated from ONE broadcast

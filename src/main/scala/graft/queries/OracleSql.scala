@@ -1135,6 +1135,18 @@ object OracleSql {
          |JOIN big ON o_orderkey = ok
          |JOIN customer ON o_custkey = c_custkey""".stripMargin,
 
+    "events_markov" ->
+      """WITH seq AS (SELECT user_id, event_type,
+        |  lead(event_type) OVER (PARTITION BY user_id
+        |    ORDER BY epoch_ns(ts) // 1000000000, event_id) AS next_type
+        | FROM events),
+        |pairs AS (SELECT event_type AS from_type, next_type AS to_type,
+        |           CAST(count(*) AS BIGINT) AS n
+        |          FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2),
+        |tot AS (SELECT from_type, CAST(SUM(n) AS BIGINT) AS t FROM pairs GROUP BY 1)
+        |SELECT from_type, to_type, n, CAST(n AS DOUBLE) / CAST(t AS DOUBLE) AS p
+        |FROM pairs JOIN tot USING (from_type)""".stripMargin,
+
     "events_gap_fill" ->
       """WITH b AS (SELECT min(epoch_ns(ts) // 86400000000000) AS lo,
         |                  max(epoch_ns(ts) // 86400000000000) AS hi FROM events),

@@ -68,4 +68,53 @@ object Sources {
       .sortWithinPartitions(clusterCols.map(col): _*)
       .write.mode(mode).parquet(path)
   }
+
+  /** Morton (Z-order) interleave of two non-negative integer keys, `bits`
+    * bits each — pure shift/mask column arithmetic, whole-stage codegen.
+    * Range-sorting on the Z-value keeps files tight in BOTH dimensions at
+    * once, which [[writeClustered]]'s lexicographic sort cannot do for the
+    * second column. */
+  def zValue(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column,
+             bits: Int = 21): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    require(bits >= 1 && bits <= 31, s"bits must be in [1,31], got $bits")
+    (0 until bits).map { i =>
+      val bitA = shiftleft(shiftright(a.cast("bigint"), i).bitwiseAND(1L), 2 * i + 1)
+      val bitB = shiftleft(shiftright(b.cast("bigint"), i).bitwiseAND(1L), 2 * i)
+      bitA.bitwiseOR(bitB)
+    }.reduce(_ bitwiseOR _)
+  }
+
+  /** Z-ordered data layout: range-repartition + sort on the Morton
+    * interleave of two clustering keys, so every output file covers a small
+    * square-ish tile of the (a, b) key space and parquet min/max stats
+    * prune files for selective predicates on EITHER column — the
+    * two-dimensional generalisation of [[writeClustered]]. The Z column is
+    * dropped before writing; it exists only to drive the layout. */
+  def writeZOrdered(df: DataFrame, path: String, colA: String, colB: String,
+                    targetPartitions: Int, bits: Int = 21,
+                    mode: String = "overwrite"): Unit = {
+    df.withColumn("_z", zValue(col(colA), col(colB), bits))
+      .repartitionByRange(targetPartitions, col("_z"))
+      .sortWithinPartitions("_z")
+      .drop("_z")
+      .write.mode(mode).parquet(path)
+  }
+
+  /** Small-file compaction: rewrite a fragmented table into
+    * `ceil(rows / targetRowsPerFile)` right-sized files, preserving the
+    * clustered layout when `orderCols` is given (compaction is where the
+    * 100 TB table's file count is kept sane after streaming/incremental
+    * ingest has sprayed thousands of small files). */
+  def compact(spark: SparkSession, inPath: String, outPath: String,
+              targetRowsPerFile: Long, orderCols: Seq[String] = Nil): Unit = {
+    val df = spark.read.parquet(inPath)
+    val n = math.max(1L, (df.count() + targetRowsPerFile - 1) / targetRowsPerFile).toInt
+    val laid =
+      if (orderCols.nonEmpty)
+        df.repartitionByRange(n, orderCols.map(col): _*)
+          .sortWithinPartitions(orderCols.map(col): _*)
+      else df.repartition(n)
+    laid.write.mode("overwrite").parquet(outPath)
+  }
 }

@@ -46,6 +46,22 @@ class TimeseriesQualitySpec extends SparkSpec {
     assert(out.find(_._1 == d0).get._3 == wauDirect)
   }
 
+  test("eventsMarkov: rows per from_type sum to 1 and match pair counts") {
+    val out = Analytics.eventsMarkov(spark, sf)
+      .as[(String, String, Long, Double)].collect()
+    assert(out.nonEmpty)
+    // per-from probabilities sum to 1 (exact-integer division, tiny matrix)
+    out.groupBy(_._1).foreach { case (_, rs) =>
+      assert(math.abs(rs.map(_._4).sum - 1.0) < 1e-9)
+      val tot = rs.map(_._3).sum
+      rs.foreach(r => assert(r._4 == r._3.toDouble / tot.toDouble))
+    }
+    // total transitions = total events − one per active user
+    val e = graft.Tables(spark, sf, "events")
+    val expected = e.count() - e.select("user_id").distinct().count()
+    assert(out.map(_._3).sum == expected)
+  }
+
   test("drift: identical slices give PSI 0; a shifted slice gives PSI > 0") {
     // block-of-100 slices: v = k % 100 has the identical distribution in
     // every block, so an even/odd-BLOCK split has exactly zero drift

@@ -156,4 +156,65 @@ class SourcesSpec extends SparkSpec {
     // nothing lost in the relayout
     assert(spark.read.parquet(dir).count() == 5000L)
   }
+
+  test("zValue interleaves bits; writeZOrdered tiles BOTH dimensions") {
+    import spark.implicits._
+    // zValue unit math: (a=1, b=0) -> 2, (a=0, b=1) -> 1, (3, 3) -> 15
+    val z = Seq((1L, 0L), (0L, 1L), (3L, 3L)).toDF("a", "b")
+      .select(Sources.zValue($"a", $"b", 4).as("z")).as[Long].collect()
+    assert(z.toSeq == Seq(2L, 1L, 15L))
+
+    // a 64×64 grid z-ordered into 16 files: every file's bounding box in
+    // (a, b) must be a small tile, so selective predicates on EITHER
+    // column can prune most files via parquet min/max stats
+    val dir = java.nio.file.Files.createTempDirectory("graft_zorder").toString
+    val grid = (0 until 64).flatMap(a => (0 until 64).map(b => (a.toLong, b.toLong)))
+      .toDF("a", "b")
+    Sources.writeZOrdered(grid, dir, "a", "b", targetPartitions = 16, bits = 6)
+    val files = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getPath)
+    assert(files.length > 4)
+    val boxes = files.flatMap { f =>
+      val r = spark.read.parquet(f)
+        .agg(min($"a"), max($"a"), min($"b"), max($"b"), count($"a")).head()
+      if (r.getLong(4) == 0L) None
+      else Some((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    }
+    // each tile must span far less than the full key range in BOTH dims
+    // (lexicographic sort would give full-range boxes in the second dim)
+    assert(boxes.forall { case (alo, ahi, blo, bhi) =>
+      (ahi - alo) <= 32 && (bhi - blo) <= 32
+    })
+    // point query on b alone: most files' [blo, bhi] excludes it
+    val hit = boxes.count { case (_, _, blo, bhi) => blo <= 5 && 5 <= bhi }
+    assert(hit <= boxes.length / 2)
+    assert(spark.read.parquet(dir).count() == 64L * 64L)
+  }
+
+  test("compact rewrites a sprayed table into right-sized files, content intact") {
+    import spark.implicits._
+    val inDir = java.nio.file.Files.createTempDirectory("graft_frag").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft_compact").toString
+    val df = (1 to 4000).map(i => (i.toLong, i % 97)).toDF("k", "v")
+    df.repartition(200).write.mode("overwrite").parquet(inDir) // sprayed
+    val sprayed = new java.io.File(inDir).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(sprayed >= 100)
+    Sources.compact(spark, inDir, outDir, targetRowsPerFile = 1000L, Seq("k"))
+    val compacted = new java.io.File(outDir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getPath)
+    assert(compacted.length <= 5)
+    // identical content, clustered layout preserved (disjoint k ranges)
+    val a = spark.read.parquet(inDir).as[(Long, Int)].collect().sorted
+    val b = spark.read.parquet(outDir).as[(Long, Int)].collect().sorted
+    assert(a.toSeq == b.toSeq)
+    val ranges = compacted.flatMap { f =>
+      val r = spark.read.parquet(f).agg(min($"k"), max($"k"), count($"k")).head()
+      if (r.getLong(2) == 0L) None else Some((r.getLong(0), r.getLong(1)))
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, hi), (lo2, _)) => assert(hi < lo2)
+      case _ => ()
+    }
+  }
 }
