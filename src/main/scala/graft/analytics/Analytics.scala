@@ -507,12 +507,16 @@ object Analytics {
     * transition probabilities. The matrix is bounded by type cardinality
     * squared; the probability is one exact-integer division against the
     * broadcast per-source row totals. */
-  def eventsMarkov(spark: SparkSession, dir: String): DataFrame = {
+  def eventsMarkov(spark: SparkSession, dir: String): DataFrame =
+    markovTransitions(Tables(spark, dir, "events")
+      .select(col("user_id"), col("event_id"),
+        expr("ts div 1000000000").as("t"), col("event_type")))
+
+  /** Generic Markov face: expects (user_id, t, event_id, event_type). */
+  def markovTransitions(events: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("user_id").orderBy("t", "event_id")
-    val pairs = Tables(spark, dir, "events")
-      .select(col("user_id"), col("event_id"),
-        expr("ts div 1000000000").as("t"), col("event_type"))
+    val pairs = events
       .withColumn("next_type", lead("event_type", 1).over(w))
       .filter(col("next_type").isNotNull)
       .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
@@ -551,11 +555,14 @@ object Analytics {
     * active day then fans out to the ≤7 window days it supports (linear 7×
     * blowup, never a range join) and WAU is a count-distinct per day. The
     * ratio is one exact-integer division — bitwise-deterministic. */
-  def eventsStickiness(spark: SparkSession, dir: String): DataFrame = {
-    val a = Tables(spark, dir, "events")
-      .select(col("user_id"), expr("ts div 86400000000000").as("d")).distinct()
-    val dau = a.groupBy("d").agg(count(lit(1)).as("dau"))
-    val wau = a.select(col("user_id"), explode(expr("sequence(d, d + 6)")).as("d"))
+  def eventsStickiness(spark: SparkSession, dir: String): DataFrame =
+    stickiness(Tables(spark, dir, "events")
+      .select(col("user_id"), expr("ts div 86400000000000").as("d")).distinct())
+
+  /** Generic stickiness face: expects a distinct (user_id, d) frame. */
+  def stickiness(active: DataFrame): DataFrame = {
+    val dau = active.groupBy("d").agg(count(lit(1)).as("dau"))
+    val wau = active.select(col("user_id"), explode(expr("sequence(d, d + 6)")).as("d"))
       .groupBy("d").agg(countDistinct("user_id").as("wau"))
     dau.join(wau, "d")
       .select(col("d"), col("dau"), col("wau"),

@@ -63,6 +63,68 @@ class PropertySpec extends SparkSpec {
     passes("knn", prop, 6)
   }
 
+  test("markov transitions equal the sequential per-user pair count") {
+    import spark.implicits._
+    val gen = for {
+      n <- Gen.choose(2, 60)
+      users <- Gen.listOfN(n, Gen.choose(0L, 5L))
+      ts <- Gen.listOfN(n, Gen.choose(0L, 20L))          // tie-heavy times
+      types <- Gen.listOfN(n, Gen.oneOf("a", "b", "c"))
+    } yield users.indices.map(i => (users(i), ts(i), i.toLong, types(i)))
+    val prop = Prop.forAllNoShrink(gen) { rows =>
+      val got = graft.analytics.Analytics.markovTransitions(
+          rows.toDF("user_id", "t", "event_id", "event_type"))
+        .as[(String, String, Long, Double)].collect()
+        .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+      val expect = rows.groupBy(_._1).toSeq.flatMap { case (_, es) =>
+        es.sortBy(e => (e._2, e._3)).map(_._4).sliding(2).collect {
+          case Seq(a, b) => (a, b)
+        }
+      }.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+      val totals = expect.groupBy(_._1._1).map { case (f, m) => f -> m.values.sum }
+      got.keySet == expect.keySet && expect.forall { case (k, n) =>
+        got(k) == ((n, n.toDouble / totals(k._1).toDouble))
+      }
+    }
+    passes("markov", prop, 8)
+  }
+
+  test("stickiness equals the brute-force 7-day window distinct count") {
+    import spark.implicits._
+    val gen = for {
+      n <- Gen.choose(1, 50)
+      pairs <- Gen.listOfN(n, Gen.zip(Gen.choose(0L, 8L), Gen.choose(0L, 15L)))
+    } yield pairs.distinct
+    val prop = Prop.forAllNoShrink(gen) { pairs =>
+      val got = graft.analytics.Analytics.stickiness(pairs.toDF("user_id", "d"))
+        .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+      val days = pairs.map(_._2).distinct
+      days.forall { d =>
+        val dau = pairs.count(_._2 == d).toLong
+        val wau = pairs.filter(p => p._2 >= d - 6 && p._2 <= d).map(_._1).distinct.size.toLong
+        got(d) == ((d, dau, wau, dau.toDouble / wau.toDouble))
+      } && got.size == days.size
+    }
+    passes("stickiness", prop, 8)
+  }
+
+  test("zValue matches a sequential bit-interleave for arbitrary keys") {
+    import spark.implicits._
+    val gen = Gen.listOfN(12, Gen.zip(Gen.choose(0L, (1L << 21) - 1), Gen.choose(0L, (1L << 21) - 1)))
+    val prop = Prop.forAllNoShrink(gen) { pairs =>
+      val got = pairs.toDF("a", "b")
+        .select(graft.sources.Sources.zValue(col("a"), col("b")).as("z"))
+        .as[Long].collect().toSeq
+      val expect = pairs.map { case (a, b) =>
+        (0 until 21).foldLeft(0L) { (acc, i) =>
+          acc | (((a >> i) & 1L) << (2 * i + 1)) | (((b >> i) & 1L) << (2 * i))
+        }
+      }
+      got == expect
+    }
+    passes("zvalue", prop, 6)
+  }
+
   test("chunking reassembles every document losslessly") {
     import spark.implicits._
     val word = Gen.choose('a', 'e').map(_.toString)
