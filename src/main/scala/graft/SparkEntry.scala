@@ -127,6 +127,7 @@ object SparkEntry {
     "ann_lsh" -> (Q.annLsh _),
     "ann_ivf" -> (Q.annIvf _),
     "embed_pca" -> (Q.embedPca _),
+    "embed_cluster_lsh" -> (Q.embedClusterLsh _),
     "mm_features" -> (Q.mmFeatures _)
   )
 

@@ -718,6 +718,20 @@ object Q {
       "vec_id", "embedding", dim = 64, k = 5, planes = 8, tables = 8)
   }
 
+  /** Scale path of [[embedCluster]]: the SAME connected-components engine
+    * over LSH-bucketed pair generation instead of the label-blocked exact
+    * join — no block is ever all-pairs. Wide-recall config (4 planes × 16
+    * tables) because the synthetic corpus's near-dups sit at low cosine;
+    * production near-dup thresholds (≥0.7) need far fewer tables. */
+  def embedClusterLsh(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables(s, dir, "embeddings")
+    val pairs = graft.similarity.AnnLsh.selfPairs(e, "vec_id", "embedding",
+      dim = 64, minCos = 0.35, planes = 4, tables = 16)
+    Dedup.connectedComponents(e.select(col("vec_id")), "vec_id",
+        pairs, "id_a", "id_b")
+      .select(col("id").as("vec_id"), col("cluster_id"))
+  }
+
   /** Distributed PCA of the embedding corpus: one covariance pass, driver
     * eigensolve, broadcast projection to the top-2 axes — rows-only (float
     * accumulation order). */

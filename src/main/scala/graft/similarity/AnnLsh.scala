@@ -110,6 +110,36 @@ object AnnLsh {
       cosine(col("qv"), col("v")).as("cos")), k)
   }
 
+  /** LSH-bucketed near-dup pair generation over a corpus — the 100 TB
+    * replacement for any blocked/label-scoped exact self-join (which is
+    * quadratic within each block): every vector signs into `tables`
+    * independent (table, bucket) cells, candidate pairs are bucket
+    * collisions with `id_a < id_b`, pairs dedupe across tables BEFORE the
+    * exact-cosine verify, and only verified pairs ≥ `minCos` emit. All
+    * shuffles are keyed on (table, bucket); nothing is ever all-pairs.
+    *
+    * Regime note: recall per true pair is 1−(1−p^planes)^tables with
+    * p = 1−acos(cos)/π, so the generator is sharp for REAL near-dups
+    * (cos ≥ ~0.7 — the duplicated-content regime dedup cares about) and
+    * degrades toward scanning most pairs as `minCos` drops toward
+    * uncorrelated vectors; for low-threshold semantic grouping use the
+    * IVF/label-blocked generators instead. */
+  def selfPairs(df: DataFrame, idCol: String, vecCol: String, dim: Int,
+                minCos: Double, planes: Int = 8, tables: Int = 8): DataFrame = {
+    val base = df.select(col(idCol).as("id"), toDouble(col(vecCol)).as("v"))
+    val signed = base.select(col("id"), col("v"),
+        array((0 until tables).map(t => signature(col("v"), dim, planes, t)): _*).as("_sigs"))
+      .select(col("id"), col("v"), posexplode(col("_sigs")).as(Seq("table", "bucket")))
+    val a = signed.select(col("table"), col("bucket"), col("id").as("id_a"), col("v").as("va"))
+    val b = signed.select(col("table"), col("bucket"), col("id").as("id_b"), col("v").as("vb"))
+    a.join(b, Seq("table", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("cos", cosine(col("va"), col("vb")))
+      .filter(col("cos") >= minCos)
+      .select("id_a", "id_b", "cos")
+  }
+
   /** LSH-bucketed approximate top-k: join query/candidate signatures per
     * table, rerank collisions with exact cosine, keep the best k. */
   def lshTopK(candidates: DataFrame, queries: DataFrame, idCol: String,
