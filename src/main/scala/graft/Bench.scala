@@ -24,10 +24,14 @@ object Bench {
       }
       name -> math.min(once(), once())
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // Values at 3 decimals: the harness that collects this output keeps only
+    // the last ~2000 chars, so the whole line must stay under that budget
+    // even with ~90 queries in the map.
+    def fmt(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

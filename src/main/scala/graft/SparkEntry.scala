@@ -31,6 +31,9 @@ object SparkEntry {
     "q18_bigorders" -> (Analytics.q18 _),
     "q19_disjunct" -> (Analytics.q19 _),
     "q15_topsupplier" -> (Analytics.q15 _),
+    "q8_marketshare" -> (Analytics.q8 _),
+    "q9_profit" -> (Analytics.q9 _),
+    "q21_waiting" -> (Analytics.q21 _),
     "events_anomaly" -> (Analytics.eventsAnomaly _),
     "events_json" -> (Analytics.eventsJson _),
     "asof_join" -> (Q.asofJoin _),
@@ -46,6 +49,10 @@ object SparkEntry {
     "events_gap_fill" -> (Analytics.eventsGapFill _),
     "events_stickiness" -> (Analytics.eventsStickiness _),
     "events_markov" -> (Analytics.eventsMarkov _),
+    "events_ewma" -> (Analytics.eventsEwma _),
+    "range_join" -> (Analytics.promoRangeJoin _),
+    "merge_upsert" -> (Q.mergeUpsert _),
+    "imp_pool" -> (Q.impPool _),
     "events_path" -> (Analytics.eventsPath _),
     "events_attribution" -> (Q.eventsAttribution _),
     "orders_rfm" -> (Analytics.ordersRfm _),
@@ -128,7 +135,8 @@ object SparkEntry {
     "ann_ivf" -> (Q.annIvf _),
     "embed_pca" -> (Q.embedPca _),
     "embed_cluster_lsh" -> (Q.embedClusterLsh _),
-    "mm_features" -> (Q.mmFeatures _)
+    "mm_features" -> (Q.mmFeatures _),
+    "text_compress" -> (Q.textCompress _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the

@@ -589,4 +589,150 @@ object Analytics {
         / count(lit(1)).over(w7).cast("double"), 6).as("avg_7d"),
       sum("n_events").over(wRun).as("running_total"))
   }
+
+  /** EWMA smoothing (α=0.3) of the per-type daily event counts. The raw
+    * stream collapses to one row per (type, day) in a single map-side-partial
+    * shuffle; the recurrence then runs INSIDE one aggregated row per type
+    * (`sort_array` + `aggregate` fold over the bounded day list — thousands
+    * of entries even for decades of history), so no window function ever
+    * sees raw events. The recurrence is pure integer arithmetic in 1e-6
+    * units — `e_t = (3·10^6·x_t + 7·e_{t-1}) div 10` is exactly
+    * `0.3·x_t + 0.7·ewma_{t-1}` under floor division — making every
+    * intermediate bitwise-reproducible across engines and shuffle orders. */
+  def eventsEwma(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables(spark, dir, "events")
+      .groupBy(col("event_type"), expr("ts div 86400000000000").as("d"))
+      .agg(count(lit(1)).as("n"))
+    daily.groupBy("event_type")
+      .agg(sort_array(collect_list(struct(col("d"), col("n")))).as("_days"))
+      .select(col("event_type"), explode(expr(
+        """aggregate(
+          | _days,
+          | struct(CAST(-1 AS BIGINT) AS e,
+          |        CAST(array() AS ARRAY<STRUCT<d: BIGINT, n: BIGINT, e: BIGINT>>) AS out),
+          | (acc, x) -> struct(
+          |   IF(acc.e < 0, x.n * 1000000L, (3000000L * x.n + 7L * acc.e) div 10) AS e,
+          |   array_append(acc.out, struct(x.d AS d, x.n AS n,
+          |     IF(acc.e < 0, x.n * 1000000L, (3000000L * x.n + 7L * acc.e) div 10) AS e)) AS out),
+          | acc -> acc.out)""".stripMargin)).as("_r"))
+      .select(col("event_type"), col("_r.d").as("d"), col("_r.n").as("n_events"),
+        (col("_r.e").cast("double") / 1000000.0).as("ewma"))
+  }
+
+  /** Binned range join: revenue falling inside recurring promo windows
+    * ([min+100k, min+100k+35) days, a derived interval table). A naive
+    * range join is O(rows × windows); because the windows have a fixed
+    * stride, each row computes its ONLY candidate window id with integer
+    * division — the range join becomes an equality key + residual filter,
+    * fully codegen'd inside the scan, no join at all. (Overlapping windows
+    * generalize to exploding ≤ ⌈len/stride⌉ candidate ids per row — still
+    * O(rows), never O(rows × windows).) The date anchor is one broadcast
+    * 1-row aggregate. */
+  def promoRangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir, "lineitem")
+    val anchor = li.agg(min(to_date(col("l_shipdate"))).as("_d0"))
+    li.crossJoin(broadcast(anchor))
+      .withColumn("_diff", datediff(to_date(col("l_shipdate")), col("_d0")))
+      .withColumn("window_id", expr("_diff div 100").cast("bigint"))
+      .filter(col("_diff") - col("window_id") * 100 < 35)
+      .groupBy("window_id")
+      .agg(sum(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)).as("_rc"),
+        count(lit(1)).as("n_items"))
+      .select(col("window_id"),
+        (col("window_id") * 100).cast("bigint").as("start_offset_days"),
+        (col("_rc").cast("double") / 10000.0).as("revenue"), col("n_items"))
+  }
+
+  /** TPC-H Q8-style national market share: of the revenue from PROMO parts
+    * sold to ASIA-region customers, the fraction supplied by NATION_7, per
+    * order year. Every dimension chain (part filter, supplier→nation,
+    * customer→nation→region) broadcasts into the lineitem scan; the one
+    * big-big exchange (lineitem⋈orders) is left to AQE. Share is a single
+    * division of two exact integer sums held in ONE aggregation row per
+    * year — no second pass over the fact. */
+  def q8(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables(spark, dir, "part").filter(col("p_type") === "PROMO")
+      .select("p_partkey")
+    val n = Tables(spark, dir, "nation")
+    val s = Tables(spark, dir, "supplier")
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val asiaCust = Tables(spark, dir, "customer")
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables(spark, dir, "region").filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select("c_custkey")
+    val o = Tables(spark, dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+      .join(broadcast(asiaCust), col("o_custkey") === col("c_custkey"))
+    Tables(spark, dir, "lineitem")
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(year(col("o_orderdate")).cast("bigint").as("o_year"))
+      .agg(
+        sum(when(col("supp_nation") === "NATION_7",
+          cents(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4))
+          .otherwise(lit(0L))).as("_nc"),
+        sum(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)).as("_tc"))
+      .select(col("o_year"),
+        (col("_nc").cast("double") / col("_tc").cast("double")).as("mkt_share"))
+  }
+
+  /** TPC-H Q9-style product-line profit (adapted: the test schema has no
+    * partsupp, so profit omits the supplycost term): revenue from parts
+    * whose name contains "red", by supplier nation and order year. Part
+    * filter and supplier→nation chain broadcast; lineitem⋈orders is the one
+    * big exchange (AQE); the group-by runs at nation×year cardinality. */
+  def q9(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables(spark, dir, "part").filter(col("p_name").contains("red"))
+      .select("p_partkey")
+    val s = Tables(spark, dir, "supplier")
+      .join(broadcast(Tables(spark, dir, "nation")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("nation"))
+    Tables(spark, dir, "lineitem")
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables(spark, dir, "orders").select("o_orderkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("nation"), year(col("o_orderdate")).cast("bigint").as("o_year"))
+      .agg(sum(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)).as("_pc"))
+      .select(col("nation"), col("o_year"),
+        (col("_pc").cast("double") / 10000.0).as("profit"))
+  }
+
+  /** TPC-H Q21-style blocking supplier (adapted: the test schema has no
+    * commit/receipt dates, so "kept the order waiting" = sole supplier with
+    * the LATEST ship date on a multi-supplier finished order). The per-order
+    * supplier stats (distinct suppliers, per-supplier max shipdate) come out
+    * of ONE orderkey-keyed aggregation; the order-level rollup over that
+    * already-shrunk frame reuses the same partitioning (no second fact
+    * shuffle), supplier names broadcast in last, and the top-20 is
+    * TakeOrderedAndProject. */
+  def q21(spark: SparkSession, dir: String): DataFrame = {
+    val fOrders = Tables(spark, dir, "orders")
+      .filter(col("o_orderstatus") === "F").select("o_orderkey")
+    // one shuffle: per (order, supplier) max shipdate over finished orders
+    val perSupp = Tables(spark, dir, "lineitem")
+      .join(broadcast(fOrders), col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_orderkey", "l_suppkey")
+      .agg(max(col("l_shipdate")).as("_smax"))
+    // order-level stats ride the same hash partitioning (orderkey prefix)
+    val perOrder = perSupp.groupBy("l_orderkey")
+      .agg(count(lit(1)).as("_nsupp"), max(col("_smax")).as("_omax"))
+      .filter(col("_nsupp") >= 2)
+    val blamed = perSupp.join(perOrder, "l_orderkey")
+      .filter(col("_smax") === col("_omax"))
+      // sole latest supplier: no OTHER supplier shares the order max
+      .groupBy("l_orderkey", "_omax").agg(
+        count(lit(1)).as("_nmax"), max(col("l_suppkey")).as("l_suppkey"))
+      .filter(col("_nmax") === 1)
+      .groupBy("l_suppkey").agg(count(lit(1)).as("numwait"))
+    blamed
+      .join(broadcast(Tables(spark, dir, "supplier").select("s_suppkey", "s_name")),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_name"), col("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(20)
+  }
 }

@@ -359,6 +359,50 @@ object ShingleHashesExpr {
   }
 }
 
+/** zlib-deflated byte length of a string's UTF-8 bytes (level 6) — the
+  * compression-ratio quality signal (highly repetitive text compresses far
+  * below natural prose; Gopher-style filters threshold on the ratio).
+  * Deflate can't be expressed in SQL built-ins; a native expression keeps
+  * the per-row work inside whole-stage codegen (the generated code calls
+  * one static helper — no UDF serialization, no Row boxing). */
+case class DeflateLenExpr(child: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"graft_deflate_len expects string, got $t")
+  }
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "graft_deflate_len"
+
+  override protected def nullSafeEval(a: Any): Any =
+    DeflateLenExpr.deflatedLen(
+      a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.DeflateLenExpr.deflatedLen($a.getBytes());")
+
+  override protected def withNewChildInternal(newChild: Expression): DeflateLenExpr =
+    copy(child = newChild)
+}
+
+object DeflateLenExpr {
+  /** Deterministic for a given input: fixed level, default strategy, one
+    * whole-buffer pass. Called from both interpreted eval and codegen. */
+  def deflatedLen(bytes: Array[Byte]): Int = {
+    val d = new java.util.zip.Deflater(6, false)
+    try {
+      d.setInput(bytes)
+      d.finish()
+      val buf = new Array[Byte](8192)
+      var total = 0
+      while (!d.finished()) total += d.deflate(buf)
+      total
+    } finally d.end()
+  }
+}
+
 object GraftFunctions {
 
   /** Scalar args like k/seed parameterize generated code, so they must be
@@ -396,6 +440,8 @@ object GraftFunctions {
       exprs => SortedIntersectSizeLongExpr(exprs(0), exprs(1)), "built-in")
     registry.createOrReplaceTempFunction("graft_simhash64",
       exprs => SimHash64Expr(exprs(0)), "built-in")
+    registry.createOrReplaceTempFunction("graft_deflate_len",
+      exprs => DeflateLenExpr(exprs(0)), "built-in")
     registry.createOrReplaceTempFunction("graft_vec_avg",
       exprs => VectorAvgAgg(exprs(0)).toAggregateExpression(), "built-in")
     registry.createOrReplaceTempFunction("graft_minhash",

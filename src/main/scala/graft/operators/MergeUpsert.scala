@@ -1,0 +1,49 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** SCD-1 style MERGE: apply a keyed change batch (upserts + deletes) to a
+  * snapshot, producing the next snapshot — the batch face of a CDC apply.
+  *
+  * Shape: ONE full-outer join on the key. Both sides hash-partition on the
+  * key (at 100 TB the snapshot is typically bucketed/partitioned by key, so
+  * the exchange is one-sided), and AQE downgrades to a broadcast join
+  * whenever the change batch is small — the common CDC case. Rows:
+  *   - key only in snapshot            → kept as-is (op "K")
+  *   - key in both, change op = "U"    → updated columns overwrite (op "U")
+  *   - key in both, change op = "D"    → dropped
+  *   - key only in changes, op = "U"   → inserted (op "I"); snapshot columns
+  *                                       not provided by the change are NULL
+  *   - key only in changes, op = "D"   → no-op delete, dropped
+  */
+object MergeUpsert {
+
+  /** @param snapshot  current table
+    * @param changes   change batch: key column, `opCol` ("U"/"D"), and a
+    *                  subset of snapshot columns carrying new values
+    * @param key       join key column name (same on both sides)
+    * @param opCol     name of the op column in `changes`
+    */
+  def merge(snapshot: DataFrame, changes: DataFrame, key: String,
+            opCol: String = "op"): DataFrame = {
+    val updatable = changes.columns.filter(c => c != key && c != opCol).toSeq
+    require(updatable.forall(snapshot.columns.contains),
+      s"change columns ${updatable.mkString(",")} must exist in the snapshot")
+    val s = snapshot.alias("s")
+    val c = changes.alias("c")
+    val joined = s.join(c, col(s"s.$key") === col(s"c.$key"), "full_outer")
+      .filter(col(s"c.$opCol").isNull || col(s"c.$opCol") =!= "D")
+    val outCols: Seq[Column] =
+      coalesce(col(s"s.$key"), col(s"c.$key")).as(key) +:
+        snapshot.columns.filter(_ != key).toSeq.map { name =>
+          if (updatable.contains(name))
+            coalesce(col(s"c.$name"), col(s"s.$name")).as(name)
+          else col(s"s.$name").as(name)
+        } :+
+        when(col(s"c.$opCol").isNull, lit("K"))
+          .when(col(s"s.$key").isNull, lit("I"))
+          .otherwise(col(s"c.$opCol")).as(opCol)
+    joined.select(outCols: _*)
+  }
+}

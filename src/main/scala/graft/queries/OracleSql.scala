@@ -1239,6 +1239,134 @@ object OracleSql {
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 1 AND 20)
         |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 11 AND 25 AND l_quantity BETWEEN 10 AND 30)
-        |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 26 AND 50 AND l_quantity BETWEEN 20 AND 40)""".stripMargin
+        |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 26 AND 50 AND l_quantity BETWEEN 20 AND 40)""".stripMargin,
+
+    "q8_marketshare" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        | CAST(SUM(CASE WHEN sn.n_name = 'NATION_7'
+        |   THEN CAST(round((l_extendedprice * (1.0 - l_discount)) * 10000.0, 0) AS BIGINT)
+        |   ELSE 0 END) AS DOUBLE)
+        | / CAST(SUM(CAST(round((l_extendedprice * (1.0 - l_discount)) * 10000.0, 0) AS BIGINT)) AS DOUBLE) AS mkt_share
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation cn ON c_nationkey = cn.n_nationkey
+        |JOIN region ON cn.n_regionkey = r_regionkey
+        |WHERE p_type = 'PROMO' AND r_name = 'ASIA'
+        |GROUP BY 1""".stripMargin,
+
+    "q9_profit" ->
+      """SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        | CAST(SUM(CAST(round((l_extendedprice * (1.0 - l_discount)) * 10000.0, 0) AS BIGINT)) AS DOUBLE) / 10000.0 AS profit
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |WHERE p_name LIKE '%red%'
+        |GROUP BY 1, 2""".stripMargin,
+
+    "q21_waiting" ->
+      """WITH per_supp AS (
+        |  SELECT l_orderkey, l_suppkey, max(l_shipdate) AS smax
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE o_orderstatus = 'F'
+        |  GROUP BY 1, 2),
+        |per_order AS (
+        |  SELECT l_orderkey, count(*) AS nsupp, max(smax) AS omax
+        |  FROM per_supp GROUP BY 1 HAVING count(*) >= 2),
+        |blamed AS (
+        |  SELECT p.l_orderkey, max(p.l_suppkey) AS l_suppkey
+        |  FROM per_supp p JOIN per_order o
+        |    ON p.l_orderkey = o.l_orderkey AND p.smax = o.omax
+        |  GROUP BY 1 HAVING count(*) = 1)
+        |SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+        |FROM blamed JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY 1
+        |ORDER BY numwait DESC, s_name
+        |LIMIT 20""".stripMargin,
+
+    "events_ewma" ->
+      """WITH RECURSIVE daily AS (
+        |  SELECT event_type, epoch_ns(ts) // 86400000000000 AS d,
+        |         CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |rd AS (SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY d) AS rn
+        |       FROM daily),
+        |ew AS (
+        |  SELECT event_type, d, n, rn, n * 1000000 AS e FROM rd WHERE rn = 1
+        |  UNION ALL
+        |  SELECT rd.event_type, rd.d, rd.n, rd.rn, (3000000 * rd.n + 7 * ew.e) // 10
+        |  FROM rd JOIN ew ON rd.event_type = ew.event_type AND rd.rn = ew.rn + 1)
+        |SELECT event_type, d, n AS n_events, CAST(e AS DOUBLE) / 1000000.0 AS ewma
+        |FROM ew""".stripMargin,
+
+    "range_join" ->
+      """WITH anchor AS (SELECT min(CAST(l_shipdate AS DATE)) AS d0 FROM lineitem),
+        |w AS (SELECT range AS window_id FROM range(0, 1000000)
+        |      WHERE range <= (
+        |        SELECT date_diff('day', d0, (SELECT max(CAST(l_shipdate AS DATE)) FROM lineitem))
+        |        FROM anchor) // 100)
+        |SELECT window_id, CAST(window_id * 100 AS BIGINT) AS start_offset_days,
+        | CAST(SUM(CAST(round((l_extendedprice * (1.0 - l_discount)) * 10000.0, 0) AS BIGINT)) AS DOUBLE) / 10000.0 AS revenue,
+        | CAST(count(*) AS BIGINT) AS n_items
+        |FROM lineitem CROSS JOIN anchor
+        |JOIN w ON date_diff('day', d0, CAST(l_shipdate AS DATE)) >= window_id * 100
+        |      AND date_diff('day', d0, CAST(l_shipdate AS DATE)) < window_id * 100 + 35
+        |GROUP BY 1""".stripMargin,
+
+    "merge_upsert" ->
+      """WITH ch AS (
+        |  SELECT o_custkey AS k,
+        |    CASE WHEN o_orderstatus = 'P' THEN 'D' ELSE 'U' END AS op,
+        |    o_totalprice AS newbal
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
+        |          ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn FROM orders) t
+        |  WHERE rn = 1)
+        |SELECT coalesce(c.c_custkey, ch.k) AS c_custkey, c_name,
+        |  coalesce(ch.newbal, c.c_acctbal) AS c_acctbal, c_nationkey, c_mktsegment,
+        |  CASE WHEN ch.op IS NULL THEN 'K'
+        |       WHEN c.c_custkey IS NULL THEN 'I' ELSE ch.op END AS op
+        |FROM customer c FULL JOIN ch ON c.c_custkey = ch.k
+        |WHERE ch.op IS NULL OR ch.op <> 'D'""".stripMargin,
+
+    "imp_pool" -> {
+      val ic1 = s"coalesce(${ac("c_acctbal")}, m)"
+      s"""WITH mcv AS ($MCV),
+         |meanstat AS (SELECT CAST(round(CAST(SUM(${ac("c_acctbal")}) AS DOUBLE) / count(c_acctbal), 0) AS BIGINT) AS m FROM mcv),
+         |medstat AS (SELECT CAST(round(quantile_cont(${ac("c_acctbal")}, 0.5), 0) AS BIGINT) AS m FROM mcv),
+         |gmstat AS (SELECT c_nationkey, CAST(round(CAST(SUM(${ac("c_acctbal")}) AS DOUBLE) / count(c_acctbal), 0) AS BIGINT) AS gm
+         |           FROM mcv GROUP BY c_nationkey),
+         |m1 AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(SUM(ic) AS BIGINT) AS sc, CAST(SUM(ic*ic) AS BIGINT) AS sc2
+         |       FROM (SELECT $ic1 AS ic FROM mcv CROSS JOIN meanstat) t),
+         |m2 AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(SUM(ic) AS BIGINT) AS sc, CAST(SUM(ic*ic) AS BIGINT) AS sc2
+         |       FROM (SELECT $ic1 AS ic FROM mcv CROSS JOIN medstat) t),
+         |m3 AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(SUM(ic) AS BIGINT) AS sc, CAST(SUM(ic*ic) AS BIGINT) AS sc2
+         |       FROM (SELECT coalesce(${ac("c_acctbal")}, gm, m) AS ic
+         |             FROM mcv LEFT JOIN gmstat USING (c_nationkey) CROSS JOIN meanstat) t),
+         |j AS (SELECT m1.n AS n1, m1.sc AS sc1, m1.sc2 AS sc21,
+         |             m2.n AS n2, m2.sc AS sc2_, m2.sc2 AS sc22,
+         |             m3.n AS n3, m3.sc AS sc3, m3.sc2 AS sc23
+         |      FROM m1 CROSS JOIN m2 CROSS JOIN m3),
+         |f AS (SELECT
+         |  CAST(sc1 AS DOUBLE) / (100.0 * CAST(n1 AS DOUBLE)) AS q1,
+         |  CAST(sc2_ AS DOUBLE) / (100.0 * CAST(n2 AS DOUBLE)) AS q2,
+         |  CAST(sc3 AS DOUBLE) / (100.0 * CAST(n3 AS DOUBLE)) AS q3,
+         |  ((CAST(sc21 AS DOUBLE) / 10000.0 - (CAST(sc1 AS DOUBLE) / 100.0) * (CAST(sc1 AS DOUBLE) / 100.0) / CAST(n1 AS DOUBLE)) / (CAST(n1 AS DOUBLE) - 1.0)) / CAST(n1 AS DOUBLE) AS u1,
+         |  ((CAST(sc22 AS DOUBLE) / 10000.0 - (CAST(sc2_ AS DOUBLE) / 100.0) * (CAST(sc2_ AS DOUBLE) / 100.0) / CAST(n2 AS DOUBLE)) / (CAST(n2 AS DOUBLE) - 1.0)) / CAST(n2 AS DOUBLE) AS u2,
+         |  ((CAST(sc23 AS DOUBLE) / 10000.0 - (CAST(sc3 AS DOUBLE) / 100.0) * (CAST(sc3 AS DOUBLE) / 100.0) / CAST(n3 AS DOUBLE)) / (CAST(n3 AS DOUBLE) - 1.0)) / CAST(n3 AS DOUBLE) AS u3
+         | FROM j),
+         |g AS (SELECT q1, q2, q3, u1, u2, u3,
+         |  ((q1 + q2) + q3) / 3.0 AS qbar FROM f)
+         |SELECT 'c_acctbal' AS variable, CAST(3 AS BIGINT) AS m,
+         | round(qbar, 8) AS qbar,
+         | round(((u1 + u2) + u3) / 3.0, 8) AS within_var,
+         | round((((q1 - qbar) * (q1 - qbar) + (q2 - qbar) * (q2 - qbar)) + (q3 - qbar) * (q3 - qbar)) / 2.0, 8) AS between_var,
+         | round(((u1 + u2) + u3) / 3.0 + (1.0 + 1.0 / 3.0) * ((((q1 - qbar) * (q1 - qbar) + (q2 - qbar) * (q2 - qbar)) + (q3 - qbar) * (q3 - qbar)) / 2.0), 8) AS total_var
+         |FROM g""".stripMargin
+    }
   )
 }

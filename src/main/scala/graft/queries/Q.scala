@@ -313,6 +313,80 @@ object Q {
     contVar.unionAll(catVar)
   }
 
+  /** Rubin's rules pooling across m=3 imputed datasets (the natural
+    * completion of find_imputation_variance, ref L556): pooled estimate
+    * Q̄ = mean of per-dataset means, within-imputation variance W̄ = mean of
+    * the per-dataset variances OF the mean (s²/n), between-imputation
+    * variance B = sample variance of the means, total T = W̄ + (1+1/m)·B.
+    *
+    * Scale shape: each imputed dataset contributes ONE distributed moment
+    * pass (n, Σc, Σc² over exact integer cents — map-side partials, 1-row
+    * reduce); the three 1-row frames chain-crossJoin in a FIXED order so
+    * every double op runs in one deterministic projection — no
+    * order-dependent double aggregation anywhere. */
+  def impPool(s: SparkSession, dir: String): DataFrame = {
+    val mc = Tables.maskedCustomer(s, dir)
+    val ac = cents(col("c_acctbal"), 2)
+
+    val meanStat = mc.agg(
+      round(sum(ac).cast("double") / count(col("c_acctbal")), 0).cast("bigint").as("_m"))
+    val medStat = mc.select(ac.as("_ac"))
+      .agg(round(expr("percentile(_ac, 0.5)"), 0).cast("bigint").as("_m"))
+    val gmStat = mc.groupBy("c_nationkey").agg(
+      round(sum(ac).cast("double") / count(col("c_acctbal")), 0).cast("bigint").as("_gm"))
+
+    // one exact-integer moment pass per imputed dataset (c² ≤ 1e12 keeps the
+    // Σc² sum far inside BIGINT at any n the 1-row reduce will ever see)
+    def moments(imputed: DataFrame, i: Int): DataFrame =
+      imputed.agg(count(lit(1)).as(s"n$i"), sum(col("_ic")).as(s"sc$i"),
+        sum(col("_ic") * col("_ic")).as(s"sc2$i"))
+
+    val m1 = moments(mc.crossJoin(broadcast(meanStat))
+      .select(coalesce(ac, col("_m")).as("_ic")), 1)
+    val m2 = moments(mc.crossJoin(broadcast(medStat))
+      .select(coalesce(ac, col("_m")).as("_ic")), 2)
+    val m3 = moments(mc.join(broadcast(gmStat), Seq("c_nationkey"), "left")
+      .crossJoin(broadcast(meanStat))
+      .select(coalesce(ac, col("_gm"), col("_m")).as("_ic")), 3)
+
+    // identical formula text in OracleSql — bitwise-equal doubles from
+    // identical integer operands
+    def q(i: Int) = col(s"sc$i").cast("double") / (lit(100.0) * col(s"n$i").cast("double"))
+    def u(i: Int) = {
+      val sd = col(s"sc$i").cast("double") / 100.0
+      ((col(s"sc2$i").cast("double") / 10000.0 - sd * sd / col(s"n$i").cast("double"))
+        / (col(s"n$i").cast("double") - 1.0)) / col(s"n$i").cast("double")
+    }
+    val qbar = (q(1) + q(2) + q(3)) / 3.0
+    val b = ((q(1) - qbar) * (q(1) - qbar) + (q(2) - qbar) * (q(2) - qbar)
+      + (q(3) - qbar) * (q(3) - qbar)) / 2.0
+    val w = (u(1) + u(2) + u(3)) / 3.0
+    m1.crossJoin(m2).crossJoin(m3).select(
+      lit("c_acctbal").as("variable"), lit(3L).as("m"),
+      round(qbar, 8).as("qbar"),
+      round(w, 8).as("within_var"),
+      round(b, 8).as("between_var"),
+      round(w + lit(1.0 + 1.0 / 3.0) * b, 8).as("total_var"))
+  }
+
+  /** SCD-1 merge face: apply the per-customer change batch derived from each
+    * customer's LATEST order (status P ⇒ delete, else acctbal := totalprice)
+    * to the customer snapshot. The change batch is one custkey-keyed argmax
+    * aggregation (lexicographic struct max — no window over raw orders);
+    * the merge itself is [[graft.operators.MergeUpsert]]'s single full-outer
+    * join, broadcast by AQE when the batch is small. */
+  def mergeUpsert(s: SparkSession, dir: String): DataFrame = {
+    val snapshot = Tables(s, dir, "customer")
+    val changes = Tables(s, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(max(struct(col("o_orderdate"), col("o_orderkey"),
+        col("o_totalprice"), col("o_orderstatus"))).as("_m"))
+      .select(col("o_custkey").as("c_custkey"),
+        when(col("_m.o_orderstatus") === "P", lit("D")).otherwise(lit("U")).as("op"),
+        col("_m.o_totalprice").as("c_acctbal"))
+    graft.operators.MergeUpsert.merge(snapshot, changes, "c_custkey")
+  }
+
   /** create_features (ref L140): ffill/bfill impute → one-hot (class-
     * threshold keeps c_mktsegment, drops c_name) → missing flags → MinMax
     * scale of every feature column. */
@@ -690,6 +764,19 @@ object Q {
   }
 
   // ------------------------------------------------- rows-only (model/hash)
+
+  /** Compression-ratio quality signal (Gopher-style): zlib-deflated length
+    * over raw UTF-8 length per document via the native codegen'd
+    * `graft_deflate_len` (no SQL engine can express deflate → rows-only;
+    * the spec recomputes with java.util.zip). Repetitive/boilerplate docs
+    * score low, natural prose sits near ~0.4–0.7. Zero shuffle. */
+  def textCompress(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents").select(
+      col("doc_id"),
+      octet_length(col("text")).as("n_bytes"),
+      expr("graft_deflate_len(text)").as("deflate_len"),
+      round(expr("graft_deflate_len(text)").cast("double")
+        / octet_length(col("text")).cast("double"), 6).as("compress_ratio"))
 
   /** MLlib decision-tree imputation through the full SparkImputer API
     * (per-column pipelines, simulation split) — model-based, rows-only. */

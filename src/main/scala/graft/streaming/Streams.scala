@@ -215,4 +215,27 @@ object Streams {
       .agg(count(lit(1)).as("n_events"), sum(col(valueCol)).as("sum_value"))
       .select(col("window.start").as("window_start"), col(typeCol),
         col("n_events"), col("sum_value"))
+
+  /** Stream-stream interval join: pair each purchase with every click by
+    * the same user in the preceding `horizonSec` seconds. Both sides carry
+    * watermarks and the join condition bounds the time skew, so each side's
+    * buffered state is evicted once the other side's watermark passes the
+    * interval — state is O(rate × horizon), never unbounded. The equality
+    * key (user) keeps it a hash join; the interval is a residual filter. */
+  def intervalJoin(clicks: DataFrame, purchases: DataFrame,
+                   horizonSec: Long = 3600,
+                   watermark: String = "30 minutes"): DataFrame = {
+    val c = clicks.withWatermark("ts", watermark)
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+    val p = purchases.withWatermark("ts", watermark)
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"))
+    p.join(c,
+      col("p_user") === col("c_user") &&
+        col("click_ts") <= col("purchase_ts") &&
+        col("click_ts") >= col("purchase_ts") - expr(s"INTERVAL $horizonSec SECONDS"))
+      .select(col("p_user").as("user_id"), col("purchase_id"),
+        col("purchase_ts"), col("click_id"), col("click_ts"))
+  }
 }

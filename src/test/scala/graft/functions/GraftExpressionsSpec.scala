@@ -49,6 +49,40 @@ class GraftExpressionsSpec extends SparkSpec {
     val r = df.select(VectorFunctions.dot(col("a"), col("b"))).collect()
     assert(r(0).isNullAt(0))
   }
+
+  test("graft_deflate_len matches java.util.zip through the codegen path") {
+    // spark.range source → WholeStageCodegen; texts roam repetitive,
+    // prose-like, unicode, and empty shapes
+    val df = spark.range(0, 40).select(
+      when(col("id") % 4 === 0, concat_ws(" ",
+          transform(sequence(lit(0), lit(50)), _ => lit("spam"))))
+        .when(col("id") % 4 === 1,
+          concat(lit("the quick brown fox jumps over doc "), col("id")))
+        .when(col("id") % 4 === 2, concat(lit("héllo wörld ünïcode "), col("id")))
+        .otherwise(lit("")).as("text"))
+    val rows = df.select(col("text"),
+      call_function("graft_deflate_len", col("text")).as("n")).collect()
+    rows.foreach { r =>
+      val expect = DeflateLenExpr.deflatedLen(r.getString(0).getBytes("UTF-8"))
+      assert(r.getInt(1) == expect, s"text=${r.getString(0).take(30)}")
+    }
+    // repetitive text compresses far below natural prose
+    val byKind = rows.map(r => (r.getString(0), r.getInt(1)))
+    val spam = byKind.filter(_._1.startsWith("spam")).head
+    val prose = byKind.filter(_._1.startsWith("the quick")).head
+    assert(spam._2.toDouble / spam._1.getBytes("UTF-8").length <
+      prose._2.toDouble / prose._1.getBytes("UTF-8").length)
+  }
+
+  test("graft_deflate_len: null yields null, non-string is rejected") {
+    import spark.implicits._
+    val df = Seq(Option.empty[String]).toDF("t")
+    assert(df.select(call_function("graft_deflate_len", col("t"))).collect()(0).isNullAt(0))
+    val bad = intercept[org.apache.spark.sql.AnalysisException] {
+      Seq(1).toDF("x").select(call_function("graft_deflate_len", col("x"))).collect()
+    }
+    assert(bad.getMessage.contains("graft_deflate_len"))
+  }
 }
 
 /** Parity + argument-validation specs for round-3 native expressions. */

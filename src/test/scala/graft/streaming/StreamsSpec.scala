@@ -226,4 +226,37 @@ class StreamsSpec extends SparkSpec {
         .exists(_.user_id == 2L))
     } finally query.stop()
   }
+
+  test("stream-stream interval join pairs purchases with in-horizon clicks only") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    case class UEv(ts: Timestamp, user_id: Long, event_id: Long)
+    val clicks = MemoryStream[(Timestamp, Long, Long)]
+    val purchases = MemoryStream[(Timestamp, Long, Long)]
+    def df(m: MemoryStream[(Timestamp, Long, Long)]) =
+      m.toDF().toDF("ts", "user_id", "event_id")
+    val out = Streams.intervalJoin(df(clicks), df(purchases), horizonSec = 3600)
+    val query = out.writeStream.format("memory").queryName("ij_out")
+      .outputMode("append").start()
+    try {
+      clicks.addData(
+        (t(0), 1L, 100L),   // in horizon for the t(30) purchase
+        (t(29), 1L, 101L),  // in horizon
+        (t(31), 1L, 102L),  // AFTER the purchase — excluded
+        (t(0), 2L, 200L))   // wrong user — excluded
+      purchases.addData((t(30), 1L, 900L))
+      query.processAllAvailable()
+      val got = spark.table("ij_out")
+        .select("purchase_id", "click_id").as[(Long, Long)].collect().toSet
+      assert(got == Set((900L, 100L), (900L, 101L)))
+      // clicks older than the horizon never join: t(31) is 64 min before
+      // t(95), so only the fresh t(90) click pairs with the second purchase
+      clicks.addData((t(90), 1L, 103L))
+      purchases.addData((t(95), 1L, 901L))
+      query.processAllAvailable()
+      val got2 = spark.table("ij_out").filter(col("purchase_id") === 901L)
+        .select("click_id").as[Long].collect().toSet
+      assert(got2 == Set(103L))
+    } finally query.stop()
+  }
 }
