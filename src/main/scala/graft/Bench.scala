@@ -24,14 +24,20 @@ object Bench {
       }
       name -> math.min(once(), once())
     }
-    // Values at 3 decimals: the harness that collects this output keeps only
-    // the last ~2000 chars, so the whole line must stay under that budget
-    // even with ~90 queries in the map.
+    // The harness that collects this output keeps only the last ~2000 chars,
+    // so the FINAL line must stay inside that budget: print the full map
+    // first (for whole-log readers), then a compact summary line holding the
+    // slowest queries, trimmed to fit the tail window.
     def fmt(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
-      .mkString("{", ",", "}")
+    def entries(rs: Seq[(String, Double)]): String =
+      rs.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val all = results.toSeq.sortBy(-_._2)
+    println(s"""{"metric":"total_full","value":${fmt(total)},"unit":"sec","queries":${entries(all)},"sf":"$sfDir"}""")
+    var top = all
+    def line() = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${all.size},"queries":${entries(top)},"sf":"$sfDir"}"""
+    while (line().length > 1700 && top.nonEmpty) top = top.dropRight(5)
+    println(line())
     spark.stop()
   }
 }

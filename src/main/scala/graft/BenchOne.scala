@@ -1,0 +1,28 @@
+package graft
+import org.apache.spark.sql.SparkSession
+
+/** Dev tool: time a handful of named queries (args) at SPARK_GRAFT_SF_DIR —
+  * for iterating on one operator without paying for the whole bench. */
+object BenchOne {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
+    args.foreach { name =>
+      val fn = SparkEntry.queries(name)
+      (1 to 2).foreach { i =>
+        val t0 = System.nanoTime()
+        val n = fn(spark, sfDir).count()
+        println(f"[benchone] $name run$i: ${(System.nanoTime() - t0) / 1e9}%.3f s ($n rows)")
+      }
+    }
+    spark.stop()
+  }
+}

@@ -703,11 +703,11 @@ object Analytics {
 
   /** TPC-H Q21-style blocking supplier (adapted: the test schema has no
     * commit/receipt dates, so "kept the order waiting" = sole supplier with
-    * the LATEST ship date on a multi-supplier finished order). The per-order
-    * supplier stats (distinct suppliers, per-supplier max shipdate) come out
-    * of ONE orderkey-keyed aggregation; the order-level rollup over that
-    * already-shrunk frame reuses the same partitioning (no second fact
-    * shuffle), supplier names broadcast in last, and the top-20 is
+    * the LATEST ship date on a multi-supplier finished order). The fact
+    * table shuffles ONCE, into the per-(order, supplier) aggregation; the
+    * order-level rollup and the sole-latest filter exchange only that
+    * already-shrunk frame (≈ one row per order×supplier combination),
+    * supplier names broadcast in last, and the top-20 is
     * TakeOrderedAndProject. */
   def q21(spark: SparkSession, dir: String): DataFrame = {
     val fOrders = Tables(spark, dir, "orders")

