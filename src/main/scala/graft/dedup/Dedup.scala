@@ -2,6 +2,7 @@ package graft.dedup
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
 
 /** Document deduplication operators.
   *
@@ -89,16 +90,57 @@ object Dedup {
     * truncate the iterative lineage (cluster path: checkpoint to reliable
     * storage).
     *
+    * Small graphs short-circuit: after the one edge materialization, if the
+    * edge list is under `smallGraphEdges` (and ids are integral) the
+    * components come from a driver-side union-find and broadcast back —
+    * near-dup graphs are usually tiny relative to the corpus, and ~6
+    * distributed rounds of fixed scheduling cost would dwarf the actual
+    * work. Bigger graphs run the full distributed loop unchanged.
+    *
     * Returns (id, cluster_id) for EVERY vertex; cluster_id is the minimum
     * vertex id of its component (singletons keep their own id). */
   def connectedComponents(vertices: DataFrame, idCol: String, edges: DataFrame,
-                          srcCol: String, dstCol: String, maxIter: Int = 50): DataFrame = {
+                          srcCol: String, dstCol: String, maxIter: Int = 50,
+                          smallGraphEdges: Long = 2000000L): DataFrame = {
     // materialize the edge list ONCE: `edges` may carry an arbitrarily
     // expensive lineage (e.g. the whole prefix-filter Jaccard join) that
     // would otherwise re-execute inside every convergence round
     val sym = edges.select(col(srcCol).as("_src"), col(dstCol).as("_dst"))
       .union(edges.select(col(dstCol).as("_src"), col(srcCol).as("_dst")))
       .localCheckpoint()
+
+    val integralIds = vertices.schema(idCol).dataType match {
+      case LongType | IntegerType | ShortType | ByteType => true
+      case _ => false
+    }
+    if (integralIds && sym.count() <= 2L * smallGraphEdges) {
+      // driver union-find (path compression; min id becomes the root so the
+      // output labeling is identical to the distributed HashMin result)
+      val parent = new java.util.HashMap[Long, Long]()
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.get(r) != r) { parent.put(r, parent.get(parent.get(r))); r = parent.get(r) }
+        r
+      }
+      sym.select(col("_src").cast("long"), col("_dst").cast("long"))
+        .collect().foreach { row =>
+          val (a, b) = (row.getLong(0), row.getLong(1))
+          if (!parent.containsKey(a)) parent.put(a, a)
+          if (!parent.containsKey(b)) parent.put(b, b)
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) { if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb) }
+        }
+      val labels = new scala.collection.mutable.ArrayBuffer[(Long, Long)](parent.size)
+      parent.keySet().forEach(k => labels += ((k, find(k))))
+      val spark = vertices.sparkSession
+      import spark.implicits._
+      val labelDf = labels.toSeq.toDF("_lid", "_lcluster")
+      return vertices.select(col(idCol).as("id"))
+        .join(broadcast(labelDf), col("id") === col("_lid"), "left")
+        .select(col("id"),
+          coalesce(col("_lcluster").cast(vertices.schema(idCol).dataType),
+            col("id")).as("cluster_id"))
+    }
     var labels = vertices.select(col(idCol).as("id"), col(idCol).as("cluster_id"))
       .localCheckpoint()
     var changed = 1L

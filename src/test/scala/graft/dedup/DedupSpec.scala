@@ -95,14 +95,38 @@ class DedupSpec extends SparkSpec {
 
   test("connected components: a 200-node chain converges via path halving") {
     import spark.implicits._
-    // pure HashMin would need ~200 rounds; path halving needs O(log n)
+    // pure HashMin would need ~200 rounds; path halving needs O(log n).
+    // smallGraphEdges=0 FORCES the distributed loop (the default would take
+    // the driver union-find shortcut on a graph this small).
     val n = 200L
     val verts = (1L to n).toDF("doc_id")
     val edges = (1L until n).map(i => (i, i + 1)).toDF("id_a", "id_b")
-    val cc = Dedup.connectedComponents(verts, "doc_id", edges, "id_a", "id_b", maxIter = 15)
+    val cc = Dedup.connectedComponents(verts, "doc_id", edges, "id_a", "id_b",
+        maxIter = 15, smallGraphEdges = 0L)
       .collect().map(r => r.getLong(0) -> r.getLong(1))
     assert(cc.length == n)
     assert(cc.forall(_._2 == 1L))
+  }
+
+  test("connected components: union-find shortcut equals the distributed loop") {
+    import spark.implicits._
+    // random graphs roam chain/blob/singleton mixes; both paths must agree
+    val rnd = new scala.util.Random(7)
+    (1 to 3).foreach { _ =>
+      val n = 30 + rnd.nextInt(40)
+      val verts = (1L to n.toLong).toDF("doc_id")
+      val edges = (1 to n).flatMap { _ =>
+        val a = 1L + rnd.nextInt(n)
+        val b = 1L + rnd.nextInt(n)
+        if (a != b) Some((math.min(a, b), math.max(a, b))) else None
+      }.toDF("id_a", "id_b")
+      val fast = Dedup.connectedComponents(verts, "doc_id", edges, "id_a", "id_b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val dist = Dedup.connectedComponents(verts, "doc_id", edges, "id_a", "id_b",
+          smallGraphEdges = 0L)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(fast == dist)
+    }
   }
 
   test("simhash: identical docs at hamming 0, unrelated docs far apart") {
