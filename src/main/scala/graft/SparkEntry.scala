@@ -53,6 +53,8 @@ object SparkEntry {
     "range_join" -> (Analytics.promoRangeJoin _),
     "merge_upsert" -> (Q.mergeUpsert _),
     "imp_pool" -> (Q.impPool _),
+    "dq_check" -> (Q.dqCheck _),
+    "agg_incremental" -> (Q.aggIncremental _),
     "events_path" -> (Analytics.eventsPath _),
     "events_attribution" -> (Q.eventsAttribution _),
     "orders_rfm" -> (Analytics.ordersRfm _),

@@ -430,29 +430,52 @@ object GraftFunctions {
 
   /** Idempotently register the native expressions with a session's function
     * registry (temp functions — per-session, no catalog writes). */
+  /** The single source of truth for every native function: name → builder.
+    * Both registration routes ([[register]] for an existing session,
+    * [[GraftExtensions]] for `spark.sql.extensions`-configured sessions)
+    * install exactly this list, so the two can never drift apart. */
+  val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "graft_dot" -> (exprs => DotProductExpr(exprs(0), exprs(1))),
+    "graft_sorted_intersect_size" ->
+      (exprs => SortedIntersectSizeExpr(exprs(0), exprs(1))),
+    "graft_sorted_intersect_size_l" ->
+      (exprs => SortedIntersectSizeLongExpr(exprs(0), exprs(1))),
+    "graft_simhash64" -> (exprs => SimHash64Expr(exprs(0))),
+    "graft_deflate_len" -> (exprs => DeflateLenExpr(exprs(0))),
+    "graft_vec_avg" -> (exprs => VectorAvgAgg(exprs(0)).toAggregateExpression()),
+    "graft_minhash" -> (exprs => MinHashSigExpr(exprs(0),
+      intArg("graft_minhash", "k", exprs(1)),
+      longArg("graft_minhash", "seed", exprs(2)))),
+    "graft_shingle_hashes" -> (exprs => ShingleHashesExpr(exprs(0),
+      intArg("graft_shingle_hashes", "n", exprs(1)))),
+    "graft_topk" -> (exprs => TopKAgg(exprs(0), exprs(1),
+      intArg("graft_topk", "k", exprs(2))).toAggregateExpression()))
+
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
-    registry.createOrReplaceTempFunction("graft_dot",
-      exprs => DotProductExpr(exprs(0), exprs(1)), "built-in")
-    registry.createOrReplaceTempFunction("graft_sorted_intersect_size",
-      exprs => SortedIntersectSizeExpr(exprs(0), exprs(1)), "built-in")
-    registry.createOrReplaceTempFunction("graft_sorted_intersect_size_l",
-      exprs => SortedIntersectSizeLongExpr(exprs(0), exprs(1)), "built-in")
-    registry.createOrReplaceTempFunction("graft_simhash64",
-      exprs => SimHash64Expr(exprs(0)), "built-in")
-    registry.createOrReplaceTempFunction("graft_deflate_len",
-      exprs => DeflateLenExpr(exprs(0)), "built-in")
-    registry.createOrReplaceTempFunction("graft_vec_avg",
-      exprs => VectorAvgAgg(exprs(0)).toAggregateExpression(), "built-in")
-    registry.createOrReplaceTempFunction("graft_minhash",
-      exprs => MinHashSigExpr(exprs(0),
-        intArg("graft_minhash", "k", exprs(1)),
-        longArg("graft_minhash", "seed", exprs(2))), "built-in")
-    registry.createOrReplaceTempFunction("graft_shingle_hashes",
-      exprs => ShingleHashesExpr(exprs(0),
-        intArg("graft_shingle_hashes", "n", exprs(1))), "built-in")
-    registry.createOrReplaceTempFunction("graft_topk",
-      exprs => TopKAgg(exprs(0), exprs(1),
-        intArg("graft_topk", "k", exprs(2))).toAggregateExpression(), "built-in")
+    builders.foreach { case (name, builder) =>
+      registry.createOrReplaceTempFunction(name, builder, "built-in")
+    }
   }
+}
+
+/** `spark.sql.extensions` entry point: a platform-created session (where
+  * user code never sees the builder — Connect servers, notebook services,
+  * spark-submit with a shared context) gets every graft function injected
+  * at session build time:
+  *
+  * {{{ spark.sql.extensions=graft.functions.GraftExtensions }}}
+  *
+  * Injected functions live in the session's base registry (not temp
+  * functions), so `spark.sql("SELECT graft_dot(a, b) ...")` works in every
+  * derived `newSession()` too. */
+class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+    GraftFunctions.builders.foreach { case (name, builder) =>
+      ext.injectFunction((
+        new org.apache.spark.sql.catalyst.FunctionIdentifier(name),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          "graft.functions.GraftExpressions", name),
+        builder))
+    }
 }

@@ -1,0 +1,48 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Data-quality constraint checks, each returning rows of
+  * (check_name, n_rows, n_violations) — exact integers, unionable into one
+  * report.
+  *
+  * Scale shape: every scalar check on a table is one more sum(CASE WHEN)
+  * column inside a SINGLE aggregation pass over its scan (map-side
+  * partials) — N checks cost one job, not N. Referential integrity is a
+  * left-anti join shipping only the key columns; uniqueness aggregates at
+  * key cardinality. */
+object DataQuality {
+
+  /** All `checks` (name → violation predicate) over one scan of `df`. */
+  def scalarChecks(df: DataFrame, checks: Seq[(String, Column)]): DataFrame = {
+    require(checks.nonEmpty, "need at least one check")
+    val aggs = count(lit(1)).as("_n") +:
+      checks.zipWithIndex.map { case ((_, cond), i) =>
+        sum(when(cond, 1L).otherwise(0L)).as(s"_v$i")
+      }
+    val stackArgs = checks.zipWithIndex
+      .map { case ((name, _), i) => s"'${name}', _n, _v$i" }.mkString(",\n ")
+    df.agg(aggs.head, aggs.tail: _*)
+      .selectExpr(
+        s"stack(${checks.size},\n $stackArgs)\n AS (check_name, n_rows, n_violations)")
+  }
+
+  /** Orphaned-child check: `childKey` values with no match in `parent`. */
+  def fkCheck(name: String, child: DataFrame, childKey: String,
+              parent: DataFrame, parentKey: String): DataFrame =
+    child.select(col(childKey))
+      .join(parent.select(col(parentKey)), col(childKey) === col(parentKey), "left_anti")
+      .agg(count(lit(1)).as("_v"))
+      .crossJoin(broadcast(child.agg(count(lit(1)).as("_n"))))
+      .select(lit(name).as("check_name"), col("_n").as("n_rows"),
+        col("_v").as("n_violations"))
+
+  /** Key-uniqueness check: every extra copy of a key is one violation. */
+  def uniqueCheck(name: String, df: DataFrame, key: String): DataFrame =
+    df.groupBy(col(key)).agg(count(lit(1)).as("_k"))
+      .agg(coalesce(sum(col("_k")), lit(0L)).as("_n"),
+        coalesce(sum(col("_k") - 1), lit(0L)).as("_v"))
+      .select(lit(name).as("check_name"), col("_n").as("n_rows"),
+        col("_v").as("n_violations"))
+}

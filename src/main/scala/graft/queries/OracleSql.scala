@@ -1333,6 +1333,47 @@ object OracleSql {
         |FROM customer c FULL JOIN ch ON c.c_custkey = ch.k
         |WHERE ch.op IS NULL OR ch.op <> 'D'""".stripMargin,
 
+    "dq_check" ->
+      """SELECT 'lineitem_quantity_range' AS check_name,
+        | CAST(count(*) AS BIGINT) AS n_rows,
+        | CAST(SUM(CASE WHEN l_quantity NOT BETWEEN 1.0 AND 50.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'lineitem_discount_range', CAST(count(*) AS BIGINT),
+        | CAST(SUM(CASE WHEN l_discount < 0.0 OR l_discount > 0.1 THEN 1 ELSE 0 END) AS BIGINT)
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'lineitem_shipdate_not_null', CAST(count(*) AS BIGINT),
+        | CAST(SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'orders_totalprice_positive', CAST(count(*) AS BIGINT),
+        | CAST(SUM(CASE WHEN o_totalprice <= 0.0 THEN 1 ELSE 0 END) AS BIGINT)
+        |FROM orders
+        |UNION ALL
+        |SELECT 'orders_status_domain', CAST(count(*) AS BIGINT),
+        | CAST(SUM(CASE WHEN o_orderstatus NOT IN ('F','O','P') THEN 1 ELSE 0 END) AS BIGINT)
+        |FROM orders
+        |UNION ALL
+        |SELECT 'lineitem_fk_orders', (SELECT CAST(count(*) AS BIGINT) FROM lineitem),
+        | (SELECT CAST(count(*) AS BIGINT) FROM lineitem
+        |  WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey))
+        |UNION ALL
+        |SELECT 'customer_custkey_unique', CAST(SUM(k) AS BIGINT), CAST(SUM(k - 1) AS BIGINT)
+        |FROM (SELECT count(*) AS k FROM customer GROUP BY c_custkey) t""".stripMargin,
+
+    "agg_incremental" ->
+      """WITH e AS (SELECT event_type, epoch_ns(ts) // 86400000000000 AS d,
+        |   CAST(round(value * 10000.0, 0) AS BIGINT) AS vc FROM events),
+        |se AS (SELECT event_type, d, CAST(count(*) AS BIGINT) AS n, CAST(SUM(vc) AS BIGINT) AS sc
+        |       FROM e WHERE d % 2 = 0 GROUP BY 1, 2),
+        |so AS (SELECT event_type, d, CAST(count(*) AS BIGINT) AS n, CAST(SUM(vc) AS BIGINT) AS sc
+        |       FROM e WHERE d % 2 = 1 GROUP BY 1, 2),
+        |u AS (SELECT * FROM se UNION ALL SELECT * FROM so)
+        |SELECT event_type, d, CAST(SUM(n) AS BIGINT) AS n_events,
+        | CAST(CAST(SUM(sc) AS BIGINT) AS DOUBLE) / 10000.0 AS sum_value
+        |FROM u GROUP BY 1, 2""".stripMargin,
+
     "imp_pool" -> {
       val ic1 = s"coalesce(${ac("c_acctbal")}, m)"
       s"""WITH mcv AS ($MCV),

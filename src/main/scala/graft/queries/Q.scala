@@ -369,6 +369,52 @@ object Q {
       round(w + lit(1.0 + 1.0 / 3.0) * b, 8).as("total_var"))
   }
 
+  /** Data-quality constraint report: one row per declared check with row
+    * and violation counts. Scalar range/null/set checks for a table ride
+    * ONE conditional-aggregation pass over its scan (sum(CASE WHEN)
+    * map-side partials — adding a check adds a column, not a job);
+    * referential integrity is a left-anti join that shuffles only the FK
+    * key column; uniqueness is a count-over-cardinality aggregate. Every
+    * output is an exact integer, trivially hash-checkable. */
+  def dqCheck(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.DataQuality
+    val li = Tables(s, dir, "lineitem")
+    val o = Tables(s, dir, "orders")
+    DataQuality.scalarChecks(li, Seq(
+        "lineitem_quantity_range" -> !col("l_quantity").between(1.0, 50.0),
+        "lineitem_discount_range" -> (col("l_discount") < 0.0 || col("l_discount") > 0.1),
+        "lineitem_shipdate_not_null" -> col("l_shipdate").isNull))
+      .unionAll(DataQuality.scalarChecks(o, Seq(
+        "orders_totalprice_positive" -> (col("o_totalprice") <= 0.0),
+        "orders_status_domain" -> !col("o_orderstatus").isin("F", "O", "P"))))
+      .unionAll(DataQuality.fkCheck("lineitem_fk_orders",
+        li, "l_orderkey", o, "o_orderkey"))
+      .unionAll(DataQuality.uniqueCheck("customer_custkey_unique",
+        Tables(s, dir, "customer"), "c_custkey"))
+  }
+
+  /** Incremental aggregation: merge pre-aggregated per-(type, day) partial
+    * states from disjoint ingest batches into the running summary — the
+    * batch face of a mergeable-state pipeline (counts and exact integer
+    * cent sums are associative, so merged partials are BITWISE the direct
+    * recompute, which is exactly what the oracle verifies). Each batch
+    * aggregates map-side before its one shuffle; the merge combines frames
+    * that are already day-grain tiny. */
+  def aggIncremental(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables(s, dir, "events")
+      .select(col("event_type"), expr("ts div 86400000000000").as("d"),
+        cents(col("value"), 4).as("_vc"))
+    def partial(batch: DataFrame) = batch.groupBy("event_type", "d")
+      .agg(count(lit(1)).as("n_events"), sum(col("_vc")).as("_sc"))
+    val stateEven = partial(e.filter(col("d") % 2 === 0))
+    val deltaOdd = partial(e.filter(col("d") % 2 === 1))
+    stateEven.unionAll(deltaOdd)
+      .groupBy("event_type", "d")
+      .agg(sum(col("n_events")).as("n_events"), sum(col("_sc")).as("_sc"))
+      .select(col("event_type"), col("d"), col("n_events"),
+        (col("_sc").cast("double") / 10000.0).as("sum_value"))
+  }
+
   /** SCD-1 merge face: apply the per-customer change batch derived from each
     * customer's LATEST order (status P ⇒ delete, else acctbal := totalprice)
     * to the customer snapshot. The change batch is one custkey-keyed argmax

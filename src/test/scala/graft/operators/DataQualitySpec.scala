@@ -1,0 +1,55 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DataQualitySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("scalarChecks counts each violation class in one pass") {
+    val df = Seq(
+      (1L, 5.0, Some("a")),
+      (2L, -1.0, Some("b")),   // range violation
+      (3L, 200.0, None),       // range + null violation
+      (4L, 7.0, Some("c"))
+    ).toDF("id", "x", "tag")
+    val out = DataQuality.scalarChecks(df, Seq(
+        "x_range" -> !col("x").between(0.0, 100.0),
+        "tag_not_null" -> col("tag").isNull))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out == Map("x_range" -> (4L, 2L), "tag_not_null" -> (4L, 1L)))
+  }
+
+  test("fkCheck counts orphaned children; uniqueCheck counts extra copies") {
+    val parent = Seq(1L, 2L).toDF("pk")
+    val child = Seq(1L, 1L, 2L, 99L, 98L).toDF("fk")
+    val fk = DataQuality.fkCheck("fk", child, "fk", parent, "pk").collect().head
+    assert((fk.getLong(1), fk.getLong(2)) == (5L, 2L))
+    val dup = Seq(1L, 1L, 1L, 2L, 3L).toDF("k")
+    val u = DataQuality.uniqueCheck("u", dup, "k").collect().head
+    assert((u.getLong(1), u.getLong(2)) == (5L, 2L))
+  }
+
+  test("clean frames report zero violations, empty frames report zero rows") {
+    val clean = Seq((1L, 1.0)).toDF("id", "x")
+    val out = DataQuality.scalarChecks(clean, Seq("x_pos" -> (col("x") <= 0.0)))
+      .collect().head
+    assert((out.getLong(1), out.getLong(2)) == (1L, 0L))
+    val empty = Seq.empty[(Long, Double)].toDF("id", "x")
+    val u = DataQuality.uniqueCheck("u", empty, "id").collect().head
+    assert((u.getLong(1), u.getLong(2)) == (0L, 0L))
+  }
+
+  test("agg_incremental merged partials equal the direct recompute bitwise") {
+    val direct = graft.Tables(spark, "/root/testdata/sf0.001", "events")
+      .select(col("event_type"), expr("ts div 86400000000000").as("d"),
+        graft.analytics.Analytics.cents(col("value"), 4).as("_vc"))
+      .groupBy("event_type", "d")
+      .agg(count(lit(1)).as("n_events"),
+        (sum(col("_vc")).cast("double") / 10000.0).as("sum_value"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    val merged = graft.queries.Q.aggIncremental(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(merged == direct)
+  }
+}
