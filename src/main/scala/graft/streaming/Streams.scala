@@ -238,4 +238,26 @@ object Streams {
       .select(col("p_user").as("user_id"), col("purchase_id"),
         col("purchase_ts"), col("click_id"), col("click_ts"))
   }
+
+  /** Streaming CDC apply: fold each micro-batch of keyed changes into the
+    * running snapshot with [[graft.operators.MergeUpsert.merge]] — one
+    * full-outer join per batch, exactly the batch operator's semantics
+    * (U/D/I/K). `foreachBatch` is the standard Spark bridge from a stream
+    * to a transactional sink; on a cluster the fold target is a
+    * Delta/Iceberg `MERGE INTO`-style table, here an in-memory snapshot
+    * handle that `current()` exposes to the caller. Batches arrive in
+    * order per the micro-batch contract, so the fold is deterministic. */
+  def cdcApply(changes: DataFrame, snapshot0: DataFrame, key: String)
+      : (java.util.concurrent.atomic.AtomicReference[DataFrame],
+         org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row]) = {
+    val state = new java.util.concurrent.atomic.AtomicReference[DataFrame](snapshot0)
+    val writer = changes.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // drop the op column the merge re-derives, keep batch deterministic
+        state.set(graft.operators.MergeUpsert.merge(
+          state.get(), batch, key).drop("op").localCheckpoint())
+      }
+    (state, writer)
+  }
 }

@@ -259,4 +259,25 @@ class StreamsSpec extends SparkSpec {
       assert(got2 == Set(103L))
     } finally query.stop()
   }
+
+  test("streaming CDC apply folds change batches into the snapshot") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val snapshot0 = Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("id", "bal")
+    val changes = MemoryStream[(Long, String, Double)]
+    val (state, writer) = Streams.cdcApply(
+      changes.toDF().toDF("id", "op", "bal"), snapshot0, "id")
+    val query = writer.start()
+    try {
+      changes.addData((2L, "U", 99.0), (4L, "U", 44.0))
+      query.processAllAvailable()
+      val s1 = state.get().orderBy("id").as[(Long, Double)].collect().toSeq
+      assert(s1 == Seq((1L, 10.0), (2L, 99.0), (3L, 30.0), (4L, 44.0)))
+      // a later batch deletes and re-updates; the fold applies in order
+      changes.addData((1L, "D", 0.0), (4L, "U", 45.0))
+      query.processAllAvailable()
+      val s2 = state.get().orderBy("id").as[(Long, Double)].collect().toSeq
+      assert(s2 == Seq((2L, 99.0), (3L, 30.0), (4L, 45.0)))
+    } finally query.stop()
+  }
 }
