@@ -176,11 +176,21 @@ object AnnLsh {
     }
     val c = signed(candidates, "neighbor_id", "v")
     val q = signed(queries, "query_id", "qv")
-    val cands = c.join(broadcast(q), Seq("table", "bucket"))
+    // same narrow-pair discipline as selfPairs: collision detection and
+    // pair dedup ship ids only; the candidate vector re-joins once per
+    // unique pair, and the (small) query vectors broadcast back in
+    val cands = c.select(col("table"), col("bucket"), col("neighbor_id"))
+      .join(broadcast(q.select(col("table"), col("bucket"), col("query_id"))),
+        Seq("table", "bucket"))
       .filter(col("neighbor_id") =!= col("query_id"))
-      .select(col("query_id"), col("neighbor_id"), col("qv"), col("v"))
+      .select(col("query_id"), col("neighbor_id"))
       .dropDuplicates("query_id", "neighbor_id")
-    topK(cands.select(col("query_id"), col("neighbor_id"),
+    val cVec = candidates.select(col(idCol).as("neighbor_id"), toDouble(col(vecCol)).as("v"))
+    val qVec = queries.select(col(idCol).as("query_id"), toDouble(col(vecCol)).as("qv"))
+    val scored = cands
+      .join(cVec, Seq("neighbor_id"))
+      .join(broadcast(qVec), Seq("query_id"))
+    topK(scored.select(col("query_id"), col("neighbor_id"),
       cosine(col("qv"), col("v")).as("cos")), k)
   }
 }
