@@ -138,6 +138,8 @@ object SparkEntry {
     "embed_pca" -> (Q.embedPca _),
     "embed_cluster_lsh" -> (Q.embedClusterLsh _),
     "mm_features" -> (Q.mmFeatures _),
+    "mm_resize" -> (Q.mmResize _),
+    "mm_frames" -> (Q.mmFrames _),
     "text_compress" -> (Q.textCompress _)
   )
 

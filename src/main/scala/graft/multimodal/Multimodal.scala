@@ -19,6 +19,10 @@ trait MediaDecoder extends Serializable {
   def features(payload: Array[Byte], dims: Int): Array[Float]
   /** Extract (width, height) style shape metadata. */
   def shape(payload: Array[Byte]): (Int, Int)
+  /** Re-encode the payload at a target shape (image-resize face). */
+  def resize(payload: Array[Byte], w: Int, h: Int): Array[Byte]
+  /** Split a (video-style) payload into per-frame payloads. */
+  def frameSplit(payload: Array[Byte], frameBytes: Int): Seq[Array[Byte]]
 }
 
 /** Deterministic stand-in for a real codec: features are a byte-histogram
@@ -37,6 +41,21 @@ object StubDecoder extends MediaDecoder {
   }
   def shape(payload: Array[Byte]): (Int, Int) =
     (payload.length % 640, payload.length / 640 + 1)
+  /** Nearest-neighbor index resample of the byte stream to w·h bytes —
+    * deterministic, shape-exact, codec-free. */
+  def resize(payload: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    val out = new Array[Byte](math.max(w * h, 1))
+    if (payload.nonEmpty) {
+      var i = 0
+      while (i < out.length) {
+        out(i) = payload((i.toLong * payload.length / out.length).toInt)
+        i += 1
+      }
+    }
+    out
+  }
+  def frameSplit(payload: Array[Byte], frameBytes: Int): Seq[Array[Byte]] =
+    payload.grouped(math.max(frameBytes, 1)).toSeq
 }
 
 object Multimodal {
@@ -48,6 +67,57 @@ object Multimodal {
       encode(col(contentCol), "UTF-8").as("payload"),
       octet_length(col(contentCol)).cast("bigint").as("n_bytes"),
       sha2(col(contentCol), 256).as("digest"))
+
+  /** Partition-parallel resize: payload → re-encoded payload at (w, h) +
+    * updated metadata. Same mapPartitions tier as [[decodeFeatures]] — a
+    * codec call per row inside the partition, nothing on the driver. */
+  def resized(df: DataFrame, decoder: MediaDecoder, w: Int, h: Int): DataFrame = {
+    val spark = df.sparkSession
+    val keep = df.schema.fields.filterNot(_.name == "payload")
+    val schema = StructType(keep ++ Array(
+      StructField("payload", BinaryType),
+      StructField("width", IntegerType), StructField("height", IntegerType),
+      StructField("n_bytes", LongType)))
+    val payloadIdx = df.schema.fieldIndex("payload")
+    val keepIdx = keep.map(f => df.schema.fieldIndex(f.name))
+    val rdd = df.rdd.mapPartitions { it =>
+      it.map { row =>
+        val res = decoder.resize(row.getAs[Array[Byte]](payloadIdx), w, h)
+        Row.fromSeq(keepIdx.toIndexedSeq.map(row.get) ++ Seq(res, w, h, res.length.toLong))
+      }
+    }
+    spark.createDataFrame(rdd, schema)
+  }
+
+  /** Frame sampling (video face): split each payload into fixed-size
+    * frames inside the partition, keep every `everyN`-th, and EXPLODE to
+    * one row per kept frame — the fan-out happens executor-side with
+    * nothing resident beyond one payload's frames at a time. Output:
+    * input columns (minus payload) + (frame_no, frame_payload,
+    * frame_digest). */
+  def sampleFrames(df: DataFrame, decoder: MediaDecoder,
+                   frameBytes: Int, everyN: Int): DataFrame = {
+    require(everyN >= 1, "everyN must be >= 1")
+    val spark = df.sparkSession
+    val keep = df.schema.fields.filterNot(_.name == "payload")
+    val schema = StructType(keep ++ Array(
+      StructField("frame_no", IntegerType),
+      StructField("frame_payload", BinaryType)))
+    val payloadIdx = df.schema.fieldIndex("payload")
+    val keepIdx = keep.map(f => df.schema.fieldIndex(f.name))
+    val rdd = df.rdd.mapPartitions { it =>
+      it.flatMap { row =>
+        val frames = decoder.frameSplit(row.getAs[Array[Byte]](payloadIdx), frameBytes)
+        frames.iterator.zipWithIndex
+          .filter { case (_, i) => i % everyN == 0 }
+          .map { case (f, i) =>
+            Row.fromSeq(keepIdx.toIndexedSeq.map(row.get) ++ Seq(i, f))
+          }
+      }
+    }
+    spark.createDataFrame(rdd, schema)
+      .withColumn("frame_digest", sha2(col("frame_payload"), 256))
+  }
 
   /** Partition-parallel decode: payload → feature vector + shape metadata.
     * This is the `mapInPandas`-shaped stage: batches flow through the

@@ -811,6 +811,32 @@ object Q {
 
   // ------------------------------------------------- rows-only (model/hash)
 
+  /** Image-resize face over the binary table: partition-parallel stub
+    * re-encode to 64×48, digest of the resized payload — rows-only (codec
+    * stub; spec recomputes sequentially). */
+  def mmResize(s: SparkSession, dir: String): DataFrame = {
+    import graft.multimodal.{Multimodal, StubDecoder}
+    val bin = Multimodal.asBinaryTable(
+      Tables(s, dir, "documents").limit(500), "doc_id", "text")
+    Multimodal.resized(bin.select("doc_id", "payload"), StubDecoder, 64, 48)
+      .select(col("doc_id"), col("width"), col("height"), col("n_bytes"),
+        sha2(col("payload"), 256).as("digest"))
+  }
+
+  /** Video frame-sampling face: split payloads into 512-byte "frames"
+    * executor-side, keep every 2nd, roll up per-doc frame count and
+    * distinct-frame count — rows-only (stub framing; spec recomputes). */
+  def mmFrames(s: SparkSession, dir: String): DataFrame = {
+    import graft.multimodal.{Multimodal, StubDecoder}
+    val bin = Multimodal.asBinaryTable(
+      Tables(s, dir, "documents").limit(500), "doc_id", "text")
+    Multimodal.sampleFrames(bin.select("doc_id", "payload"), StubDecoder,
+        frameBytes = 512, everyN = 2)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_frames"),
+        countDistinct(col("frame_digest")).as("n_distinct_frames"))
+  }
+
   /** Compression-ratio quality signal (Gopher-style): zlib-deflated length
     * over raw UTF-8 length per document via the native codegen'd
     * `graft_deflate_len` (no SQL engine can express deflate → rows-only;

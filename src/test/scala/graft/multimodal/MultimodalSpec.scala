@@ -36,4 +36,42 @@ class MultimodalSpec extends SparkSpec {
     assert(f.length == 1)
     assert(f(0).getSeq[Float](f(0).fieldIndex("features")).forall(_ == 0f))
   }
+
+  test("resized re-encodes every payload to the target shape with fresh metadata") {
+    val bin = Multimodal.asBinaryTable(docs, "doc_id", "text").repartition(2)
+    val r = Multimodal.resized(bin.select("doc_id", "payload"), StubDecoder, 8, 4)
+      .orderBy("doc_id").collect()
+    assert(r.forall(_.getAs[Int]("width") == 8))
+    assert(r.forall(_.getAs[Int]("height") == 4))
+    assert(r.forall(_.getAs[Long]("n_bytes") == 32L))
+    // sequential recompute of the stub resample
+    val expect = StubDecoder.resize("hello world".getBytes("UTF-8"), 8, 4).toSeq
+    assert(r(0).getAs[Array[Byte]]("payload").toSeq == expect)
+  }
+
+  test("sampleFrames explodes every Nth fixed-size frame executor-side") {
+    import spark.implicits._
+    val payload = (0 until 2500).map(i => (i % 251).toByte).toArray
+    val bin = Seq((7L, payload)).toDF("doc_id", "payload").repartition(2)
+    val out = Multimodal.sampleFrames(bin, StubDecoder, frameBytes = 1000, everyN = 2)
+      .orderBy("frame_no").collect()
+    // 3 frames of (1000, 1000, 500) bytes; every 2nd → frames 0 and 2
+    assert(out.map(_.getAs[Int]("frame_no")).toSeq == Seq(0, 2))
+    assert(out(0).getAs[Array[Byte]]("frame_payload").length == 1000)
+    assert(out(1).getAs[Array[Byte]]("frame_payload").length == 500)
+    assert(out(0).getAs[Array[Byte]]("frame_payload").toSeq == payload.take(1000).toSeq)
+    assert(out.forall(_.getAs[String]("frame_digest").length == 64))
+  }
+
+  test("mm_resize and mm_frames query faces return deterministic rows") {
+    val r1 = graft.queries.Q.mmResize(spark, "/root/testdata/sf0.001")
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val r2 = graft.queries.Q.mmResize(spark, "/root/testdata/sf0.001")
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(r1 == r2 && r1.nonEmpty)
+    val f = graft.queries.Q.mmFrames(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(f.nonEmpty)
+    assert(f.forall(r => r.getLong(1) >= r.getLong(2))) // frames >= distinct frames
+  }
 }
