@@ -113,6 +113,7 @@ object SparkEntry {
     "corpus_mix" -> (Q.corpusMix _),
     "dedup_incremental" -> (Q.dedupIncremental _),
     "feat_rank" -> (Q.featRank _),
+    "feat_lag" -> (Q.featLag _),
     "feat_bucketize" -> (Q.featBucketize _),
     "hot_keys" -> (Q.hotKeys _),
     "dedup_exact" -> (Q.dedupExact _),

@@ -1333,6 +1333,20 @@ object OracleSql {
         |FROM customer c FULL JOIN ch ON c.c_custkey = ch.k
         |WHERE ch.op IS NULL OR ch.op <> 'D'""".stripMargin,
 
+    "feat_lag" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_ns(ts) // 1000000000 AS t, value,
+        |  CAST(round(value * 10000.0, 0) AS BIGINT) AS vc FROM events)
+        |SELECT event_id, user_id, t, value,
+        | lag(value, 1) OVER w AS lag1,
+        | lag(value, 2) OVER w AS lag2,
+        | value - lag(value, 1) OVER w AS delta1,
+        | CAST(SUM(vc) OVER w3 AS DOUBLE)
+        |   / CAST(count(*) OVER w3 * 10000 AS DOUBLE) AS ma3
+        |FROM e
+        |WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id),
+        |  w3 AS (PARTITION BY user_id ORDER BY t, event_id
+        |         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)""".stripMargin,
+
     "dq_check" ->
       """SELECT 'lineitem_quantity_range' AS check_name,
         | CAST(count(*) AS BIGINT) AS n_rows,

@@ -811,6 +811,28 @@ object Q {
 
   // ------------------------------------------------- rows-only (model/hash)
 
+  /** Per-user lag/rolling features over the event stream — the standard
+    * windowed feature-engineering shape for sequence models. ONE shuffle on
+    * user_id serves every window (lag-1, lag-2, delta, trailing-3 mean);
+    * ordering key (t, event_id) is unique so every function is
+    * deterministic, and the moving average divides a 3-element exact
+    * integer sum. Always partitioned — never a global window (PlanLint
+    * enforces this for every query). */
+  def featLag(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("t", "event_id")
+    val w3 = w.rowsBetween(-2, 0)
+    Tables(s, dir, "events")
+      .select(col("event_id"), col("user_id"),
+        expr("ts div 1000000000").as("t"), col("value"),
+        cents(col("value"), 4).as("_vc"))
+      .select(col("event_id"), col("user_id"), col("t"), col("value"),
+        lag(col("value"), 1).over(w).as("lag1"),
+        lag(col("value"), 2).over(w).as("lag2"),
+        (col("value") - lag(col("value"), 1).over(w)).as("delta1"),
+        (sum(col("_vc")).over(w3).cast("double")
+          / (count(lit(1)).over(w3) * 10000).cast("double")).as("ma3"))
+  }
+
   /** Image-resize face over the binary table: partition-parallel stub
     * re-encode to 64×48, digest of the resized payload — rows-only (codec
     * stub; spec recomputes sequentially). */
