@@ -136,6 +136,7 @@ object SparkEntry {
     "dedup_simhash" -> (Q.dedupSimhash _),
     "ann_lsh" -> (Q.annLsh _),
     "ann_ivf" -> (Q.annIvf _),
+    "ann_pq" -> (Q.annPq _),
     "embed_pca" -> (Q.embedPca _),
     "embed_cluster_lsh" -> (Q.embedClusterLsh _),
     "mm_features" -> (Q.mmFeatures _),

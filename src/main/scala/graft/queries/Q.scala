@@ -925,4 +925,16 @@ object Q {
     graft.similarity.AnnLsh.ivfTopK(e, e.filter(col("vec_id") % 97 === 0),
       "vec_id", "embedding", listCol = "label", k = 5, nProbe = 3)
   }
+
+  /** Product-quantization ANN (the memory-compression scale path): train
+    * an 8×16 codebook (2 Lloyd passes), encode the corpus to 8 bytes per
+    * vector, ADC top-5 per probe — rows-only (float iteration). */
+  def annPq(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables(s, dir, "embeddings")
+    val model = graft.similarity.Pq.fit(e, "vec_id", "embedding", dim = 64,
+      m = 8, k = 16, iters = 2)
+    val encoded = graft.similarity.Pq.encode(e, "vec_id", "embedding", model)
+    graft.similarity.Pq.adcTopK(encoded, e.filter(col("vec_id") % 97 === 0),
+      "vec_id", "embedding", model, k = 5)
+  }
 }

@@ -1,0 +1,140 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions.toDouble
+
+/** Product quantization — the billion-scale vector-compression path
+  * (Jégou et al., "Product Quantization for Nearest Neighbor Search",
+  * TPAMI 2011; the residual/IVF-ADC family used by every large ANN
+  * system). The d-dim space splits into `m` subspaces of d/m dims; each
+  * subspace learns `k` codewords by Lloyd iterations; a vector encodes as
+  * m single-byte codes (d·4 bytes → m bytes, e.g. 64-dim float → 8 bytes).
+  * Query scoring is ADC: the query precomputes an m×k distance table
+  * (driver-side, tiny) and every encoded vector's distance is m table
+  * lookups — no decode, no float vector ever shuffles.
+  *
+  * Scale shape:
+  *   - training: each Lloyd iteration is ONE distributed pass — encode
+  *     with the current centroids (literal arrays inside codegen) and
+  *     aggregate per-(subspace, code) mean subvectors via the mergeable
+  *     `graft_vec_avg`; centroids themselves are m·k·(d/m) doubles on the
+  *     driver (a few KB), broadcast as literals.
+  *   - encoding: a pure projection — argmin over k literal codewords per
+  *     subspace, whole-stage codegen, zero shuffle.
+  *   - search: encoded table scans once; ADC distance is a codegen'd
+  *     lookup sum; top-k via the graft_topk heap aggregate.
+  *
+  * Determinism: centroid init takes the k lowest-id vectors' subvectors
+  * (no RNG), iterations are a fixed count, and every reduction is the
+  * mergeable vec-avg — results are reproducible across partitionings. */
+object Pq {
+
+  case class Model(m: Int, subDim: Int, centroids: Array[Array[Array[Double]]]) {
+    require(centroids.length == m)
+    def k: Int = centroids(0).length
+  }
+
+  private def slice(v: Column, s: Int, subDim: Int): Column =
+    org.apache.spark.sql.functions.slice(v, s * subDim + 1, subDim)
+
+  /** Squared L2 distance between a subvector column and a literal codeword. */
+  private def sqDist(sub: Column, codeword: Array[Double]): Column = {
+    // ||x-c||² = ||x||² − 2·x·c + ||c||²; graft_dot gives the fused loops
+    val dotc = call_function("graft_dot", sub, lit(codeword))
+    val selfd = call_function("graft_dot", sub, sub)
+    selfd - lit(2.0) * dotc + lit(codeword.map(x => x * x).sum)
+  }
+
+  /** Code (0-based) of the nearest codeword for subspace `s`. */
+  private def encodeSub(v: Column, s: Int, model: Model): Column = {
+    val dists = array(model.centroids(s).map(c => sqDist(slice(v, s, model.subDim), c)): _*)
+    // deterministic argmin: first index achieving the min
+    (array_position(dists, array_min(dists)) - 1).cast("int")
+  }
+
+  /** Train a PQ codebook on (idCol, vecCol) with `iters` Lloyd passes. */
+  def fit(df: DataFrame, idCol: String, vecCol: String, dim: Int,
+          m: Int = 8, k: Int = 16, iters: Int = 3): Model = {
+    require(dim % m == 0, s"dim $dim must divide into $m subspaces")
+    val subDim = dim / m
+    val base = df.select(col(idCol).as("id"), toDouble(col(vecCol)).as("v"))
+    // deterministic, diversity-preserving init: the k vectors with the
+    // lowest id HASH (id order would seed with adjacent — often
+    // near-duplicate — vectors and start Lloyd degenerate);
+    // TakeOrderedAndProject keeps this scale-safe
+    val seed = base.orderBy(xxhash64(col("id")), col("id")).limit(k).collect()
+    var model = Model(m, subDim, Array.tabulate(m) { s =>
+      seed.map(_.getSeq[Double](1).slice(s * subDim, (s + 1) * subDim).toArray)
+    })
+    (1 to iters).foreach { _ =>
+      // per-subspace assign+aggregate jobs: each groupBy prunes down to
+      // ONE subspace's k-codeword argmin, keeping every generated method
+      // small enough for JIT (a fused all-subspace explode was measured
+      // ~2× slower — m·k·3 dot products in one projection blows past
+      // codegen limits). m jobs over the same cached scan, k·(d/m)
+      // work each.
+      val updates = (0 until m).map { s =>
+        base.groupBy(encodeSub(col("v"), s, model).as("code"))
+          .agg(call_function("graft_vec_avg",
+            slice(col("v"), s, subDim)).as("centroid"))
+          .select(lit(s).as("s"), col("code"), col("centroid"))
+      }.reduce(_ unionAll _).collect()
+      val next = model.centroids.map(_.clone())
+      updates.foreach { r =>
+        next(r.getInt(0))(r.getInt(1)) = r.getSeq[Double](2).toArray
+      }
+      model = Model(m, subDim, next)
+    }
+    model
+  }
+
+  /** Encode every vector as m small codes — a pure codegen projection. */
+  def encode(df: DataFrame, idCol: String, vecCol: String, model: Model): DataFrame = {
+    val base = df.select(col(idCol).as("id"), toDouble(col(vecCol)).as("v"))
+    base.select(col("id"),
+      array((0 until model.m).map(s => encodeSub(col("v"), s, model)): _*).as("codes"))
+  }
+
+  /** ADC top-k: squared-L2 nearest neighbors of each query over the
+    * ENCODED table (codes only — the float vectors never rescan). The
+    * per-query m×k distance table is computed driver-side and inlined as
+    * literals; each row's distance is m array lookups. */
+  def adcTopK(encoded: DataFrame, queries: DataFrame, idCol: String,
+              vecCol: String, model: Model, k: Int): DataFrame = {
+    val spark = encoded.sparkSession
+    import spark.implicits._
+    val qRows = queries.select(col(idCol).as("query_id"), toDouble(col(vecCol)).as("qv"))
+      .collect()
+    require(qRows.nonEmpty, "empty query set")
+    // one m×k lookup table per query (a few KB each), shipped as ONE
+    // broadcast frame so the encoded table scans exactly once for the
+    // whole query set
+    val qTables: Seq[(Long, Seq[Seq[Double]])] = qRows.toSeq.map { r =>
+      val qid = r.getLong(0)
+      val qv = r.getSeq[Double](1).toArray
+      val table = Seq.tabulate(model.m) { s =>
+        val sub = qv.slice(s * model.subDim, (s + 1) * model.subDim)
+        model.centroids(s).toSeq.map { c =>
+          var d = 0.0; var i = 0
+          while (i < sub.length) { val t = sub(i) - c(i); d += t * t; i += 1 }
+          d
+        }
+      }
+      (qid, table)
+    }
+    val qdf = qTables.toDF("query_id", "qtable")
+    val dist = (0 until model.m).map { s =>
+      element_at(element_at(col("qtable"), s + 1), col("codes").getItem(s) + 1)
+    }.reduce(_ + _)
+    val scored = encoded.crossJoin(broadcast(qdf))
+      .filter(col("id") =!= col("query_id"))
+      .select(col("query_id"), col("id").as("neighbor_id"), dist.as("dist"))
+    // graft_topk keeps the LARGEST scores — negate distances for nearest
+    scored.groupBy("query_id")
+      .agg(call_function("graft_topk", -col("dist"), col("neighbor_id"), lit(k)).as("_tk"))
+      .select(col("query_id"), posexplode(col("_tk")).as(Seq("_i", "_s")))
+      .select(col("query_id"), col("_s.id").as("neighbor_id"),
+        (col("_i") + 1).cast("bigint").as("rank"), (-col("_s.score")).as("dist"))
+  }
+}
