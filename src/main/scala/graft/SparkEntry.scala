@@ -137,6 +137,7 @@ object SparkEntry {
     "ann_lsh" -> (Q.annLsh _),
     "ann_ivf" -> (Q.annIvf _),
     "ann_pq" -> (Q.annPq _),
+    "ann_ivfpq" -> (Q.annIvfPq _),
     "embed_pca" -> (Q.embedPca _),
     "embed_cluster_lsh" -> (Q.embedClusterLsh _),
     "mm_features" -> (Q.mmFeatures _),

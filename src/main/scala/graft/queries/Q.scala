@@ -926,6 +926,15 @@ object Q {
       "vec_id", "embedding", listCol = "label", k = 5, nProbe = 3)
   }
 
+  /** IVF-PQ ANN (FAISS-style coarse-prune + residual-code search): label
+    * lists prune to 3 probes, residual PQ codes score by ADC — rows-only. */
+  def annIvfPq(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables(s, dir, "embeddings")
+    graft.similarity.Pq.ivfPqTopK(e, e.filter(col("vec_id") % 97 === 0),
+      "vec_id", "embedding", listCol = "label", dim = 64,
+      m = 8, kCode = 16, iters = 2, nProbe = 3, k = 5)
+  }
+
   /** Product-quantization ANN (the memory-compression scale path): train
     * an 8×16 codebook (2 Lloyd passes), encode the corpus to 8 bytes per
     * vector, ADC top-5 per probe — rows-only (float iteration). */

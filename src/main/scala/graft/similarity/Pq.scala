@@ -131,10 +131,80 @@ object Pq {
       .filter(col("id") =!= col("query_id"))
       .select(col("query_id"), col("id").as("neighbor_id"), dist.as("dist"))
     // graft_topk keeps the LARGEST scores — negate distances for nearest
+    nearestK(scored, k)
+  }
+
+  private def nearestK(scored: DataFrame, k: Int): DataFrame =
     scored.groupBy("query_id")
       .agg(call_function("graft_topk", -col("dist"), col("neighbor_id"), lit(k)).as("_tk"))
       .select(col("query_id"), posexplode(col("_tk")).as(Seq("_i", "_s")))
       .select(col("query_id"), col("_s.id").as("neighbor_id"),
         (col("_i") + 1).cast("bigint").as("rank"), (-col("_s.score")).as("dist"))
+
+  /** IVF-PQ — the canonical billion-scale composition (FAISS "IVFx,PQy"
+    * shape): a coarse inverted index over `listCol` prunes the search to
+    * `nProbe` lists per query, and a PQ codebook trained on RESIDUALS
+    * (vector − list centroid, the standard trick that concentrates the
+    * quantizer's dynamic range) scores candidates by ADC lookups. The
+    * corpus shuffles once per Lloyd pass and once to encode; search touches
+    * only the probed lists' codes via a broadcast (query, list, table)
+    * probe frame — codes are m bytes per vector and the float corpus never
+    * participates in search. */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                vecCol: String, listCol: String, dim: Int,
+                m: Int = 8, kCode: Int = 16, iters: Int = 2,
+                nProbe: Int = 2, k: Int = 5): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val c = corpus.select(col(idCol).as("id"), col(listCol).as("list"),
+      toDouble(col(vecCol)).as("v"))
+    // coarse centroids: one mergeable vec-avg pass; lists are bounded, so
+    // the centroid map is driver-small
+    val centroidMap = c.groupBy("list")
+      .agg(call_function("graft_vec_avg", col("v")).as("cv"))
+      .collect().map(r => r.get(0) -> r.getSeq[Double](1).toArray).toMap
+    val centDf = centroidMap.toSeq.map { case (l, cv) => (l.asInstanceOf[Int], cv.toSeq) }
+      .toDF("list", "cv")
+    // residual frame (v − centroid) via one broadcast join, then PQ on it
+    val residuals = c.join(broadcast(centDf), Seq("list"))
+      .select(col("id"), col("list"),
+        zip_with(col("v"), col("cv"), (a, b) => a - b).as("rv"))
+    val model = fit(residuals, "id", "rv", dim, m, kCode, iters)
+    val encoded = encode(residuals, "id", "rv", model)
+      .join(residuals.select("id", "list"), Seq("id"))
+    // probes: per query, the nProbe nearest list centroids (driver math —
+    // queries are the small side by contract) + the ADC table of the
+    // query's RESIDUAL against that list
+    val qRows = queries.select(col(idCol).as("query_id"), toDouble(col(vecCol)).as("qv"))
+      .collect()
+    require(qRows.nonEmpty, "empty query set")
+    def l2(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var i = 0
+      while (i < a.length) { val t = a(i) - b(i); d += t * t; i += 1 }
+      d
+    }
+    val probeRows = qRows.toSeq.flatMap { r =>
+      val qid = r.getLong(0)
+      val qv = r.getSeq[Double](1).toArray
+      centroidMap.toSeq
+        .sortBy { case (l, cv) => (l2(qv, cv), l.asInstanceOf[Int]) }
+        .take(nProbe)
+        .map { case (l, cv) =>
+          val qr = qv.indices.map(i => qv(i) - cv(i)).toArray
+          val table = Seq.tabulate(model.m) { s =>
+            val sub = qr.slice(s * model.subDim, (s + 1) * model.subDim)
+            model.centroids(s).toSeq.map(cw => l2(sub, cw))
+          }
+          (qid, l.asInstanceOf[Int], table)
+        }
+    }
+    val probes = probeRows.toDF("query_id", "list", "qtable")
+    val dist = (0 until model.m).map { s =>
+      element_at(element_at(col("qtable"), s + 1), col("codes").getItem(s) + 1)
+    }.reduce(_ + _)
+    val scored = encoded.join(broadcast(probes), Seq("list"))
+      .filter(col("id") =!= col("query_id"))
+      .select(col("query_id"), col("id").as("neighbor_id"), dist.as("dist"))
+    nearestK(scored, k)
   }
 }

@@ -61,6 +61,21 @@ class PqSpec extends SparkSpec {
     assert(top.groupBy(_._1).forall(_._2.length == 5))
   }
 
+  test("ivf-pq: coarse prune + residual codes still recover the family") {
+    // list = family (a perfect coarse index); probing 2 lists must keep
+    // every true neighbor reachable and ADC must rank them first
+    val listed = corpus.withColumn("list", (col("vec_id") / 8).cast("int"))
+    val queries = corpus.filter(col("vec_id") % 8 === 3)
+    val top = Pq.ivfPqTopK(listed, queries, "vec_id", "embedding", "list",
+        dim, m = 4, kCode = 8, iters = 2, nProbe = 2, k = 5)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(top.nonEmpty)
+    top.foreach { case (q, n, _, _) =>
+      assert(q / 8 == n / 8, s"query $q matched cross-family neighbor $n")
+    }
+    assert(top.groupBy(_._1).forall(_._2.length == 5))
+  }
+
   test("fit and search are deterministic across invocations") {
     def run(): Seq[(Long, Long)] = {
       val model = Pq.fit(corpus, "vec_id", "embedding", dim, m = 4, k = 8, iters = 2)
