@@ -28,6 +28,17 @@ case class FunnelState(tA: Long, tB: Long, tC: Long)
   * `FunnelEvent.t` via `ticksPerSec`. */
 case class FunnelProgress(user_id: Long, stage: Int, convert_sec: Long)
 
+/** One fingerprinted document occurrence routed to a simhash chunk group
+  * (see [[Streams.nearDupAlerts]]). */
+case class ChunkedDoc(chunk: Int, ckey: Long, t: Long, doc_id: Long, fp: Long)
+
+/** A detected streaming near-duplicate: `doc_id` matched an earlier
+  * `matched_id` within the hamming budget. */
+case class NearDupAlert(doc_id: Long, matched_id: Long, hamming: Int)
+
+/** Bounded per-chunk-group memory of recent fingerprints. */
+case class ChunkMemory(entries: List[(Long, Long)]) // (doc_id, fp), newest first
+
 /** Event record for streaming attribution: any event type; view/click
   * update the per-user touch state, purchase emits. */
 case class TouchEvent(user_id: Long, t: Long, event_type: String, event_id: Long)
@@ -237,6 +248,60 @@ object Streams {
         col("click_ts") >= col("purchase_ts") - expr(s"INTERVAL $horizonSec SECONDS"))
       .select(col("p_user").as("user_id"), col("purchase_id"),
         col("purchase_ts"), col("click_id"), col("click_ts"))
+  }
+
+  /** Streaming NEAR-dup detection (the in-stream face of SimHash dedup):
+    * every arriving doc fingerprints with the native `graft_simhash64`,
+    * routes to `maxHamming + 1` pigeonhole chunk groups (two fingerprints
+    * within the budget MUST agree on ≥1 chunk), and each group checks the
+    * newcomer against its bounded memory of recent fingerprints — state is
+    * O(groups × perKeyMemory), never corpus-sized, which is the honest
+    * trade of streaming dedup: it flags near-dups within a recency
+    * horizon. Emits an ALERT stream (doc, matched, hamming); the same pair
+    * may alert from several chunk groups (at-least-once semantics —
+    * downstream dedup or any-hit filters are one `dropDuplicates` away).
+    */
+  def nearDupAlerts(docs: DataFrame, tsCol: String, idCol: String,
+                    textCol: String, maxHamming: Int = 3,
+                    perKeyMemory: Int = 64,
+                    seed: Long = 42L): Dataset[NearDupAlert] = {
+    import graft.dedup.SimHash
+    val chunks = maxHamming + 1
+    val bitsPer = 64 / chunks
+    val spark = docs.sparkSession
+    graft.functions.GraftFunctions.register(spark)
+    implicit val chunkEnc = Encoders.product[ChunkedDoc]
+    implicit val alertEnc = Encoders.product[NearDupAlert]
+    implicit val memEnc = Encoders.product[ChunkMemory]
+    implicit val keyEnc = Encoders.tuple(Encoders.scalaInt, Encoders.scalaLong)
+    val chunked = docs
+      .select(col(tsCol).cast("long").as("t"), col(idCol).as("doc_id"),
+        SimHash.simhash64(split(col(textCol), " "), seed).as("fp"))
+      .select(col("t"), col("doc_id"), col("fp"),
+        explode(sequence(lit(0), lit(chunks - 1))).as("chunk"))
+      .withColumn("ckey",
+        expr(s"shiftright(fp, chunk * $bitsPer)").bitwiseAND(lit((1L << bitsPer) - 1)))
+      .select(col("chunk"), col("ckey"), col("t"), col("doc_id"), col("fp"))
+      .as[ChunkedDoc]
+    chunked.groupByKey(c => (c.chunk, c.ckey))
+      .flatMapGroupsWithState[ChunkMemory, NearDupAlert](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: (Int, Long), batch: Iterator[ChunkedDoc], state: GroupState[ChunkMemory]) =>
+          var mem = state.getOption.getOrElse(ChunkMemory(Nil))
+          val out = scala.collection.mutable.ArrayBuffer.empty[NearDupAlert]
+          batch.toSeq.sortBy(c => (c.t, c.doc_id)).foreach { c =>
+            mem.entries.find { case (other, ofp) =>
+              other != c.doc_id &&
+                java.lang.Long.bitCount(ofp ^ c.fp) <= maxHamming
+            }.foreach { case (other, ofp) =>
+              out += NearDupAlert(c.doc_id, other,
+                java.lang.Long.bitCount(ofp ^ c.fp))
+            }
+            mem = ChunkMemory(((c.doc_id, c.fp) :: mem.entries).take(perKeyMemory))
+          }
+          state.update(mem)
+          out.iterator
+      }
   }
 
   /** Streaming CDC apply: fold each micro-batch of keyed changes into the

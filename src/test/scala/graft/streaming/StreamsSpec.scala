@@ -260,6 +260,32 @@ class StreamsSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming near-dup alerts flag hamming-close docs across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Long, String)]
+    val docs = input.toDF().toDF("ts", "doc_id", "text")
+    // one changed word in a 12-token doc moves 4 simhash bits here
+    val out = Streams.nearDupAlerts(docs, "ts", "doc_id", "text", maxHamming = 4)
+    val query = out.writeStream.format("memory").queryName("ndup_out")
+      .outputMode("append").start()
+    try {
+      val base = "the quick brown fox jumps over the lazy dog again and again"
+      input.addData(
+        (1L, 10L, base),
+        (2L, 11L, "completely unrelated text about spark plans and shuffles"))
+      query.processAllAvailable()
+      assert(spark.table("ndup_out").count() == 0) // nothing matches yet
+      // batch 2: a near-identical doc (one word changed) must alert
+      // against doc 10 even though it arrived in an earlier batch
+      input.addData((3L, 12L, base.replace("lazy", "sleepy")))
+      query.processAllAvailable()
+      val alerts = spark.table("ndup_out").as[NearDupAlert].collect()
+        .map(a => (a.doc_id, a.matched_id)).distinct
+      assert(alerts.toSeq == Seq((12L, 10L)))
+    } finally query.stop()
+  }
+
   test("streaming CDC apply folds change batches into the snapshot") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
