@@ -109,6 +109,7 @@ object SparkEntry {
     // dedup
     "sample_stratified" -> (Q.sampleStratified _),
     "sample_split" -> (Q.sampleSplit _),
+    "corpus_shuffle" -> (Q.corpusShuffle _),
     "feat_target_encode" -> (Q.featTargetEncode _),
     "corpus_mix" -> (Q.corpusMix _),
     "dedup_incremental" -> (Q.dedupIncremental _),

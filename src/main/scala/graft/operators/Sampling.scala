@@ -56,4 +56,32 @@ object Sampling {
     }
     df.filter(bucket(col(idCol)) < thresh)
   }
+
+  /** Deterministic shuffled sharding: assign every row a shard and a
+    * pseudo-random position WITHIN its shard — the reproducible global
+    * shuffle a training-export needs (epoch order must not depend on
+    * partitioning, reruns, or engine). The scrambled key decorrelates ids
+    * from shards; the per-shard `row_number` is the only shuffle (keyed on
+    * shard, perfectly even by construction), and writing ordered by
+    * (shard, pos) yields N equal shuffled shards. Fully reproducible from
+    * ids alone — no RNG state.
+    *
+    * Scale contract: each shard's position numbering runs in ONE task, so
+    * `nShards` must scale with the corpus — pick it like an output file
+    * count (shard ≈ 100 MB–1 GB), thousands at 100 TB, exactly as a real
+    * sharded export would. A handful of shards over a huge corpus is
+    * wrong usage of this operator, not a plan surprise. */
+  def shuffledShards(df: DataFrame, idCol: String, nShards: Int): DataFrame = {
+    require(nShards >= 1, s"nShards must be >= 1, got $nShards")
+    import org.apache.spark.sql.expressions.Window
+    // a second coprime multiplier decorrelates the within-shard order from
+    // the shard assignment (both are bijections on the 10^4 residues)
+    val key = pmod(pmod(col(idCol), lit(10000L)) * lit(2246822519L), lit(10000L))
+    val shard = pmod(bucket(col(idCol)), lit(nShards.toLong))
+    val w = Window.partitionBy("shard").orderBy(col("_key"), col(idCol))
+    df.withColumn("shard", shard)
+      .withColumn("_key", key)
+      .withColumn("pos", row_number().over(w).cast("bigint"))
+      .drop("_key")
+  }
 }

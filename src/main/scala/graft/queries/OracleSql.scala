@@ -1333,6 +1333,14 @@ object OracleSql {
         |FROM customer c FULL JOIN ch ON c.c_custkey = ch.k
         |WHERE ch.op IS NULL OR ch.op <> 'D'""".stripMargin,
 
+    "corpus_shuffle" ->
+      """SELECT doc_id, source,
+        | ((doc_id % 10000) * 2654435761) % 10000 % 8 AS shard,
+        | CAST(row_number() OVER (
+        |   PARTITION BY ((doc_id % 10000) * 2654435761) % 10000 % 8
+        |   ORDER BY ((doc_id % 10000) * 2246822519) % 10000, doc_id) AS BIGINT) AS pos
+        |FROM documents""".stripMargin,
+
     "feat_lag" ->
       """WITH e AS (SELECT event_id, user_id, epoch_ns(ts) // 1000000000 AS t, value,
         |  CAST(round(value * 10000.0, 0) AS BIGINT) AS vc FROM events)

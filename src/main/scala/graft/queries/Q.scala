@@ -811,6 +811,14 @@ object Q {
 
   // ------------------------------------------------- rows-only (model/hash)
 
+  /** Deterministic shuffled sharding of the corpus into 8 equal shards
+    * with engine-portable pseudo-random within-shard order — the
+    * reproducible training-export shuffle. One shard-keyed shuffle. */
+  def corpusShuffle(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.shuffledShards(
+        Tables(s, dir, "documents").select("doc_id", "source"), "doc_id", 8)
+      .select(col("doc_id"), col("source"), col("shard"), col("pos"))
+
   /** Per-user lag/rolling features over the event stream — the standard
     * windowed feature-engineering shape for sequence models. ONE shuffle on
     * user_id serves every window (lag-1, lag-2, delta, trailing-3 mean);

@@ -53,4 +53,28 @@ class SamplingSpec extends SparkSpec {
     // a sampled row is always a row of the input
     assert(got.join(rows, Seq("id", "stratum")).count() == got.count())
   }
+
+  test("shuffledShards: even shards, dense positions, order decorrelated from id") {
+    import spark.implicits._
+    val rows = (0L until 4000L).toDF("id")
+    val out = Sampling.shuffledShards(rows, "id", 8)
+      .select("id", "shard", "pos").as[(Long, Long, Long)].collect()
+    // every row present exactly once
+    assert(out.length == 4000 && out.map(_._1).distinct.length == 4000)
+    val byShard = out.groupBy(_._2)
+    assert(byShard.size == 8)
+    byShard.values.foreach { rs =>
+      // dense ids spread EXACTLY evenly across the 8 shards
+      assert(rs.length == 500)
+      // positions are dense 1..n within the shard
+      assert(rs.map(_._3).sorted.toSeq == (1L to rs.length).toSeq)
+      // within-shard order is not id order (it's the shuffled export order)
+      val inPosOrder = rs.sortBy(_._3).map(_._1).toSeq
+      assert(inPosOrder != inPosOrder.sorted)
+    }
+    // deterministic across invocations
+    val again = Sampling.shuffledShards(rows, "id", 8)
+      .select("id", "shard", "pos").as[(Long, Long, Long)].collect()
+    assert(out.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
+  }
 }
