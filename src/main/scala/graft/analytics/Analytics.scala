@@ -599,10 +599,13 @@ object Analytics {
     * units — `e_t = (3·10^6·x_t + 7·e_{t-1}) div 10` is exactly
     * `0.3·x_t + 0.7·ewma_{t-1}` under floor division — making every
     * intermediate bitwise-reproducible across engines and shuffle orders. */
-  def eventsEwma(spark: SparkSession, dir: String): DataFrame = {
-    val daily = Tables(spark, dir, "events")
+  def eventsEwma(spark: SparkSession, dir: String): DataFrame =
+    ewmaOverDaily(Tables(spark, dir, "events")
       .groupBy(col("event_type"), expr("ts div 86400000000000").as("d"))
-      .agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("n")))
+
+  /** Generic EWMA face over a pre-aggregated (event_type, d, n) frame. */
+  def ewmaOverDaily(daily: DataFrame): DataFrame = {
     daily.groupBy("event_type")
       .agg(sort_array(collect_list(struct(col("d"), col("n")))).as("_days"))
       .select(col("event_type"), explode(expr(

@@ -101,7 +101,10 @@ object Dedup {
     * vertex id of its component (singletons keep their own id). */
   def connectedComponents(vertices: DataFrame, idCol: String, edges: DataFrame,
                           srcCol: String, dstCol: String, maxIter: Int = 50,
-                          smallGraphEdges: Long = 2000000L): DataFrame = {
+                          smallGraphEdges: Long = 500000L): DataFrame = {
+    // default threshold sized for a MODEST driver: 500k edges collect as
+    // ~1M two-long rows (~100 MB with boxing) — raise it only alongside
+    // spark.driver.memory
     // materialize the edge list ONCE: `edges` may carry an arbitrarily
     // expensive lineage (e.g. the whole prefix-filter Jaccard join) that
     // would otherwise re-execute inside every convergence round

@@ -73,7 +73,12 @@ object Multimodal {
     * codec call per row inside the partition, nothing on the driver. */
   def resized(df: DataFrame, decoder: MediaDecoder, w: Int, h: Int): DataFrame = {
     val spark = df.sparkSession
-    val keep = df.schema.fields.filterNot(_.name == "payload")
+    // regenerate EVERY payload-derived column: carrying the input's
+    // n_bytes/width/height would duplicate the fresh ones (ambiguous
+    // references downstream), and a carried digest would describe the
+    // pre-resize bytes — it is recomputed from the resized payload below
+    val stale = Set("payload", "n_bytes", "width", "height", "digest")
+    val keep = df.schema.fields.filterNot(f => stale.contains(f.name))
     val schema = StructType(keep ++ Array(
       StructField("payload", BinaryType),
       StructField("width", IntegerType), StructField("height", IntegerType),
@@ -87,6 +92,7 @@ object Multimodal {
       }
     }
     spark.createDataFrame(rdd, schema)
+      .withColumn("digest", sha2(col("payload"), 256))
   }
 
   /** Frame sampling (video face): split each payload into fixed-size

@@ -21,11 +21,15 @@ object DataQuality {
       checks.zipWithIndex.map { case ((_, cond), i) =>
         sum(when(cond, 1L).otherwise(0L)).as(s"_v$i")
       }
-    val stackArgs = checks.zipWithIndex
-      .map { case ((name, _), i) => s"'${name}', _n, _v$i" }.mkString(",\n ")
+    // typed explode, not a spliced selectExpr stack — check names are
+    // caller data and must never be parsed as SQL text
+    val rows = array(checks.zipWithIndex.map { case ((name, _), i) =>
+      struct(lit(name).as("check_name"), col("_n").as("n_rows"),
+        col(s"_v$i").as("n_violations"))
+    }: _*)
     df.agg(aggs.head, aggs.tail: _*)
-      .selectExpr(
-        s"stack(${checks.size},\n $stackArgs)\n AS (check_name, n_rows, n_violations)")
+      .select(explode(rows).as("_r"))
+      .select(col("_r.check_name"), col("_r.n_rows"), col("_r.n_violations"))
   }
 
   /** Orphaned-child check: `childKey` values with no match in `parent`. */

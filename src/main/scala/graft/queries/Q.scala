@@ -849,8 +849,7 @@ object Q {
     val bin = Multimodal.asBinaryTable(
       Tables(s, dir, "documents").limit(500), "doc_id", "text")
     Multimodal.resized(bin.select("doc_id", "payload"), StubDecoder, 64, 48)
-      .select(col("doc_id"), col("width"), col("height"), col("n_bytes"),
-        sha2(col("payload"), 256).as("digest"))
+      .select("doc_id", "width", "height", "n_bytes", "digest")
   }
 
   /** Video frame-sampling face: split payloads into 512-byte "frames"

@@ -142,19 +142,15 @@ object AnnLsh {
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
       .dropDuplicates("id_a", "id_b")
-    // The vector side is one row per INPUT vector while the pair set is the
-    // quadratic-ish candidate survivors, so when the vector table fits an
-    // executor (≲64 MB) an explicit broadcast keeps the pair rows from ever
-    // shuffling for the verify. Past that size the hint would OOM the build
-    // side — fall back to plain key joins and let AQE plan them.
-    val vecBytes = base.count() * (dim * 8L + 16L)
-    def side(as: String, vc: String) = {
-      val s = base.select(col("id").as(as), col("v").as(vc))
-      if (vecBytes <= (64L << 20)) broadcast(s) else s
-    }
+    // The vector re-join is left UNHINTED on purpose: AQE downgrades it to
+    // a broadcast at runtime whenever the vector table is small (the
+    // common case), and a hard broadcast() would OOM on a billion-vector
+    // corpus. Sizing it ourselves would need an eager count() — a full
+    // job over the caller's arbitrary lineage as a plan-building side
+    // effect, which a library operator must not do.
     cand
-      .join(side("id_a", "va"), Seq("id_a"))
-      .join(side("id_b", "vb"), Seq("id_b"))
+      .join(base.select(col("id").as("id_a"), col("v").as("va")), Seq("id_a"))
+      .join(base.select(col("id").as("id_b"), col("v").as("vb")), Seq("id_b"))
       .withColumn("cos", cosine(col("va"), col("vb")))
       .filter(col("cos") >= minCos)
       .select("id_a", "id_b", "cos")

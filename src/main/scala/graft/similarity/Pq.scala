@@ -58,7 +58,11 @@ object Pq {
           m: Int = 8, k: Int = 16, iters: Int = 3): Model = {
     require(dim % m == 0, s"dim $dim must divide into $m subspaces")
     val subDim = dim / m
+    // training reads base m·iters (+ seed) times — persist the projected
+    // two-column frame once instead of re-executing the caller's lineage
+    // on every per-subspace job
     val base = df.select(col(idCol).as("id"), toDouble(col(vecCol)).as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // deterministic, diversity-preserving init: the k vectors with the
     // lowest id HASH (id order would seed with adjacent — often
     // near-duplicate — vectors and start Lloyd degenerate);
@@ -86,6 +90,7 @@ object Pq {
       }
       model = Model(m, subDim, next)
     }
+    base.unpersist()
     model
   }
 
@@ -165,10 +170,13 @@ object Pq {
       .collect().map(r => r.get(0) -> r.getSeq[Double](1).toArray).toMap
     val centDf = centroidMap.toSeq.map { case (l, cv) => (l.asInstanceOf[Int], cv.toSeq) }
       .toDF("list", "cv")
-    // residual frame (v − centroid) via one broadcast join, then PQ on it
+    // residual frame (v − centroid) via one broadcast join, materialized
+    // ONCE — Lloyd passes, encode, and the list re-join would otherwise
+    // each re-execute the corpus scan + centroid join lineage
     val residuals = c.join(broadcast(centDf), Seq("list"))
       .select(col("id"), col("list"),
         zip_with(col("v"), col("cv"), (a, b) => a - b).as("rv"))
+      .localCheckpoint()
     val model = fit(residuals, "id", "rv", dim, m, kCode, iters)
     val encoded = encode(residuals, "id", "rv", model)
       .join(residuals.select("id", "list"), Seq("id"))

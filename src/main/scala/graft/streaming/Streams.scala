@@ -310,18 +310,30 @@ object Streams {
     * (U/D/I/K). `foreachBatch` is the standard Spark bridge from a stream
     * to a transactional sink; on a cluster the fold target is a
     * Delta/Iceberg `MERGE INTO`-style table, here an in-memory snapshot
-    * handle that `current()` exposes to the caller. Batches arrive in
-    * order per the micro-batch contract, so the fold is deterministic. */
-  def cdcApply(changes: DataFrame, snapshot0: DataFrame, key: String)
+    * handle that `current()` exposes to the caller.
+    *
+    * A micro-batch may carry SEVERAL changes for one key (merge assumes
+    * key-unique batches — duplicate keys would fan the snapshot row out),
+    * so each batch first compacts to the key's latest change by `seqCol`
+    * (the CDC sequence: LSN, commit ts, offset). Ties and the fold order
+    * across batches are deterministic: struct-max over (seq, op, values).
+    */
+  def cdcApply(changes: DataFrame, snapshot0: DataFrame, key: String,
+               seqCol: String)
       : (java.util.concurrent.atomic.AtomicReference[DataFrame],
          org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row]) = {
     val state = new java.util.concurrent.atomic.AtomicReference[DataFrame](snapshot0)
     val writer = changes.writeStream
       .outputMode(OutputMode.Append())
       .foreachBatch { (batch: DataFrame, _: Long) =>
+        val others = batch.columns.filter(c => c != key && c != seqCol).toSeq
+        val compacted = batch
+          .groupBy(col(key))
+          .agg(max(struct((seqCol +: others).map(col): _*)).as("_m"))
+          .select(col(key) +: others.map(c => col(s"_m.$c").as(c)): _*)
         // drop the op column the merge re-derives, keep batch deterministic
         state.set(graft.operators.MergeUpsert.merge(
-          state.get(), batch, key).drop("op").localCheckpoint())
+          state.get(), compacted, key).drop("op").localCheckpoint())
       }
     (state, writer)
   }

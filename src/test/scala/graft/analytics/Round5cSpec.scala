@@ -98,15 +98,14 @@ class Round5cSpec extends SparkSpec {
         assert(ewma == e.toDouble / 1000000.0)
       }
     }
-    // EWMA of a constant series is that constant
-    val const = spark.createDataFrame(
-      (1 to 20).map(i => (i.toLong * 86400000000000L, 5L)).map { case (ts, _) =>
-        (1L, ts, 1L, "x", 0.0, "{}")
-      }).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
-    // recurrence directly: x_t = 5 forever → e stays 5e6 exactly under div
-    var e = 5000000L
-    (1 to 19).foreach(_ => e = (3000000L * 5L + 7L * e) / 10L)
-    assert(e == 5000000L)
+    // EWMA of a constant series is that constant — through the OPERATOR,
+    // not a reimplementation of its recurrence
+    val constDaily = (1 to 20).map(d => ("x", d.toLong, 5L))
+      .toDF("event_type", "d", "n")
+    val constOut = Analytics.ewmaOverDaily(constDaily)
+      .as[(String, Long, Long, Double)].collect()
+    assert(constOut.length == 20)
+    assert(constOut.forall(_._4 == 5.0))
   }
 
   test("binned range join equals the brute-force BETWEEN join") {

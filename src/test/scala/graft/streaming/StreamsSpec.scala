@@ -290,20 +290,22 @@ class StreamsSpec extends SparkSpec {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     val snapshot0 = Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("id", "bal")
-    val changes = MemoryStream[(Long, String, Double)]
+    val changes = MemoryStream[(Long, Long, String, Double)]
     val (state, writer) = Streams.cdcApply(
-      changes.toDF().toDF("id", "op", "bal"), snapshot0, "id")
+      changes.toDF().toDF("id", "seq", "op", "bal"), snapshot0, "id", "seq")
     val query = writer.start()
     try {
-      changes.addData((2L, "U", 99.0), (4L, "U", 44.0))
+      // one batch holds TWO changes for key 2 — compaction must keep only
+      // the highest-seq one, not fan the snapshot row out to both
+      changes.addData((2L, 1L, "U", 50.0), (2L, 2L, "U", 99.0), (4L, 3L, "U", 44.0))
       query.processAllAvailable()
       val s1 = state.get().orderBy("id").as[(Long, Double)].collect().toSeq
       assert(s1 == Seq((1L, 10.0), (2L, 99.0), (3L, 30.0), (4L, 44.0)))
-      // a later batch deletes and re-updates; the fold applies in order
-      changes.addData((1L, "D", 0.0), (4L, "U", 45.0))
+      // update-then-delete for one key inside one batch resolves to delete
+      changes.addData((1L, 4L, "D", 0.0), (4L, 5L, "U", 45.0), (4L, 6L, "D", 0.0))
       query.processAllAvailable()
       val s2 = state.get().orderBy("id").as[(Long, Double)].collect().toSeq
-      assert(s2 == Seq((2L, 99.0), (3L, 30.0), (4L, 45.0)))
+      assert(s2 == Seq((2L, 99.0), (3L, 30.0)))
     } finally query.stop()
   }
 }
