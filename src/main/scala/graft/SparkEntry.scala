@@ -134,6 +134,7 @@ object SparkEntry {
     "profile_approx" -> (graft.analytics.Profile.lineitemProfileApprox _),
     "imp_ml_tree" -> (Q.impMlTree _),
     "dedup_minhash" -> (Q.dedupMinhash _),
+    "pipeline_neardup" -> (Q.pipelineNearDup _),
     "dedup_simhash" -> (Q.dedupSimhash _),
     "ann_lsh" -> (Q.annLsh _),
     "ann_ivf" -> (Q.annIvf _),

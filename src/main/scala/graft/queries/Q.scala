@@ -489,6 +489,28 @@ object Q {
       .select("doc_id", "source", "n_tokens", "quality_score")
   }
 
+  /** Composed NEAR-dup removal pipeline — the flagship corpus-cleaning
+    * flow: MinHash-LSH candidate pairs → exact-Jaccard-verified edges →
+    * connected components → keep the lowest doc id per cluster → emit the
+    * cleaned corpus with its cluster provenance. Every stage is the
+    * already-hardened operator (banded LSH candidates only, union-find
+    * below the threshold, HashMin loop above); composing them stays one
+    * lineage with shuffles only on band buckets and cluster ids — the
+    * near-dup generalization of [[pipelineCurate]]'s exact-hash keep-one.
+    * rows-only (hash-family). */
+  def pipelineNearDup(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+    val pairs = graft.dedup.MinHash.pairs(docs, "doc_id", "text",
+      n = 3, k = 32, bands = 8, threshold = 0.10)
+    val clusters = Dedup.connectedComponents(
+      docs.select("doc_id"), "doc_id", pairs, "id_a", "id_b")
+    docs.join(clusters.withColumnRenamed("id", "doc_id"), Seq("doc_id"))
+      .withColumn("_keep", min(col("doc_id"))
+        .over(Window.partitionBy(col("cluster_id"))))
+      .filter(col("doc_id") === col("_keep"))
+      .select(col("doc_id"), col("source"), col("cluster_id"))
+  }
+
   def textFingerprint(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.withFingerprint(Tables(s, dir, "documents"), "text")
       .select("doc_id", "fingerprint")

@@ -121,6 +121,23 @@ class Round5cSpec extends SparkSpec {
     assert(got == brute)
   }
 
+  test("pipeline_neardup keeps exactly the min doc of every minhash cluster") {
+    val docs = graft.Tables(spark, sf, "documents")
+    val kept = graft.queries.Q.pipelineNearDup(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    // one keeper per cluster, and the keeper IS its cluster id (min doc)
+    assert(kept.map(_._2).distinct.length == kept.length)
+    assert(kept.forall { case (id, cid) => id == cid })
+    // keepers + removed = the whole corpus; removed docs' clusters survive
+    val clusters = graft.dedup.Dedup.connectedComponents(
+        docs.select("doc_id"), "doc_id",
+        graft.dedup.MinHash.pairs(docs, "doc_id", "text",
+          n = 3, k = 32, bands = 8, threshold = 0.10), "id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(kept.length == clusters.map(_._2).distinct.length)
+    assert(kept.map(_._2).toSet == clusters.map(_._2).toSet)
+  }
+
   test("rubin pooling: T = W + (4/3)B, B >= 0, qbar plausible") {
     val r = graft.queries.Q.impPool(spark, sf).collect().head
     val (qbar, w, b, t) = (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))
