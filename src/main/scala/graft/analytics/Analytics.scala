@@ -367,12 +367,15 @@ object Analytics {
       .join(broadcast(n.filter(col("n_nationkey") >= 13)),
         col("c_nationkey") === col("n_nationkey"))
       .select(col("c_custkey"), col("n_name").as("cust_nation"))
+    // customer/supplier-cardinality frames are left UNHINTED: they grow
+    // with the data (a hard broadcast would hit Spark's 8 GB limit at
+    // large SF) — AQE broadcasts them at runtime while they fit
     val o2 = Tables(spark, dir, "orders").select("o_orderkey", "o_custkey")
-      .join(broadcast(c2), col("o_custkey") === col("c_custkey"))
+      .join(c2, col("o_custkey") === col("c_custkey"))
     Tables(spark, dir, "lineitem")
       .filter(col("l_shipdate") >= lit("1996-01-01") &&
         col("l_shipdate") < lit("1998-01-01"))
-      .join(broadcast(s2), col("l_suppkey") === col("s_suppkey"))
+      .join(s2, col("l_suppkey") === col("s_suppkey"))
       .join(o2, col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("supp_nation"), col("cust_nation"),
         year(col("l_shipdate")).cast("bigint").as("l_year"))
@@ -434,9 +437,10 @@ object Analytics {
       .select("p_partkey")
     val li = Tables(spark, dir, "lineitem")
       .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+    // stats scales with the brand's part count — unhinted, AQE decides
     val stats = li.groupBy(col("l_partkey").as("_pk"))
       .agg(sum(cents(col("l_quantity"), 2)).as("_sq"), count(lit(1)).as("_nq"))
-    li.join(broadcast(stats), col("l_partkey") === col("_pk"))
+    li.join(stats, col("l_partkey") === col("_pk"))
       .filter(cents(col("l_quantity"), 2) * lit(5L) * col("_nq") < col("_sq"))
       .agg(sum(cents(col("l_extendedprice"), 2)).as("_pc"), count(lit(1)).as("n_lines"))
       .select((col("_pc").cast("double") / 700.0).as("avg_yearly"), col("n_lines"))
@@ -451,9 +455,13 @@ object Analytics {
       .groupBy(col("l_orderkey").as("_ok"))
       .agg(sum(cents(col("l_quantity"), 2)).as("_qc"))
       .filter(col("_qc") > 300L * 100L)
+    // `big` (the >300-qty survivors) is the genuinely tiny side and
+    // broadcasts INTO orders; the customer dim grows with the data, so its
+    // join is unhinted — the surviving handful of orders is the build side
+    // AQE will pick at runtime
     Tables(spark, dir, "orders")
       .join(broadcast(big), col("o_orderkey") === col("_ok"))
-      .join(broadcast(Tables(spark, dir, "customer").select("c_custkey", "c_name")),
+      .join(Tables(spark, dir, "customer").select("c_custkey", "c_name"),
         col("o_custkey") === col("c_custkey"))
       .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
         expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000").as("o_day"),
@@ -571,15 +579,16 @@ object Analytics {
 
   /** Rolling time-series stats over the daily event counts: per event type,
     * a 7-day moving sum/average and the running total. Windows run over the
-    * PRE-AGGREGATED daily frame (one row per (type, day)) — thousands of
-    * rows per type even at decades of 100 TB history — never over the raw
-    * stream; the integer day key within a type makes frames deterministic,
-    * and the moving average is exact-integer division. */
+    * DENSIFIED daily frame ([[eventsGapFill]]'s spine — explicit zero rows
+    * for quiet days), so a "7-day" window really spans 7 CALENDAR days; a
+    * rowsBetween window over the sparse frame would silently stretch
+    * across gaps (7 observations, not 7 days). The frame stays one row per
+    * (type, day) — thousands of rows per type even at decades of history —
+    * never the raw stream, and the moving average is exact-integer
+    * division. */
   def eventsRolling(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val daily = Tables(spark, dir, "events")
-      .groupBy(col("event_type"), expr("ts div 86400000000000").as("d"))
-      .agg(count(lit(1)).as("n_events"))
+    val daily = eventsGapFill(spark, dir)
     val w7 = Window.partitionBy("event_type").orderBy("d").rowsBetween(-6, 0)
     val wRun = Window.partitionBy("event_type").orderBy("d")
       .rowsBetween(Window.unboundedPreceding, 0)

@@ -166,9 +166,15 @@ object Profile {
     * infinite; at scale they're the signal you alert on first). */
   def drift(df: DataFrame, valueCol: String, scale: Int, binWidth: Long,
             inA: org.apache.spark.sql.Column): DataFrame = {
-    val bin = (cents(col(valueCol), scale) / lit(binWidth)).cast("bigint")
+    // FLOOR division in exact integers: `cents / lit` would be a double
+    // true-division (lossy past 2^53) and a plain `div` truncates toward
+    // zero — both mis-bin negative values relative to the oracle's
+    // floor-dividing `//`. Subtracting the non-negative pmod first makes
+    // the quotient exact, so truncation and floor coincide.
     val binned = df
-      .select(bin.as("_bin"), inA.as("_a"))
+      .select(cents(col(valueCol), scale).as("_c"), inA.as("_a"))
+      .select(expr(s"(_c - pmod(_c, ${binWidth}L)) div ${binWidth}L").as("_bin"),
+        col("_a"))
       .groupBy("_bin")
       .agg(sum(when(col("_a"), 1L).otherwise(0L)).as("_na"),
         sum(when(col("_a"), 0L).otherwise(1L)).as("_nb"))

@@ -76,7 +76,11 @@ object FeatureBuilder {
     val n = vc.agg(count(lit(1)).as("_n"))
     vc.join(broadcast(ranks), Seq("_v")).crossJoin(broadcast(n))
       .select(col(idCol),
-        (col("_lt").cast("double") / (col("_n") - lit(1L)).cast("double")).as(outCol))
+        // SQL percent_rank defines the single-row frame as 0.0; without
+        // the guard _lt/(n-1) would be 0/0 = NaN here
+        when(col("_n") <= 1L, lit(0.0))
+          .otherwise(col("_lt").cast("double")
+            / (col("_n") - lit(1L)).cast("double")).as(outCol))
   }
 
   /** Smoothed mean target encoding of a categorical column:

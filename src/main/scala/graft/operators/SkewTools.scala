@@ -37,13 +37,18 @@ object SkewTools {
   /** Scale-invariant skew detection: keys whose frequency exceeds `factor`×
     * the mean key frequency. The threshold is self-calibrating (no absolute
     * count to re-tune per data size), and the comparison `n·k > factor·Σn`
-    * stays in exact integers — one count shuffle plus a broadcast 1-row
-    * aggregate, valid at any scale. Feed the result to [[saltedJoin]]. */
+    * runs in decimal(38,0) — in BIGINT, a hot key on a 1e11-row corpus
+    * with 1e10 keys overflows n·k PAST Long.MaxValue and would silently
+    * unflag exactly the hottest keys. One count shuffle plus a broadcast
+    * 1-row aggregate, valid at any scale. Feed the result to
+    * [[saltedJoin]]. */
   def hotKeysRelative(df: DataFrame, key: String, factor: Long = 3L): DataFrame = {
     val counts = df.groupBy(col(key)).agg(count(lit(1)).as("n"))
     val stats = counts.agg(sum(col("n")).as("_tot"), count(lit(1)).as("_k"))
+    val dec = "decimal(38,0)"
     counts.crossJoin(broadcast(stats))
-      .filter(col("n") * col("_k") > lit(factor) * col("_tot"))
+      .filter(col("n").cast(dec) * col("_k").cast(dec) >
+        lit(factor).cast(dec) * col("_tot").cast(dec))
       .select(col(key), col("n"))
   }
 }

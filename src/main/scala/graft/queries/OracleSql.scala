@@ -861,9 +861,19 @@ object OracleSql {
         |FROM p GROUP BY path ORDER BY n_users DESC, path LIMIT 20""".stripMargin,
 
     "events_rolling" ->
-      """WITH daily AS (SELECT event_type, epoch_ns(ts) // 86400000000000 AS d,
-        |                CAST(count(*) AS BIGINT) AS n_events
-        |               FROM events GROUP BY 1, 2)
+      """WITH b AS (SELECT min(epoch_ns(ts) // 86400000000000) AS lo,
+        |                  max(epoch_ns(ts) // 86400000000000) AS hi FROM events),
+        |raw AS (SELECT event_type, epoch_ns(ts) // 86400000000000 AS d,
+        |         CAST(count(*) AS BIGINT) AS n
+        |        FROM events GROUP BY 1, 2),
+        |days AS (SELECT unnest(generate_series(lo, hi)) AS d FROM b),
+        |spine AS (SELECT t.event_type, days.d
+        |          FROM days,
+        |           (VALUES ('click'), ('error'), ('purchase'), ('signup'), ('view'))
+        |            t(event_type)),
+        |daily AS (SELECT s.event_type, s.d, COALESCE(raw.n, 0) AS n_events
+        |          FROM spine s LEFT JOIN raw
+        |            ON s.event_type = raw.event_type AND s.d = raw.d)
         |SELECT event_type, d, n_events,
         | CAST(SUM(n_events) OVER w7 AS BIGINT) AS sum_7d,
         | round(CAST(SUM(n_events) OVER w7 AS DOUBLE)

@@ -662,8 +662,8 @@ object Q {
     * cardinality, nothing else. */
   def featBucketize(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "lineitem")
-      .select(expr("cast(round(l_extendedprice * 100.0, 0) as bigint) div 50000")
-        .as("bin"))
+      .select(cents(col("l_extendedprice"), 2).as("_c"))
+      .select(expr("_c div 50000").as("bin"))
       .groupBy("bin").agg(count(lit(1)).as("n_rows"))
       .select(col("bin"), (col("bin") * 500.0).as("bin_lo"), col("n_rows"))
 

@@ -94,6 +94,17 @@ object Sources {
   def writeZOrdered(df: DataFrame, path: String, colA: String, colB: String,
                     targetPartitions: Int, bits: Int = 21,
                     mode: String = "overwrite"): Unit = {
+    import org.apache.spark.sql.functions.max
+    // zValue silently IGNORES key bits above `bits`: keys differing only in
+    // high bits would collide, every file's bounding box would span the
+    // full range, and the documented pruning property would silently
+    // vanish. One cheap agg (vs. a full table rewrite) makes that loud.
+    val hi = df.agg(max(col(colA).cast("bigint")).as("a"),
+      max(col(colB).cast("bigint")).as("b")).head()
+    val lim = 1L << bits
+    require(hi.isNullAt(0) || (hi.getLong(0) < lim && hi.getLong(1) < lim),
+      s"z-order bits=$bits covers keys < $lim, but max($colA)=${hi.get(0)} " +
+        s"max($colB)=${hi.get(1)} — raise `bits` or pre-scale the keys")
     df.withColumn("_z", zValue(col(colA), col(colB), bits))
       .repartitionByRange(targetPartitions, col("_z"))
       .sortWithinPartitions("_z")

@@ -182,14 +182,24 @@ object Streams {
         (uid: Long, evs: Iterator[TouchEvent], state: GroupState[TouchState]) =>
           var st = state.getOption.getOrElse(TouchState(-1L, -1L, ""))
           val out = scala.collection.mutable.ArrayBuffer.empty[AttributionHit]
-          evs.toSeq.sortBy(e => (e.t, e.event_id)).foreach { e =>
-            if (e.event_type == "view" || e.event_type == "click") {
-              if (e.t > st.t || (e.t == st.t && e.event_id > st.touch_id))
-                st = TouchState(e.t, e.event_id, e.event_type)
-            } else if (e.event_type == "purchase" && st.t >= 0)
-              out += AttributionHit(uid, e.event_id, e.t,
-                st.touch_id, st.t, st.touch_type, e.t - st.t)
-          }
+          // batch semantics credit a SAME-timestamp touch (tc.t <= p.t with
+          // the (user, t) tie pre-collapse), so within each timestamp every
+          // touch must update the state BEFORE any purchase at that
+          // timestamp is attributed — sorting purchases after touches at
+          // equal t reproduces the batch result. (A same-t touch arriving
+          // in a LATER micro-batch than the purchase is inherently beyond
+          // a streaming operator — documented divergence.)
+          val isTouch = (e: TouchEvent) =>
+            e.event_type == "view" || e.event_type == "click"
+          evs.toSeq.sortBy(e => (e.t, if (isTouch(e)) 0 else 1, e.event_id))
+            .foreach { e =>
+              if (isTouch(e)) {
+                if (e.t > st.t || (e.t == st.t && e.event_id > st.touch_id))
+                  st = TouchState(e.t, e.event_id, e.event_type)
+              } else if (e.event_type == "purchase" && st.t >= 0)
+                out += AttributionHit(uid, e.event_id, e.t,
+                  st.touch_id, st.t, st.touch_type, e.t - st.t)
+            }
           state.update(st)
           out.iterator
       }

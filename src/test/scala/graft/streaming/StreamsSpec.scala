@@ -224,6 +224,16 @@ class StreamsSpec extends SparkSpec {
       // user 2 still has no touch → its purchase never emits
       assert(!spark.table("attr_out").as[AttributionHit].collect()
         .exists(_.user_id == 2L))
+      // batch 3: a touch and a purchase at the SAME timestamp in the same
+      // batch — batch semantics (tc.t <= p.t) credit the same-t touch, so
+      // the purchase must see the touch even though its event_id is lower
+      input.addData(
+        TouchEvent(2L, 400L, "purchase", 23L),
+        TouchEvent(2L, 400L, "view", 22L))
+      query.processAllAvailable()
+      val b3 = spark.table("attr_out").as[AttributionHit].collect()
+        .filter(_.purchase_id == 23L)
+      assert(b3.toSeq == Seq(AttributionHit(2L, 23L, 400L, 22L, 400L, "view", 0L)))
     } finally query.stop()
   }
 
