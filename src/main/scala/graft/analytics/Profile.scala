@@ -73,15 +73,19 @@ object Profile {
     val parts = cols.map { c =>
       val counts = df.filter(col(c).isNotNull)
         .groupBy(col(c).cast("string").as("_v")).agg(count(lit(1)).as("_c"))
-      val mode = counts.orderBy(desc("_c"), asc("_v")).limit(1)
-        .select(col("_v").as("mode_value"), col("_c").as("mode_n"))
+      // mode folded into the SAME always-1-row aggregate (min_by over
+      // (−count, value)): an orderBy+limit(1) frame is EMPTY for an
+      // all-null column, and crossJoining it would annihilate the
+      // column's profile row entirely (the Strategies.modeAgg hazard)
       counts.agg(
-          sum("_c").as("n"),
+          coalesce(sum("_c"), lit(0L)).as("n"),
           count(lit(1)).as("n_distinct"),
+          min_by(col("_v"), struct((-col("_c")).as("nc"), col("_v").as("v")))
+            .as("mode_value"),
+          max(col("_c")).as("mode_n"),
           round(log(sum(col("_c")).cast("double"))
             - sum(col("_c").cast("double") * log(col("_c").cast("double")))
               / sum(col("_c")).cast("double"), 6).as("entropy"))
-        .crossJoin(broadcast(mode))
         .select(lit(c).as("variable"), col("n"), col("n_distinct"),
           col("mode_value"), col("mode_n"), col("entropy"))
     }

@@ -427,6 +427,18 @@ object GraftFunctions {
     foldableArg(fn, param, "INT", e).eval().asInstanceOf[Number].intValue()
   private def longArg(fn: String, param: String, e: Expression): Long =
     foldableArg(fn, param, "BIGINT", e).eval().asInstanceOf[Number].longValue()
+  /** intArg that must be ≥ 1 — an n ≤ 0 shingle width or k would otherwise
+    * surface as an executor-side ArrayIndexOutOfBounds (or silent garbage
+    * hashes) mid-query instead of a clean analysis error. */
+  private def positiveIntArg(fn: String, param: String, e: Expression): Int = {
+    val v = intArg(fn, param, e)
+    if (v < 1) throw new org.apache.spark.sql.AnalysisException(
+      "NON_FOLDABLE_ARGUMENT",
+      Map("funcName" -> s"`$fn`", "paramName" -> s"`$param`",
+        "paramType" -> "\"positive INT\""),
+      None)
+    v
+  }
 
   /** Idempotently register the native expressions with a session's function
     * registry (temp functions — per-session, no catalog writes). */
@@ -444,10 +456,10 @@ object GraftFunctions {
     "graft_deflate_len" -> (exprs => DeflateLenExpr(exprs(0))),
     "graft_vec_avg" -> (exprs => VectorAvgAgg(exprs(0)).toAggregateExpression()),
     "graft_minhash" -> (exprs => MinHashSigExpr(exprs(0),
-      intArg("graft_minhash", "k", exprs(1)),
+      positiveIntArg("graft_minhash", "k", exprs(1)),
       longArg("graft_minhash", "seed", exprs(2)))),
     "graft_shingle_hashes" -> (exprs => ShingleHashesExpr(exprs(0),
-      intArg("graft_shingle_hashes", "n", exprs(1)))),
+      positiveIntArg("graft_shingle_hashes", "n", exprs(1)))),
     "graft_topk" -> (exprs => TopKAgg(exprs(0), exprs(1),
       intArg("graft_topk", "k", exprs(2))).toAggregateExpression()))
 

@@ -107,9 +107,16 @@ final class TopKBuffer(val k: Int) {
   val scores = new Array[Double](math.max(k, 1))
   val ids = new Array[Long](math.max(k, 1))
 
-  /** true if (s1,id1) ranks strictly worse than (s2,id2). */
-  @inline private def worse(s1: Double, id1: Long, s2: Double, id2: Long): Boolean =
-    s1 < s2 || (s1 == s2 && id1 > id2)
+  /** true if (s1,id1) ranks strictly worse than (s2,id2). Scores compare
+    * via the TOTAL order `java.lang.Double.compare` (NaN greater than every
+    * value, matching Spark's descending sort order, so NaN scores rank
+    * first exactly as the `row_number()` window this aggregate replaces
+    * did) — a raw `<` would return false for every NaN comparison, letting
+    * a NaN root reject all later candidates. */
+  @inline private def worse(s1: Double, id1: Long, s2: Double, id2: Long): Boolean = {
+    val c = java.lang.Double.compare(s1, s2)
+    c < 0 || (c == 0 && id1 > id2)
+  }
 
   def insert(s: Double, id: Long): Unit = {
     if (k <= 0) return
@@ -140,10 +147,14 @@ final class TopKBuffer(val k: Int) {
     val ti = ids(i); ids(i) = ids(j); ids(j) = ti
   }
 
-  /** Entries ordered best-first: (score desc, id asc). */
+  /** Entries ordered best-first: (score desc, id asc) under the same total
+    * order as `worse` (NaN first, like a descending Spark sort). */
   def sortedPairs: Array[(Double, Long)] = {
     val out = Array.tabulate(size)(i => (scores(i), ids(i)))
-    out.sortBy { case (s, id) => (-s, id) }
+    out.sortWith { case ((s1, id1), (s2, id2)) =>
+      val c = java.lang.Double.compare(s1, s2)
+      c > 0 || (c == 0 && id1 < id2)
+    }
   }
 }
 

@@ -10,21 +10,31 @@ import org.apache.spark.sql.functions._
   * (distance, x, id).
   *
   * Distributed shape — NOT a cross join:
-  *  1. range-partition by (x, id); within each partition the observed rows
-  *     get a dense index (`row_number`) and every missing row an anchor
-  *     (running count of observed rows at-or-before it);
+  *  0. TIE PRUNING: within each (partition, x) group only the k
+  *     smallest-id observed rows survive as candidates — the (dist, x, id)
+  *     order can never select a row past the first k of an equal-x run, so
+  *     the pruned set provably contains the true top-k, and no later step
+  *     has to reason about unbounded tie runs.
+  *  1. range-partition by (x, id); within each partition the PRUNED
+  *     observed rows get a dense index (`row_number`) and every missing
+  *     row an anchor (running count of pruned observed rows at-or-before);
   *  2. within-partition candidates are an equality join on
-  *     (partition, index) after exploding the 2k index offsets around the
-  *     anchor — a hash join on a fine-grained key, never a range join;
-  *  3. cross-boundary exactness: each partition contributes its first-k and
-  *     last-k observed rows to a tiny broadcast edge pool (2·k·P rows). Any
-  *     out-of-partition true neighbor must be in that pool: a deeper row of
-  *     a neighboring partition has ≥k same-partition rows between it and
-  *     the boundary, all strictly closer. Edge candidates are pruned by the
-  *     k-th-best within-partition distance before they enter the ranking,
-  *     so the pool contributes O(1) surviving rows per missing row.
+  *     (partition, index) after exploding the 2k² index offsets around the
+  *     anchor — k² per side because the top-k can touch up to k distinct x
+  *     values and the tie-break may need ALL ≤k pruned rows of each (the
+  *     smallest ids of a group are positionally FARTHEST from an anchor
+  *     below it, so a ±k window would clip exactly the rows the tie-break
+  *     prefers). A hash join on a fine-grained key, never a range join.
+  *  3. cross-boundary exactness: each partition contributes its first-k²
+  *     and last-k² pruned rows to a tiny broadcast edge pool (2·k²·P
+  *     rows). Any out-of-partition true neighbor lies in that pool: a
+  *     deeper row has ≥k strictly-closer distinct-x… rows between it and
+  *     the boundary within its own partition. Edge candidates are pruned
+  *     by the k-th-best within-partition distance before the ranking, so
+  *     the pool contributes O(1) surviving rows per missing row.
   *  4. final rank is a window partitioned by the missing-row id (high
-  *     cardinality → full parallelism) over ≤ k + pool survivors rows.
+  *     cardinality → full parallelism) over ≤ k² + pool survivors rows,
+  *     ordered by the full (distance, x, id) tie-break.
   *
   * The neighbor mean is computed in exact integer units (`y · 10^scale`
   * rounded to a long — the integer-cents oracle discipline), summed as
@@ -48,34 +58,43 @@ object KnnImpute {
       else spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
     val pow = math.pow(10, scale)
 
-    val base = df
+    val kk = k * k // candidate radius: ≤k distinct x values × ≤k tied rows
+
+    val base0 = df
       .select(col(idCol).as("_id"), xCol.cast("double").as("_x"),
         col(yCol).cast("double").as("_y"))
       .repartitionByRange(parts, col("_x"), col("_id"))
       .sortWithinPartitions("_x", "_id")
       .withColumn("_pid", spark_partition_id())
       .withColumn("_yc", round(col("_y") * pow, 0).cast("bigint"))
+    // tie pruning: rank observed rows within their (partition, x) group by
+    // id; only the first k are selectable under the (dist, x, id) order
+    val wx = Window.partitionBy("_pid", "_x").orderBy("_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val base = base0
+      .withColumn("_okeep", col("_y").isNotNull &&
+        sum(when(col("_y").isNotNull, 1L).otherwise(0L)).over(wx) <= k)
       .localCheckpoint() // pin the sampled range boundaries across reuses
 
     val wseq = Window.partitionBy("_pid").orderBy(col("_x"), col("_id"))
-    val obs = base.filter(col("_y").isNotNull)
+    val obs = base.filter(col("_okeep"))
       .withColumn("_oseq", row_number().over(wseq).cast("bigint"))
       .select("_pid", "_oseq", "_id", "_x", "_yc")
       .localCheckpoint() // reused as join target and edge pool
 
-    // anchor = index of the last observed row at-or-before the missing row
+    // anchor = index of the last PRUNED observed row at-or-before the miss
     val wcum = wseq.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val miss = base
-      .withColumn("_anchor", sum(when(col("_y").isNotNull, 1L).otherwise(0L)).over(wcum))
+      .withColumn("_anchor", sum(when(col("_okeep"), 1L).otherwise(0L)).over(wcum))
       .filter(col("_y").isNull)
       .select(col("_pid"), col("_id").as("_mid"), col("_x").as("_mx"), col("_anchor"))
 
     val candCols = Seq(col("_mid"), col("_mx"), col("_cid"), col("_cx"), col("_cyc"))
     val dist = abs(col("_cx") - col("_mx"))
 
-    // within-partition ±k observed neighbors, top-k ranked
+    // within-partition ±k² pruned neighbors, top-k ranked
     val within = miss
-      .withColumn("_cseq", explode(sequence(col("_anchor") - (k - 1), col("_anchor") + k)))
+      .withColumn("_cseq", explode(sequence(col("_anchor") - (kk - 1), col("_anchor") + kk)))
       .join(obs.select(col("_pid"), col("_oseq").as("_cseq"), col("_id").as("_cid"),
         col("_x").as("_cx"), col("_yc").as("_cyc")), Seq("_pid", "_cseq"))
       .select(candCols: _*)
@@ -92,7 +111,7 @@ object KnnImpute {
     val wdesc = Window.partitionBy("_pid").orderBy(col("_x").desc, col("_id").desc)
     val edges = obs
       .withColumn("_rdesc", row_number().over(wdesc))
-      .filter(col("_oseq") <= k || col("_rdesc") <= k)
+      .filter(col("_oseq") <= kk || col("_rdesc") <= kk)
       .select(col("_pid").as("_epid"), col("_id").as("_cid"),
         col("_x").as("_cx"), col("_yc").as("_cyc"))
     val crossCand = missB.join(broadcast(edges),

@@ -69,8 +69,10 @@ object Strategies {
         Window.partitionBy(groupCol).orderBy(desc("_cnt"), asc(valueCol))))
       .filter(col("_rk") === 1)
       .select(col(groupCol), col(valueCol).as("_gmode"))
-    val gcnt = df.filter(col(valueCol).isNotNull)
-      .groupBy(valueCol).agg(count(lit(1)).as("_cnt"))
+    // global counts RE-AGGREGATE the per-group counts frame
+    // (#groups·#values rows) — a second groupBy over df would be a full
+    // redundant scan and shuffle of the input
+    val gcnt = counts.groupBy(valueCol).agg(sum("_cnt").as("_cnt"))
     // 1-row aggregate, not orderBy+limit: an all-null column must impute to
     // null with rows preserved, never annihilate the crossJoin
     val g = gcnt.agg(modeAgg(col(valueCol), col("_cnt")).as("_mode"))

@@ -56,6 +56,22 @@ class KnnImputeSpec extends SparkSpec {
     expected.foreach { case (id, v) => assert(got(id) == v, s"id $id") }
   }
 
+  test("tie runs longer than k still pick the k SMALLEST ids (not positional)") {
+    // 20 observed rows all at x=5.0 with y=i, one missing row (id=20) also
+    // at x=5.0: every neighbor ties at dist 0, so the (dist, x, id)
+    // tie-break must select ids 0 and 1 → mean 0.5 — a positional ±k
+    // window would grab the ids adjacent in (x, id) order instead
+    val rows = (0L until 20L).map(i => (i, 5.0, Some(i.toDouble))) :+
+      ((20L, 5.0, None: Option[Double]))
+    val got = run(rows, 2, parts = 3)
+    assert(got(20L) == 0.5, s"got ${got(20L)}")
+    val expected = brute(rows, 2)
+    expected.foreach { case (id, v) => assert(got(id) == v, s"id $id") }
+    // same shape but the tie run straddles many partitions
+    val got7 = run(rows, 2, parts = 7)
+    assert(got7(20L) == 0.5)
+  }
+
   test("ties at equal distance break by smaller x") {
     // missing at x=5; observed at 3,4,6,7 (dist 2,1,1,2), k=2 → {4,6}; k=3 adds x=3
     val rows: Seq[(Long, Double, Option[Double])] = Seq(
