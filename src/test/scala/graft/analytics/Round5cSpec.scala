@@ -138,6 +138,19 @@ class Round5cSpec extends SparkSpec {
     assert(kept.map(_._2).toSet == clusters.map(_._2).toSet)
   }
 
+  test("categorical profile keeps a row for an all-null column") {
+    import org.apache.spark.sql.functions.{col => c}
+    val df = Seq(("a", Option.empty[String]), ("b", None), ("a", None))
+      .toDF("tag", "empty")
+    val out = Profile.categorical(df, Seq("tag", "empty"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out.keySet == Set("tag", "empty")) // no silent annihilation
+    val e = out("empty")
+    assert(e.getLong(1) == 0L && e.isNullAt(3)) // n=0, mode null
+    val t = out("tag")
+    assert(t.getLong(1) == 3L && t.getString(3) == "a" && t.getLong(4) == 2L)
+  }
+
   test("rubin pooling: T = W + (4/3)B, B >= 0, qbar plausible") {
     val r = graft.queries.Q.impPool(spark, sf).collect().head
     val (qbar, w, b, t) = (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))

@@ -142,6 +142,24 @@ class ShingleTopKSpec extends SparkSpec {
     assert(got.toSeq == want.toSeq)
   }
 
+  test("graft_topk ranks NaN scores first (descending-sort order) and never wedges on them") {
+    import org.apache.spark.sql.expressions.Window
+    // NaN arrives FIRST so it lands in the heap while it fills — a naive <
+    // comparator would make the NaN root reject every later candidate
+    val sims = spark.range(0, 200).selectExpr(
+      "CAST(0 AS BIGINT) AS query_id",
+      "id AS neighbor_id",
+      "CASE WHEN id = 0 THEN CAST('NaN' AS DOUBLE) ELSE CAST(id AS DOUBLE) / 200.0 END AS cos")
+    val got = graft.similarity.AnnLsh.topK(sims, 4).orderBy("rank")
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    val want = sims.withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(desc("cos"), asc("neighbor_id"))).cast("bigint"))
+      .filter(col("rank") <= 4).orderBy("rank")
+      .collect().map(r => (r.getLong(1), r.getLong(3)))
+    assert(got.toSeq == want.toSeq)
+    assert(got.head._1 == 0L) // the NaN row ranks first, like the window
+  }
+
   test("graft_topk with fewer candidates than k returns all, ranked") {
     val sims = spark.range(0, 3).selectExpr(
       "CAST(0 AS BIGINT) AS query_id", "id AS neighbor_id", "CAST(id AS DOUBLE) AS cos")
