@@ -62,6 +62,7 @@ object SparkEntry {
     "q22_antijoin" -> (Analytics.q22 _),
     "events_pivot" -> (Analytics.eventsPivot _),
     "q_cube" -> (Analytics.qCube _),
+    "q_rollup" -> (Analytics.qRollup _),
     "profile_group_quantiles" -> (graft.analytics.Profile.lineitemGroupQuantiles _),
     "profile_corr" -> (graft.analytics.Profile.lineitemCorr _),
     "profile_drift" -> (Q.profileDrift _),

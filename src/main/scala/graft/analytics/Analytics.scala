@@ -351,6 +351,18 @@ object Analytics {
         coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
         (col("_qc").cast("double") / 100.0).as("sum_qty"), col("n_rows"))
 
+  /** ROLLUP hierarchy totals (year → year+month grain plus the grand
+    * total): like [[qCube]], the grouping sets expand inside ONE hash
+    * aggregate pass — the scan is not repeated per granularity. */
+  def qRollup(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "orders")
+      .rollup(year(col("o_orderdate")).cast("bigint").as("o_year"),
+        month(col("o_orderdate")).cast("bigint").as("o_month"))
+      .agg(sum(cents(col("o_totalprice"), 2)).as("_tc"), count(lit(1)).as("n_orders"))
+      .select(coalesce(col("o_year"), lit(-1L)).as("o_year"),
+        coalesce(col("o_month"), lit(-1L)).as("o_month"),
+        (col("_tc").cast("double") / 100.0).as("sum_total"), col("n_orders"))
+
   /** TPC-H Q7-style volume shipping between two disjoint nation groups
     * (supplier nations keyed < 13, customer nations ≥ 13), by ship year.
     * Both nation-filtered dimension chains (supplier⋈nation, customer⋈nation)

@@ -901,6 +901,14 @@ object OracleSql {
          | count(*) AS n_rows
          |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
 
+    "q_rollup" ->
+      s"""SELECT COALESCE(CAST(year(o_orderdate) AS BIGINT), -1) AS o_year,
+         | COALESCE(CAST(month(o_orderdate) AS BIGINT), -1) AS o_month,
+         | CAST(SUM(${ac("o_totalprice")}) AS DOUBLE) / 100.0 AS sum_total,
+         | count(*) AS n_orders
+         |FROM orders
+         |GROUP BY ROLLUP (CAST(year(o_orderdate) AS BIGINT), CAST(month(o_orderdate) AS BIGINT))""".stripMargin,
+
     "profile_group_quantiles" ->
       s"""WITH c AS (SELECT l_returnflag, ${ac("l_extendedprice")} AS vc FROM lineitem)
          |SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,

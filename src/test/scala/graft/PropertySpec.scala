@@ -141,4 +141,34 @@ class PropertySpec extends SparkSpec {
     }
     passes("chunk", prop, 10)
   }
+
+  test("merge equals the sequential fold for random key-unique change batches") {
+    import spark.implicits._
+    val gen = for {
+      nSnap <- Gen.choose(0, 12)
+      snap <- Gen.listOfN(nSnap, Gen.zip(Gen.choose(0L, 15L), Gen.choose(0, 99)))
+      nCh <- Gen.choose(0, 10)
+      ch <- Gen.listOfN(nCh, Gen.zip(Gen.choose(0L, 15L),
+        Gen.oneOf("U", "D"), Gen.choose(100, 199)))
+    } yield (snap.distinctBy(_._1), ch.distinctBy(_._1))
+    val prop = Prop.forAllNoShrink(gen) { case (snap, ch) =>
+      val snapDf = snap.map { case (k, v) => (k, v.toDouble) }.toDF("id", "bal")
+      val chDf = ch.map { case (k, op, v) => (k, op, v.toDouble) }.toDF("id", "op", "bal")
+      val got = graft.operators.MergeUpsert.merge(snapDf, chDf, "id")
+        .select("id", "bal", "op").collect()
+        .map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).sortBy(_._1).toSeq
+      // sequential reference fold
+      val m = scala.collection.mutable.Map(snap.map { case (k, v) =>
+        k -> (v.toDouble, "K")
+      }: _*)
+      ch.foreach {
+        case (k, "D", _) => m.remove(k)
+        case (k, "U", v) =>
+          m.put(k, (v.toDouble, if (m.contains(k)) "U" else "I"))
+        case _ => ()
+      }
+      got == m.toSeq.map { case (k, (v, op)) => (k, v, op) }.sortBy(_._1)
+    }
+    passes("merge", prop, 10)
+  }
 }
