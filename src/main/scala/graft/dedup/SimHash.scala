@@ -29,8 +29,14 @@ object SimHash {
   /** Near-dup pairs (id_a, id_b, hamming ≤ maxHamming). */
   def pairs(df: DataFrame, idCol: String, textCol: String,
             maxHamming: Int = 3, seed: Long = 42L): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 63,
+      s"maxHamming must be in [0, 63], got $maxHamming")
     val chunks = maxHamming + 1
     val bitsPer = 64 / chunks
+    // 1L << 64 wraps to 1: the maxHamming=0 single-chunk case must key on
+    // the WHOLE fingerprint, not collapse every doc into bucket 0 (results
+    // would still verify, but through one all-pairs bucket)
+    val chunkMask = if (bitsPer >= 64) -1L else (1L << bitsPer) - 1
     val fp = df
       .select(col(idCol).as("id"),
         transform(split(col(textCol), " "), t => xxhash64(lit(seed), t)).as("_th"))
@@ -39,7 +45,7 @@ object SimHash {
     val chunked = fp.select(col("id"), col("fp"),
         explode(sequence(lit(0), lit(chunks - 1))).as("chunk"))
       .withColumn("ckey",
-        expr(s"shiftright(fp, chunk * $bitsPer)").bitwiseAND((1L << bitsPer) - 1))
+        expr(s"shiftright(fp, chunk * $bitsPer)").bitwiseAND(chunkMask))
     val left = chunked.select(col("chunk"), col("ckey"), col("id").as("id_a"), col("fp").as("fp_a"))
     val right = chunked.select(col("chunk"), col("ckey"), col("id").as("id_b"), col("fp").as("fp_b"))
     left.join(right, Seq("chunk", "ckey"))

@@ -432,11 +432,9 @@ object GraftFunctions {
     * hashes) mid-query instead of a clean analysis error. */
   private def positiveIntArg(fn: String, param: String, e: Expression): Int = {
     val v = intArg(fn, param, e)
-    if (v < 1) throw new org.apache.spark.sql.AnalysisException(
-      "NON_FOLDABLE_ARGUMENT",
-      Map("funcName" -> s"`$fn`", "paramName" -> s"`$param`",
-        "paramType" -> "\"positive INT\""),
-      None)
+    // plain IllegalArgumentException: the NON_FOLDABLE_ARGUMENT template
+    // would tell the user their perfectly-foldable literal is non-foldable
+    require(v >= 1, s"$fn: `$param` must be a positive INT literal, got $v")
     v
   }
 

@@ -60,11 +60,14 @@ object Sampling {
   /** Deterministic shuffled sharding: assign every row a shard and a
     * pseudo-random position WITHIN its shard — the reproducible global
     * shuffle a training-export needs (epoch order must not depend on
-    * partitioning, reruns, or engine). The scrambled key decorrelates ids
-    * from shards; the per-shard `row_number` is the only shuffle (keyed on
-    * shard, perfectly even by construction), and writing ordered by
-    * (shard, pos) yields N equal shuffled shards. Fully reproducible from
-    * ids alone — no RNG state.
+    * partitioning, reruns, or engine). Shard = `id mod nShards` (EXACTLY
+    * even on dense ids, and consecutive ids stripe across shards); the
+    * within-shard order comes from a multiplicative scramble modulo the
+    * Mersenne prime 2^31−1 — a bijection on ~2.1e9 residues, so the order
+    * is uncorrelated with id order at any realistic shard size (the
+    * sampling bucket's 10^4-residue scramble would collapse to ~10^4/N
+    * id-ascending runs per shard). Fully reproducible from ids alone — no
+    * RNG state; the per-shard `row_number` is the only shuffle.
     *
     * Scale contract: each shard's position numbering runs in ONE task, so
     * `nShards` must scale with the corpus — pick it like an output file
@@ -74,12 +77,12 @@ object Sampling {
   def shuffledShards(df: DataFrame, idCol: String, nShards: Int): DataFrame = {
     require(nShards >= 1, s"nShards must be >= 1, got $nShards")
     import org.apache.spark.sql.expressions.Window
-    // a second coprime multiplier decorrelates the within-shard order from
-    // the shard assignment (both are bijections on the 10^4 residues)
-    val key = pmod(pmod(col(idCol), lit(10000L)) * lit(2246822519L), lit(10000L))
-    val shard = pmod(bucket(col(idCol)), lit(nShards.toLong))
+    // 2654435761 · (2^31 − 1) < 2^63: the product never overflows BIGINT,
+    // so the identical expression is exact in any engine
+    val m = 2147483647L
+    val key = pmod(pmod(col(idCol), lit(m)) * lit(2654435761L), lit(m))
     val w = Window.partitionBy("shard").orderBy(col("_key"), col(idCol))
-    df.withColumn("shard", shard)
+    df.withColumn("shard", pmod(col(idCol), lit(nShards.toLong)))
       .withColumn("_key", key)
       .withColumn("pos", row_number().over(w).cast("bigint"))
       .drop("_key")

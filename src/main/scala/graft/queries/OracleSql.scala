@@ -1353,10 +1353,11 @@ object OracleSql {
 
     "corpus_shuffle" ->
       """SELECT doc_id, source,
-        | ((doc_id % 10000) * 2654435761) % 10000 % 8 AS shard,
+        | doc_id % 8 AS shard,
         | CAST(row_number() OVER (
-        |   PARTITION BY ((doc_id % 10000) * 2654435761) % 10000 % 8
-        |   ORDER BY ((doc_id % 10000) * 2246822519) % 10000, doc_id) AS BIGINT) AS pos
+        |   PARTITION BY doc_id % 8
+        |   ORDER BY ((doc_id % 2147483647) * 2654435761) % 2147483647, doc_id)
+        |  AS BIGINT) AS pos
         |FROM documents""".stripMargin,
 
     "feat_lag" ->

@@ -504,10 +504,11 @@ object Q {
       n = 3, k = 32, bands = 8, threshold = 0.10)
     val clusters = Dedup.connectedComponents(
       docs.select("doc_id"), "doc_id", pairs, "id_a", "id_b")
+    // connectedComponents labels every vertex with its component's MIN id,
+    // so "keep one per cluster" is a pure narrow filter — re-deriving the
+    // min with a window would be a redundant corpus-wide shuffle
     docs.join(clusters.withColumnRenamed("id", "doc_id"), Seq("doc_id"))
-      .withColumn("_keep", min(col("doc_id"))
-        .over(Window.partitionBy(col("cluster_id"))))
-      .filter(col("doc_id") === col("_keep"))
+      .filter(col("doc_id") === col("cluster_id"))
       .select(col("doc_id"), col("source"), col("cluster_id"))
   }
 

@@ -94,17 +94,25 @@ object Sources {
   def writeZOrdered(df: DataFrame, path: String, colA: String, colB: String,
                     targetPartitions: Int, bits: Int = 21,
                     mode: String = "overwrite"): Unit = {
-    import org.apache.spark.sql.functions.max
-    // zValue silently IGNORES key bits above `bits`: keys differing only in
-    // high bits would collide, every file's bounding box would span the
-    // full range, and the documented pruning property would silently
-    // vanish. One cheap agg (vs. a full table rewrite) makes that loud.
-    val hi = df.agg(max(col(colA).cast("bigint")).as("a"),
-      max(col(colB).cast("bigint")).as("b")).head()
+    import org.apache.spark.sql.functions.{max, min}
+    // zValue silently IGNORES key bits above `bits` and interleaves SIGN
+    // bits of negative keys: either way, keys collide, every file's
+    // bounding box spans the full range, and the documented pruning
+    // property silently vanishes. One cheap agg (vs. a full table rewrite)
+    // makes that loud. Each column checks independently so an all-null
+    // column neither masks the other nor NPEs.
+    val bounds = df.agg(
+      min(col(colA).cast("bigint")).as("a_lo"), max(col(colA).cast("bigint")).as("a_hi"),
+      min(col(colB).cast("bigint")).as("b_lo"), max(col(colB).cast("bigint")).as("b_hi"))
+      .head()
     val lim = 1L << bits
-    require(hi.isNullAt(0) || (hi.getLong(0) < lim && hi.getLong(1) < lim),
-      s"z-order bits=$bits covers keys < $lim, but max($colA)=${hi.get(0)} " +
-        s"max($colB)=${hi.get(1)} — raise `bits` or pre-scale the keys")
+    def check(name: String, lo: Int, hi: Int): Unit =
+      if (!bounds.isNullAt(lo))
+        require(bounds.getLong(lo) >= 0L && bounds.getLong(hi) < lim,
+          s"z-order bits=$bits covers keys in [0, $lim), but $name spans " +
+            s"[${bounds.get(lo)}, ${bounds.get(hi)}] — raise `bits` or pre-scale the keys")
+    check(colA, 0, 1)
+    check(colB, 2, 3)
     df.withColumn("_z", zValue(col(colA), col(colB), bits))
       .repartitionByRange(targetPartitions, col("_z"))
       .sortWithinPartitions("_z")

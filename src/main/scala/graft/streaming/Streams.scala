@@ -276,8 +276,14 @@ object Streams {
                     perKeyMemory: Int = 64,
                     seed: Long = 42L): Dataset[NearDupAlert] = {
     import graft.dedup.SimHash
+    require(maxHamming >= 0 && maxHamming <= 63,
+      s"maxHamming must be in [0, 63], got $maxHamming")
     val chunks = maxHamming + 1
     val bitsPer = 64 / chunks
+    // 1L << 64 wraps to 1 (shift counts are mod 64): the single-chunk case
+    // must mask ALL bits, or every doc would key to ckey=0 and the whole
+    // stream would funnel through one state group
+    val chunkMask = if (bitsPer >= 64) -1L else (1L << bitsPer) - 1
     val spark = docs.sparkSession
     graft.functions.GraftFunctions.register(spark)
     implicit val chunkEnc = Encoders.product[ChunkedDoc]
@@ -290,7 +296,7 @@ object Streams {
       .select(col("t"), col("doc_id"), col("fp"),
         explode(sequence(lit(0), lit(chunks - 1))).as("chunk"))
       .withColumn("ckey",
-        expr(s"shiftright(fp, chunk * $bitsPer)").bitwiseAND(lit((1L << bitsPer) - 1)))
+        expr(s"shiftright(fp, chunk * $bitsPer)").bitwiseAND(lit(chunkMask)))
       .select(col("chunk"), col("ckey"), col("t"), col("doc_id"), col("fp"))
       .as[ChunkedDoc]
     chunked.groupByKey(c => (c.chunk, c.ckey))

@@ -56,21 +56,31 @@ class SamplingSpec extends SparkSpec {
 
   test("shuffledShards: even shards, dense positions, order decorrelated from id") {
     import spark.implicits._
-    val rows = (0L until 4000L).toDF("id")
+    // 30000 ids EXCEEDS the sampling bucket's 10^4 modulus on purpose: a
+    // scramble that collapses to id mod 10^4 would leave long id-ascending
+    // runs inside each shard, which the run-structure assertion catches
+    val n = 30000L
+    val rows = (0L until n).toDF("id")
     val out = Sampling.shuffledShards(rows, "id", 8)
       .select("id", "shard", "pos").as[(Long, Long, Long)].collect()
-    // every row present exactly once
-    assert(out.length == 4000 && out.map(_._1).distinct.length == 4000)
+    assert(out.length == n && out.map(_._1).distinct.length == n)
     val byShard = out.groupBy(_._2)
     assert(byShard.size == 8)
     byShard.values.foreach { rs =>
       // dense ids spread EXACTLY evenly across the 8 shards
-      assert(rs.length == 500)
+      assert(rs.length == n / 8)
       // positions are dense 1..n within the shard
       assert(rs.map(_._3).sorted.toSeq == (1L to rs.length).toSeq)
-      // within-shard order is not id order (it's the shuffled export order)
+      // shuffled order: adjacent positions are almost never adjacent ids,
+      // and ascending runs stay short (a mod-collapsed scramble would
+      // produce ~3750-row ascending runs here)
       val inPosOrder = rs.sortBy(_._3).map(_._1).toSeq
-      assert(inPosOrder != inPosOrder.sorted)
+      var maxRun = 1; var run = 1
+      inPosOrder.sliding(2).foreach { w =>
+        if (w.length == 2 && w(1) > w(0)) { run += 1; maxRun = math.max(maxRun, run) }
+        else run = 1
+      }
+      assert(maxRun < 50, s"ascending run of $maxRun looks like id order leaking through")
     }
     // deterministic across invocations
     val again = Sampling.shuffledShards(rows, "id", 8)
