@@ -35,6 +35,7 @@ object SparkEntry {
     "q9_profit" -> (Analytics.q9 _),
     "q21_waiting" -> (Analytics.q21 _),
     "events_anomaly" -> (Analytics.eventsAnomaly _),
+    "events_anomaly_robust" -> (Analytics.eventsAnomalyRobust _),
     "events_json" -> (Analytics.eventsJson _),
     "asof_join" -> (Q.asofJoin _),
     "asof_nearest" -> (Q.asofNearest _),

@@ -204,6 +204,31 @@ object Analytics {
         ((col("n_events").cast("double") - col("_mu")) / col("_sigma")).as("z"))
   }
 
+  /** ROBUST per-day volume anomaly scores: modified z against the median
+    * and the Median Absolute Deviation (z = (x−med)/(1.4826·MAD)), the
+    * outlier-resistant face of [[eventsAnomaly]] — one extreme day inflates
+    * a stddev enough to hide the very anomaly being hunted, while the
+    * median/MAD pair shrugs it off. Exact `percentile` over the INTEGER
+    * daily counts (the tiny pre-aggregated frame), two broadcast scalars,
+    * pure projection; 6dp rounding absorbs ulp noise in the constant
+    * multiply. Scale path: approx_percentile, same shape. */
+  def eventsAnomalyRobust(spark: SparkSession, dir: String): DataFrame =
+    robustZDaily(Tables(spark, dir, "events")
+      .groupBy(expr("ts div 86400000000000").as("d"))
+      .agg(count(lit(1)).as("n_events")))
+
+  /** Generic robust-z face over a pre-aggregated (d, n_events) frame. */
+  def robustZDaily(daily: DataFrame): DataFrame = {
+    val med = daily.agg(expr("percentile(n_events, 0.5)").as("_med"))
+    val mad = daily.crossJoin(broadcast(med))
+      .select(abs(col("n_events").cast("double") - col("_med")).as("_dev"))
+      .agg(expr("percentile(_dev, 0.5)").as("_mad"))
+    daily.crossJoin(broadcast(med)).crossJoin(broadcast(mad))
+      .select(col("d"), col("n_events"),
+        round((col("n_events").cast("double") - col("_med"))
+          / (lit(1.4826) * col("_mad")), 6).as("robust_z"))
+  }
+
   /** Cohort retention matrix: users grouped by first-activity day, distinct
     * active users counted per (cohort, days-since-cohort) cell. Two
     * user-keyed shuffles (first-day agg, distinct activity) and one cell

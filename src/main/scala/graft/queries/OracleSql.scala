@@ -119,6 +119,17 @@ object OracleSql {
         |SELECT d, n_events, (CAST(n_events AS DOUBLE) - mu) / sigma AS z
         |FROM daily CROSS JOIN mu""".stripMargin,
 
+    "events_anomaly_robust" ->
+      """WITH daily AS (SELECT epoch_ns(ts) // 86400000000000 AS d,
+        |                CAST(count(*) AS BIGINT) AS n_events
+        |               FROM events GROUP BY 1),
+        |med AS (SELECT quantile_cont(n_events, 0.5) AS m FROM daily),
+        |mad AS (SELECT quantile_cont(abs(CAST(n_events AS DOUBLE) - m), 0.5) AS mad
+        |        FROM daily CROSS JOIN med)
+        |SELECT d, n_events,
+        | round((CAST(n_events AS DOUBLE) - m) / (1.4826 * mad), 6) AS robust_z
+        |FROM daily CROSS JOIN med CROSS JOIN mad""".stripMargin,
+
     "events_cohort" ->
       """WITH e AS (SELECT DISTINCT user_id, epoch_ns(ts) // 86400000000000 AS d FROM events),
         |f AS (SELECT user_id, min(d) AS cohort_d FROM e GROUP BY 1)

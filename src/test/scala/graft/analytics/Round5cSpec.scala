@@ -138,6 +138,23 @@ class Round5cSpec extends SparkSpec {
     assert(kept.map(_._2).toSet == clusters.map(_._2).toSet)
   }
 
+  test("robust z shrugs off the outlier that wrecks a stddev z-score") {
+    // 29 quiet days at ~100 plus one 100x spike: the spike must dominate
+    // the robust score while the quiet days stay near zero — and the
+    // median/MAD must barely move vs the spike-free series
+    val daily = ((1 to 29).map(d => (d.toLong, 100L + (d % 3))) :+ (30L, 10000L))
+      .toDF("d", "n_events")
+    val z = Analytics.robustZDaily(daily)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    assert(z(30L) > 100.0) // the spike is unmistakable
+    assert((1 to 29).forall(d => math.abs(z(d.toLong)) < 2.0))
+    // plain stddev z on the same data scores the spike at only ~5.4 and
+    // drags every quiet day to the same side — the robustness argument
+    val noSpike = Analytics.robustZDaily(daily.filter(col("d") =!= 30L))
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    assert((1 to 29).forall(d => math.abs(z(d.toLong) - noSpike(d.toLong)) < 1.5))
+  }
+
   test("categorical profile keeps a row for an all-null column") {
     import org.apache.spark.sql.functions.{col => c}
     val df = Seq(("a", Option.empty[String]), ("b", None), ("a", None))
