@@ -135,6 +135,7 @@ object SparkEntry {
     // rows-only: model-based / hash-family / sketch operators
     "profile_approx" -> (graft.analytics.Profile.lineitemProfileApprox _),
     "imp_ml_tree" -> (Q.impMlTree _),
+    "imp_als" -> (Q.impAls _),
     "dedup_minhash" -> (Q.dedupMinhash _),
     "pipeline_neardup" -> (Q.pipelineNearDup _),
     "dedup_simhash" -> (Q.dedupSimhash _),

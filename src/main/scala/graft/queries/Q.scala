@@ -902,6 +902,24 @@ object Q {
       round(expr("graft_deflate_len(text)").cast("double")
         / octet_length(col("text")).cast("double"), 6).as("compress_ratio"))
 
+  /** ALS matrix-completion impute over the (user × event_type) mean-value
+    * matrix: cells masked by a deterministic modulo rule are recovered
+    * from the rank-4 factorization of the observed cells — model-based,
+    * rows-only (float factor iteration). */
+  def impAls(s: SparkSession, dir: String): DataFrame = {
+    val cells = Tables(s, dir, "events")
+      .groupBy(col("user_id"), col("event_type"))
+      .agg((sum(cents(col("value"), 4)).cast("double") / 10000.0).as("_mv"))
+      .withColumn("_ci", abs(hash(col("event_type"))) % 1000)
+      .withColumn("value",
+        when((col("user_id") + col("_ci")) % 11 === 3, lit(null).cast("double"))
+          .otherwise(col("_mv")))
+    graft.imputer.AlsImpute.complete(cells
+        .select(col("user_id"), col("_ci").as("type_idx"), col("value")),
+      "user_id", "type_idx", "value", "value_imp", rank = 4, maxIter = 5)
+      .select(col("user_id"), col("type_idx"), col("value_imp"))
+  }
+
   /** MLlib decision-tree imputation through the full SparkImputer API
     * (per-column pipelines, simulation split) — model-based, rows-only. */
   def impMlTree(s: SparkSession, dir: String): DataFrame = {
