@@ -70,6 +70,7 @@ object SparkEntry {
     // imputer core
     "imp_missing_indicator" -> (Q.impMissingIndicator _),
     "imp_missing_metrics" -> (Q.impMissingMetrics _),
+    "imp_missing_patterns" -> (Q.impMissingPatterns _),
     "imp_ffill_bfill" -> (Q.impFfillBfill _),
     "imp_class_threshold" -> (Q.impClassThreshold _),
     "imp_onehot" -> (Q.impOnehot _),

@@ -224,6 +224,13 @@ object OracleSql {
          |       c_mktsegment IS NULL AS c_mktsegment_flag
          |FROM mcv""".stripMargin,
 
+    "imp_missing_patterns" ->
+      s"""WITH mcv AS ($MCV)
+         |SELECT c_acctbal IS NULL AS acctbal_missing,
+         | c_mktsegment IS NULL AS seg_missing,
+         | CAST(count(*) AS BIGINT) AS n_rows
+         |FROM mcv GROUP BY 1, 2""".stripMargin,
+
     "imp_missing_metrics" -> {
       val cols = Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
       cols.map { c =>

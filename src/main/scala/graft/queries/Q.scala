@@ -30,6 +30,18 @@ object Q {
   def impMissingMetrics(s: SparkSession, dir: String): DataFrame =
     MissingStats.metrics(Tables.maskedCustomer(s, dir))
 
+  /** Missingness-pattern analysis (R md.pattern / missingno): one row per
+    * DISTINCT missing/observed pattern across the maskable columns with
+    * its row count — the diagnostic that separates MCAR-looking masks
+    * from structural co-missingness. ONE hash aggregation over the
+    * pattern tuple (cardinality ≤ 2^cols, tiny), counts exact. */
+  def impMissingPatterns(s: SparkSession, dir: String): DataFrame =
+    Tables.maskedCustomer(s, dir)
+      .groupBy(
+        col("c_acctbal").isNull.as("acctbal_missing"),
+        col("c_mktsegment").isNull.as("seg_missing"))
+      .agg(count(lit(1)).as("n_rows"))
+
   def impFfillBfill(s: SparkSession, dir: String): DataFrame =
     FfillBfill.ffillThenBfill(Tables.maskedCustomer(s, dir), "c_custkey",
         Seq("c_acctbal", "c_mktsegment"))
