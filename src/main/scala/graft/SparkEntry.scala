@@ -36,6 +36,7 @@ object SparkEntry {
     "q21_waiting" -> (Analytics.q21 _),
     "events_anomaly" -> (Analytics.eventsAnomaly _),
     "events_anomaly_robust" -> (Analytics.eventsAnomalyRobust _),
+    "events_heatmap" -> (Analytics.eventsHeatmap _),
     "events_json" -> (Analytics.eventsJson _),
     "asof_join" -> (Q.asofJoin _),
     "asof_nearest" -> (Q.asofNearest _),

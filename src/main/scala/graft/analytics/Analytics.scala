@@ -204,6 +204,25 @@ object Analytics {
         ((col("n_events").cast("double") - col("_mu")) / col("_sigma")).as("z"))
   }
 
+  /** Day-of-week × hour activity heatmap with per-cell share of total —
+    * the usage-rhythm profile. Calendar math stays in INTEGER epoch
+    * arithmetic ((days+4) mod 7, epoch-hour mod 24 — identical in any
+    * engine; engine `dayofweek`/locale functions vary by timezone
+    * semantics), one hash aggregation at 7×24 cardinality, share divides
+    * by a broadcast exact total. */
+  def eventsHeatmap(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Tables(spark, dir, "events")
+      .groupBy(
+        expr("pmod(ts div 86400000000000 + 4, 7)").as("dow"),
+        expr("pmod(ts div 3600000000000, 24)").as("hour"))
+      .agg(count(lit(1)).as("n_events"))
+    val tot = cells.agg(sum("n_events").as("_tot"))
+    cells.crossJoin(broadcast(tot))
+      .select(col("dow"), col("hour"), col("n_events"),
+        round(col("n_events").cast("double") / col("_tot").cast("double"), 8)
+          .as("share"))
+  }
+
   /** ROBUST per-day volume anomaly scores: modified z against the median
     * and the Median Absolute Deviation (z = (x−med)/(1.4826·MAD)), the
     * outlier-resistant face of [[eventsAnomaly]] — one extreme day inflates

@@ -119,6 +119,17 @@ object OracleSql {
         |SELECT d, n_events, (CAST(n_events AS DOUBLE) - mu) / sigma AS z
         |FROM daily CROSS JOIN mu""".stripMargin,
 
+    "events_heatmap" ->
+      """WITH cells AS (
+        | SELECT (epoch_ns(ts) // 86400000000000 + 4) % 7 AS dow,
+        |        (epoch_ns(ts) // 3600000000000) % 24 AS hour,
+        |        CAST(count(*) AS BIGINT) AS n_events
+        | FROM events GROUP BY 1, 2),
+        |tot AS (SELECT CAST(SUM(n_events) AS BIGINT) AS t FROM cells)
+        |SELECT dow, hour, n_events,
+        | round(CAST(n_events AS DOUBLE) / CAST(t AS DOUBLE), 8) AS share
+        |FROM cells CROSS JOIN tot""".stripMargin,
+
     "events_anomaly_robust" ->
       """WITH daily AS (SELECT epoch_ns(ts) // 86400000000000 AS d,
         |                CAST(count(*) AS BIGINT) AS n_events
