@@ -171,4 +171,48 @@ class PropertySpec extends SparkSpec {
     }
     passes("merge", prop, 10)
   }
+
+  test("shuffledShards is a bijection for arbitrary sparse ids and shard counts") {
+    import spark.implicits._
+    val gen = for {
+      n <- Gen.choose(1, 60)
+      ids <- Gen.listOfN(n, Gen.choose(0L, 100000L)).map(_.distinct)
+      shards <- Gen.choose(1, 9)
+    } yield (ids, shards)
+    val prop = Prop.forAllNoShrink(gen) { case (ids, shards) =>
+      val out = graft.operators.Sampling.shuffledShards(ids.toDF("id"), "id", shards)
+        .select("id", "shard", "pos").as[(Long, Long, Long)].collect()
+      val allPresent = out.map(_._1).sorted.toSeq == ids.sorted
+      val shardsInRange = out.forall(r => r._2 >= 0 && r._2 < shards)
+      val densePositions = out.groupBy(_._2).values.forall { rs =>
+        rs.map(_._3).sorted.toSeq == (1L to rs.length).toSeq
+      }
+      allPresent && shardsInRange && densePositions
+    }
+    passes("shards", prop, 10)
+  }
+
+  test("scalarChecks agree with sequential violation counting") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val gen = for {
+      n <- Gen.choose(0, 40)
+      xs <- Gen.listOfN(n, Gen.choose(-50, 150))
+      lo <- Gen.choose(-20, 20)
+      hi <- Gen.choose(50, 120)
+    } yield (xs, lo, hi)
+    val prop = Prop.forAllNoShrink(gen) { case (xs, lo, hi) =>
+      if (xs.isEmpty) true
+      else {
+        val df = xs.zipWithIndex.map { case (x, i) => (i.toLong, x) }.toDF("id", "x")
+        val out = graft.operators.DataQuality.scalarChecks(df, Seq(
+            "range" -> !col("x").between(lo, hi),
+            "neg" -> (col("x") < 0)))
+          .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+        out("range") == ((xs.length.toLong, xs.count(x => x < lo || x > hi).toLong)) &&
+          out("neg") == ((xs.length.toLong, xs.count(_ < 0).toLong))
+      }
+    }
+    passes("dq", prop, 10)
+  }
 }
