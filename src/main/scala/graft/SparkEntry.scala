@@ -60,6 +60,7 @@ object SparkEntry {
     "events_path" -> (Analytics.eventsPath _),
     "events_attribution" -> (Q.eventsAttribution _),
     "orders_rfm" -> (Analytics.ordersRfm _),
+    "orders_backlog" -> (Analytics.ordersBacklog _),
     "q_basket" -> (Analytics.qBasket _),
     "q22_antijoin" -> (Analytics.q22 _),
     "events_pivot" -> (Analytics.eventsPivot _),

@@ -204,6 +204,26 @@ object Analytics {
         ((col("n_events").cast("double") - col("_mu")) / col("_sigma")).as("z"))
   }
 
+  /** Open-order backlog aging: orders still open ('O') bucketed by age in
+    * 90-day bands against the dataset's reference date (max order date —
+    * deterministic, no wall clock), with exact integer value totals. One
+    * broadcast 1-row anchor, one hash aggregation at bucket cardinality —
+    * the receivables-aging shape every ops dashboard carries. */
+  def ordersBacklog(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables(spark, dir, "orders")
+    val anchor = o.agg(max(to_date(col("o_orderdate"))).as("_ref"))
+    o.filter(col("o_orderstatus") === "O")
+      .crossJoin(broadcast(anchor))
+      .select(expr("datediff(_ref, to_date(o_orderdate)) div 90").cast("bigint")
+          .as("age_bucket"),
+        cents(col("o_totalprice"), 2).as("_vc"))
+      .groupBy("age_bucket")
+      .agg(count(lit(1)).as("n_orders"),
+        (sum(col("_vc")).cast("double") / 100.0).as("open_value"))
+      .select(col("age_bucket"), (col("age_bucket") * 90).as("age_days_lo"),
+        col("n_orders"), col("open_value"))
+  }
+
   /** Day-of-week × hour activity heatmap with per-cell share of total —
     * the usage-rhythm profile. Calendar math stays in INTEGER epoch
     * arithmetic ((days+4) mod 7, epoch-hour mod 24 — identical in any

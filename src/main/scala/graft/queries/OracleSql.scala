@@ -119,6 +119,17 @@ object OracleSql {
         |SELECT d, n_events, (CAST(n_events AS DOUBLE) - mu) / sigma AS z
         |FROM daily CROSS JOIN mu""".stripMargin,
 
+    "orders_backlog" ->
+      """WITH anchor AS (SELECT max(CAST(o_orderdate AS DATE)) AS ref FROM orders),
+        |aged AS (SELECT date_diff('day', CAST(o_orderdate AS DATE), ref) // 90 AS age_bucket,
+        |          CAST(round(o_totalprice * 100.0, 0) AS BIGINT) AS vc
+        |         FROM orders CROSS JOIN anchor
+        |         WHERE o_orderstatus = 'O')
+        |SELECT age_bucket, age_bucket * 90 AS age_days_lo,
+        | CAST(count(*) AS BIGINT) AS n_orders,
+        | CAST(SUM(vc) AS DOUBLE) / 100.0 AS open_value
+        |FROM aged GROUP BY 1""".stripMargin,
+
     "events_heatmap" ->
       """WITH cells AS (
         | SELECT (epoch_ns(ts) // 86400000000000 + 4) % 7 AS dow,
