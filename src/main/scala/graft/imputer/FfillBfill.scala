@@ -1,7 +1,9 @@
 package graft.imputer
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
 
 /** Distributed forward/backward fill over a global ordering — the reference's
   * `fillna(method='ffill')` / `'bfill'` hierarchical impute
@@ -9,108 +11,60 @@ import org.apache.spark.sql.functions._
   *
   * A naive Spark translation is `last(col, ignoreNulls) OVER (ORDER BY id)`,
   * which collapses the whole table into ONE task — a non-starter at 100 TB.
-  * This implementation is the scalable two-pass algorithm:
+  * This implementation is the scalable two-pass algorithm, expressed entirely
+  * in Catalyst (no RDD row surgery — everything except the per-bucket window
+  * stays inside whole-stage codegen):
   *
-  *   1. range-repartition by the order key and sort within partitions
-  *      (partition p holds a contiguous, sorted key range);
-  *   2. pass 1: per partition, record the last (ffill) / first (bfill)
-  *      non-null value of each target column — a #partitions-row reduction
-  *      collected to the driver;
-  *   3. compute, for each partition, the carry-in value from preceding
-  *      (ffill) / following (bfill) partitions — O(#partitions) driver work;
-  *   4. pass 2: stream each partition once, filling nulls from the running
-  *      last-seen value seeded with the carry-in.
+  *   1. ONE cheap narrow pass computes min/max of the order key; the key
+  *      range is split into `16 × numPartitions` FINE uniform buckets
+  *      (contiguous by construction, no sampling job needed);
+  *   2. stats pass: per fine bucket, the row count and first/last non-null
+  *      value of each target column via `min_by`/`max_by` — map-side partial
+  *      aggregation, so the shuffle carries ≤ fineBuckets × mappers tiny
+  *      rows; collected to the driver (≤ 16 × numPartitions rows);
+  *   3. the driver coalesces fine buckets into `numPartitions` contiguous
+  *      COARSE runs of ~equal exact row count (skew-balanced up to fine-
+  *      bucket granularity) and computes each run's carry-in — the last
+  *      (ffill) / first (bfill) non-null from buckets outside the run;
+  *   4. fill pass: the (fine → coarse, carry…) table — tiny — is broadcast-
+  *      joined on, then per column
+  *      `coalesce(last(c, ignoreNulls) OVER (PARTITION BY coarse ORDER BY
+  *      key ROWS UNBOUNDED PRECEDING), carry, globalFirst)` — ONE data
+  *      shuffle total.
   *
   * Results are identical to the single-window formulation (verified against
   * the DuckDB `IGNORE NULLS` window oracle) while every stage stays
-  * embarrassingly parallel. Requires `orderCol` to be a unique key.
+  * embarrassingly parallel. Requires `orderCol` to be a unique numeric key
+  * (castable to double; keys beyond 2^53 lose bucket precision, not
+  * correctness — buckets only need to be contiguous, not exact).
   */
 object FfillBfill {
 
+  private val FineFactor = 16
+
   /** Forward-fill `valueCols` in the global order of `orderCol`. */
   def ffill(df: DataFrame, orderCol: String, valueCols: Seq[String], numPartitions: Int = 0): DataFrame =
-    fill(df, orderCol, valueCols, numPartitions, backward = false)
+    fill(df, orderCol, valueCols, numPartitions, backward = false, bfillFallback = false)
 
   /** Backward-fill `valueCols` in the global order of `orderCol`. */
   def bfill(df: DataFrame, orderCol: String, valueCols: Seq[String], numPartitions: Int = 0): DataFrame =
-    fill(df, orderCol, valueCols, numPartitions, backward = true)
+    fill(df, orderCol, valueCols, numPartitions, backward = true, bfillFallback = false)
 
-  /** ffill then bfill — the reference's hierarchical impute — in ONE
-    * range-shuffle instead of two. Key observation: after a forward fill the
-    * only remaining nulls are the leading run before a column's FIRST
-    * non-null value, and bfill fills exactly those cells with that first
-    * value. So pass 1 records each partition's first AND last non-null,
-    * pass 2 forward-fills with the usual carry-in and falls back to the
-    * global first value when no preceding value exists — identical output
-    * to bfill(ffill(df)) (covered by the DuckDB IGNORE NULLS window oracle)
-    * at half the shuffles. */
-  def ffillThenBfill(df: DataFrame, orderCol: String, valueCols: Seq[String], numPartitions: Int = 0): DataFrame = {
-    val spark = df.sparkSession
-    val parts = if (numPartitions > 0) numPartitions
-      else spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
-    val sorted = df.repartitionByRange(parts, col(orderCol).asc)
-      .sortWithinPartitions(col(orderCol).asc)
-    val schema = sorted.schema
-    val valueIdx = valueCols.map(c => schema.fieldIndex(c)).toArray
-    val rdd = sorted.rdd
-
-    // Pass 1: (first, last) non-null per column per partition (tiny).
-    val stats: Array[(Int, (Array[Any], Array[Any]))] = rdd
-      .mapPartitionsWithIndex { (pid, it) =>
-        val first = Array.fill[Any](valueIdx.length)(null)
-        val last = Array.fill[Any](valueIdx.length)(null)
-        it.foreach { row =>
-          var i = 0
-          while (i < valueIdx.length) {
-            val v = row.get(valueIdx(i))
-            if (v != null) { if (first(i) == null) first(i) = v; last(i) = v }
-            i += 1
-          }
-        }
-        Iterator.single((pid, (first, last)))
-      }
-      .collect()
-    val byPid = stats.sortBy(_._1).map(_._2)
-    // ffill carry-in: last non-null from any earlier partition.
-    val carry = Array.ofDim[Any](byPid.length, valueIdx.length)
-    for (p <- byPid.indices; i <- valueIdx.indices)
-      carry(p)(i) =
-        if (p == 0) null
-        else if (byPid(p - 1)._2(i) != null) byPid(p - 1)._2(i)
-        else carry(p - 1)(i)
-    // bfill fallback: the globally first non-null value of each column.
-    val globalFirst: Array[Any] = valueIdx.indices.map { i =>
-      byPid.iterator.map(_._1(i)).find(_ != null).orNull
-    }.toArray
-    val carryB = spark.sparkContext.broadcast((carry, globalFirst))
-
-    // Pass 2: forward-fill; a null with no preceding value takes the global
-    // first (exactly the cells bfill-after-ffill would touch).
-    val filled = rdd.mapPartitionsWithIndex { (pid, it) =>
-      val (carryAll, gFirst) = carryB.value
-      val running = carryAll(pid).clone()
-      it.map { row =>
-        val arr = row.toSeq.toArray
-        var i = 0
-        while (i < valueIdx.length) {
-          val v = arr(valueIdx(i))
-          if (v != null) running(i) = v
-          else arr(valueIdx(i)) = if (running(i) != null) running(i) else gFirst(i)
-          i += 1
-        }
-        Row.fromSeq(arr.toIndexedSeq)
-      }
-    }
-    spark.createDataFrame(filled, schema)
-  }
+  /** ffill then bfill — the reference's hierarchical impute — in ONE data
+    * shuffle instead of two. Key observation: after a forward fill the only
+    * remaining nulls are the leading run before a column's FIRST non-null
+    * value, and bfill fills exactly those cells with that first value. So the
+    * fill is `coalesce(running last, carry-in, global first)` — identical
+    * output to bfill(ffill(df)) (covered by the DuckDB IGNORE NULLS window
+    * oracle) at half the shuffles. */
+  def ffillThenBfill(df: DataFrame, orderCol: String, valueCols: Seq[String], numPartitions: Int = 0): DataFrame =
+    fill(df, orderCol, valueCols, numPartitions, backward = false, bfillFallback = true)
 
   /** Group-scoped ffill→bfill (e.g. per user / per series): plain windows
     * partitioned by the group key — already parallel over groups, no
     * two-pass machinery needed. */
   def ffillThenBfillWithinGroups(df: DataFrame, groupCol: String, orderCol: String,
                                  valueCols: Seq[String]): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    import org.apache.spark.sql.functions._
     val wf = Window.partitionBy(groupCol).orderBy(orderCol)
       .rowsBetween(Window.unboundedPreceding, 0)
     val wb = Window.partitionBy(groupCol).orderBy(orderCol)
@@ -122,60 +76,103 @@ object FfillBfill {
   }
 
   private def fill(df: DataFrame, orderCol: String, valueCols: Seq[String],
-                   numPartitions: Int, backward: Boolean): DataFrame = {
+                   numPartitions: Int, backward: Boolean, bfillFallback: Boolean): DataFrame = {
     val spark = df.sparkSession
     val parts = if (numPartitions > 0) numPartitions
       else spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
-    val sortCol = if (backward) col(orderCol).desc else col(orderCol).asc
-    val sorted = df.repartitionByRange(parts, sortCol).sortWithinPartitions(sortCol)
+    val schema = df.schema
+    val fields = valueCols.map(c => schema(schema.fieldIndex(c)))
 
-    val schema = sorted.schema
-    val valueIdx = valueCols.map(c => schema.fieldIndex(c)).toArray
-    // NOT cached: both passes share the repartitionByRange lineage, so the
-    // second job reuses the shuffle files (map stage skipped) — disk-backed
-    // reuse without pinning executor memory across unrelated queries.
-    val rdd = sorted.rdd
+    // 1. Key range from one cheap, column-pruned pass.
+    val keyD = col(orderCol).cast("double")
+    val mm = df.agg(min(keyD).as("lo"), max(keyD).as("hi")).head()
+    if (mm.isNullAt(0)) return df // empty input (or all-null key): nothing to fill
+    val (lo, hi) = (mm.getDouble(0), mm.getDouble(1))
+    val fineN = math.max(1, FineFactor * parts)
+    val span = hi - lo
+    val fineCol: Column =
+      if (span == 0d) lit(0)
+      else least(lit(fineN - 1), greatest(lit(0),
+        floor((keyD - lit(lo)) / lit(span) * lit(fineN)).cast("int")))
 
-    // Pass 1: last non-null per column per partition (tiny: parts × cols).
-    val tails: Array[(Int, Array[Any])] = rdd
-      .mapPartitionsWithIndex { (pid, it) =>
-        val last = Array.fill[Any](valueIdx.length)(null)
-        it.foreach { row =>
-          var i = 0
-          while (i < valueIdx.length) {
-            val v = row.get(valueIdx(i))
-            if (v != null) last(i) = v
-            i += 1
-          }
-        }
-        Iterator.single((pid, last))
-      }
-      .collect()
+    // 2. Per-fine-bucket count + first/last non-null of each column.
+    // min_by/max_by skip rows whose ordering expression is null, so
+    // `when(c.isNotNull, key)` restricts them to non-null cells. Map-side
+    // partials make the shuffle ≤ fineN × mappers rows regardless of size.
+    val ord = col(orderCol)
+    val statAggs = count(lit(1)).as("__n") +: fields.flatMap { f =>
+      val c = col(f.name)
+      Seq(min_by(c, when(c.isNotNull, ord)).as(s"__first_${f.name}"),
+          max_by(c, when(c.isNotNull, ord)).as(s"__last_${f.name}"))
+    }
+    val statRows = df.groupBy(fineCol.as("__fine")).agg(statAggs.head, statAggs.tail: _*).collect()
+    val stats = statRows.map(r => r.getInt(0) -> r).toMap
+    val fineIds = stats.keys.toSeq.sorted
+    val total = statRows.iterator.map(_.getLong(1)).sum
 
-    // Carry-in per partition: last non-null from any earlier partition.
-    val byPid = tails.sortBy(_._1).map(_._2)
-    val carry = Array.ofDim[Any](byPid.length, valueIdx.length)
-    for (p <- byPid.indices; i <- valueIdx.indices)
-      carry(p)(i) =
-        if (p == 0) null
-        else if (byPid(p - 1)(i) != null) byPid(p - 1)(i)
-        else carry(p - 1)(i)
-    val carryB = spark.sparkContext.broadcast(carry)
-
-    // Pass 2: stream each partition, fill from the running value.
-    val filled = rdd.mapPartitionsWithIndex { (pid, it) =>
-      val running = carryB.value(pid).clone()
-      it.map { row =>
-        val arr = row.toSeq.toArray
-        var i = 0
-        while (i < valueIdx.length) {
-          val v = arr(valueIdx(i))
-          if (v != null) running(i) = v else arr(valueIdx(i)) = running(i)
-          i += 1
-        }
-        Row.fromSeq(arr.toIndexedSeq)
+    // 3. Coalesce fine buckets into `parts` contiguous coarse runs of ~equal
+    // exact count (skew-balanced up to fine-bucket granularity), and compute
+    // each run's carry-in per column. All O(fineN) driver work.
+    val target = math.max(1L, total / parts)
+    val coarseOf = collection.mutable.Map.empty[Int, Int]
+    var run = 0; var acc = 0L
+    fineIds.foreach { f =>
+      if (acc >= target && run < parts - 1) { run += 1; acc = 0L }
+      coarseOf(f) = run
+      acc += stats(f).getLong(1)
+    }
+    def statOf(f: Int, prefix: String, name: String): Any = {
+      val r = stats(f); r.get(r.fieldIndex(prefix + name))
+    }
+    val iterOrder = if (backward) fineIds.reverse else fineIds
+    val edgePrefix = if (backward) "__first_" else "__last_"
+    // carry per coarse run = edge value of the nearest bucket OUTSIDE the run
+    // in fill direction; recorded the moment a new run starts.
+    val runCarry = Array.fill[Array[Any]](parts)(null)
+    val runningEdge = Array.fill[Any](fields.length)(null)
+    var prevRun = -1
+    iterOrder.foreach { f =>
+      val r = coarseOf(f)
+      if (r != prevRun) { runCarry(r) = runningEdge.clone(); prevRun = r }
+      fields.indices.foreach { i =>
+        val e = statOf(f, edgePrefix, fields(i).name)
+        if (e != null) runningEdge(i) = e
       }
     }
-    spark.createDataFrame(filled, schema)
+    val globalFirst: Array[Any] = fields.indices.map { i =>
+      fineIds.iterator.map(f => statOf(f, "__first_", fields(i).name)).find(_ != null).orNull
+    }.toArray
+
+    // 4. Broadcast-join the tiny (fine → coarse, carry…) table, then fill via
+    // a running window per coarse run. One data shuffle, constant-size
+    // codegen (no per-bucket literal trees).
+    val mapSchema = StructType(
+      StructField("__fine", IntegerType, nullable = false) +:
+      StructField("__coarse", IntegerType, nullable = false) +:
+      fields.map(f => StructField(s"__carry_${f.name}", f.dataType, nullable = true)))
+    val mapRows = fineIds.map { f =>
+      val carries = Option(runCarry(coarseOf(f))).getOrElse(Array.fill[Any](fields.length)(null))
+      Row.fromSeq(f +: coarseOf(f) +: carries.toIndexedSeq)
+    }
+    // LocalRelation (no job) — the broadcast is built driver-side.
+    val mapDf = spark.createDataFrame(java.util.Arrays.asList(mapRows: _*), mapSchema)
+
+    val joined = df.withColumn("__fine", fineCol).join(broadcast(mapDf), "__fine")
+    val w =
+      if (backward)
+        Window.partitionBy(col("__coarse")).orderBy(ord.desc)
+          .rowsBetween(Window.unboundedPreceding, 0)
+      else
+        Window.partitionBy(col("__coarse")).orderBy(ord.asc)
+          .rowsBetween(Window.unboundedPreceding, 0)
+    var out = joined
+    fields.zipWithIndex.foreach { case (f, i) =>
+      val fallback: Seq[Column] =
+        if (bfillFallback) Seq(lit(globalFirst(i)).cast(f.dataType)) else Nil
+      out = out.withColumn(f.name, coalesce(
+        (last(col(f.name), ignoreNulls = true).over(w) +:
+          col(s"__carry_${f.name}") +: fallback): _*))
+    }
+    out.drop("__fine", "__coarse").drop(fields.map(f => s"__carry_${f.name}"): _*)
   }
 }
