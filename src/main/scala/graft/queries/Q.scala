@@ -730,17 +730,13 @@ object Q {
       .groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
       .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
 
-  def dedupEmbed(s: SparkSession, dir: String): DataFrame = {
-    val e = Tables(s, dir, "embeddings")
-      .select(col("vec_id"), col("label"), toDouble(col("embedding")).as("v"))
-    val a = e.select(col("label"), col("vec_id").as("id_a"), col("v").as("va"))
-    val b = e.select(col("label"), col("vec_id").as("id_b"), col("v").as("vb"))
-    a.join(b, Seq("label"))
-      .filter(col("id_a") < col("id_b"))
-      .withColumn("cos", cosine(col("va"), col("vb")))
-      .filter(col("cos") > 0.35)
-      .select("id_a", "id_b", "cos")
-  }
+  /** Label-blocked exact cosine near-dup pairs. The blocked face is
+    * oracle-checkable but quadratic per block, so it runs through the
+    * guarded generator: execution fails fast (pointing at
+    * AnnLsh.selfPairs) if any block outgrows the bound. */
+  def dedupEmbed(s: SparkSession, dir: String): DataFrame =
+    graft.similarity.AnnLsh.blockedSelfPairs(
+      Tables(s, dir, "embeddings"), "vec_id", "embedding", "label", minCos = 0.35)
 
   /** Semantic duplicate clusters: connected components over the
     * embedding-cosine near-dup pairs — same CC engine as dedup_cluster,

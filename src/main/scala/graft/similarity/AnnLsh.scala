@@ -110,6 +110,38 @@ object AnnLsh {
       cosine(col("qv"), col("v")).as("cos")), k)
   }
 
+  /** Exact label-blocked cosine pair generation — the oracle-checkable
+    * face of embedding dedup. QUADRATIC WITHIN EACH BLOCK by construction
+    * (a block of n vectors scores n²/2 pairs, and block cardinality is
+    * data-independent, so 100× data is 10,000× pairs): correct for
+    * bounded blocks, a non-starter on unbounded ones. The guard is part
+    * of the PLAN, not an eager count at build time: block sizes ride a
+    * map-side-partial aggregate, and `assert_true` fails the job with an
+    * actionable message the moment any block exceeds `maxBlockRows`,
+    * pointing at [[selfPairs]] — the LSH-bucketed generator that is the
+    * scale path for exactly this shape. */
+  def blockedSelfPairs(df: DataFrame, idCol: String, vecCol: String, blockCol: String,
+                       minCos: Double, maxBlockRows: Long = 10000): DataFrame = {
+    val base = df.select(col(blockCol).as("_blk"), col(idCol).as("id"),
+      toDouble(col(vecCol)).as("v"))
+    val sizes = base.groupBy("_blk").agg(count(lit(1)).as("_blk_n"))
+    // assert_true returns NULL when the predicate holds, so the filter
+    // keeps every row — but unlike an unused projected column it cannot be
+    // pruned away by the optimizer, and it raises before any pair is built.
+    val guarded = base.join(sizes, Seq("_blk"))
+      .filter(assert_true(col("_blk_n") <= maxBlockRows,
+        concat(lit(s"embedding block (column '$blockCol'=" ), col("_blk"),
+          lit(s") exceeds maxBlockRows=$maxBlockRows for the exact blocked self-join; " +
+            "use AnnLsh.selfPairs (LSH-bucketed, never all-pairs) for large blocks"))).isNull)
+    val a = guarded.select(col("_blk"), col("id").as("id_a"), col("v").as("va"))
+    val b = guarded.select(col("_blk"), col("id").as("id_b"), col("v").as("vb"))
+    a.join(b, Seq("_blk"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos", cosine(col("va"), col("vb")))
+      .filter(col("cos") > minCos)
+      .select("id_a", "id_b", "cos")
+  }
+
   /** LSH-bucketed near-dup pair generation over a corpus — the 100 TB
     * replacement for any blocked/label-scoped exact self-join (which is
     * quadratic within each block): every vector signs into `tables`

@@ -70,6 +70,34 @@ class AnnLshSpec extends SparkSpec {
     assert(got.toSeq == Seq(Seq(2.0, 4.0), Seq(10.0, 10.0)))
   }
 
+  test("blockedSelfPairs matches the unguarded blocked join below the bound") {
+    import spark.implicits._
+    val withBlocks = vectors.withColumn("label", (col("vec_id") % 2).cast("int"))
+    val got = AnnLsh.blockedSelfPairs(withBlocks, "vec_id", "embedding", "label",
+        minCos = 0.35, maxBlockRows = 1000)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // reference: plain label-blocked all-pairs
+    val e = withBlocks.select(col("label"), col("vec_id"),
+      graft.functions.VectorFunctions.toDouble(col("embedding")).as("v"))
+    val expect = e.as("a").join(e.as("b"), col("a.label") === col("b.label"))
+      .filter(col("a.vec_id") < col("b.vec_id"))
+      .filter(graft.functions.VectorFunctions.cosine(col("a.v"), col("b.v")) > 0.35)
+      .select(col("a.vec_id"), col("b.vec_id")).as[(Long, Long)].collect().toSet
+    assert(got == expect)
+    assert(got.nonEmpty)
+  }
+
+  test("blockedSelfPairs guard trips at execution on an oversized block") {
+    val withBlocks = vectors.withColumn("label", lit(0)) // one 40-row block
+    val guarded = AnnLsh.blockedSelfPairs(withBlocks, "vec_id", "embedding", "label",
+      minCos = 0.35, maxBlockRows = 10)
+    val e = intercept[Exception] { guarded.count() }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(m =>
+      m.contains("maxBlockRows") && m.contains("selfPairs")))
+  }
+
   test("lsh signature is deterministic across invocations") {
     val s1 = vectors.select(AnnLsh.signature(
       graft.functions.VectorFunctions.toDouble(col("embedding")), 8, 6, 0)).collect()
