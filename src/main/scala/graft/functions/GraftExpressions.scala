@@ -403,6 +403,70 @@ object DeflateLenExpr {
   }
 }
 
+/** Bloom-filter membership probe against a BROADCAST sketch — the native
+  * form of [[graft.operators.BloomPrune]]'s scan filter. Spark's own
+  * `might_contain` is optimizer-internal (InjectRuntimeFilter) and probes
+  * xxh64 longs only; this one probes the same raw long/string values
+  * `DataFrameStatFunctions.bloomFilter` inserts, so it composes with the
+  * explicit build path. The expression carries only the broadcast HANDLE
+  * (the sketch ships torrent-cached once per executor, not per task /
+  * per plan copy), stays inside whole-stage codegen, and — matching the
+  * join semantics it prunes for — evaluates null keys to false, never
+  * null. Not registered in the SQL function registry: a broadcast handle
+  * cannot be named in SQL text, so it is constructed only through
+  * BloomPrune's API. */
+case class BloomMightContainExpr(
+    child: Expression,
+    bloom: org.apache.spark.broadcast.Broadcast[org.apache.spark.util.sketch.BloomFilter])
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ByteType | ShortType | IntegerType | LongType | StringType =>
+      TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_bloom_might_contain expects an integral or string key, got $t")
+  }
+  override def dataType: DataType = BooleanType
+  override def nullable: Boolean = false
+  override def prettyName: String = "graft_bloom_might_contain"
+
+  @transient private lazy val bf = bloom.value
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val k = child.eval(input)
+    if (k == null) false
+    else child.dataType match {
+      case StringType => bf.mightContainString(k.toString)
+      case _ => bf.mightContainLong(k.asInstanceOf[Number].longValue())
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val bfClass = "org.apache.spark.util.sketch.BloomFilter"
+    val bcRef = ctx.addReferenceObj("graftBloomBc", bloom,
+      "org.apache.spark.broadcast.Broadcast")
+    // unwrap the broadcast ONCE per generated-class instance, not per row
+    val bfVar = ctx.addMutableState(bfClass, "graftBloomFilter",
+      v => s"$v = ($bfClass)$bcRef.value();")
+    val childGen = child.genCode(ctx)
+    val probe = child.dataType match {
+      case StringType => s"$bfVar.mightContainString(${childGen.value}.toString())"
+      case _ => s"$bfVar.mightContainLong((long)${childGen.value})"
+    }
+    ev.copy(
+      code = code"""
+        ${childGen.code}
+        boolean ${ev.value} = false;
+        if (!${childGen.isNull}) { ${ev.value} = $probe; }
+      """,
+      isNull = org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BloomMightContainExpr =
+    copy(child = newChild)
+}
+
 object GraftFunctions {
 
   /** Scalar args like k/seed parameterize generated code, so they must be

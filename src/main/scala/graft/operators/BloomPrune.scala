@@ -1,8 +1,11 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions.{col, udf}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.functions.col
 import org.apache.spark.util.sketch.BloomFilter
+
+import graft.functions.BloomMightContainExpr
 
 /** Bloom-filter probe-side pruning for asymmetric joins: when a 100 TB fact
   * table joins a few-million-row key set that is still too big to broadcast
@@ -15,25 +18,29 @@ import org.apache.spark.util.sketch.BloomFilter
   *
   * Guarantees: NO false negatives (the subsequent real join sees every
   * matching row), ≤ fpp false positives (removed by the join itself).
-  * The membership probe is a broadcast-closure filter rather than a
-  * codegen'd expression (Spark's `might_contain` is optimizer-internal,
-  * wired in by `InjectRuntimeFilter` when
+  * The probe is [[graft.functions.BloomMightContainExpr]], a native
+  * codegen expression over the broadcast sketch — it lives inside the
+  * scan's WholeStageCodegen span with no per-row boxing. (Spark's own
+  * `might_contain` is optimizer-internal, wired in by
+  * `InjectRuntimeFilter` when
   * `spark.sql.optimizer.runtime.bloomFilter.enabled` is set — this helper
-  * is the explicit form for when the optimizer can't prove the pattern);
-  * trading one virtual call per row for orders of magnitude less shuffle
-  * I/O is the right side of that bargain.
+  * is the explicit form for when the optimizer can't prove the pattern.)
   */
 object BloomPrune {
+
+  private def mightContain(df: DataFrame, key: String, bf: BloomFilter): Column = {
+    val bc = df.sparkSession.sparkContext.broadcast(bf)
+    ColumnBridge.column(BloomMightContainExpr(
+      ColumnBridge.expression(col(key)), bc))
+  }
 
   /** Build a Bloom sketch of `buildKey` and prune `probe` rows whose
     * `probeKey` cannot match. Follow with the real join for exactness. */
   def prune(probe: DataFrame, probeKey: String,
             build: DataFrame, buildKey: String,
             expectedKeys: Long, fpp: Double = 0.01): DataFrame = {
-    val bf: BloomFilter = build.stat.bloomFilter(buildKey, expectedKeys, fpp)
-    val bc = probe.sparkSession.sparkContext.broadcast(bf)
-    val might = udf((k: Any) => k != null && bc.value.mightContain(k))
-    probe.filter(might(col(probeKey)))
+    val bf = build.stat.bloomFilter(buildKey, expectedKeys, fpp)
+    probe.filter(mightContain(probe, probeKey, bf))
   }
 
   /** Bloom-pruned inner equi-join: sketch-prune the probe side, then do
@@ -53,11 +60,10 @@ object BloomPrune {
   def antiJoin(probe: DataFrame, probeKey: String,
                build: DataFrame, buildKey: String,
                expectedKeys: Long, fpp: Double = 0.01): DataFrame = {
-    val bf: BloomFilter = build.stat.bloomFilter(buildKey, expectedKeys, fpp)
-    val bc = probe.sparkSession.sparkContext.broadcast(bf)
-    val might = udf((k: Any) => k != null && bc.value.mightContain(k))
-    val certainlyNovel = probe.filter(!might(col(probeKey)))
-    val verified = probe.filter(might(col(probeKey)))
+    val bf = build.stat.bloomFilter(buildKey, expectedKeys, fpp)
+    val might = mightContain(probe, probeKey, bf)
+    val certainlyNovel = probe.filter(!might)
+    val verified = probe.filter(might)
       .join(build.select(col(buildKey).as(probeKey)).distinct(),
         Seq(probeKey), "left_anti")
     certainlyNovel.unionByName(verified)

@@ -33,4 +33,37 @@ class BloomPruneSpec extends SparkSpec {
     val build = Seq(1L, 2L).toDF("bk")
     assert(BloomPrune.prune(probe, "k", build, "bk", 2).count() == 2)
   }
+
+  test("native probe: codegen and interpreted paths agree bit-for-bit") {
+    val probe = (0L until 4000L).toDF("k")
+    val build = (0L until 4000L by 37).toDF("bk")
+    def survivors(codegen: String): Seq[Long] = {
+      spark.conf.set("spark.sql.codegen.factoryMode", codegen)
+      try BloomPrune.prune(probe, "k", build, "bk", expectedKeys = 200)
+        .orderBy("k").as[Long].collect().toSeq
+      finally spark.conf.unset("spark.sql.codegen.factoryMode")
+    }
+    assert(survivors("CODEGEN_ONLY") == survivors("NO_CODEGEN"))
+  }
+
+  test("native probe works for string keys too") {
+    val probe = (0 until 2000).map(i => s"key$i").toDF("k")
+    val build = (0 until 2000 by 50).map(i => s"key$i").toDF("bk")
+    val kept = BloomPrune.prune(probe, "k", build, "bk", expectedKeys = 40)
+      .as[String].collect().toSet
+    (0 until 2000 by 50).foreach(i => assert(kept.contains(s"key$i")))
+    assert(kept.size <= 40 + 200)
+  }
+
+  test("probe filter stays inside WholeStageCodegen (no UDF barrier)") {
+    val probe = spark.range(100).toDF("k")
+    val build = (0L until 100L by 10).toDF("bk")
+    val plan = BloomPrune.prune(probe, "k", build, "bk", expectedKeys = 10)
+      .queryExecution.executedPlan.toString
+    // '*(n)' is the compact WholeStageCodegen marker; the Filter line itself
+    // must carry it — a UDF would sit outside any codegen span.
+    assert(plan.linesIterator.exists(l =>
+      l.contains("Filter graft_bloom_might_contain") && l.contains("*(")))
+    assert(!plan.contains("ScalaUDF"))
+  }
 }
