@@ -161,6 +161,7 @@ object Pq {
                 nProbe: Int = 2, k: Int = 5): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
+    val listType = corpus.schema(corpus.schema.fieldIndex(listCol)).dataType
     val c = corpus.select(col(idCol).as("id"), col(listCol).as("list"),
       toDouble(col(vecCol)).as("v"))
     // coarse centroids: one mergeable vec-avg pass; lists are bounded, so
@@ -168,8 +169,16 @@ object Pq {
     val centroidMap = c.groupBy("list")
       .agg(call_function("graft_vec_avg", col("v")).as("cv"))
       .collect().map(r => r.get(0) -> r.getSeq[Double](1).toArray).toMap
-    val centDf = centroidMap.toSeq.map { case (l, cv) => (l.asInstanceOf[Int], cv.toSeq) }
-      .toDF("list", "cv")
+    // list keys join back as their ORIGINAL type (int, long, string, …) —
+    // the key is opaque to the algorithm, so nothing may assume Int
+    val centDf = spark.createDataFrame(
+      java.util.Arrays.asList(centroidMap.toSeq.map { case (l, cv) =>
+        org.apache.spark.sql.Row(l, cv.toSeq) }: _*),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("list", listType),
+        org.apache.spark.sql.types.StructField("cv",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.DoubleType)))))
     // residual frame (v − centroid) via one broadcast join, materialized
     // ONCE — Lloyd passes, encode, and the list re-join would otherwise
     // each re-execute the corpus scan + centroid join lineage
@@ -191,11 +200,17 @@ object Pq {
       while (i < a.length) { val t = a(i) - b(i); d += t * t; i += 1 }
       d
     }
+    // deterministic distance tie-break for ANY key type: numeric order for
+    // numbers (unchanged vs the old Int-only path), lexicographic otherwise
+    def tieKey(l: Any): (Double, String) = l match {
+      case n: Number => (n.doubleValue(), String.valueOf(l))
+      case _ => (0.0, String.valueOf(l))
+    }
     val probeRows = qRows.toSeq.flatMap { r =>
       val qid = r.getLong(0)
       val qv = r.getSeq[Double](1).toArray
       centroidMap.toSeq
-        .sortBy { case (l, cv) => (l2(qv, cv), l.asInstanceOf[Int]) }
+        .sortBy { case (l, cv) => (l2(qv, cv), tieKey(l)) }
         .take(nProbe)
         .map { case (l, cv) =>
           val qr = qv.indices.map(i => qv(i) - cv(i)).toArray
@@ -203,10 +218,19 @@ object Pq {
             val sub = qr.slice(s * model.subDim, (s + 1) * model.subDim)
             model.centroids(s).toSeq.map(cw => l2(sub, cw))
           }
-          (qid, l.asInstanceOf[Int], table)
+          org.apache.spark.sql.Row(qid, l, table)
         }
     }
-    val probes = probeRows.toDF("query_id", "list", "qtable")
+    val probes = spark.createDataFrame(
+      java.util.Arrays.asList(probeRows: _*),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("query_id",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("list", listType),
+        org.apache.spark.sql.types.StructField("qtable",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.DoubleType))))))
     val dist = (0 until model.m).map { s =>
       element_at(element_at(col("qtable"), s + 1), col("codes").getItem(s) + 1)
     }.reduce(_ + _)

@@ -76,6 +76,22 @@ class PqSpec extends SparkSpec {
     assert(top.groupBy(_._1).forall(_._2.length == 5))
   }
 
+  test("ivf-pq list key is type-agnostic: long and string keys match the int results") {
+    val queries = corpus.filter(col("vec_id") % 8 === 3)
+    def run(listCol: org.apache.spark.sql.Column): Seq[(Long, Long, Long)] =
+      Pq.ivfPqTopK(corpus.withColumn("list", listCol), queries, "vec_id",
+          "embedding", "list", dim, m = 4, kCode = 8, iters = 2, nProbe = 2, k = 5)
+        .orderBy("query_id", "rank")
+        .select("query_id", "neighbor_id", "rank").as[(Long, Long, Long)]
+        .collect().toSeq
+    val asInt = run((col("vec_id") / 8).cast("int"))
+    val asLong = run((col("vec_id") / 8).cast("long")) // bigint — the 100 TB hash-derived shape
+    val asString = run(concat(lit("fam_"), (col("vec_id") / 8).cast("long").cast("string")))
+    assert(asLong == asInt)
+    assert(asInt.length == 30)
+    assert(asString == asInt)
+  }
+
   test("fit and search are deterministic across invocations") {
     def run(): Seq[(Long, Long)] = {
       val model = Pq.fit(corpus, "vec_id", "embedding", dim, m = 4, k = 8, iters = 2)
