@@ -26,9 +26,35 @@ case class ModelOption(name: String,
   */
 object ModelSelection {
 
+  /** @param checkpointPath when set, the summary-so-far is rewritten as a
+    *   single CSV after EVERY candidate completes (ref
+    *   scikit_learn_imputer.py:520-522: "as this function takes a long time
+    *   to run, this can be saved in case of an error later on") — a study
+    *   that dies on candidate N still leaves N−1 measured rows on disk.
+    *   Driver-side write of a ≤|options|-row file, matching the reference's
+    *   `to_csv`; ranks are computed only on the final frame, so the
+    *   checkpoint carries the raw measurement columns. */
   def selectModel(imputer: SparkImputer, df: DataFrame,
-                  options: Seq[ModelOption], savePath: String = null): DataFrame = {
+                  options: Seq[ModelOption], savePath: String = null,
+                  checkpointPath: String = null): DataFrame = {
     val spark = df.sparkSession
+
+    val done = collection.mutable.Buffer.empty[
+      (String, Double, Option[Double], Double, Option[Long], Seq[(String, String, Double)])]
+    def checkpoint(): Unit = if (checkpointPath != null && done.nonEmpty) {
+      val metricHdr = done.head._6.map { case (c, m, _) => s"${c}_$m" }
+      val header = (Seq("model", "fit_function_time", "user_rollout_time_transform",
+        "user_rollout_time_fit_transform", "model_size") ++ metricHdr).mkString(",")
+      val lines = done.map { case (name, ft, rt, ftt, ms, metrics) =>
+        (Seq(name, ft.toString, rt.map(_.toString).getOrElse(""), ftt.toString,
+          ms.map(_.toString).getOrElse("")) ++ metrics.map(_._3.toString)).mkString(",")
+      }
+      val tmp = java.nio.file.Paths.get(checkpointPath + ".tmp")
+      java.nio.file.Files.writeString(tmp, (header +: lines).mkString("", "\n", "\n"))
+      java.nio.file.Files.move(tmp, java.nio.file.Paths.get(checkpointPath),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    }
 
     val measured = options.map { opt =>
       val t0 = System.nanoTime()
@@ -53,8 +79,11 @@ object ModelSelection {
           (Some((System.nanoTime() - t2) / 1e9), Some(size))
         } else (None, None)
 
-      (opt.name, fitTime, rolloutTime, fitTransformTime, modelSize,
+      val row = (opt.name, fitTime, rolloutTime, fitTransformTime, modelSize,
         model.models.map { case (c, cm) => (c, cm.metricName, cm.metricValue) }.toSeq)
+      done += row
+      checkpoint()
+      row
     }
 
     val metricCols = measured.head._6.map { case (c, m, _) => s"${c}_$m" }
@@ -69,8 +98,8 @@ object ModelSelection {
       Row.fromSeq(Seq[Any](name, ft, rt.getOrElse(null), ftt, ms.getOrElse(null)) ++
         metrics.map(_._3))
     }
-    val base = spark.createDataFrame(
-      spark.sparkContext.parallelize[Row](rows.toIndexedSeq, 1), schema)
+    // LocalRelation (no job): the summary is one row per candidate
+    val base = spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
       .withColumn("time_saved_by_saved_model",
         col("user_rollout_time_fit_transform") - col("user_rollout_time_transform"))
 

@@ -141,6 +141,37 @@ class SparkImputerSpec extends SparkSpec {
     assert(d2.isNullAt(d2.fieldIndex("model_size")))               // not requested
   }
 
+  test("selectModel checkpoint survives a mid-study failure with N-1 rows") {
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt")
+      .resolve("summary.csv").toString
+    // candidate 3 dies at fit time (maxDepth must be >= 0) AFTER two good
+    // candidates have been measured — the reference's per-candidate to_csv
+    // (scikit_learn_imputer.py:520-522) is exactly for this case
+    val boom = intercept[Exception] {
+      ModelSelection.selectModel(imputer, mixedFrame, Seq(
+        ModelOption("good_a", new DecisionTreeClassifier(), new DecisionTreeRegressor()),
+        ModelOption("good_b",
+          new DecisionTreeClassifier().setMaxDepth(2),
+          new DecisionTreeRegressor().setMaxDepth(2)),
+        ModelOption("bad",
+          new DecisionTreeClassifier() {
+            override def train(d: org.apache.spark.sql.Dataset[_]):
+                org.apache.spark.ml.classification.DecisionTreeClassificationModel =
+              throw new RuntimeException("cluster lost mid-study")
+          },
+          new DecisionTreeRegressor())), checkpointPath = ckpt)
+    }
+    assert(boom != null)
+    val lines = java.nio.file.Files.readAllLines(
+      java.nio.file.Paths.get(ckpt)).toArray.map(_.toString)
+    assert(lines.length == 3) // header + the two completed candidates
+    assert(lines.head.startsWith("model,fit_function_time,"))
+    assert(lines(1).startsWith("good_a,") && lines(2).startsWith("good_b,"))
+    // every completed row carries all measurement columns
+    val nCols = lines.head.split(",", -1).length
+    assert(lines.tail.forall(_.split(",", -1).length == nCols))
+  }
+
   test("selectModel gives tied metrics pandas average ranks") {
     // two IDENTICAL candidates → every metric ties → both must get the
     // average of positions 1 and 2 (= 1.5), not distinct ranks 1 and 2
