@@ -16,6 +16,13 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** The events table's closed event-type domain — the SINGLE source for
+    * every explicit spine/pivot value list, engine-side and oracle-side
+    * (eventsPivot, eventsGapFill, events_rolling), so the engine and the
+    * oracle cannot drift if the testdata ever gains a type. Sorted, so
+    * generated column orders are deterministic. */
+  val eventTypes: Seq[String] = Seq("click", "error", "purchase", "signup", "view")
+
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     spark.read.parquet(s"$dir/$name.parquet")

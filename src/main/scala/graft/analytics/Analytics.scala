@@ -395,7 +395,7 @@ object Analytics {
     * values-discovery job). ONE hash aggregate with map-side partials —
     * the pivot is a projection inside the aggregate, not a per-type scan. */
   def eventsPivot(spark: SparkSession, dir: String): DataFrame = {
-    val types = Seq("click", "error", "purchase", "signup", "view")
+    val types = graft.Tables.eventTypes
     Tables(spark, dir, "events")
       .groupBy(expr("ts div 86400000000000").as("d"))
       .pivot("event_type", types).agg(count(lit(1)))
@@ -620,7 +620,7 @@ object Analytics {
     * list is explicit, so there is no values-discovery job (same rationale
     * as [[eventsPivot]]). */
   def eventsGapFill(spark: SparkSession, dir: String): DataFrame = {
-    val types = Seq("click", "error", "purchase", "signup", "view")
+    val types = graft.Tables.eventTypes
     val daily = Tables(spark, dir, "events")
       .groupBy(col("event_type"), expr("ts div 86400000000000").as("d"))
       .agg(count(lit(1)).as("_n"))

@@ -116,6 +116,11 @@ object Dedup {
       case LongType | IntegerType | ShortType | ByteType => true
       case _ => false
     }
+    // DELIBERATE eager count: the gate between driver union-find and
+    // distributed HashMin needs the edge cardinality, and the
+    // localCheckpoint above has already materialized the edges, so this
+    // count is a metadata-cheap job — not the repeated-lineage side effect
+    // the "no eager counts in library operators" rule guards against.
     if (integralIds && sym.count() <= 2L * smallGraphEdges) {
       // driver union-find (path compression; min id becomes the root so the
       // output labeling is identical to the distributed HashMin result)

@@ -32,6 +32,27 @@ object AlsImpute {
                rank: Int = 8, maxIter: Int = 10, regParam: Double = 0.1,
                seed: Long = 42L): DataFrame = {
     require(rank >= 1 && maxIter >= 1, s"rank/maxIter must be >= 1")
+    // MLlib ALS keys are Int. Silently casting wider ids would overflow —
+    // distinct longs collide, corrupting training AND the fill join with no
+    // error — so ids beyond Int range fail loudly. One cheap narrow agg,
+    // only paid when a column is actually wider than int.
+    import org.apache.spark.sql.types.{ByteType, IntegerType, ShortType}
+    val intLike: Set[org.apache.spark.sql.types.DataType] = Set(ByteType, ShortType, IntegerType)
+    val wide = Seq(rowCol, colCol)
+      .filterNot(c => intLike(cells.schema(cells.schema.fieldIndex(c)).dataType))
+    if (wide.nonEmpty) {
+      val aggs = wide.flatMap(c => Seq(min(col(c)).cast("long"), max(col(c)).cast("long")))
+      val mm = cells.agg(aggs.head, aggs.tail: _*).head()
+      wide.zipWithIndex.foreach { case (c, i) =>
+        if (!mm.isNullAt(2 * i)) {
+          val (lo, hi) = (mm.getLong(2 * i), mm.getLong(2 * i + 1))
+          require(lo >= Int.MinValue && hi <= Int.MaxValue,
+            s"AlsImpute.complete: id column '$c' spans [$lo, $hi], outside Int " +
+              "range (MLlib ALS keys are Int) — densify ids first, e.g. via " +
+              "dense_rank() or a dictionary join")
+        }
+      }
+    }
     val observed = cells.filter(col(valueCol).isNotNull)
       .select(col(rowCol).cast("int").as("_r"), col(colCol).cast("int").as("_c"),
         col(valueCol).cast("float").as("_v"))

@@ -56,6 +56,13 @@ object KnnImpute {
     val spark = df.sparkSession
     val parts = if (numPartitions > 0) numPartitions
       else spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    // the cross-boundary edge pool broadcasts 2·k²·partitions rows (first/
+    // last k² pruned rows per partition); past ~2M rows that broadcast would
+    // OOM executors rather than degrade — fail with the actionable knobs
+    require(2L * k * k * parts <= 2000000L,
+      s"impute1d: edge pool 2·k²·partitions = ${2L * k * k * parts} rows " +
+        s"(k=$k, partitions=$parts) exceeds the ~2M-row broadcast bound — " +
+        "reduce k or numPartitions (the pool grows with BOTH)")
     val pow = math.pow(10, scale)
 
     val kk = k * k // candidate radius: ≤k distinct x values × ≤k tied rows

@@ -19,7 +19,9 @@ object DataQuality {
     require(checks.nonEmpty, "need at least one check")
     val aggs = count(lit(1)).as("_n") +:
       checks.zipWithIndex.map { case ((_, cond), i) =>
-        sum(when(cond, 1L).otherwise(0L)).as(s"_v$i")
+        // coalesce: sum over an EMPTY frame is NULL — a report must say
+        // "0 violations of 0 rows", not NULL (uniqueCheck already does)
+        coalesce(sum(when(cond, 1L).otherwise(0L)), lit(0L)).as(s"_v$i")
       }
     // typed explode, not a spliced selectExpr stack — check names are
     // caller data and must never be parsed as SQL text

@@ -31,7 +31,15 @@ object MergeUpsert {
     require(updatable.forall(snapshot.columns.contains),
       s"change columns ${updatable.mkString(",")} must exist in the snapshot")
     val s = snapshot.alias("s")
-    val c = changes.alias("c")
+    // A change row with a NULL op is malformed (after the full-outer join it
+    // is indistinguishable from "no change row" — it would overwrite values
+    // while reporting 'K'). Fail execution loudly, inside the plan:
+    // assert_true returns NULL for valid rows, so the filter keeps them all.
+    val c = changes
+      .filter(assert_true(col(opCol).isNotNull,
+        lit(s"MergeUpsert: change batch has a NULL '$opCol' value — " +
+          "every change row must carry an explicit op (\"U\"/\"D\")")).isNull)
+      .alias("c")
     val joined = s.join(c, col(s"s.$key") === col(s"c.$key"), "full_outer")
       .filter(col(s"c.$opCol").isNull || col(s"c.$opCol") =!= "D")
     val outCols: Seq[Column] =

@@ -24,6 +24,10 @@ object OracleSql {
 
   private def ac(c: String) = s"CAST(round($c * 100.0, 0) AS BIGINT)"
 
+  /** Shared event-type spine (graft.Tables.eventTypes) rendered as a SQL
+    * VALUES list — oracle and engine derive from the same constant. */
+  private val typeValues = graft.Tables.eventTypes.map(t => s"('$t')").mkString(", ")
+
   val sql: Map[String, String] = Map(
 
     // -------------------------------------------------------------- backbone
@@ -901,7 +905,7 @@ object OracleSql {
         |FROM p GROUP BY path ORDER BY n_users DESC, path LIMIT 20""".stripMargin,
 
     "events_rolling" ->
-      """WITH b AS (SELECT min(epoch_ns(ts) // 86400000000000) AS lo,
+      s"""WITH b AS (SELECT min(epoch_ns(ts) // 86400000000000) AS lo,
         |                  max(epoch_ns(ts) // 86400000000000) AS hi FROM events),
         |raw AS (SELECT event_type, epoch_ns(ts) // 86400000000000 AS d,
         |         CAST(count(*) AS BIGINT) AS n
@@ -909,7 +913,7 @@ object OracleSql {
         |days AS (SELECT unnest(generate_series(lo, hi)) AS d FROM b),
         |spine AS (SELECT t.event_type, days.d
         |          FROM days,
-        |           (VALUES ('click'), ('error'), ('purchase'), ('signup'), ('view'))
+        |           (VALUES ${typeValues})
         |            t(event_type)),
         |daily AS (SELECT s.event_type, s.d, COALESCE(raw.n, 0) AS n_events
         |          FROM spine s LEFT JOIN raw
@@ -1035,7 +1039,7 @@ object OracleSql {
          |GROUP BY c_nationkey""".stripMargin,
 
     "events_pivot" -> {
-      val types = Seq("click", "error", "purchase", "signup", "view")
+      val types = graft.Tables.eventTypes
       val cols = types.map(t =>
         s"CAST(SUM(CASE WHEN event_type = '$t' THEN 1 ELSE 0 END) AS BIGINT) AS n_$t")
         .mkString(",\n ")
@@ -1206,7 +1210,7 @@ object OracleSql {
         |FROM pairs JOIN tot USING (from_type)""".stripMargin,
 
     "events_gap_fill" ->
-      """WITH b AS (SELECT min(epoch_ns(ts) // 86400000000000) AS lo,
+      s"""WITH b AS (SELECT min(epoch_ns(ts) // 86400000000000) AS lo,
         |                  max(epoch_ns(ts) // 86400000000000) AS hi FROM events),
         |daily AS (SELECT event_type, epoch_ns(ts) // 86400000000000 AS d,
         |           CAST(count(*) AS BIGINT) AS n
@@ -1214,7 +1218,7 @@ object OracleSql {
         |days AS (SELECT unnest(generate_series(lo, hi)) AS d FROM b),
         |spine AS (SELECT t.event_type, days.d
         |          FROM days,
-        |           (VALUES ('click'), ('error'), ('purchase'), ('signup'), ('view'))
+        |           (VALUES ${typeValues})
         |            t(event_type))
         |SELECT s.event_type, s.d, COALESCE(daily.n, 0) AS n_events
         |FROM spine s LEFT JOIN daily

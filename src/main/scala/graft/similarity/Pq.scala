@@ -158,17 +158,25 @@ object Pq {
   def ivfPqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
                 vecCol: String, listCol: String, dim: Int,
                 m: Int = 8, kCode: Int = 16, iters: Int = 2,
-                nProbe: Int = 2, k: Int = 5): DataFrame = {
+                nProbe: Int = 2, k: Int = 5, maxLists: Int = 200000): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val listType = corpus.schema(corpus.schema.fieldIndex(listCol)).dataType
     val c = corpus.select(col(idCol).as("id"), col(listCol).as("list"),
       toDouble(col(vecCol)).as("v"))
-    // coarse centroids: one mergeable vec-avg pass; lists are bounded, so
-    // the centroid map is driver-small
-    val centroidMap = c.groupBy("list")
+    // coarse centroids: one mergeable vec-avg pass. The map is driver state
+    // (lists × dim doubles — ~100 MB at 200k lists × 64 dims), so the
+    // collect is BOUNDED: limit(maxLists+1) caps what can ever reach the
+    // driver in this job, and one extra row proves overflow without an
+    // extra count job.
+    val centroidRows = c.groupBy("list")
       .agg(call_function("graft_vec_avg", col("v")).as("cv"))
-      .collect().map(r => r.get(0) -> r.getSeq[Double](1).toArray).toMap
+      .limit(maxLists + 1).collect()
+    require(centroidRows.length <= maxLists,
+      s"ivfPqTopK: more than maxLists=$maxLists coarse lists in '$listCol' — " +
+        "the per-list centroid map is driver-resident; coarsen the list key " +
+        "or raise maxLists alongside spark.driver.memory")
+    val centroidMap = centroidRows.map(r => r.get(0) -> r.getSeq[Double](1).toArray).toMap
     // list keys join back as their ORIGINAL type (int, long, string, …) —
     // the key is opaque to the algorithm, so nothing may assume Int
     val centDf = spark.createDataFrame(

@@ -274,10 +274,12 @@ object Streams {
   def nearDupAlerts(docs: DataFrame, tsCol: String, idCol: String,
                     textCol: String, maxHamming: Int = 3,
                     perKeyMemory: Int = 64,
-                    seed: Long = 42L): Dataset[NearDupAlert] = {
+                    seed: Long = 42L,
+                    idleTimeoutMs: Long = 0L): Dataset[NearDupAlert] = {
     import graft.dedup.SimHash
     require(maxHamming >= 0 && maxHamming <= 63,
       s"maxHamming must be in [0, 63], got $maxHamming")
+    require(idleTimeoutMs >= 0, s"idleTimeoutMs must be >= 0, got $idleTimeoutMs")
     val chunks = maxHamming + 1
     val bitsPer = 64 / chunks
     // 1L << 64 wraps to 1 (shift counts are mod 64): the single-chunk case
@@ -299,24 +301,44 @@ object Streams {
         expr(s"shiftright(fp, chunk * $bitsPer)").bitwiseAND(lit(chunkMask)))
       .select(col("chunk"), col("ckey"), col("t"), col("doc_id"), col("fp"))
       .as[ChunkedDoc]
+    // State bound: per-group memory is capped by perKeyMemory, but the
+    // NUMBER of groups grows with distinct chunk keys. With maxHamming >= 1
+    // the keyspace per chunk is <= 2^(64/(maxHamming+1)) and small in
+    // practice; at maxHamming = 0 the key is the FULL 64-bit fingerprint,
+    // so total state grows with the corpus unless idle groups age out. Set
+    // idleTimeoutMs > 0 in long-running deployments to evict idle groups
+    // via ProcessingTimeTimeout (eviction only narrows the dedup horizon's
+    // edge — consistent with the at-least-once, bounded-horizon
+    // semantics). The default keeps NoTimeout because processing-time
+    // timeouts make the engine self-trigger batches, which busy-loops
+    // drain-style tests/pipelines that wait on processAllAvailable().
+    val timeoutConf =
+      if (idleTimeoutMs > 0) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
     chunked.groupByKey(c => (c.chunk, c.ckey))
       .flatMapGroupsWithState[ChunkMemory, NearDupAlert](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, timeoutConf) {
         (_: (Int, Long), batch: Iterator[ChunkedDoc], state: GroupState[ChunkMemory]) =>
-          var mem = state.getOption.getOrElse(ChunkMemory(Nil))
-          val out = scala.collection.mutable.ArrayBuffer.empty[NearDupAlert]
-          batch.toSeq.sortBy(c => (c.t, c.doc_id)).foreach { c =>
-            mem.entries.find { case (other, ofp) =>
-              other != c.doc_id &&
-                java.lang.Long.bitCount(ofp ^ c.fp) <= maxHamming
-            }.foreach { case (other, ofp) =>
-              out += NearDupAlert(c.doc_id, other,
-                java.lang.Long.bitCount(ofp ^ c.fp))
+          if (idleTimeoutMs > 0 && state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var mem = state.getOption.getOrElse(ChunkMemory(Nil))
+            val out = scala.collection.mutable.ArrayBuffer.empty[NearDupAlert]
+            batch.toSeq.sortBy(c => (c.t, c.doc_id)).foreach { c =>
+              mem.entries.find { case (other, ofp) =>
+                other != c.doc_id &&
+                  java.lang.Long.bitCount(ofp ^ c.fp) <= maxHamming
+              }.foreach { case (other, ofp) =>
+                out += NearDupAlert(c.doc_id, other,
+                  java.lang.Long.bitCount(ofp ^ c.fp))
+              }
+              mem = ChunkMemory(((c.doc_id, c.fp) :: mem.entries).take(perKeyMemory))
             }
-            mem = ChunkMemory(((c.doc_id, c.fp) :: mem.entries).take(perKeyMemory))
+            state.update(mem)
+            if (idleTimeoutMs > 0) state.setTimeoutDuration(idleTimeoutMs)
+            out.iterator
           }
-          state.update(mem)
-          out.iterator
       }
   }
 

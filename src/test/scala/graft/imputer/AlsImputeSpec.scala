@@ -41,4 +41,22 @@ class AlsImputeSpec extends SparkSpec {
       .filter(col("row") === 9).select("filled").as[Double].collect()
     assert(out.length == 1 && out.head.isNaN)
   }
+
+  test("ids beyond Int range fail loudly instead of overflow-colliding") {
+    val cells = Seq(
+      (5000000000L, 0L, Some(2.0)), (1L, 0L, Some(3.0)),
+      (2L, 1L, Option.empty[Double]))
+      .toDF("row", "col", "value")
+    val e = intercept[IllegalArgumentException] {
+      AlsImpute.complete(cells, "row", "col", "value", "filled", rank = 2, maxIter = 2)
+    }
+    assert(e.getMessage.contains("outside Int range") && e.getMessage.contains("row"))
+  }
+
+  test("int-typed id columns skip the bounds scan entirely") {
+    val cells = Seq((0, 0, Some(2.0)), (1, 0, Some(3.0)), (1, 1, Option.empty[Double]))
+      .toDF("row", "col", "value")
+    val out = AlsImpute.complete(cells, "row", "col", "value", "filled", rank = 1, maxIter = 2)
+    assert(out.count() == 3)
+  }
 }

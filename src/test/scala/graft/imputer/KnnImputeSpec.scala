@@ -80,4 +80,13 @@ class KnnImputeSpec extends SparkSpec {
     assert(run(rows, 2, 2)(9L) == 3.0)   // (2+4)/2
     assert(run(rows, 3, 2)(9L) == 2.33)  // round((100+200+400)/3)=233 cents
   }
+
+  test("edge-pool bound fails fast with the knobs named") {
+    val rows: Seq[(Long, Double, Option[Double])] =
+      Seq((0L, 1.0, Some(1.0)), (1L, 2.0, None))
+    val e = intercept[IllegalArgumentException] {
+      run(rows, k = 1001, parts = 1000)
+    }
+    assert(e.getMessage.contains("edge pool") && e.getMessage.contains("numPartitions"))
+  }
 }

@@ -52,4 +52,16 @@ class DataQualitySpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3))).toMap
     assert(merged == direct)
   }
+
+  test("scalarChecks on an EMPTY frame reports 0 violations of 0 rows, not NULL") {
+    val empty = Seq.empty[(Long, Double)].toDF("id", "v")
+    val rows = DataQuality.scalarChecks(empty,
+      Seq("neg" -> (col("v") < 0), "big" -> (col("v") > 100))).collect()
+    assert(rows.length == 2)
+    rows.foreach { r =>
+      assert(!r.isNullAt(r.fieldIndex("n_violations")))
+      assert(r.getLong(r.fieldIndex("n_rows")) == 0L)
+      assert(r.getLong(r.fieldIndex("n_violations")) == 0L)
+    }
+  }
 }

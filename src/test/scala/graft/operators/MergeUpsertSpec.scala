@@ -53,4 +53,15 @@ class MergeUpsertSpec extends SparkSpec {
     val twice = MergeUpsert.merge(once, changes, "id").drop("op")
     assert(once.exceptAll(twice).count() == 0 && twice.exceptAll(once).count() == 0)
   }
+
+  test("a NULL op in the change batch fails execution instead of silently updating") {
+    val bad = Seq((2L, Option.empty[String], Some(99.0)),
+      (3L, Some("U"), Some(1.0))).toDF("id", "op", "bal")
+    val e = intercept[Exception] {
+      MergeUpsert.merge(snapshot, bad, "id").count()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("NULL 'op'")), msgs(e).mkString(" | "))
+  }
 }

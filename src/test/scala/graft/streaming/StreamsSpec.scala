@@ -296,6 +296,31 @@ class StreamsSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("near-dup alerts with a state TTL still flag near-identical docs") {
+    // idleTimeoutMs > 0 switches on ProcessingTimeTimeout, which makes the
+    // engine self-trigger batches — processAllAvailable would never see the
+    // stream idle, so this path polls the sink with a deadline instead.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Long, String)]
+    val docs = input.toDF().toDF("ts", "doc_id", "text")
+    val out = Streams.nearDupAlerts(docs, "ts", "doc_id", "text",
+      maxHamming = 4, idleTimeoutMs = 60 * 60 * 1000L)
+    val query = out.writeStream.format("memory").queryName("ndup_ttl_out")
+      .outputMode("append").start()
+    try {
+      val base = "the quick brown fox jumps over the lazy dog again and again"
+      input.addData(
+        (1L, 10L, base),
+        (2L, 12L, base.replace("lazy", "sleepy")))
+      val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+      def alerts() = spark.table("ndup_ttl_out").as[NearDupAlert].collect()
+        .map(a => (a.doc_id, a.matched_id)).distinct.toSeq
+      while (alerts().isEmpty && System.nanoTime() < deadline) Thread.sleep(200)
+      assert(alerts() == Seq((12L, 10L)))
+    } finally query.stop()
+  }
+
   test("streaming CDC apply folds change batches into the snapshot") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
