@@ -41,6 +41,15 @@ object Bench {
       val s = samples(n).sorted
       n -> s(s.length / 2)
     }.toMap
+    // per-query relative spread (max−min)/median across the three rotated
+    // passes — the honest noise floor; a real regression must clear it
+    val spread = names.map { n =>
+      val s = samples(n).sorted
+      n -> (if (s.last > 0) (s.last - s.head) / s(s.length / 2) else 0.0)
+    }.toMap
+    val spreads = spread.values.toSeq.sorted
+    val medSpread = if (spreads.nonEmpty) spreads(spreads.length / 2) else 0.0
+    val p90Spread = if (spreads.nonEmpty) spreads((spreads.length * 9) / 10 min (spreads.length - 1)) else 0.0
     // The harness that collects this output keeps only the last ~2000 chars,
     // so the FINAL line must stay inside that budget: print the full map
     // first (for whole-log readers), then a compact summary line holding the
@@ -50,9 +59,9 @@ object Bench {
       rs.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val all = results.toSeq.sortBy(-_._2)
-    println(s"""{"metric":"total_full","value":${fmt(total)},"unit":"sec","queries":${entries(all)},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total_full","value":${fmt(total)},"unit":"sec","queries":${entries(all)},"spread":${entries(spread.toSeq.sortBy(-_._2))},"sf":"$sfDir"}""")
     var top = all
-    def line() = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${all.size},"queries":${entries(top)},"sf":"$sfDir"}"""
+    def line() = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${all.size},"protocol":"median-of-3, rotated order, warmup pass","med_spread":${fmt(medSpread)},"p90_spread":${fmt(p90Spread)},"queries":${entries(top)},"sf":"$sfDir"}"""
     while (line().length > 1700 && top.nonEmpty) top = top.dropRight(5)
     println(line())
     spark.stop()
