@@ -151,7 +151,9 @@ object SparkEntry {
     "mm_features" -> (Q.mmFeatures _),
     "mm_resize" -> (Q.mmResize _),
     "mm_frames" -> (Q.mmFrames _),
-    "text_compress" -> (Q.textCompress _)
+    "text_compress" -> (Q.textCompress _),
+    "ann_recall" -> (Q.annRecall _),
+    "embed_kmeans" -> (Q.embedKmeans _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the

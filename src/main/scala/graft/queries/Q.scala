@@ -969,6 +969,39 @@ object Q {
       .select(col("id").as("vec_id"), col("cluster_id"))
   }
 
+  /** ANN quality monitoring: recall@5 of the LSH index against the exact
+    * brute-force neighbors, per query — the metric a pipeline watches to
+    * size planes/tables before trusting an approximate index. Both sides
+    * are the registered ann faces; the hit count is a left-semi join on
+    * (query, neighbor) and zero-recall queries are preserved. */
+  def annRecall(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables(s, dir, "embeddings")
+    val q = e.filter(col("vec_id") % 97 === 0)
+    val k = 5
+    val brute = graft.similarity.AnnLsh.bruteTopK(e, q, "vec_id", "embedding", k)
+      .select("query_id", "neighbor_id")
+    // wide-recall config (4 planes × 16 tables) — the synthetic corpus's
+    // neighbors sit at low cosine (same regime note as embed_cluster_lsh)
+    val lsh = graft.similarity.AnnLsh.lshTopK(e, q, "vec_id", "embedding",
+        dim = 64, k = k, planes = 4, tables = 16)
+      .select("query_id", "neighbor_id")
+    val hits = brute.join(lsh, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
+    q.select(col("vec_id").as("query_id"))
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)).cast("double") / k).as("recall_at_5"))
+  }
+
+  /** Full-vector deterministic k-means over the embedding corpus — the
+    * semantic-sharding / coarse-index-training primitive (see
+    * [[graft.similarity.KMeans]]: codegen argmin assignment, mergeable
+    * vec-avg updates, model-sized driver state). */
+  def embedKmeans(s: SparkSession, dir: String): DataFrame =
+    graft.similarity.KMeans.assign(Tables(s, dir, "embeddings"),
+      "vec_id", "embedding", k = 8, iters = 3)
+
   /** Distributed PCA of the embedding corpus: one covariance pass, driver
     * eigensolve, broadcast projection to the top-2 axes — rows-only (float
     * accumulation order). */

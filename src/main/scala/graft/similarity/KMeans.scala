@@ -1,0 +1,67 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions.toDouble
+
+/** Deterministic full-vector k-means (Lloyd), the clustering face of the
+  * embedding toolkit — corpus partitioning, semantic sharding, coarse-index
+  * training all reduce to this primitive. Same discipline as [[Pq]]'s
+  * per-subspace codebooks:
+  *
+  *   - init: the k lowest-id vectors (no RNG — reproducible across runs
+  *     and partitionings);
+  *   - assign: argmin over k LITERAL centroids computed with the native
+  *     `graft_dot` loops — a pure whole-stage-codegen projection, no
+  *     shuffle, no broadcast join;
+  *   - update: per-cluster mean via the mergeable `graft_vec_avg`
+  *     aggregate — map-side partials, shuffle carries executors × k tiny
+  *     rows; centroids are k·dim doubles of driver state (KBs).
+  *
+  * Each iteration is ONE distributed pass; empty clusters keep their
+  * previous centroid. 100 TB shape: iterations scale with data scan cost
+  * only — driver state and shuffle volume are model-sized.
+  */
+object KMeans {
+
+  /** Squared L2 distance of vector column `v` to a literal centroid. */
+  private def sqDist(v: Column, c: Array[Double]): Column = {
+    val dotc = call_function("graft_dot", v, lit(c))
+    val selfd = call_function("graft_dot", v, v)
+    selfd - lit(2.0) * dotc + lit(c.map(x => x * x).sum)
+  }
+
+  /** 0-based id of the nearest centroid (first index achieving the min —
+    * deterministic under distance ties). */
+  private def assignCol(v: Column, centroids: Array[Array[Double]]): Column = {
+    val dists = array(centroids.map(c => sqDist(v, c)): _*)
+    (array_position(dists, array_min(dists)) - 1).cast("int")
+  }
+
+  /** Cluster `df` into `k` groups; returns (idCol, cluster) for every row.
+    * `iters` full Lloyd passes over the data. */
+  def assign(df: DataFrame, idCol: String, vecCol: String, k: Int,
+             iters: Int = 3): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(iters >= 0, s"iters must be >= 0, got $iters")
+    val base = df.select(col(idCol).as("id"), toDouble(col(vecCol)).as("v"))
+      // several Lloyd passes + the final assignment re-read this frame;
+      // localCheckpoint materializes it once instead of re-running the
+      // caller's arbitrary upstream lineage every iteration
+      .localCheckpoint()
+    // deterministic seed: the k lowest-id vectors
+    var centroids: Array[Array[Double]] = base.orderBy("id").limit(k)
+      .select("v").collect().map(_.getSeq[Double](0).toArray)
+    require(centroids.length == k,
+      s"need at least k=$k rows to seed k-means, got ${centroids.length}")
+    for (_ <- 0 until iters) {
+      val updated = base
+        .groupBy(assignCol(col("v"), centroids).as("c"))
+        .agg(call_function("graft_vec_avg", col("v")).as("cv"))
+        .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
+      // empty clusters keep their previous centroid
+      centroids = centroids.indices.map(i => updated.getOrElse(i, centroids(i))).toArray
+    }
+    base.select(col("id").as(idCol), assignCol(col("v"), centroids).as("cluster"))
+  }
+}
