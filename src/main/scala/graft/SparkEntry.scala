@@ -153,7 +153,8 @@ object SparkEntry {
     "mm_frames" -> (Q.mmFrames _),
     "text_compress" -> (Q.textCompress _),
     "ann_recall" -> (Q.annRecall _),
-    "embed_kmeans" -> (Q.embedKmeans _)
+    "embed_kmeans" -> (Q.embedKmeans _),
+    "events_distinct_rollup" -> (Q.eventsDistinctRollup _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the

@@ -969,6 +969,28 @@ object Q {
       .select(col("id").as("vec_id"), col("cluster_id"))
   }
 
+  /** Re-aggregatable distinct-count rollup — THE 100 TB pre-aggregation
+    * pattern: per-(type, day) HLL sketches are built in one pass (the
+    * frame a pipeline would PERSIST as its daily summary table), then the
+    * per-type distinct-user estimate merges from the SKETCHES alone —
+    * `hll_union_agg` is max-per-register, so the rollup never rescans raw
+    * events and is exactly mergeable across any partitioning (unlike
+    * `approx_count_distinct`, whose sketch cannot be stored and re-merged
+    * from SQL). Estimates are deterministic: datasketches hashing is
+    * seed-fixed and union is commutative. Rows-only (DuckDB's sketch
+    * family differs); the spec checks the estimate against exact distinct
+    * counts. */
+  def eventsDistinctRollup(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables(s, dir, "events")
+      .select(col("event_type"), expr("ts div 86400000000000").as("d"), col("user_id"))
+      .groupBy("event_type", "d")
+      .agg(expr("hll_sketch_agg(user_id, 12)").as("_sk"), count(lit(1)).as("_n"))
+    daily.groupBy("event_type")
+      .agg(
+        expr("hll_sketch_estimate(hll_union_agg(_sk))").as("approx_users"),
+        sum("_n").as("n_events"), count(lit(1)).as("n_days"))
+  }
+
   /** ANN quality monitoring: recall@5 of the LSH index against the exact
     * brute-force neighbors, per query — the metric a pipeline watches to
     * size planes/tables before trusting an approximate index. Both sides
