@@ -215,4 +215,37 @@ class PropertySpec extends SparkSpec {
     }
     passes("dq", prop, 10)
   }
+
+  test("ffillThenBfill equals the sequential fill for arbitrary frames") {
+    import spark.implicits._
+    val gen = for {
+      n <- Gen.choose(1, 60)
+      vals <- Gen.listOfN(n, Gen.option(Gen.choose(-50, 50)))
+      strs <- Gen.listOfN(n, Gen.option(Gen.oneOf("a", "b", "c")))
+      parts <- Gen.choose(1, 9)
+      // non-contiguous, unordered-insert keys: ids get multiplied and offset
+      // so bucket boundaries fall between keys unpredictably
+      stride <- Gen.choose(1, 13)
+    } yield (vals, strs, parts, stride)
+    val prop = Prop.forAllNoShrink(gen) { case (vals, strs, parts, stride) =>
+      val rows = vals.zip(strs).zipWithIndex.map { case ((v, sOpt), i) =>
+        (i.toLong * stride + 7, v.map(_.toDouble), sOpt)
+      }
+      val df = rows.toDF("id", "x", "s").repartition(parts)
+      val got = graft.imputer.FfillBfill
+        .ffillThenBfill(df, "id", Seq("x", "s"), parts)
+        .orderBy("id").as[(Long, Option[Double], Option[String])].collect().toSeq
+      // sequential reference: ffill then bfill over the id-sorted rows
+      def fill[A](xs: Seq[Option[A]]): Seq[Option[A]] = {
+        val ff = xs.scanLeft(Option.empty[A])((c, v) => v.orElse(c)).tail
+        ff.scanRight(Option.empty[A])((v, c) => v.orElse(c)).init
+      }
+      val sorted = rows.sortBy(_._1)
+      val expect = sorted.map(_._1)
+        .lazyZip(fill(sorted.map(_._2))).lazyZip(fill(sorted.map(_._3)))
+        .map((a, b, c) => (a, b, c)).toSeq
+      got == expect
+    }
+    passes("ffill_bfill", prop, 10)
+  }
 }
