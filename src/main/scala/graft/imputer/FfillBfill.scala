@@ -83,10 +83,18 @@ object FfillBfill {
     val schema = df.schema
     val fields = valueCols.map(c => schema(schema.fieldIndex(c)))
 
+    // A NULL order key has no position in the fill order — and would
+    // otherwise bucket to NULL and silently VANISH in the carry join. Fail
+    // loudly, in-plan (assert_true is NULL for valid rows, so the filter
+    // keeps them all; the min/max pass below already fires it).
+    val guarded = df.filter(assert_true(col(orderCol).isNotNull,
+      lit(s"FfillBfill: order column '$orderCol' contains NULLs — the fill " +
+        "order is undefined; drop or impute the key first")).isNull)
+
     // 1. Key range from one cheap, column-pruned pass.
     val keyD = col(orderCol).cast("double")
-    val mm = df.agg(min(keyD).as("lo"), max(keyD).as("hi")).head()
-    if (mm.isNullAt(0)) return df // empty input (or all-null key): nothing to fill
+    val mm = guarded.agg(min(keyD).as("lo"), max(keyD).as("hi")).head()
+    if (mm.isNullAt(0)) return guarded // empty input: nothing to fill
     val (lo, hi) = (mm.getDouble(0), mm.getDouble(1))
     val fineN = math.max(1, FineFactor * parts)
     val span = hi - lo
@@ -105,7 +113,7 @@ object FfillBfill {
       Seq(min_by(c, when(c.isNotNull, ord)).as(s"__first_${f.name}"),
           max_by(c, when(c.isNotNull, ord)).as(s"__last_${f.name}"))
     }
-    val statRows = df.groupBy(fineCol.as("__fine")).agg(statAggs.head, statAggs.tail: _*).collect()
+    val statRows = guarded.groupBy(fineCol.as("__fine")).agg(statAggs.head, statAggs.tail: _*).collect()
     val stats = statRows.map(r => r.getInt(0) -> r).toMap
     val fineIds = stats.keys.toSeq.sorted
     val total = statRows.iterator.map(_.getLong(1)).sum
@@ -157,7 +165,7 @@ object FfillBfill {
     // LocalRelation (no job) — the broadcast is built driver-side.
     val mapDf = spark.createDataFrame(java.util.Arrays.asList(mapRows: _*), mapSchema)
 
-    val joined = df.withColumn("__fine", fineCol).join(broadcast(mapDf), "__fine")
+    val joined = guarded.withColumn("__fine", fineCol).join(broadcast(mapDf), "__fine")
     val w =
       if (backward)
         Window.partitionBy(col("__coarse")).orderBy(ord.desc)

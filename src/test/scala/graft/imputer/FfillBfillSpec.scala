@@ -69,4 +69,16 @@ class FfillBfillSpec extends SparkSpec {
       .as[(Long, Option[Double])].collect()
     assert(fb.toSeq == Seq((1L, Some(9.0)), (2L, Some(9.0)), (3L, Some(9.0)), (4L, Some(9.0))))
   }
+
+  test("a NULL order key fails execution instead of silently dropping the row") {
+    import spark.implicits._
+    val df = Seq((Some(1L), Some(1.0)), (None: Option[Long], Some(2.0)),
+      (Some(3L), None: Option[Double])).toDF("id", "x")
+    val e = intercept[Exception] {
+      FfillBfill.ffillThenBfill(df, "id", Seq("x")).count()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("contains NULLs")), msgs(e).mkString(" | "))
+  }
 }
