@@ -237,6 +237,24 @@ object Streams {
       .select(col("window.start").as("window_start"), col(typeCol),
         col("n_events"), col("sum_value"))
 
+  /** Streaming distinct-user estimates per (window, type) via datasketches
+    * HLL — exact streaming COUNT DISTINCT needs per-key value state that
+    * grows with cardinality; the sketch caps each group's state at the
+    * sketch size (2^lgK registers) no matter how many distinct users flow
+    * through. Watermark-evicted windowed state, mergeable partials, same
+    * sketch family as the batch events_distinct_rollup face — so a
+    * streaming job's persisted window sketches could be union-merged by
+    * the batch rollup later. */
+  def windowedDistinct(events: DataFrame, tsCol: String, typeCol: String,
+                       idCol: String, windowLen: String = "1 hour",
+                       watermark: String = "30 minutes"): DataFrame =
+    events.withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowLen), col(typeCol))
+      .agg(expr(s"hll_sketch_estimate(hll_sketch_agg($idCol))").as("approx_distinct"),
+        count(lit(1)).as("n_events"))
+      .select(col("window.start").as("window_start"), col(typeCol),
+        col("approx_distinct"), col("n_events"))
+
   /** Stream-stream interval join: pair each purchase with every click by
     * the same user in the preceding `horizonSec` seconds. Both sides carry
     * watermarks and the join condition bounds the time skew, so each side's

@@ -42,6 +42,31 @@ class StreamsSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming windowed HLL distinct matches exact counts on small cardinalities") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    // event_id stands in for user_id; duplicates within a window must
+    // collapse — ids 1,1,2 in window 0 and 3,3,3 in window 1
+    val events = Seq(
+      Ev(t(0), "click", 1.0, 1), Ev(t(5), "click", 1.0, 1), Ev(t(10), "click", 1.0, 2),
+      Ev(t(65), "click", 1.0, 3), Ev(t(70), "click", 1.0, 3), Ev(t(75), "click", 1.0, 3))
+    val out = Streams.windowedDistinct(input.toDF(), "ts", "event_type", "event_id")
+    val query = out.writeStream.format("memory").queryName("dist_out")
+      .outputMode("complete").start()
+    try {
+      input.addData(events: _*)
+      query.processAllAvailable()
+      val got = spark.table("dist_out")
+        .select("window_start", "approx_distinct", "n_events")
+        .collect().map(r => (r.getTimestamp(0).getTime, r.getLong(1), r.getLong(2)))
+        .toSet
+      // HLL is exact at tiny cardinality; windows align to epoch hours
+      val h0 = t(0).getTime / 3600000L * 3600000L
+      assert(got == Set((h0, 2L, 3L), (h0 + 3600000L, 1L, 3L)))
+    } finally query.stop()
+  }
+
   test("streaming anomaly alert emits only windows beyond the baseline z") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
