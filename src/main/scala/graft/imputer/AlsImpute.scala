@@ -34,9 +34,18 @@ object AlsImpute {
     require(rank >= 1 && maxIter >= 1, s"rank/maxIter must be >= 1")
     // MLlib ALS keys are Int. Silently casting wider ids would overflow —
     // distinct longs collide, corrupting training AND the fill join with no
-    // error — so ids beyond Int range fail loudly. One cheap narrow agg,
-    // only paid when a column is actually wider than int.
-    import org.apache.spark.sql.types.{ByteType, IntegerType, ShortType}
+    // error — so ids beyond Int range fail loudly. Non-numeric ids (strings)
+    // are rejected outright: they cast to NULL, which would skip the range
+    // guard below AND null out the cast("int") keys — the same silent-
+    // corruption class the guard exists to prevent.
+    import org.apache.spark.sql.types.{ByteType, IntegerType, NumericType, ShortType}
+    Seq(rowCol, colCol).foreach { c =>
+      val dt = cells.schema(cells.schema.fieldIndex(c)).dataType
+      require(dt.isInstanceOf[NumericType],
+        s"AlsImpute.complete: id column '$c' has type ${dt.simpleString} — " +
+          "MLlib ALS keys are Int; map ids to integers first, e.g. via " +
+          "dense_rank() or a dictionary join")
+    }
     val intLike: Set[org.apache.spark.sql.types.DataType] = Set(ByteType, ShortType, IntegerType)
     val wide = Seq(rowCol, colCol)
       .filterNot(c => intLike(cells.schema(cells.schema.fieldIndex(c)).dataType))

@@ -34,21 +34,35 @@ import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
   *
   * Results are identical to the single-window formulation (verified against
   * the DuckDB `IGNORE NULLS` window oracle) while every stage stays
-  * embarrassingly parallel. Requires `orderCol` to be a unique numeric key
-  * (castable to double; keys beyond 2^53 lose bucket precision, not
-  * correctness — buckets only need to be contiguous, not exact).
+  * embarrassingly parallel. `orderCol` must be numeric / timestamp / date —
+  * enforced loudly, because a silently-cast string key would either produce
+  * lexicographic-vs-numeric ordering disagreements between the bucket
+  * boundaries and the window sort (wrong carries) or cast to all-NULL and
+  * return the input unfilled. Keys beyond 2^53 lose bucket precision, not
+  * correctness — buckets only need to be contiguous, not exact.
+  *
+  * The algorithm runs THREE jobs over the input (key range, bucket stats,
+  * fill). The first two are narrow agg-only passes that column-prune to
+  * `orderCol` (+ `valueCols`), so for scan-backed inputs the replays are
+  * cheap pruned scans and no materialization is forced on the caller. When
+  * the upstream lineage is expensive (joins, imputers), pass
+  * `reuseInput = true` to localCheckpoint the input once and run all three
+  * passes against the materialized copy (cluster path: the caller persists
+  * to reliable storage instead).
   */
 object FfillBfill {
 
   private val FineFactor = 16
 
   /** Forward-fill `valueCols` in the global order of `orderCol`. */
-  def ffill(df: DataFrame, orderCol: String, valueCols: Seq[String], numPartitions: Int = 0): DataFrame =
-    fill(df, orderCol, valueCols, numPartitions, backward = false, bfillFallback = false)
+  def ffill(df: DataFrame, orderCol: String, valueCols: Seq[String], numPartitions: Int = 0,
+            reuseInput: Boolean = false): DataFrame =
+    fill(df, orderCol, valueCols, numPartitions, backward = false, bfillFallback = false, reuseInput)
 
   /** Backward-fill `valueCols` in the global order of `orderCol`. */
-  def bfill(df: DataFrame, orderCol: String, valueCols: Seq[String], numPartitions: Int = 0): DataFrame =
-    fill(df, orderCol, valueCols, numPartitions, backward = true, bfillFallback = false)
+  def bfill(df: DataFrame, orderCol: String, valueCols: Seq[String], numPartitions: Int = 0,
+            reuseInput: Boolean = false): DataFrame =
+    fill(df, orderCol, valueCols, numPartitions, backward = true, bfillFallback = false, reuseInput)
 
   /** ffill then bfill — the reference's hierarchical impute — in ONE data
     * shuffle instead of two. Key observation: after a forward fill the only
@@ -57,8 +71,9 @@ object FfillBfill {
     * fill is `coalesce(running last, carry-in, global first)` — identical
     * output to bfill(ffill(df)) (covered by the DuckDB IGNORE NULLS window
     * oracle) at half the shuffles. */
-  def ffillThenBfill(df: DataFrame, orderCol: String, valueCols: Seq[String], numPartitions: Int = 0): DataFrame =
-    fill(df, orderCol, valueCols, numPartitions, backward = false, bfillFallback = true)
+  def ffillThenBfill(df: DataFrame, orderCol: String, valueCols: Seq[String], numPartitions: Int = 0,
+                     reuseInput: Boolean = false): DataFrame =
+    fill(df, orderCol, valueCols, numPartitions, backward = false, bfillFallback = true, reuseInput)
 
   /** Group-scoped ffill→bfill (e.g. per user / per series): plain windows
     * partitioned by the group key — already parallel over groups, no
@@ -76,25 +91,52 @@ object FfillBfill {
   }
 
   private def fill(df: DataFrame, orderCol: String, valueCols: Seq[String],
-                   numPartitions: Int, backward: Boolean, bfillFallback: Boolean): DataFrame = {
+                   numPartitions: Int, backward: Boolean, bfillFallback: Boolean,
+                   reuseInput: Boolean = false): DataFrame = {
     val spark = df.sparkSession
     val parts = if (numPartitions > 0) numPartitions
       else spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
     val schema = df.schema
     val fields = valueCols.map(c => schema(schema.fieldIndex(c)))
 
+    // Bucket boundaries come from cast(orderCol as double) and the window
+    // sorts on the raw column — those two orders only agree for genuinely
+    // numeric/chronological keys. A string key would either cast to all-NULL
+    // (input returned unfilled, silently) or sort lexicographically against
+    // numeric buckets (wrong carries, silently). Fail loudly instead.
+    import org.apache.spark.sql.types.{DateType, NumericType, TimestampType}
+    schema(schema.fieldIndex(orderCol)).dataType match {
+      case _: NumericType | TimestampType | DateType => ()
+      case dt => throw new IllegalArgumentException(
+        s"FfillBfill: order column '$orderCol' has type ${dt.simpleString} — " +
+          "the global fill order needs a numeric, timestamp, or date key " +
+          "(string keys would bucket numerically but sort lexicographically). " +
+          "Cast or dense_rank() the key first.")
+    }
+
     // A NULL order key has no position in the fill order — and would
     // otherwise bucket to NULL and silently VANISH in the carry join. Fail
     // loudly, in-plan (assert_true is NULL for valid rows, so the filter
     // keeps them all; the min/max pass below already fires it).
-    val guarded = df.filter(assert_true(col(orderCol).isNotNull,
+    val guarded0 = df.filter(assert_true(col(orderCol).isNotNull,
       lit(s"FfillBfill: order column '$orderCol' contains NULLs — the fill " +
         "order is undefined; drop or impute the key first")).isNull)
+    // Opt-in: materialize once instead of replaying expensive upstream
+    // lineage in each of the three passes (see object scaladoc).
+    val guarded = if (reuseInput) guarded0.localCheckpoint() else guarded0
 
-    // 1. Key range from one cheap, column-pruned pass.
-    val keyD = col(orderCol).cast("double")
-    val mm = guarded.agg(min(keyD).as("lo"), max(keyD).as("hi")).head()
-    if (mm.isNullAt(0)) return guarded // empty input: nothing to fill
+    // 1. Key range (+ row count: the empty-input test) from one cheap,
+    // column-pruned pass. The count — not a NULL min — keys the early
+    // return, so the decision is independent of how the key casts.
+    // (date has no direct numeric cast; route it through timestamp — a
+    // monotonic map, which is all bucketing needs.)
+    val keyD = schema(schema.fieldIndex(orderCol)).dataType match {
+      case DateType => col(orderCol).cast("timestamp").cast("double")
+      case _        => col(orderCol).cast("double")
+    }
+    val mm = guarded.agg(min(keyD).as("lo"), max(keyD).as("hi"),
+      count(lit(1)).as("n")).head()
+    if (mm.getLong(2) == 0L) return guarded // empty input: nothing to fill
     val (lo, hi) = (mm.getDouble(0), mm.getDouble(1))
     val fineN = math.max(1, FineFactor * parts)
     val span = hi - lo

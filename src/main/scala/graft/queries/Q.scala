@@ -984,10 +984,10 @@ object Q {
     val daily = Tables(s, dir, "events")
       .select(col("event_type"), expr("ts div 86400000000000").as("d"), col("user_id"))
       .groupBy("event_type", "d")
-      .agg(expr("hll_sketch_agg(user_id, 12)").as("_sk"), count(lit(1)).as("_n"))
+      .agg(hll_sketch_agg(col("user_id"), 12).as("_sk"), count(lit(1)).as("_n"))
     daily.groupBy("event_type")
       .agg(
-        expr("hll_sketch_estimate(hll_union_agg(_sk))").as("approx_users"),
+        hll_sketch_estimate(hll_union_agg(col("_sk"))).as("approx_users"),
         sum("_n").as("n_events"), count(lit(1)).as("n_days"))
   }
 

@@ -9,8 +9,12 @@ import graft.functions.VectorFunctions.toDouble
   * training all reduce to this primitive. Same discipline as [[Pq]]'s
   * per-subspace codebooks:
   *
-  *   - init: the k lowest-id vectors (no RNG — reproducible across runs
-  *     and partitionings);
+  *   - init: the k vectors with the lowest `xxhash64(id)` (no RNG —
+  *     reproducible across runs and partitionings; hash order rather than
+  *     id order because adjacent ids are often near-duplicates, and an
+  *     id-ordered seed would start Lloyd with k copies of the same
+  *     neighborhood — the same diversity argument as [[Pq]]'s codebook
+  *     seeding);
   *   - assign: argmin over k LITERAL centroids computed with the native
   *     `graft_dot` loops — a pure whole-stage-codegen projection, no
   *     shuffle, no broadcast join;
@@ -49,8 +53,10 @@ object KMeans {
       // localCheckpoint materializes it once instead of re-running the
       // caller's arbitrary upstream lineage every iteration
       .localCheckpoint()
-    // deterministic seed: the k lowest-id vectors
-    var centroids: Array[Array[Double]] = base.orderBy("id").limit(k)
+    // deterministic, diversity-preserving seed: the k lowest-HASH vectors
+    // (TakeOrderedAndProject — scale-safe, no global sort materializes)
+    var centroids: Array[Array[Double]] = base
+      .orderBy(xxhash64(col("id")), col("id")).limit(k)
       .select("v").collect().map(_.getSeq[Double](0).toArray)
     require(centroids.length == k,
       s"need at least k=$k rows to seed k-means, got ${centroids.length}")

@@ -25,9 +25,10 @@ import graft.functions.VectorFunctions.toDouble
   *   - search: encoded table scans once; ADC distance is a codegen'd
   *     lookup sum; top-k via the graft_topk heap aggregate.
   *
-  * Determinism: centroid init takes the k lowest-id vectors' subvectors
-  * (no RNG), iterations are a fixed count, and every reduction is the
-  * mergeable vec-avg — results are reproducible across partitionings. */
+  * Determinism: centroid init takes the k lowest-`xxhash64(id)` vectors'
+  * subvectors (no RNG), iterations are a fixed count, and every reduction
+  * is the mergeable vec-avg — results are reproducible across
+  * partitionings. */
 object Pq {
 
   case class Model(m: Int, subDim: Int, centroids: Array[Array[Array[Double]]]) {
@@ -104,14 +105,28 @@ object Pq {
   /** ADC top-k: squared-L2 nearest neighbors of each query over the
     * ENCODED table (codes only — the float vectors never rescan). The
     * per-query m×k distance table is computed driver-side and inlined as
-    * literals; each row's distance is m array lookups. */
+    * literals; each row's distance is m array lookups.
+    *
+    * Driver contract: the QUERY set collects to the driver and ships as one
+    * broadcast of per-query m×k double tables — memory grows as
+    * queries × m × k × 8 bytes (plus the raw query vectors while tables are
+    * built). `maxQueries` bounds that collect the same way `maxLists` bounds
+    * the IVF centroid map: limit(maxQueries+1) caps what can ever reach the
+    * driver, one extra row proves overflow. A corpus-sized "query set" is a
+    * different operator (all-pairs — use the LSH/self-join faces). */
   def adcTopK(encoded: DataFrame, queries: DataFrame, idCol: String,
-              vecCol: String, model: Model, k: Int): DataFrame = {
+              vecCol: String, model: Model, k: Int,
+              maxQueries: Int = 100000): DataFrame = {
     val spark = encoded.sparkSession
     import spark.implicits._
     val qRows = queries.select(col(idCol).as("query_id"), toDouble(col(vecCol)).as("qv"))
-      .collect()
+      .limit(maxQueries + 1).collect()
     require(qRows.nonEmpty, "empty query set")
+    require(qRows.length <= maxQueries,
+      s"adcTopK: more than maxQueries=$maxQueries query vectors — the ADC " +
+        "tables are driver-built and broadcast (queries × m × k doubles); " +
+        "batch the query set, or raise maxQueries alongside " +
+        "spark.driver.memory if the broadcast still fits")
     // one m×k lookup table per query (a few KB each), shipped as ONE
     // broadcast frame so the encoded table scans exactly once for the
     // whole query set
@@ -158,7 +173,8 @@ object Pq {
   def ivfPqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
                 vecCol: String, listCol: String, dim: Int,
                 m: Int = 8, kCode: Int = 16, iters: Int = 2,
-                nProbe: Int = 2, k: Int = 5, maxLists: Int = 200000): DataFrame = {
+                nProbe: Int = 2, k: Int = 5, maxLists: Int = 200000,
+                maxQueries: Int = 100000): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val listType = corpus.schema(corpus.schema.fieldIndex(listCol)).dataType
@@ -199,10 +215,17 @@ object Pq {
       .join(residuals.select("id", "list"), Seq("id"))
     // probes: per query, the nProbe nearest list centroids (driver math —
     // queries are the small side by contract) + the ADC table of the
-    // query's RESIDUAL against that list
+    // query's RESIDUAL against that list. Driver memory grows as
+    // queries × nProbe × m × kCode doubles — bounded like maxLists above:
+    // limit(maxQueries+1) caps the collect, one extra row proves overflow.
     val qRows = queries.select(col(idCol).as("query_id"), toDouble(col(vecCol)).as("qv"))
-      .collect()
+      .limit(maxQueries + 1).collect()
     require(qRows.nonEmpty, "empty query set")
+    require(qRows.length <= maxQueries,
+      s"ivfPqTopK: more than maxQueries=$maxQueries query vectors — the " +
+        "probe tables are driver-built and broadcast (queries × nProbe × " +
+        "m × kCode doubles); batch the query set, or raise maxQueries " +
+        "alongside spark.driver.memory if the broadcast still fits")
     def l2(a: Array[Double], b: Array[Double]): Double = {
       var d = 0.0; var i = 0
       while (i < a.length) { val t = a(i) - b(i); d += t * t; i += 1 }

@@ -241,19 +241,29 @@ object Streams {
     * HLL — exact streaming COUNT DISTINCT needs per-key value state that
     * grows with cardinality; the sketch caps each group's state at the
     * sketch size (2^lgK registers) no matter how many distinct users flow
-    * through. Watermark-evicted windowed state, mergeable partials, same
-    * sketch family as the batch events_distinct_rollup face — so a
-    * streaming job's persisted window sketches could be union-merged by
-    * the batch rollup later. */
+    * through. Watermark-evicted windowed state, mergeable partials.
+    *
+    * The output carries the sketch BINARY (`distinct_sketch`), not just the
+    * estimate: `hll_union_agg` is max-per-register, so persisted window
+    * sketches union-merge exactly downstream — the lambda shape where a
+    * streaming job lands per-window sketches and the batch
+    * events_distinct_rollup face merges them into longer horizons without
+    * rescanning raw events (estimates alone cannot be merged: distinct
+    * counts don't add across windows that share users). `lgK` must match
+    * the batch side's (default 12 on both) for a same-precision union.
+    * Typed `functions.hll_sketch_agg` on `col(idCol)` — caller column
+    * names are never spliced into SQL text. */
   def windowedDistinct(events: DataFrame, tsCol: String, typeCol: String,
                        idCol: String, windowLen: String = "1 hour",
-                       watermark: String = "30 minutes"): DataFrame =
+                       watermark: String = "30 minutes",
+                       lgK: Int = 12): DataFrame =
     events.withWatermark(tsCol, watermark)
       .groupBy(window(col(tsCol), windowLen), col(typeCol))
-      .agg(expr(s"hll_sketch_estimate(hll_sketch_agg($idCol))").as("approx_distinct"),
+      .agg(hll_sketch_agg(col(idCol), lgK).as("distinct_sketch"),
         count(lit(1)).as("n_events"))
       .select(col("window.start").as("window_start"), col(typeCol),
-        col("approx_distinct"), col("n_events"))
+        hll_sketch_estimate(col("distinct_sketch")).as("approx_distinct"),
+        col("n_events"), col("distinct_sketch"))
 
   /** Stream-stream interval join: pair each purchase with every click by
     * the same user in the preceding `horizonSec` seconds. Both sides carry

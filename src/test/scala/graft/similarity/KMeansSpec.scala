@@ -8,8 +8,11 @@ class KMeansSpec extends SparkSpec {
 
   private val dim = 8
 
-  /** Two well-separated families, ids INTERLEAVED so the lowest-id seeds
-    * (0, 1) land one per family — clean Lloyd separation is guaranteed. */
+  /** Two well-separated families with interleaved ids. Seeding is by
+    * lowest `xxhash64(id)` — deliberately NOT id order: adjacent ids are
+    * often near-duplicates in real corpora, and an id-ordered seed would
+    * start Lloyd with k copies of one neighborhood (see the seed-diversity
+    * test below, where id-order seeding would be provably degenerate). */
   private def corpus = {
     (0 until 40).map { i =>
       val fam = i % 2
@@ -35,6 +38,27 @@ class KMeansSpec extends SparkSpec {
     assert(run(corpus) == run(corpus.repartition(7)))
   }
 
+  test("seed diversity: identical lowest-id duplicates don't degenerate the seeding") {
+    // ids 0..3 are EXACT copies of one family-A vector. Id-order seeding at
+    // k=2 would pick two identical centroids — one cluster permanently
+    // empty, families merged. Hash-order seeding must still separate the
+    // families (deterministically: xxhash64 is seed-fixed).
+    val degenerate = (0 until 40).map { i =>
+      if (i < 4) (i.toLong, Array.fill(dim)(5.0f).toSeq)
+      else {
+        val fam = i % 2
+        val base = if (fam == 0) Array.fill(dim)(5.0f) else Array.fill(dim)(-5.0f)
+        (i.toLong, base.zipWithIndex.map { case (b, d) => b + 0.01f * ((i * 3 + d) % 7) }.toSeq)
+      }
+    }.toDF("vec_id", "embedding")
+    val out = KMeans.assign(degenerate, "vec_id", "embedding", k = 2, iters = 3)
+      .as[(Long, Int)].collect().toMap
+    val plusSide = out.filter { case (id, _) => id < 4 || id % 2 == 0 }.values.toSet
+    val minusSide = out.filter { case (id, _) => id >= 4 && id % 2 == 1 }.values.toSet
+    assert(plusSide.size == 1 && minusSide.size == 1 && plusSide != minusSide,
+      s"families merged under duplicate-heavy low ids: +$plusSide -$minusSide")
+  }
+
   test("fewer rows than k fails with an actionable message") {
     val tiny = corpus.limit(2)
     val e = intercept[IllegalArgumentException] {
@@ -51,10 +75,18 @@ class KMeansSpec extends SparkSpec {
       assert(hits >= 0L && hits <= 5L)
       assert(r >= 0.0 && r <= 1.0 && r == hits / 5.0)
     }
-    // the wide-recall LSH config should find most true neighbors even on
-    // the low-cosine synthetic corpus
+    // TRACKED FLOOR: mean recall@5 measured 0.90 over the 6 registered
+    // queries (sf0.001, planes=8/tables=8, 2026-08-13). The pipeline is
+    // deterministic (seed-fixed hyperplanes, fixed corpus), so any drop
+    // below the measured value is a real regression in the LSH config or
+    // candidate generation — not noise. Re-measure and update this number
+    // deliberately if planes/tables/mix change.
     val mean = out.map(_._3).sum / out.length
-    assert(mean > 0.5, s"mean recall@5 $mean suspiciously low")
+    info(s"mean recall@5 = $mean over ${out.length} queries")
+    assert(mean >= 0.90 - 1e-9,
+      s"mean recall@5 $mean fell below the measured floor 0.90 — " +
+        "LSH recall regressed (planes/tables/hyperplane seed or candidate " +
+        "generation changed)")
   }
 
   test("embed_kmeans face: k clusters over testdata, deterministic") {

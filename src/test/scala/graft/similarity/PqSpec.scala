@@ -92,6 +92,24 @@ class PqSpec extends SparkSpec {
     assert(asString == asInt)
   }
 
+  test("maxQueries bound trips loudly on an oversized query set") {
+    val model = Pq.fit(corpus, "vec_id", "embedding", dim, m = 4, k = 8, iters = 1)
+    val encoded = Pq.encode(corpus, "vec_id", "embedding", model)
+    // 48-row corpus as the "query set" against maxQueries = 10: the
+    // limit(+1)-capped collect must fail the require, naming the knob
+    val eAdc = intercept[IllegalArgumentException] {
+      Pq.adcTopK(encoded, corpus, "vec_id", "embedding", model, k = 3,
+        maxQueries = 10)
+    }
+    assert(eAdc.getMessage.contains("maxQueries=10"))
+    val listed = corpus.withColumn("list", (col("vec_id") / 8).cast("int"))
+    val eIvf = intercept[IllegalArgumentException] {
+      Pq.ivfPqTopK(listed, corpus, "vec_id", "embedding", "list", dim,
+        m = 4, kCode = 8, iters = 1, nProbe = 2, k = 3, maxQueries = 10)
+    }
+    assert(eIvf.getMessage.contains("maxQueries=10"))
+  }
+
   test("fit and search are deterministic across invocations") {
     def run(): Seq[(Long, Long)] = {
       val model = Pq.fit(corpus, "vec_id", "embedding", dim, m = 4, k = 8, iters = 2)

@@ -67,6 +67,41 @@ class StreamsSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming window sketches union-merge downstream: lambda rollup matches exact distinct") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    // ids OVERLAP across windows (window 0 sees {1,2}, window 1 sees {2,3}):
+    // per-window estimates sum to 4, the true merged distinct is 3 — only a
+    // register-level sketch union can get this right downstream
+    val events = Seq(
+      Ev(t(0), "click", 1.0, 1), Ev(t(5), "click", 1.0, 2),
+      Ev(t(65), "click", 1.0, 2), Ev(t(70), "click", 1.0, 3))
+    val out = Streams.windowedDistinct(input.toDF(), "ts", "event_type", "event_id")
+    val query = out.writeStream.format("memory").queryName("sketch_out")
+      .outputMode("complete").start()
+    try {
+      input.addData(events: _*)
+      query.processAllAvailable()
+      val landed = spark.table("sketch_out")
+      // the persisted table carries the sketch binary per window
+      assert(landed.schema("distinct_sketch").dataType ==
+        org.apache.spark.sql.types.BinaryType)
+      assert(landed.count() == 2)
+      // batch-side rollup over the landed sketches — the same merge the
+      // events_distinct_rollup face runs; no raw events rescanned
+      val merged = landed.groupBy("event_type")
+        .agg(hll_sketch_estimate(hll_union_agg(col("distinct_sketch")))
+          .as("approx_users"))
+        .as[(String, Long)].collect().toMap
+      assert(merged == Map("click" -> 3L), s"union-merged estimate: $merged")
+      // and the naive sum of per-window estimates is WRONG (4), which is
+      // exactly why the sketch column must be emitted
+      val summed = landed.agg(sum("approx_distinct")).as[Long].head()
+      assert(summed == 4L)
+    } finally query.stop()
+  }
+
   test("streaming anomaly alert emits only windows beyond the baseline z") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
