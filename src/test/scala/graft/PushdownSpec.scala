@@ -1,0 +1,106 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+
+/** Scan-level evidence that Catalyst's two free 100 TB optimizations reach
+  * the parquet leaves of the registered plans:
+  *
+  *  - COLUMN PRUNING: a query touching 3 of lineitem's 16 columns must
+  *    present a 3-column ReadSchema to the scan — reading 16 means ~5×
+  *    the I/O at 100 TB for identical results.
+  *  - PREDICATE PUSHDOWN: a selective filter must appear in the scan's
+  *    PushedFilters so parquet row-group statistics can skip data, not
+  *    just rows post-read.
+  *
+  * PlanLintSpec bans the scale-killing OPERATORS; this spec pins the
+  * scale-critical SCAN properties on representative queries, so a refactor
+  * that silently breaks pruning (e.g. routing a frame through an opaque
+  * UDF or RDD before its first projection) fails a spec, not a 100 TB run.
+  */
+class PushdownSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  /** All parquet scans of `relation` (by path substring) in the plan. */
+  private def scansOf(df: DataFrame, relation: String): Seq[FileSourceScanExec] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[FileSourceScanExec]
+    def walk(p: SparkPlan): Unit = {
+      p match {
+        case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+        case f: FileSourceScanExec
+          if f.relation.location.rootPaths.exists(_.toString.contains(relation)) =>
+          out += f
+        case _ => ()
+      }
+      p.children.foreach(walk)
+      p.subqueries.foreach(walk)
+    }
+    walk(df.queryExecution.executedPlan)
+    out.toSeq
+  }
+
+  private def readColumns(s: FileSourceScanExec): Set[String] =
+    s.requiredSchema.fieldNames.toSet
+
+  test("q6_filter prunes lineitem to its 3 used columns and pushes both predicates") {
+    val scans = scansOf(SparkEntry.queries("q6_filter")(spark, sf), "lineitem")
+    assert(scans.nonEmpty, "no lineitem scan found")
+    val cols = scans.map(readColumns).reduce(_ union _)
+    assert(cols == Set("l_discount", "l_quantity", "l_extendedprice"),
+      s"expected exactly the 3 q6 columns at the scan, got $cols")
+    // both selective predicates must reach parquet (row-group skipping)
+    val pushed = scans.map(_.metadata.getOrElse("PushedFilters", "")).mkString(";")
+    for (c <- Seq("l_discount", "l_quantity"))
+      assert(pushed.contains(c), s"filter on $c not pushed to the scan: $pushed")
+  }
+
+  test("q1_agg prunes lineitem to the 5 aggregation columns") {
+    val scans = scansOf(SparkEntry.queries("q1_agg")(spark, sf), "lineitem")
+    assert(scans.nonEmpty)
+    val cols = scans.map(readColumns).reduce(_ union _)
+    assert(cols == Set("l_returnflag", "l_linestatus", "l_quantity",
+      "l_extendedprice", "l_discount"),
+      s"q1 reads only its 5 agg columns, got $cols")
+  }
+
+  test("imp_ffill_bfill's Catalyst rewrite keeps 3-column pruning through the fill") {
+    // the r5->r6 rewrite's headline win: the RDD version forced every
+    // source column through the scan; the pure-Catalyst fill must keep
+    // exactly (order key, 2 value columns) — this is the regression tripwire
+    val scans = scansOf(SparkEntry.queries("imp_ffill_bfill")(spark, sf), "customer")
+    assert(scans.nonEmpty, "no customer scan found")
+    scans.foreach { s =>
+      val cols = readColumns(s)
+      assert(cols.size <= 3,
+        s"fill must scan only orderCol+valueCols, got $cols")
+    }
+  }
+
+  test("ann_topk prunes embeddings to id + vector") {
+    val scans = scansOf(SparkEntry.queries("ann_topk")(spark, sf), "embeddings")
+    assert(scans.nonEmpty)
+    val cols = scans.map(readColumns).reduce(_ union _)
+    assert(cols.subsetOf(Set("vec_id", "embedding")),
+      s"ann_topk needs only (vec_id, embedding), got $cols")
+  }
+
+  test("text_quality prunes documents to id + text") {
+    val scans = scansOf(SparkEntry.queries("text_quality")(spark, sf), "documents")
+    assert(scans.nonEmpty)
+    val cols = scans.map(readColumns).reduce(_ union _)
+    assert(cols.subsetOf(Set("doc_id", "text")),
+      s"text_quality needs only (doc_id, text), got $cols")
+  }
+
+  test("q3_join pushes the segment filter into the customer scan") {
+    val scans = scansOf(SparkEntry.queries("q3_join")(spark, sf), "customer")
+    assert(scans.nonEmpty)
+    val pushed = scans.map(_.metadata.getOrElse("PushedFilters", "")).mkString(";")
+    assert(pushed.contains("c_mktsegment"), s"segment filter not pushed: $pushed")
+    val cols = scans.map(readColumns).reduce(_ union _)
+    assert(!cols.contains("c_comment") && !cols.contains("c_address"),
+      s"q3 must not drag wide customer columns, got $cols")
+  }
+}
