@@ -1,0 +1,70 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Measure how registered queries scale with data volume: median-of-3
+  * wall time per query at each scale factor directory, written as JSON.
+  *
+  * `runMain graft.tools.ScalingBench [query ...]` — defaults to the bench
+  * heavies plus two cheap scans (the fixed-overhead anchors). Env:
+  * `SPARK_GRAFT_SF_DIRS` (comma-separated, default the three testdata
+  * sfs), `SPARK_GRAFT_SCALING_OUT` (default docs/SCALING.json).
+  *
+  * The point is the RATIO between adjacent sfs (10× data each step): a
+  * linear operator's ratio tends to 10 as data dwarfs fixed scheduling
+  * cost; a quadratic one blows past it. This is the committed evidence
+  * that the 100 TB extrapolation rests on measurements, not adjectives.
+  */
+object ScalingBench {
+  private val DefaultQueries = Seq(
+    "embed_cluster_lsh", "ann_ivfpq", "ann_pq", "ann_lsh", "imp_ml_tree",
+    "dedup_cluster", "dedup_stats", "dedup_jaccard", "dedup_simhash",
+    "q_basket", "imp_als", "q21_waiting", "text_tfidf", "imp_knn",
+    "pipeline_neardup", "imp_ffill_bfill", "q1_agg", "q6_filter")
+
+  def main(args: Array[String]): Unit = {
+    val sfDirs = sys.env.getOrElse("SPARK_GRAFT_SF_DIRS",
+      "/root/testdata/sf0.001,/root/testdata/sf0.01,/root/testdata/sf0.1").split(",").toSeq
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_SCALING_OUT", "docs/SCALING.json")
+    val spark = SparkSession.builder()
+      .master("local[" + sys.env.getOrElse("SPARK_GRAFT_CPUS", "32") + "]")
+      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val names = (if (args.nonEmpty) args.toSeq else DefaultQueries)
+      .filter(graft.SparkEntry.queries.contains)
+    def fmt(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val rows = for (name <- names) yield {
+      val fn = graft.SparkEntry.queries(name)
+      val medians = for (dir <- sfDirs) yield {
+        def once(): Double = {
+          val t0 = System.nanoTime()
+          fn(spark, dir).count()
+          (System.nanoTime() - t0) / 1e9
+        }
+        once() // unmeasured warmup: codegen + JIT for this (query, sf) plan
+        System.gc()
+        val s = List(once(), once(), once()).sorted
+        s(1)
+      }
+      println(f"$name%-20s ${medians.map(fmt).mkString("  ")}")
+      name -> medians
+    }
+    val json = rows.map { case (n, ms) =>
+      s"""    "$n": [${ms.map(fmt).mkString(",")}]"""
+    }.mkString(",\n")
+    val w = new java.io.PrintWriter(outPath, "UTF-8")
+    try w.println(
+      s"""{
+  "sf_dirs": [${sfDirs.map("\"" + _ + "\"").mkString(",")}],
+  "protocol": "median-of-3 after unmeasured warmup, per (query, sf)",
+  "unit": "sec",
+  "queries": {
+$json
+  }
+}""") finally w.close()
+    spark.stop()
+  }
+}

@@ -53,6 +53,16 @@ class AlsImputeSpec extends SparkSpec {
     assert(e.getMessage.contains("outside Int range") && e.getMessage.contains("row"))
   }
 
+  test("string id columns are rejected outright, not cast to NULL keys") {
+    val cells = Seq(("r1", 0, Some(2.0)), ("r2", 0, Some(3.0)),
+      ("r2", 1, Option.empty[Double])).toDF("row", "col", "value")
+    val e = intercept[IllegalArgumentException] {
+      AlsImpute.complete(cells, "row", "col", "value", "filled", rank = 1, maxIter = 2)
+    }
+    assert(e.getMessage.contains("'row'") && e.getMessage.contains("string"),
+      e.getMessage)
+  }
+
   test("int-typed id columns skip the bounds scan entirely") {
     val cells = Seq((0, 0, Some(2.0)), (1, 0, Some(3.0)), (1, 1, Option.empty[Double]))
       .toDF("row", "col", "value")

@@ -70,6 +70,27 @@ class FfillBfillSpec extends SparkSpec {
     assert(fb.toSeq == Seq((1L, Some(9.0)), (2L, Some(9.0)), (3L, Some(9.0)), (4L, Some(9.0))))
   }
 
+  test("a string order key is rejected loudly, not bucketed lexicographically") {
+    import spark.implicits._
+    val df = Seq(("a1", Some(1.0)), ("a10", None: Option[Double]), ("a2", Some(3.0)))
+      .toDF("key", "x")
+    val e = intercept[IllegalArgumentException] {
+      FfillBfill.ffill(df, "key", Seq("x"))
+    }
+    assert(e.getMessage.contains("key") && e.getMessage.contains("string"),
+      e.getMessage)
+  }
+
+  test("reuseInput materialization changes nothing about the result") {
+    val df = data(150)
+    val plain = FfillBfill.ffillThenBfill(df, "id", Seq("x", "s"), numPartitions = 5)
+      .orderBy("id").collect()
+    val reused = FfillBfill.ffillThenBfill(df, "id", Seq("x", "s"), numPartitions = 5,
+        reuseInput = true)
+      .orderBy("id").collect()
+    assert(plain.toSeq == reused.toSeq)
+  }
+
   test("a NULL order key fails execution instead of silently dropping the row") {
     import spark.implicits._
     val df = Seq((Some(1L), Some(1.0)), (None: Option[Long], Some(2.0)),
