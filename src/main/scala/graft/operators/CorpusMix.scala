@@ -35,7 +35,7 @@ object CorpusMix {
     val thresholds = rates.crossJoin(broadcast(maxRate))
       .select(col(sourceCol),
         round(col("_r") / col("_rmax") * 10000.0, 0).cast("bigint").as("_thresh"))
-    df.join(broadcast(thresholds), Seq(sourceCol))
+    Sampling.requireIds(df, idCol).join(broadcast(thresholds), Seq(sourceCol))
       .filter(Sampling.bucket(col(idCol)) < col("_thresh"))
       .select(col(idCol), col(sourceCol))
   }

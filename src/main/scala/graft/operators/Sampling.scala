@@ -21,10 +21,20 @@ object Sampling {
   def bucket(id: Column): Column =
     pmod(pmod(id, lit(10000L)) * lit(2654435761L), lit(10000L))
 
+  /** A NULL id has no bucket, so every operator here would misroute it
+    * SILENTLY — the filters drop the row (null comparison), while split's
+    * when-chain would dump it in the last split. Fail loudly in-plan
+    * instead (assert_true is NULL for valid rows, so the filter keeps them
+    * all), same discipline as FfillBfill's order-key guard. */
+  private[operators] def requireIds(df: DataFrame, idCol: String): DataFrame =
+    df.filter(assert_true(col(idCol).isNotNull,
+      lit(s"Sampling: id column '$idCol' contains NULLs — a null id has no " +
+        "deterministic bucket; drop or impute the id first")).isNull)
+
   /** Keep rows whose bucket falls under `fraction` (resolution 0.01%). */
   def uniform(df: DataFrame, idCol: String, fraction: Double): DataFrame = {
     require(fraction >= 0 && fraction <= 1, s"fraction must be in [0,1], got $fraction")
-    df.filter(bucket(col(idCol)) < math.round(fraction * 10000))
+    requireIds(df, idCol).filter(bucket(col(idCol)) < math.round(fraction * 10000))
   }
 
   /** Train/val/test assignment: adds `outCol` ('train'/'val'/'test') from
@@ -37,7 +47,7 @@ object Sampling {
     require(trainFrac >= 0 && valFrac >= 0 && trainFrac + valFrac <= 1,
       s"fractions must be non-negative and sum to at most 1, got $trainFrac + $valFrac")
     val b = bucket(col(idCol))
-    df.withColumn(outCol,
+    requireIds(df, idCol).withColumn(outCol,
       when(b < math.round(trainFrac * 10000), lit("train"))
         .when(b < math.round((trainFrac + valFrac) * 10000), lit("val"))
         .otherwise(lit("test")))
@@ -54,7 +64,7 @@ object Sampling {
       case (acc, (k, f)) =>
         when(col(stratumCol) === k, lit(math.round(f * 10000))).otherwise(acc)
     }
-    df.filter(bucket(col(idCol)) < thresh)
+    requireIds(df, idCol).filter(bucket(col(idCol)) < thresh)
   }
 
   /** Deterministic shuffled sharding: assign every row a shard and a
@@ -82,7 +92,7 @@ object Sampling {
     val m = 2147483647L
     val key = pmod(pmod(col(idCol), lit(m)) * lit(2654435761L), lit(m))
     val w = Window.partitionBy("shard").orderBy(col("_key"), col(idCol))
-    df.withColumn("shard", pmod(col(idCol), lit(nShards.toLong)))
+    requireIds(df, idCol).withColumn("shard", pmod(col(idCol), lit(nShards.toLong)))
       .withColumn("_key", key)
       .withColumn("pos", row_number().over(w).cast("bigint"))
       .drop("_key")

@@ -58,13 +58,22 @@ object AnnLsh {
       .select(col("query_id"), col("_s.id").as("neighbor_id"),
         (col("_i") + 1).cast("bigint").as("rank"), col("_s.score").as("cos"))
 
-  /** Exact brute-force cosine top-k for a (small) query set. */
+  /** Exact brute-force cosine top-k for a (small) query set.
+    *
+    * Norms are computed ONCE PER VECTOR in the projections below the join
+    * (a pair-level `cosine(qv, v)` would redo both `sqrt(dot(x,x))` for
+    * every one of the |Q|×|C| pairs — at dim 64 that triples the dot-loop
+    * work). `dot/(nq·nv)` keeps the exact expression values and order of
+    * the fused form, so results are bitwise-unchanged. */
   def bruteTopK(candidates: DataFrame, queries: DataFrame, idCol: String,
                 vecCol: String, k: Int): DataFrame = {
     val c = candidates.select(col(idCol).as("neighbor_id"), toDouble(col(vecCol)).as("v"))
+      .withColumn("_nv", norm(col("v")))
     val q = queries.select(col(idCol).as("query_id"), toDouble(col(vecCol)).as("qv"))
+      .withColumn("_nq", norm(col("qv")))
     val sims = c.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
-      .select(col("query_id"), col("neighbor_id"), cosine(col("qv"), col("v")).as("cos"))
+      .select(col("query_id"), col("neighbor_id"),
+        (dot(col("qv"), col("v")) / (col("_nq") * col("_nv"))).as("cos"))
     topK(sims, k)
   }
 
@@ -76,10 +85,14 @@ object AnnLsh {
     * scale. */
   def rangeSearch(candidates: DataFrame, queries: DataFrame, idCol: String,
                   vecCol: String, minCos: Double): DataFrame = {
+    // per-vector norms below the join — see bruteTopK; bitwise-unchanged
     val c = candidates.select(col(idCol).as("neighbor_id"), toDouble(col(vecCol)).as("v"))
+      .withColumn("_nv", norm(col("v")))
     val q = queries.select(col(idCol).as("query_id"), toDouble(col(vecCol)).as("qv"))
+      .withColumn("_nq", norm(col("qv")))
     c.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
-      .select(col("query_id"), col("neighbor_id"), cosine(col("qv"), col("v")).as("cos"))
+      .select(col("query_id"), col("neighbor_id"),
+        (dot(col("qv"), col("v")) / (col("_nq") * col("_nv"))).as("cos"))
       .filter(col("cos") >= minCos)
   }
 
@@ -104,10 +117,14 @@ object AnnLsh {
         Window.partitionBy("query_id").orderBy(desc("_cs"), asc("list"))))
       .filter(col("_pr") <= nProbe)
       .select("query_id", "qv", "list")
-    val cands = c.join(broadcast(probes), Seq("list"))
+    // per-vector norms below the join — see bruteTopK; bitwise-unchanged.
+    // The candidate norm rides the pruned list scan; the query norm rides
+    // the (tiny) probe frame so it broadcasts precomputed.
+    val cands = c.withColumn("_nv", norm(col("v")))
+      .join(broadcast(probes.withColumn("_nq", norm(col("qv")))), Seq("list"))
       .filter(col("neighbor_id") =!= col("query_id"))
     topK(cands.select(col("query_id"), col("neighbor_id"),
-      cosine(col("qv"), col("v")).as("cos")), k)
+      (dot(col("qv"), col("v")) / (col("_nq") * col("_nv"))).as("cos")), k)
   }
 
   /** Exact label-blocked cosine pair generation — the oracle-checkable
@@ -133,11 +150,16 @@ object AnnLsh {
         concat(lit(s"embedding block (column '$blockCol'=" ), col("_blk"),
           lit(s") exceeds maxBlockRows=$maxBlockRows for the exact blocked self-join; " +
             "use AnnLsh.selfPairs (LSH-bucketed, never all-pairs) for large blocks"))).isNull)
-    val a = guarded.select(col("_blk"), col("id").as("id_a"), col("v").as("va"))
-    val b = guarded.select(col("_blk"), col("id").as("id_b"), col("v").as("vb"))
+    // per-vector norms below the block join: this face is n²/2 pairs per
+    // block by construction, so pair-level norm recompute is the worst
+    // offender here; identical factors/order ⇒ cos bitwise-unchanged
+    val a = guarded.select(col("_blk"), col("id").as("id_a"), col("v").as("va"),
+      norm(col("v")).as("_na"))
+    val b = guarded.select(col("_blk"), col("id").as("id_b"), col("v").as("vb"),
+      norm(col("v")).as("_nb"))
     a.join(b, Seq("_blk"))
       .filter(col("id_a") < col("id_b"))
-      .withColumn("cos", cosine(col("va"), col("vb")))
+      .withColumn("cos", dot(col("va"), col("vb")) / (col("_na") * col("_nb")))
       .filter(col("cos") > minCos)
       .select("id_a", "id_b", "cos")
   }
@@ -180,10 +202,15 @@ object AnnLsh {
     // corpus. Sizing it ourselves would need an eager count() — a full
     // job over the caller's arbitrary lineage as a plan-building side
     // effect, which a library operator must not do.
+    // per-vector norms below the re-join (once per vector, not once per
+    // candidate pair — the pair volume is the big number here); identical
+    // factors and order as the fused cosine, so cos is bitwise-unchanged
     cand
-      .join(base.select(col("id").as("id_a"), col("v").as("va")), Seq("id_a"))
-      .join(base.select(col("id").as("id_b"), col("v").as("vb")), Seq("id_b"))
-      .withColumn("cos", cosine(col("va"), col("vb")))
+      .join(base.select(col("id").as("id_a"), col("v").as("va"),
+        norm(col("v")).as("_na")), Seq("id_a"))
+      .join(base.select(col("id").as("id_b"), col("v").as("vb"),
+        norm(col("v")).as("_nb")), Seq("id_b"))
+      .withColumn("cos", dot(col("va"), col("vb")) / (col("_na") * col("_nb")))
       .filter(col("cos") >= minCos)
       .select("id_a", "id_b", "cos")
   }
@@ -213,12 +240,15 @@ object AnnLsh {
       .filter(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"))
       .dropDuplicates("query_id", "neighbor_id")
+    // per-vector norms below the re-join — see selfPairs; bitwise-unchanged
     val cVec = candidates.select(col(idCol).as("neighbor_id"), toDouble(col(vecCol)).as("v"))
+      .withColumn("_nv", norm(col("v")))
     val qVec = queries.select(col(idCol).as("query_id"), toDouble(col(vecCol)).as("qv"))
+      .withColumn("_nq", norm(col("qv")))
     val scored = cands
       .join(cVec, Seq("neighbor_id"))
       .join(broadcast(qVec), Seq("query_id"))
     topK(scored.select(col("query_id"), col("neighbor_id"),
-      cosine(col("qv"), col("v")).as("cos")), k)
+      (dot(col("qv"), col("v")) / (col("_nq") * col("_nv"))).as("cos")), k)
   }
 }

@@ -44,4 +44,15 @@ class CorpusMixSpec extends SparkSpec {
     assert(kept("wiki") == 2000L)            // rarer source keeps everything
     assert(math.abs(kept("web") - 2000L) <= 20L) // 0.01% bucket resolution
   }
+
+  test("a NULL doc id fails the resample loudly instead of silently dropping") {
+    val df = Seq((Some(1L), "web"), (None: Option[Long], "web"), (Some(2L), "wiki"))
+      .toDF("doc_id", "source")
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    val e = intercept[Exception] {
+      CorpusMix.resample(df, "doc_id", "source", Map("web" -> 1.0, "wiki" -> 1.0)).count()
+    }
+    assert(msgs(e).exists(_.contains("contains NULLs")), msgs(e).mkString(" | "))
+  }
 }

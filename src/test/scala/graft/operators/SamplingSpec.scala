@@ -31,6 +31,25 @@ class SamplingSpec extends SparkSpec {
     assert(Sampling.uniform(ids, "id", 0.8).exceptAll(train).count() == 0L)
   }
 
+  test("a NULL id fails every sampler loudly instead of misrouting the row") {
+    import spark.implicits._
+    // uniform/stratified would silently DROP a null-id row; split would
+    // silently dump it in the LAST split — both are the silent-corruption
+    // class the in-plan guard exists to prevent
+    val df = Seq(Some(1L), None, Some(3L)).toDF("id")
+      .withColumn("stratum", lit("a"))
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    for (op <- Seq(
+        () => Sampling.uniform(df, "id", 0.5).count(),
+        () => Sampling.split(df, "id", 0.6, 0.2).count(),
+        () => Sampling.stratified(df, "id", "stratum", Map("a" -> 1.0)).count(),
+        () => Sampling.shuffledShards(df, "id", 2).count())) {
+      val e = intercept[Exception](op())
+      assert(msgs(e).exists(_.contains("contains NULLs")), msgs(e).mkString(" | "))
+    }
+  }
+
   test("split rejects fractions that overflow the unit interval") {
     import spark.implicits._
     val ids = (0L until 10L).toDF("id")
