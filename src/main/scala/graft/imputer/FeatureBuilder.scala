@@ -19,21 +19,39 @@ object FeatureBuilder {
     * keep/drop decision — a single aggregation pass using exact
     * count_distinct (scale path: approx_count_distinct). */
   def classThreshold(df: DataFrame, catCols: Seq[String], threshold: Int = 30): DataFrame = {
-    val aggs = catCols.map(c => countDistinct(col(c)).as(s"_n_$c"))
+    // index-based aliases + typed explode, not a spliced stack()
+    // selectExpr — column names are caller data, never SQL text
+    val aggs = catCols.zipWithIndex.map { case (c, i) =>
+      countDistinct(col(c)).as(s"_n_$i")
+    }
     val one = df.agg(aggs.head, aggs.tail: _*)
-    val stackArgs = catCols.map(c => s"'$c', _n_$c").mkString(", ")
-    one.selectExpr(s"stack(${catCols.size}, $stackArgs) AS (variable, n_classes)")
+    val rows = array(catCols.zipWithIndex.map { case (c, i) =>
+      struct(lit(c).as("variable"), col(s"_n_$i").as("n_classes"))
+    }: _*)
+    one.select(explode(rows).as("_r"))
+      .select(col("_r.variable").as("variable"), col("_r.n_classes").as("n_classes"))
       .withColumn("keep", col("n_classes") <= threshold)
   }
 
   /** One-hot encode `catCol` into 0/1 integer columns `<prefix>_<value>`.
     * If `values` is empty, the distinct observed values are collected
-    * (bounded by the class threshold) and sorted for determinism. */
-  def oneHot(df: DataFrame, catCol: String, prefix: String, values: Seq[String] = Nil): DataFrame = {
+    * (limit-capped at `maxClasses` — the collect AND the output width are
+    * both one column per class, so an uncapped high-cardinality column
+    * would flood the driver twice) and sorted for determinism. */
+  def oneHot(df: DataFrame, catCol: String, prefix: String,
+             values: Seq[String] = Nil, maxClasses: Int = 1000): DataFrame = {
     val vals =
       if (values.nonEmpty) values
-      else df.select(catCol).distinct().collect()
-        .map(_.get(0)).filter(_ != null).map(_.toString).sorted.toSeq
+      else {
+        val observed = df.select(catCol).distinct().limit(maxClasses + 1).collect()
+          .map(_.get(0)).filter(_ != null).map(_.toString).sorted.toSeq
+        require(observed.size <= maxClasses,
+          s"oneHot: column '$catCol' has more than $maxClasses distinct values — " +
+            "one-hot would add one output column per class; raise maxClasses " +
+            "only if the schema can take it, or pass an explicit `values` list " +
+            "(e.g. the classThreshold keep-set)")
+        observed
+      }
     val encoded = vals.map(v =>
       when(col(catCol) === v, 1).otherwise(0).as(s"${prefix}_${sanitize(v)}"))
     df.select(df.columns.map(col).toIndexedSeq ++ encoded: _*)

@@ -19,11 +19,18 @@ object ImputationVariance {
     val continuous = columns.filterNot(categorical.contains)
 
     val perDataset: Seq[DataFrame] = datasets.map { df =>
-      val contStats = continuous.map(c => avg(col(c)).as(c))
+      // index-based aliases + typed explode, not a spliced stack()
+      // selectExpr — column names are caller data, never SQL text
+      val contStats = continuous.zipWithIndex.map { case (c, i) =>
+        avg(col(c)).as(s"_avg_$i")
+      }
       val base = if (continuous.nonEmpty) {
         val one = df.agg(contStats.head, contStats.tail: _*)
-        val stackArgs = continuous.map(c => s"'$c', `$c`").mkString(", ")
-        one.selectExpr(s"stack(${continuous.size}, $stackArgs) AS (variable, stat)")
+        val rows = array(continuous.zipWithIndex.map { case (c, i) =>
+          struct(lit(c).as("variable"), col(s"_avg_$i").as("stat"))
+        }: _*)
+        one.select(explode(rows).as("_r"))
+          .select(col("_r.variable").as("variable"), col("_r.stat").as("stat"))
       } else df.sparkSession.emptyDataFrame.selectExpr("'' AS variable", "0.0 AS stat").limit(0)
       val cats = categorical.map { c =>
         df.groupBy(col(c)).agg(count(lit(1)).as("_c"))

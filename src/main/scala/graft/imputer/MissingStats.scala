@@ -26,11 +26,20 @@ object MissingStats {
     * single result row. */
   def metrics(df: DataFrame): DataFrame = {
     val cols = df.columns.toSeq
-    val aggs = count(lit(1)).as("_total") +: cols.map(c => count(col(c)).as(s"_obs_$c"))
+    // index-based internal aliases + typed explode, not a spliced stack()
+    // selectExpr — column names are caller data and must never be parsed
+    // as SQL text (quotes/dots/backticks in a name would break or misbind);
+    // explode(array(struct…)) emits rows in the same order stack() did
+    val aggs = count(lit(1)).as("_total") +:
+      cols.zipWithIndex.map { case (c, i) => count(col(c)).as(s"_obs_$i") }
     val one = df.agg(aggs.head, aggs.tail: _*)
-    val stackArgs = cols.map(c => s"'$c', _obs_$c").mkString(", ")
+    val rows = array(cols.zipWithIndex.map { case (c, i) =>
+      struct(lit(c).as("variable"), col(s"_obs_$i").as("observed"))
+    }: _*)
     one
-      .selectExpr(s"stack(${cols.size}, $stackArgs) AS (variable, observed)", "_total AS total")
+      .select(explode(rows).as("_r"), col("_total").as("total"))
+      .select(col("_r.variable").as("variable"),
+        col("_r.observed").as("observed"), col("total"))
       .withColumn("missing", col("total") - col("observed"))
       .withColumn("imputation_rate", col("missing").cast("double") / col("total"))
       .select("variable", "observed", "missing", "total", "imputation_rate")

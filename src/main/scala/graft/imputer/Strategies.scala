@@ -32,7 +32,8 @@ object Strategies {
     * 0.5). Scale path: swap `percentile` for `approx_percentile` — exact
     * median needs a sort of the observed values. */
   def median(df: DataFrame, valueCol: String, outCol: String): DataFrame =
-    withScalar(df, df.agg(expr(s"percentile($valueCol, 0.5)").as("_stat"))) { d =>
+    // typed percentile, not expr() — valueCol is caller data, never SQL text
+    withScalar(df, df.agg(percentile(col(valueCol), lit(0.5)).as("_stat"))) { d =>
       d.withColumn(outCol, coalesce(col(valueCol), col("_stat"))).drop("_stat")
     }
 

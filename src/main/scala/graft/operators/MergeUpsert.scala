@@ -33,12 +33,18 @@ object MergeUpsert {
     val s = snapshot.alias("s")
     // A change row with a NULL op is malformed (after the full-outer join it
     // is indistinguishable from "no change row" — it would overwrite values
-    // while reporting 'K'). Fail execution loudly, inside the plan:
-    // assert_true returns NULL for valid rows, so the filter keeps them all.
+    // while reporting 'K'), and a NULL-key change row can never match the
+    // snapshot: a 'U' silently inserts an unmatchable NULL-key row and a 'D'
+    // silently no-ops. Fail execution loudly, inside the plan: assert_true
+    // returns NULL for valid rows, so the filter keeps them all.
     val c = changes
       .filter(assert_true(col(opCol).isNotNull,
         lit(s"MergeUpsert: change batch has a NULL '$opCol' value — " +
           "every change row must carry an explicit op (\"U\"/\"D\")")).isNull)
+      .filter(assert_true(col(key).isNotNull,
+        lit(s"MergeUpsert: change batch has a NULL '$key' value — a keyless " +
+          "change can never match the snapshot (a 'U' would silently insert " +
+          "an unmatchable NULL-key row); drop or key the row first")).isNull)
       .alias("c")
     val joined = s.join(c, col(s"s.$key") === col(s"c.$key"), "full_outer")
       .filter(col(s"c.$opCol").isNull || col(s"c.$opCol") =!= "D")

@@ -33,7 +33,10 @@ object TextAnalysis {
   def withTokenCounts(df: DataFrame, textCol: String): DataFrame =
     df.withColumn("n_tokens", size(tokens(col(textCol))).cast("bigint"))
       .withColumn("n_bpeish",
-        size(expr(s"regexp_extract_all($textCol, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)")).cast("bigint"))
+        // typed form, not expr() — the text column name is caller data and
+        // must never be parsed as SQL text (same rule as DataQuality)
+        size(regexp_extract_all(col(textCol),
+          lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))).cast("bigint"))
 
   /** Quality features + a composite score in [0,1]:
     * 0.5·min(n_tokens/50,1) + 0.3·(1 − stopword_ratio) + 0.2·alpha_ratio.

@@ -98,4 +98,16 @@ class StrategiesSpec extends SparkSpec {
       .map(r => r.getString(0) -> r.getBoolean(2)).toMap
     assert(ct == Map("c" -> false, "g" -> false))
   }
+
+  test("oneHot fails fast above maxClasses instead of flooding the driver") {
+    import spark.implicits._
+    val wide = (0 until 10).map(i => (i.toLong, s"v$i")).toDF("id", "c")
+    val e = intercept[IllegalArgumentException] {
+      FeatureBuilder.oneHot(wide, "c", "c", maxClasses = 3)
+    }
+    assert(e.getMessage.contains("maxClasses"))
+    // an explicit values list bypasses the collect entirely
+    val oh = FeatureBuilder.oneHot(wide, "c", "c", values = Seq("v1"), maxClasses = 3)
+    assert(oh.columns.contains("c_v1"))
+  }
 }

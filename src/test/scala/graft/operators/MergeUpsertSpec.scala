@@ -64,4 +64,15 @@ class MergeUpsertSpec extends SparkSpec {
       Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
     assert(msgs(e).exists(_.contains("NULL 'op'")), msgs(e).mkString(" | "))
   }
+
+  test("a NULL key in the change batch fails execution instead of inserting") {
+    val bad = Seq((Option.empty[Long], "U", 99.0), (Some(3L), "U", 1.0))
+      .toDF("id", "op", "bal")
+    val e = intercept[Exception] {
+      MergeUpsert.merge(snapshot, bad, "id").count()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("NULL 'id'")), msgs(e).mkString(" | "))
+  }
 }
