@@ -37,7 +37,13 @@ case class DotProductExpr(left: Expression, right: Expression)
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    // truncating to min(nx, ny) would return a silently-wrong similarity
+    // for a malformed vector — every caller pairs equal dims by contract
+    if (n != y.numElements())
+      throw new IllegalArgumentException(
+        s"graft_dot: mixed vector dimensions ($n vs ${y.numElements()}) — " +
+          "fix or filter the column")
     var s = 0.0
     var i = 0
     while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
@@ -50,7 +56,12 @@ case class DotProductExpr(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       s"""
          |${ev.value} = 0.0;
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  throw new IllegalArgumentException(
+         |    "graft_dot: mixed vector dimensions (" + $n + " vs " +
+         |      $b.numElements() + ") - fix or filter the column");
+         |}
          |for (int $i = 0; $i < $n; $i++) {
          |  ${ev.value} += $a.getDouble($i) * $b.getDouble($i);
          |}

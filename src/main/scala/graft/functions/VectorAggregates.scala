@@ -16,8 +16,10 @@ final class VecAvgBuffer(var sum: Array[Double], var n: Long)
   * powering the IVF coarse-quantizer path. A TypedImperativeAggregate with a
   * primitive double[] buffer: updates are a tight add loop, merges are
   * element-wise, and partial aggregation happens map-side like any other
-  * Spark aggregate. Null or empty vectors are ignored; mixed dimensions
-  * take the first seen dimension.
+  * Spark aggregate. Null or empty vectors are ignored; MIXED dimensions
+  * fail loudly — truncating to the first-seen dimension would make the
+  * centroid depend on which partition saw which row first (silent,
+  * partitioning-dependent corruption from a single malformed vector).
   */
 case class VectorAvgAgg(
     child: Expression,
@@ -43,9 +45,12 @@ case class VectorAvgAgg(
       val n = arr.numElements()
       if (n > 0) {
         if (buf.sum == null) buf.sum = new Array[Double](n)
-        val d = math.min(n, buf.sum.length)
+        else if (n != buf.sum.length)
+          throw new IllegalArgumentException(
+            s"graft_vec_avg: mixed vector dimensions ($n vs ${buf.sum.length}) " +
+              "— the element-wise mean is undefined; fix or filter the column")
         var i = 0
-        while (i < d) { buf.sum(i) += arr.getDouble(i); i += 1 }
+        while (i < n) { buf.sum(i) += arr.getDouble(i); i += 1 }
         buf.n += 1
       }
     }
@@ -56,9 +61,13 @@ case class VectorAvgAgg(
     if (b.sum != null) {
       if (a.sum == null) { a.sum = b.sum.clone(); a.n = b.n }
       else {
-        val d = math.min(a.sum.length, b.sum.length)
+        if (a.sum.length != b.sum.length)
+          throw new IllegalArgumentException(
+            s"graft_vec_avg: mixed vector dimensions (${b.sum.length} vs " +
+              s"${a.sum.length}) — the element-wise mean is undefined; fix or " +
+              "filter the column")
         var i = 0
-        while (i < d) { a.sum(i) += b.sum(i); i += 1 }
+        while (i < a.sum.length) { a.sum(i) += b.sum(i); i += 1 }
         a.n += b.n
       }
     }

@@ -34,7 +34,13 @@ object Interpolate {
     val schema = sorted.schema
     val xIdx = schema.fieldIndex(orderCol)
     val yIdx = schema.fieldIndex(valueCol)
-    val rdd = sorted.rdd
+    // Both passes key carry-ins by PARTITION INDEX, so they must see the
+    // exact same range boundaries and data: localCheckpoint pins the sampled
+    // range shuffle across the two jobs (as KnnImpute does) — without it a
+    // nondeterministic upstream (sample(), float aggs) could re-sample
+    // different boundaries in pass 2 and silently misapply the carry-ins.
+    // It also runs the caller's lineage once, not twice.
+    val rdd = sorted.rdd.localCheckpoint()
 
     def num(v: Any): Double = v.asInstanceOf[Number].doubleValue()
 

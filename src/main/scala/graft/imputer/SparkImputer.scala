@@ -235,7 +235,11 @@ class SparkImputer(
           regression: Params with PipelineStage,
           featureFrame: DataFrame): (String, ColumnModel) = {
       val isCat = categorical.contains(target)
-      // exclude features derived from the target column itself (ref L236)
+      // exclude features derived from the target column itself. SUBSTRING
+      // containment is deliberate reference fidelity, quirk included: ref
+      // L236 is `if column in x` (Python substring), so a target 'x' also
+      // drops an unrelated feature 'extra' — matching the reference beats
+      // a tidier prefix rule here.
       val featCols = featureFrame.columns.toSeq
         .filterNot(_ == idCol).filterNot(_.contains(target))
       val observed = df.select(col(idCol), col(target))
@@ -419,6 +423,18 @@ class SparkImputerModel(val imputer: SparkImputer,
     * storage, not a local pickle). Layout: path/_meta + path/model_<col>/. */
   def save(spark: SparkSession, path: String): Unit = {
     imputer.preflightSavePath(spark, path)
+    // target/feature names are spliced into the _meta JSON text and the
+    // model_<target> path below: a quote/backslash/newline would corrupt
+    // the meta round-trip SILENTLY (the reader regex would misparse) and a
+    // '/' would nest the model directory. Fail loudly instead.
+    val unsafe = "[\"\\\\\n/]".r
+    (models.keys ++ models.values.flatMap(_.featureCols)).find(n =>
+        unsafe.findFirstIn(n).isDefined).foreach { n =>
+      throw new IllegalArgumentException(
+        s"save: column name '$n' contains a quote, backslash, newline, or " +
+          "slash — these corrupt the _meta format / model path; rename the " +
+          "column before saving")
+    }
     models.foreach { case (target, cm) =>
       cm.pipeline.write.overwrite().save(s"$path/model_$target")
     }

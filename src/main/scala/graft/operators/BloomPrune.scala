@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.graft.ColumnBridge
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{coalesce, col, lit}
 import org.apache.spark.util.sketch.BloomFilter
 
 import graft.functions.BloomMightContainExpr
@@ -62,8 +62,12 @@ object BloomPrune {
                expectedKeys: Long, fpp: Double = 0.01): DataFrame = {
     val bf = build.stat.bloomFilter(buildKey, expectedKeys, fpp)
     val might = mightContain(probe, probeKey, bf)
-    val certainlyNovel = probe.filter(!might)
-    val verified = probe.filter(might)
+    // `might` is NULL for a NULL probe key; a bare filter(!might) would
+    // silently DROP those rows from BOTH branches, while an exact left-anti
+    // join KEEPS them (a null key matches nothing). Route null keys to the
+    // certainly-novel branch so this equals the exact anti join row-for-row.
+    val certainlyNovel = probe.filter(coalesce(!might, lit(true)))
+    val verified = probe.filter(coalesce(might, lit(false)))
       .join(build.select(col(buildKey).as(probeKey)).distinct(),
         Seq(probeKey), "left_anti")
     certainlyNovel.unionByName(verified)

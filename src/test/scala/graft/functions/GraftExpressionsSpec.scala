@@ -22,12 +22,21 @@ class GraftExpressionsSpec extends SparkSpec {
     assert(got.toSeq == want.toSeq) // == on Double is bitwise here (no NaN)
   }
 
-  test("graft_dot handles unequal lengths and empty arrays") {
+  test("graft_dot: equal empties give 0.0, mixed dimensions fail loudly") {
     import spark.implicits._
-    val df = Seq((Seq(1.0, 2.0, 3.0), Seq(4.0, 5.0)), (Seq.empty[Double], Seq(1.0)))
+    val ok = Seq((Seq.empty[Double], Seq.empty[Double]), (Seq(1.0, 2.0), Seq(3.0, 4.0)))
       .toDF("a", "b")
-    val got = df.select(VectorFunctions.dot(col("a"), col("b"))).collect().map(_.getDouble(0))
-    assert(got.toSeq == Seq(14.0, 0.0))
+      .select(VectorFunctions.dot(col("a"), col("b"))).collect().map(_.getDouble(0))
+    assert(ok.toSeq == Seq(0.0, 11.0))
+    // min-length truncation would return a silently-wrong similarity for a
+    // malformed vector; the guard throws through BOTH eval paths
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    val bad = Seq((Seq(1.0, 2.0, 3.0), Seq(4.0, 5.0))).toDF("a", "b")
+    val e = intercept[Exception] {
+      bad.select(VectorFunctions.dot(col("a"), col("b"))).collect()
+    }
+    assert(msgs(e).exists(_.contains("mixed vector dimensions")), msgs(e).mkString(" | "))
   }
 
   test("graft_sorted_intersect_size matches array_intersect on sorted distinct arrays") {

@@ -78,6 +78,18 @@ class SparkImputerSpec extends SparkSpec {
       assert(lm.metricName == cm.metricName)
       assert(lm.metricValue == cm.metricValue ||
         (lm.metricValue.isNaN && cm.metricValue.isNaN), s"score of $t")
+    }
+    // a column name that would corrupt the hand-rolled _meta format (or
+    // nest the model_<target> path) fails loudly instead of silently
+    // misparsing on reload
+    val poisoned = new SparkImputerModel(imputer,
+      Map("bad\"name" -> model.models.head._2))
+    val eq = intercept[IllegalArgumentException] {
+      poisoned.save(spark, java.nio.file.Files.createTempDirectory("graft_imp").toString)
+    }
+    assert(eq.getMessage.contains("rename the column"))
+    model.models.foreach { case (t, cm) =>
+      val lm = loaded.models(t)
       assert(lm.trainTime == cm.trainTime && lm.testTime == cm.testTime)
     }
     val perfSaved = model.performance(spark).orderBy("variable").collect().toSeq

@@ -34,6 +34,19 @@ class BloomPruneSpec extends SparkSpec {
     assert(BloomPrune.prune(probe, "k", build, "bk", 2).count() == 2)
   }
 
+  test("antiJoin keeps null probe keys, exactly like the left-anti join") {
+    // a null key matches nothing, so an exact left_anti KEEPS the row; the
+    // sketch probe is NULL there and a bare !might filter would silently
+    // drop it from both branches
+    val probe = Seq(Some(1L), None, Some(3L)).toDF("k")
+    val build = Seq(1L, 2L).toDF("bk")
+    val got = BloomPrune.antiJoin(probe, "k", build, "bk", 2)
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getLong(0))).toSet
+    val exact = probe.join(build, col("k") === col("bk"), "left_anti")
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getLong(0))).toSet
+    assert(got == exact && got == Set(None, Some(3L)))
+  }
+
   test("native probe: codegen and interpreted paths agree bit-for-bit") {
     val probe = (0L until 4000L).toDF("k")
     val build = (0L until 4000L by 37).toDF("bk")

@@ -70,6 +70,21 @@ class AnnLshSpec extends SparkSpec {
     assert(got.toSeq == Seq(Seq(2.0, 4.0), Seq(10.0, 10.0)))
   }
 
+  test("graft_vec_avg fails loudly on mixed dimensions instead of truncating") {
+    import spark.implicits._
+    // a silently truncated centroid would depend on which partition saw
+    // which row first — the partitioning-dependent corruption class
+    val df = Seq((0, Seq(1.0, 2.0)), (0, Seq(3.0))).toDF("list", "v")
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    val e = intercept[Exception] {
+      // collect(), not count(): count() prunes the unused agg column and
+      // the guard would never evaluate
+      df.groupBy("list").agg(call_function("graft_vec_avg", col("v")).as("c")).collect()
+    }
+    assert(msgs(e).exists(_.contains("mixed vector dimensions")), msgs(e).mkString(" | "))
+  }
+
   test("blockedSelfPairs matches the unguarded blocked join below the bound") {
     import spark.implicits._
     val withBlocks = vectors.withColumn("label", (col("vec_id") % 2).cast("int"))
