@@ -621,12 +621,20 @@ object Analytics {
     * as [[eventsPivot]]). */
   def eventsGapFill(spark: SparkSession, dir: String): DataFrame = {
     val types = graft.Tables.eventTypes
+    // localCheckpoint the tiny daily frame (≤ types × days rows) so the
+    // bounds aggregate and the spine join BOTH read the materialized copy —
+    // ONE scan of the raw stream instead of two, which at 100 TB is the
+    // whole cost of this operator. (ReuseExchange cannot do this for us:
+    // the bounds branch prunes `_n`, so the two agg subtrees aren't
+    // byte-identical. Same eager-materialization precedent as KnnImpute;
+    // cluster path: persist + unpersist.)
     val daily = Tables(spark, dir, "events")
       .groupBy(col("event_type"), expr("ts div 86400000000000").as("d"))
       .agg(count(lit(1)).as("_n"))
-    val bounds = Tables(spark, dir, "events")
-      .agg(expr("min(ts div 86400000000000)").as("_lo"),
-        expr("max(ts div 86400000000000)").as("_hi"))
+      .localCheckpoint()
+    // bounds from the daily frame: min/max day is identical (every observed
+    // day has a daily row)
+    val bounds = daily.agg(min(col("d")).as("_lo"), max(col("d")).as("_hi"))
     val spine = broadcast(bounds)
       .select(explode(expr("sequence(_lo, _hi)")).as("d"))
       .select(col("d"), explode(array(types.map(lit): _*)).as("event_type"))
