@@ -34,6 +34,27 @@ class BloomPruneSpec extends SparkSpec {
     assert(BloomPrune.prune(probe, "k", build, "bk", 2).count() == 2)
   }
 
+  test("antiJoin equals the exact left-anti join on randomized keyed data") {
+    // deterministic pseudo-random keys with duplicates and nulls on both
+    // sides — multiset equality against the plain left_anti, several shapes
+    for (seed <- Seq(1L, 7L, 23L)) {
+      def keys(n: Int, mod: Long, salt: Long): Seq[Option[Long]] =
+        (0 until n).map { i =>
+          val h = (i * 2654435761L + seed * 40503L + salt) & 0x7fffffffL
+          if (h % 19 == 0) None else Some(h % mod)
+        }
+      val probe = keys(400, 97L, 0L).toDF("k")
+      val build = keys(120, 97L, 13L).flatten.toDF("bk")
+      def bag(df: org.apache.spark.sql.DataFrame): Map[Option[Long], Int] =
+        df.collect().toSeq
+          .map(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
+          .groupBy(identity).map { case (k, v) => k -> v.size }
+      val got = bag(BloomPrune.antiJoin(probe, "k", build, "bk", 120))
+      val exact = bag(probe.join(build, col("k") === col("bk"), "left_anti"))
+      assert(got == exact, s"seed $seed")
+    }
+  }
+
   test("antiJoin keeps null probe keys, exactly like the left-anti join") {
     // a null key matches nothing, so an exact left_anti KEEPS the row; the
     // sketch probe is NULL there and a bare !might filter would silently

@@ -28,6 +28,33 @@ class AnnLshSpec extends SparkSpec {
     }
   }
 
+  test("hoisted-norm cosine is BITWISE equal to the fused cosine expression") {
+    import spark.implicits._
+    import graft.functions.VectorFunctions
+    // pins the norm-precompute claim: dot/(norm(a)*norm(b)) evaluated once
+    // per vector below the join must produce the exact same doubles as the
+    // pair-level fused cosine — same factors, same order
+    val q = vectors.filter(col("vec_id") < 3)
+    val viaOperator = AnnLsh.bruteTopK(vectors, q, "vec_id", "embedding", k = 7)
+      .select(col("query_id"), col("neighbor_id"), col("cos"))
+    val a = vectors.select(col("vec_id").as("query_id"),
+      VectorFunctions.toDouble(col("embedding")).as("qv"))
+      .filter(col("query_id") < 3)
+    val b = vectors.select(col("vec_id").as("neighbor_id"),
+      VectorFunctions.toDouble(col("embedding")).as("v"))
+    val fused = a.join(b, col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        VectorFunctions.cosine(col("qv"), col("v")).as("cos_fused"))
+    val joined = viaOperator.join(fused, Seq("query_id", "neighbor_id")).collect()
+    assert(joined.length == 21) // 3 queries x k=7
+    joined.foreach { r =>
+      val (hoisted, ref) = (r.getAs[Double]("cos"), r.getAs[Double]("cos_fused"))
+      assert(java.lang.Double.doubleToRawLongBits(hoisted) ==
+        java.lang.Double.doubleToRawLongBits(ref),
+        s"bitwise drift at (${r.getLong(0)}, ${r.getLong(1)}): $hoisted vs $ref")
+    }
+  }
+
   test("brute top-k finds same-cluster neighbors (cosine ≈ 1)") {
     val q = vectors.filter(col("vec_id") === 0)
     val out = AnnLsh.bruteTopK(vectors, q, "vec_id", "embedding", k = 5).collect()
