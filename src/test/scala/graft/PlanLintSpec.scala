@@ -19,6 +19,9 @@ import org.apache.spark.sql.execution.window.WindowExec
   *    an aggregation sits between it and every scan — then its input is an
   *    already-collapsed frame (a value histogram, a per-strategy summary)
   *    whose cardinality is bounded by construction, not by data volume.
+  *  - `ScalaUDF` anywhere in a plan: boxed per-row eval outside codegen;
+  *    every scalar extension here is a native `Expression` with
+  *    `doGenCode`.
   *
   * Catching these at spec time means no future operator can silently
   * reintroduce a plan that only works at test scale. */
@@ -42,6 +45,12 @@ class PlanLintSpec extends SparkSpec {
         case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
         case _ => ()
       }
+      // third lint: no ScalaUDF anywhere — every graft scalar extension must
+      // be a native codegen Expression (r6 closed the last one; this pins it
+      // so no future operator silently reintroduces boxed per-row eval)
+      if (p.expressions.exists(_.exists(
+          _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.ScalaUDF])))
+        out += "ScalaUDF"
       p.children.foreach(walk)
       p.subqueries.foreach(walk)
     }
@@ -49,14 +58,19 @@ class PlanLintSpec extends SparkSpec {
     out.toSeq
   }
 
-  test("no query plan contains a cartesian product or a global window") {
+  test("no query plan contains a cartesian product, global window, or UDF") {
+    // mm_features drops to an RDD decode pipeline whose plan is opaque by
+    // design. imp_als/imp_ml_tree call MLlib model.transform, which wraps
+    // predict in MLlib's OWN ScalaUDF (a bounded prediction projection we
+    // cannot rewrite) — only the UDF lint is waived for them, so a
+    // cartesian/global-window regression there still fails.
+    val udfWaived = Set("imp_als", "imp_ml_tree")
     val bad = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
-      // mm_features drops to an RDD decode pipeline whose plan is opaque by
-      // design; everything else must lint clean
       if (name == "mm_features") None
       else {
         val plan = fn(spark, sf).queryExecution.executedPlan
         val hits = offenders(plan)
+          .filterNot(h => h == "ScalaUDF" && udfWaived.contains(name))
         if (hits.nonEmpty) Some(s"$name: ${hits.mkString(",")}") else None
       }
     }
