@@ -25,7 +25,21 @@ object Tables {
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
-    spark.read.parquet(s"$dir/$name.parquet")
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    // The events stream keys every operator on integer NANOSECONDS since
+    // epoch. The driver's parquet has carried `ts` as int64 nanos and as a
+    // microsecond timestamp across testdata generations; normalize the
+    // timestamp encodings to bigint nanos at load — exactly DuckDB's
+    // `epoch_ns(ts)`, which the oracle SQL already uses — so every
+    // downstream `ts div/pmod` stays in one unambiguous unit. Sessions pin
+    // spark.sql.session.timeZone=UTC, making the NTZ→LTZ cast the identity
+    // on the naive value.
+    if (name == "events") df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.TimestampNTZType |
+           org.apache.spark.sql.types.TimestampType =>
+        df.withColumn("ts", (unix_micros(col("ts").cast("timestamp")) * 1000L).as("ts"))
+      case _ => df
+    } else df
   }
 
   /** NULL out `valueCol` where `keyCol % m == r` — mirrored in oracle SQL. */

@@ -324,6 +324,32 @@ object Analytics {
       quartile(col("_mc"), "_mt").as("m_q"))
   }
 
+  /** Revenue-concentration (Pareto) report: the top-20 customers by total
+    * order value with each one's running share of GLOBAL revenue — the
+    * "how top-heavy is this corpus/customer base" curve. Per-customer
+    * revenue is ONE exact-cents aggregation; the top-20 crosses the limit
+    * as TakeOrderedAndProject (per-partition heaps, k·P merge) under a
+    * total order (revenue desc, custkey asc); rank and the running cents
+    * sum window ONLY over the 20 surviving rows (the global window sits
+    * above the aggregate+limit, so its input is bounded by construction —
+    * the PlanLint-sanctioned shape); total revenue rides back as a
+    * broadcast 1-row frame. `cum_share` is one double division of two
+    * exact bigints per row — bitwise-deterministic. */
+  def ordersPareto(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perCust = Tables(spark, dir, "orders")
+      .groupBy("o_custkey").agg(sum(cents(col("o_totalprice"), 2)).as("_rc"))
+    val total = perCust.agg(sum(col("_rc")).as("_t"))
+    val ord = Window.orderBy(desc("_rc"), asc("o_custkey"))
+    perCust.orderBy(desc("_rc"), asc("o_custkey")).limit(20)
+      .withColumn("rank", row_number().over(ord).cast("bigint"))
+      .withColumn("_cum", sum(col("_rc")).over(ord))
+      .crossJoin(broadcast(total))
+      .select(col("rank"), col("o_custkey"),
+        (col("_rc").cast("double") / 100.0).as("revenue"),
+        (col("_cum").cast("double") / col("_t").cast("double")).as("cum_share"))
+  }
+
   /** Ordered-stage funnel (view → click → purchase, strictly increasing
     * timestamps): per-stage user counts plus the median seconds from first
     * view to completing purchase.

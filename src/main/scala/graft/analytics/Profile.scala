@@ -203,4 +203,31 @@ object Profile {
   def lineitemDrift(spark: SparkSession, dir: String): DataFrame =
     drift(Tables(spark, dir, "lineitem"), "l_extendedprice", 2, 50000L,
       col("l_orderkey") % 2 === 0)
+
+  /** Equi-width value histogram: per-bin row counts plus each bin's share
+    * of the total — the distribution view a profiling pass renders next to
+    * [[numeric]]'s moments. ONE hash aggregation over the bin id (map-side
+    * partials; bin cardinality is value-range/binWidth, not row count) and
+    * the total rides back as a broadcast 1-row frame. Binning happens in
+    * exact integers at `scale` decimals with the floor-division discipline
+    * of [[drift]] (subtract the non-negative pmod first so truncating
+    * `div` and the oracle's floor `//` coincide on negatives). `pct` is
+    * one double division of two exact bigints — bitwise-deterministic. */
+  def histogram(df: DataFrame, valueCol: String, scale: Int, binWidth: Long): DataFrame = {
+    val k = math.pow(10, scale)
+    val binned = df
+      .select(cents(col(valueCol), scale).as("_c"))
+      .select(expr(s"(_c - pmod(_c, ${binWidth}L)) div ${binWidth}L").as("_bin"))
+      .groupBy("_bin")
+      .agg(count(lit(1)).as("n_rows"))
+    val total = binned.agg(sum(col("n_rows")).as("_t"))
+    binned.crossJoin(broadcast(total))
+      .select(((col("_bin") * binWidth).cast("double") / k).as("bin_lo"),
+        col("n_rows"),
+        (col("n_rows").cast("double") / col("_t").cast("double")).as("pct"))
+  }
+
+  /** Histogram face on the testdata: lineitem prices in $500 bins. */
+  def lineitemHistogram(spark: SparkSession, dir: String): DataFrame =
+    histogram(Tables(spark, dir, "lineitem"), "l_extendedprice", 2, 50000L)
 }

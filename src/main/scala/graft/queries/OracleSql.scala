@@ -1271,6 +1271,38 @@ object OracleSql {
         | CAST(SUM(term) AS DOUBLE) / 1e12 AS psi
         |FROM terms""".stripMargin,
 
+    "profile_histogram" ->
+      """WITH binned AS (
+        | SELECT CAST(round(l_extendedprice * 100.0, 0) AS BIGINT) // 50000 AS bin,
+        |  CAST(count(*) AS BIGINT) AS n_rows
+        | FROM lineitem GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(n_rows) AS BIGINT) AS t FROM binned)
+        |SELECT CAST(bin * 50000 AS DOUBLE) / 100.0 AS bin_lo, n_rows,
+        | CAST(n_rows AS DOUBLE) / CAST(t AS DOUBLE) AS pct
+        |FROM binned CROSS JOIN tot""".stripMargin,
+
+    "orders_pareto" ->
+      """WITH cr AS (SELECT o_custkey,
+        |  CAST(SUM(CAST(round(o_totalprice * 100.0, 0) AS BIGINT)) AS BIGINT) AS rc
+        | FROM orders GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(rc) AS BIGINT) AS t FROM cr),
+        |top AS (SELECT o_custkey, rc FROM cr ORDER BY rc DESC, o_custkey ASC LIMIT 20)
+        |SELECT CAST(row_number() OVER (ORDER BY rc DESC, o_custkey ASC) AS BIGINT) AS rank,
+        | o_custkey, CAST(rc AS DOUBLE) / 100.0 AS revenue,
+        | CAST(SUM(rc) OVER (ORDER BY rc DESC, o_custkey ASC) AS DOUBLE) / CAST(t AS DOUBLE) AS cum_share
+        |FROM top CROSS JOIN tot""".stripMargin,
+
+    "text_zipf" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |tc AS (SELECT term, CAST(count(*) AS BIGINT) AS freq,
+        |        CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+        |       FROM tok GROUP BY term),
+        |top AS (SELECT term, freq, n_docs FROM tc ORDER BY freq DESC, term ASC LIMIT 40)
+        |SELECT CAST(row_number() OVER (ORDER BY freq DESC, term ASC) AS BIGINT) AS rank,
+        | term, freq, n_docs,
+        | CAST(row_number() OVER (ORDER BY freq DESC, term ASC) * freq AS BIGINT) AS rank_x_freq
+        |FROM top""".stripMargin,
+
     "q15_topsupplier" ->
       """WITH rev AS (SELECT l_suppkey,
         |  CAST(SUM(CAST(round((l_extendedprice * (1.0 - l_discount)) * 10000.0, 0) AS BIGINT)) AS BIGINT) AS rc

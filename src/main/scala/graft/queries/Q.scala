@@ -597,6 +597,12 @@ object Q {
   def textNgrams(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.topBigrams(Tables(s, dir, "documents"), "text", 20)
 
+  /** Zipf head of the corpus vocabulary: top-40 terms with corpus/document
+    * frequency and the rank×freq product — the vocabulary-law sanity check
+    * a corpus-health pass renders next to [[textNgrams]]. */
+  def textZipf(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.zipfHead(Tables(s, dir, "documents"), "doc_id", "text", 40)
+
   /** PII-style redaction pass over the corpus (emails / URLs / digit runs /
     * blocklist term → sentinel) with per-doc hit counts. */
   def textScrub(s: SparkSession, dir: String): DataFrame =

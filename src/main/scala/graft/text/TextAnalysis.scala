@@ -93,6 +93,27 @@ object TextAnalysis {
       .orderBy(col("cnt").desc, col("bigram").asc)
       .limit(k)
 
+  /** Zipf head of the corpus vocabulary: the top-k terms by occurrence
+    * count with corpus frequency, document frequency, and the observed
+    * rank×freq product (constant under Zipf's law — a sanity signal for
+    * synthetic or boilerplate-heavy corpora, whose head deviates hard).
+    * ONE (term, doc) exploded hash shuffle builds both counts map-side;
+    * the top-k crosses the limit as TakeOrderedAndProject under a total
+    * order (freq desc, term asc); rank windows only over the k surviving
+    * rows (global window above aggregate+limit — the bounded shape). */
+  def zipfHead(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ord = Window.orderBy(desc("freq"), asc("term"))
+    df.select(col(idCol).as("_id"), explode(tokens(col(textCol))).as("term"))
+      .groupBy("term")
+      .agg(count(lit(1)).as("freq"), countDistinct(col("_id")).as("n_docs"))
+      .orderBy(desc("freq"), asc("term"))
+      .limit(k)
+      .withColumn("rank", row_number().over(ord).cast("bigint"))
+      .select(col("rank"), col("term"), col("freq"), col("n_docs"),
+        (col("rank") * col("freq")).as("rank_x_freq"))
+  }
+
   /** Per-document repetition signals (Gopher-style quality rules adapted to
     * flat word streams): duplicate-word fraction and the fraction of bigram
     * slots taken by the single most frequent bigram. Repetitious documents

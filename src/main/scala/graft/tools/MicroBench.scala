@@ -13,6 +13,7 @@ object MicroBench {
     val spark = SparkSession.builder()
       .master("local[" + sys.env.getOrElse("SPARK_GRAFT_CPUS", "32") + "]")
       .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
