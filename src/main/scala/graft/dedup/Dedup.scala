@@ -198,9 +198,21 @@ object Dedup {
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String, blockCol: String,
                    n: Int = 3, threshold: Double = 0.5): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // The shingle frame feeds THREE branches of one plan (the token
+    // explode and both sides of the pair verify) and Catalyst cannot
+    // collapse them (different downstream join keys ⇒ different
+    // exchanges), so an un-pinned lineage tokenizes and hashes every
+    // document three times. LAZY localCheckpoint (no job at plan-build
+    // time — the library-operator rule): the shared RDD materializes
+    // inside the first stage that computes it and the other two branches
+    // read the persisted blocks. At sf0.1 this is time-neutral (the
+    // native shingle hash is cheap against shuffle+schedule cost); at
+    // cluster scale it trades ONE executor-local write of (id, block,
+    // hashes) for two extra full tokenize+hash scans of the corpus.
     val sh = df.select(col(idCol).as("id"), col(blockCol).as("block"),
         shingleHashes(col(textCol), n).as("sh"))
       .filter(size(col("sh")) > 0)
+      .localCheckpoint(eager = false)
     val tokens = sh.select(col("id"), col("block"), size(col("sh")).cast("int").as("sz"),
       explode(col("sh")).as("t"))
     // within-block document frequency — the canonical rare-first prefix order
@@ -231,5 +243,64 @@ object Dedup {
       .withColumn("jaccard", jaccardHashed(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
+  }
+
+  /** Shingle-CONTAINMENT near-dup pairs within `blockCol` blocks — the
+    * asymmetric face of [[jaccardPairs]]: C(a,b) = |A∩B| / |A| with A the
+    * smaller shingle set, so a short document quoted or embedded inside a
+    * much longer one scores ~1 even though its Jaccard is tiny (the
+    * subset/quotation duplication Jaccard structurally cannot see).
+    * EXACT, and never an all-pairs block join: a qualifying pair shares
+    * ≥ ceil(t·|A|) shingles, so the first |A| − ceil(t·|A|) + 1 rarest
+    * shingles of the SMALLER side must hit the larger side — candidates
+    * come from an EQUALITY join of the smaller side's prefix against the
+    * larger side's FULL shingle index (the asymmetric prefix-filter bound:
+    * only the side whose size appears in the threshold can prune to a
+    * prefix; the other side must stay fully indexed or pairs are lost).
+    * Shuffles key on (block, shingle) and (id) only; fan-out is
+    * Σ_shingle prefixFreq·fullFreq, bounded by the rare-first prefix
+    * order exactly as in [[jaccardPairs]].
+    *
+    * Emits (id_a, id_b, containment) with id_a the SMALLER document
+    * (lower id on equal sizes) — the one to drop in a keep-longest
+    * dedup policy. */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String, blockCol: String,
+                       n: Int = 3, threshold: Double = 0.5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // lazy-checkpointed for the same three-branch reuse as jaccardPairs
+    val sh = df.select(col(idCol).as("id"), col(blockCol).as("block"),
+        shingleHashes(col(textCol), n).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .localCheckpoint(eager = false)
+    val tokens = sh.select(col("id"), col("block"), size(col("sh")).cast("int").as("sz"),
+      explode(col("sh")).as("t"))
+    val dfreq = tokens.groupBy("block", "t").agg(count(lit(1)).as("_df"))
+    // ε as in jaccardPairs: worst case the prefix grows one element (more
+    // candidates, still exact); without it a t·sz a hair above an integer
+    // could shorten the prefix and MISS a threshold-boundary pair
+    val eps = 1e-9
+    val prefixLen = (col("sz") - ceil(lit(threshold) * col("sz") - lit(eps)) + 1).cast("int")
+    val prefix = tokens.join(dfreq, Seq("block", "t"))
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy("block", "id").orderBy(asc("_df"), asc("t"))))
+      .filter(col("_rn") <= prefixLen)
+      .select("block", "t", "id", "sz")
+    val a = prefix.select(col("block"), col("t"), col("id").as("id_a"), col("sz").as("sz_a"))
+    val b = tokens.select(col("block"), col("t"), col("id").as("id_b"), col("sz").as("sz_b"))
+    val cands = a.join(b, Seq("block", "t"))
+      // orient every pair small→large (ids break exact-size ties) so each
+      // unordered pair is generated once, from the side the bound covers
+      .filter(col("sz_a") < col("sz_b") ||
+        (col("sz_a") === col("sz_b") && col("id_a") < col("id_b")))
+      .select("id_a", "id_b")
+      .dropDuplicates("id_a", "id_b")
+    cands
+      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .withColumn("containment",
+        call_function("graft_sorted_intersect_size_l", col("sh_a"), col("sh_b"))
+          .cast("bigint").cast("double") / size(col("sh_a")).cast("bigint"))
+      .filter(col("containment") >= threshold)
+      .select("id_a", "id_b", "containment")
   }
 }

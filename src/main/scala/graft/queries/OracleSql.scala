@@ -806,6 +806,20 @@ object OracleSql {
         |WHERE CAST(CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS DOUBLE)
         |  / (CAST(len(a.sh) AS BIGINT) + CAST(len(b.sh) AS BIGINT) - CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT)) >= 0.10""".stripMargin,
 
+    "dedup_containment" ->
+      """WITH s AS (
+        | SELECT doc_id, source,
+        |  list_distinct([array_to_string(t[i:i+1], ' ') for i in range(1, len(t))]) AS sh
+        | FROM (SELECT doc_id, source, string_split(text, ' ') AS t FROM documents) d)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        | CAST(CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS DOUBLE)
+        |  / CAST(len(a.sh) AS BIGINT) AS containment
+        |FROM s a JOIN s b ON a.source = b.source
+        | AND (len(a.sh) < len(b.sh) OR (len(a.sh) = len(b.sh) AND a.doc_id < b.doc_id))
+        |WHERE len(a.sh) > 0 AND
+        | CAST(CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS DOUBLE)
+        |  / CAST(len(a.sh) AS BIGINT) >= 0.30""".stripMargin,
+
     "sample_split" ->
       """SELECT doc_id, source,
         | CASE WHEN ((doc_id % 10000) * 2654435761) % 10000 < 8000 THEN 'train'

@@ -717,6 +717,13 @@ object Q {
     Dedup.jaccardPairs(Tables(s, dir, "documents"), "doc_id", "text", "source",
       n = 3, threshold = 0.10)
 
+  /** Subset/quotation duplication: containment pairs (|A∩B|/|A| over
+    * 3-shingle sets, smaller side first) — catches a short doc embedded in
+    * a longer one, which Jaccard structurally cannot see. */
+  def dedupContainment(s: SparkSession, dir: String): DataFrame =
+    Dedup.containmentPairs(Tables(s, dir, "documents"), "doc_id", "text", "source",
+      n = 2, threshold = 0.30)
+
   /** Duplicate clusters: connected components over the near-dup Jaccard
     * pairs; every document gets the min doc_id of its component (singletons
     * keep their own id). Oracle: DuckDB recursive-CTE transitive closure. */

@@ -69,6 +69,68 @@ class DedupSpec extends SparkSpec {
     assert(fast == brute)
   }
 
+  test("containment sees a quoted subset document that jaccard misses") {
+    import spark.implicits._
+    // doc 2 is doc 1's opening quarter verbatim: containment(2→1) = 1.0
+    // while jaccard is ~0.25 — the asymmetric signal this operator exists for
+    val long = (1 to 40).map(i => s"w$i").mkString(" ")
+    val short = (1 to 10).map(i => s"w$i").mkString(" ")
+    val d = Seq((1L, long, "s1"), (2L, short, "s1"),
+      (3L, "unrelated words entirely different from the others here", "s1"))
+      .toDF("doc_id", "text", "source")
+    val c = Dedup.containmentPairs(d, "doc_id", "text", "source", n = 2, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(c.toSeq == Seq((2L, 1L, 1.0)), s"got ${c.toSeq}")
+    val j = Dedup.jaccardPairs(d, "doc_id", "text", "source", n = 2, threshold = 0.9)
+    assert(j.count() == 0, "jaccard at the same threshold must miss the subset pair")
+  }
+
+  test("prefix-filter containment pairs equal brute-force all-pairs exactly") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta",
+      "theta", "iota", "kappa", "lam", "mu", "nu", "xi", "omicron", "pi", "rho",
+      "sigma", "tau", "upsilon")
+    def randDoc(len: Int): Array[String] =
+      Array.fill(len)(vocab(rnd.nextInt(vocab.size)))
+    val bases = Vector.fill(50)(randDoc(10 + rnd.nextInt(25)))
+    // random docs + random SLICES of them (the subset regime) + mutations —
+    // pairs across the containment range, including threshold-boundary ones
+    val rows = bases.zipWithIndex.map { case (d, i) => (i + 1L, d.mkString(" "), s"s${i % 3}") } ++
+      bases.zipWithIndex.map { case (d, i) =>
+        val from = rnd.nextInt(d.length / 2)
+        val slice = d.slice(from, from + 4 + rnd.nextInt(d.length - from))
+        (i + 51L, slice.mkString(" "), s"s${i % 3}")
+      } ++
+      bases.zipWithIndex.map { case (d, i) =>
+        val m = d.clone()
+        (0 until (1 + rnd.nextInt(5))).foreach { _ =>
+          m(rnd.nextInt(m.length)) = vocab(rnd.nextInt(vocab.size))
+        }
+        (i + 101L, m.mkString(" "), s"s${i % 3}")
+      }
+    val d = rows.toDF("doc_id", "text", "source")
+    val t = 0.3
+    def pairSet(p: org.apache.spark.sql.DataFrame) =
+      p.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val fast = pairSet(Dedup.containmentPairs(d, "doc_id", "text", "source", n = 2, threshold = t))
+    val sh = d.select(col("doc_id").as("id"), col("source").as("block"),
+      Dedup.shingleHashes(col("text"), 2).as("sh")).filter(size(col("sh")) > 0)
+    val brute = pairSet(
+      sh.select(col("block"), col("id").as("id_a"), col("sh").as("sh_a"))
+        .join(sh.select(col("block"), col("id").as("id_b"), col("sh").as("sh_b")), Seq("block"))
+        .filter(size(col("sh_a")) < size(col("sh_b")) ||
+          (size(col("sh_a")) === size(col("sh_b")) && col("id_a") < col("id_b")))
+        .withColumn("containment",
+          org.apache.spark.sql.functions.call_function(
+            "graft_sorted_intersect_size_l", col("sh_a"), col("sh_b"))
+            .cast("bigint").cast("double") / size(col("sh_a")).cast("bigint"))
+        .filter(col("containment") >= t)
+        .select("id_a", "id_b", "containment"))
+    assert(brute.nonEmpty, "test corpus produced no qualifying pairs")
+    assert(fast == brute)
+  }
+
   test("minhash finds the same near-dups as exact jaccard at its threshold") {
     val got = MinHash.pairs(docs, "doc_id", "text", n = 3, k = 32, bands = 16, threshold = 0.3)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
