@@ -350,6 +350,32 @@ object Analytics {
         (col("_cum").cast("double") / col("_t").cast("double")).as("cum_share"))
   }
 
+  /** Monthly order seasonality: per-(year, month) order counts and exact
+    * revenue with month-over-month and year-over-year growth rates — the
+    * trend/seasonality decomposition a revenue dashboard opens with. ONE
+    * hash aggregation collapses orders to the (year, month) grid (bounded
+    * by the calendar, not data volume); both lag windows run over that
+    * collapsed frame only — MoM globally ordered (lint-sanctioned above
+    * the aggregate), YoY partitioned by month. Growth is one double
+    * division of two exact cents bigints; first periods are NULL. */
+  def ordersSeasonality(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val monthly = Tables(spark, dir, "orders")
+      .groupBy(year(col("o_orderdate")).cast("bigint").as("o_year"),
+        month(col("o_orderdate")).cast("bigint").as("o_month"))
+      .agg(count(lit(1)).as("n_orders"), sum(cents(col("o_totalprice"), 2)).as("_tc"))
+    val mom = Window.orderBy("o_year", "o_month")
+    val yoy = Window.partitionBy("o_month").orderBy("o_year")
+    def growth(prev: org.apache.spark.sql.Column) =
+      (col("_tc") - prev).cast("double") / prev.cast("double")
+    monthly
+      .withColumn("mom_growth", growth(lag(col("_tc"), 1).over(mom)))
+      .withColumn("yoy_growth", growth(lag(col("_tc"), 1).over(yoy)))
+      .select(col("o_year"), col("o_month"), col("n_orders"),
+        (col("_tc").cast("double") / 100.0).as("revenue"),
+        col("mom_growth"), col("yoy_growth"))
+  }
+
   /** Ordered-stage funnel (view → click → purchase, strictly increasing
     * timestamps): per-stage user counts plus the median seconds from first
     * view to completing purchase.

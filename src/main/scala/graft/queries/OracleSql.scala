@@ -1285,6 +1285,19 @@ object OracleSql {
         | CAST(SUM(term) AS DOUBLE) / 1e12 AS psi
         |FROM terms""".stripMargin,
 
+    "orders_seasonality" ->
+      """WITH m AS (SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |  CAST(month(o_orderdate) AS BIGINT) AS o_month,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(SUM(CAST(round(o_totalprice * 100.0, 0) AS BIGINT)) AS BIGINT) AS tc
+        | FROM orders GROUP BY 1, 2)
+        |SELECT o_year, o_month, n_orders, CAST(tc AS DOUBLE) / 100.0 AS revenue,
+        | CAST(tc - lag(tc, 1) OVER (ORDER BY o_year, o_month) AS DOUBLE)
+        |  / CAST(lag(tc, 1) OVER (ORDER BY o_year, o_month) AS DOUBLE) AS mom_growth,
+        | CAST(tc - lag(tc, 1) OVER (PARTITION BY o_month ORDER BY o_year) AS DOUBLE)
+        |  / CAST(lag(tc, 1) OVER (PARTITION BY o_month ORDER BY o_year) AS DOUBLE) AS yoy_growth
+        |FROM m""".stripMargin,
+
     "profile_histogram" ->
       """WITH binned AS (
         | SELECT CAST(round(l_extendedprice * 100.0, 0) AS BIGINT) // 50000 AS bin,

@@ -31,6 +31,53 @@ class Round8Spec extends SparkSpec {
     assert(cum.last > 0.0 && cum.last <= 1.0)
   }
 
+  test("histogram floor-bins negative values like the oracle's // (not toward zero)") {
+    import spark.implicits._
+    // bin_lo is the inclusive lower edge: [-500.00, -0.01] all floor to
+    // bin -1 (lo −500.0) and -500.01 to bin -2 — a truncating div would
+    // put -0.01..-499.99 with the positives and silently skew every
+    // negative-valued distribution
+    val d = Seq(-0.01, -499.99, -500.0, -500.01, 0.0, 499.99, 500.0)
+      .toDF("v")
+    val got = Profile.histogram(d, "v", 2, 50000L)
+      .collect().map(r => r.getAs[Double]("bin_lo") -> r.getAs[Long]("n_rows")).toMap
+    assert(got == Map(-500.0 -> 3L, -1000.0 -> 1L, 0.0 -> 2L, 500.0 -> 1L), s"got $got")
+  }
+
+  test("orders_pareto is deterministic across partitionings") {
+    val a = Analytics.ordersPareto(spark, sf).collect().toSeq
+    val b = Analytics.ordersPareto(spark, sf).repartition(7).collect().toSeq
+    assert(a.map(_.toString).sorted == b.map(_.toString).sorted)
+  }
+
+  test("orders_seasonality: growth recurrences match a direct recomputation") {
+    val rows = Analytics.ordersSeasonality(spark, sf)
+      .orderBy("o_year", "o_month").collect()
+    assert(rows.nonEmpty)
+    // counts partition the orders table
+    assert(rows.map(_.getAs[Long]("n_orders")).sum ==
+      graft.Tables(spark, sf, "orders").count())
+    // first calendar month has no MoM predecessor; first year of each month
+    // slot has no YoY predecessor
+    assert(rows.head.isNullAt(rows.head.fieldIndex("mom_growth")))
+    val byYm = rows.map(r => (r.getAs[Long]("o_year"), r.getAs[Long]("o_month")) -> r).toMap
+    rows.foreach { r =>
+      val (y, m) = (r.getAs[Long]("o_year"), r.getAs[Long]("o_month"))
+      byYm.get(if (m == 1) (y - 1, 12L) else (y, m - 1)).foreach { prev =>
+        val expect = (r.getAs[Double]("revenue") - prev.getAs[Double]("revenue")) /
+          prev.getAs[Double]("revenue")
+        assert(math.abs(r.getAs[Double]("mom_growth") - expect) < 1e-9,
+          s"MoM at ($y,$m)")
+      }
+      byYm.get((y - 1, m)).foreach { prev =>
+        val expect = (r.getAs[Double]("revenue") - prev.getAs[Double]("revenue")) /
+          prev.getAs[Double]("revenue")
+        assert(math.abs(r.getAs[Double]("yoy_growth") - expect) < 1e-9,
+          s"YoY at ($y,$m)")
+      }
+    }
+  }
+
   test("text_zipf: ranks are dense, freq non-increasing, products consistent") {
     val rows = graft.queries.Q.textZipf(spark, sf).orderBy("rank").collect()
     // sf0.001's vocabulary is smaller than the top-40 limit; ranks stay dense
