@@ -376,6 +376,30 @@ object Analytics {
         col("mom_growth"), col("yoy_growth"))
   }
 
+  /** Seasonal-naive forecast backtest: predict each (type, day) event
+    * count with the count from 7 days earlier, then score per type — MAE
+    * and signed bias over every day whose season-lag day exists. The
+    * one-step evaluation harness a pipeline runs BEFORE trusting any
+    * fancier forecaster (seasonal-naive is the canonical baseline that
+    * real models must beat). ONE raw-stream aggregation to the (type,
+    * day) grid (lazily checkpointed — both join sides read the SAME
+    * materialized frame, raw events scan once); the forecast is a
+    * self-join on (type, day−7) at grid cardinality; errors are exact
+    * integer counts, so MAE/bias are one double division each. */
+  def eventsForecastEval(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables(spark, dir, "events")
+      .select(col("event_type"), expr("ts div 86400000000000").as("d"))
+      .groupBy("event_type", "d").agg(count(lit(1)).as("n"))
+      .localCheckpoint(eager = false)
+    val pred = daily.select(col("event_type"), (col("d") + 7).as("d"),
+      col("n").as("n_pred"))
+    daily.join(pred, Seq("event_type", "d"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_days_eval"),
+        (sum(abs(col("n") - col("n_pred"))).cast("double") / count(lit(1))).as("mae"),
+        (sum(col("n") - col("n_pred")).cast("double") / count(lit(1))).as("bias"))
+  }
+
   /** Ordered-stage funnel (view → click → purchase, strictly increasing
     * timestamps): per-stage user counts plus the median seconds from first
     * view to completing purchase.

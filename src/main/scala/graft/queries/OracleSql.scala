@@ -1285,6 +1285,17 @@ object OracleSql {
         | CAST(SUM(term) AS DOUBLE) / 1e12 AS psi
         |FROM terms""".stripMargin,
 
+    "events_forecast_eval" ->
+      """WITH daily AS (SELECT event_type, epoch_ns(ts) // 86400000000000 AS d,
+        |  CAST(count(*) AS BIGINT) AS n
+        | FROM events GROUP BY 1, 2)
+        |SELECT a.event_type,
+        | CAST(count(*) AS BIGINT) AS n_days_eval,
+        | CAST(SUM(abs(a.n - f.n)) AS DOUBLE) / count(*) AS mae,
+        | CAST(SUM(a.n - f.n) AS DOUBLE) / count(*) AS bias
+        |FROM daily a JOIN daily f ON a.event_type = f.event_type AND f.d = a.d - 7
+        |GROUP BY 1""".stripMargin,
+
     "orders_seasonality" ->
       """WITH m AS (SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
         |  CAST(month(o_orderdate) AS BIGINT) AS o_month,

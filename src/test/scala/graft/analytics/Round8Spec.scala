@@ -78,6 +78,35 @@ class Round8Spec extends SparkSpec {
     }
   }
 
+  test("events_forecast_eval matches a driver-side seasonal-naive recomputation") {
+    val got = Analytics.eventsForecastEval(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getAs[Long]("n_days_eval"),
+        r.getAs[Double]("mae"), r.getAs[Double]("bias")))).toMap
+    // brute-force reference from the raw (type, day) counts
+    val daily = graft.Tables(spark, sf, "events")
+      .select(org.apache.spark.sql.functions.col("event_type"),
+        org.apache.spark.sql.functions.expr("ts div 86400000000000").as("d"))
+      .groupBy("event_type", "d")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val expect = daily.keys.groupBy(_._1).map { case (t, keys) =>
+      val scored = keys.toSeq.flatMap { case (_, d) =>
+        daily.get((t, d - 7)).map(p => (daily((t, d)), p))
+      }
+      t -> ((scored.size.toLong,
+        scored.map { case (a, p) => math.abs(a - p) }.sum.toDouble / scored.size,
+        scored.map { case (a, p) => a - p }.sum.toDouble / scored.size))
+    }
+    assert(got.keySet == expect.keySet)
+    got.foreach { case (t, (n, mae, bias)) =>
+      val (en, emae, ebias) = expect(t)
+      assert(n == en, s"$t n_days")
+      assert(math.abs(mae - emae) < 1e-12, s"$t mae")
+      assert(math.abs(bias - ebias) < 1e-12, s"$t bias")
+    }
+  }
+
   test("text_zipf: ranks are dense, freq non-increasing, products consistent") {
     val rows = graft.queries.Q.textZipf(spark, sf).orderBy("rank").collect()
     // sf0.001's vocabulary is smaller than the top-40 limit; ranks stay dense
