@@ -593,6 +593,26 @@ object OracleSql {
         | scale
         |FROM x""".stripMargin,
 
+    "embed_outliers" ->
+      """WITH b AS (SELECT vec_id, label,
+        |  [CAST(round(CAST(x AS DOUBLE) * 1000000.0, 0) AS BIGINT) for x in embedding] AS qv
+        | FROM embeddings),
+        |x AS (SELECT label, qv, unnest(generate_series(1, len(qv))) AS i FROM b),
+        |s AS (SELECT label, i, CAST(SUM(qv[i]) AS BIGINT) AS sm,
+        |       CAST(count(*) AS BIGINT) AS n
+        |      FROM x GROUP BY 1, 2),
+        |c AS (SELECT label, list(CAST(sm AS DOUBLE) / CAST(n AS DOUBLE) ORDER BY i) AS cm
+        |      FROM s GROUP BY label),
+        |sc AS (SELECT vec_id, b.label,
+        |  CAST(round(list_sum([
+        |    (CAST(qv[i] AS DOUBLE) - cm[i]) * (CAST(qv[i] AS DOUBLE) - cm[i])
+        |    for i in range(1, len(qv) + 1)]), 0) AS BIGINT) AS score_q
+        | FROM b JOIN c ON b.label = c.label),
+        |t AS (SELECT label, CAST(round(quantile_cont(score_q, 0.95), 0) AS BIGINT) AS thr
+        |      FROM sc GROUP BY label)
+        |SELECT vec_id, sc.label, score_q, score_q > thr AS is_outlier
+        |FROM sc JOIN t ON sc.label = t.label""".stripMargin,
+
     "events_funnel" ->
       """WITH e AS (SELECT user_id, epoch_ns(ts) AS t, event_type FROM events),
         |a AS (SELECT user_id, min(t) AS ta FROM e WHERE event_type = 'view' GROUP BY user_id),

@@ -609,6 +609,13 @@ object Q {
     TextAnalysis.withScrub(Tables(s, dir, "documents"), "text")
       .select("doc_id", "scrubbed", "n_hits")
 
+  /** Embedding-quality gate: per-label centroid-distance outlier scores
+    * with a p95 flag — drop mis-embedded vectors before they poison ANN
+    * indexes or dedup thresholds. */
+  def embedOutliers(s: SparkSession, dir: String): DataFrame =
+    graft.similarity.EmbedOutliers.score(
+      Tables(s, dir, "embeddings"), "vec_id", "embedding", "label")
+
   /** Int8 max-abs quantization of the embedding corpus, exploded to
     * per-component rows for the exact-integer oracle. */
   def embedQuantize(s: SparkSession, dir: String): DataFrame =

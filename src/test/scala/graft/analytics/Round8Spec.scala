@@ -107,6 +107,31 @@ class Round8Spec extends SparkSpec {
     }
   }
 
+  test("embed_outliers: ~5% flagged per label, far vectors score higher") {
+    import spark.implicits._
+    val rows = graft.queries.Q.embedOutliers(spark, sf).collect()
+    val byLabel = rows.groupBy(_.getAs[Int]("label"))
+    byLabel.foreach { case (l, rs) =>
+      val flagged = rs.count(_.getAs[Boolean]("is_outlier"))
+      // strictly-above-p95 flags at most 5% and, with continuous scores,
+      // close to it; allow slack for small labels and score ties
+      assert(flagged <= math.ceil(rs.length * 0.05).toInt + 1, s"label $l overflags")
+      assert(rs.length < 20 || flagged >= 1, s"label $l flags nothing")
+    }
+    // a synthetic far-away vector must out-score every in-distribution one
+    val base = graft.Tables(spark, sf, "embeddings")
+    val spiked = base.unionByName(
+      Seq((999999L, Seq.fill(64)(10.0f), 0)).toDF("vec_id", "embedding", "label"))
+    val spikedScores = graft.similarity.EmbedOutliers
+      .score(spiked, "vec_id", "embedding", "label")
+    val spike = spikedScores
+      .filter(org.apache.spark.sql.functions.col("vec_id") === 999999L)
+      .collect().head
+    assert(spike.getAs[Boolean]("is_outlier"))
+    assert(spike.getAs[Long]("score_q") ==
+      spikedScores.agg(org.apache.spark.sql.functions.max("score_q")).collect().head.getLong(0))
+  }
+
   test("text_zipf: ranks are dense, freq non-increasing, products consistent") {
     val rows = graft.queries.Q.textZipf(spark, sf).orderBy("rank").collect()
     // sf0.001's vocabulary is smaller than the top-40 limit; ranks stay dense
