@@ -1,0 +1,54 @@
+package graft.similarity
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Embedding-quality outlier gate: distance-to-label-centroid scoring —
+  * the screen a training pipeline runs to drop mis-embedded vectors
+  * (encoder failures, wrong-modality rows, corrupted floats) before they
+  * poison ANN indexes or dedup thresholds.
+  *
+  * Bitwise-reproducibility discipline (SURVEY.md §4), applied to float
+  * vectors: components quantize to exact integer 1e-6 units first, so the
+  * per-(label, dim) centroid sums are order-independent integers; the
+  * per-vector score is then a FIXED-ORDER fold over dims of squared
+  * diffs against the integer-derived means (doubles, but every operand
+  * and the operation order are deterministic), rounded to an integer
+  * score. The outlier threshold is the per-label p-quantile of those
+  * integer scores rounded to an integer — so the final comparison is
+  * exact, the clip_outliers pattern.
+  *
+  * Scale shape: one posexplode shuffle at (label, dim) cardinality for
+  * the centroid sums (map-side partials), centroids collapse to ONE row
+  * per label (labels × dim doubles — broadcast), scoring is a pure
+  * projection, and the threshold aggregates at label cardinality. No
+  * per-label vector collection, no window over the corpus. */
+object EmbedOutliers {
+
+  def score(df: DataFrame, idCol: String, vecCol: String, labelCol: String,
+            p: Double = 0.95): DataFrame = {
+    val base = df.select(col(idCol).as("vec_id"), col(labelCol).as("label"),
+      transform(col(vecCol), x => round(x.cast("double") * 1e6, 0).cast("bigint"))
+        .as("qv"))
+    // exact integer per-(label, dim) sums — order-independent
+    val sums = base.select(col("label"), posexplode(col("qv")).as(Seq("dim", "q")))
+      .groupBy("label", "dim").agg(sum(col("q")).as("s"), count(lit(1)).as("n"))
+    // one mean array per label, dims in order (label-cardinality agg; the
+    // collect_list is made deterministic by the array_sort on dim)
+    val centroids = sums.groupBy("label")
+      .agg(array_sort(collect_list(struct(col("dim"),
+        (col("s").cast("double") / col("n").cast("double")).as("m")))).as("_cm"))
+      .select(col("label"), expr("transform(_cm, x -> x.m)").as("cm"))
+    val scored = base.join(broadcast(centroids), Seq("label"))
+      .withColumn("score_q", round(expr(
+        """aggregate(
+          |  zip_with(qv, cm, (q, m) -> (CAST(q AS DOUBLE) - m) * (CAST(q AS DOUBLE) - m)),
+          |  CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)""".stripMargin), 0).cast("bigint"))
+      .select("vec_id", "label", "score_q")
+    val thr = scored.groupBy("label")
+      .agg(round(expr(s"percentile(score_q, ${p}D)"), 0).cast("bigint").as("_thr"))
+    scored.join(broadcast(thr), Seq("label"))
+      .select(col("vec_id"), col("label"), col("score_q"),
+        (col("score_q") > col("_thr")).as("is_outlier"))
+  }
+}
