@@ -265,6 +265,32 @@ object Streams {
         hll_sketch_estimate(col("distinct_sketch")).as("approx_distinct"),
         col("n_events"), col("distinct_sketch"))
 
+  /** Streaming per-window heavy hitters: the top-k user ids by event count
+    * in each tumbling window — the hot-key/abuse monitor a stream pipeline
+    * runs next to its windowed totals. TWO chained stateful aggregations
+    * (Spark's multiple-stateful-operator support, append mode): the first
+    * holds (window, user) counts with watermark-evicted state; the second
+    * reduces each window to ONE bounded graft_topk heap — per-window
+    * emitted state is k entries no matter how many users flow through,
+    * and the heap's map-side partials mean the second shuffle carries
+    * ≤ k·P rows per window, never the full user list. Ranks are
+    * deterministic: (count desc, user_id asc), the bruteTopK order.
+    * Append mode: a window's top-k emits once the watermark passes its
+    * end — exactly-once per window downstream. */
+  def windowedTopUsers(events: DataFrame, tsCol: String, idCol: String,
+                       k: Int = 5, windowLen: String = "1 hour",
+                       watermark: String = "30 minutes"): DataFrame =
+    events.withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowLen), col(idCol))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("window"))
+      .agg(call_function("graft_topk", col("n").cast("double"), col(idCol), lit(k)).as("_tk"))
+      .select(col("window.start").as("window_start"),
+        posexplode(col("_tk")).as(Seq("_i", "_s")))
+      .select(col("window_start"), col("_s.id").as("user_id"),
+        (col("_i") + 1).cast("bigint").as("rank"),
+        col("_s.score").cast("bigint").as("n_events"))
+
   /** Stream-stream interval join: pair each purchase with every click by
     * the same user in the preceding `horizonSec` seconds. Both sides carry
     * watermarks and the join condition bounds the time skew, so each side's

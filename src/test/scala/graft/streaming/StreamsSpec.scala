@@ -42,6 +42,42 @@ class StreamsSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming windowed top-k users: chained stateful aggs, append on window close") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    // event_id stands in for user_id. Window 0: user 1×3, user 2×2, user
+    // 3×1; window 1: user 7×2, user 8×1. The flush event (far future)
+    // advances the watermark past both windows so append mode emits them.
+    val w0 = Seq(1L, 1L, 1L, 2L, 2L, 3L).zipWithIndex.map { case (u, i) =>
+      Ev(t(i), "click", 1.0, u)
+    }
+    val w1 = Seq(7L, 7L, 8L).zipWithIndex.map { case (u, i) =>
+      Ev(t(60 + i), "click", 1.0, u)
+    }
+    val out = Streams.windowedTopUsers(input.toDF(), "ts", "event_id", k = 2)
+    val query = out.writeStream.format("memory").queryName("topu_out")
+      .outputMode("append").start()
+    try {
+      input.addData(w0 ++ w1: _*)
+      query.processAllAvailable()
+      input.addData(Ev(t(600), "click", 1.0, 99L))
+      query.processAllAvailable()
+      val got = spark.table("topu_out")
+        .select("window_start", "user_id", "rank", "n_events")
+        .collect()
+        .map(r => (r.getTimestamp(0).getTime, r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      val h0 = t(0).getTime / 3600000L * 3600000L
+      val h1 = h0 + 3600000L
+      // k=2 per window, ranked by (count desc, user asc); user 3 and user 8
+      // fall outside/inside k per window respectively
+      assert(got == Set(
+        (h0, 1L, 1L, 3L), (h0, 2L, 2L, 2L),
+        (h1, 7L, 1L, 2L), (h1, 8L, 2L, 1L)), s"got $got")
+    } finally query.stop()
+  }
+
   test("streaming windowed HLL distinct matches exact counts on small cardinalities") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
