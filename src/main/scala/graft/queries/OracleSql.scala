@@ -637,6 +637,28 @@ object OracleSql {
         | CAST(least((i + 1) * 64, n) - i * 64 AS BIGINT) AS n_chunk_tokens
         |FROM c""".stripMargin,
 
+    "text_bigram_logprob" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |bgs AS (SELECT doc_id,
+        |         unnest(list_transform(generate_series(1, len(t) - 1),
+        |                               i -> t[i] || ' ' || t[i + 1])) AS b
+        |        FROM d),
+        |tf AS (SELECT doc_id, b, CAST(count(*) AS BIGINT) AS tf FROM bgs GROUP BY 1, 2),
+        |cb AS (SELECT b, CAST(SUM(tf) AS BIGINT) AS cb FROM tf GROUP BY b),
+        |cw AS (SELECT string_split(b, ' ')[1] AS w1, CAST(SUM(cb) AS BIGINT) AS cw
+        |       FROM cb GROUP BY 1),
+        |sc AS (SELECT doc_id, b, tf,
+        |        CAST(tf AS DOUBLE) * ln(CAST(cb AS DOUBLE) / CAST(cw AS DOUBLE)) AS lp
+        |       FROM tf JOIN cb USING (b) JOIN cw ON string_split(b, ' ')[1] = cw.w1),
+        |ag AS (SELECT doc_id, list(lp ORDER BY b) AS lps,
+        |        CAST(SUM(tf) AS BIGINT) AS n_bigrams
+        |       FROM sc GROUP BY doc_id)
+        |SELECT doc_id, n_bigrams,
+        | round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), lps), (a, b) -> a + b), 6) AS logprob,
+        | round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), lps), (a, b) -> a + b)
+        |   / CAST(n_bigrams AS DOUBLE), 6) AS avg_logprob
+        |FROM ag""".stripMargin,
+
     "text_logprob" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
         |tf AS (SELECT doc_id, t, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY doc_id, t),

@@ -603,6 +603,12 @@ object Q {
   def textZipf(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.zipfHead(Tables(s, dir, "documents"), "doc_id", "text", 40)
 
+  /** Bigram-LM fluency scoring: Σ tf·ln P(w₂|w₁) per doc — one LM order
+    * above [[textLogprob]]; word salad with common unigrams but rare
+    * transitions scores far lower here. */
+  def textBigramLogprob(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.withBigramLogprob(Tables(s, dir, "documents"), "doc_id", "text")
+
   /** PII-style redaction pass over the corpus (emails / URLs / digit runs /
     * blocklist term → sentinel) with per-doc hit counts. */
   def textScrub(s: SparkSession, dir: String): DataFrame =

@@ -222,6 +222,41 @@ object TextAnalysis {
       .select(col(idCol), col("n_tokens"), col("logprob"), col("avg_logprob"))
   }
 
+  /** Bigram-LM (conditional) document scoring: Σ tf·ln P(w₂|w₁) with
+    * P(w₂|w₁) = corpus count(w₁ w₂) / corpus count(w₁ as bigram prefix) —
+    * the fluency signal one LM order above [[withLogprob]]'s unigram
+    * score: word-salad documents whose unigrams are all common but whose
+    * transitions are rare score far lower here. Same shuffle discipline
+    * (one (doc, bigram) count shuffle, vocabulary-sized context re-agg,
+    * joins left to AQE) and the same determinism discipline: per-doc
+    * bigram-sorted list, ordered fold, so the double sum is
+    * order-independent. Docs with < 2 tokens have no bigrams and drop
+    * out, exactly as in the oracle. */
+  def withBigramLogprob(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val bg = df.select(col(idCol), explode(bigrams(col(textCol))).as("_b"))
+    val tf = bg.groupBy(col(idCol), col("_b")).agg(count(lit(1)).as("_tf"))
+    val cb = tf.groupBy("_b").agg(sum("_tf").as("_cb"))
+    val cw = cb.select(expr("split(_b, ' ')[0]").as("_w1"), col("_cb"))
+      .groupBy("_w1").agg(sum("_cb").as("_cw"))
+    val scored = tf.join(cb, "_b")
+      .withColumn("_w1", expr("split(_b, ' ')[0]"))
+      .join(cw, "_w1")
+      .withColumn("_lp",
+        col("_tf").cast("double") * log(col("_cb").cast("double") / col("_cw").cast("double")))
+    scored.groupBy(idCol)
+      .agg(sort_array(collect_list(struct(col("_b"), col("_lp")))).as("_l"),
+        sum("_tf").as("n_bigrams"))
+      .withColumn("_sum",
+        aggregate(col("_l"), lit(0.0), (acc, x) => acc + x.getField("_lp")))
+      // 6dp rounding (the withEntropy discipline): ln of arbitrary count
+      // RATIOS disagrees by ≤1 ulp across engines (unigram logprob's
+      // cnt/tot ratios happen to agree; bigram cb/cw ratios measurably
+      // don't), and the rounding absorbs it
+      .withColumn("logprob", round(col("_sum"), 6))
+      .withColumn("avg_logprob", round(col("_sum") / col("n_bigrams").cast("double"), 6))
+      .select(col(idCol), col("n_bigrams"), col("logprob"), col("avg_logprob"))
+  }
+
   /** Hashing-trick linear text scorer — the fasttext-style shape of a
     * learned quality/topic classifier, run as pure column expressions:
     * every token hashes to one of `buckets` feature slots (a cheap
