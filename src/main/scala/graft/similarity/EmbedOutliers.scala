@@ -26,7 +26,7 @@ import org.apache.spark.sql.functions._
 object EmbedOutliers {
 
   def score(df: DataFrame, idCol: String, vecCol: String, labelCol: String,
-            p: Double = 0.95): DataFrame = {
+            p: Double = 0.95, maxLabels: Long = 200000): DataFrame = {
     val base = df.select(col(idCol).as("vec_id"), col(labelCol).as("label"),
       transform(col(vecCol), x => round(x.cast("double") * 1e6, 0).cast("bigint"))
         .as("qv"))
@@ -35,10 +35,25 @@ object EmbedOutliers {
       .groupBy("label", "dim").agg(sum(col("q")).as("s"), count(lit(1)).as("n"))
     // one mean array per label, dims in order (label-cardinality agg; the
     // collect_list is made deterministic by the array_sort on dim)
+    // The centroid and threshold frames BROADCAST (labels × dim doubles —
+    // the ivfPqTopK maxLists shape), so label cardinality is bounded
+    // IN-PLAN: a 1-row label count rides a broadcast onto the centroid
+    // frame and assert_true fails the job with the knob named before an
+    // oversized broadcast is ever built (the blockedSelfPairs guard style —
+    // no eager count at plan-build time).
+    val nLabels = sums.select(col("label")).distinct()
+      .agg(count(lit(1)).as("_nl"))
     val centroids = sums.groupBy("label")
       .agg(array_sort(collect_list(struct(col("dim"),
         (col("s").cast("double") / col("n").cast("double")).as("m")))).as("_cm"))
       .select(col("label"), expr("transform(_cm, x -> x.m)").as("cm"))
+      .crossJoin(broadcast(nLabels))
+      .filter(assert_true(col("_nl") <= maxLabels,
+        concat(lit("embed_outliers: "), col("_nl"),
+          lit(s" labels exceed maxLabels=$maxLabels — the per-label centroid/" +
+            "threshold frames broadcast (labels × dim doubles); coarsen the " +
+            "label column or raise maxLabels alongside the broadcast budget"))).isNull)
+      .select("label", "cm")
     val scored = base.join(broadcast(centroids), Seq("label"))
       .withColumn("score_q", round(expr(
         """aggregate(

@@ -132,6 +132,19 @@ class Round8Spec extends SparkSpec {
       spikedScores.agg(org.apache.spark.sql.functions.max("score_q")).collect().head.getLong(0))
   }
 
+  test("embed_outliers fails fast when label cardinality exceeds maxLabels") {
+    import spark.implicits._
+    val many = (0L until 50L).map(i => (i, Seq.fill(4)(0.1f), i.toInt))
+      .toDF("vec_id", "embedding", "label")
+    val e = intercept[Exception] {
+      graft.similarity.EmbedOutliers
+        .score(many, "vec_id", "embedding", "label", maxLabels = 10).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(m => m.contains("maxLabels")), s"got $e")
+  }
+
   test("text_zipf: ranks are dense, freq non-increasing, products consistent") {
     val rows = graft.queries.Q.textZipf(spark, sf).orderBy("rank").collect()
     // sf0.001's vocabulary is smaller than the top-40 limit; ranks stay dense
