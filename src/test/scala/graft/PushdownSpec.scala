@@ -94,6 +94,30 @@ class PushdownSpec extends SparkSpec {
       s"text_quality needs only (doc_id, text), got $cols")
   }
 
+  test("orders_pareto prunes orders to custkey + totalprice") {
+    val scans = scansOf(SparkEntry.queries("orders_pareto")(spark, sf), "orders")
+    assert(scans.nonEmpty)
+    val cols = scans.map(readColumns).reduce(_ union _)
+    assert(cols == Set("o_custkey", "o_totalprice"),
+      s"pareto needs only (o_custkey, o_totalprice), got $cols")
+  }
+
+  test("orders_seasonality prunes orders to orderdate + totalprice") {
+    val scans = scansOf(SparkEntry.queries("orders_seasonality")(spark, sf), "orders")
+    assert(scans.nonEmpty)
+    val cols = scans.map(readColumns).reduce(_ union _)
+    assert(cols == Set("o_orderdate", "o_totalprice"),
+      s"seasonality needs only (o_orderdate, o_totalprice), got $cols")
+  }
+
+  test("profile_histogram prunes lineitem to the single binned column") {
+    val scans = scansOf(SparkEntry.queries("profile_histogram")(spark, sf), "lineitem")
+    assert(scans.nonEmpty)
+    val cols = scans.map(readColumns).reduce(_ union _)
+    assert(cols == Set("l_extendedprice"),
+      s"histogram needs only l_extendedprice, got $cols")
+  }
+
   test("q3_join pushes the segment filter into the customer scan") {
     val scans = scansOf(SparkEntry.queries("q3_join")(spark, sf), "customer")
     assert(scans.nonEmpty)
