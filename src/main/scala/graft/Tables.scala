@@ -31,12 +31,27 @@ object Tables {
     // microsecond timestamp across testdata generations; normalize the
     // timestamp encodings to bigint nanos at load — exactly DuckDB's
     // `epoch_ns(ts)`, which the oracle SQL already uses — so every
-    // downstream `ts div/pmod` stays in one unambiguous unit. Sessions pin
-    // spark.sql.session.timeZone=UTC, making the NTZ→LTZ cast the identity
-    // on the naive value.
+    // downstream `ts div/pmod` stays in one unambiguous unit.
     if (name == "events") df.schema("ts").dataType match {
-      case org.apache.spark.sql.types.TimestampNTZType |
-           org.apache.spark.sql.types.TimestampType =>
+      case org.apache.spark.sql.types.TimestampType =>
+        // tz-aware timestamps are instants — unix_micros is session-TZ-free
+        df.withColumn("ts", (unix_micros(col("ts")) * 1000L).as("ts"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        // An NTZ value only becomes an instant through the session timezone,
+        // and the oracle's epoch_ns(ts) reads the naive value AS UTC — so a
+        // non-UTC session would silently shift every ts by the zone offset.
+        // All in-repo entry points pin UTC; an embedding session that
+        // doesn't must fail LOUDLY here, not hash-mismatch downstream.
+        val tz = spark.conf.get("spark.sql.session.timeZone")
+        val utcFixed = try {
+          val rules = java.time.ZoneId.of(tz).getRules
+          rules.isFixedOffset &&
+            rules.getOffset(java.time.Instant.EPOCH).getTotalSeconds == 0
+        } catch { case _: Exception => false }
+        require(utcFixed,
+          s"graft.Tables: events.ts is TIMESTAMP_NTZ and spark.sql.session.timeZone=$tz " +
+            "is not UTC — the NTZ→epoch-nanos normalization would silently shift ts by " +
+            "the zone offset; set spark.sql.session.timeZone=UTC on the session")
         df.withColumn("ts", (unix_micros(col("ts").cast("timestamp")) * 1000L).as("ts"))
       case _ => df
     } else df

@@ -25,8 +25,24 @@ import org.apache.spark.sql.functions._
   * per-label vector collection, no window over the corpus. */
 object EmbedOutliers {
 
+  /** @param exactThreshold `true` (default, the oracle-checked face) uses
+    *   exact `percentile` for the per-label threshold — its sort-based
+    *   buffer grows with the DISTINCT scores per label, fine while any one
+    *   label's score set fits an executor. `false` switches to
+    *   `approx_percentile` (bounded GK sketch, mergeable partials) — the
+    *   100 TB path when single labels carry millions of vectors. The exact
+    *   face interpolates between order statistics; the sketch returns an
+    *   observed score, so thresholds can differ by at most the gap between
+    *   adjacent scores at p.
+    * @param maxCentroidCells bounds the BROADCAST centroid frame at
+    *   labels × dim doubles (default 12.8M cells ≈ 100 MB boxed — the
+    *   200k-label default at the testdata's 64 dims). Unlike `maxLabels`
+    *   alone, this cap scales with the embedding dimension: 2k-dim
+    *   embeddings trip it at ~6.4k labels. */
   def score(df: DataFrame, idCol: String, vecCol: String, labelCol: String,
-            p: Double = 0.95, maxLabels: Long = 200000): DataFrame = {
+            p: Double = 0.95, maxLabels: Long = 200000,
+            exactThreshold: Boolean = true,
+            maxCentroidCells: Long = 200000L * 64): DataFrame = {
     val base = df.select(col(idCol).as("vec_id"), col(labelCol).as("label"),
       transform(col(vecCol), x => round(x.cast("double") * 1e6, 0).cast("bigint"))
         .as("qv"))
@@ -48,11 +64,17 @@ object EmbedOutliers {
         (col("s").cast("double") / col("n").cast("double")).as("m")))).as("_cm"))
       .select(col("label"), expr("transform(_cm, x -> x.m)").as("cm"))
       .crossJoin(broadcast(nLabels))
-      .filter(assert_true(col("_nl") <= maxLabels,
-        concat(lit("embed_outliers: "), col("_nl"),
-          lit(s" labels exceed maxLabels=$maxLabels — the per-label centroid/" +
-            "threshold frames broadcast (labels × dim doubles); coarsen the " +
-            "label column or raise maxLabels alongside the broadcast budget"))).isNull)
+      // the cap is labels × dim CELLS, not labels alone (ADVICE r8): a
+      // 2k-dim embedding blows the broadcast budget at a label count far
+      // under the flat maxLabels default
+      .filter(assert_true(
+        col("_nl") <= maxLabels && col("_nl") * size(col("cm")) <= maxCentroidCells,
+        concat(lit("embed_outliers: "), col("_nl"), lit(" labels × "),
+          size(col("cm")),
+          lit(s" dims exceed maxLabels=$maxLabels or maxCentroidCells=" +
+            s"$maxCentroidCells — the per-label centroid/threshold frames " +
+            "broadcast (labels × dim doubles); coarsen the label column or " +
+            "raise the caps alongside the broadcast budget"))).isNull)
       .select("label", "cm")
     val scored = base.join(broadcast(centroids), Seq("label"))
       .withColumn("score_q", round(expr(
@@ -60,8 +82,10 @@ object EmbedOutliers {
           |  zip_with(qv, cm, (q, m) -> (CAST(q AS DOUBLE) - m) * (CAST(q AS DOUBLE) - m)),
           |  CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)""".stripMargin), 0).cast("bigint"))
       .select("vec_id", "label", "score_q")
-    val thr = scored.groupBy("label")
-      .agg(round(expr(s"percentile(score_q, ${p}D)"), 0).cast("bigint").as("_thr"))
+    val thrExpr =
+      if (exactThreshold) round(expr(s"percentile(score_q, ${p}D)"), 0).cast("bigint")
+      else expr(s"approx_percentile(score_q, ${p}D, 10000)").cast("bigint")
+    val thr = scored.groupBy("label").agg(thrExpr.as("_thr"))
     scored.join(broadcast(thr), Seq("label"))
       .select(col("vec_id"), col("label"), col("score_q"),
         (col("score_q") > col("_thr")).as("is_outlier"))
