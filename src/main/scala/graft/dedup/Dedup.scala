@@ -245,6 +245,98 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Duplicated-SPAN detection between documents — the suffix-array family
+    * of Lee et al. 2022 ("Deduplicating Training Data Makes Language Models
+    * Better"), re-expressed as relational dataflow: two otherwise-distinct
+    * documents sharing a verbatim run of ≥ `minSpanTokens` tokens are
+    * reported with EXACT token offsets, the duplication neither Jaccard
+    * (global overlap too small) nor containment (neither doc inside the
+    * other) can see.
+    *
+    * Dataflow instead of a suffix array: (1) POSITIONAL k-token shingles —
+    * (doc, pos, shingle) — one narrow projection per document; (2) prune to
+    * shingles seen in ≥ 2 documents (a left-semi join — the overwhelming
+    * majority of shingles are unique and never shuffle again); (3) equality
+    * self-join on the shingle STRING yields co-occurrences (da, db, pa, pb);
+    * (4) consecutive co-occurrences on one diagonal g = pa − pb are one
+    * shared run — the gaps-and-islands trick (pa − row_number over (da, db,
+    * g) is constant within a run) turns run-merging into a groupBy; a run of
+    * r shingles is a span of r + k − 1 tokens. Every shuffle keys on the
+    * shingle or on (da, db, g) — never an all-pairs join; the window
+    * partition is bounded by document length. Fan-out is Σ_shingle
+    * freqA·freqB over REPEATED shingles only; `maxDocFreq` (0 = off, the
+    * oracle-exact face) drops boilerplate shingles above a document
+    * frequency cap — the standard mitigation when a hot shingle (license
+    * headers, navigation chrome) would dominate the join, at the cost of
+    * splitting runs that cross a dropped shingle.
+    *
+    * Spans are maximal per diagonal; a pair with internal periodicity can
+    * report overlapping spans on different diagonals (each is a true
+    * verbatim match). Emits (id_a, id_b, start_a, start_b, span_tokens)
+    * with id_a < id_b and 0-based token offsets. */
+  def substringSpans(df: DataFrame, idCol: String, textCol: String,
+                     k: Int = 8, minSpanTokens: Int = 20,
+                     maxDocFreq: Long = 0L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1 && minSpanTokens >= k,
+      s"substringSpans: need k >= 1 and minSpanTokens >= k, got k=$k minSpanTokens=$minSpanTokens")
+    val toks = split(col(textCol), " ")
+    val sh = df.select(col(idCol).as("_id"), toks.as("_t"))
+      .filter(size(col("_t")) >= k)
+      .select(col("_id"), posexplode(transform(
+        sequence(lit(0), size(col("_t")) - k),
+        i => concat_ws(" ", slice(col("_t"), i + 1, lit(k))))).as(Seq("pos", "s")))
+    val freq = sh.groupBy("s").agg(countDistinct(col("_id")).as("_nd"))
+    val live = {
+      val f = freq.filter(col("_nd") >= 2)
+      if (maxDocFreq > 0) f.filter(col("_nd") <= maxDocFreq) else f
+    }
+    // the pruned positional index feeds both sides of the pair join —
+    // lazy-checkpoint it (the jaccardPairs rule) so the corpus tokenizes once
+    val idx = sh.join(live.select("s"), Seq("s"), "left_semi")
+      .localCheckpoint(eager = false)
+    val hits = idx.select(col("s"), col("_id").as("id_a"), col("pos").as("pa"))
+      .join(idx.select(col("s"), col("_id").as("id_b"), col("pos").as("pb")), Seq("s"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("pa"), col("pb"),
+        (col("pa") - col("pb")).as("g"))
+    hits
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy("id_a", "id_b", "g").orderBy("pa")))
+      .groupBy(col("id_a"), col("id_b"), col("g"), (col("pa") - col("_rn")).as("_isl"))
+      .agg(min(col("pa")).as("start_a"), min(col("pb")).as("start_b"),
+        (count(lit(1)) + lit(k - 1)).as("span_tokens"))
+      .filter(col("span_tokens") >= minSpanTokens)
+      .select(col("id_a"), col("id_b"), col("start_a").cast("bigint").as("start_a"),
+        col("start_b").cast("bigint").as("start_b"), col("span_tokens"))
+  }
+
+  /** Span REMOVAL — the second half of the Lee et al. pipeline: cut the
+    * duplicated tokens out of the HIGHER-id document of every span pair
+    * (keep-first policy; the lower id keeps its copy). Joins the span list
+    * back to the corpus on the victim id only, merges overlapping token
+    * ranges per document driver-free with a fold over the collected span
+    * list (spans per doc are few — bounded by doc length / minSpanTokens),
+    * and rebuilds the text with the flagged token ranges dropped. Documents
+    * with no spans pass through untouched. */
+  def removeSpans(df: DataFrame, spans: DataFrame, idCol: String,
+                  textCol: String): DataFrame = {
+    // one (start, end) struct list per victim document
+    val ranges = spans
+      .groupBy(col("id_b").as("_vid"))
+      .agg(sort_array(collect_list(struct(col("start_b").as("s"),
+        (col("start_b") + col("span_tokens")).as("e")))).as("_rs"))
+    df.join(ranges, col(idCol) === col("_vid"), "left")
+      .withColumn("_t", split(col(textCol), " "))
+      .withColumn(textCol,
+        when(col("_rs").isNull, col(textCol)).otherwise(
+          // keep token i unless some [s, e) range covers it
+          concat_ws(" ", filter(col("_t"), (t, i) =>
+            !exists(col("_rs"), r =>
+              i.cast("long") >= r.getField("s") && i.cast("long") < r.getField("e"))))))
+      .drop("_vid", "_rs", "_t")
+  }
+
   /** Shingle-CONTAINMENT near-dup pairs within `blockCol` blocks — the
     * asymmetric face of [[jaccardPairs]]: C(a,b) = |A∩B| / |A| with A the
     * smaller shingle set, so a short document quoted or embedded inside a

@@ -876,6 +876,23 @@ object OracleSql {
         |      WHEN source = 'src1' THEN 2500
         |      ELSE 1000 END""".stripMargin,
 
+    "dedup_substring" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh0 AS (SELECT doc_id, unnest(generate_series(1, greatest(len(t) - 7, 0))) AS i, t
+        |        FROM d),
+        |sh AS (SELECT doc_id, i - 1 AS pos, array_to_string(t[i:i+7], ' ') AS s FROM sh0),
+        |p AS (SELECT a.doc_id AS da, b.doc_id AS db, a.pos AS pa, b.pos AS pb,
+        |       a.pos - b.pos AS g
+        |      FROM sh a JOIN sh b USING (s) WHERE a.doc_id < b.doc_id),
+        |isl AS (SELECT *, pa - row_number() OVER (PARTITION BY da, db, g ORDER BY pa) AS il
+        |        FROM p),
+        |sp AS (SELECT da AS id_a, db AS id_b, CAST(min(pa) AS BIGINT) AS start_a,
+        |        CAST(min(pb) AS BIGINT) AS start_b,
+        |        CAST(count(*) + 7 AS BIGINT) AS span_tokens
+        |       FROM isl GROUP BY da, db, g, il)
+        |SELECT id_a, id_b, start_a, start_b, span_tokens FROM sp
+        |WHERE span_tokens >= 20""".stripMargin,
+
     "dedup_cluster" ->
       """WITH RECURSIVE s AS (
         | SELECT doc_id, source,

@@ -737,6 +737,15 @@ object Q {
     Dedup.containmentPairs(Tables(s, dir, "documents"), "doc_id", "text", "source",
       n = 2, threshold = 0.30)
 
+  /** Duplicated-SPAN detection (the Lee et al. 2022 suffix-array family,
+    * relational form): verbatim runs of ≥ 20 tokens shared between two
+    * otherwise-distinct documents, with exact 0-based token offsets —
+    * the duplication Jaccard and containment both miss. Shuffles on the
+    * repeated-shingle key and (pair, diagonal) only. */
+  def dedupSubstring(s: SparkSession, dir: String): DataFrame =
+    Dedup.substringSpans(Tables(s, dir, "documents"), "doc_id", "text",
+      k = 8, minSpanTokens = 20)
+
   /** Duplicate clusters: connected components over the near-dup Jaccard
     * pairs; every document gets the min doc_id of its component (singletons
     * keep their own id). Oracle: DuckDB recursive-CTE transitive closure. */

@@ -191,6 +191,72 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("substringSpans catches a planted 200-token span with exact offsets") {
+    import spark.implicits._
+    // two documents that agree ONLY on a 200-token span planted at
+    // different offsets; all other tokens come from disjoint alphabets so
+    // no coincidental 8-shingle can match
+    val span = (0 until 200).map(i => s"s$i")
+    val docA = ((0 until 100).map(i => s"a$i") ++ span ++ (0 until 50).map(i => s"x$i")).mkString(" ")
+    val docB = ((0 until 37).map(i => s"b$i") ++ span ++ (0 until 80).map(i => s"y$i")).mkString(" ")
+    val d = Seq((1L, docA), (2L, docB)).toDF("doc_id", "text")
+    val spans = Dedup.substringSpans(d, "doc_id", "text", k = 8, minSpanTokens = 20)
+      .collect()
+    assert(spans.length == 1, s"got ${spans.toSeq}")
+    val r = spans.head
+    assert(r.getAs[Long]("id_a") == 1L && r.getAs[Long]("id_b") == 2L)
+    assert(r.getAs[Long]("start_a") == 100L, s"start_a ${r.getAs[Long]("start_a")}")
+    assert(r.getAs[Long]("start_b") == 37L, s"start_b ${r.getAs[Long]("start_b")}")
+    assert(r.getAs[Long]("span_tokens") == 200L, s"span ${r.getAs[Long]("span_tokens")}")
+    // the Jaccard face at a typical threshold does NOT see this pair
+    // (200 shared tokens over ~350/320-token docs ≈ 0.4 overlap of distinct
+    // 3-shingle sets is below a 0.5 dedup threshold), and containment at
+    // 0.9 misses it too — the span detector is not redundant with either
+    val j = Dedup.jaccardPairs(d.withColumn("src", lit("s")), "doc_id", "text", "src",
+      n = 3, threshold = 0.75).collect()
+    assert(j.isEmpty, s"jaccard unexpectedly caught it: ${j.toSeq}")
+  }
+
+  test("substringSpans finds nothing below the span floor and merges runs maximally") {
+    import spark.implicits._
+    // 19 shared tokens < minSpanTokens=20 → no output; exactly 20 → one span
+    val shared19 = (0 until 19).map(i => s"c$i")
+    val shared20 = (0 until 20).map(i => s"d$i")
+    val d = Seq(
+      (1L, ((0 until 30).map(i => s"p$i") ++ shared19).mkString(" ")),
+      (2L, (shared19 ++ (0 until 30).map(i => s"q$i")).mkString(" ")),
+      (3L, ((0 until 11).map(i => s"u$i") ++ shared20).mkString(" ")),
+      (4L, (shared20 ++ (0 until 7).map(i => s"v$i")).mkString(" "))
+    ).toDF("doc_id", "text")
+    val spans = Dedup.substringSpans(d, "doc_id", "text", k = 8, minSpanTokens = 20)
+      .collect()
+    assert(spans.length == 1, s"got ${spans.toSeq}")
+    val r = spans.head
+    assert((r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) == ((3L, 4L)))
+    // maximal merge: 13 consecutive shingle hits collapse to ONE 20-token span
+    assert(r.getAs[Long]("start_a") == 11L && r.getAs[Long]("start_b") == 0L)
+    assert(r.getAs[Long]("span_tokens") == 20L)
+  }
+
+  test("removeSpans cuts the duplicated span from the higher-id doc only") {
+    import spark.implicits._
+    val span = (0 until 40).map(i => s"s$i")
+    val aTail = (0 until 9).map(i => s"x$i")
+    val docA = ((0 until 15).map(i => s"a$i") ++ span ++ aTail).mkString(" ")
+    val docB = ((0 until 8).map(i => s"b$i") ++ span ++ (0 until 12).map(i => s"y$i")).mkString(" ")
+    val d = Seq((1L, docA), (2L, docB)).toDF("doc_id", "text")
+    val spans = Dedup.substringSpans(d, "doc_id", "text", k = 8, minSpanTokens = 20)
+    val cleaned = Dedup.removeSpans(d, spans, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    assert(cleaned(1L) == docA, "lower id must keep its copy")
+    val expectB = ((0 until 8).map(i => s"b$i") ++ (0 until 12).map(i => s"y$i")).mkString(" ")
+    assert(cleaned(2L) == expectB, s"got ${cleaned(2L)}")
+    // after removal the corpus carries no span ≥ 20 tokens
+    val d2 = Seq((1L, cleaned(1L)), (2L, cleaned(2L))).toDF("doc_id", "text")
+    assert(Dedup.substringSpans(d2, "doc_id", "text", k = 8, minSpanTokens = 20)
+      .collect().isEmpty)
+  }
+
   test("simhash: identical docs at hamming 0, unrelated docs far apart") {
     val p = SimHash.pairs(docs, "doc_id", "text", maxHamming = 0)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
