@@ -414,6 +414,34 @@ object DeflateLenExpr {
   }
 }
 
+/** BPE token count of a text under the embedded merge table
+  * ([[graft.text.Bpe]]) — the honest context-window budget signal beside
+  * the regex approximation. The tokenizer's merge loop can't be expressed
+  * in SQL built-ins; like [[DeflateLenExpr]], a native expression keeps
+  * the per-row work inside whole-stage codegen (the generated code calls
+  * one static helper — no UDF serialization, no Row boxing). */
+case class BpeCountExpr(child: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"graft_bpe_count expects string, got $t")
+  }
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "graft_bpe_count"
+
+  override protected def nullSafeEval(a: Any): Any =
+    graft.text.Bpe.countText(
+      a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.text.Bpe.countText($a.toString());")
+
+  override protected def withNewChildInternal(newChild: Expression): BpeCountExpr =
+    copy(child = newChild)
+}
+
 /** Bloom-filter membership probe against a BROADCAST sketch — the native
   * form of [[graft.operators.BloomPrune]]'s scan filter. Spark's own
   * `might_contain` is optimizer-internal (InjectRuntimeFilter) and probes
@@ -527,6 +555,7 @@ object GraftFunctions {
       (exprs => SortedIntersectSizeLongExpr(exprs(0), exprs(1))),
     "graft_simhash64" -> (exprs => SimHash64Expr(exprs(0))),
     "graft_deflate_len" -> (exprs => DeflateLenExpr(exprs(0))),
+    "graft_bpe_count" -> (exprs => BpeCountExpr(exprs(0))),
     "graft_vec_avg" -> (exprs => VectorAvgAgg(exprs(0)).toAggregateExpression()),
     "graft_minhash" -> (exprs => MinHashSigExpr(exprs(0),
       positiveIntArg("graft_minhash", "k", exprs(1)),

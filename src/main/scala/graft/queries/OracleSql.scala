@@ -750,6 +750,35 @@ object OracleSql {
         | CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_bpeish
         |FROM documents""".stripMargin,
 
+    "text_tokens_bpe" -> {
+      // The merge chain is GENERATED from graft.text.Bpe.merges — the same
+      // constant the native expression reads — so engine and oracle cannot
+      // drift. Token-list representation: every token wrapped in its own
+      // '|t|' pair ("|h||e||l||l||o|"), so one replace('|a||b|' → '|ab|')
+      // is exactly one left-to-right non-overlapping merge pass: adjacent
+      // occurrences never share a delimiter character (with single bars,
+      // SQL replace — which resumes scanning after the consumed match —
+      // would miss the second of two back-to-back pairs, diverging from
+      // BPE). Applying the merges once each in rank order equals the
+      // priority loop because the table is well-formed (operands of merge
+      // i are chars or products of merges < i, and no two merges produce
+      // the same token) — a later merge can never create an earlier pair.
+      val chain = graft.text.Bpe.merges.foldLeft("w0") { case (acc, (l, r)) =>
+        s"replace($acc, '|$l||$r|', '|$l$r|')"
+      }
+      s"""WITH d AS (SELECT doc_id, text FROM documents),
+         |w AS (SELECT doc_id, unnest(regexp_extract_all(text, '[a-z]+')) AS word FROM d),
+         |e AS (SELECT doc_id, regexp_replace(word, '(.)', '|\\1|', 'g') AS w0 FROM w),
+         |t AS (SELECT doc_id, $chain AS wf FROM e),
+         |wc AS (SELECT doc_id,
+         |        CAST(SUM((length(wf) - length(replace(wf, '|', ''))) // 2) AS BIGINT) AS nw
+         |       FROM t GROUP BY doc_id)
+         |SELECT d.doc_id,
+         | COALESCE(wc.nw, 0) + CAST(length(regexp_replace(text, '[a-z ]', '', 'g')) AS BIGINT) AS n_bpe,
+         | CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_bpeish
+         |FROM d LEFT JOIN wc USING (doc_id)""".stripMargin
+    },
+
     "text_quality" -> {
       val stops = graft.text.TextAnalysis.stopwordsEn.map(w => s"'$w'").mkString(", ")
       s"""WITH d AS (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents),

@@ -470,6 +470,17 @@ object Q {
     TextAnalysis.withTokenCounts(Tables(s, dir, "documents"), "text")
       .select("doc_id", "n_tokens", "n_bpeish")
 
+  /** TRUE BPE token counts from the embedded merge table (graft_bpe_count,
+    * a native codegen expression over [[graft.text.Bpe]]) beside the regex
+    * approximation — the honest context-window budget. The oracle replays
+    * the SAME merge table as a chain of SQL `replace` calls generated from
+    * it, so the two faces cannot drift. */
+  def textTokensBpe(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents").select(col("doc_id"),
+      call_function("graft_bpe_count", col("text")).cast("bigint").as("n_bpe"),
+      size(regexp_extract_all(col("text"),
+        lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))).cast("bigint").as("n_bpeish"))
+
   def textQuality(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.withQuality(Tables(s, dir, "documents"), "text")
       .select("doc_id", "n_chars_obs", "n_tokens", "stop_ratio", "alpha_ratio", "quality_score")

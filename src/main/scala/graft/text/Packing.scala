@@ -55,4 +55,52 @@ object Packing {
         expr(s"(tok_start + greatest(n_tokens - 1, 0L)) div $budget") - col("pack_id") + 1)
       .select(col(idCol), col("n_tokens"), col("tok_start"), col("pack_id"), col("n_packs"))
   }
+
+  /** Budget-greedy document chunking under an ARBITRARY per-token cost —
+    * the tokenizer-honest sibling of [[TextAnalysis.chunk]]: where `chunk`
+    * slices a fixed NUMBER of whitespace tokens, this packs consecutive
+    * whitespace tokens into chunks whose summed cost stays ≤ `budget`
+    * (greedy first-fit; a single token costlier than the whole budget gets
+    * its own over-budget chunk rather than being dropped). Pass
+    * `t => call_function("graft_bpe_count", t)` to budget chunks in TRUE
+    * BPE tokens — the context-window accounting a training pipeline
+    * actually runs — or any other cost expression.
+    *
+    * Shape: the greedy scan is a per-row `aggregate` fold over the token
+    * array (sequential by nature, but row-local — no shuffle, no state);
+    * chunk rows then reassemble through one (doc, chunk) hash aggregate
+    * whose collect_list is bounded by the document's own token count and
+    * made deterministic by the array_sort on position. */
+  def chunkBudgeted(df: DataFrame, idCol: String, textCol: String, budget: Int,
+                    cost: Column => Column): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    val base = df.select(col(idCol), split(col(textCol), " ").as("_t"))
+      .withColumn("_cs", transform(col("_t"), t => cost(t).cast("int")))
+    // greedy fold: carry (current chunk id, its filled cost, per-token ids)
+    val zero = struct(lit(0).as("id"), lit(0).as("acc"),
+      array().cast("array<int>").as("ids"))
+    val folded = aggregate(col("_cs"), zero, (st, c) => {
+      val over = st.getField("acc") + c > lit(budget) && st.getField("acc") > lit(0)
+      val nid = when(over, st.getField("id") + 1).otherwise(st.getField("id"))
+      struct(nid.cast("int").as("id"),
+        when(over, c).otherwise(st.getField("acc") + c).cast("int").as("acc"),
+        concat(st.getField("ids"), array(nid.cast("int"))).as("ids"))
+    })
+    val withIds = base.withColumn("_ids", folded.getField("ids"))
+    // row-local (pos, tok, cid, cost) structs; empty docs emit no chunks
+    val rows = when(size(col("_t")) > 0,
+      transform(sequence(lit(0), size(col("_t")) - 1), i => struct(
+        i.as("pos"),
+        element_at(col("_t"), i + 1).as("tok"),
+        element_at(col("_ids"), i + 1).as("cid"),
+        element_at(col("_cs"), i + 1).as("cost"))))
+      .otherwise(array().cast("array<struct<pos:int,tok:string,cid:int,cost:int>>"))
+    withIds.select(col(idCol), explode(rows).as("_r"))
+      .groupBy(col(idCol), col("_r.cid").cast("bigint").as("chunk_id"))
+      .agg(
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("_r.pos").as("p"), col("_r.tok").as("tk")))),
+          x => x.getField("tk"))).as("chunk_text"),
+        sum(col("_r.cost")).as("n_chunk_cost"))
+  }
 }
