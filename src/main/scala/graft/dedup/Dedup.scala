@@ -179,6 +179,34 @@ object Dedup {
     labels
   }
 
+  /** Persist the (id, cluster_id) label table once — the workflow a real
+    * pipeline runs instead of re-deriving the pair-join + connected-
+    * components lineage for every downstream consumer (the dedup_stats
+    * driver query re-executes it by harness contract; a production corpus
+    * pays that cost exactly once, here). Labels land range-clustered on
+    * cluster_id so per-cluster reads prune files. */
+  def writeClusterLabels(labels: DataFrame, path: String,
+                         targetPartitions: Int = 0): Unit = {
+    val parts = if (targetPartitions > 0) targetPartitions
+      else labels.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    graft.sources.Sources.writeClustered(labels, path, Seq("cluster_id"), parts)
+  }
+
+  /** Duplication report from a PERSISTED label table: identical output to
+    * composing the stats aggregation over the live CC lineage (spec-pinned),
+    * at the cost of two tiny aggregations over (id, cluster_id) rows. */
+  def statsFromLabels(labels: DataFrame): DataFrame =
+    labels.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
+      .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
+
+  /** Keep-one-per-cluster from a persisted label table: cluster_id is the
+    * component's MIN member id, so the keeper is a pure filter after an
+    * id-keyed equality join — no window, no re-derivation. */
+  def keepOnePerCluster(df: DataFrame, idCol: String, labels: DataFrame): DataFrame =
+    df.join(labels.select(col("id").as(idCol), col("cluster_id")), Seq(idCol))
+      .filter(col(idCol) === col("cluster_id"))
+      .drop("cluster_id")
+
   /** N-gram Jaccard near-dup pairs within `blockCol` blocks, EXACT (same
     * result set as the all-pairs comparison) but never an all-pairs block
     * join: candidate generation is the prefix-filter set-similarity join of
@@ -195,6 +223,18 @@ object Dedup {
     * candidates before the exact merge-intersect verify. At 100 TB the
     * block-quadratic version explodes with block size; this one scales with
     * Σ_shingle freq² of the PREFIX shingles — bounded by construction. */
+  /** The narrow (id, block, sorted-hashed-shingles) frame the pair
+    * operators build straight off the scan — factored out so PushdownSpec
+    * can pin that the underlying parquet scan reads ONLY (id, block, text):
+    * the checkpoint the operators wrap around it hides the scan from the
+    * final plan, and a silent pruning regression here would multiply
+    * 100 TB of I/O invisibly. */
+  def shingleFrame(df: DataFrame, idCol: String, textCol: String,
+                   blockCol: String, n: Int): DataFrame =
+    df.select(col(idCol).as("id"), col(blockCol).as("block"),
+        shingleHashes(col(textCol), n).as("sh"))
+      .filter(size(col("sh")) > 0)
+
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String, blockCol: String,
                    n: Int = 3, threshold: Double = 0.5): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -209,9 +249,7 @@ object Dedup {
     // native shingle hash is cheap against shuffle+schedule cost); at
     // cluster scale it trades ONE executor-local write of (id, block,
     // hashes) for two extra full tokenize+hash scans of the corpus.
-    val sh = df.select(col(idCol).as("id"), col(blockCol).as("block"),
-        shingleHashes(col(textCol), n).as("sh"))
-      .filter(size(col("sh")) > 0)
+    val sh = shingleFrame(df, idCol, textCol, blockCol, n)
       .localCheckpoint(eager = false)
     val tokens = sh.select(col("id"), col("block"), size(col("sh")).cast("int").as("sz"),
       explode(col("sh")).as("t"))
@@ -274,18 +312,27 @@ object Dedup {
     * report overlapping spans on different diagonals (each is a true
     * verbatim match). Emits (id_a, id_b, start_a, start_b, span_tokens)
     * with id_a < id_b and 0-based token offsets. */
+  /** The (id, pos, k-token-shingle) positional index substringSpans builds
+    * straight off the scan — factored out so PushdownSpec can pin the
+    * parquet scan at (id, text) only (the operator's checkpoint hides the
+    * scan from the final plan). */
+  def positionalShingles(df: DataFrame, idCol: String, textCol: String,
+                         k: Int): DataFrame = {
+    val toks = split(col(textCol), " ")
+    df.select(col(idCol).as("_id"), toks.as("_t"))
+      .filter(size(col("_t")) >= k)
+      .select(col("_id"), posexplode(transform(
+        sequence(lit(0), size(col("_t")) - k),
+        i => concat_ws(" ", slice(col("_t"), i + 1, lit(k))))).as(Seq("pos", "s")))
+  }
+
   def substringSpans(df: DataFrame, idCol: String, textCol: String,
                      k: Int = 8, minSpanTokens: Int = 20,
                      maxDocFreq: Long = 0L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(k >= 1 && minSpanTokens >= k,
       s"substringSpans: need k >= 1 and minSpanTokens >= k, got k=$k minSpanTokens=$minSpanTokens")
-    val toks = split(col(textCol), " ")
-    val sh = df.select(col(idCol).as("_id"), toks.as("_t"))
-      .filter(size(col("_t")) >= k)
-      .select(col("_id"), posexplode(transform(
-        sequence(lit(0), size(col("_t")) - k),
-        i => concat_ws(" ", slice(col("_t"), i + 1, lit(k))))).as(Seq("pos", "s")))
+    val sh = positionalShingles(df, idCol, textCol, k)
     val freq = sh.groupBy("s").agg(countDistinct(col("_id")).as("_nd"))
     val live = {
       val f = freq.filter(col("_nd") >= 2)
@@ -360,9 +407,7 @@ object Dedup {
                        n: Int = 3, threshold: Double = 0.5): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // lazy-checkpointed for the same three-branch reuse as jaccardPairs
-    val sh = df.select(col(idCol).as("id"), col(blockCol).as("block"),
-        shingleHashes(col(textCol), n).as("sh"))
-      .filter(size(col("sh")) > 0)
+    val sh = shingleFrame(df, idCol, textCol, blockCol, n)
       .localCheckpoint(eager = false)
     val tokens = sh.select(col("id"), col("block"), size(col("sh")).cast("int").as("sz"),
       explode(col("sh")).as("t"))

@@ -118,6 +118,43 @@ class PushdownSpec extends SparkSpec {
       s"histogram needs only l_extendedprice, got $cols")
   }
 
+  test("dedup shingle frame prunes documents to (id, block, text) exactly") {
+    // jaccardPairs/containmentPairs wrap this frame in a localCheckpoint,
+    // which hides the parquet scan behind a Scan ExistingRDD in the final
+    // plan — so the pruning tripwire sits on the factored builder, the
+    // exact dataflow both operators materialize
+    val docs = Tables(spark, sf, "documents")
+    val scans = scansOf(
+      graft.dedup.Dedup.shingleFrame(docs, "doc_id", "text", "source", 3),
+      "documents")
+    assert(scans.nonEmpty, "no documents scan found")
+    val cols = scans.map(readColumns).reduce(_ union _)
+    assert(cols == Set("doc_id", "source", "text"),
+      s"shingle frame needs only (doc_id, source, text), got $cols")
+  }
+
+  test("substring positional index prunes documents to (id, text) exactly") {
+    val docs = Tables(spark, sf, "documents")
+    val scans = scansOf(
+      graft.dedup.Dedup.positionalShingles(docs, "doc_id", "text", 8),
+      "documents")
+    assert(scans.nonEmpty, "no documents scan found")
+    val cols = scans.map(readColumns).reduce(_ union _)
+    assert(cols == Set("doc_id", "text"),
+      s"positional index needs only (doc_id, text), got $cols")
+  }
+
+  test("LSH selfPairs prunes embeddings to (id, vector) exactly") {
+    val emb = Tables(spark, sf, "embeddings")
+    val scans = scansOf(
+      graft.similarity.AnnLsh.selfPairs(emb, "vec_id", "embedding", 64, minCos = 0.8),
+      "embeddings")
+    assert(scans.nonEmpty, "no embeddings scan found")
+    val cols = scans.map(readColumns).reduce(_ union _)
+    assert(cols == Set("vec_id", "embedding"),
+      s"selfPairs needs only (vec_id, embedding), got $cols")
+  }
+
   test("q3_join pushes the segment filter into the customer scan") {
     val scans = scansOf(SparkEntry.queries("q3_join")(spark, sf), "customer")
     assert(scans.nonEmpty)

@@ -257,6 +257,28 @@ class DedupSpec extends SparkSpec {
       .collect().isEmpty)
   }
 
+  test("persisted labels: stats-from-labels equals stats-from-lineage, keep-one works") {
+    val sf = "/root/testdata/sf0.001"
+    val live = graft.queries.Q.dedupCluster(spark, sf)
+      .select(col("doc_id").as("id"), col("cluster_id"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_labels").toString
+    Dedup.writeClusterLabels(live, dir)
+    val persisted = graft.sources.Sources.parquet(spark, dir)
+    def statMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getAs[Long]("cluster_size") -> r.getAs[Long]("n_clusters")).toMap
+    // ≡ the lineage-composed face the driver checks (dedup_stats)
+    assert(statMap(Dedup.statsFromLabels(persisted)) ==
+      statMap(graft.queries.Q.dedupStats(spark, sf)))
+    // keep-one: one survivor per cluster, and it is the min member id
+    val docs = graft.Tables(spark, sf, "documents")
+    val kept = Dedup.keepOnePerCluster(docs, "doc_id", persisted)
+    assert(kept.count() == persisted.select("cluster_id").distinct().count())
+    val minIds = persisted.groupBy("cluster_id")
+      .agg(org.apache.spark.sql.functions.min("id").as("m"))
+      .collect().map(_.getAs[Long]("m")).toSet
+    assert(kept.select("doc_id").collect().map(_.getLong(0)).toSet == minIds)
+  }
+
   test("simhash: identical docs at hamming 0, unrelated docs far apart") {
     val p = SimHash.pairs(docs, "doc_id", "text", maxHamming = 0)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
