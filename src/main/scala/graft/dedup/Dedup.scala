@@ -358,6 +358,44 @@ object Dedup {
         col("start_b").cast("bigint").as("start_b"), col("span_tokens"))
   }
 
+  /** WITHIN-document duplicated spans — the self-repetition face of
+    * [[substringSpans]] (Lee et al. 2022 dedup also removes repeats inside
+    * one document: boilerplate blocks pasted twice, template stutter,
+    * generation loops). Same relational suffix-array shape, joined within
+    * the document: positional k-shingles → shingles repeated ≥2× in their
+    * OWN doc (groupBy prune — for self-repeats the prune key is (doc,
+    * shingle), so a shingle common across docs but unique within each
+    * never joins) → same-doc pair join with pa < pb → gaps-and-islands
+    * run-merge per (doc, offset g = pb − pa). A period-p repetition shows
+    * up as a long run on diagonal g = p (overlapping occurrences are true
+    * repeats and are reported as such). Emits (doc_id, start_a, start_b,
+    * span_tokens) with start_a < start_b, 0-based offsets. */
+  def selfSpans(df: DataFrame, idCol: String, textCol: String,
+                k: Int = 8, minSpanTokens: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1 && minSpanTokens >= k,
+      s"selfSpans: need k >= 1 and minSpanTokens >= k, got k=$k minSpanTokens=$minSpanTokens")
+    val sh = positionalShingles(df, idCol, textCol, k)
+    val rep = sh.groupBy("_id", "s").agg(count(lit(1)).as("_c")).filter(col("_c") >= 2)
+    // the pruned index feeds both sides of the pair join — the
+    // jaccardPairs lazy-checkpoint rule
+    val idx = sh.join(rep.select("_id", "s"), Seq("_id", "s"), "left_semi")
+      .localCheckpoint(eager = false)
+    idx.select(col("_id"), col("s"), col("pos").as("pa"))
+      .join(idx.select(col("_id"), col("s"), col("pos").as("pb")), Seq("_id", "s"))
+      .filter(col("pa") < col("pb"))
+      .select(col("_id").as("doc_id"), col("pa"), col("pb"),
+        (col("pb") - col("pa")).as("g"))
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy("doc_id", "g").orderBy("pa")))
+      .groupBy(col("doc_id"), col("g"), (col("pa") - col("_rn")).as("_isl"))
+      .agg(min(col("pa")).as("start_a"), min(col("pb")).as("start_b"),
+        (count(lit(1)) + lit(k - 1)).as("span_tokens"))
+      .filter(col("span_tokens") >= minSpanTokens)
+      .select(col("doc_id"), col("start_a").cast("bigint").as("start_a"),
+        col("start_b").cast("bigint").as("start_b"), col("span_tokens"))
+  }
+
   /** Span REMOVAL — the second half of the Lee et al. pipeline: cut the
     * duplicated tokens out of the HIGHER-id document of every span pair
     * (keep-first policy; the lower id keeps its copy). Joins the span list

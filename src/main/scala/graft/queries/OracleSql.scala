@@ -922,6 +922,22 @@ object OracleSql {
         |SELECT id_a, id_b, start_a, start_b, span_tokens FROM sp
         |WHERE span_tokens >= 20""".stripMargin,
 
+    "dedup_substring_self" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh0 AS (SELECT doc_id, unnest(generate_series(1, greatest(len(t) - 7, 0))) AS i, t
+        |        FROM d),
+        |sh AS (SELECT doc_id, i - 1 AS pos, array_to_string(t[i:i+7], ' ') AS s FROM sh0),
+        |p AS (SELECT a.doc_id AS id, a.pos AS pa, b.pos AS pb, b.pos - a.pos AS g
+        |      FROM sh a JOIN sh b ON a.doc_id = b.doc_id AND a.s = b.s AND a.pos < b.pos),
+        |isl AS (SELECT *, pa - row_number() OVER (PARTITION BY id, g ORDER BY pa) AS il
+        |        FROM p),
+        |sp AS (SELECT id AS doc_id, CAST(min(pa) AS BIGINT) AS start_a,
+        |        CAST(min(pb) AS BIGINT) AS start_b,
+        |        CAST(count(*) + 7 AS BIGINT) AS span_tokens
+        |       FROM isl GROUP BY id, g, il)
+        |SELECT doc_id, start_a, start_b, span_tokens FROM sp
+        |WHERE span_tokens >= 20""".stripMargin,
+
     "dedup_cluster" ->
       """WITH RECURSIVE s AS (
         | SELECT doc_id, source,

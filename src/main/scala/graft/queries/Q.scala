@@ -757,6 +757,15 @@ object Q {
     Dedup.substringSpans(Tables(s, dir, "documents"), "doc_id", "text",
       k = 8, minSpanTokens = 20)
 
+  /** Within-document duplicated spans (self-repetition ≥ 20 tokens —
+    * pasted boilerplate, template stutter, generation loops). Empty on
+    * this synthetic corpus (documents carry no internal repeats — itself
+    * a verified property); the spec proves the operator on planted
+    * repeats and periodic text. */
+  def dedupSubstringSelf(s: SparkSession, dir: String): DataFrame =
+    Dedup.selfSpans(Tables(s, dir, "documents"), "doc_id", "text",
+      k = 8, minSpanTokens = 20)
+
   /** Duplicate clusters: connected components over the near-dup Jaccard
     * pairs; every document gets the min doc_id of its component (singletons
     * keep their own id). Oracle: DuckDB recursive-CTE transitive closure. */

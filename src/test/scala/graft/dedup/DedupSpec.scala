@@ -238,6 +238,133 @@ class DedupSpec extends SparkSpec {
     assert(r.getAs[Long]("span_tokens") == 20L)
   }
 
+  test("substringSpans equals brute-force maximal shared runs on random corpora") {
+    import spark.implicits._
+    // tiny vocabulary → coincidental shared runs, periodic repeats, and
+    // adjacent/overlapping diagonals arise naturally — the shapes the
+    // corpus oracle can't systematically produce
+    val rnd = new scala.util.Random(13)
+    val vocab = Vector("a", "b", "c", "d", "e")
+    val k = 4
+    val minSpan = 6
+    def bruteSpans(a: Array[String], b: Array[String]): Set[(Long, Long, Long)] = {
+      val out = scala.collection.mutable.Set.empty[(Long, Long, Long)]
+      for (g <- -(b.length - 1) to (a.length - 1)) {
+        var i = math.max(0, g)
+        var run = 0
+        var start = 0
+        def flush(): Unit = {
+          if (run >= minSpan) out += ((start.toLong, (start - g).toLong, run.toLong))
+          run = 0
+        }
+        while (i < a.length && i - g < b.length) {
+          if (a(i) == b(i - g)) { if (run == 0) start = i; run += 1 }
+          else flush()
+          i += 1
+        }
+        flush()
+      }
+      out.toSet
+    }
+    for (trial <- 1 to 3) {
+      val base = (1L to 10L).map { id =>
+        id -> Array.fill(25 + rnd.nextInt(30))(vocab(rnd.nextInt(vocab.size)))
+      }
+      // plant a literal shared span between two random docs so every trial
+      // has at least one guaranteed long run
+      val span = Array.fill(10)(vocab(rnd.nextInt(vocab.size)))
+      val docs = base.map { case (id, t) =>
+        if (id <= 2L) (id, (t.take(5) ++ span ++ t.drop(5)).mkString(" "))
+        else (id, t.mkString(" "))
+      }
+      val df = docs.toDF("doc_id", "text")
+      val got = Dedup.substringSpans(df, "doc_id", "text", k = k, minSpanTokens = minSpan)
+        .collect()
+        .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+          r.getAs[Long]("start_a"), r.getAs[Long]("start_b"),
+          r.getAs[Long]("span_tokens"))).toSet
+      val toks = docs.map { case (id, t) => id -> t.split(" ") }.toMap
+      val expect = (for {
+        ia <- docs.map(_._1); ib <- docs.map(_._1) if ia < ib
+        (sa, sb, len) <- bruteSpans(toks(ia), toks(ib))
+      } yield (ia, ib, sa, sb, len)).toSet
+      assert(got == expect,
+        s"trial $trial: got ${got.size} spans, expected ${expect.size}; " +
+          s"diff ${(got diff expect) ++ (expect diff got)}")
+      assert(expect.nonEmpty, s"trial $trial produced no spans — test is vacuous")
+    }
+  }
+
+  test("selfSpans catches a pasted block and periodic stutter with exact offsets") {
+    import spark.implicits._
+    val block = (0 until 30).map(i => s"s$i")
+    // doc 1: a 30-token block pasted at offsets 10 and 55 (15 unique
+    // tokens between the copies)
+    val doc1 = ((0 until 10).map(i => s"a$i") ++ block ++
+      (0 until 15).map(i => s"b$i") ++ block ++ (0 until 5).map(i => s"c$i")).mkString(" ")
+    // doc 2: period-3 stutter "p0 p1 p2" × 10 (30 tokens) inside unique filler
+    val doc2 = ((0 until 8).map(i => s"u$i") ++
+      Seq.fill(10)(Seq("p0", "p1", "p2")).flatten ++
+      (0 until 8).map(i => s"v$i")).mkString(" ")
+    // doc 3: no repetition
+    val doc3 = (0 until 60).map(i => s"w$i").mkString(" ")
+    val d = Seq((1L, doc1), (2L, doc2), (3L, doc3)).toDF("doc_id", "text")
+    val got = Dedup.selfSpans(d, "doc_id", "text", k = 8, minSpanTokens = 20)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("start_a"),
+        r.getAs[Long]("start_b"), r.getAs[Long]("span_tokens"))).toSet
+    // doc 1: the pasted block — one span, offsets 10 and 55, 30 tokens
+    assert(got.contains((1L, 10L, 55L, 30L)), s"pasted block missing: $got")
+    // doc 2: period-3 repetition = a 27-token overlapping self-match on
+    // diagonal g=3 (tokens 8..34 match tokens 11..37); diagonals 6 and 9
+    // give the shorter harmonics 24 and 21
+    assert(got.contains((2L, 8L, 11L, 27L)), s"periodic span missing: $got")
+    assert(got.contains((2L, 8L, 14L, 24L)) && got.contains((2L, 8L, 17L, 21L)),
+      s"periodic harmonics missing: $got")
+    // doc 3 contributes nothing
+    assert(!got.exists(_._1 == 3L), s"false positive on unique doc: $got")
+  }
+
+  test("selfSpans equals brute-force within-doc maximal runs on random text") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(29)
+    val vocab = Vector("a", "b", "c", "d")
+    val k = 4
+    val minSpan = 6
+    def brute(t: Array[String]): Set[(Long, Long, Long)] = {
+      val out = scala.collection.mutable.Set.empty[(Long, Long, Long)]
+      for (g <- 1 until t.length) {
+        var i = 0
+        var run = 0
+        var start = 0
+        def flush(): Unit = {
+          if (run >= minSpan) out += ((start.toLong, (start + g).toLong, run.toLong))
+          run = 0
+        }
+        while (i + g < t.length) {
+          if (t(i) == t(i + g)) { if (run == 0) start = i; run += 1 }
+          else flush()
+          i += 1
+        }
+        flush()
+      }
+      out.toSet
+    }
+    val docs = (1L to 8L).map(id =>
+      id -> Array.fill(30 + rnd.nextInt(30))(vocab(rnd.nextInt(vocab.size))))
+    val df = docs.map { case (id, t) => (id, t.mkString(" ")) }.toDF("doc_id", "text")
+    val got = Dedup.selfSpans(df, "doc_id", "text", k = k, minSpanTokens = minSpan)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("start_a"),
+        r.getAs[Long]("start_b"), r.getAs[Long]("span_tokens"))).toSet
+    val expect = (for {
+      (id, t) <- docs
+      (sa, sb, len) <- brute(t)
+    } yield (id, sa, sb, len)).toSet
+    assert(got == expect, s"diff ${(got diff expect) ++ (expect diff got)}")
+    assert(expect.nonEmpty, "vacuous trial — no self-runs arose")
+  }
+
   test("removeSpans cuts the duplicated span from the higher-id doc only") {
     import spark.implicits._
     val span = (0 until 40).map(i => s"s$i")
