@@ -207,6 +207,28 @@ object Dedup {
       .filter(col(idCol) === col("cluster_id"))
       .drop("cluster_id")
 
+  /** Self-repetition REMOVAL: cut every repeated span's LATER occurrence
+    * out of its own document (keep-first policy), leaving the first copy
+    * in place — the within-doc counterpart of [[removeSpans]]. Overlapping
+    * spans (periodic stutter reports one span per harmonic) merge through
+    * the same any-range-covers filter, so a period-p ×m block collapses to
+    * its first period plus whatever tail no range covers. */
+  def removeSelfSpans(df: DataFrame, spans: DataFrame, idCol: String,
+                      textCol: String): DataFrame = {
+    val ranges = spans
+      .groupBy(col("doc_id").as("_vid"))
+      .agg(sort_array(collect_list(struct(col("start_b").as("s"),
+        (col("start_b") + col("span_tokens")).as("e")))).as("_rs"))
+    df.join(ranges, col(idCol) === col("_vid"), "left")
+      .withColumn("_t", split(col(textCol), " "))
+      .withColumn(textCol,
+        when(col("_rs").isNull, col(textCol)).otherwise(
+          concat_ws(" ", filter(col("_t"), (t, i) =>
+            !exists(col("_rs"), r =>
+              i.cast("long") >= r.getField("s") && i.cast("long") < r.getField("e"))))))
+      .drop("_vid", "_rs", "_t")
+  }
+
   /** N-gram Jaccard near-dup pairs within `blockCol` blocks, EXACT (same
     * result set as the all-pairs comparison) but never an all-pairs block
     * join: candidate generation is the prefix-filter set-similarity join of
@@ -312,19 +334,21 @@ object Dedup {
     * report overlapping spans on different diagonals (each is a true
     * verbatim match). Emits (id_a, id_b, start_a, start_b, span_tokens)
     * with id_a < id_b and 0-based token offsets. */
-  /** The (id, pos, k-token-shingle) positional index substringSpans builds
+  /** The (id, pos, shingle-hash) positional index the span operators build
     * straight off the scan — factored out so PushdownSpec can pin the
     * parquet scan at (id, text) only (the operator's checkpoint hides the
-    * scan from the final plan). */
+    * scan from the final plan). The index carries the native
+    * `graft_shingle_hashes_pos` xxhash64 of each k-token window, not the
+    * window string: 8 bytes per row through every downstream shuffle
+    * instead of a ~6k-char shingle, equal up to the usual ~2⁻⁶⁴ collision
+    * odds (the dedup_jaccard trade; the DuckDB oracle joins literal
+    * strings, so a collision would surface at the hash gate). */
   def positionalShingles(df: DataFrame, idCol: String, textCol: String,
-                         k: Int): DataFrame = {
-    val toks = split(col(textCol), " ")
-    df.select(col(idCol).as("_id"), toks.as("_t"))
-      .filter(size(col("_t")) >= k)
-      .select(col("_id"), posexplode(transform(
-        sequence(lit(0), size(col("_t")) - k),
-        i => concat_ws(" ", slice(col("_t"), i + 1, lit(k))))).as(Seq("pos", "s")))
-  }
+                         k: Int): DataFrame =
+    df.select(col(idCol).as("_id"),
+        call_function("graft_shingle_hashes_pos", col(textCol), lit(k)).as("_hs"))
+      .filter(size(col("_hs")) > 0)
+      .select(col("_id"), posexplode(col("_hs")).as(Seq("pos", "s")))
 
   def substringSpans(df: DataFrame, idCol: String, textCol: String,
                      k: Int = 8, minSpanTokens: Int = 20,

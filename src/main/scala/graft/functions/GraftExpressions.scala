@@ -329,6 +329,67 @@ case class ShingleHashesExpr(child: Expression, n: Int)
     copy(child = newChild)
 }
 
+/** POSITIONAL shingle hashes: xxhash64 of every n-token window in document
+  * order — no sort, no dedup, array index = 0-based window position. The
+  * span-dedup operators ([[graft.dedup.Dedup.substringSpans]]/`selfSpans`)
+  * posexplode this so their inverted index carries (id, pos, 8-byte hash)
+  * instead of (id, pos, n-token string): the pair join shuffles ~6× fewer
+  * bytes and compares longs. Hash equality stands in for string equality at
+  * the usual xxhash64 ~2⁻⁶⁴ collision odds (the [[ShingleHashesExpr]] /
+  * dedup_jaccard precedent — the DuckDB oracle keeps literal strings, so a
+  * collision would surface as a hash-gate mismatch). */
+case class PositionalShingleHashesExpr(child: Expression, n: Int)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"graft_shingle_hashes_pos expects string, got $t")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_shingle_hashes_pos"
+
+  override protected def nullSafeEval(t: Any): Any =
+    PositionalShingleHashesExpr.compute(
+      t.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.PositionalShingleHashesExpr.compute($a, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): PositionalShingleHashesExpr =
+    copy(child = newChild)
+}
+
+object PositionalShingleHashesExpr {
+  /** Shared by interpreted eval and generated code (via static forwarder). */
+  def compute(s: org.apache.spark.unsafe.types.UTF8String, n: Int): ArrayData = {
+    val base = s.getBaseObject
+    val off = s.getBaseOffset
+    val len = s.numBytes
+    var spaces = 0
+    var i = 0
+    while (i < len) { if (s.getByte(i) == 0x20) spaces += 1; i += 1 }
+    val tokenCount = spaces + 1
+    if (tokenCount < n) return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Long])
+    val starts = new Array[Int](tokenCount + 1)
+    var t = 1
+    i = 0
+    while (i < len) { if (s.getByte(i) == 0x20) { starts(t) = i + 1; t += 1 }; i += 1 }
+    starts(tokenCount) = len + 1
+    val m = tokenCount - n + 1
+    val hashes = new Array[Long](m)
+    var w = 0
+    while (w < m) {
+      val from = starts(w)
+      val until = starts(w + n) - 1
+      hashes(w) = org.apache.spark.sql.catalyst.expressions.XXH64
+        .hashUnsafeBytes(base, off + from, until - from, 42L)
+      w += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(hashes)
+  }
+}
+
 object ShingleHashesExpr {
   /** Shared by interpreted eval and generated code (via static forwarder). */
   def compute(s: org.apache.spark.unsafe.types.UTF8String, n: Int): ArrayData = {
@@ -562,6 +623,8 @@ object GraftFunctions {
       longArg("graft_minhash", "seed", exprs(2)))),
     "graft_shingle_hashes" -> (exprs => ShingleHashesExpr(exprs(0),
       positiveIntArg("graft_shingle_hashes", "n", exprs(1)))),
+    "graft_shingle_hashes_pos" -> (exprs => PositionalShingleHashesExpr(exprs(0),
+      positiveIntArg("graft_shingle_hashes_pos", "n", exprs(1)))),
     "graft_topk" -> (exprs => TopKAgg(exprs(0), exprs(1),
       intArg("graft_topk", "k", exprs(2))).toAggregateExpression()))
 

@@ -365,6 +365,27 @@ class DedupSpec extends SparkSpec {
     assert(expect.nonEmpty, "vacuous trial — no self-runs arose")
   }
 
+  test("removeSelfSpans strips later copies, keeps the first, unique docs untouched") {
+    import spark.implicits._
+    val block = (0 until 30).map(i => s"s$i")
+    val doc1 = ((0 until 10).map(i => s"a$i") ++ block ++
+      (0 until 15).map(i => s"b$i") ++ block ++ (0 until 5).map(i => s"c$i")).mkString(" ")
+    val doc3 = (0 until 40).map(i => s"w$i").mkString(" ")
+    val d = Seq((1L, doc1), (3L, doc3)).toDF("doc_id", "text")
+    val spans = Dedup.selfSpans(d, "doc_id", "text", k = 8, minSpanTokens = 20)
+    val cleaned = Dedup.removeSelfSpans(d, spans, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    // doc 1: the SECOND block copy (tokens 55..84) is cut, first copy stays
+    val expect1 = ((0 until 10).map(i => s"a$i") ++ block ++
+      (0 until 15).map(i => s"b$i") ++ (0 until 5).map(i => s"c$i")).mkString(" ")
+    assert(cleaned(1L) == expect1, s"got ${cleaned(1L)}")
+    assert(cleaned(3L) == doc3, "unique doc must pass through untouched")
+    // idempotence: a second pass finds nothing left to cut
+    val d2 = cleaned.toSeq.toDF("doc_id", "text")
+    assert(Dedup.selfSpans(d2, "doc_id", "text", k = 8, minSpanTokens = 20)
+      .collect().isEmpty)
+  }
+
   test("removeSpans cuts the duplicated span from the higher-id doc only") {
     import spark.implicits._
     val span = (0 until 40).map(i => s"s$i")
