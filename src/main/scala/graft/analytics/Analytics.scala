@@ -907,4 +907,120 @@ object Analytics {
       .orderBy(col("numwait").desc, col("s_name"))
       .limit(20)
   }
+
+  /** TPC-H Q2-style minimum-cost supplier (adapted: no partsupp table, so
+    * "supply cost" is the cheapest observed line price per (part, supplier)
+    * pair in lineitem). Both dimension filters broadcast into the fact scan
+    * BEFORE the pair aggregation — the one wide shuffle carries only
+    * qualifying (STANDARD small part × EUROPE supplier) rows, not the whole
+    * fact. The correlated "min cost per part over eligible suppliers"
+    * subquery is a window min over the already-aggregated pair frame (one
+    * row per surviving part×supplier — tiny relative to the fact), and the
+    * top-100 is TakeOrderedAndProject, never a global sort. */
+  def q2(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val p = Tables(spark, dir, "part")
+      .filter(col("p_type") === "STANDARD" && col("p_size") <= 10)
+      .select("p_partkey", "p_name")
+    val esupp = Tables(spark, dir, "supplier")
+      .join(broadcast(Tables(spark, dir, "nation")),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables(spark, dir, "region").filter(col("r_name") === "EUROPE")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("s_suppkey"), col("s_name"), col("s_acctbal"), col("n_name"))
+    val pairs = Tables(spark, dir, "lineitem")
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(esupp), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("l_partkey"), col("l_suppkey"),
+        col("p_name"), col("s_name"), col("s_acctbal"), col("n_name"))
+      .agg(min(cents(col("l_extendedprice"), 2)).as("cost_c"))
+    pairs
+      .withColumn("_min_c", min(col("cost_c")).over(Window.partitionBy(col("l_partkey"))))
+      .filter(col("cost_c") === col("_min_c"))
+      .select(col("s_acctbal"), col("s_name"), col("n_name"),
+        col("l_partkey").as("p_partkey"), col("p_name"),
+        (col("cost_c").cast("double") / 100.0).as("supply_cost"))
+      .orderBy(col("s_acctbal").desc, col("n_name").asc, col("s_name").asc,
+        col("p_partkey").asc)
+      .limit(100)
+  }
+
+  /** TPC-H Q11-style important stock (adapted: part "value" is discounted
+    * revenue supplied by two nations' suppliers, no partsupp). The supplier
+    * filter broadcasts into the fact scan; one shuffle aggregates value per
+    * part; the HAVING threshold is SCALE-FREE — value > 2× the mean part
+    * value (TPC-H's fixed fraction-of-total shrinks every part below it as
+    * the corpus grows) — carried as a broadcast 1-row cross join and
+    * compared in EXACT integer cents (vc·n_parts > tot·2 — no fp threshold
+    * drift across engines or partition orders). */
+  def q11(spark: SparkSession, dir: String): DataFrame = {
+    val ns = Tables(spark, dir, "supplier")
+      .join(broadcast(Tables(spark, dir, "nation")
+          .filter(col("n_name").isin("NATION_7", "NATION_12"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey")
+    val v = Tables(spark, dir, "lineitem")
+      .join(broadcast(ns), col("l_suppkey") === col("s_suppkey"))
+      .groupBy("l_partkey")
+      .agg(sum(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)).as("vc"))
+    val tot = v.agg(sum(col("vc")).as("tot"), count(lit(1)).as("np"))
+    v.crossJoin(broadcast(tot))
+      .filter(col("vc") * col("np") > col("tot") * 2L)
+      .select(col("l_partkey").as("p_partkey"),
+        (col("vc").cast("double") / 10000.0).as("part_value"))
+  }
+
+  /** TPC-H Q16-style supplier count per part descriptor (adapted: the
+    * part↔supplier relationship is the distinct lineitem pair set; the
+    * excluded-supplier predicate is a negative account balance). Part and
+    * supplier filters broadcast into the fact scan, so the only shuffle is
+    * the count-distinct aggregation at (brand, type, size) cardinality —
+    * duplicate pairs collapse in its map-side partials, no pre-distinct
+    * pass over the fact. */
+  def q16(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables(spark, dir, "part")
+      .filter(col("p_brand") =!= "Brand#5" && col("p_type") =!= "PROMO" &&
+        col("p_size").isin(1, 4, 9, 14, 23, 36, 45, 50))
+      .select("p_partkey", "p_brand", "p_type", "p_size")
+    val okSupp = Tables(spark, dir, "supplier")
+      .filter(col("s_acctbal") >= 0).select("s_suppkey")
+    Tables(spark, dir, "lineitem").select("l_partkey", "l_suppkey")
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(okSupp), col("l_suppkey") === col("s_suppkey"), "left_semi")
+      .groupBy("p_brand", "p_type", "p_size")
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+  }
+
+  /** TPC-H Q20-style excess-inventory supplier (adapted: a supplier "holds
+    * excess" of a part when it shipped >30% of that part's total 1996
+    * quantity — no availqty column). Date + part-name predicates reach the
+    * parquet scan before the one wide shuffle (per (part, supplier)
+    * quantity); the per-part total rides the SAME hash partitioning as a
+    * window sum (no second exchange of the pair frame); the >30% test is
+    * exact integer cents (qc·10 > tc·3). Qualifying supplier ids collapse
+    * to a distinct set a few orders smaller than the pair frame before the
+    * broadcast dimension join. */
+  def q20(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val p = Tables(spark, dir, "part")
+      .filter(col("p_name").startsWith("small")).select("p_partkey")
+    val pairs = Tables(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01") &&
+        col("l_shipdate") < lit("1997-01-01"))
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"), "left_semi")
+      .groupBy("l_partkey", "l_suppkey")
+      .agg(sum(cents(col("l_quantity"), 2)).as("qc"))
+    val excess = pairs
+      .withColumn("tc", sum(col("qc")).over(Window.partitionBy(col("l_partkey"))))
+      .filter(col("qc") * 10L > col("tc") * 3L)
+      .select("l_suppkey").distinct()
+    val asiaNation = Tables(spark, dir, "nation")
+      .join(broadcast(Tables(spark, dir, "region").filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select("n_nationkey")
+    Tables(spark, dir, "supplier")
+      .join(broadcast(asiaNation), col("s_nationkey") === col("n_nationkey"), "left_semi")
+      .join(broadcast(excess), col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .select("s_suppkey", "s_name", "s_acctbal")
+  }
 }

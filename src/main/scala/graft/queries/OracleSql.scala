@@ -852,6 +852,50 @@ object OracleSql {
          |  AND ((doc_id % 10000) * 2654435761) % 10000 < 5000""".stripMargin
     },
 
+    "text_pmi" ->
+      """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS t FROM documents),
+        |uni AS (SELECT t, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM uni),
+        |d AS (SELECT string_split(text, ' ') AS ts FROM documents),
+        |bg AS (SELECT unnest(list_transform(generate_series(1, len(ts) - 1),
+        |                                    i -> ts[i] || ' ' || ts[i + 1])) AS b
+        |       FROM d),
+        |bc AS (SELECT string_split(b, ' ')[1] AS w1, string_split(b, ' ')[2] AS w2,
+        |        CAST(count(*) AS BIGINT) AS n_pair
+        |       FROM bg GROUP BY 1, 2 HAVING count(*) >= 5)
+        |SELECT w1, w2, n_pair, u1.c AS n_w1, u2.c AS n_w2,
+        | round(ln((CAST(n_pair AS DOUBLE) * CAST(tot.n AS DOUBLE))
+        |    / (CAST(u1.c AS DOUBLE) * CAST(u2.c AS DOUBLE))), 6) AS pmi
+        |FROM bc JOIN uni u1 ON w1 = u1.t
+        |JOIN uni u2 ON w2 = u2.t
+        |CROSS JOIN tot""".stripMargin,
+
+    "text_winnow" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        |gg AS (SELECT doc_id,
+        |  CASE WHEN len(ts) >= 4 THEN
+        |    list_transform(generate_series(1, len(ts) - 3), i ->
+        |      list_reduce(
+        |        list_prepend(CAST(0 AS BIGINT),
+        |          list_transform(ts[i:i+3], x -> CAST(7 * length(x) + ascii(x) AS BIGINT))),
+        |        (a, b) -> (a * 131 + b) % 1000000007))
+        |  ELSE CAST([] AS BIGINT[]) END AS g
+        | FROM d),
+        |ff AS (SELECT doc_id, g, CASE WHEN len(g) > 0 THEN
+        |   list_distinct(list_transform(
+        |     generate_series(1, len(g) - least(4, len(g)) + 1), j ->
+        |     (list_aggregate(g[j:j+least(4,len(g))-1], 'min') << 20)
+        |      + CAST(j - 1 + list_position(g[j:j+least(4,len(g))-1],
+        |               list_aggregate(g[j:j+least(4,len(g))-1], 'min')) AS BIGINT)))
+        |  ELSE CAST([] AS BIGINT[]) END AS f
+        | FROM gg)
+        |SELECT doc_id, CAST(len(g) AS BIGINT) AS n_grams,
+        | CAST(len(f) AS BIGINT) AS n_fingerprints,
+        | list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |   list_transform(f, x -> x)),
+        |   (a, b) -> (a + (b >> 20) * (b & 1048575)) % 1000000000000037) AS fp_digest
+        |FROM ff""".stripMargin,
+
     "text_fingerprint" ->
       """SELECT doc_id,
         | list_reduce(
@@ -1314,6 +1358,67 @@ object OracleSql {
          |FROM orders
          |JOIN big ON o_orderkey = ok
          |JOIN customer ON o_custkey = c_custkey""".stripMargin,
+
+    "q2_mincost" ->
+      """WITH cost AS (
+        |  SELECT l_partkey, l_suppkey, p_name, s_name, s_acctbal, n_name,
+        |   MIN(CAST(round(l_extendedprice * 100.0, 0) AS BIGINT)) AS cost_c
+        |  FROM lineitem
+        |  JOIN (SELECT p_partkey, p_name FROM part
+        |        WHERE p_type = 'STANDARD' AND p_size <= 10) p ON l_partkey = p_partkey
+        |  JOIN (SELECT s_suppkey, s_name, s_acctbal, n_name
+        |        FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |        JOIN region ON n_regionkey = r_regionkey AND r_name = 'EUROPE') s
+        |    ON l_suppkey = s_suppkey
+        |  GROUP BY 1, 2, 3, 4, 5, 6),
+        |pc AS (SELECT cost.*, MIN(cost_c) OVER (PARTITION BY l_partkey) AS min_c
+        |       FROM cost)
+        |SELECT s_acctbal, s_name, n_name, l_partkey AS p_partkey, p_name,
+        | CAST(cost_c AS DOUBLE) / 100.0 AS supply_cost
+        |FROM pc WHERE cost_c = min_c
+        |ORDER BY s_acctbal DESC, n_name ASC, s_name ASC, p_partkey ASC
+        |LIMIT 100""".stripMargin,
+
+    "q11_importantstock" ->
+      """WITH v AS (
+        |  SELECT l_partkey,
+        |   SUM(CAST(round(l_extendedprice * (1.0 - l_discount) * 10000.0, 0) AS BIGINT)) AS vc
+        |  FROM lineitem
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  WHERE n_name IN ('NATION_7', 'NATION_12')
+        |  GROUP BY 1),
+        |t AS (SELECT SUM(vc) AS tot, CAST(count(*) AS BIGINT) AS np FROM v)
+        |SELECT l_partkey AS p_partkey, CAST(vc AS DOUBLE) / 10000.0 AS part_value
+        |FROM v CROSS JOIN t WHERE vc * np > tot * 2""".stripMargin,
+
+    "q16_suppliercnt" ->
+      """SELECT p_brand, p_type, p_size,
+        | CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN (SELECT s_suppkey FROM supplier WHERE s_acctbal >= 0) s
+        |  ON l_suppkey = s_suppkey
+        |WHERE p_brand <> 'Brand#5' AND p_type <> 'PROMO'
+        |  AND p_size IN (1, 4, 9, 14, 23, 36, 45, 50)
+        |GROUP BY 1, 2, 3""".stripMargin,
+
+    "q20_excess" ->
+      """WITH q AS (
+        |  SELECT l_partkey, l_suppkey,
+        |   SUM(CAST(round(l_quantity * 100.0, 0) AS BIGINT)) AS qc
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate < TIMESTAMP '1997-01-01'
+        |    AND l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+        |  GROUP BY 1, 2),
+        |w AS (SELECT l_suppkey, qc, SUM(qc) OVER (PARTITION BY l_partkey) AS tc FROM q),
+        |excess AS (SELECT DISTINCT l_suppkey FROM w WHERE qc * 10 > tc * 3)
+        |SELECT s_suppkey, s_name, s_acctbal
+        |FROM supplier
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey AND r_name = 'ASIA'
+        |JOIN excess ON s_suppkey = l_suppkey""".stripMargin,
 
     "events_markov" ->
       """WITH seq AS (SELECT user_id, event_type,

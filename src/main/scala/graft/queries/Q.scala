@@ -539,6 +539,14 @@ object Q {
     TextAnalysis.withFingerprint(Tables(s, dir, "documents"), "text")
       .select("doc_id", "fingerprint")
 
+  /** Corpus collocations by pointwise mutual information (count ≥ 5). */
+  def textPmi(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.pmiCollocations(Tables(s, dir, "documents"), "text", minCount = 5)
+
+  /** Winnowing fingerprint summary per document (k=4 grams, w=4 windows). */
+  def textWinnow(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.withWinnow(Tables(s, dir, "documents"), "doc_id", "text")
+
   /** Per-doc top-5 tf-idf terms (sklearn smoothed idf, ln bitwise-matched
     * by the oracle). */
   def textTfidf(s: SparkSession, dir: String): DataFrame =

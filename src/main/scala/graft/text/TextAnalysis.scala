@@ -394,4 +394,106 @@ object TextAnalysis {
 
   def withFingerprint(df: DataFrame, textCol: String): DataFrame =
     df.withColumn("fingerprint", fingerprint(col(textCol)))
+
+  /** Pointwise mutual information of adjacent-token collocations:
+    * pmi(x,y) = ln(c_xy·N / (c_x·c_y)) over corpus unigram/bigram counts —
+    * the classic collocation-mining signal (Church & Hanks 1990) a corpus
+    * curation pass uses to find multi-word terms and template phrases.
+    *
+    * Shape at scale: unigram and bigram counts are each ONE hash shuffle
+    * with map-side partials over the distinct vocabulary (never the token
+    * stream); the bigram frame (already thresholded to ≥ `minCount`) joins
+    * the unigram frame twice on the word key — vocabulary-sized equi-joins,
+    * no pairwise anything; the corpus total N is a broadcast 1-row cross
+    * join. All counts are exact BIGINTs; pmi is a single double expression
+    * over them rounded to 6dp (the ln implementations of different engines
+    * disagree by 1 ulp on some arguments — the same accepted trade as
+    * text_entropy), so it is reproducible across engines and partition
+    * orders. */
+  def pmiCollocations(df: DataFrame, textCol: String, minCount: Int = 5): DataFrame = {
+    val uni = df.select(explode(tokens(col(textCol))).as("_t"))
+      .groupBy("_t").agg(count(lit(1)).as("_c"))
+    val n = uni.agg(sum(col("_c")).as("_n"))
+    val bi = df.select(explode(bigrams(col(textCol))).as("_b"))
+      .groupBy("_b").agg(count(lit(1)).as("n_pair"))
+      .filter(col("n_pair") >= minCount)
+      .withColumn("w1", substring_index(col("_b"), " ", 1))
+      .withColumn("w2", substring_index(col("_b"), " ", -1))
+    bi.join(uni.select(col("_t").as("w1"), col("_c").as("n_w1")), "w1")
+      .join(uni.select(col("_t").as("w2"), col("_c").as("n_w2")), "w2")
+      .crossJoin(broadcast(n))
+      .select(col("w1"), col("w2"), col("n_pair"), col("n_w1"), col("n_w2"),
+        round(log((col("n_pair").cast("double") * col("_n").cast("double")) /
+          (col("n_w1").cast("double") * col("n_w2").cast("double"))), 6).as("pmi"))
+  }
+
+  /** Winnowing document fingerprints (Schleimer, Wilkerson & Aiken 2003 —
+    * the MOSS local-fingerprinting algorithm): hash every k-token gram with
+    * the [[fingerprint]] rolling step, then from each window of `w`
+    * consecutive gram hashes keep the LEFTMOST minimum; the distinct
+    * (position, hash) picks are the document's fingerprints. Winnowing
+    * guarantees any shared run of ≥ w+k-1 tokens between two documents
+    * shares at least one fingerprint — the screening property plagiarism /
+    * near-dup pipelines rely on.
+    *
+    * Returns one row per document: gram count, fingerprint count, and an
+    * order-independent digest Σ hash·pos mod 1e15+37. Each (hash, pos)
+    * pick is packed into ONE bigint as (hash<<20)|pos — gram hashes are
+    * < 1e9+7 < 2^30 and positions are capped by the 2^20-token-per-document
+    * bound (SCALE_BOUNDS: a >1M-token document must be chunked first, which
+    * text_chunk does anyway) — so distinct-ing the picks is integer
+    * array_distinct, and the modular digest sum (modular addition is
+    * commutative) is bitwise-identical across engines and partition orders.
+    * Two docs with equal digests AND counts are fingerprint-identical up
+    * to collision.
+    *
+    * Shape at scale: everything is per-row array math inside whole-stage
+    * codegen — NO shuffle, no explode; the per-doc cost is O(n·(k+w)).
+    * The fingerprint SET (for cross-doc matching) is `w`-fold smaller than
+    * the gram stream — the point of winnowing: downstream pair-joins key on
+    * a 1/w-density fingerprint index instead of every shingle. */
+  def withWinnow(df: DataFrame, idCol: String, textCol: String,
+                 k: Int = 4, w: Int = 4): DataFrame = {
+    val M2 = 1000000000000037L
+    winnowPacked(df, idCol, textCol, k, w)
+      .select(col(idCol), col("n_grams"),
+        size(col("_f")).cast("bigint").as("n_fingerprints"),
+        aggregate(col("_f"), lit(0L),
+          (acc, x) => (acc + shiftright(x, 20) * x.bitwiseAND(lit(1048575L))) % M2)
+          .as("fp_digest"))
+  }
+
+  /** Exploded winnowing fingerprints — (id, fp_hash, pos) — the index a
+    * cross-document matcher joins on (MOSS-style): group by fp_hash, pair
+    * within buckets. 1/w the density of the shingle stream by construction. */
+  def winnowFingerprints(df: DataFrame, idCol: String, textCol: String,
+                         k: Int = 4, w: Int = 4): DataFrame =
+    winnowPacked(df, idCol, textCol, k, w)
+      .select(col(idCol), explode(col("_f")).as("_x"))
+      .select(col(idCol), shiftright(col("_x"), 20).as("fp_hash"),
+        col("_x").bitwiseAND(lit(1048575L)).as("pos"))
+
+  /** Shared winnowing core: per-doc packed (hash<<20)|pos fingerprint array
+    * plus the gram count, all row-local codegen array math. */
+  private def winnowPacked(df: DataFrame, idCol: String, textCol: String,
+                           k: Int, w: Int): DataFrame = {
+    val M = 1000000007L
+    val t = tokens(col(textCol))
+    val step = (h: Column, tok: Column) =>
+      (h * 131L + (length(tok).cast("bigint") * 7L +
+        ascii(substring(tok, 1, 1)).cast("bigint"))) % M
+    val g = when(size(t) >= k,
+      transform(sequence(lit(1), size(t) - (k - 1)),
+        i => aggregate(slice(t, i, lit(k)), lit(0L), step)))
+      .otherwise(array().cast("array<bigint>"))
+    val wl = least(lit(w), size(g))
+    val fps = when(size(g) > 0,
+      array_distinct(transform(sequence(lit(1), size(g) - wl + 1), j => {
+        val win = slice(g, j, wl)
+        val mv = array_min(win)
+        shiftleft(mv, 20) + (j.cast("bigint") - 1L + array_position(win, mv))
+      })))
+      .otherwise(array().cast("array<bigint>"))
+    df.select(col(idCol), size(g).cast("bigint").as("n_grams"), fps.as("_f"))
+  }
 }

@@ -42,6 +42,10 @@ def main() -> None:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
     oracle = json.load(open(f"{OUT}/oracle_sql.json"))
+    # optional 3rd+ args: restrict the compare to these query names
+    only = set(sys.argv[3:])
+    if only:
+        oracle = {k: v for k, v in oracle.items() if k in only}
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
         try:
