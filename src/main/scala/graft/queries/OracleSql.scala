@@ -896,6 +896,40 @@ object OracleSql {
         |   (a, b) -> (a + (b >> 20) * (b & 1048575)) % 1000000000000037) AS fp_digest
         |FROM ff""".stripMargin,
 
+    "dedup_winnow" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        |gg AS (SELECT doc_id,
+        |  CASE WHEN len(ts) >= 4 THEN
+        |    list_transform(generate_series(1, len(ts) - 3), i ->
+        |      list_reduce(
+        |        list_prepend(CAST(0 AS BIGINT),
+        |          list_transform(ts[i:i+3], x -> CAST(7 * length(x) + ascii(x) AS BIGINT))),
+        |        (a, b) -> (a * 131 + b) % 1000000007))
+        |  ELSE CAST([] AS BIGINT[]) END AS g
+        | FROM d),
+        |ff AS (SELECT doc_id, CASE WHEN len(g) > 0 THEN
+        |   list_distinct(list_transform(
+        |     generate_series(1, len(g) - least(4, len(g)) + 1), j ->
+        |     list_aggregate(g[j:j+least(4,len(g))-1], 'min')))
+        |  ELSE CAST([] AS BIGINT[]) END AS hs
+        | FROM gg),
+        |idx0 AS (SELECT doc_id, unnest(hs) AS fp_hash FROM ff),
+        |freq AS (SELECT fp_hash FROM idx0 GROUP BY 1
+        |         HAVING count(*) >= 2 AND count(*) <= 100),
+        |idx AS (SELECT doc_id, fp_hash FROM idx0
+        |        WHERE fp_hash IN (SELECT fp_hash FROM freq)),
+        |nfp AS (SELECT doc_id, CAST(len(hs) AS BIGINT) AS nf FROM ff),
+        |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |           CAST(count(*) AS BIGINT) AS n_shared
+        |          FROM idx a JOIN idx b
+        |            ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2 HAVING count(*) >= 2)
+        |SELECT id_a, id_b, n_shared, na.nf AS n_a, nb.nf AS n_b,
+        | CAST(n_shared AS DOUBLE) / CAST(na.nf + nb.nf - n_shared AS DOUBLE) AS overlap
+        |FROM pairs
+        |JOIN nfp na ON id_a = na.doc_id
+        |JOIN nfp nb ON id_b = nb.doc_id""".stripMargin,
+
     "text_fingerprint" ->
       """SELECT doc_id,
         | list_reduce(

@@ -547,6 +547,10 @@ object Q {
   def textWinnow(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.withWinnow(Tables(s, dir, "documents"), "doc_id", "text")
 
+  /** MOSS-style near-dup pairs sharing ≥2 winnowing fingerprints. */
+  def dedupWinnow(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.winnowPairs(Tables(s, dir, "documents"), "doc_id", "text")
+
   /** Per-doc top-5 tf-idf terms (sklearn smoothed idf, ln bitwise-matched
     * by the oracle). */
   def textTfidf(s: SparkSession, dir: String): DataFrame =

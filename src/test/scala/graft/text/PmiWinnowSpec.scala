@@ -88,4 +88,35 @@ class PmiWinnowSpec extends SparkSpec {
     val hb = fp.filter(_._1 == 2L).map(_._2).toSet
     assert((ha intersect hb).nonEmpty)
   }
+
+  test("winnowPairs: a copied passage is caught with brute-force-exact counts") {
+    val rnd = new scala.util.Random(29)
+    val vocab = Vector("kilo", "lima", "mike", "nov", "osc", "papa", "queb", "rom")
+    def pad(n: Int) = (1 to n).map(_ => vocab(rnd.nextInt(vocab.size)))
+    val passage = (1 to 40).map(_ => vocab(rnd.nextInt(vocab.size)))
+    val a = (pad(15) ++ passage ++ pad(10)).mkString(" ")
+    val b = (pad(5) ++ passage ++ pad(25)).mkString(" ")
+    val c = pad(60).mkString(" ")
+    val df = Seq((1L, a), (2L, b), (3L, c)).toDF("doc_id", "text")
+    val out = TextAnalysis.winnowPairs(df, "doc_id", "text")
+      .as[(Long, Long, Long, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r).toMap
+    assert(out.contains((1L, 2L)))
+    // brute-force distinct-hash sets reproduce n_shared/n_a/n_b/overlap
+    val hs = Map(1L -> a, 2L -> b, 3L -> c).map { case (id, t) =>
+      id -> bruteWinnow(t).map(_._2)
+    }
+    val freq = hs.values.flatten.groupBy(identity).map { case (h, o) => h -> o.size }
+    val eligible = freq.filter { case (_, n) => n >= 2 && n <= 100 }.keySet
+    val shared = (hs(1L) intersect hs(2L)) intersect eligible
+    val (_, _, nShared, nA, nB, overlap) = out((1L, 2L))
+    assert(nShared == shared.size && nShared >= 2)
+    assert(nA == hs(1L).size && nB == hs(2L).size)
+    assert(overlap == shared.size.toDouble / (nA + nB - shared.size).toDouble)
+    // pairs that share < 2 eligible hashes never surface
+    out.keys.foreach { case (x, y) =>
+      val s = (hs(x) intersect hs(y)) intersect eligible
+      assert(s.size >= 2)
+    }
+  }
 }
