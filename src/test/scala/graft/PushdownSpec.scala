@@ -155,6 +155,42 @@ class PushdownSpec extends SparkSpec {
       s"selfPairs needs only (vec_id, embedding), got $cols")
   }
 
+  test("winnow fingerprint core prunes documents to (id, text) exactly") {
+    // winnowPairs localCheckpoints the (id, hash) index, hiding the scan
+    // from the final plan — the tripwire sits on the exploded builder,
+    // the exact dataflow the pair matcher materializes
+    val docs = Tables(spark, sf, "documents")
+    val scans = scansOf(
+      graft.text.TextAnalysis.winnowFingerprints(docs, "doc_id", "text"),
+      "documents")
+    assert(scans.nonEmpty, "no documents scan found")
+    val cols = scans.map(readColumns).reduce(_ union _)
+    assert(cols == Set("doc_id", "text"),
+      s"winnow needs only (doc_id, text), got $cols")
+  }
+
+  test("q16_suppliercnt prunes lineitem to the pair columns and pushes part filters") {
+    val scans = scansOf(SparkEntry.queries("q16_suppliercnt")(spark, sf), "lineitem")
+    assert(scans.nonEmpty)
+    val cols = scans.map(readColumns).reduce(_ union _)
+    assert(cols == Set("l_partkey", "l_suppkey"),
+      s"q16 needs only (l_partkey, l_suppkey) from the fact, got $cols")
+    val pscans = scansOf(SparkEntry.queries("q16_suppliercnt")(spark, sf), "part")
+    val pushed = pscans.map(_.metadata.getOrElse("PushedFilters", "")).mkString(";")
+    assert(pushed.contains("p_brand") && pushed.contains("p_size"),
+      s"part filters not pushed: $pushed")
+  }
+
+  test("q20_excess pushes the ship-date range into the lineitem scan") {
+    val scans = scansOf(SparkEntry.queries("q20_excess")(spark, sf), "lineitem")
+    assert(scans.nonEmpty)
+    val cols = scans.map(readColumns).reduce(_ union _)
+    assert(cols == Set("l_partkey", "l_suppkey", "l_quantity", "l_shipdate"),
+      s"q20 needs only 4 fact columns, got $cols")
+    val pushed = scans.map(_.metadata.getOrElse("PushedFilters", "")).mkString(";")
+    assert(pushed.contains("l_shipdate"), s"date range not pushed: $pushed")
+  }
+
   test("q3_join pushes the segment filter into the customer scan") {
     val scans = scansOf(SparkEntry.queries("q3_join")(spark, sf), "customer")
     assert(scans.nonEmpty)
