@@ -908,6 +908,84 @@ object Analytics {
       .limit(20)
   }
 
+  /** GROUPING SETS at three explicit granularities ((flag, status), (flag),
+    * grand total) — the general form of [[qCube]]/[[qRollup]]: all sets
+    * expand inside ONE hash-aggregate pass over a single scan, never one
+    * scan per granularity. Exact integer-cents sums per set. */
+  def qGroupingSets(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "lineitem")
+      .groupingSets(
+        Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+          Seq(col("l_returnflag")), Seq.empty[Column]),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(cents(col("l_quantity"), 2)).as("_qc"), count(lit(1)).as("n_rows"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        (col("_qc").cast("double") / 100.0).as("sum_qty"), col("n_rows"))
+
+  /** Lag-1..7 autocorrelation of the per-type daily event count series —
+    * the seasonality detector behind [[eventsForecastEval]]'s lag-7 choice.
+    * Pearson r per (type, lag) from EXACT integer moments (counts are
+    * BIGINTs; all five sums accumulate bigints, order-free), with the only
+    * doubles appearing in the final closed-form expression, rounded 6dp for
+    * the cross-engine sqrt ulp. Constant series (zero variance) yield NULL.
+    *
+    * Shape at scale: the daily rollup is one map-side-combined shuffle at
+    * (type × day) cardinality; the lag expansion explodes 7 rows per
+    * DAILY row (not per event) and joins back on (type, day) — everything
+    * after the first rollup operates on the tiny aggregated frame. */
+  def eventsAutocorr(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables(spark, dir, "events")
+      .select(col("event_type"), expr("ts div 86400000000000").as("d"))
+      .groupBy("event_type", "d").agg(count(lit(1)).as("n"))
+      .localCheckpoint(eager = false)
+    val lagged = daily.select(col("event_type"),
+        explode(sequence(lit(1L), lit(7L))).as("lag"),
+        col("d").as("_dl"), col("n").as("nl"))
+      .select(col("event_type"), col("lag"), (col("_dl") + col("lag")).as("d"),
+        col("nl"))
+    val m = daily.join(lagged, Seq("event_type", "d"))
+      .groupBy("event_type", "lag")
+      .agg(count(lit(1)).as("m"),
+        sum(col("n")).as("sx"), sum(col("nl")).as("sy"),
+        sum(col("n") * col("n")).as("sxx"),
+        sum(col("nl") * col("nl")).as("syy"),
+        sum(col("n") * col("nl")).as("sxy"))
+    val vx = m("m") * col("sxx") - col("sx") * col("sx")
+    val vy = m("m") * col("syy") - col("sy") * col("sy")
+    m.select(col("event_type"), col("lag"), col("m").as("n_pairs"),
+      when(vx > 0L && vy > 0L,
+        round((m("m") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (sqrt(vx.cast("double")) * sqrt(vy.cast("double"))), 6))
+        .as("autocorr"))
+  }
+
+  /** CUSUM changepoint scan over the per-type daily count series: the
+    * cumulative deviation from the series mean, kept EXACT by scaling away
+    * the division (Σ(nᵢ·D − T) for D days and total T — bigints all the
+    * way), peaks where the level shifts. Reports the peak day (earliest on
+    * ties) and the normalized peak |CUSUM|/D; the single division is the
+    * only double. One shuffle builds the daily rollup; the window cumsum
+    * and arg-max run per type over the aggregated frame. */
+  def eventsChangepoint(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables(spark, dir, "events")
+      .select(col("event_type"), expr("ts div 86400000000000").as("d"))
+      .groupBy("event_type", "d").agg(count(lit(1)).as("n"))
+      .localCheckpoint(eager = false)
+    val st = daily.groupBy("event_type")
+      .agg(count(lit(1)).as("nd"), sum(col("n")).as("tot"))
+    val cu = daily.join(st, "event_type")
+      .withColumn("cusum", sum(col("n") * col("nd") - col("tot"))
+        .over(Window.partitionBy("event_type").orderBy("d")))
+    cu.groupBy("event_type")
+      .agg(max(col("nd")).as("n_days"),
+        max(struct(abs(col("cusum")).as("_a"), (-col("d")).as("_negd"))).as("_pk"))
+      .select(col("event_type"), col("n_days"),
+        (-col("_pk._negd")).as("peak_day"),
+        (col("_pk._a").cast("double") / col("n_days").cast("double")).as("peak_stat"))
+  }
+
   /** TPC-H Q2-style minimum-cost supplier (adapted: no partsupp table, so
     * "supply cost" is the cheapest observed line price per (part, supplier)
     * pair in lineitem). Both dimension filters broadcast into the fact scan

@@ -1454,6 +1454,54 @@ object OracleSql {
         |JOIN region ON n_regionkey = r_regionkey AND r_name = 'ASIA'
         |JOIN excess ON s_suppkey = l_suppkey""".stripMargin,
 
+    "q_groupingsets" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+        | COALESCE(l_linestatus, 'ALL') AS linestatus,
+        | CAST(SUM(CAST(round(l_quantity * 100.0, 0) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_qty,
+        | CAST(count(*) AS BIGINT) AS n_rows
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())""".stripMargin,
+
+    "events_autocorr" ->
+      """WITH daily AS (SELECT event_type, epoch_ns(ts) // 86400000000000 AS d,
+        |  CAST(count(*) AS BIGINT) AS n
+        | FROM events GROUP BY 1, 2),
+        |lagged AS (SELECT event_type, g.lag, d + g.lag AS d, n AS nl
+        |           FROM daily, (SELECT unnest(generate_series(CAST(1 AS BIGINT),
+        |             CAST(7 AS BIGINT))) AS lag) g),
+        |mm AS (SELECT a.event_type, lag, CAST(count(*) AS BIGINT) AS m,
+        |  SUM(a.n) AS sx, SUM(l.nl) AS sy,
+        |  SUM(a.n * a.n) AS sxx, SUM(l.nl * l.nl) AS syy,
+        |  SUM(a.n * l.nl) AS sxy
+        | FROM daily a JOIN lagged l ON a.event_type = l.event_type AND a.d = l.d
+        | GROUP BY 1, 2)
+        |SELECT event_type, lag, m AS n_pairs,
+        | CASE WHEN m * sxx - sx * sx > 0 AND m * syy - sy * sy > 0 THEN
+        |  round(CAST(m * sxy - sx * sy AS DOUBLE)
+        |   / (sqrt(CAST(m * sxx - sx * sx AS DOUBLE))
+        |      * sqrt(CAST(m * syy - sy * sy AS DOUBLE))), 6)
+        | ELSE NULL END AS autocorr
+        |FROM mm""".stripMargin,
+
+    "events_changepoint" ->
+      """WITH daily AS (SELECT event_type, epoch_ns(ts) // 86400000000000 AS d,
+        |  CAST(count(*) AS BIGINT) AS n
+        | FROM events GROUP BY 1, 2),
+        |st AS (SELECT event_type, CAST(count(*) AS BIGINT) AS nd,
+        |        CAST(SUM(n) AS BIGINT) AS tot
+        |       FROM daily GROUP BY 1),
+        |cu AS (SELECT daily.event_type, d,
+        |        SUM(n * nd - tot) OVER (PARTITION BY daily.event_type ORDER BY d) AS cusum,
+        |        nd
+        |       FROM daily JOIN st ON daily.event_type = st.event_type),
+        |rk AS (SELECT event_type, d, abs(cusum) AS a, nd,
+        |        row_number() OVER (PARTITION BY event_type
+        |          ORDER BY abs(cusum) DESC, d ASC) AS rn
+        |       FROM cu)
+        |SELECT event_type, nd AS n_days, d AS peak_day,
+        | CAST(a AS DOUBLE) / CAST(nd AS DOUBLE) AS peak_stat
+        |FROM rk WHERE rn = 1""".stripMargin,
+
     "events_markov" ->
       """WITH seq AS (SELECT user_id, event_type,
         |  lead(event_type) OVER (PARTITION BY user_id
