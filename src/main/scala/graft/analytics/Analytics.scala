@@ -986,6 +986,42 @@ object Analytics {
         (col("_pk._a").cast("double") / col("n_days").cast("double")).as("peak_stat"))
   }
 
+  /** Two-proportion A/B conversion test over a deterministic hash split:
+    * users split by id parity (the deterministic assignment a replayable
+    * experiment pipeline needs), conversion = at least 14 purchase events
+    * (the corpus-median purchase count — a threshold that discriminates at
+    * every scale factor, where "any purchase" saturates to 100%); the
+    * pooled two-proportion z-score decides whether the split is balanced.
+    * ONE user-keyed shuffle collapses the event stream to per-user
+    * conversion flags; both arms aggregate in the same pass as conditional
+    * sums; counts are exact BIGINTs and the z expression is the only
+    * double, rounded 6dp for the cross-engine sqrt ulp; a degenerate pool
+    * (0% or 100% conversion) yields NULL instead of a zero denominator. */
+  def eventsAbtest(spark: SparkSession, dir: String): DataFrame = {
+    val u = Tables(spark, dir, "events")
+      .select(col("user_id"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("_p"))
+      .groupBy("user_id").agg(sum(col("_p")).as("_np"))
+      .select((col("user_id") % 2L).as("grp"),
+        when(col("_np") >= 14L, 1L).otherwise(0L).as("conv"))
+    val g = u.agg(
+      sum(when(col("grp") === 0L, 1L).otherwise(0L)).as("n_a"),
+      sum(when(col("grp") === 0L, col("conv")).otherwise(0L)).as("conv_a"),
+      sum(when(col("grp") === 1L, 1L).otherwise(0L)).as("n_b"),
+      sum(when(col("grp") === 1L, col("conv")).otherwise(0L)).as("conv_b"))
+    val pa = col("conv_a").cast("double") / col("n_a").cast("double")
+    val pb = col("conv_b").cast("double") / col("n_b").cast("double")
+    val pp = (col("conv_a") + col("conv_b")).cast("double") /
+      (col("n_a") + col("n_b")).cast("double")
+    g.select(col("n_a"), col("conv_a"), col("n_b"), col("conv_b"),
+      pa.as("rate_a"), pb.as("rate_b"),
+      when(col("conv_a") + col("conv_b") > 0L &&
+          col("conv_a") + col("conv_b") < col("n_a") + col("n_b"),
+        round((pa - pb) / sqrt(pp * (lit(1.0) - pp) *
+          (lit(1.0) / col("n_a").cast("double") +
+            lit(1.0) / col("n_b").cast("double"))), 6)).as("z_score"))
+  }
+
   /** TPC-H Q2-style minimum-cost supplier (adapted: no partsupp table, so
     * "supply cost" is the cheapest observed line price per (part, supplier)
     * pair in lineitem). Both dimension filters broadcast into the fact scan

@@ -230,4 +230,54 @@ object Profile {
   /** Histogram face on the testdata: lineitem prices in $500 bins. */
   def lineitemHistogram(spark: SparkSession, dir: String): DataFrame =
     histogram(Tables(spark, dir, "lineitem"), "l_extendedprice", 2, 50000L)
+
+  /** Mutual information between two categorical columns — the
+    * dependence-profiling complement of [[corrMatrix]] (which needs
+    * numerics): MI = Σ p(x,y)·ln(p(x,y)/(p(x)p(y))), with marginal
+    * entropies and the normalized MI/√(H(x)H(y)).
+    *
+    * Determinism: all probabilities come from EXACT contingency counts
+    * (one (x,y) groupBy, marginals re-aggregated from the cell frame, not
+    * the data); every fp term is one expression tree over those integers
+    * quantized to 1e-12 units so the sums are exact and order-free — the
+    * [[drift]] discipline. NMI carries a 6dp round for the cross-engine
+    * sqrt ulp. Shape at scale: ONE shuffle over the (x,y) cell cardinality;
+    * marginals/totals are aggregations of the tiny cell frame (pinned with
+    * a lazy checkpoint — it feeds four branches); everything else is
+    * broadcast 1-row frames. */
+  def mutualInformation(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val cells = df.select(col(xCol).as("_x"), col(yCol).as("_y"))
+      .groupBy("_x", "_y").agg(count(lit(1)).as("_nxy"))
+      .localCheckpoint(eager = false)
+    val mx = cells.groupBy("_x").agg(sum(col("_nxy")).as("_nx"))
+    val my = cells.groupBy("_y").agg(sum(col("_nxy")).as("_ny"))
+    val tot = cells.agg(sum(col("_nxy")).as("_n"))
+    val ratio = (col("_nxy").cast("double") * col("_n").cast("double")) /
+      (col("_nx").cast("double") * col("_ny").cast("double"))
+    val miRow = cells.join(mx, "_x").join(my, "_y").crossJoin(broadcast(tot))
+      .select(round((col("_nxy").cast("double") / col("_n").cast("double")) *
+          log(ratio) * 1e12, 0).cast("bigint").as("_t"))
+      .agg(count(lit(1)).as("n_cells"), sum(col("_t")).as("_mi"))
+    def entropy(marg: DataFrame, nCol: String, out: String): DataFrame =
+      marg.crossJoin(broadcast(tot))
+        .select(round((col(nCol).cast("double") / col("_n").cast("double")) *
+            log(col("_n").cast("double") / col(nCol).cast("double")) * 1e12, 0)
+          .cast("bigint").as("_e"))
+        .agg(sum(col("_e")).as(out))
+    miRow.crossJoin(broadcast(entropy(mx, "_nx", "_hx")))
+      .crossJoin(broadcast(entropy(my, "_ny", "_hy")))
+      .crossJoin(broadcast(tot))
+      .select(col("_n").as("n_rows"), col("n_cells"),
+        (col("_mi").cast("double") / 1e12).as("mi"),
+        (col("_hx").cast("double") / 1e12).as("h_x"),
+        (col("_hy").cast("double") / 1e12).as("h_y"),
+        when(col("_hx") > 0L && col("_hy") > 0L,
+          round((col("_mi").cast("double") / 1e12) /
+            sqrt((col("_hx").cast("double") / 1e12) *
+              (col("_hy").cast("double") / 1e12)), 6)).as("nmi"))
+  }
+
+  /** MI face on the testdata: market segment × nation dependence. */
+  def customerMi(spark: SparkSession, dir: String): DataFrame =
+    mutualInformation(Tables(spark, dir, "customer"), "c_mktsegment", "c_nationkey")
 }

@@ -1502,6 +1502,83 @@ object OracleSql {
         | CAST(a AS DOUBLE) / CAST(nd AS DOUBLE) AS peak_stat
         |FROM rk WHERE rn = 1""".stripMargin,
 
+    "merge_scd2" ->
+      """WITH upd AS (
+        |  SELECT o_custkey AS k, o_orderstatus AS nv,
+        |    epoch_us(o_orderdate) // 86400000000 AS eff
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
+        |          ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn FROM orders) t
+        |  WHERE rn = 1),
+        |o AS (SELECT c_custkey, 'NONE' AS cur, CAST(0 AS BIGINT) AS vf FROM customer),
+        |j AS (SELECT o.c_custkey AS ck, o.cur, o.vf, u.k, u.nv, u.eff
+        |      FROM o FULL JOIN upd u ON o.c_custkey = u.k)
+        |SELECT ck AS c_custkey, cur AS status, vf AS valid_from,
+        | CAST(NULL AS BIGINT) AS valid_to, 'K' AS op
+        |FROM j WHERE k IS NULL OR (ck IS NOT NULL AND cur = nv)
+        |UNION ALL
+        |SELECT ck, cur, vf, eff, 'C' FROM j
+        |WHERE k IS NOT NULL AND ck IS NOT NULL AND cur <> nv
+        |UNION ALL
+        |SELECT k, nv, eff, CAST(NULL AS BIGINT), 'N' FROM j
+        |WHERE k IS NOT NULL AND ck IS NOT NULL AND cur <> nv
+        |UNION ALL
+        |SELECT k, nv, eff, CAST(NULL AS BIGINT), 'I' FROM j
+        |WHERE k IS NOT NULL AND ck IS NULL""".stripMargin,
+
+    "profile_mi" ->
+      """WITH cells AS (SELECT c_mktsegment AS x, c_nationkey AS y,
+        |  CAST(count(*) AS BIGINT) AS nxy
+        | FROM customer GROUP BY 1, 2),
+        |mx AS (SELECT x, CAST(SUM(nxy) AS BIGINT) AS nx FROM cells GROUP BY 1),
+        |my AS (SELECT y, CAST(SUM(nxy) AS BIGINT) AS ny FROM cells GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(nxy) AS BIGINT) AS n FROM cells),
+        |mi AS (SELECT CAST(count(*) AS BIGINT) AS n_cells,
+        |        CAST(SUM(CAST(round((CAST(nxy AS DOUBLE) / CAST(n AS DOUBLE))
+        |          * ln((CAST(nxy AS DOUBLE) * CAST(n AS DOUBLE))
+        |               / (CAST(nx AS DOUBLE) * CAST(ny AS DOUBLE)))
+        |          * 1e12, 0) AS BIGINT)) AS BIGINT) AS mi_s
+        |       FROM cells JOIN mx USING (x) JOIN my USING (y) CROSS JOIN tot),
+        |hx AS (SELECT CAST(SUM(CAST(round((CAST(nx AS DOUBLE) / CAST(n AS DOUBLE))
+        |         * ln(CAST(n AS DOUBLE) / CAST(nx AS DOUBLE)) * 1e12, 0) AS BIGINT))
+        |        AS BIGINT) AS hx_s
+        |       FROM mx CROSS JOIN tot),
+        |hy AS (SELECT CAST(SUM(CAST(round((CAST(ny AS DOUBLE) / CAST(n AS DOUBLE))
+        |         * ln(CAST(n AS DOUBLE) / CAST(ny AS DOUBLE)) * 1e12, 0) AS BIGINT))
+        |        AS BIGINT) AS hy_s
+        |       FROM my CROSS JOIN tot)
+        |SELECT n AS n_rows, n_cells,
+        | CAST(mi_s AS DOUBLE) / 1e12 AS mi,
+        | CAST(hx_s AS DOUBLE) / 1e12 AS h_x,
+        | CAST(hy_s AS DOUBLE) / 1e12 AS h_y,
+        | CASE WHEN hx_s > 0 AND hy_s > 0 THEN
+        |   round((CAST(mi_s AS DOUBLE) / 1e12)
+        |     / sqrt((CAST(hx_s AS DOUBLE) / 1e12) * (CAST(hy_s AS DOUBLE) / 1e12)), 6)
+        | ELSE NULL END AS nmi
+        |FROM mi CROSS JOIN hx CROSS JOIN hy CROSS JOIN tot""".stripMargin,
+
+    "events_abtest" ->
+      """WITH u AS (SELECT user_id,
+        |  CASE WHEN SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) >= 14
+        |       THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS conv
+        | FROM events GROUP BY 1),
+        |g AS (SELECT
+        |  CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |  CAST(SUM(CASE WHEN user_id % 2 = 0 THEN conv ELSE 0 END) AS BIGINT) AS conv_a,
+        |  CAST(SUM(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        |  CAST(SUM(CASE WHEN user_id % 2 = 1 THEN conv ELSE 0 END) AS BIGINT) AS conv_b
+        | FROM u)
+        |SELECT n_a, conv_a, n_b, conv_b,
+        | CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS rate_a,
+        | CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS rate_b,
+        | CASE WHEN conv_a + conv_b > 0 AND conv_a + conv_b < n_a + n_b THEN
+        |  round((CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+        |        - CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+        |  / sqrt((CAST(conv_a + conv_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+        |     * (1.0 - CAST(conv_a + conv_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+        |     * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE))), 6)
+        | ELSE NULL END AS z_score
+        |FROM g""".stripMargin,
+
     "events_markov" ->
       """WITH seq AS (SELECT user_id, event_type,
         |  lead(event_type) OVER (PARTITION BY user_id

@@ -445,6 +445,25 @@ object Q {
     graft.operators.MergeUpsert.merge(snapshot, changes, "c_custkey")
   }
 
+  /** SCD-2 history merge: customers start as one open NONE-status version
+    * at day 0; each customer's LATEST order (max-struct idiom, orderkey
+    * tie-break) changes their status effective that order's epoch day —
+    * closing the open version and opening a new one. Customers who never
+    * ordered pass through open and untouched. */
+  def mergeScd2(s: SparkSession, dir: String): DataFrame = {
+    val dim = Tables(s, dir, "customer")
+      .select(col("c_custkey"), lit("NONE").as("status"),
+        lit(0L).as("valid_from"), lit(null).cast("bigint").as("valid_to"))
+    val upd = Tables(s, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(max(struct(col("o_orderdate"), col("o_orderkey"),
+        col("o_orderstatus"))).as("_m"))
+      .select(col("o_custkey").as("c_custkey"),
+        col("_m.o_orderstatus").as("status"),
+        expr("unix_micros(cast(_m.o_orderdate as timestamp)) div 86400000000").as("eff"))
+    graft.operators.Scd2.merge(dim, upd, "c_custkey", "status", "eff")
+  }
+
   /** create_features (ref L140): ffill/bfill impute → one-hot (class-
     * threshold keeps c_mktsegment, drops c_name) → missing flags → MinMax
     * scale of every feature column. */
