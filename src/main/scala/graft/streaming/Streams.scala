@@ -429,4 +429,35 @@ object Streams {
       }
     (state, writer)
   }
+
+  /** Streaming SCD-2 apply — the history-keeping sibling of [[cdcApply]]:
+    * each micro-batch of attribute changes folds into the dimension-history
+    * table through `Scd2.merge`, so a change CLOSES the key's open version
+    * at its effective time and opens a new one; the closed history only
+    * ever grows. On a cluster the fold target is a transactional
+    * Delta/Iceberg table; here an in-memory handle.
+    *
+    * A micro-batch may carry several changes for one key; Scd2.merge
+    * requires key-unique batches, so each batch compacts to the key's
+    * LATEST change by effective time first (struct-max, attr tie-break) —
+    * intermediate same-batch versions collapse, the standard CDC-compaction
+    * trade. localCheckpoint truncates the per-batch lineage (the state
+    * would otherwise accrete one join per batch forever). */
+  def scd2Apply(changes: DataFrame, dim0: DataFrame, key: String,
+                attr: String, eff: String)
+      : (java.util.concurrent.atomic.AtomicReference[DataFrame],
+         org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row]) = {
+    val state = new java.util.concurrent.atomic.AtomicReference[DataFrame](dim0)
+    val writer = changes.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val compacted = batch
+          .groupBy(col(key))
+          .agg(max(struct(col(eff), col(attr))).as("_m"))
+          .select(col(key), col(s"_m.$attr").as(attr), col(s"_m.$eff").as(eff))
+        state.set(graft.operators.Scd2.merge(
+          state.get(), compacted, key, attr, eff).drop("op").localCheckpoint())
+      }
+    (state, writer)
+  }
 }

@@ -439,4 +439,38 @@ class StreamsSpec extends SparkSpec {
       assert(s2 == Seq((2L, 99.0), (3L, 30.0)))
     } finally query.stop()
   }
+
+  test("streaming SCD-2 apply closes versions and keeps the full history") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dim0 = Seq(
+      (1L, "A", 0L, Option.empty[Long]),
+      (2L, "A", 0L, Option.empty[Long])
+    ).toDF("id", "status", "valid_from", "valid_to")
+    val changes = MemoryStream[(Long, String, Long)]
+    val (state, writer) = Streams.scd2Apply(
+      changes.toDF().toDF("id", "status", "eff"), dim0, "id", "status", "eff")
+    val query = writer.start()
+    try {
+      // batch 1: key 1 changes A→B at 10 (two same-batch changes compact to
+      // the latest), key 3 inserts
+      changes.addData((1L, "X", 5L), (1L, "B", 10L), (3L, "C", 7L))
+      query.processAllAvailable()
+      val s1 = state.get().as[(Long, String, Long, Option[Long])]
+        .collect().toSet
+      assert(s1 == Set(
+        (1L, "A", 0L, Some(10L)), (1L, "B", 10L, None),
+        (2L, "A", 0L, None), (3L, "C", 7L, None)))
+      // batch 2: key 1 changes again B→D at 20 — history chains A→B→D;
+      // key 2 gets a no-op update (stays a single open row)
+      changes.addData((1L, "D", 20L), (2L, "A", 25L))
+      query.processAllAvailable()
+      val s2 = state.get().as[(Long, String, Long, Option[Long])]
+        .collect().toSet
+      assert(s2 == Set(
+        (1L, "A", 0L, Some(10L)), (1L, "B", 10L, Some(20L)),
+        (1L, "D", 20L, None),
+        (2L, "A", 0L, None), (3L, "C", 7L, None)))
+    } finally query.stop()
+  }
 }
