@@ -1137,4 +1137,24 @@ object Analytics {
       .join(broadcast(excess), col("s_suppkey") === col("l_suppkey"), "left_semi")
       .select("s_suppkey", "s_name", "s_acctbal")
   }
+
+  /** Wide→long reshape (melt / UNPIVOT) of the daily event metrics frame:
+    * the inverse of [[eventsPivot]], and the missing half of the reshaping
+    * pair a feature store round-trips through. One shuffle builds the
+    * (day × {n_events, n_users, n_purchases}) wide rollup (the distinct
+    * user count rides the same aggregation); `stack` then melts it
+    * row-locally — a pure narrow projection, NO second shuffle, unlike the
+    * naive union-of-three-scans a SQL engine would run. All values are
+    * exact BIGINT counts. */
+  def eventsUnpivot(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "events")
+      .select(expr("ts div 86400000000000").as("d"), col("user_id"),
+        col("event_type"))
+      .groupBy("d")
+      .agg(count(lit(1)).as("n_events"),
+        count_distinct(col("user_id")).as("n_users"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("n_purchases"))
+      .selectExpr("d",
+        "stack(3, 'n_events', n_events, 'n_users', n_users, " +
+          "'n_purchases', n_purchases) AS (metric, value)")
 }

@@ -1244,6 +1244,48 @@ object OracleSql {
          |FROM events GROUP BY 1""".stripMargin
     },
 
+    // The q-gram count filter is LOSSLESS (FuzzyJoin scaladoc), so the
+    // oracle verifies with plain all-pairs levenshtein over DISTINCT names
+    // — tiny for the oracle, never what the engine runs.
+    "fuzzy_join" ->
+      """WITH names AS (SELECT p_name AS name, CAST(count(*) AS BIGINT) AS n
+        |  FROM part GROUP BY 1)
+        |SELECT a.name AS name_a, b.name AS name_b,
+        | CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist,
+        | a.n AS n_a, b.n AS n_b
+        |FROM names a JOIN names b
+        | ON a.name < b.name AND levenshtein(a.name, b.name) BETWEEN 1 AND 2""".stripMargin,
+
+    "events_unpivot" ->
+      """WITH daily AS (SELECT epoch_ns(ts) // 86400000000000 AS d,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+        |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_purchases
+        | FROM events GROUP BY 1)
+        |SELECT d, 'n_events' AS metric, n_events AS value FROM daily
+        |UNION ALL SELECT d, 'n_users', n_users FROM daily
+        |UNION ALL SELECT d, 'n_purchases', n_purchases FROM daily""".stripMargin,
+
+    "text_readability" ->
+      """WITH c AS (SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '[^ ]+')) AS BIGINT) AS n_words,
+        |  greatest(CAST(1 AS BIGINT),
+        |    CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT)) AS n_sentences,
+        |  CAST(len(regexp_extract_all(text, '[aeiouy]+')) AS BIGINT) AS n_syllables
+        | FROM documents)
+        |SELECT doc_id, n_words, n_sentences, n_syllables,
+        | CASE WHEN n_words > 0 THEN round(206.835
+        |  - 1.015 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+        |  - 84.6 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE)), 4)
+        | END AS flesch,
+        | CASE WHEN n_words > 0 THEN round(
+        |  0.39 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+        |  + 11.8 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE))
+        |  - 15.59, 4)
+        | END AS fk_grade
+        |FROM c""".stripMargin,
+
     "events_attribution" ->
       """WITH e AS (SELECT event_id, user_id, event_type,
         |            epoch_ns(ts) // 1000000000 AS t FROM events),

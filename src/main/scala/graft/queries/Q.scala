@@ -1143,4 +1143,16 @@ object Q {
     graft.similarity.Pq.adcTopK(encoded, e.filter(col("vec_id") % 97 === 0),
       "vec_id", "embedding", model, k = 5)
   }
+
+  /** Fuzzy entity matching over part names: every distinct-name pair within
+    * Levenshtein distance 2, found via the lossless q-gram count-filter
+    * join (never all-pairs) — see [[graft.operators.FuzzyJoin]]. */
+  def fuzzyJoin(s: SparkSession, dir: String): DataFrame =
+    graft.operators.FuzzyJoin.namePairs(Tables(s, dir, "part"), "p_name", k = 2, q = 2)
+
+  /** Flesch readability scoring per document (word / sentence / vowel-group
+    * syllable counts + reading-ease and grade-level). */
+  def textReadability(s: SparkSession, dir: String): DataFrame =
+    graft.text.TextAnalysis.withReadability(Tables(s, dir, "documents"), "text")
+      .select("doc_id", "n_words", "n_sentences", "n_syllables", "flesch", "fk_grade")
 }

@@ -554,4 +554,32 @@ object TextAnalysis {
       .otherwise(array().cast("array<bigint>"))
     grams.select(col(idCol), size(g).cast("bigint").as("n_grams"), fps.as("_f"))
   }
+
+  /** Flesch readability features: word, sentence, and syllable-proxy counts
+    * (vowel-group runs — the standard codepoint-only syllable estimator)
+    * plus the reading-ease and grade-level scores. Pure codegen projection,
+    * no shuffle; counts are exact BIGINTs and the two scores are closed-form
+    * doubles over those integers (written in one fixed evaluation order so
+    * the oracle's identical expression is bitwise-equal, rounded 4dp for
+    * the cross-engine division ulp). Sentence count floors at 1: a corpus
+    * with no terminal punctuation (this one) still gets a defined score,
+    * with words-per-sentence degenerating to document length — documented,
+    * not hidden. Empty documents yield NULL scores, not a division crash. */
+  def withReadability(df: DataFrame, textCol: String): DataFrame = {
+    val w = size(regexp_extract_all(col(textCol), lit("[^ ]+"), lit(0))).cast("bigint")
+    val s = greatest(lit(1L),
+      size(regexp_extract_all(col(textCol), lit("[.!?]+"), lit(0))).cast("bigint"))
+    val sy = size(regexp_extract_all(col(textCol), lit("[aeiouy]+"), lit(0))).cast("bigint")
+    df.withColumn("n_words", w)
+      .withColumn("n_sentences", s)
+      .withColumn("n_syllables", sy)
+      .withColumn("flesch",
+        when(w > 0L, round(
+          lit(206.835) - lit(1.015) * (w.cast("double") / s.cast("double")) -
+            lit(84.6) * (sy.cast("double") / w.cast("double")), 4)))
+      .withColumn("fk_grade",
+        when(w > 0L, round(
+          lit(0.39) * (w.cast("double") / s.cast("double")) +
+            lit(11.8) * (sy.cast("double") / w.cast("double")) - lit(15.59), 4)))
+  }
 }
