@@ -1138,6 +1138,57 @@ object Analytics {
       .select("s_suppkey", "s_name", "s_acctbal")
   }
 
+  /** Theil–Sen robust trend per event type: the MEDIAN pairwise slope of
+    * the daily count series (Theil 1950 / Sen 1968 — the outlier-immune
+    * alternative to least-squares the anomaly-laden event stream wants).
+    * Like [[eventsAutocorr]], the O(D²) pair expansion runs over the
+    * AGGREGATED daily frame (bounded by days², never events²). Slopes are
+    * exact IEEE divisions of integer-valued doubles; the median is
+    * positional (row_number over (slope, da, db) — fully tie-broken), the
+    * two middle ranks averaged, so engine and oracle select literally the
+    * same rows. One rollup shuffle; the pair join and window both key on
+    * event_type. */
+  def eventsTheilsen(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables(spark, dir, "events")
+      .select(col("event_type"), expr("ts div 86400000000000").as("d"))
+      .groupBy("event_type", "d").agg(count(lit(1)).as("n"))
+      .localCheckpoint(eager = false)
+    val a = daily.select(col("event_type"), col("d").as("da"), col("n").as("na"))
+    val b = daily.select(col("event_type"), col("d").as("db"), col("n").as("nb"))
+    val pairs = a.join(b, Seq("event_type")).filter(col("da") < col("db"))
+      .select(col("event_type"), col("da"), col("db"),
+        ((col("nb") - col("na")).cast("double") /
+          (col("db") - col("da")).cast("double")).as("slope"))
+    val r = pairs
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("event_type").orderBy("slope", "da", "db")))
+      .withColumn("m", count(lit(1)).over(Window.partitionBy("event_type")))
+    r.filter(col("rn") === expr("(m + 1) div 2") || col("rn") === expr("m div 2 + 1"))
+      .groupBy("event_type")
+      .agg(max(col("m")).as("n_pairs"), round(avg(col("slope")), 6).as("slope_med"))
+  }
+
+  /** Benford first-significant-digit profile of order prices — the classic
+    * fraud / synthetic-data screen. Exact-cents digit extraction, ONE
+    * digit-keyed shuffle (cardinality 9) with map-side partials; the total
+    * rides a broadcast 1-row frame (the scalar-frame pattern); expected
+    * Benford mass log10((d+1)/d) and the observed fraction are the only
+    * doubles, 6dp-rounded. */
+  def ordersBenford(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables(spark, dir, "orders")
+      .select(cents(col("o_totalprice"), 2).as("v")).filter(col("v") > 0L)
+      .select(substring(col("v").cast("string"), 1, 1).cast("bigint").as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n_obs"))
+    val tot = c.agg(sum(col("n_obs")).as("n_total"))
+    c.crossJoin(broadcast(tot))
+      .select(col("digit"), col("n_obs"),
+        round(col("n_obs").cast("double") / col("n_total").cast("double"), 6)
+          .as("obs_frac"),
+        round(log10((col("digit") + 1L).cast("double") / col("digit").cast("double")), 6)
+          .as("exp_frac"))
+  }
+
   /** Wide→long reshape (melt / UNPIVOT) of the daily event metrics frame:
     * the inverse of [[eventsPivot]], and the missing half of the reshaping
     * pair a feature store round-trips through. One shuffle builds the

@@ -280,4 +280,59 @@ object Profile {
   /** MI face on the testdata: market segment × nation dependence. */
   def customerMi(spark: SparkSession, dir: String): DataFrame =
     mutualInformation(Tables(spark, dir, "customer"), "c_mktsegment", "c_nationkey")
+
+  /** Two-sample Kolmogorov–Smirnov distance between the value distributions
+    * of two groups, on a fixed-width band grid (KS over binned data — the
+    * distribution-drift test profile_drift's PSI can't localize). All
+    * arithmetic until the final statistic is exact BIGINT: per-band counts,
+    * cumulative counts via a band≤band self-join over the AGGREGATED band
+    * frame (bounded by the value range / bandWidth — deliberately no
+    * global window, the one construct that can't scale out), and the
+    * scaled statistic |cumA·nB − cumB·nA|. The peak band is the earliest
+    * arg-max (max-struct idiom). One value-keyed shuffle builds the bands;
+    * everything after runs at band-grid cardinality. The bigint-scaled
+    * statistic overflows past ~3e9 rows per group — at that scale switch
+    * the final compare to the double fractions (documented trade, same
+    * SCALE_BOUNDS class as the exact-percentile profiles). */
+  def ks(dfA: DataFrame, dfB: DataFrame, valueCol: String, scale: Int,
+         bandCents: Long, labelA: String, labelB: String): DataFrame = {
+    def band(df: DataFrame) = df
+      .select(cents(col(valueCol), scale).as("_v"))
+      .select(expr(s"_v div ${bandCents}L").as("band"))
+    val a = band(dfA).groupBy("band").agg(count(lit(1)).as("ca"))
+    val b = band(dfB).groupBy("band").agg(count(lit(1)).as("cb"))
+    val bands = a.join(b, Seq("band"), "full_outer")
+      .select(col("band"), coalesce(col("ca"), lit(0L)).as("ca"),
+        coalesce(col("cb"), lit(0L)).as("cb"))
+      .localCheckpoint(eager = false)
+    val tot = bands.agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
+    val lo = bands.select(col("band").as("blo"), col("ca").as("cal"), col("cb").as("cbl"))
+    val cum = bands.select(col("band")).join(lo, col("blo") <= col("band"))
+      .groupBy("band").agg(sum(col("cal")).as("cuma"), sum(col("cbl")).as("cumb"))
+    cum.crossJoin(broadcast(tot))
+      .select(col("band"),
+        abs(col("cuma") * col("nb") - col("cumb") * col("na")).as("stat"),
+        col("na"), col("nb"))
+      .agg(max(col("na")).as("n_a"), max(col("nb")).as("n_b"),
+        max(col("stat")).as("_s"),
+        max(struct(col("stat").as("s"), (-col("band")).as("nb_"))).as("_pk"))
+      .select(lit(labelA).as("seg_a"), lit(labelB).as("seg_b"),
+        col("n_a"), col("n_b"),
+        round(col("_s").cast("double") / (col("n_a") * col("n_b")).cast("double"), 6)
+          .as("ks_stat"),
+        (-col("_pk.nb_")).as("peak_band"))
+  }
+
+  /** KS face on the testdata: BUILDING vs MACHINERY customers' order
+    * totals, $1000 bands. The customer→orders attach is one key-keyed
+    * join; each arm then collapses to its band frame independently. */
+  def ordersKs(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables(spark, dir, "orders")
+    val c = Tables(spark, dir, "customer").select(col("c_custkey"), col("c_mktsegment"))
+    def arm(seg: String) = o.join(
+      c.filter(col("c_mktsegment") === seg),
+      col("o_custkey") === col("c_custkey"), "left_semi")
+    ks(arm("BUILDING"), arm("MACHINERY"), "o_totalprice", 2,
+      bandCents = 100000L, labelA = "BUILDING", labelB = "MACHINERY")
+  }
 }

@@ -1286,6 +1286,62 @@ object OracleSql {
         | END AS fk_grade
         |FROM c""".stripMargin,
 
+    "events_theilsen" ->
+      """WITH daily AS (SELECT event_type, epoch_ns(ts) // 86400000000000 AS d,
+        |  CAST(count(*) AS BIGINT) AS n
+        | FROM events GROUP BY 1, 2),
+        |pairs AS (SELECT a.event_type, a.d AS da, b.d AS db,
+        |  CAST(b.n - a.n AS DOUBLE) / CAST(b.d - a.d AS DOUBLE) AS slope
+        | FROM daily a JOIN daily b
+        |  ON a.event_type = b.event_type AND a.d < b.d),
+        |r AS (SELECT event_type, slope,
+        |  row_number() OVER (PARTITION BY event_type ORDER BY slope, da, db) AS rn,
+        |  count(*) OVER (PARTITION BY event_type) AS m
+        | FROM pairs)
+        |SELECT event_type, CAST(max(m) AS BIGINT) AS n_pairs,
+        | round(avg(slope), 6) AS slope_med
+        |FROM r WHERE rn = (m + 1) // 2 OR rn = m // 2 + 1
+        |GROUP BY 1""".stripMargin,
+
+    "orders_benford" ->
+      """WITH v AS (SELECT CAST(round(o_totalprice * 100.0, 0) AS BIGINT) AS v
+        |  FROM orders),
+        |d AS (SELECT CAST(substr(CAST(v AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+        |  CAST(count(*) AS BIGINT) AS n_obs
+        | FROM v WHERE v > 0 GROUP BY 1),
+        |t AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS n_total FROM d)
+        |SELECT digit, n_obs,
+        | round(CAST(n_obs AS DOUBLE) / CAST(n_total AS DOUBLE), 6) AS obs_frac,
+        | round(log10(CAST(digit + 1 AS DOUBLE) / CAST(digit AS DOUBLE)), 6) AS exp_frac
+        |FROM d CROSS JOIN t""".stripMargin,
+
+    "profile_ks" ->
+      """WITH ca AS (SELECT CAST(round(o_totalprice * 100.0, 0) AS BIGINT) // 100000 AS band,
+        |  CAST(count(*) AS BIGINT) AS ca
+        | FROM orders JOIN customer ON o_custkey = c_custkey
+        | WHERE c_mktsegment = 'BUILDING' GROUP BY 1),
+        |cb AS (SELECT CAST(round(o_totalprice * 100.0, 0) AS BIGINT) // 100000 AS band,
+        |  CAST(count(*) AS BIGINT) AS cb
+        | FROM orders JOIN customer ON o_custkey = c_custkey
+        | WHERE c_mktsegment = 'MACHINERY' GROUP BY 1),
+        |bands AS (SELECT coalesce(ca.band, cb.band) AS band,
+        |  coalesce(ca, CAST(0 AS BIGINT)) AS ca, coalesce(cb, CAST(0 AS BIGINT)) AS cb
+        | FROM ca FULL JOIN cb ON ca.band = cb.band),
+        |t AS (SELECT CAST(SUM(ca) AS BIGINT) AS na, CAST(SUM(cb) AS BIGINT) AS nb
+        |      FROM bands),
+        |cum AS (SELECT h.band, CAST(SUM(l.ca) AS BIGINT) AS cuma,
+        |         CAST(SUM(l.cb) AS BIGINT) AS cumb
+        |        FROM (SELECT band FROM bands) h JOIN bands l ON l.band <= h.band
+        |        GROUP BY 1),
+        |s AS (SELECT band, abs(cuma * nb - cumb * na) AS stat, na, nb
+        |      FROM cum CROSS JOIN t)
+        |SELECT 'BUILDING' AS seg_a, 'MACHINERY' AS seg_b,
+        | max(na) AS n_a, max(nb) AS n_b,
+        | round(CAST(max(stat) AS DOUBLE) / CAST(max(na) * max(nb) AS DOUBLE), 6)
+        |   AS ks_stat,
+        | -(max(struct_pack(s := stat, nb_ := -band)).nb_) AS peak_band
+        |FROM s""".stripMargin,
+
     "events_attribution" ->
       """WITH e AS (SELECT event_id, user_id, event_type,
         |            epoch_ns(ts) // 1000000000 AS t FROM events),

@@ -1,0 +1,91 @@
+package graft.analytics
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** events_theilsen / profile_ks / orders_benford: statistical operators
+  * checked against driver-side brute-force definitions. */
+class RobustStatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("theilsen: median pairwise slope matches brute force and shrugs off an outlier") {
+    val daily = graft.Tables(spark, dir, "events")
+      .select(col("event_type"), expr("ts div 86400000000000").as("d"))
+      .groupBy("event_type", "d").agg(count(lit(1)).as("n"))
+      .as[(String, Long, Long)].collect().groupBy(_._1)
+    val got = Analytics.eventsTheilsen(spark, dir)
+      .select("event_type", "n_pairs", "slope_med")
+      .as[(String, Long, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    for ((t, rows) <- daily) {
+      val pts = rows.map(r => (r._2, r._3)).sortBy(_._1)
+      val slopes = (for {
+        i <- pts.indices; j <- pts.indices if pts(i)._1 < pts(j)._1
+      } yield (pts(j)._2 - pts(i)._2).toDouble / (pts(j)._1 - pts(i)._1).toDouble).sorted
+      val m = slopes.length
+      val med = (slopes((m - 1) / 2) + slopes(m / 2)) / 2.0
+      val expect = BigDecimal(med).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(got(t)._1 == m.toLong && math.abs(got(t)._2 - expect) < 1e-9, s"type $t")
+    }
+    // robustness: a wild outlier day moves the mean-based slope, not the median
+    val base = (1L to 9L).map(d => (d, 10L + d)) :+ ((10L, 1000L))
+    val df = base.toDF("d", "n").withColumn("event_type", lit("x"))
+      .select(col("event_type"), col("d"), col("n"))
+    // brute force over the planted series: median slope stays ~1
+    val sl = (for { i <- base.indices; j <- base.indices if base(i)._1 < base(j)._1 }
+      yield (base(j)._2 - base(i)._2).toDouble / (base(j)._1 - base(i)._1)).sorted
+    val med = (sl((sl.length - 1) / 2) + sl(sl.length / 2)) / 2.0
+    assert(med == 1.0)
+  }
+
+  test("profile_ks: zero on identical samples, near-one on disjoint ones") {
+    def frame(vs: Seq[Double]) = vs.toDF("o_totalprice")
+    val same = Profile.ks(frame(Seq(1000.0, 2000.0, 3000.0)),
+      frame(Seq(1000.0, 2000.0, 3000.0)), "o_totalprice", 2, 100000L, "a", "b")
+      .select("ks_stat").as[Double].collect()(0)
+    assert(same == 0.0)
+    val far = Profile.ks(frame(Seq(1000.0, 1500.0)), frame(Seq(900000.0, 990000.0)),
+      "o_totalprice", 2, 100000L, "a", "b").select("ks_stat").as[Double].collect()(0)
+    assert(far == 1.0)
+  }
+
+  test("profile_ks matches a brute-force banded KS on the sf corpus") {
+    val got = Profile.ordersKs(spark, dir).collect()(0)
+    val o = graft.Tables(spark, dir, "orders")
+    val c = graft.Tables(spark, dir, "customer").select("c_custkey", "c_mktsegment")
+    def bands(seg: String): Map[Long, Long] = o
+      .join(c.filter(col("c_mktsegment") === seg), col("o_custkey") === col("c_custkey"))
+      .select(expr("cast(round(o_totalprice * 100.0, 0) as bigint) div 100000").as("b"))
+      .groupBy("b").count().as[(Long, Long)].collect().toMap
+    val (ba, bb) = (bands("BUILDING"), bands("MACHINERY"))
+    val (na, nb) = (ba.values.sum, bb.values.sum)
+    val keys = (ba.keySet ++ bb.keySet).toSeq.sorted
+    var (cuma, cumb, best, bestBand) = (0L, 0L, -1L, 0L)
+    for (k <- keys) {
+      cuma += ba.getOrElse(k, 0L); cumb += bb.getOrElse(k, 0L)
+      val s = math.abs(cuma * nb - cumb * na)
+      if (s > best) { best = s; bestBand = k }
+    }
+    val expect = BigDecimal(best.toDouble / (na.toDouble * nb.toDouble))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got.getAs[Long]("n_a") == na && got.getAs[Long]("n_b") == nb)
+    assert(got.getAs[Double]("ks_stat") == expect)
+    assert(got.getAs[Long]("peak_band") == bestBand)
+  }
+
+  test("benford: expected fractions are the Benford masses and observed fractions sum to ~1") {
+    val rows = Analytics.ordersBenford(spark, dir)
+      .select("digit", "n_obs", "obs_frac", "exp_frac")
+      .as[(Long, Long, Double, Double)].collect().sortBy(_._1)
+    assert(rows.map(_._1).toSeq == (1L to 9L))
+    for ((d, _, _, ef) <- rows) {
+      val expect = BigDecimal(math.log10((d + 1.0) / d))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(ef == expect, s"digit $d")
+    }
+    assert(math.abs(rows.map(_._3).sum - 1.0) < 1e-4)
+    assert(rows.map(_._2).sum ==
+      graft.Tables(spark, dir, "orders").count())
+  }
+}
