@@ -1342,6 +1342,53 @@ object OracleSql {
         | -(max(struct_pack(s := stat, nb_ := -band)).nb_) AS peak_band
         |FROM s""".stripMargin,
 
+    // PageRank's fixed iteration count unrolls into a non-recursive CTE
+    // chain generated from the SAME constants the engine uses (Graph.Scale,
+    // 5 iterations) — all-bigint fixed-point algebra, so the chain is
+    // bitwise-equal to the Spark loop.
+    "graph_pagerank" -> {
+      val s = graft.graph.Graph.Scale
+      val iters = 5
+      val sb = new StringBuilder(
+        s"""WITH pairs AS (SELECT a.l_partkey AS u, b.l_partkey AS v,
+           |  CAST(count(*) AS BIGINT) AS w
+           | FROM lineitem a JOIN lineitem b
+           |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+           | GROUP BY 1, 2),
+           |outw AS (SELECT u, CAST(SUM(w) AS BIGINT) AS wu FROM pairs GROUP BY 1),
+           |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM outw),
+           |r0 AS (SELECT u AS node, $s // n AS rank FROM outw CROSS JOIN nn)""".stripMargin)
+      for (i <- 1 to iters) sb.append(
+        s""",
+           |r$i AS (SELECT e.v AS node,
+           |  (15 * $s) // (100 * nn.n) + (85 * SUM((r.rank * e.w) // o.wu)) // 100 AS rank
+           | FROM r${i - 1} r JOIN pairs e ON r.node = e.u
+           |  JOIN outw o ON o.u = r.node CROSS JOIN nn
+           | GROUP BY e.v, nn.n)""".stripMargin)
+      sb.append(
+        s"""
+           |SELECT r.node AS part, o.wu AS out_weight,
+           | CAST(r.rank AS BIGINT) AS rank_scaled
+           |FROM r$iters r JOIN outw o ON o.u = r.node""".stripMargin)
+      sb.toString
+    },
+
+    "graph_triangles" ->
+      """WITH pairs AS (SELECT a.l_partkey AS u, b.l_partkey AS v,
+        |  CAST(count(*) AS BIGINT) AS w
+        | FROM lineitem a JOIN lineitem b
+        |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+        | GROUP BY 1, 2),
+        |und AS (SELECT u, v FROM pairs WHERE w >= 2 AND u < v),
+        |tri AS (SELECT CAST(count(*) AS BIGINT) AS n_triangles
+        | FROM und p1 JOIN und p2 ON p1.v = p2.u
+        | WHERE EXISTS (SELECT 1 FROM und c WHERE c.u = p1.u AND c.v = p2.v)),
+        |nodes AS (SELECT CAST(count(DISTINCT x) AS BIGINT) AS n_nodes
+        | FROM (SELECT u AS x FROM und UNION ALL SELECT v FROM und) t),
+        |ne AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM und)
+        |SELECT n_nodes, n_edges, n_triangles
+        |FROM nodes CROSS JOIN ne CROSS JOIN tri""".stripMargin,
+
     "events_attribution" ->
       """WITH e AS (SELECT event_id, user_id, event_type,
         |            epoch_ns(ts) // 1000000000 AS t FROM events),
