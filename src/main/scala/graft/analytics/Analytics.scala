@@ -1138,6 +1138,37 @@ object Analytics {
       .select("s_suppkey", "s_name", "s_acctbal")
   }
 
+  /** Frequent contiguous event-type trigrams WITHIN sessions (sequence
+    * mining at depth 3 — the PrefixSpan cut that catches "view>click>
+    * purchase"-style funnel motifs [[eventsPath]]'s whole-prefix rollup
+    * can't, because it buckets by the session's first five steps only).
+    * Sessionization is the same 30-min-gap rule as [[sessionize]] (one
+    * user-keyed shuffle, cumulative break-flag sum); trigrams come from
+    * two `lead`s over the (user, session) window — session boundaries
+    * fall out of the window partitioning, no self-join; the global count
+    * is one trigram-keyed shuffle (domain ≤ |types|³) and top-20 lowers
+    * to TakeOrderedAndProject with a full (n desc, trigram) tiebreak. */
+  def eventsTrigrams(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        expr("ts div 1000000000").as("t"))
+    val w = Window.partitionBy("user_id").orderBy("t", "event_id")
+    val cum = w.rowsBetween(Window.unboundedPreceding, 0)
+    val s = e.withColumn("brk",
+        when(col("t") - lag("t", 1).over(w) > 1800L || lag("t", 1).over(w).isNull, 1)
+          .otherwise(0))
+      .withColumn("session_id", sum("brk").over(cum))
+    val ws = Window.partitionBy("user_id", "session_id").orderBy("t", "event_id")
+    s.withColumn("t2", lead("event_type", 1).over(ws))
+      .withColumn("t3", lead("event_type", 2).over(ws))
+      .filter(col("t2").isNotNull && col("t3").isNotNull)
+      .select(concat_ws(">", col("event_type"), col("t2"), col("t3")).as("trigram"))
+      .groupBy("trigram").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("trigram"))
+      .limit(20)
+  }
+
   /** Theil–Sen robust trend per event type: the MEDIAN pairwise slope of
     * the daily count series (Theil 1950 / Sen 1968 — the outlier-immune
     * alternative to least-squares the anomaly-laden event stream wants).

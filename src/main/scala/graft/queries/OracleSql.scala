@@ -1373,6 +1373,26 @@ object OracleSql {
       sb.toString
     },
 
+    "events_trigrams" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |  epoch_ns(ts) // 1000000000 AS t FROM events),
+        |b AS (SELECT user_id, event_id, event_type, t,
+        |  CASE WHEN t - lag(t) OVER (PARTITION BY user_id ORDER BY t, event_id) > 1800
+        |         OR lag(t) OVER (PARTITION BY user_id ORDER BY t, event_id) IS NULL
+        |       THEN 1 ELSE 0 END AS brk
+        | FROM e),
+        |s AS (SELECT user_id, event_id, event_type, t,
+        |  SUM(brk) OVER (PARTITION BY user_id ORDER BY t, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS session_id
+        | FROM b),
+        |g AS (SELECT event_type,
+        |  lead(event_type, 1) OVER w AS t2, lead(event_type, 2) OVER w AS t3
+        | FROM s WINDOW w AS (PARTITION BY user_id, session_id ORDER BY t, event_id))
+        |SELECT event_type || '>' || t2 || '>' || t3 AS trigram,
+        | CAST(count(*) AS BIGINT) AS n
+        |FROM g WHERE t2 IS NOT NULL AND t3 IS NOT NULL
+        |GROUP BY 1 ORDER BY n DESC, trigram LIMIT 20""".stripMargin,
+
     "graph_triangles" ->
       """WITH pairs AS (SELECT a.l_partkey AS u, b.l_partkey AS v,
         |  CAST(count(*) AS BIGINT) AS w
