@@ -934,10 +934,17 @@ object Analytics {
     * (type × day) cardinality; the lag expansion explodes 7 rows per
     * DAILY row (not per event) and joins back on (type, day) — everything
     * after the first rollup operates on the tiny aggregated frame. */
-  def eventsAutocorr(spark: SparkSession, dir: String): DataFrame = {
-    val daily = Tables(spark, dir, "events")
+  /** Per-(type, day) event counts — the shared rollup behind autocorr /
+    * changepoint / theilsen. Exposed pre-checkpoint so PushdownSpec can pin
+    * the events scan at exactly (event_type, ts); callers lazy-checkpoint
+    * the tiny aggregated frame. */
+  private[graft] def dailyTypeCounts(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "events")
       .select(col("event_type"), expr("ts div 86400000000000").as("d"))
       .groupBy("event_type", "d").agg(count(lit(1)).as("n"))
+
+  def eventsAutocorr(spark: SparkSession, dir: String): DataFrame = {
+    val daily = dailyTypeCounts(spark, dir)
       .localCheckpoint(eager = false)
     val lagged = daily.select(col("event_type"),
         explode(sequence(lit(1L), lit(7L))).as("lag"),
@@ -969,9 +976,7 @@ object Analytics {
     * and arg-max run per type over the aggregated frame. */
   def eventsChangepoint(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val daily = Tables(spark, dir, "events")
-      .select(col("event_type"), expr("ts div 86400000000000").as("d"))
-      .groupBy("event_type", "d").agg(count(lit(1)).as("n"))
+    val daily = dailyTypeCounts(spark, dir)
       .localCheckpoint(eager = false)
     val st = daily.groupBy("event_type")
       .agg(count(lit(1)).as("nd"), sum(col("n")).as("tot"))
@@ -1181,9 +1186,7 @@ object Analytics {
     * event_type. */
   def eventsTheilsen(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val daily = Tables(spark, dir, "events")
-      .select(col("event_type"), expr("ts div 86400000000000").as("d"))
-      .groupBy("event_type", "d").agg(count(lit(1)).as("n"))
+    val daily = dailyTypeCounts(spark, dir)
       .localCheckpoint(eager = false)
     val a = daily.select(col("event_type"), col("d").as("da"), col("n").as("na"))
     val b = daily.select(col("event_type"), col("d").as("db"), col("n").as("nb"))

@@ -294,16 +294,23 @@ object Profile {
     * statistic overflows past ~3e9 rows per group — at that scale switch
     * the final compare to the double fractions (documented trade, same
     * SCALE_BOUNDS class as the exact-percentile profiles). */
-  def ks(dfA: DataFrame, dfB: DataFrame, valueCol: String, scale: Int,
-         bandCents: Long, labelA: String, labelB: String): DataFrame = {
+  /** The per-band count frame, pre-checkpoint — exposed so PushdownSpec
+    * can pin both source scans (ks' lazy checkpoint hides them). */
+  private[graft] def ksBandFrame(dfA: DataFrame, dfB: DataFrame, valueCol: String,
+                                 scale: Int, bandCents: Long): DataFrame = {
     def band(df: DataFrame) = df
       .select(cents(col(valueCol), scale).as("_v"))
       .select(expr(s"_v div ${bandCents}L").as("band"))
     val a = band(dfA).groupBy("band").agg(count(lit(1)).as("ca"))
     val b = band(dfB).groupBy("band").agg(count(lit(1)).as("cb"))
-    val bands = a.join(b, Seq("band"), "full_outer")
+    a.join(b, Seq("band"), "full_outer")
       .select(col("band"), coalesce(col("ca"), lit(0L)).as("ca"),
         coalesce(col("cb"), lit(0L)).as("cb"))
+  }
+
+  def ks(dfA: DataFrame, dfB: DataFrame, valueCol: String, scale: Int,
+         bandCents: Long, labelA: String, labelB: String): DataFrame = {
+    val bands = ksBandFrame(dfA, dfB, valueCol, scale, bandCents)
       .localCheckpoint(eager = false)
     val tot = bands.agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
     val lo = bands.select(col("band").as("blo"), col("ca").as("cal"), col("cb").as("cbl"))
@@ -326,13 +333,18 @@ object Profile {
   /** KS face on the testdata: BUILDING vs MACHINERY customers' order
     * totals, $1000 bands. The customer→orders attach is one key-keyed
     * join; each arm then collapses to its band frame independently. */
-  def ordersKs(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def ordersKsArms(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val o = Tables(spark, dir, "orders")
     val c = Tables(spark, dir, "customer").select(col("c_custkey"), col("c_mktsegment"))
     def arm(seg: String) = o.join(
       c.filter(col("c_mktsegment") === seg),
       col("o_custkey") === col("c_custkey"), "left_semi")
-    ks(arm("BUILDING"), arm("MACHINERY"), "o_totalprice", 2,
+    (arm("BUILDING"), arm("MACHINERY"))
+  }
+
+  def ordersKs(spark: SparkSession, dir: String): DataFrame = {
+    val (a, b) = ordersKsArms(spark, dir)
+    ks(a, b, "o_totalprice", 2,
       bandCents = 100000L, labelA = "BUILDING", labelB = "MACHINERY")
   }
 }

@@ -45,15 +45,20 @@ import org.apache.spark.sql.functions._
   */
 object FuzzyJoin {
 
+  /** The distinct-name rollup, pre-checkpoint — exposed so PushdownSpec
+    * can pin the source scan at exactly the name column (the operator's
+    * lazy checkpoint hides it behind a Scan ExistingRDD). */
+  private[graft] def distinctNames(df: DataFrame, nameCol: String): DataFrame =
+    df.select(col(nameCol).as("name"))
+      .groupBy("name").agg(count(lit(1)).as("n"))
+      .withColumn("len", length(col("name")).cast("bigint"))
+
   /** Distinct-name fuzzy pairs: (name_a, name_b, dist, n_a, n_b). */
   def namePairs(df: DataFrame, nameCol: String, k: Int = 2, q: Int = 2,
                 maxGramFreq: Long = Long.MaxValue): DataFrame = {
     require(k >= 1 && q >= 2, s"fuzzy join needs k>=1, q>=2 (got k=$k q=$q)")
     val shortLen = k * q + q - 1 // bound max(|a|,|b|) - q + 1 - k*q <= 0
-    val names = df.select(col(nameCol).as("name"))
-      .groupBy("name").agg(count(lit(1)).as("n"))
-      .withColumn("len", length(col("name")).cast("bigint"))
-      .localCheckpoint(eager = false)
+    val names = distinctNames(df, nameCol).localCheckpoint(eager = false)
 
     // Row-local positional q-grams with multiset occurrence numbers:
     // occ(i) = |{j <= i : gram(j) = gram(i)}|. Staged through one array

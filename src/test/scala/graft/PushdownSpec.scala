@@ -200,4 +200,48 @@ class PushdownSpec extends SparkSpec {
     assert(!cols.contains("c_comment") && !cols.contains("c_address"),
       s"q3 must not drag wide customer columns, got $cols")
   }
+
+  // The four tripwires below pin PRE-checkpoint builder frames, like the
+  // dedup/winnow ones above: the operators lazy-checkpoint these frames,
+  // which hides the scan behind a Scan ExistingRDD in the full query plan.
+
+  test("fuzzy_join's distinct-name rollup prunes part to the single name column") {
+    val scans = scansOf(graft.operators.FuzzyJoin.distinctNames(
+      graft.Tables(spark, sf, "part"), "p_name"), "part")
+    assert(scans.nonEmpty, "no part scan found")
+    val cols = scans.map(readColumns).reduce(_ union _)
+    assert(cols == Set("p_name"), s"fuzzy_join needs only p_name, got $cols")
+  }
+
+  test("graph edge builder prunes lineitem to (orderkey, partkey) exactly") {
+    val scans = scansOf(graft.graph.Graph.coOccurrenceEdges(
+      graft.Tables(spark, sf, "lineitem")), "lineitem")
+    assert(scans.nonEmpty, "no lineitem scan found")
+    val cols = scans.map(readColumns).reduce(_ union _)
+    assert(cols == Set("l_orderkey", "l_partkey"),
+      s"edge building needs only the pair, got $cols")
+  }
+
+  test("profile_ks band frame prunes both sides and pushes the segment filters") {
+    val (a, b) = graft.analytics.Profile.ordersKsArms(spark, sf)
+    val df = graft.analytics.Profile.ksBandFrame(a, b, "o_totalprice", 2, 100000L)
+    val oscans = scansOf(df, "orders")
+    assert(oscans.nonEmpty)
+    val ocols = oscans.map(readColumns).reduce(_ union _)
+    assert(ocols == Set("o_custkey", "o_totalprice"),
+      s"ks needs only (custkey, totalprice) from orders, got $ocols")
+    val cscans = scansOf(df, "customer")
+    val pushed = cscans.map(_.metadata.getOrElse("PushedFilters", "")).mkString(";")
+    assert(pushed.contains("c_mktsegment"), s"segment filters not pushed: $pushed")
+  }
+
+  test("daily rollup and events_trigrams read only their event columns") {
+    val t = scansOf(graft.analytics.Analytics.dailyTypeCounts(spark, sf), "events")
+      .map(readColumns).reduce(_ union _)
+    assert(t == Set("event_type", "ts"), s"daily rollup needs (event_type, ts), got $t")
+    val g = scansOf(SparkEntry.queries("events_trigrams")(spark, sf), "events")
+      .map(readColumns).reduce(_ union _)
+    assert(g == Set("user_id", "event_id", "event_type", "ts"),
+      s"trigrams needs 4 columns, got $g")
+  }
 }
