@@ -460,4 +460,61 @@ object Streams {
       }
     (state, writer)
   }
+
+  /** Streaming half of the distribution-drift monitor (the online face of
+    * `Profile.ks` / profile_drift): the watermarked stream folds values
+    * into the SAME fixed cent-bands the batch profiler uses and emits
+    * per-(window, band) counts in append mode. State is bounded by
+    * open-windows × bands (the band grid is value-range / bandCents —
+    * never row count); eviction rides the watermark. Scoring happens
+    * batch-side in [[driftScore]] over the landed band table — the same
+    * lambda split as the HLL distinct rollup: the stream lands mergeable
+    * per-window distribution state, batch derives the judgment without
+    * rescanning events. */
+  def driftBands(events: DataFrame, tsCol: String, valueCol: String,
+                 bandCents: Long, windowLen: String = "1 hour",
+                 watermark: String = "30 minutes"): DataFrame =
+    events.withWatermark(tsCol, watermark)
+      .select(col(tsCol),
+        (round(col(valueCol) * 100.0, 0).cast("bigint") / lit(bandCents))
+          .cast("bigint").as("band"))
+      .groupBy(window(col(tsCol), windowLen), col("band"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col("band"), col("n"))
+
+  /** Batch finalizer for [[driftBands]]: per-window Population Stability
+    * Index against a reference band distribution `(band, ref_n)` (e.g.
+    * yesterday's profile) — PSI = Σ (p−q)·ln(p/q) with add-one smoothing
+    * over the union band grid, so empty bands never divide by zero.
+    * Pure batch aggregation over the tiny landed band table: one full
+    * outer join per window against the broadcast reference, one
+    * window-keyed rollup. PSI ≳ 0.2 is the conventional act threshold. */
+  def driftScore(bands: DataFrame, reference: DataFrame): DataFrame = {
+    // the grid derives FROM `bands`, so rename its columns before joining
+    // back (self-join lineage would otherwise conflict attribute-for-
+    // attribute)
+    val windows = bands.select(col("window_start").as("_ws")).distinct()
+    val grid = windows.crossJoin(broadcast(
+      bands.select(col("band").as("_b"))
+        .union(reference.select(col("band").as("_b"))).distinct()))
+    val obs = grid.join(bands,
+        grid("_ws") === bands("window_start") && grid("_b") === bands("band"),
+        "left_outer")
+      .select(col("_ws").as("window_start"), col("_b").as("band"),
+        coalesce(col("n"), lit(0L)).as("n"))
+      .join(broadcast(reference), Seq("band"), "left_outer")
+      .select(col("window_start"), col("band"), col("n"),
+        coalesce(col("ref_n"), lit(0L)).as("ref_n"))
+    val tot = obs.groupBy("window_start")
+      .agg(sum(col("n")).as("nw"), sum(col("ref_n")).as("nr"),
+        count(lit(1)).as("b"))
+    obs.join(tot, "window_start")
+      .select(col("window_start"),
+        ((col("n") + 1L).cast("double") / (col("nw") + col("b")).cast("double"))
+          .as("p"),
+        ((col("ref_n") + 1L).cast("double") / (col("nr") + col("b")).cast("double"))
+          .as("q"))
+      .groupBy("window_start")
+      .agg(round(sum((col("p") - col("q")) * log(col("p") / col("q"))), 6).as("psi"))
+  }
 }

@@ -22,7 +22,10 @@ object ScalingBench {
     "dedup_simhash", "dedup_substring", "dedup_substring_self", "dedup_winnow",
     "text_tokens_bpe",
     "q_basket", "imp_als", "q21_waiting", "text_tfidf", "imp_knn",
-    "pipeline_neardup", "imp_ffill_bfill", "q1_agg", "q6_filter")
+    "pipeline_neardup", "imp_ffill_bfill", "q1_agg", "q6_filter",
+    // round-9 continuation heavies: the graph family (edge build is the
+    // cost), the fuzzy pair join, and the KS band self-join
+    "graph_pagerank", "graph_triangles", "fuzzy_join", "profile_ks")
 
   def main(args: Array[String]): Unit = {
     val sfDirs = sys.env.getOrElse("SPARK_GRAFT_SF_DIRS",
