@@ -30,8 +30,11 @@ object Graph {
   def coOccurrenceEdges(li: DataFrame): DataFrame = {
     val a = li.select(col("l_orderkey").as("k"), col("l_partkey").as("u"))
     val b = li.select(col("l_orderkey").as("k"), col("l_partkey").as("v"))
-    a.join(b, Seq("k")).filter(col("u") =!= col("v"))
+    // co-occurrence is symmetric: roll up only the u < v half (halves the
+    // pair-instance shuffle) and mirror the aggregated edge frame after
+    val half = a.join(b, Seq("k")).filter(col("u") < col("v"))
       .groupBy("u", "v").agg(count(lit(1)).as("w"))
+    half.union(half.select(col("v").as("u"), col("u").as("v"), col("w")))
   }
 
   /** Weighted PageRank, `iters` synchronous iterations, damping 0.85, over
@@ -50,6 +53,12 @@ object Graph {
     var r = outw.crossJoin(broadcast(nRow))
       .select(col("u").as("node"), expr(s"${Scale}L div n").as("rank"))
     for (_ <- 1 to iters) {
+      // AQE picks broadcast vs shuffle for the node-sized rank/outw
+      // frames per iteration. Two measured non-wins, for the record: an
+      // explicit broadcast(r) hint serializes each iteration on a
+      // driver-side collect barrier (+20%), and pre-folding outw into
+      // the edge frame widens the checkpointed 2M-row frame for a
+      // smaller saving than the fold costs (+15%).
       r = r.join(e, col("node") === e("u"))
         .join(outw.select(col("u").as("ou"), col("wu")), col("ou") === col("node"))
         .crossJoin(broadcast(nRow))
