@@ -1203,6 +1203,37 @@ object Analytics {
       .agg(max(col("m")).as("n_pairs"), round(avg(col("slope")), 6).as("slope_med"))
   }
 
+  /** Purchase-cadence histogram: per-customer MEDIAN inter-order gap,
+    * bucketed to weeks — the replenishment-rhythm profile behind
+    * subscription/churn models (medians, not means: one long vacation gap
+    * shouldn't move a weekly shopper's cadence). Stays in INTEGERS end to
+    * end: the median is carried as 2×median (sum of the two positional
+    * middle gaps, or twice the single middle one), so the week bucket is
+    * `med2 div 14` — no doubles anywhere. One custkey-keyed shuffle
+    * computes gaps (lag) and the positional median (row_number / count,
+    * both on the same partitioning); the final rollup is week-bucket
+    * cardinality. Customers with <2 orders have no gap and drop out. */
+  def ordersInterarrival(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val o = Tables(spark, dir, "orders")
+      .select(col("o_custkey"),
+        expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000").as("d"),
+        col("o_orderkey"))
+    val w = Window.partitionBy("o_custkey").orderBy("d", "o_orderkey")
+    val gaps = o.withColumn("gap", col("d") - lag("d", 1).over(w))
+      .filter(col("gap").isNotNull)
+    val wg = Window.partitionBy("o_custkey").orderBy("gap", "d", "o_orderkey")
+    val med = gaps
+      .withColumn("rn", row_number().over(wg))
+      .withColumn("m", count(lit(1)).over(Window.partitionBy("o_custkey")))
+      .filter(col("rn") === expr("(m + 1) div 2") || col("rn") === expr("m div 2 + 1"))
+      .groupBy("o_custkey")
+      .agg((sum(col("gap")) * when(max(col("m")) % 2L === 1L, 2L).otherwise(1L))
+        .as("med2"))
+    med.select(expr("med2 div 14").as("gap_weeks"))
+      .groupBy("gap_weeks").agg(count(lit(1)).as("n_customers"))
+  }
+
   /** Benford first-significant-digit profile of order prices — the classic
     * fraud / synthetic-data screen. Exact-cents digit extraction, ONE
     * digit-keyed shuffle (cardinality 9) with map-side partials; the total

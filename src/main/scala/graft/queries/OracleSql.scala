@@ -1303,6 +1303,25 @@ object OracleSql {
         |FROM r WHERE rn = (m + 1) // 2 OR rn = m // 2 + 1
         |GROUP BY 1""".stripMargin,
 
+    "orders_interarrival" ->
+      """WITH o AS (SELECT o_custkey,
+        |  epoch_us(o_orderdate) // 86400000000 AS d, o_orderkey
+        | FROM orders),
+        |g AS (SELECT o_custkey, d, o_orderkey,
+        |  d - lag(d) OVER (PARTITION BY o_custkey ORDER BY d, o_orderkey) AS gap
+        | FROM o),
+        |r AS (SELECT o_custkey, gap,
+        |  row_number() OVER (PARTITION BY o_custkey ORDER BY gap, d, o_orderkey) AS rn,
+        |  count(*) OVER (PARTITION BY o_custkey) AS m
+        | FROM g WHERE gap IS NOT NULL),
+        |med AS (SELECT o_custkey,
+        |  CAST(SUM(gap) * (CASE WHEN max(m) % 2 = 1 THEN 2 ELSE 1 END) AS BIGINT)
+        |    AS med2
+        | FROM r WHERE rn = (m + 1) // 2 OR rn = m // 2 + 1
+        | GROUP BY 1)
+        |SELECT med2 // 14 AS gap_weeks, CAST(count(*) AS BIGINT) AS n_customers
+        |FROM med GROUP BY 1""".stripMargin,
+
     "orders_benford" ->
       """WITH v AS (SELECT CAST(round(o_totalprice * 100.0, 0) AS BIGINT) AS v
         |  FROM orders),

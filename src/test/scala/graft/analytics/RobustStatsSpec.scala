@@ -74,6 +74,30 @@ class RobustStatsSpec extends SparkSpec {
     assert(got.getAs[Long]("peak_band") == bestBand)
   }
 
+  test("interarrival: week histogram matches brute-force per-customer median gaps") {
+    val o = graft.Tables(spark, dir, "orders")
+      .select(col("o_custkey"),
+        expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000").as("d"),
+        col("o_orderkey"))
+      .as[(Long, Long, Long)].collect()
+    val expect = o.groupBy(_._1).values
+      .map { rows =>
+        val sorted = rows.sortBy(r => (r._2, r._3))
+        sorted.zip(sorted.drop(1)).map { case (a, b) => b._2 - a._2 }.toSeq
+      }
+      .filter(_.nonEmpty)
+      .map { gaps =>
+        val s = gaps.sorted
+        val med2 = if (s.length % 2 == 1) 2 * s(s.length / 2)
+                   else s(s.length / 2 - 1) + s(s.length / 2)
+        med2 / 14
+      }
+      .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val got = Analytics.ordersInterarrival(spark, dir)
+      .as[(Long, Long)].collect().toMap
+    assert(got == expect)
+  }
+
   test("benford: expected fractions are the Benford masses and observed fractions sum to ~1") {
     val rows = Analytics.ordersBenford(spark, dir)
       .select("digit", "n_obs", "obs_frac", "exp_frac")
