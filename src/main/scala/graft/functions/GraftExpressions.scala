@@ -503,6 +503,84 @@ case class BpeCountExpr(child: Expression)
     copy(child = newChild)
 }
 
+/** Bounded (banded) Levenshtein distance: `min(levenshtein(a, b), k+1)`
+  * in O(k·n) time via the Ukkonen band instead of Spark's O(n·m) full DP —
+  * the similarity-join predicate form, where any distance beyond the
+  * threshold is equivalent and only the band around the diagonal can hold
+  * a ≤k path. Early-exits a row as soon as the band minimum exceeds k
+  * (typical non-match costs ~2k cells per row, not n). Equal to Spark's
+  * `levenshtein` wherever that is ≤ k (UTF-16 code units, = code points
+  * for BMP text); returns exactly k+1 beyond, so `graft_lev_bounded(a,b,k)
+  * <= k` is THE predicate. Static helper keeps both eval paths identical
+  * and the generated code inside whole-stage codegen. */
+case class BoundedLevenshteinExpr(left: Expression, right: Expression, k: Int)
+  extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (StringType, StringType) => TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"graft_lev_bounded expects (string, string), got ($l, $r)")
+  }
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "graft_lev_bounded"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    BoundedLevenshteinExpr.bounded(
+      a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString,
+      b.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString, k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.BoundedLevenshteinExpr.bounded(" +
+        s"$a.toString(), $b.toString(), $k);")
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): BoundedLevenshteinExpr =
+    copy(left = newLeft, right = newRight)
+}
+
+object BoundedLevenshteinExpr {
+  /** Banded DP, two rolling rows, cells outside |i−j|≤k never computed.
+    * Returns min(dist, k+1). */
+  def bounded(a: String, b: String, k: Int): Int = {
+    // orient so the outer loop runs the shorter string (narrower rows)
+    val (s, t) = if (a.length <= b.length) (a, b) else (b, a)
+    val (n, m) = (s.length, t.length)
+    if (m - n > k) return k + 1
+    if (n == 0) return math.min(m, k + 1)
+    val inf = k + 1
+    var prev = new Array[Int](m + 1)
+    var cur = new Array[Int](m + 1)
+    var j = 0
+    while (j <= m) { prev(j) = if (j <= k) j else inf; j += 1 }
+    var i = 1
+    while (i <= n) {
+      val lo = math.max(1, i - k)
+      val hi = math.min(m, i + k)
+      if (lo > 1) cur(lo - 1) = inf
+      cur(0) = if (i <= k) i else inf
+      var rowMin = inf
+      j = lo
+      while (j <= hi) {
+        val cost = if (s.charAt(i - 1) == t.charAt(j - 1)) 0 else 1
+        val diag = prev(j - 1) + cost
+        val del = (if (j <= i - 1 + k) prev(j) else inf) + 1
+        val ins = cur(j - 1) + 1
+        var v = if (diag < del) diag else del
+        if (ins < v) v = ins
+        if (v > inf) v = inf
+        cur(j) = v
+        if (v < rowMin) rowMin = v
+        j += 1
+      }
+      if (hi < m) cur(hi + 1) = inf // seal the band edge for the next row
+      if (rowMin > k) return k + 1  // no ≤k path can re-enter the band
+      val tmp = prev; prev = cur; cur = tmp
+      i += 1
+    }
+    math.min(prev(m), k + 1)
+  }
+}
+
 /** Bloom-filter membership probe against a BROADCAST sketch — the native
   * form of [[graft.operators.BloomPrune]]'s scan filter. Spark's own
   * `might_contain` is optimizer-internal (InjectRuntimeFilter) and probes
@@ -616,6 +694,8 @@ object GraftFunctions {
       (exprs => SortedIntersectSizeLongExpr(exprs(0), exprs(1))),
     "graft_simhash64" -> (exprs => SimHash64Expr(exprs(0))),
     "graft_deflate_len" -> (exprs => DeflateLenExpr(exprs(0))),
+    "graft_lev_bounded" -> (exprs => BoundedLevenshteinExpr(exprs(0), exprs(1),
+      positiveIntArg("graft_lev_bounded", "k", exprs(2)))),
     "graft_bpe_count" -> (exprs => BpeCountExpr(exprs(0))),
     "graft_vec_avg" -> (exprs => VectorAvgAgg(exprs(0)).toAggregateExpression()),
     "graft_minhash" -> (exprs => MinHashSigExpr(exprs(0),

@@ -110,7 +110,12 @@ object FuzzyJoin {
 
     val counts = names.select(col("name"), col("n"))
     longPairs.union(shortPairs)
-      .withColumn("dist", levenshtein(col("name_a"), col("name_b")).cast("bigint"))
+      // graft_lev_bounded = min(levenshtein, k+1) via the O(k·n) Ukkonen
+      // band with per-row early exit — identical to full levenshtein on
+      // every surviving pair (dist <= k), ~n/k cheaper on the rejects
+      .withColumn("dist",
+        call_function("graft_lev_bounded", col("name_a"), col("name_b"), lit(k))
+          .cast("bigint"))
       .filter(col("dist") >= 1 && col("dist") <= k)
       .join(counts.withColumnRenamed("name", "name_a").withColumnRenamed("n", "n_a"), "name_a")
       .join(counts.withColumnRenamed("name", "name_b").withColumnRenamed("n", "n_b"), "name_b")
