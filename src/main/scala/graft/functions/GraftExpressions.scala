@@ -713,6 +713,11 @@ object GraftFunctions {
     builders.foreach { case (name, builder) =>
       registry.createOrReplaceTempFunction(name, builder, "built-in")
     }
+    // optimizer rewrites (extraOptimizations reaches an EXISTING session,
+    // where injectOptimizerRule can't); guard keeps register() idempotent
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.BoundedLevRewrite))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.BoundedLevRewrite
   }
 }
 
@@ -727,7 +732,7 @@ object GraftFunctions {
   * functions), so `spark.sql("SELECT graft_dot(a, b) ...")` works in every
   * derived `newSession()` too. */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
-  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     GraftFunctions.builders.foreach { case (name, builder) =>
       ext.injectFunction((
         new org.apache.spark.sql.catalyst.FunctionIdentifier(name),
@@ -735,4 +740,6 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
           "graft.functions.GraftExpressions", name),
         builder))
     }
+    ext.injectOptimizerRule(_ => graft.plans.BoundedLevRewrite)
+  }
 }
