@@ -1203,6 +1203,39 @@ object Analytics {
       .agg(max(col("m")).as("n_pairs"), round(avg(col("slope")), 6).as("slope_med"))
   }
 
+  /** Pareto-frontier (skyline) customers on (order count, spend): the
+    * multi-objective "best customers" query — no other customer weakly
+    * dominates with one strict improvement. Two-level banded reduction
+    * instead of the textbook O(n²) dominance join OR a global sort: order
+    * count is a BOUNDED small domain, so (1) per-count max spend, (2)
+    * strict-suffix max over the tiny count-band frame via a band<band
+    * join, (3) a survivor is a row at its band's max that beats every
+    * higher band's max. Exactly the skyline: within-band ties all
+    * survive (neither dominates — no strict coordinate), cross-band ties
+    * die (count is strict). One custkey rollup shuffle; everything after
+    * runs at count-band cardinality. Spend stays exact integer cents.
+    * The oracle is a structurally DIFFERENT formulation (brute-force
+    * NOT EXISTS over the aggregate frame) — a real cross-check, not an
+    * echo. */
+  def ordersSkyline(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables(spark, dir, "orders")
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("n_orders"), sum(cents(col("o_totalprice"), 2)).as("mc"))
+      .localCheckpoint(eager = false)
+    val bands = base.groupBy("n_orders").agg(max(col("mc")).as("bandmax"))
+      .localCheckpoint(eager = false)
+    val suffix = bands.select(col("n_orders").as("f"))
+      .join(bands.select(col("n_orders").as("fh"), col("bandmax").as("bh")),
+        col("fh") > col("f"))
+      .groupBy("f").agg(max(col("bh")).as("suffmax"))
+    base.join(bands, "n_orders")
+      .join(suffix, col("n_orders") === col("f"), "left_outer")
+      .filter(col("mc") === col("bandmax") &&
+        (col("suffmax").isNull || col("mc") > col("suffmax")))
+      .select(col("o_custkey"), col("n_orders"),
+        (col("mc").cast("double") / 100.0).as("monetary"))
+  }
+
   /** Purchase-cadence histogram: per-customer MEDIAN inter-order gap,
     * bucketed to weeks — the replenishment-rhythm profile behind
     * subscription/churn models (medians, not means: one long vacation gap

@@ -1303,6 +1303,19 @@ object OracleSql {
         |FROM r WHERE rn = (m + 1) // 2 OR rn = m // 2 + 1
         |GROUP BY 1""".stripMargin,
 
+    // Deliberately the textbook NOT EXISTS dominance formulation — a
+    // structurally different derivation than the engine's banded reduction,
+    // so a hash match checks the algorithm, not an echo of it.
+    "orders_skyline" ->
+      """WITH base AS (SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(SUM(CAST(round(o_totalprice * 100.0, 0) AS BIGINT)) AS BIGINT) AS mc
+        | FROM orders GROUP BY 1)
+        |SELECT o_custkey, n_orders, CAST(mc AS DOUBLE) / 100.0 AS monetary
+        |FROM base p
+        |WHERE NOT EXISTS (SELECT 1 FROM base q
+        |  WHERE q.n_orders >= p.n_orders AND q.mc >= p.mc
+        |    AND (q.n_orders > p.n_orders OR q.mc > p.mc))""".stripMargin,
+
     "orders_interarrival" ->
       """WITH o AS (SELECT o_custkey,
         |  epoch_us(o_orderdate) // 86400000000 AS d, o_orderkey

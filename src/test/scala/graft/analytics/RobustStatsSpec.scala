@@ -98,6 +98,37 @@ class RobustStatsSpec extends SparkSpec {
     assert(got == expect)
   }
 
+  test("skyline: banded reduction equals brute-force dominance, ties included") {
+    // planted frontier with the tricky shapes: anti-correlated points
+    // (all survive), a within-band tie (both survive — no strict coord),
+    // a cross-band tie (dies — count is strict), and dominated points
+    val pts = Seq( // (custkey, orders, spend_cents)
+      (1L, 1L, 900L), (2L, 2L, 700L), (3L, 3L, 500L), (4L, 4L, 300L),
+      (5L, 2L, 700L),            // within-band tie with #2 — both stay
+      (6L, 1L, 300L),            // cross-band tie with #4's spend — dies
+      (7L, 2L, 100L), (8L, 3L, 499L)) // dominated
+    val brute = pts.filter(p => !pts.exists(q =>
+      q._1 != p._1 && q._2 >= p._2 && q._3 >= p._3 &&
+        (q._2 > p._2 || q._3 > p._3))).map(_._1).toSet
+    assert(brute == Set(1L, 2L, 3L, 4L, 5L))
+    // run the same banded algorithm over a synthetic orders table: one
+    // order row per (custkey, order) with totalprice spread so the
+    // per-customer rollup reproduces pts
+    val rows = pts.flatMap { case (c, n, m) =>
+      // full spend on the first order, zero on the rest — per-order cents
+      // rounding must reproduce the planted totals exactly
+      (1L to n).map(i => (c, if (i == 1L) m.toDouble / 100.0 else 0.0, i))
+    }
+    val dir = java.nio.file.Files.createTempDirectory("sky").toString
+    rows.toDF("o_custkey", "o_totalprice", "i")
+      .withColumn("o_orderdate", lit(java.sql.Timestamp.valueOf("1995-01-01 00:00:00")))
+      .drop("i")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val got = Analytics.ordersSkyline(spark, dir)
+      .select("o_custkey").as[Long].collect().toSet
+    assert(got == brute)
+  }
+
   test("benford: expected fractions are the Benford masses and observed fractions sum to ~1") {
     val rows = Analytics.ordersBenford(spark, dir)
       .select("digit", "n_obs", "obs_frac", "exp_frac")
