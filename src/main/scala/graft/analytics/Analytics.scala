@@ -1203,6 +1203,34 @@ object Analytics {
       .agg(max(col("m")).as("n_pairs"), round(avg(col("slope")), 6).as("slope_med"))
   }
 
+  /** Period-over-period contribution decomposition: split the event range
+    * into halves at the midpoint day and attribute the total volume change
+    * to event types — the "why did the metric move" breakdown behind every
+    * metrics dashboard. The midpoint is derived from the data (min/max
+    * day) and rides a broadcast scalar frame; per-type half-counts are
+    * conditional sums in ONE type-keyed pass; the total delta broadcasts
+    * back as a second scalar frame. Counts and deltas are exact BIGINTs;
+    * the share is the single division (6dp round), NULL when the total
+    * delta is zero. */
+  def eventsContribution(spark: SparkSession, dir: String): DataFrame = {
+    val days = Tables(spark, dir, "events")
+      .select(col("event_type"), expr("ts div 86400000000000").as("d"))
+    val mid = days.agg(min(col("d")).as("_mn"), max(col("d")).as("_mx"))
+      .select(expr("(_mn + _mx + 1) div 2").as("mid"))
+    val perType = days.crossJoin(broadcast(mid))
+      .groupBy("event_type")
+      .agg(sum(when(col("d") < col("mid"), 1L).otherwise(0L)).as("n_first"),
+        sum(when(col("d") >= col("mid"), 1L).otherwise(0L)).as("n_second"))
+      .withColumn("delta", col("n_second") - col("n_first"))
+      .localCheckpoint(eager = false)
+    val tot = perType.agg(sum(col("delta")).as("total_delta"))
+    perType.crossJoin(broadcast(tot))
+      .select(col("event_type"), col("n_first"), col("n_second"), col("delta"),
+        when(col("total_delta") =!= 0L,
+          round(col("delta").cast("double") / col("total_delta").cast("double"), 6))
+          .as("share"))
+  }
+
   /** Pareto-frontier (skyline) customers on (order count, spend): the
     * multi-objective "best customers" query — no other customer weakly
     * dominates with one strict improvement. Two-level banded reduction

@@ -1303,6 +1303,22 @@ object OracleSql {
         |FROM r WHERE rn = (m + 1) // 2 OR rn = m // 2 + 1
         |GROUP BY 1""".stripMargin,
 
+    "events_contribution" ->
+      """WITH d AS (SELECT event_type, epoch_ns(ts) // 86400000000000 AS d
+        |  FROM events),
+        |m AS (SELECT (min(d) + max(d) + 1) // 2 AS mid FROM d),
+        |p AS (SELECT event_type,
+        |  CAST(SUM(CASE WHEN d.d < mid THEN 1 ELSE 0 END) AS BIGINT) AS n_first,
+        |  CAST(SUM(CASE WHEN d.d >= mid THEN 1 ELSE 0 END) AS BIGINT) AS n_second
+        | FROM d CROSS JOIN m GROUP BY 1),
+        |t AS (SELECT CAST(SUM(n_second - n_first) AS BIGINT) AS total_delta FROM p)
+        |SELECT event_type, n_first, n_second,
+        | CAST(n_second - n_first AS BIGINT) AS delta,
+        | CASE WHEN total_delta <> 0 THEN
+        |  round(CAST(n_second - n_first AS DOUBLE) / CAST(total_delta AS DOUBLE), 6)
+        | END AS share
+        |FROM p CROSS JOIN t""".stripMargin,
+
     // Deliberately the textbook NOT EXISTS dominance formulation — a
     // structurally different derivation than the engine's banded reduction,
     // so a hash match checks the algorithm, not an echo of it.

@@ -129,6 +129,21 @@ class RobustStatsSpec extends SparkSpec {
     assert(got == brute)
   }
 
+  test("contribution: halves partition the stream and shares sum to 1 when delta != 0") {
+    val rows = Analytics.eventsContribution(spark, dir)
+      .select("event_type", "n_first", "n_second", "delta")
+      .as[(String, Long, Long, Long)].collect()
+    assert(rows.map(r => r._2 + r._3).sum ==
+      graft.Tables(spark, dir, "events").count())
+    assert(rows.forall(r => r._4 == r._3 - r._2))
+    val totalDelta = rows.map(_._4).sum
+    if (totalDelta != 0L) {
+      val shares = Analytics.eventsContribution(spark, dir)
+        .select("share").as[Double].collect()
+      assert(math.abs(shares.sum - 1.0) < 1e-4)
+    }
+  }
+
   test("benford: expected fractions are the Benford masses and observed fractions sum to ~1") {
     val rows = Analytics.ordersBenford(spark, dir)
       .select("digit", "n_obs", "obs_frac", "exp_frac")
