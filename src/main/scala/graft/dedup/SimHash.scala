@@ -29,6 +29,20 @@ object SimHash {
   /** Near-dup pairs (id_a, id_b, hamming ≤ maxHamming). */
   def pairs(df: DataFrame, idCol: String, textCol: String,
             maxHamming: Int = 3, seed: Long = 42L): DataFrame = {
+    val fp = df
+      .select(col(idCol).as("id"),
+        transform(split(col(textCol), " "), t => xxhash64(lit(seed), t)).as("_th"))
+      .select(col("id"), simhashFromHashes(col("_th")).as("fp"))
+    pairsFromFingerprints(fp, "id", "fp", maxHamming)
+  }
+
+  /** The pigeonhole candidate join over an EXISTING 64-bit fingerprint
+    * column — shared by the text simhash face and any other 64-bit
+    * locality hash (e.g. the multimodal perceptual hash): fingerprints
+    * within the hamming budget must agree on one of maxHamming+1 chunks,
+    * so equality joins on chunk keys find every candidate. */
+  def pairsFromFingerprints(df: DataFrame, idCol: String, fpCol: String,
+                            maxHamming: Int): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 63,
       s"maxHamming must be in [0, 63], got $maxHamming")
     val chunks = maxHamming + 1
@@ -37,10 +51,7 @@ object SimHash {
     // the WHOLE fingerprint, not collapse every doc into bucket 0 (results
     // would still verify, but through one all-pairs bucket)
     val chunkMask = if (bitsPer >= 64) -1L else (1L << bitsPer) - 1
-    val fp = df
-      .select(col(idCol).as("id"),
-        transform(split(col(textCol), " "), t => xxhash64(lit(seed), t)).as("_th"))
-      .select(col("id"), simhashFromHashes(col("_th")).as("fp"))
+    val fp = df.select(col(idCol).as("id"), col(fpCol).as("fp"))
 
     val chunked = fp.select(col("id"), col("fp"),
         explode(sequence(lit(0), lit(chunks - 1))).as("chunk"))

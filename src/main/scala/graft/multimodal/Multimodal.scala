@@ -125,6 +125,38 @@ object Multimodal {
       .withColumn("frame_digest", sha2(col("frame_payload"), 256))
   }
 
+  /** 64-bit perceptual hash (average-hash): the decoder resamples each
+    * payload to an 8×8 grid (64 bytes) and each bit is that cell vs the
+    * grid mean — the standard aHash, built on the SAME pluggable decoder
+    * as the other multimodal faces (a real image decoder slots in with no
+    * query change). Same mapPartitions tier as [[decodeFeatures]]: one
+    * codec call per row inside the partition. Output: input columns +
+    * `phash` (bigint). Near-dup pairs then come from
+    * [[graft.dedup.SimHash.pairsFromFingerprints]] — the multimodal
+    * NEAR-dup face beside mm_dedup's exact-digest grouping. */
+  def withPerceptualHash(df: DataFrame, decoder: MediaDecoder): DataFrame = {
+    val spark = df.sparkSession
+    val schema = StructType(df.schema.fields :+ StructField("phash", LongType))
+    val payloadIdx = df.schema.fieldIndex("payload")
+    val rdd = df.rdd.mapPartitions { it =>
+      it.map { row =>
+        val g = decoder.resize(row.getAs[Array[Byte]](payloadIdx), 8, 8)
+        var sum = 0L
+        var i = 0
+        while (i < 64) { sum += java.lang.Byte.toUnsignedInt(g(i)); i += 1 }
+        val mean = sum / 64L
+        var h = 0L
+        i = 0
+        while (i < 64) {
+          if (java.lang.Byte.toUnsignedInt(g(i)) > mean) h |= (1L << i)
+          i += 1
+        }
+        Row.fromSeq(row.toSeq :+ h)
+      }
+    }
+    spark.createDataFrame(rdd, schema)
+  }
+
   /** Partition-parallel decode: payload → feature vector + shape metadata.
     * This is the `mapInPandas`-shaped stage: batches flow through the
     * decoder inside each partition; no data concentrates on the driver. */

@@ -917,6 +917,19 @@ object Q {
         min("n_bytes").as("n_bytes"))
   }
 
+  /** Multimodal NEAR-dup: perceptual aHash over the (stub-) decoded 8×8
+    * grid, then the SimHash pigeonhole candidate join — catches re-encoded
+    * / slightly-edited media that mm_dedup's exact digest cannot.
+    * Rows-only (the decoder is the sandbox stub). */
+  def mmPhash(s: SparkSession, dir: String): DataFrame = {
+    import graft.multimodal.{Multimodal, StubDecoder}
+    val bin = Multimodal.asBinaryTable(Tables(s, dir, "documents"), "doc_id", "text")
+    val hashed = Multimodal.withPerceptualHash(bin, StubDecoder)
+      .select("doc_id", "phash")
+    graft.dedup.SimHash.pairsFromFingerprints(hashed, "doc_id", "phash", maxHamming = 8)
+      .groupBy("hamming").agg(count(lit(1)).as("n_pairs"))
+  }
+
   /** Binary payload → partition-parallel (stub) decode; rows-only check. */
   def mmFeatures(s: SparkSession, dir: String): DataFrame = {
     import graft.multimodal.{Multimodal, StubDecoder}

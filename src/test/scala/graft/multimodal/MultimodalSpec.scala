@@ -63,6 +63,34 @@ class MultimodalSpec extends SparkSpec {
     assert(out.forall(_.getAs[String]("frame_digest").length == 64))
   }
 
+  test("perceptual hash: identical payloads collide, small edits stay near, pairs complete") {
+    import graft.multimodal.{Multimodal, StubDecoder}
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val base = Array.tabulate(500)(i => (i * 37 % 251).toByte)
+    val nearDup = base.clone(); nearDup(3) = 99; nearDup(400) = 7
+    val far = Array.tabulate(500)(i => (255 - i % 17 * 15).toByte)
+    val df = Seq((1L, base), (2L, base.clone()), (3L, nearDup), (4L, far))
+      .toDF("doc_id", "payload")
+    val hashed = Multimodal.withPerceptualHash(df, StubDecoder)
+      .select("doc_id", "phash")
+    val fp = hashed.as[(Long, Long)].collect().toMap
+    assert(fp(1L) == fp(2L), "identical payloads must share the hash")
+    assert(java.lang.Long.bitCount(fp(1L) ^ fp(3L)) <= 8,
+      "a 2-byte edit must stay within the hamming budget")
+    // pigeonhole candidates = brute-force hamming pairs at the budget
+    val got = graft.dedup.SimHash
+      .pairsFromFingerprints(hashed, "doc_id", "phash", maxHamming = 8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val ids = fp.keys.toSeq.sorted
+    val brute = (for {
+      a <- ids; b <- ids if a < b
+      if java.lang.Long.bitCount(fp(a) ^ fp(b)) <= 8
+    } yield (a, b)).toSet
+    assert(got == brute)
+    assert(got.contains((1L, 2L)) && got.contains((1L, 3L)))
+  }
+
   test("mm_resize and mm_frames query faces return deterministic rows") {
     val r1 = graft.queries.Q.mmResize(spark, "/root/testdata/sf0.001")
       .orderBy("doc_id").collect().map(_.toSeq).toSeq
