@@ -281,6 +281,45 @@ object Profile {
   def customerMi(spark: SparkSession, dir: String): DataFrame =
     mutualInformation(Tables(spark, dir, "customer"), "c_mktsegment", "c_nationkey")
 
+  /** Jensen–Shannon divergence between two corpora's term distributions —
+    * the symmetric, bounded ([0, ln 2]) vocabulary-drift measure for
+    * corpus governance (did source B's language shift away from A?).
+    * Same determinism discipline as [[mutualInformation]]: per-term
+    * contributions quantize to 1e-12 BIGINTs before the order-free sum,
+    * so the result is bitwise reproducible and oracle-matchable; zero
+    * counts contribute exactly 0 (0·ln 0 handled by the guard, never
+    * NaN). One (term, side) exploded shuffle builds the union-vocabulary
+    * frame; totals ride a broadcast scalar frame; everything after runs
+    * at vocabulary cardinality. */
+  def termJsd(docs: DataFrame, textCol: String, srcCol: String,
+              srcA: String, srcB: String): DataFrame = {
+    val terms = docs
+      .filter(col(srcCol) === srcA || col(srcCol) === srcB)
+      .select(col(srcCol).as("_s"), explode(split(col(textCol), " ")).as("_t"))
+      .filter(length(col("_t")) > 0)
+      .groupBy("_t")
+      .agg(sum(when(col("_s") === srcA, 1L).otherwise(0L)).as("na"),
+        sum(when(col("_s") === srcB, 1L).otherwise(0L)).as("nb"))
+      .localCheckpoint(eager = false)
+    val tot = terms.agg(sum(col("na")).as("ta"), sum(col("nb")).as("tb"))
+    val p = col("na").cast("double") / col("ta").cast("double")
+    val q = col("nb").cast("double") / col("tb").cast("double")
+    val m = (p + q) / 2.0
+    val contrib =
+      when(col("na") > 0L, p * log(p / m)).otherwise(lit(0.0)) +
+        when(col("nb") > 0L, q * log(q / m)).otherwise(lit(0.0))
+    terms.crossJoin(broadcast(tot))
+      .select(round(contrib * 0.5 * 1e12, 0).cast("bigint").as("_c"))
+      .agg(count(lit(1)).as("n_terms"), sum(col("_c")).as("_j"))
+      .select(lit(srcA).as("src_a"), lit(srcB).as("src_b"), col("n_terms"),
+        round(col("_j").cast("double") / 1e12, 6).as("jsd_nats"),
+        round(col("_j").cast("double") / 1e12 / math.log(2.0), 6).as("jsd_bits"))
+  }
+
+  /** JSD face on the testdata: src0 vs src1 vocabulary drift. */
+  def documentsJsd(spark: SparkSession, dir: String): DataFrame =
+    termJsd(Tables(spark, dir, "documents"), "text", "source", "src0", "src1")
+
   /** Two-sample Kolmogorov–Smirnov distance between the value distributions
     * of two groups, on a fixed-width band grid (KS over binned data — the
     * distribution-drift test profile_drift's PSI can't localize). All

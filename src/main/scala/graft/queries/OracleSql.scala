@@ -1303,6 +1303,32 @@ object OracleSql {
         |FROM r WHERE rn = (m + 1) // 2 OR rn = m // 2 + 1
         |GROUP BY 1""".stripMargin,
 
+    "text_jsd" ->
+      """WITH t AS (SELECT source AS s, unnest(string_split(text, ' ')) AS w
+        |  FROM documents WHERE source IN ('src0', 'src1')),
+        |v AS (SELECT w,
+        |  CAST(SUM(CASE WHEN s = 'src0' THEN 1 ELSE 0 END) AS BIGINT) AS na,
+        |  CAST(SUM(CASE WHEN s = 'src1' THEN 1 ELSE 0 END) AS BIGINT) AS nb
+        | FROM t WHERE length(w) > 0 GROUP BY 1),
+        |tt AS (SELECT CAST(SUM(na) AS BIGINT) AS ta, CAST(SUM(nb) AS BIGINT) AS tb
+        |       FROM v),
+        |c AS (SELECT CAST(round(
+        |   (CASE WHEN na > 0 THEN (CAST(na AS DOUBLE) / CAST(ta AS DOUBLE))
+        |     * ln((CAST(na AS DOUBLE) / CAST(ta AS DOUBLE))
+        |        / ((CAST(na AS DOUBLE) / CAST(ta AS DOUBLE)
+        |            + CAST(nb AS DOUBLE) / CAST(tb AS DOUBLE)) / 2.0)) ELSE 0.0 END
+        |  + CASE WHEN nb > 0 THEN (CAST(nb AS DOUBLE) / CAST(tb AS DOUBLE))
+        |     * ln((CAST(nb AS DOUBLE) / CAST(tb AS DOUBLE))
+        |        / ((CAST(na AS DOUBLE) / CAST(ta AS DOUBLE)
+        |            + CAST(nb AS DOUBLE) / CAST(tb AS DOUBLE)) / 2.0)) ELSE 0.0 END)
+        |  * 0.5 * 1e12, 0) AS BIGINT) AS cq
+        | FROM v CROSS JOIN tt)
+        |SELECT 'src0' AS src_a, 'src1' AS src_b,
+        | CAST(count(*) AS BIGINT) AS n_terms,
+        | round(CAST(SUM(cq) AS DOUBLE) / 1e12, 6) AS jsd_nats,
+        | round(CAST(SUM(cq) AS DOUBLE) / 1e12 / ln(2.0), 6) AS jsd_bits
+        |FROM c""".stripMargin,
+
     "events_contribution" ->
       """WITH d AS (SELECT event_type, epoch_ns(ts) // 86400000000000 AS d
         |  FROM events),

@@ -144,6 +144,21 @@ class RobustStatsSpec extends SparkSpec {
     }
   }
 
+  test("jsd: zero on identical corpora, ln2 on disjoint, hand value in between") {
+    def jsd(a: Seq[String], b: Seq[String]): Double = {
+      val df = (a.map(t => (t, "A")) ++ b.map(t => (t, "B"))).toDF("text", "source")
+      Profile.termJsd(df, "text", "source", "A", "B")
+        .select("jsd_nats").as[Double].collect()(0)
+    }
+    assert(jsd(Seq("x y z"), Seq("x y z")) == 0.0)
+    val disjoint = jsd(Seq("a b c"), Seq("d e f"))
+    assert(math.abs(disjoint - math.log(2.0)) < 1e-6)
+    // p = (1/2, 1/2, 0), q = (1/2, 0, 1/2): JSD = 0.5*ln2 over the two
+    // non-shared terms (each contributes 0.5*0.5*ln2 twice)
+    val half = jsd(Seq("s u"), Seq("s v"))
+    assert(math.abs(half - 0.5 * math.log(2.0)) < 1e-6)
+  }
+
   test("benford: expected fractions are the Benford masses and observed fractions sum to ~1") {
     val rows = Analytics.ordersBenford(spark, dir)
       .select("digit", "n_obs", "obs_frac", "exp_frac")
