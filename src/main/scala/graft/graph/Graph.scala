@@ -97,6 +97,40 @@ object Graph {
       .select(col("n_nodes"), col("n_edges"), col("n_triangles"))
   }
 
+  /** Common-neighbor link prediction over the thresholded undirected graph:
+    * every NON-adjacent pair sharing ≥ `minCommon` neighbors, scored by
+    * common-neighbor count and neighborhood Jaccard
+    * |N(a)∩N(b)| / |N(a)∪N(b)| — the classic graph-completion baselines
+    * (Liben-Nowell & Kleinberg 2003). The candidate generator is the SAME
+    * ordered two-path join the triangle census runs (pairs of neighbors of
+    * each z, a<b — never nodes²), so its fan-out carries the identical
+    * Σ deg(z)² bound with `minW` as the control knob; existing edges drop
+    * via one left-anti join on the canonical edge. cn and degrees are
+    * exact integers; Jaccard is one double division (6dp round). Top-k is
+    * TakeOrderedAndProject under a total order. */
+  def linkPrediction(edges: DataFrame, minW: Long, minCommon: Long,
+                     topK: Int): DataFrame = {
+    val und = edges.filter(col("w") >= minW && col("u") < col("v"))
+      .select("u", "v").localCheckpoint(eager = false)
+    val nbrs = und.select(col("u").as("z"), col("v").as("x"))
+      .union(und.select(col("v").as("z"), col("u").as("x")))
+      .localCheckpoint(eager = false)
+    val deg = nbrs.groupBy("x").agg(count(lit(1)).as("d"))
+    val cand = nbrs.select(col("z"), col("x").as("a"))
+      .join(nbrs.select(col("z"), col("x").as("b")), "z")
+      .filter(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("cn"))
+      .filter(col("cn") >= minCommon)
+      .join(und, col("a") === col("u") && col("b") === col("v"), "left_anti")
+    cand.join(deg.select(col("x").as("a"), col("d").as("da")), "a")
+      .join(deg.select(col("x").as("b"), col("d").as("db")), "b")
+      .select(col("a"), col("b"), col("cn"),
+        round(col("cn").cast("double") /
+          (col("da") + col("db") - col("cn")).cast("double"), 6).as("jaccard"))
+      .orderBy(col("cn").desc, col("jaccard").desc, col("a"), col("b"))
+      .limit(topK)
+  }
+
   // ---------------------------------------------------------------- faces
 
   /** PageRank face: 5 iterations over the full weighted co-order graph. */
@@ -106,4 +140,10 @@ object Graph {
   /** Triangle face: weight-≥2 thresholded graph census. */
   def partTriangles(spark: SparkSession, dir: String): DataFrame =
     triangleStats(coOccurrenceEdges(Tables(spark, dir, "lineitem")), minW = 2L)
+
+  /** Link-prediction face: top 50 missing edges of the same weight-≥2
+    * graph the triangle census reads, ≥2 common neighbors. */
+  def partLinkPred(spark: SparkSession, dir: String): DataFrame =
+    linkPrediction(coOccurrenceEdges(Tables(spark, dir, "lineitem")),
+      minW = 2L, minCommon = 2L, topK = 50)
 }

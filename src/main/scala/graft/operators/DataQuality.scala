@@ -44,6 +44,37 @@ object DataQuality {
       .select(lit(name).as("check_name"), col("_n").as("n_rows"),
         col("_v").as("n_violations"))
 
+  /** Candidate-key profile: how close `keyCols` comes to uniquely
+    * identifying `df`'s rows — (n_rows, n_distinct, uniqueness ratio).
+    * One aggregation per candidate; the exact distinct is a two-phase
+    * hash aggregate that shuffles at KEY cardinality (map-side partial
+    * dedup first). At extreme cardinality swap in
+    * `approx_count_distinct` — the documented sketch path (the ratio then
+    * carries the HLL ±2% band, fine for discovery, not for a gate). */
+  def keyProfile(name: String, df: DataFrame, keyCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "need at least one key column")
+    df.agg(count(lit(1)).as("_n"),
+        count_distinct(struct(keyCols.map(col): _*)).as("_d"))
+      .select(lit(name).as("candidate_key"), col("_n").as("n_rows"),
+        col("_d").as("n_distinct"),
+        round(col("_d").cast("double") / col("_n"), 6).as("uniqueness"))
+  }
+
+  /** Functional-dependency audit for `lhs → rhs`: a violating group is an
+    * lhs value observed with >1 distinct rhs. One groupBy at lhs
+    * cardinality (map-side partial distinct on (lhs, rhs)), then a scalar
+    * roll-up — exact integers throughout. */
+  def fdCheck(name: String, df: DataFrame, lhs: Seq[String], rhs: String): DataFrame = {
+    require(lhs.nonEmpty, "need at least one determinant column")
+    df.groupBy(lhs.map(col): _*)
+      .agg(count_distinct(col(rhs)).as("_k"), count(lit(1)).as("_c"))
+      .agg(coalesce(count(lit(1)), lit(0L)).as("_g"),
+        coalesce(sum(when(col("_k") > 1, 1L).otherwise(0L)), lit(0L)).as("_vg"),
+        coalesce(sum(when(col("_k") > 1, col("_c")).otherwise(0L)), lit(0L)).as("_vr"))
+      .select(lit(name).as("fd"), col("_g").as("n_groups"),
+        col("_vg").as("n_violating_groups"), col("_vr").as("n_violating_rows"))
+  }
+
   /** Key-uniqueness check: every extra copy of a key is one violation. */
   def uniqueCheck(name: String, df: DataFrame, key: String): DataFrame =
     df.groupBy(col(key)).agg(count(lit(1)).as("_k"))

@@ -67,6 +67,35 @@ object Sampling {
     requireIds(df, idCol).filter(bucket(col(idCol)) < thresh)
   }
 
+  /** Deterministic fixed-size sample per stratum — the reservoir-sampling
+    * use case (exactly k rows per group, uniform over the group) without
+    * reservoir RNG state: the k rows with the SMALLEST scrambled key win,
+    * which is a uniform k-subset under the same Mersenne-prime scramble
+    * [[shuffledShards]] uses (bijective, uncorrelated with id order) and
+    * re-derivable from ids alone in any engine. Fraction sampling can't
+    * give per-group exactness ([[stratified]] yields binomial counts);
+    * this face is what an eval-set builder ("exactly 1000 docs per
+    * source") needs.
+    *
+    * Scale shape: ONE shuffle partitioned by stratum; the per-stratum
+    * window sorts each stratum in one task — fine for strata up to a few
+    * hundred million rows (a sort, not a collect). For monster strata the
+    * heap-aggregate form (graft_topk over the scrambled key) bounds state
+    * at k per stratum; this face keeps the window form because its output
+    * is the full sampled ROW, not a k-array. */
+  def fixedPerStratum(df: DataFrame, idCol: String, stratumCol: String,
+                      k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val m = 2147483647L
+    val key = pmod(pmod(col(idCol), lit(m)) * lit(2654435761L), lit(m))
+    val w = Window.partitionBy(stratumCol).orderBy(col("_key"), col(idCol))
+    requireIds(df, idCol).withColumn("_key", key)
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= k)
+      .drop("_key", "_rn")
+  }
+
   /** Deterministic shuffled sharding: assign every row a shard and a
     * pseudo-random position WITHIN its shard — the reproducible global
     * shuffle a training-export needs (epoch order must not depend on

@@ -283,6 +283,28 @@ object OracleSql {
          | WINDOW w2 AS (ORDER BY c_custkey ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
          |SELECT c_custkey, acctbal_filled, seg_filled FROM fb""".stripMargin,
 
+    "imp_hotdeck" ->
+      s"""WITH mcv AS ($MCV),
+         |o AS (SELECT c_custkey, c_nationkey, c_acctbal, c_mktsegment,
+         |       ((c_custkey % 2147483647) * 2654435761) % 2147483647 AS hd
+         |      FROM mcv),
+         |ff AS (
+         | SELECT c_custkey, c_nationkey,
+         |  last_value(c_acctbal IGNORE NULLS) OVER w AS a1,
+         |  last_value(c_mktsegment IGNORE NULLS) OVER w AS s1,
+         |  hd
+         | FROM o
+         | WINDOW w AS (PARTITION BY c_nationkey ORDER BY hd, c_custkey
+         |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         |fb AS (
+         | SELECT c_custkey, c_nationkey,
+         |  coalesce(a1, first_value(a1 IGNORE NULLS) OVER w2) AS acctbal_filled,
+         |  coalesce(s1, first_value(s1 IGNORE NULLS) OVER w2) AS seg_filled
+         | FROM ff
+         | WINDOW w2 AS (PARTITION BY c_nationkey ORDER BY hd, c_custkey
+         |               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+         |SELECT c_custkey, c_nationkey, acctbal_filled, seg_filled FROM fb""".stripMargin,
+
     "imp_class_threshold" -> {
       Seq("c_name", "c_mktsegment", "c_nationkey").map { c =>
         s"""SELECT '$c' AS variable, CAST(count(DISTINCT $c) AS BIGINT) AS n_classes,
@@ -1483,6 +1505,28 @@ object OracleSql {
         |SELECT n_nodes, n_edges, n_triangles
         |FROM nodes CROSS JOIN ne CROSS JOIN tri""".stripMargin,
 
+    "graph_linkpred" ->
+      """WITH pairs AS (SELECT a.l_partkey AS u, b.l_partkey AS v,
+        |  CAST(count(*) AS BIGINT) AS w
+        | FROM lineitem a JOIN lineitem b
+        |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+        | GROUP BY 1, 2),
+        |und AS (SELECT u, v FROM pairs WHERE w >= 2 AND u < v),
+        |nbrs AS (SELECT u AS z, v AS x FROM und
+        |         UNION ALL SELECT v AS z, u AS x FROM und),
+        |deg AS (SELECT x, CAST(count(*) AS BIGINT) AS d FROM nbrs GROUP BY x),
+        |cand AS (SELECT na.x AS a, nb.x AS b, CAST(count(*) AS BIGINT) AS cn
+        |         FROM nbrs na JOIN nbrs nb ON na.z = nb.z AND na.x < nb.x
+        |         GROUP BY 1, 2 HAVING count(*) >= 2),
+        |miss AS (SELECT * FROM cand c
+        |         WHERE NOT EXISTS (SELECT 1 FROM und
+        |                           WHERE und.u = c.a AND und.v = c.b))
+        |SELECT m.a, m.b, m.cn,
+        | round(CAST(m.cn AS DOUBLE) / CAST(da.d + db.d - m.cn AS DOUBLE), 6) AS jaccard
+        |FROM miss m JOIN deg da ON da.x = m.a JOIN deg db ON db.x = m.b
+        |ORDER BY m.cn DESC, jaccard DESC, m.a, m.b
+        |LIMIT 50""".stripMargin,
+
     "events_attribution" ->
       """WITH e AS (SELECT event_id, user_id, event_type,
         |            epoch_ns(ts) // 1000000000 AS t FROM events),
@@ -2123,6 +2167,75 @@ object OracleSql {
         |UNION ALL
         |SELECT 'customer_custkey_unique', CAST(SUM(k) AS BIGINT), CAST(SUM(k - 1) AS BIGINT)
         |FROM (SELECT count(*) AS k FROM customer GROUP BY c_custkey) t""".stripMargin,
+
+    "events_bots" ->
+      """WITH pm AS (SELECT user_id, epoch_ns(ts) // 60000000000 AS m,
+        |             CAST(count(*) AS BIGINT) AS c
+        |            FROM events GROUP BY 1, 2)
+        |SELECT user_id, CAST(SUM(c) AS BIGINT) AS n_events,
+        | CAST(count(*) AS BIGINT) AS active_minutes,
+        | CAST(max(c) AS BIGINT) AS peak_per_min,
+        | round(CAST(SUM(c) AS DOUBLE) / count(*), 6) AS events_per_minute,
+        | max(c) >= 2 AS bot_flag
+        |FROM pm GROUP BY user_id""".stripMargin,
+
+    "sample_reservoir" ->
+      """SELECT doc_id, source, lang FROM (
+        | SELECT doc_id, source, lang,
+        |  row_number() OVER (PARTITION BY source
+        |   ORDER BY ((doc_id % 2147483647) * 2654435761) % 2147483647, doc_id) AS rn
+        | FROM documents) t
+        |WHERE rn <= 10""".stripMargin,
+
+    "dq_keys" ->
+      """SELECT 'orders(o_orderkey)' AS candidate_key,
+        | CAST(count(*) AS BIGINT) AS n_rows,
+        | CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+        | round(CAST(count(DISTINCT o_orderkey) AS DOUBLE) / count(*), 6) AS uniqueness
+        |FROM orders
+        |UNION ALL
+        |SELECT 'orders(o_custkey)', CAST(count(*) AS BIGINT),
+        | CAST(count(DISTINCT o_custkey) AS BIGINT),
+        | round(CAST(count(DISTINCT o_custkey) AS DOUBLE) / count(*), 6)
+        |FROM orders
+        |UNION ALL
+        |SELECT 'orders(o_custkey,o_orderdate)', CAST(count(*) AS BIGINT),
+        | CAST(count(DISTINCT (o_custkey, o_orderdate)) AS BIGINT),
+        | round(CAST(count(DISTINCT (o_custkey, o_orderdate)) AS DOUBLE) / count(*), 6)
+        |FROM orders
+        |UNION ALL
+        |SELECT 'lineitem(l_orderkey,l_linenumber)', CAST(count(*) AS BIGINT),
+        | CAST(count(DISTINCT (l_orderkey, l_linenumber)) AS BIGINT),
+        | round(CAST(count(DISTINCT (l_orderkey, l_linenumber)) AS DOUBLE) / count(*), 6)
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'lineitem(l_partkey,l_suppkey)', CAST(count(*) AS BIGINT),
+        | CAST(count(DISTINCT (l_partkey, l_suppkey)) AS BIGINT),
+        | round(CAST(count(DISTINCT (l_partkey, l_suppkey)) AS DOUBLE) / count(*), 6)
+        |FROM lineitem""".stripMargin,
+
+    "dq_fd" ->
+      """WITH f1 AS (SELECT count(DISTINCT o_orderpriority) AS k, count(*) AS c
+        |            FROM orders GROUP BY o_custkey),
+        |f2 AS (SELECT count(DISTINCT l_returnflag) AS k, count(*) AS c
+        |       FROM lineitem GROUP BY l_orderkey),
+        |f3 AS (SELECT count(DISTINCT l_linestatus) AS k, count(*) AS c
+        |       FROM lineitem GROUP BY l_returnflag)
+        |SELECT 'o_custkey->o_orderpriority' AS fd,
+        | CAST(coalesce(count(*), 0) AS BIGINT) AS n_groups,
+        | CAST(coalesce(SUM(CASE WHEN k > 1 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_violating_groups,
+        | CAST(coalesce(SUM(CASE WHEN k > 1 THEN c ELSE 0 END), 0) AS BIGINT) AS n_violating_rows
+        |FROM f1
+        |UNION ALL
+        |SELECT 'l_orderkey->l_returnflag', CAST(coalesce(count(*), 0) AS BIGINT),
+        | CAST(coalesce(SUM(CASE WHEN k > 1 THEN 1 ELSE 0 END), 0) AS BIGINT),
+        | CAST(coalesce(SUM(CASE WHEN k > 1 THEN c ELSE 0 END), 0) AS BIGINT)
+        |FROM f2
+        |UNION ALL
+        |SELECT 'l_returnflag->l_linestatus', CAST(coalesce(count(*), 0) AS BIGINT),
+        | CAST(coalesce(SUM(CASE WHEN k > 1 THEN 1 ELSE 0 END), 0) AS BIGINT),
+        | CAST(coalesce(SUM(CASE WHEN k > 1 THEN c ELSE 0 END), 0) AS BIGINT)
+        |FROM f3""".stripMargin,
 
     "agg_incremental" ->
       """WITH e AS (SELECT event_type, epoch_ns(ts) // 86400000000000 AS d,

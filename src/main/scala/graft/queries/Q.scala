@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.analytics.Analytics
 import graft.analytics.Analytics.cents
-import graft.imputer.{FeatureBuilder, FfillBfill, MissingStats, SparkImputer, Strategies}
+import graft.imputer.{FeatureBuilder, FfillBfill, HotDeck, MissingStats, SparkImputer, Strategies}
 import graft.text.TextAnalysis
 import graft.dedup.Dedup
 import graft.functions.VectorFunctions._
@@ -47,6 +47,17 @@ object Q {
         Seq("c_acctbal", "c_mktsegment"))
       .select(col("c_custkey"), col("c_acctbal").as("acctbal_filled"),
         col("c_mktsegment").as("seg_filled"))
+
+  /** Sequential hot-deck: masked acctbal and mktsegment imputed from REAL
+    * donor rows within the c_nationkey adjustment cell, donors visited in
+    * the RNG-free scrambled order ([[graft.imputer.HotDeck]] — reproducible
+    * in any engine). Donor values are picked, never averaged, so the doubles
+    * pass through bitwise. */
+  def impHotdeck(s: SparkSession, dir: String): DataFrame =
+    HotDeck.sequential(Tables.maskedCustomer(s, dir), "c_nationkey", "c_custkey",
+        Seq("c_acctbal", "c_mktsegment"))
+      .select(col("c_custkey"), col("c_nationkey"),
+        col("c_acctbal").as("acctbal_filled"), col("c_mktsegment").as("seg_filled"))
 
   def impClassThreshold(s: SparkSession, dir: String): DataFrame =
     FeatureBuilder.classThreshold(Tables(s, dir, "customer"),
@@ -403,6 +414,76 @@ object Q {
         li, "l_orderkey", o, "o_orderkey"))
       .unionAll(DataQuality.uniqueCheck("customer_custkey_unique",
         Tables(s, dir, "customer"), "c_custkey"))
+  }
+
+  /** Automated-traffic gate: per-user burst statistics (events per active
+    * minute, peak single-minute burst) with a bot flag at the burst
+    * threshold — the filter a training-data pipeline runs before treating
+    * event streams as human behavior. Two keyed aggregations — (user,
+    * minute) then user — both map-side partial; the rate is one double
+    * division of exact counts (6dp round). Thresholds sit at this
+    * corpus's scale (max observed burst is 2/min); production knobs are
+    * the same expressions with bigger constants. */
+  def eventsBots(s: SparkSession, dir: String): DataFrame = {
+    val perMin = Tables(s, dir, "events")
+      .select(col("user_id"), expr("ts div 60000000000").as("m"))
+      .groupBy("user_id", "m").agg(count(lit(1)).as("c"))
+    perMin.groupBy("user_id").agg(
+        sum(col("c")).as("n_events"),
+        count(lit(1)).as("active_minutes"),
+        max(col("c")).as("peak_per_min"))
+      .select(col("user_id"), col("n_events"), col("active_minutes"),
+        col("peak_per_min"),
+        round(col("n_events").cast("double") / col("active_minutes"), 6)
+          .as("events_per_minute"),
+        (col("peak_per_min") >= 2).as("bot_flag"))
+  }
+
+  /** Deterministic fixed-k sample per source — exactly 10 docs per stratum
+    * via the scrambled-key reservoir ([[graft.operators.Sampling
+    * .fixedPerStratum]]), re-derivable from ids alone in any engine. */
+  def sampleReservoir(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.fixedPerStratum(
+        Tables(s, dir, "documents"), "doc_id", "source", k = 10)
+      .select(col("doc_id"), col("source"), col("lang"))
+
+  /** Candidate-key discovery: uniqueness ratio of declared key candidates
+    * over orders and lineitem — the profiling step before dq_check's
+    * uniqueness GATE (ratio 1.0 ⇒ a real key; 0.97 ⇒ a near-key worth a
+    * dedup look). Each candidate is one two-phase distinct aggregate at
+    * key cardinality; [[graft.operators.DataQuality.keyProfile]] documents
+    * `approx_count_distinct` as the extreme-cardinality sketch path. */
+  def dqKeys(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.DataQuality
+    val o = Tables(s, dir, "orders")
+    val li = Tables(s, dir, "lineitem")
+    DataQuality.keyProfile("orders(o_orderkey)", o, Seq("o_orderkey"))
+      .unionAll(DataQuality.keyProfile("orders(o_custkey)", o, Seq("o_custkey")))
+      .unionAll(DataQuality.keyProfile("orders(o_custkey,o_orderdate)", o,
+        Seq("o_custkey", "o_orderdate")))
+      .unionAll(DataQuality.keyProfile("lineitem(l_orderkey,l_linenumber)", li,
+        Seq("l_orderkey", "l_linenumber")))
+      .unionAll(DataQuality.keyProfile("lineitem(l_partkey,l_suppkey)", li,
+        Seq("l_partkey", "l_suppkey")))
+  }
+
+  /** Functional-dependency audit: does the left side determine the right?
+    * Three plausible-sounding FDs, all of which this synthetic generator
+    * breaks (unlike dbgen, it draws returnflag and linestatus
+    * independently — itself a fact worth a report row) — the shape
+    * schema-inference and anomaly tooling runs over candidate dimension
+    * hierarchies. One lhs-cardinality groupBy per FD, exact integers
+    * out. */
+  def dqFd(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.DataQuality
+    val o = Tables(s, dir, "orders")
+    val li = Tables(s, dir, "lineitem")
+    DataQuality.fdCheck("o_custkey->o_orderpriority", o,
+        Seq("o_custkey"), "o_orderpriority")
+      .unionAll(DataQuality.fdCheck("l_orderkey->l_returnflag", li,
+        Seq("l_orderkey"), "l_returnflag"))
+      .unionAll(DataQuality.fdCheck("l_returnflag->l_linestatus", li,
+        Seq("l_returnflag"), "l_linestatus"))
   }
 
   /** Incremental aggregation: merge pre-aggregated per-(type, day) partial

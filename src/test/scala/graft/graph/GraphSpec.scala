@@ -53,6 +53,28 @@ class GraphSpec extends SparkSpec {
     assert(r == ((4L, 6L, 4L)))
   }
 
+  test("linkPrediction scores the square's diagonals and excludes real edges") {
+    // 4-cycle 1-2-3-4: the two diagonals (1,3) and (2,4) each share both
+    // off-diagonal nodes; every real edge pair shares exactly one neighbor
+    // and must be excluded by the anti-join anyway
+    val sq = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L))
+      .flatMap { case (a, b) => Seq((a, b, 5L), (b, a, 5L)) }
+    val got = Graph.linkPrediction(edgesDF(sq), minW = 1L, minCommon = 2L, topK = 10)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got == Seq((1L, 3L, 2L, 1.0), (2L, 4L, 2L, 1.0)))
+  }
+
+  test("linkPrediction never proposes an existing edge and respects minCommon") {
+    // K4 minus edge (1,4): the only missing pair shares neighbors {2,3}
+    val es = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L))
+      .flatMap { case (a, b) => Seq((a, b, 5L), (b, a, 5L)) }
+    val got = Graph.linkPrediction(edgesDF(es), 1L, 1L, 10)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    // deg(1)=2, deg(4)=2, cn=2 → jaccard 2/(2+2-2)=1.0
+    assert(got == Seq((1L, 4L, 2L, 1.0)))
+    assert(Graph.linkPrediction(edgesDF(es), 1L, 3L, 10).count() == 0L)
+  }
+
   test("triangle-free graph yields zero; single triangle yields one") {
     val path = Seq((1L, 2L, 5L), (2L, 1L, 5L), (2L, 3L, 5L), (3L, 2L, 5L))
     assert(Graph.triangleStats(edgesDF(path), 1L)

@@ -40,6 +40,31 @@ class DataQualitySpec extends SparkSpec {
     assert((u.getLong(1), u.getLong(2)) == (0L, 0L))
   }
 
+  test("keyProfile flags a real key at 1.0 and reports the dup ratio exactly") {
+    val df = Seq((1L, "a"), (2L, "a"), (3L, "b"), (3L, "b")).toDF("id", "g")
+    val key = DataQuality.keyProfile("id", df, Seq("id")).collect().head
+    assert((key.getLong(1), key.getLong(2), key.getDouble(3)) == (4L, 3L, 0.75))
+    val pair = DataQuality.keyProfile("id,g", df, Seq("id", "g")).collect().head
+    assert((pair.getLong(2), pair.getDouble(3)) == (3L, 0.75))
+    val uniq = DataQuality.keyProfile("u", Seq(1L, 2L, 3L).toDF("id"), Seq("id"))
+      .collect().head
+    assert(uniq.getDouble(3) == 1.0)
+  }
+
+  test("fdCheck separates held, partially held, and broken dependencies") {
+    val df = Seq(
+      ("a", "x", 1), ("a", "x", 2),   // a -> x held
+      ("b", "x", 3), ("b", "y", 4),   // b violates with 2 rhs over 2 rows
+      ("c", "z", 5)
+    ).toDF("l", "r", "v")
+    val held = DataQuality.fdCheck("l->l", df, Seq("l"), "l").collect().head
+    assert((held.getLong(1), held.getLong(2), held.getLong(3)) == (3L, 0L, 0L))
+    val broken = DataQuality.fdCheck("l->r", df, Seq("l"), "r").collect().head
+    assert((broken.getLong(1), broken.getLong(2), broken.getLong(3)) == (3L, 1L, 2L))
+    val worse = DataQuality.fdCheck("l->v", df, Seq("l"), "v").collect().head
+    assert((worse.getLong(1), worse.getLong(2), worse.getLong(3)) == (3L, 2L, 4L))
+  }
+
   test("agg_incremental merged partials equal the direct recompute bitwise") {
     val direct = graft.Tables(spark, "/root/testdata/sf0.001", "events")
       .select(col("event_type"), expr("ts div 86400000000000").as("d"),

@@ -106,4 +106,22 @@ class SamplingSpec extends SparkSpec {
       .select("id", "shard", "pos").as[(Long, Long, Long)].collect()
     assert(out.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
   }
+
+  test("fixedPerStratum: exactly k per stratum, deterministic, smallest scrambled keys win") {
+    import spark.implicits._
+    val rows = (1L to 300L).map(i => (i, s"g${i % 3}")).toDF("id", "g")
+    val out = Sampling.fixedPerStratum(rows, "id", "g", k = 7)
+      .as[(Long, String)].collect()
+    assert(out.groupBy(_._2).view.mapValues(_.length).toMap ==
+      Map("g0" -> 7, "g1" -> 7, "g2" -> 7))
+    // the winners are exactly the k smallest scrambled keys of each stratum
+    def scramble(id: Long) = ((id % 2147483647L) * 2654435761L) % 2147483647L
+    val want = (1L to 300L).groupBy(i => s"g${i % 3}").flatMap { case (g, ids) =>
+      ids.sortBy(i => (scramble(i), i)).take(7).map(i => (i, g))
+    }.toSet
+    assert(out.toSet == want)
+    // k larger than the stratum returns the whole stratum, no padding
+    val tiny = Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("id", "g")
+    assert(Sampling.fixedPerStratum(tiny, "id", "g", k = 5).count() == 3L)
+  }
 }
