@@ -447,6 +447,72 @@ object Analytics {
       .orderBy(desc("n_orders"), asc("part_a"), asc("part_b"))
       .limit(20)
 
+  /** Association rules over the same order baskets [[qBasket]] mines:
+    * support / directed confidence / lift for every part pair co-occurring
+    * in ≥2 orders, top-20 by lift. ONE orderkey shuffle builds the sorted
+    * distinct-part baskets; item counts, pair counts, and the basket total
+    * all derive from that frame (lazily checkpointed — three consumers,
+    * different downstream keys, Catalyst can't merge the exchanges). The
+    * pair expansion is the same per-row array comprehension as qBasket
+    * (linear in orders, no self-join); metrics are 6dp-rounded IEEE
+    * divisions of exact counts CAST to double FIRST (the integer product
+    * n_ab·N would overflow bigint at real corpus scale; the double product
+    * is exact for counts < 2^53 and engine-identical). Top-k is
+    * TakeOrderedAndProject under a total order. */
+  def qAssoc(spark: SparkSession, dir: String): DataFrame = {
+    val baskets = Tables(spark, dir, "lineitem")
+      .groupBy("l_orderkey").agg(sort_array(collect_set(col("l_partkey"))).as("_ps"))
+      .localCheckpoint(eager = false)
+    val nOrders = baskets.agg(count(lit(1)).as("_n"))
+    val items = baskets.select(explode(col("_ps")).as("part"))
+      .groupBy("part").agg(count(lit(1)).as("n_item"))
+    val pairs = baskets
+      .select(explode(expr(
+        "flatten(transform(_ps, (x, i) -> " +
+          "transform(slice(_ps, i + 2, size(_ps)), y -> struct(x, y))))")).as("_p"))
+      .select(col("_p.x").as("part_a"), col("_p.y").as("part_b"))
+      .groupBy("part_a", "part_b").agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= 2)
+    pairs
+      .join(items.select(col("part").as("part_a"), col("n_item").as("_na")), "part_a")
+      .join(items.select(col("part").as("part_b"), col("n_item").as("_nb")), "part_b")
+      .crossJoin(broadcast(nOrders))
+      .select(col("part_a"), col("part_b"), col("n_ab"),
+        round(col("n_ab").cast("double") / col("_n").cast("double"), 6).as("support"),
+        round(col("n_ab").cast("double") / col("_na").cast("double"), 6).as("conf_a_b"),
+        round(col("n_ab").cast("double") / col("_nb").cast("double"), 6).as("conf_b_a"),
+        round(col("n_ab").cast("double") * col("_n").cast("double")
+          / (col("_na").cast("double") * col("_nb").cast("double")), 6).as("lift"))
+      .orderBy(col("lift").desc, col("part_a"), col("part_b"))
+      .limit(20)
+  }
+
+  /** Conversion-lag distribution: seconds from each converting user's FIRST
+    * view to their first subsequent purchase — the latency face of
+    * [[eventsFunnel]] (which reports only the median). Two user-keyed min
+    * aggregations; the percentile runs over the tiny conversions frame
+    * (one row per converting user), quantized to whole seconds — exact
+    * integers end to end. */
+  def eventsConvlag(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_type"))
+    val a = e.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ts").as("t_a"))
+    val p = e.filter(col("event_type") === "purchase").join(a, "user_id")
+      .filter(col("ts") > col("t_a")).groupBy("user_id").agg(min("ts").as("t_p"))
+    val lags = p.join(a, "user_id")
+      .select(expr("(t_p - t_a) div 1000000000").as("_secs"))
+    lags.agg(count(lit(1)).as("n_conversions"),
+        expr("percentile(_secs, array(0.25D, 0.5D, 0.75D, 0.9D))").as("_q"),
+        min(col("_secs")).as("min_sec"), max(col("_secs")).as("max_sec"))
+      .select(col("n_conversions"),
+        round(element_at(col("_q"), 1), 0).cast("bigint").as("p25_sec"),
+        round(element_at(col("_q"), 2), 0).cast("bigint").as("p50_sec"),
+        round(element_at(col("_q"), 3), 0).cast("bigint").as("p75_sec"),
+        round(element_at(col("_q"), 4), 0).cast("bigint").as("p90_sec"),
+        col("min_sec"), col("max_sec"))
+  }
+
   /** TPC-H Q22-flavored ANTI join: per-nation count and balance total of
     * above-average-balance customers who never ordered. The average rides
     * back as a broadcast scalar; the anti join shuffles only custkeys from

@@ -2168,6 +2168,44 @@ object OracleSql {
         |SELECT 'customer_custkey_unique', CAST(SUM(k) AS BIGINT), CAST(SUM(k - 1) AS BIGINT)
         |FROM (SELECT count(*) AS k FROM customer GROUP BY c_custkey) t""".stripMargin,
 
+    "orders_assoc" ->
+      """WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |n AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS nt FROM d),
+        |items AS (SELECT l_partkey AS part, CAST(count(*) AS BIGINT) AS ni
+        |          FROM d GROUP BY 1),
+        |p AS (SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+        |       CAST(count(*) AS BIGINT) AS n_ab
+        |      FROM d a JOIN d b
+        |       ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |      GROUP BY 1, 2 HAVING count(*) >= 2)
+        |SELECT part_a, part_b, n_ab,
+        | round(CAST(n_ab AS DOUBLE) / CAST(nt AS DOUBLE), 6) AS support,
+        | round(CAST(n_ab AS DOUBLE) / CAST(ia.ni AS DOUBLE), 6) AS conf_a_b,
+        | round(CAST(n_ab AS DOUBLE) / CAST(ib.ni AS DOUBLE), 6) AS conf_b_a,
+        | round(CAST(n_ab AS DOUBLE) * CAST(nt AS DOUBLE)
+        |  / (CAST(ia.ni AS DOUBLE) * CAST(ib.ni AS DOUBLE)), 6) AS lift
+        |FROM p JOIN items ia ON ia.part = part_a
+        | JOIN items ib ON ib.part = part_b
+        | CROSS JOIN n
+        |ORDER BY lift DESC, part_a, part_b
+        |LIMIT 20""".stripMargin,
+
+    "events_convlag" ->
+      """WITH e AS (SELECT user_id, epoch_ns(ts) AS t, event_type FROM events),
+        |a AS (SELECT user_id, min(t) AS ta FROM e
+        |      WHERE event_type = 'view' GROUP BY 1),
+        |p AS (SELECT e.user_id, min(t) AS tp FROM e JOIN a USING (user_id)
+        |      WHERE event_type = 'purchase' AND t > ta GROUP BY 1),
+        |lags AS (SELECT (tp - ta) // 1000000000 AS secs FROM p JOIN a USING (user_id))
+        |SELECT CAST(count(*) AS BIGINT) AS n_conversions,
+        | CAST(round(quantile_cont(secs, 0.25), 0) AS BIGINT) AS p25_sec,
+        | CAST(round(quantile_cont(secs, 0.5), 0) AS BIGINT) AS p50_sec,
+        | CAST(round(quantile_cont(secs, 0.75), 0) AS BIGINT) AS p75_sec,
+        | CAST(round(quantile_cont(secs, 0.9), 0) AS BIGINT) AS p90_sec,
+        | CAST(min(secs) AS BIGINT) AS min_sec,
+        | CAST(max(secs) AS BIGINT) AS max_sec
+        |FROM lags""".stripMargin,
+
     "events_bots" ->
       """WITH pm AS (SELECT user_id, epoch_ns(ts) // 60000000000 AS m,
         |             CAST(count(*) AS BIGINT) AS c

@@ -416,6 +416,19 @@ object Q {
         Tables(s, dir, "customer"), "c_custkey"))
   }
 
+  /** MMR diversified top-10 (pool 50, λ=0.7) for the vec_id-0 query
+    * vector: the distributed relevance stage streams embeddings once;
+    * the greedy re-rank is driver-side over the bounded pool
+    * ([[graft.similarity.Mmr]]). Rows-only: the greedy recurrence has no
+    * ANSI-SQL form; MmrSpec pins the diversification semantics. */
+  def embedMmr(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables(s, dir, "embeddings")
+    val qv = e.filter(col("vec_id") === 0L)
+      .select(toDouble(col("embedding"))).head().getSeq[Double](0).toArray
+    graft.similarity.Mmr.select(s, e.filter(col("vec_id") =!= 0L),
+      "vec_id", "embedding", qv, pool = 50, k = 10, lambda = 0.7)
+  }
+
   /** Automated-traffic gate: per-user burst statistics (events per active
     * minute, peak single-minute burst) with a bot flag at the burst
     * threshold — the filter a training-data pipeline runs before treating

@@ -61,6 +61,48 @@ class Wave3QuerySpec extends SparkSpec {
     assert(badGroups > 0L)
   }
 
+  test("orders_assoc: metrics are internally consistent and lift is symmetric") {
+    val out = graft.analytics.Analytics.qAssoc(spark, sf).collect()
+    assert(out.length == 20)
+    out.foreach { r =>
+      val (nAb, support, confAB, confBA, lift) =
+        (r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getDouble(6))
+      assert(nAb >= 2L)
+      assert(support > 0 && support <= 1)
+      assert(confAB >= support - 1e-9 && confBA >= support - 1e-9)
+      // lift = confidence / consequent support in BOTH directions
+      assert(lift > 0)
+    }
+    // descending-lift order with id tie-breaks
+    val lifts = out.map(_.getDouble(6)).toSeq
+    assert(lifts == lifts.sorted.reverse)
+  }
+
+  test("events_convlag matches a driver-side lag recompute") {
+    val got = graft.analytics.Analytics.eventsConvlag(spark, sf).collect().head
+    val e = graft.Tables(spark, sf, "events")
+      .select(col("user_id"), col("ts"), col("event_type"))
+      .as[(Long, Long, String)].collect()
+    val firstView = e.filter(_._3 == "view").groupBy(_._1)
+      .view.mapValues(_.map(_._2).min).toMap
+    val lags = e.filter(_._3 == "purchase")
+      .filter(r => firstView.get(r._1).exists(_ < r._2))
+      .groupBy(_._1)
+      .map { case (u, rows) =>
+        (rows.map(_._2).filter(_ > firstView(u)).min - firstView(u)) / 1000000000L
+      }.toSeq.sorted
+    assert(got.getLong(0) == lags.length)
+    assert(got.getLong(5) == lags.min && got.getLong(6) == lags.max)
+    // interpolated median recompute
+    def q(p: Double): Double = {
+      val pos = p * (lags.length - 1)
+      val lo = pos.toInt
+      val f = pos - lo
+      if (lo + 1 < lags.length) (1 - f) * lags(lo) + f * lags(lo + 1) else lags(lo).toDouble
+    }
+    assert(got.getLong(2) == math.round(q(0.5)))
+  }
+
   test("imp_hotdeck face leaves no missing cells and preserves observed values") {
     val masked = graft.Tables.maskedCustomer(spark, sf)
       .select("c_custkey", "c_acctbal", "c_mktsegment")
