@@ -459,10 +459,15 @@ object Analytics {
     * n_ab·N would overflow bigint at real corpus scale; the double product
     * is exact for counts < 2^53 and engine-identical). Top-k is
     * TakeOrderedAndProject under a total order. */
-  def qAssoc(spark: SparkSession, dir: String): DataFrame = {
-    val baskets = Tables(spark, dir, "lineitem")
+  /** Pre-checkpoint basket frame for [[qAssoc]] — factored out so the
+    * PushdownSpec tripwire can pin the lineitem scan that the lazy
+    * checkpoint hides behind a Scan ExistingRDD in the composed plan. */
+  def assocBaskets(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "lineitem")
       .groupBy("l_orderkey").agg(sort_array(collect_set(col("l_partkey"))).as("_ps"))
-      .localCheckpoint(eager = false)
+
+  def qAssoc(spark: SparkSession, dir: String): DataFrame = {
+    val baskets = assocBaskets(spark, dir).localCheckpoint(eager = false)
     val nOrders = baskets.agg(count(lit(1)).as("_n"))
     val items = baskets.select(explode(col("_ps")).as("part"))
       .groupBy("part").agg(count(lit(1)).as("n_item"))

@@ -235,6 +235,26 @@ class PushdownSpec extends SparkSpec {
     assert(pushed.contains("c_mktsegment"), s"segment filters not pushed: $pushed")
   }
 
+  test("wave-3 faces prune their scans to exactly the consumed columns") {
+    val bots = scansOf(SparkEntry.queries("events_bots")(spark, sf), "events")
+      .map(readColumns).reduce(_ union _)
+    assert(bots == Set("user_id", "ts"), s"bot gate needs (user_id, ts), got $bots")
+    val res = scansOf(SparkEntry.queries("sample_reservoir")(spark, sf), "documents")
+      .map(readColumns).reduce(_ union _)
+    assert(res == Set("doc_id", "source", "lang"),
+      s"reservoir face needs (doc_id, source, lang), got $res")
+    // assoc's composed plan hides the scan behind its lazy checkpoint —
+    // pin the pre-checkpoint builder, same pattern as the dedup heavies
+    val assoc = scansOf(graft.analytics.Analytics.assocBaskets(spark, sf), "lineitem")
+      .map(readColumns).reduce(_ union _)
+    assert(assoc == Set("l_orderkey", "l_partkey"),
+      s"assoc baskets need only (orderkey, partkey), got $assoc")
+    val hd = scansOf(SparkEntry.queries("imp_hotdeck")(spark, sf), "customer")
+      .map(readColumns).reduce(_ union _)
+    assert(hd == Set("c_custkey", "c_nationkey", "c_acctbal", "c_mktsegment"),
+      s"hot-deck face must drop c_name at the scan, got $hd")
+  }
+
   test("daily rollup and events_trigrams read only their event columns") {
     val t = scansOf(graft.analytics.Analytics.dailyTypeCounts(spark, sf), "events")
       .map(readColumns).reduce(_ union _)
