@@ -798,6 +798,40 @@ object Analytics {
     stickiness(Tables(spark, dir, "events")
       .select(col("user_id"), expr("ts div 86400000000000").as("d")).distinct())
 
+  /** Growth accounting over daily activity: every active (user, day) is
+    * NEW (first day ever), RETAINED (also active yesterday) or RESURRECTED
+    * (active before, but not yesterday); CHURNED counts users active the
+    * previous day who went quiet. The single source of truth is one
+    * user-keyed window over the distinct (user, day) frame (lag/lead +
+    * running min — activity-days-sized, never events-sized); the churn
+    * side re-keys the SAME frame by day+1, so the whole report is two
+    * shuffles (user, then day) and exact integers. The spec pins the
+    * identity dau(d) = new + retained + resurrected. */
+  def eventsLifecycle(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val active = Tables(spark, dir, "events")
+      .select(col("user_id"), expr("ts div 86400000000000").as("d")).distinct()
+    val w = Window.partitionBy("user_id").orderBy("d")
+    val marked = active
+      .withColumn("_prev", lag(col("d"), 1).over(w))
+      .withColumn("_next", lead(col("d"), 1).over(w))
+      .localCheckpoint(eager = false)
+    val statuses = marked.groupBy("d").agg(
+      sum(when(col("_prev").isNull, 1L).otherwise(0L)).as("n_new"),
+      sum(when(col("_prev") === col("d") - 1, 1L).otherwise(0L)).as("n_retained"),
+      sum(when(col("_prev").isNotNull && col("_prev") < col("d") - 1, 1L)
+        .otherwise(0L)).as("n_resurrected"))
+    val churned = marked
+      .filter(col("_next").isNull || col("_next") > col("d") + 1)
+      .groupBy((col("d") + 1).as("d")).agg(count(lit(1)).as("n_churned"))
+    statuses.join(churned, Seq("d"), "full_outer")
+      .select(col("d"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"),
+        coalesce(col("n_retained"), lit(0L)).as("n_retained"),
+        coalesce(col("n_resurrected"), lit(0L)).as("n_resurrected"),
+        coalesce(col("n_churned"), lit(0L)).as("n_churned"))
+  }
+
   /** Generic stickiness face: expects a distinct (user_id, d) frame. */
   def stickiness(active: DataFrame): DataFrame = {
     val dau = active.groupBy("d").agg(count(lit(1)).as("dau"))

@@ -2206,6 +2206,27 @@ object OracleSql {
         | CAST(max(secs) AS BIGINT) AS max_sec
         |FROM lags""".stripMargin,
 
+    "events_lifecycle" ->
+      """WITH active AS (SELECT DISTINCT user_id, epoch_ns(ts) // 86400000000000 AS d
+        |                FROM events),
+        |m AS (SELECT user_id, d,
+        |       lag(d) OVER (PARTITION BY user_id ORDER BY d) AS prev,
+        |       lead(d) OVER (PARTITION BY user_id ORDER BY d) AS nxt
+        |      FROM active),
+        |st AS (SELECT d,
+        |        CAST(SUM(CASE WHEN prev IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+        |        CAST(SUM(CASE WHEN prev = d - 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_retained,
+        |        CAST(SUM(CASE WHEN prev IS NOT NULL AND prev < d - 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected
+        |       FROM m GROUP BY d),
+        |ch AS (SELECT d + 1 AS d, CAST(count(*) AS BIGINT) AS n_churned
+        |       FROM m WHERE nxt IS NULL OR nxt > d + 1 GROUP BY d + 1)
+        |SELECT coalesce(st.d, ch.d) AS d,
+        | coalesce(n_new, 0) AS n_new,
+        | coalesce(n_retained, 0) AS n_retained,
+        | coalesce(n_resurrected, 0) AS n_resurrected,
+        | coalesce(n_churned, 0) AS n_churned
+        |FROM st FULL OUTER JOIN ch ON st.d = ch.d""".stripMargin,
+
     "events_bots" ->
       """WITH pm AS (SELECT user_id, epoch_ns(ts) // 60000000000 AS m,
         |             CAST(count(*) AS BIGINT) AS c

@@ -291,6 +291,24 @@ object Streams {
         (col("_i") + 1).cast("bigint").as("rank"),
         col("_s.score").cast("bigint").as("n_events"))
 
+  /** Streaming bot gate — the real-time face of the batch events_bots
+    * query: per-user event counts inside tumbling minute windows, emitting
+    * an alert row when a user's single-window burst reaches `threshold`.
+    * State is the open (window, user) count pairs only (watermark-evicted
+    * on window close), so memory is O(rate × watermark horizon), never
+    * corpus-sized; emission is append-mode on window close — each alert
+    * fires exactly once. Map-side partial counts mean the shuffle carries
+    * one row per (window, user, partition), not per event. */
+  def botAlerts(events: DataFrame, tsCol: String, idCol: String,
+                threshold: Long, windowLen: String = "1 minute",
+                watermark: String = "5 minutes"): DataFrame =
+    events.withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowLen), col(idCol))
+      .agg(count(lit(1)).as("n_events"))
+      .filter(col("n_events") >= threshold)
+      .select(col("window.start").as("window_start"),
+        col(idCol).as("user_id"), col("n_events"))
+
   /** Stream-stream interval join: pair each purchase with every click by
     * the same user in the preceding `horizonSec` seconds. Both sides carry
     * watermarks and the join condition bounds the time skew, so each side's

@@ -103,6 +103,32 @@ class Wave3QuerySpec extends SparkSpec {
     assert(got.getLong(2) == math.round(q(0.5)))
   }
 
+  test("events_lifecycle: growth accounting identities hold against raw activity") {
+    val rows = graft.analytics.Analytics.eventsLifecycle(spark, sf)
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    val active = graft.Tables(spark, sf, "events")
+      .select(col("user_id"), expr("ts div 86400000000000").as("d")).distinct()
+      .as[(Long, Long)].collect()
+    val byDay = active.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    // dau(d) = new + retained + resurrected, exactly
+    byDay.foreach { case (d, users) =>
+      val (_, nNew, nRet, nRes, _) = rows(d)
+      assert(nNew + nRet + nRes == users.size,
+        s"day $d: $nNew+$nRet+$nRes != ${users.size}")
+    }
+    // churned(d) = |active(d-1) \ active(d)|, for days after the first
+    val days = byDay.keys.toSeq.sorted
+    days.sliding(2).foreach {
+      case Seq(p, d) if d == p + 1 =>
+        val want = (byDay(p) -- byDay(d)).size.toLong
+        assert(rows.get(d).map(_._5).getOrElse(0L) == want, s"churn at $d")
+      case _ => ()
+    }
+    // every user is new exactly once across the whole history
+    assert(rows.values.map(_._2).sum == active.map(_._1).distinct.length)
+  }
+
   test("imp_hotdeck face leaves no missing cells and preserves observed values") {
     val masked = graft.Tables.maskedCustomer(spark, sf)
       .select("c_custkey", "c_acctbal", "c_mktsegment")

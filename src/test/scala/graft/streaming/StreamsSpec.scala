@@ -78,6 +78,35 @@ class StreamsSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming bot gate alerts once on a single-minute burst, never on normal traffic") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    // event_id stands in for user_id: user 42 bursts 5 events in one
+    // minute; user 7 spreads 3 events over 3 minutes (peak 1/min)
+    val base = 1700000000000L
+    def at(sec: Int) = new Timestamp(base + sec * 1000L)
+    val burst = (1 to 5).map(i => Ev(at(10 + i), "click", 1.0, 42L))
+    val calm = Seq(Ev(at(5), "view", 1.0, 7L), Ev(at(70), "view", 1.0, 7L),
+      Ev(at(130), "view", 1.0, 7L))
+    val out = Streams.botAlerts(input.toDF(), "ts", "event_id", threshold = 5L)
+    val query = out.writeStream.format("memory").queryName("bots_out")
+      .outputMode("append").start()
+    try {
+      input.addData(burst ++ calm: _*)
+      query.processAllAvailable()
+      // advance the watermark far past every open window to force emission
+      input.addData(Ev(at(1200), "click", 1.0, 99L))
+      query.processAllAvailable()
+      val got = spark.table("bots_out")
+        .select("window_start", "user_id", "n_events")
+        .collect().map(r => (r.getTimestamp(0).getTime, r.getLong(1), r.getLong(2)))
+        .toSet
+      val w = (base + 11000L) / 60000L * 60000L
+      assert(got == Set((w, 42L, 5L)), s"got $got")
+    } finally query.stop()
+  }
+
   test("streaming windowed HLL distinct matches exact counts on small cardinalities") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
