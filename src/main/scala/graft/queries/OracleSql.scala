@@ -635,6 +635,45 @@ object OracleSql {
         |SELECT vec_id, sc.label, score_q, score_q > thr AS is_outlier
         |FROM sc JOIN t ON sc.label = t.label""".stripMargin,
 
+    "layout_zorder" -> {
+      // the identical generated shift/and/or interleave as Layout.morton
+      val interleave = (0 until 10).map(i =>
+        s"(((x >> $i) & 1) << ${2 * i}) | (((y >> $i) & 1) << ${2 * i + 1})")
+        .mkString(" | ")
+      s"""WITH b AS (SELECT o_custkey % 1024 AS x,
+         | (epoch_ms(o_orderdate) // 86400000) % 1024 AS y FROM orders),
+         |z AS (SELECT x, y, ($interleave) AS z FROM b)
+         |SELECT z >> 14 AS z_bucket, CAST(count(*) AS BIGINT) AS n_orders,
+         | CAST(min(x) AS BIGINT) AS min_x, CAST(max(x) AS BIGINT) AS max_x,
+         | CAST(min(y) AS BIGINT) AS min_y, CAST(max(y) AS BIGINT) AS max_y
+         |FROM z GROUP BY 1""".stripMargin
+    },
+
+    "embed_drift" ->
+      """WITH b AS (SELECT label, vec_id % 2 AS half,
+        |  [CAST(round(CAST(x AS DOUBLE) * 1000000.0, 0) AS BIGINT) for x in embedding] AS qv
+        | FROM embeddings),
+        |x AS (SELECT label, half, qv, unnest(generate_series(1, len(qv))) AS i FROM b),
+        |s AS (SELECT label, half, i AS dim, CAST(SUM(qv[i]) AS BIGINT) AS sm,
+        |       CAST(count(*) AS BIGINT) AS n
+        |      FROM x GROUP BY 1, 2, 3),
+        |e AS (SELECT label, dim, sm AS se, n AS ne FROM s WHERE half = 0),
+        |o AS (SELECT label, dim, sm AS so, n AS no FROM s WHERE half = 1),
+        |j AS (SELECT e.label, se, ne, so, no FROM e JOIN o
+        |      ON e.label = o.label AND e.dim = o.dim),
+        |g AS (SELECT label,
+        |       CAST(max(ne) AS BIGINT) AS n_even, CAST(max(no) AS BIGINT) AS n_odd,
+        |       SUM(CAST(se AS HUGEINT) * CAST(so AS HUGEINT)) AS d,
+        |       SUM(CAST(se AS HUGEINT) * CAST(se AS HUGEINT)) AS a,
+        |       SUM(CAST(so AS HUGEINT) * CAST(so AS HUGEINT)) AS bb,
+        |       max(abs(CAST(se AS DOUBLE) / CAST(ne AS DOUBLE)
+        |               - CAST(so AS DOUBLE) / CAST(no AS DOUBLE))) AS ms
+        |      FROM j GROUP BY label)
+        |SELECT label, n_even, n_odd,
+        | round(CAST(d AS DOUBLE) / (sqrt(CAST(a AS DOUBLE)) * sqrt(CAST(bb AS DOUBLE))), 6) AS centroid_cos,
+        | round(ms / 1000000.0, 6) AS max_dim_shift
+        |FROM g""".stripMargin,
+
     "events_funnel" ->
       """WITH e AS (SELECT user_id, epoch_ns(ts) AS t, event_type FROM events),
         |a AS (SELECT user_id, min(t) AS ta FROM e WHERE event_type = 'view' GROUP BY user_id),

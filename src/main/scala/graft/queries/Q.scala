@@ -416,6 +416,33 @@ object Q {
         Tables(s, dir, "customer"), "c_custkey"))
   }
 
+  /** Z-order layout audit: Morton-interleave (customer, order-day) into a
+    * 20-bit code ([[graft.operators.Layout]] — pure codegen bit
+    * arithmetic) and report each 64-bucket z-range's row count and
+    * per-dimension bounding box — the min/max statistics parquet would
+    * carry per file after a `zOrderBy` write, i.e. the data-skipping
+    * evidence itself. The oracle replays the identical generated
+    * shift/and/or chain. */
+  def layoutZorder(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables(s, dir, "orders").select(
+      pmod(col("o_custkey"), lit(1024L)).as("x"),
+      pmod(expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000"),
+        lit(1024L)).as("y"))
+    o.withColumn("z", graft.operators.Layout.morton(col("x"), col("y"), 10))
+      .groupBy(shiftright(col("z"), 14).as("z_bucket"))
+      .agg(count(lit(1)).as("n_orders"),
+        min("x").as("min_x"), max("x").as("max_x"),
+        min("y").as("min_y"), max("y").as("max_y"))
+  }
+
+  /** Embedding-distribution drift between the even/odd vec_id halves —
+    * per-label centroid cosine + max per-dim mean shift
+    * ([[graft.similarity.EmbedDrift]]): exact decimal(38) integer algebra
+    * until the final divisions. */
+  def embedDrift(s: SparkSession, dir: String): DataFrame =
+    graft.similarity.EmbedDrift.halfDrift(
+      Tables(s, dir, "embeddings"), "vec_id", "embedding", "label")
+
   /** MMR diversified top-10 (pool 50, λ=0.7) for the vec_id-0 query
     * vector: the distributed relevance stage streams embeddings once;
     * the greedy re-rank is driver-side over the bounded pool
