@@ -798,6 +798,60 @@ object Analytics {
     stickiness(Tables(spark, dir, "events")
       .select(col("user_id"), expr("ts div 86400000000000").as("d")).distinct())
 
+  /** Audience overlap between event types: |users(a) ∩ users(b)| and the
+    * Jaccard overlap for every type pair — the cross-sell / cannibalization
+    * read on behavioral segments. One distinct (user, type) frame; the
+    * pair expansion is a user-keyed self-join whose fan-out is ≤ types²
+    * per user (types is a small enum), rolled up to ≤ types² rows. Exact
+    * integers; Jaccard is one 6dp division. */
+  def eventsOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val ut = Tables(spark, dir, "events")
+      .select(col("user_id"), col("event_type")).distinct()
+      .localCheckpoint(eager = false)
+    val totals = ut.groupBy("event_type").agg(count(lit(1)).as("n"))
+    val both = ut.select(col("user_id"), col("event_type").as("type_a"))
+      .join(ut.select(col("user_id"), col("event_type").as("type_b")), "user_id")
+      .filter(col("type_a") < col("type_b"))
+      .groupBy("type_a", "type_b").agg(count(lit(1)).as("n_both"))
+    both
+      .join(totals.select(col("event_type").as("type_a"), col("n").as("n_a")), "type_a")
+      .join(totals.select(col("event_type").as("type_b"), col("n").as("n_b")), "type_b")
+      .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"), col("n_both"),
+        round(col("n_both").cast("double")
+          / (col("n_a") + col("n_b") - col("n_both")).cast("double"), 6).as("jaccard"))
+  }
+
+  /** Gini concentration of event volume across users — "do 1% of users
+    * generate 90% of the traffic?", the inequality summary a bot screen
+    * and a sampling design both start from. Computed WITHOUT a global
+    * rank over users: the per-user counts collapse to a VALUE HISTOGRAM
+    * (distinct activity levels — bounded by behavior, not user count),
+    * and the rank-weighted sum Σ i·xᵢ unrolls per value block as
+    * m·C₍₋₎ + m(m+1)/2 from a window over that collapsed frame (the
+    * lint-sanctioned aggregate-below shape). Exact integers until the
+    * final division. */
+  def eventsGini(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perUser = Tables(spark, dir, "events")
+      .groupBy("user_id").agg(count(lit(1)).as("cnt"))
+    val hist = perUser.groupBy("cnt").agg(count(lit(1)).as("m"))
+    val w = Window.orderBy("cnt").rowsBetween(Window.unboundedPreceding, 0)
+    val blocks = hist
+      .withColumn("_cle", sum(col("m")).over(w))
+      .select(col("cnt"), col("m"),
+        (col("_cle") - col("m")).as("_clt"))
+      // m(m+1) is even, so `div` is exact — Column./ would go double
+      .select(expr("cnt * (m * _clt + (m * (m + 1)) div 2)").as("_s1"),
+        (col("cnt") * col("m")).as("_sx"), col("m"))
+    blocks.agg(sum(col("m")).as("n_users"), sum(col("_sx")).as("total_events"),
+        sum(col("_s1")).as("_rs"))
+      .select(col("n_users"), col("total_events"),
+        round((lit(2.0) * col("_rs").cast("double")
+          - (col("n_users") + 1).cast("double") * col("total_events").cast("double"))
+          / (col("n_users").cast("double") * col("total_events").cast("double")), 6)
+          .as("gini"))
+  }
+
   /** Growth accounting over daily activity: every active (user, day) is
     * NEW (first day ever), RETAINED (also active yesterday) or RESURRECTED
     * (active before, but not yesterday); CHURNED counts users active the

@@ -2245,6 +2245,38 @@ object OracleSql {
         | CAST(max(secs) AS BIGINT) AS max_sec
         |FROM lags""".stripMargin,
 
+    "events_overlap" ->
+      """WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+        |t AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM ut GROUP BY 1),
+        |b AS (SELECT a.event_type AS type_a, c.event_type AS type_b,
+        |       CAST(count(*) AS BIGINT) AS n_both
+        |      FROM ut a JOIN ut c
+        |       ON a.user_id = c.user_id AND a.event_type < c.event_type
+        |      GROUP BY 1, 2)
+        |SELECT type_a, type_b, ta.n AS n_a, tb.n AS n_b, n_both,
+        | round(CAST(n_both AS DOUBLE) / CAST(ta.n + tb.n - n_both AS DOUBLE), 6) AS jaccard
+        |FROM b JOIN t ta ON ta.event_type = type_a
+        | JOIN t tb ON tb.event_type = type_b""".stripMargin,
+
+    "events_gini" ->
+      """WITH pu AS (SELECT user_id, CAST(count(*) AS BIGINT) AS cnt
+        |            FROM events GROUP BY 1),
+        |h AS (SELECT cnt, CAST(count(*) AS BIGINT) AS m FROM pu GROUP BY 1),
+        |c AS (SELECT cnt, m,
+        |       CAST(SUM(m) OVER (ORDER BY cnt ROWS BETWEEN UNBOUNDED PRECEDING
+        |         AND CURRENT ROW) AS BIGINT) - m AS clt
+        |      FROM h),
+        |blocks AS (SELECT cnt * (m * clt + (m * (m + 1)) // 2) AS s1,
+        |            cnt * m AS sx, m FROM c),
+        |g AS (SELECT CAST(SUM(m) AS BIGINT) AS n_users,
+        |       CAST(SUM(sx) AS BIGINT) AS total_events,
+        |       CAST(SUM(s1) AS BIGINT) AS rs FROM blocks)
+        |SELECT n_users, total_events,
+        | round((2.0 * CAST(rs AS DOUBLE)
+        |   - CAST(n_users + 1 AS DOUBLE) * CAST(total_events AS DOUBLE))
+        |  / (CAST(n_users AS DOUBLE) * CAST(total_events AS DOUBLE)), 6) AS gini
+        |FROM g""".stripMargin,
+
     "events_lifecycle" ->
       """WITH active AS (SELECT DISTINCT user_id, epoch_ns(ts) // 86400000000000 AS d
         |                FROM events),

@@ -416,19 +416,20 @@ object Q {
         Tables(s, dir, "customer"), "c_custkey"))
   }
 
-  /** Z-order layout audit: Morton-interleave (customer, order-day) into a
-    * 20-bit code ([[graft.operators.Layout]] — pure codegen bit
-    * arithmetic) and report each 64-bucket z-range's row count and
-    * per-dimension bounding box — the min/max statistics parquet would
-    * carry per file after a `zOrderBy` write, i.e. the data-skipping
-    * evidence itself. The oracle replays the identical generated
-    * shift/and/or chain. */
+  /** Z-order layout audit: Morton-interleave (customer, order-day) with
+    * [[graft.sources.Sources.zValue]] (the writeZOrdered clustering key —
+    * pure codegen bit arithmetic) and report each 64-bucket z-range's row
+    * count and per-dimension bounding box — the min/max statistics parquet
+    * would carry per file after a z-ordered write, i.e. the data-skipping
+    * evidence itself, now hash-checked cross-engine (the oracle replays
+    * the identical generated shift/and/or chain). zValue places the FIRST
+    * key's bits at odd positions, so (a=y, b=x) yields x at even bits. */
   def layoutZorder(s: SparkSession, dir: String): DataFrame = {
     val o = Tables(s, dir, "orders").select(
       pmod(col("o_custkey"), lit(1024L)).as("x"),
       pmod(expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000"),
         lit(1024L)).as("y"))
-    o.withColumn("z", graft.operators.Layout.morton(col("x"), col("y"), 10))
+    o.withColumn("z", graft.sources.Sources.zValue(col("y"), col("x"), 10))
       .groupBy(shiftright(col("z"), 14).as("z_bucket"))
       .agg(count(lit(1)).as("n_orders"),
         min("x").as("min_x"), max("x").as("max_x"),

@@ -129,6 +129,41 @@ class Wave3QuerySpec extends SparkSpec {
     assert(rows.values.map(_._2).sum == active.map(_._1).distinct.length)
   }
 
+  test("events_overlap matches driver-side set intersections") {
+    val got = graft.analytics.Analytics.eventsOverlap(spark, sf)
+      .as[(String, String, Long, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r).toMap
+    val ut = graft.Tables(spark, sf, "events")
+      .select(col("user_id"), col("event_type")).distinct()
+      .as[(Long, String)].collect()
+    val byType = ut.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    val types = byType.keys.toSeq.sorted
+    for (Seq(a, b) <- types.combinations(2).map(_.sorted)) {
+      val inter = (byType(a) & byType(b)).size.toLong
+      if (inter > 0) {
+        val r = got((a, b))
+        assert(r._3 == byType(a).size && r._4 == byType(b).size && r._5 == inter)
+        val want = inter.toDouble / (byType(a).size + byType(b).size - inter)
+        assert(math.abs(r._6 - want) < 1e-6)
+      }
+    }
+  }
+
+  test("events_gini matches the classic sorted-rank formula") {
+    val got = graft.analytics.Analytics.eventsGini(spark, sf)
+      .as[(Long, Long, Double)].collect().head
+    val xs = graft.Tables(spark, sf, "events")
+      .groupBy("user_id").agg(count(lit(1)).as("c"))
+      .select("c").as[Long].collect().sorted
+    val n = xs.length.toLong
+    val sx = xs.sum
+    val s1 = xs.zipWithIndex.map { case (x, i) => (i + 1).toLong * x }.sum
+    val want = (2.0 * s1 - (n + 1).toDouble * sx) / (n.toDouble * sx)
+    assert(got._1 == n && got._2 == sx)
+    assert(math.abs(got._3 - want) < 1e-6)
+    assert(got._3 >= 0.0 && got._3 < 1.0)
+  }
+
   test("imp_hotdeck face leaves no missing cells and preserves observed values") {
     val masked = graft.Tables.maskedCustomer(spark, sf)
       .select("c_custkey", "c_acctbal", "c_mktsegment")
