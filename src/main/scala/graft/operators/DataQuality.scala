@@ -75,6 +75,27 @@ object DataQuality {
         col("_vg").as("n_violating_groups"), col("_vr").as("n_violating_rows"))
   }
 
+  /** Key-collision report — the follow-up [[keyProfile]] demands when a
+    * declared key scores under 1.0: how many key values collide, how many
+    * extra rows they carry, and whether the collisions are benign exact
+    * copies or CONFLICTING payloads (distinct non-key values under one
+    * key — the case an upsert/merge must resolve, not just dedup). One
+    * key-cardinality groupBy with a partial (key, payload) distinct. */
+  def keyDups(name: String, df: DataFrame, keyCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "need at least one key column")
+    val payload = df.columns.filterNot(keyCols.contains).map(col)
+    require(payload.nonEmpty, "key covers every column — use rowDups semantics instead")
+    df.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("_k"), count_distinct(struct(payload: _*)).as("_p"))
+      .agg(coalesce(count(lit(1)), lit(0L)).as("_nk"),
+        coalesce(sum(when(col("_k") > 1, 1L).otherwise(0L)), lit(0L)).as("_dk"),
+        coalesce(sum(col("_k") - 1), lit(0L)).as("_xr"),
+        coalesce(sum(when(col("_p") > 1, 1L).otherwise(0L)), lit(0L)).as("_ck"))
+      .select(lit(name).as("key_name"), col("_nk").as("n_keys"),
+        col("_dk").as("n_dup_keys"), col("_xr").as("n_extra_rows"),
+        col("_ck").as("n_conflicting_keys"))
+  }
+
   /** Key-uniqueness check: every extra copy of a key is one violation. */
   def uniqueCheck(name: String, df: DataFrame, key: String): DataFrame =
     df.groupBy(col(key)).agg(count(lit(1)).as("_k"))

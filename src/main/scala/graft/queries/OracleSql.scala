@@ -2317,6 +2317,29 @@ object OracleSql {
         | FROM documents) t
         |WHERE rn <= 10""".stripMargin,
 
+    "dq_keydups" ->
+      """WITH li AS (SELECT l_orderkey, l_linenumber, count(*) AS k,
+        |  count(DISTINCT (l_partkey, l_suppkey, l_quantity, l_extendedprice,
+        |    l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate)) AS p
+        | FROM lineitem GROUP BY 1, 2),
+        |o AS (SELECT o_orderkey, count(*) AS k,
+        |  count(DISTINCT (o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+        |    o_orderpriority)) AS p
+        | FROM orders GROUP BY 1)
+        |SELECT 'lineitem(l_orderkey,l_linenumber)' AS key_name,
+        | CAST(coalesce(count(*), 0) AS BIGINT) AS n_keys,
+        | CAST(coalesce(SUM(CASE WHEN k > 1 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_dup_keys,
+        | CAST(coalesce(SUM(k - 1), 0) AS BIGINT) AS n_extra_rows,
+        | CAST(coalesce(SUM(CASE WHEN p > 1 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_conflicting_keys
+        |FROM li
+        |UNION ALL
+        |SELECT 'orders(o_orderkey)',
+        | CAST(coalesce(count(*), 0) AS BIGINT),
+        | CAST(coalesce(SUM(CASE WHEN k > 1 THEN 1 ELSE 0 END), 0) AS BIGINT),
+        | CAST(coalesce(SUM(k - 1), 0) AS BIGINT),
+        | CAST(coalesce(SUM(CASE WHEN p > 1 THEN 1 ELSE 0 END), 0) AS BIGINT)
+        |FROM o""".stripMargin,
+
     "dq_keys" ->
       """SELECT 'orders(o_orderkey)' AS candidate_key,
         | CAST(count(*) AS BIGINT) AS n_rows,

@@ -527,6 +527,28 @@ object Q {
         Seq("l_returnflag"), "l_linestatus"))
   }
 
+  /** Topic mining over the documents corpus: hashed bag-of-words →
+    * deterministic k-means → per-cluster top terms
+    * ([[graft.text.Topics]]). Rows-only: the Lloyd recurrence has no
+    * ANSI-SQL form; TopicsSpec pins that planted vocabularies separate
+    * and label themselves. */
+  def textTopics(s: SparkSession, dir: String): DataFrame =
+    graft.text.Topics.mine(Tables(s, dir, "documents"), "doc_id", "text",
+      dim = 64, k = 6, iters = 3, topTerms = 5)
+
+  /** Key-collision audit: dq_keys showed (l_orderkey, l_linenumber) is NOT
+    * a key in this generator's lineitem — this report says how bad (dup
+    * keys, extra rows) and, crucially, that the collisions carry
+    * CONFLICTING payloads (the upsert-must-resolve case, not benign exact
+    * copies); orders' real key rides along as the clean control. */
+  def dqKeydups(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.DataQuality
+    DataQuality.keyDups("lineitem(l_orderkey,l_linenumber)",
+        Tables(s, dir, "lineitem"), Seq("l_orderkey", "l_linenumber"))
+      .unionAll(DataQuality.keyDups("orders(o_orderkey)",
+        Tables(s, dir, "orders"), Seq("o_orderkey")))
+  }
+
   /** Incremental aggregation: merge pre-aggregated per-(type, day) partial
     * states from disjoint ingest batches into the running summary — the
     * batch face of a mergeable-state pipeline (counts and exact integer

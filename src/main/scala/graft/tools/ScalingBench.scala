@@ -25,7 +25,10 @@ object ScalingBench {
     "pipeline_neardup", "imp_ffill_bfill", "q1_agg", "q6_filter",
     // round-9 continuation heavies: the graph family (edge build is the
     // cost), the fuzzy pair join, and the KS band self-join
-    "graph_pagerank", "graph_triangles", "fuzzy_join", "profile_ks")
+    "graph_pagerank", "graph_triangles", "fuzzy_join", "profile_ks",
+    // wave-3: the two-path link join, the basket pair expansion, the
+    // (label, half, dim) drift rollup, and the user-window lifecycle
+    "graph_linkpred", "orders_assoc", "embed_drift", "events_lifecycle")
 
   def main(args: Array[String]): Unit = {
     val sfDirs = sys.env.getOrElse("SPARK_GRAFT_SF_DIRS",

@@ -65,6 +65,20 @@ class DataQualitySpec extends SparkSpec {
     assert((worse.getLong(1), worse.getLong(2), worse.getLong(3)) == (3L, 2L, 4L))
   }
 
+  test("keyDups separates benign copies from conflicting payloads") {
+    val df = Seq(
+      (1L, "a"), (1L, "a"),          // dup key, identical payload — benign
+      (2L, "x"), (2L, "y"),          // dup key, CONFLICTING payload
+      (3L, "z")                      // clean
+    ).toDF("k", "v")
+    val r = DataQuality.keyDups("k", df, Seq("k")).collect().head
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) ==
+      (3L, 2L, 2L, 1L))
+    val clean = DataQuality.keyDups("k", Seq((1L, "a"), (2L, "b")).toDF("k", "v"),
+      Seq("k")).collect().head
+    assert((clean.getLong(2), clean.getLong(3), clean.getLong(4)) == (0L, 0L, 0L))
+  }
+
   test("agg_incremental merged partials equal the direct recompute bitwise") {
     val direct = graft.Tables(spark, "/root/testdata/sf0.001", "events")
       .select(col("event_type"), expr("ts div 86400000000000").as("d"),
