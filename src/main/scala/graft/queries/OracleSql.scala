@@ -2317,6 +2317,14 @@ object OracleSql {
         | FROM documents) t
         |WHERE rn <= 10""".stripMargin,
 
+    "corpus_scorecard" ->
+      """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        | round(CAST(SUM(len(string_split(text, ' '))) AS DOUBLE) / count(*), 6) AS avg_tokens,
+        | round(CAST(SUM(n_chars) AS DOUBLE) / count(*), 6) AS avg_chars,
+        | round(CAST(SUM(CASE WHEN n_chars < 100 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS pct_short,
+        | CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+        |FROM documents GROUP BY source""".stripMargin,
+
     "dq_keydups" ->
       """WITH li AS (SELECT l_orderkey, l_linenumber, count(*) AS k,
         |  count(DISTINCT (l_partkey, l_suppkey, l_quantity, l_extendedprice,

@@ -527,6 +527,27 @@ object Q {
         Seq("l_returnflag"), "l_linestatus"))
   }
 
+  /** Per-source corpus scorecard: the curation dashboard row a mixing
+    * recipe ([[graft.operators.CorpusMix]]) is tuned against — volume,
+    * length profile, short-doc rate, language spread per source. ONE
+    * source-keyed aggregation with map-side partials; ratios are 6dp
+    * divisions of exact integers. */
+  def corpusScorecard(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+      .select(col("source"), col("lang"), col("n_chars"),
+        size(split(col("text"), " ")).cast("bigint").as("_tok"))
+      .groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("_tok")).as("_st"),
+        sum(col("n_chars")).as("_sc"),
+        sum(when(col("n_chars") < 100, 1L).otherwise(0L)).as("_short"),
+        count_distinct(col("lang")).as("n_langs"))
+      .select(col("source"), col("n_docs"),
+        round(col("_st").cast("double") / col("n_docs"), 6).as("avg_tokens"),
+        round(col("_sc").cast("double") / col("n_docs"), 6).as("avg_chars"),
+        round(col("_short").cast("double") / col("n_docs"), 6).as("pct_short"),
+        col("n_langs"))
+
   /** Topic mining over the documents corpus: hashed bag-of-words →
     * deterministic k-means → per-cluster top terms
     * ([[graft.text.Topics]]). Rows-only: the Lloyd recurrence has no

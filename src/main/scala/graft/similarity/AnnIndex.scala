@@ -1,0 +1,63 @@
+package graft.similarity
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions._
+
+/** Persisted IVF index — the workflow face of [[AnnLsh.ivfTopK]]: a real
+  * pipeline trains the index ONCE, persists it, and serves many query
+  * batches from the persisted layout; recomputing centroids per query
+  * (the registered in-query face, kept for the driver's independent-query
+  * contract) is the harness shape, not the production one. The
+  * dedup_labels pattern applied to ANN.
+  *
+  * The layout IS the index: the vector table is written
+  * `partitionBy(list)`, so a query batch's probed lists turn into a
+  * PARTITION-PRUNED scan — at 100 TB the executor reads only
+  * nProbe/nLists of the corpus, exactly an IVF inverted file. The probed
+  * list ids are collected to drive static pruning (bounded by
+  * queries × nProbe — the Pq.maxQueries collect contract), so the filter
+  * is pushed at plan time, no dynamic-partition-pruning dependence.
+  */
+object AnnIndex {
+
+  /** Train and persist: per-list centroids (tiny) + vectors repartitioned
+    * into one layout partition per list. */
+  def writeIvf(df: DataFrame, idCol: String, vecCol: String, listCol: String,
+               path: String): Unit = {
+    val c = df.select(col(idCol).as("vec_id"), col(listCol).as("list"),
+      toDouble(col(vecCol)).as("v"))
+    c.groupBy("list").agg(call_function("graft_vec_avg", col("v")).as("cv"))
+      .write.mode("overwrite").parquet(s"$path/centroids")
+    c.write.mode("overwrite").partitionBy("list").parquet(s"$path/vectors")
+  }
+
+  /** Serve a query batch from the persisted index. Identical algebra to
+    * [[AnnLsh.ivfTopK]] (same probes, same norm placement, same heap
+    * top-k), different data source — the spec pins result equality. */
+  def ivfTopK(spark: SparkSession, path: String, queries: DataFrame,
+              idCol: String, vecCol: String, k: Int, nProbe: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val centroids = spark.read.parquet(s"$path/centroids")
+    val q = queries.select(col(idCol).as("query_id"), toDouble(col(vecCol)).as("qv"))
+    val probes = q.join(broadcast(centroids), lit(true))
+      .select(col("query_id"), col("qv"), col("list"),
+        cosine(col("qv"), col("cv")).as("_cs"))
+      .withColumn("_pr", row_number().over(
+        Window.partitionBy("query_id").orderBy(desc("_cs"), asc("list"))))
+      .filter(col("_pr") <= nProbe)
+      .select("query_id", "qv", "list")
+      .localCheckpoint() // two consumers: the list collect + the rerank join
+    // bounded collect: ≤ queries × nProbe ids — drives STATIC partition
+    // pruning on the persisted layout (the whole point of the index)
+    val probedLists = probes.select("list").distinct().collect().map(_.get(0))
+    val vectors = spark.read.parquet(s"$path/vectors")
+      .filter(col("list").isin(probedLists: _*))
+      .withColumn("_nv", norm(col("v")))
+    val cands = vectors
+      .join(broadcast(probes.withColumn("_nq", norm(col("qv")))), Seq("list"))
+      .filter(col("vec_id") =!= col("query_id"))
+    AnnLsh.topK(cands.select(col("query_id"), col("vec_id").as("neighbor_id"),
+      (dot(col("qv"), col("v")) / (col("_nq") * col("_nv"))).as("cos")), k)
+  }
+}
