@@ -404,6 +404,51 @@ object OracleSql {
          | coalesce(c_acctbal, CAST(gmv AS DOUBLE) / 100.0, CAST(gv AS DOUBLE) / 100.0) AS acctbal_imp
          |FROM mcv LEFT JOIN gm USING (c_nationkey) CROSS JOIN g""".stripMargin,
 
+    "imp_group_median" ->
+      s"""WITH mcv AS ($MCV),
+         |gm AS (SELECT c_nationkey,
+         |  CAST(round(quantile_cont(${ac("c_acctbal")}, 0.5), 0) AS BIGINT) AS gmv
+         | FROM mcv GROUP BY c_nationkey),
+         |g AS (SELECT CAST(round(quantile_cont(${ac("c_acctbal")}, 0.5), 0) AS BIGINT) AS gv FROM mcv)
+         |SELECT c_custkey,
+         | coalesce(c_acctbal, CAST(gmv AS DOUBLE) / 100.0, CAST(gv AS DOUBLE) / 100.0) AS acctbal_imp
+         |FROM mcv LEFT JOIN gm USING (c_nationkey) CROSS JOIN g""".stripMargin,
+
+    "orders_cltv" ->
+      s"""WITH o AS (SELECT o_custkey, ${ac("o_totalprice")} AS tc,
+         |  epoch_ms(o_orderdate) // 86400000 AS d FROM orders),
+         |a AS (SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders,
+         |  CAST(SUM(tc) AS BIGINT) AS spend,
+         |  CAST(max(d) - min(d) + 1 AS BIGINT) AS tenure_days
+         | FROM o GROUP BY 1)
+         |SELECT o_custkey, n_orders, CAST(spend AS DOUBLE) / 100.0 AS total_spend,
+         | tenure_days,
+         | round(CAST(spend AS DOUBLE) / (100.0 * tenure_days), 6) AS spend_per_day,
+         | round(365.0 * CAST(spend AS DOUBLE) / (100.0 * tenure_days), 6) AS cltv_365
+         |FROM a""".stripMargin,
+
+    "text_lang_confusion" -> {
+      val markers = graft.text.TextAnalysis.langMarkers
+      val scores = markers.map { case (l, ws) =>
+        val in = ws.map(w => s"'$w'").mkString(", ")
+        s"CAST(len(list_filter(t, x -> x IN ($in))) AS BIGINT) AS s_$l"
+      }.mkString(",\n  ")
+      val names = markers.map { case (l, _) => s"s_$l" }.mkString(", ")
+      val cases = markers.init.map { case (l, _) =>
+        s"WHEN s_$l = m THEN '$l'"
+      }.mkString(" ")
+      s"""WITH d AS (SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents),
+         |sc AS (SELECT doc_id, lang,
+         |  $scores
+         | FROM d),
+         |g AS (SELECT *, greatest($names) AS m FROM sc)
+         |SELECT lang AS declared_lang,
+         | CASE $cases ELSE '${markers.last._1}' END AS pred_lang,
+         | CAST(count(*) AS BIGINT) AS n_docs,
+         | CAST(SUM(m) AS BIGINT) AS sum_score
+         |FROM g GROUP BY 1, 2""".stripMargin
+    },
+
     "imp_regression" ->
       s"""WITH mlv AS ($MLV),
          |c AS (SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,

@@ -160,6 +160,55 @@ object Q {
           col("_g").cast("double") / 100.0).as("acctbal_imp"))
   }
 
+  /** Group-median impute: per-nation exact median (cents-quantized, the
+    * imp_median discipline) fills masked acctbal, global median as the
+    * fallback for donor-free cells — the robust sibling of imp_group_mean
+    * (a cell's outlier whales shift its mean, not its median). Per-group
+    * percentile aggregates at group cardinality; broadcast joins back. */
+  def impGroupMedian(s: SparkSession, dir: String): DataFrame = {
+    val mc = Tables.maskedCustomer(s, dir)
+    val gm = mc.select(col("c_nationkey"), cents(col("c_acctbal"), 2).as("_ac"))
+      .groupBy("c_nationkey").agg(
+        round(expr("percentile(_ac, 0.5D)"), 0).cast("bigint").as("_gm"))
+    val g = mc.select(cents(col("c_acctbal"), 2).as("_ac")).agg(
+      round(expr("percentile(_ac, 0.5D)"), 0).cast("bigint").as("_g"))
+    mc.join(broadcast(gm), Seq("c_nationkey"), "left")
+      .crossJoin(broadcast(g))
+      .select(col("c_custkey"),
+        coalesce(col("c_acctbal"), col("_gm").cast("double") / 100.0,
+          col("_g").cast("double") / 100.0).as("acctbal_imp"))
+  }
+
+  /** Customer lifetime value summary: spend, tenure, run rate, and a
+    * naive 365-day projection — exact cents and day integers until the
+    * two 6dp divisions. One custkey aggregation (map-side partials). */
+  def ordersCltv(s: SparkSession, dir: String): DataFrame = {
+    val day = expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000")
+    Tables(s, dir, "orders")
+      .select(col("o_custkey"), cents(col("o_totalprice"), 2).as("_tc"), day.as("_d"))
+      .groupBy("o_custkey").agg(
+        count(lit(1)).as("n_orders"),
+        sum(col("_tc")).as("_spend"),
+        (max(col("_d")) - min(col("_d")) + 1).as("tenure_days"))
+      .select(col("o_custkey"), col("n_orders"),
+        (col("_spend").cast("double") / 100.0).as("total_spend"),
+        col("tenure_days"),
+        round(col("_spend").cast("double") / (lit(100.0) * col("tenure_days")), 6)
+          .as("spend_per_day"),
+        round(lit(365.0) * col("_spend").cast("double")
+          / (lit(100.0) * col("tenure_days")), 6).as("cltv_365"))
+  }
+
+  /** Label-quality audit: confusion matrix of the declared `lang` column
+    * against the n-gram language-ID heuristic — the noisy-label screen a
+    * pipeline runs before trusting metadata for filtering or mixing. One
+    * (declared, predicted) aggregation over the langid projection. */
+  def textLangConfusion(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.withLangId(Tables(s, dir, "documents"), "text")
+      .groupBy(col("lang").as("declared_lang"), col("pred_lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("lang_score")).as("sum_score"))
+
   /** Closed-form univariate OLS (price ~ quantity) in exact cents space. */
   def impRegression(s: SparkSession, dir: String): DataFrame = {
     val ml = Tables.maskedLineitem(s, dir)

@@ -164,6 +164,67 @@ class Wave3QuerySpec extends SparkSpec {
     assert(got._3 >= 0.0 && got._3 < 1.0)
   }
 
+  test("imp_group_median is outlier-immune where imp_group_mean is not") {
+    import spark.implicits._
+    // a whale donor shifts the cell mean but not its median
+    val med = Q.impGroupMedian(spark, sf)
+      .as[(Long, Option[Double])].collect().toMap
+    val masked = graft.Tables.maskedCustomer(spark, sf)
+      .select("c_custkey", "c_nationkey", "c_acctbal")
+      .as[(Long, Long, Option[Double])].collect()
+    // observed rows pass through untouched
+    masked.filter(_._3.isDefined).foreach { case (ck, _, v) =>
+      assert(med(ck) == v)
+    }
+    // imputed values equal the driver-side per-cell cent median
+    val byCell = masked.filter(_._3.isDefined).groupBy(_._2)
+      .view.mapValues(_.map(r => math.round(r._3.get * 100.0)).sorted).toMap
+    def centMedian(xs: Seq[Long]): Double = {
+      val n = xs.length
+      val m = if (n % 2 == 1) xs(n / 2).toDouble
+        else (xs(n / 2 - 1) + xs(n / 2)) / 2.0
+      math.round(m).toDouble / 100.0
+    }
+    masked.filter(_._3.isEmpty).foreach { case (ck, cell, _) =>
+      byCell.get(cell).filter(_.nonEmpty).foreach { xs =>
+        assert(med(ck).contains(centMedian(xs)), s"cust $ck cell $cell")
+      }
+    }
+  }
+
+  test("orders_cltv: projection is the run rate scaled to a year") {
+    val rows = Q.ordersCltv(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (spend, tenure, rate, proj) =
+        (r.getDouble(2), r.getLong(3), r.getDouble(4), r.getDouble(5))
+      assert(tenure >= 1)
+      assert(math.abs(rate - spend / tenure) < 1e-4)
+      assert(math.abs(proj - rate * 365.0) < 0.5) // both 6dp-rounded separately
+    }
+  }
+
+  test("text_lang_confusion matches the langid-vs-declared join and exposes label noise") {
+    val rows = Q.textLangConfusion(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val n = graft.Tables(spark, sf, "documents").count()
+    assert(rows.values.sum == n)
+    // cell counts equal an independent join of the langid face against
+    // the declared column
+    val declared = graft.Tables(spark, sf, "documents")
+      .select("doc_id", "lang").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val pred = Q.textLangid(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val want = pred.groupBy { case (id, p) => (declared(id), p) }
+      .view.mapValues(_.length.toLong).toMap
+    assert(rows == want)
+    // this corpus's declared labels are NOISY against the heuristic —
+    // the disagreement mass is exactly what the audit exists to surface
+    val agree = rows.filter { case ((d, p), _) => d == p }.values.sum
+    assert(agree > 0 && agree < n)
+  }
+
   test("imp_hotdeck face leaves no missing cells and preserves observed values") {
     val masked = graft.Tables.maskedCustomer(spark, sf)
       .select("c_custkey", "c_acctbal", "c_mktsegment")
