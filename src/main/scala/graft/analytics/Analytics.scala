@@ -204,6 +204,34 @@ object Analytics {
         ((col("n_events").cast("double") - col("_mu")) / col("_sigma")).as("z"))
   }
 
+  /** Day-of-week-adjusted volume anomaly — the seasonal variant of
+    * [[eventsAnomaly]]: a quiet Sunday is only anomalous against OTHER
+    * Sundays, so each day's z-score is computed against its own weekday's
+    * mean/std ((days+4) mod 7 — the eventsHeatmap integer calendar, no
+    * locale functions). Two aggregations over the daily frame (days, then
+    * 7 weekday rows, broadcast back); exact integer moments, closed-form
+    * doubles. Weekdays observed ≤ twice emit NULL z (std undefined or
+    * zero-df) rather than a fake 0. */
+  def eventsAnomalyDow(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables(spark, dir, "events")
+      .groupBy(expr("ts div 86400000000000").as("d"))
+      .agg(count(lit(1)).as("n_events"))
+      .withColumn("dow", pmod(col("d") + 4, lit(7L)))
+    val st = daily.groupBy("dow").agg(
+        sum("n_events").cast("double").as("_s"),
+        sum(col("n_events") * col("n_events")).cast("double").as("_ss"),
+        count(lit(1)).cast("double").as("_n"))
+      .select(col("dow"), (col("_s") / col("_n")).as("_mu"),
+        when(col("_n") > 1.0,
+          sqrt((col("_ss") - col("_s") * col("_s") / col("_n")) / (col("_n") - 1.0)))
+          .as("_sigma"))
+    daily.join(broadcast(st), "dow")
+      .select(col("d"), col("dow"), col("n_events"),
+        when(col("_sigma") > 0.0,
+          round((col("n_events").cast("double") - col("_mu")) / col("_sigma"), 6))
+          .as("z_dow"))
+  }
+
   /** Open-order backlog aging: orders still open ('O') bucketed by age in
     * 90-day bands against the dataset's reference date (max order date —
     * deterministic, no wall clock), with exact integer value totals. One

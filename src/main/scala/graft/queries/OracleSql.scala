@@ -2290,6 +2290,41 @@ object OracleSql {
         | CAST(max(secs) AS BIGINT) AS max_sec
         |FROM lags""".stripMargin,
 
+    "events_anomaly_dow" ->
+      """WITH daily AS (SELECT epoch_ns(ts) // 86400000000000 AS d,
+        |  CAST(count(*) AS BIGINT) AS n_events
+        | FROM events GROUP BY 1),
+        |dd AS (SELECT d, ((d + 4) % 7 + 7) % 7 AS dow, n_events FROM daily),
+        |st AS (SELECT dow, CAST(SUM(n_events) AS DOUBLE) AS s,
+        |        CAST(SUM(n_events * n_events) AS DOUBLE) AS ss,
+        |        CAST(count(*) AS DOUBLE) AS n
+        |       FROM dd GROUP BY 1),
+        |mu AS (SELECT dow, s / n AS mu,
+        |        CASE WHEN n > 1.0 THEN sqrt((ss - s * s / n) / (n - 1.0)) END AS sigma
+        |       FROM st)
+        |SELECT d, dd.dow, n_events,
+        | CASE WHEN sigma > 0.0
+        |      THEN round((CAST(n_events AS DOUBLE) - mu) / sigma, 6) END AS z_dow
+        |FROM dd JOIN mu ON dd.dow = mu.dow""".stripMargin,
+
+    "embed_norm_audit" ->
+      """WITH b AS (SELECT label,
+        |  CAST(round(sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+        |    for x in embedding])) * 1000000.0, 0) AS BIGINT) AS nq,
+        |  CAST(len(list_filter(embedding, x -> isnan(CAST(x AS DOUBLE)))) AS BIGINT) AS nn
+        | FROM embeddings),
+        |g AS (SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+        |  CAST(SUM(CASE WHEN nq = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+        |  CAST(SUM(nn) AS BIGINT) AS n_nan_components,
+        |  CAST(min(nq) AS BIGINT) AS mn, CAST(max(nq) AS BIGINT) AS mx,
+        |  CAST(SUM(nq) AS BIGINT) AS sn
+        | FROM b GROUP BY label)
+        |SELECT label, n_vecs, n_zero, n_nan_components,
+        | CAST(mn AS DOUBLE) / 1000000.0 AS min_norm,
+        | CAST(CAST(round(CAST(sn AS DOUBLE) / n_vecs, 0) AS BIGINT) AS DOUBLE) / 1000000.0 AS mean_norm,
+        | CAST(mx AS DOUBLE) / 1000000.0 AS max_norm
+        |FROM g""".stripMargin,
+
     "events_overlap" ->
       """WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
         |t AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM ut GROUP BY 1),

@@ -485,6 +485,32 @@ object Q {
         min("y").as("min_y"), max("y").as("max_y"))
   }
 
+  /** Embedding-health audit: per-label norm profile (zero vectors, NaN
+    * components, min/mean/max L2 norm) — the cheap encoder-failure screen
+    * that runs BEFORE centroid-based scoring (a zero or NaN vector
+    * poisons every cosine downstream). Norms quantize to integer 1e-6
+    * units so the label-level sums are order-free; one label-keyed
+    * aggregation, corpus streams once. */
+  def embedNormAudit(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "embeddings")
+      .select(col("label"),
+        round(sqrt(graft.functions.VectorFunctions.dot(
+          toDouble(col("embedding")), toDouble(col("embedding")))) * 1e6, 0)
+          .cast("bigint").as("_nq"),
+        size(filter(col("embedding"), x => isnan(x.cast("double"))))
+          .cast("bigint").as("_nan"))
+      .groupBy("label").agg(
+        count(lit(1)).as("n_vecs"),
+        sum(when(col("_nq") === 0, 1L).otherwise(0L)).as("n_zero"),
+        sum(col("_nan")).as("n_nan_components"),
+        min(col("_nq")).as("_mn"), max(col("_nq")).as("_mx"),
+        sum(col("_nq")).as("_sn"))
+      .select(col("label"), col("n_vecs"), col("n_zero"), col("n_nan_components"),
+        (col("_mn").cast("double") / 1e6).as("min_norm"),
+        (round(col("_sn").cast("double") / col("n_vecs"), 0).cast("bigint")
+          .cast("double") / 1e6).as("mean_norm"),
+        (col("_mx").cast("double") / 1e6).as("max_norm"))
+
   /** Embedding-distribution drift between the even/odd vec_id halves —
     * per-label centroid cosine + max per-dim mean shift
     * ([[graft.similarity.EmbedDrift]]): exact decimal(38) integer algebra

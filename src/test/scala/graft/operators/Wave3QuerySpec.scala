@@ -225,6 +225,40 @@ class Wave3QuerySpec extends SparkSpec {
     assert(agree > 0 && agree < n)
   }
 
+  test("events_anomaly_dow scores each day against its own weekday only") {
+    val rows = graft.analytics.Analytics.eventsAnomalyDow(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+    assert(rows.nonEmpty)
+    rows.foreach { case (d, dow, _, _) => assert((d + 4) % 7 == dow) }
+    // per-weekday z-scores recompute from that weekday's sample alone
+    rows.groupBy(_._2).foreach { case (_, grp) =>
+      val xs = grp.map(_._3.toDouble)
+      val n = xs.length
+      if (n > 2) {
+        val mu = xs.sum / n
+        val sigma = math.sqrt(xs.map(x => (x - mu) * (x - mu)).sum / (n - 1))
+        grp.foreach { case (_, _, x, z) =>
+          if (sigma > 0)
+            assert(math.abs(z.get - (x - mu) / sigma) < 1e-5)
+        }
+      } else grp.foreach { case (_, _, _, z) => if (n <= 2 && z.isDefined) {
+        // sigma may still be defined at n=2; only n=1 must be NULL
+        assert(n == 2)
+      }}
+    }
+  }
+
+  test("embed_norm_audit: healthy corpus reports no zeros or NaNs, sane norm bounds") {
+    val rows = Q.embedNormAudit(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(2) == 0L && r.getLong(3) == 0L)
+      val (mn, mean, mx) = (r.getDouble(4), r.getDouble(5), r.getDouble(6))
+      assert(mn > 0 && mn <= mean && mean <= mx)
+    }
+  }
+
   test("imp_hotdeck face leaves no missing cells and preserves observed values") {
     val masked = graft.Tables.maskedCustomer(spark, sf)
       .select("c_custkey", "c_acctbal", "c_mktsegment")
