@@ -832,10 +832,14 @@ object Analytics {
     * pair expansion is a user-keyed self-join whose fan-out is ≤ types²
     * per user (types is a small enum), rolled up to ≤ types² rows. Exact
     * integers; Jaccard is one 6dp division. */
-  def eventsOverlap(spark: SparkSession, dir: String): DataFrame = {
-    val ut = Tables(spark, dir, "events")
+  /** Pre-checkpoint distinct (user, type) frame — factored for the
+    * PushdownSpec scan tripwire. */
+  def overlapActive(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "events")
       .select(col("user_id"), col("event_type")).distinct()
-      .localCheckpoint(eager = false)
+
+  def eventsOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val ut = overlapActive(spark, dir).localCheckpoint(eager = false)
     val totals = ut.groupBy("event_type").agg(count(lit(1)).as("n"))
     val both = ut.select(col("user_id"), col("event_type").as("type_a"))
       .join(ut.select(col("user_id"), col("event_type").as("type_b")), "user_id")
@@ -889,15 +893,21 @@ object Analytics {
     * side re-keys the SAME frame by day+1, so the whole report is two
     * shuffles (user, then day) and exact integers. The spec pins the
     * identity dau(d) = new + retained + resurrected. */
-  def eventsLifecycle(spark: SparkSession, dir: String): DataFrame = {
+  /** Pre-checkpoint per-(user, day) frame with prev/next activity markers —
+    * factored so PushdownSpec can pin the events scan the lazy checkpoint
+    * hides in the composed plan. */
+  def lifecycleMarked(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val active = Tables(spark, dir, "events")
       .select(col("user_id"), expr("ts div 86400000000000").as("d")).distinct()
     val w = Window.partitionBy("user_id").orderBy("d")
-    val marked = active
+    active
       .withColumn("_prev", lag(col("d"), 1).over(w))
       .withColumn("_next", lead(col("d"), 1).over(w))
-      .localCheckpoint(eager = false)
+  }
+
+  def eventsLifecycle(spark: SparkSession, dir: String): DataFrame = {
+    val marked = lifecycleMarked(spark, dir).localCheckpoint(eager = false)
     val statuses = marked.groupBy("d").agg(
       sum(when(col("_prev").isNull, 1L).otherwise(0L)).as("n_new"),
       sum(when(col("_prev") === col("d") - 1, 1L).otherwise(0L)).as("n_retained"),

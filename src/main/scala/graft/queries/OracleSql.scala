@@ -404,6 +404,21 @@ object OracleSql {
          | coalesce(c_acctbal, CAST(gmv AS DOUBLE) / 100.0, CAST(gv AS DOUBLE) / 100.0) AS acctbal_imp
          |FROM mcv LEFT JOIN gm USING (c_nationkey) CROSS JOIN g""".stripMargin,
 
+    "imp_missing_corr" ->
+      s"""WITH mcv AS ($MCV),
+         |t AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |  CAST(SUM(CASE WHEN c_acctbal IS NULL AND c_mktsegment IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n11,
+         |  CAST(SUM(CASE WHEN c_acctbal IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS na,
+         |  CAST(SUM(CASE WHEN c_mktsegment IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS ns
+         | FROM mcv)
+         |SELECT 'c_acctbal~c_mktsegment' AS pair, n AS n_rows, na AS n_miss_a,
+         | ns AS n_miss_b, n11 AS n_miss_both,
+         | round((CAST(n11 AS DOUBLE) * CAST(n AS DOUBLE)
+         |   - CAST(na AS DOUBLE) * CAST(ns AS DOUBLE))
+         |  / sqrt(CAST(na AS DOUBLE) * CAST(n - na AS DOUBLE)
+         |    * CAST(ns AS DOUBLE) * CAST(n - ns AS DOUBLE)), 6) AS phi
+         |FROM t""".stripMargin,
+
     "imp_group_median" ->
       s"""WITH mcv AS ($MCV),
          |gm AS (SELECT c_nationkey,

@@ -42,6 +42,30 @@ object Q {
         col("c_mktsegment").isNull.as("seg_missing"))
       .agg(count(lit(1)).as("n_rows"))
 
+  /** Co-missingness association: the φ coefficient between the two mask
+    * indicators — the number that separates MCAR-looking masks (φ≈0) from
+    * structurally coupled missingness (the case where listwise deletion
+    * and independent per-column imputes both bias). One conditional
+    * aggregation pass (the 2×2 table), closed-form φ from exact integers,
+    * 6dp round. */
+  def impMissingCorr(s: SparkSession, dir: String): DataFrame = {
+    val mc = Tables.maskedCustomer(s, dir)
+    mc.agg(
+        count(lit(1)).as("_n"),
+        sum(when(col("c_acctbal").isNull && col("c_mktsegment").isNull, 1L)
+          .otherwise(0L)).as("_n11"),
+        sum(when(col("c_acctbal").isNull, 1L).otherwise(0L)).as("_na"),
+        sum(when(col("c_mktsegment").isNull, 1L).otherwise(0L)).as("_ns"))
+      .select(lit("c_acctbal~c_mktsegment").as("pair"),
+        col("_n").as("n_rows"), col("_na").as("n_miss_a"),
+        col("_ns").as("n_miss_b"), col("_n11").as("n_miss_both"),
+        round((col("_n11").cast("double") * col("_n").cast("double")
+          - col("_na").cast("double") * col("_ns").cast("double"))
+          / sqrt(col("_na").cast("double") * (col("_n") - col("_na")).cast("double")
+            * col("_ns").cast("double") * (col("_n") - col("_ns")).cast("double")), 6)
+          .as("phi"))
+  }
+
   def impFfillBfill(s: SparkSession, dir: String): DataFrame =
     FfillBfill.ffillThenBfill(Tables.maskedCustomer(s, dir), "c_custkey",
         Seq("c_acctbal", "c_mktsegment"))

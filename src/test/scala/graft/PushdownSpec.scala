@@ -255,6 +255,27 @@ class PushdownSpec extends SparkSpec {
       s"hot-deck face must drop c_name at the scan, got $hd")
   }
 
+  test("late wave-3 faces prune their scans to exactly the consumed columns") {
+    def cols(q: String, rel: String) =
+      scansOf(SparkEntry.queries(q)(spark, sf), rel).map(readColumns)
+        .reduceOption(_ union _).getOrElse(Set.empty)
+    // lifecycle's composed plan sits behind its lazy checkpoint — pin the
+    // pre-checkpoint builder (the assoc/dedup pattern)
+    assert(scansOf(graft.analytics.Analytics.lifecycleMarked(spark, sf), "events")
+      .map(readColumns).reduce(_ union _) == Set("user_id", "ts"))
+    assert(scansOf(graft.analytics.Analytics.overlapActive(spark, sf), "events")
+      .map(readColumns).reduce(_ union _) == Set("user_id", "event_type"))
+    assert(cols("events_gini", "events") == Set("user_id"))
+    assert(cols("orders_cltv", "orders") ==
+      Set("o_custkey", "o_totalprice", "o_orderdate"))
+    assert(cols("layout_zorder", "orders") == Set("o_custkey", "o_orderdate"))
+    assert(cols("corpus_scorecard", "documents") ==
+      Set("source", "lang", "n_chars", "text"))
+    assert(cols("embed_norm_audit", "embeddings") == Set("label", "embedding"))
+    assert(cols("embed_drift", "embeddings") ==
+      Set("vec_id", "label", "embedding"))
+  }
+
   test("daily rollup and events_trigrams read only their event columns") {
     val t = scansOf(graft.analytics.Analytics.dailyTypeCounts(spark, sf), "events")
       .map(readColumns).reduce(_ union _)

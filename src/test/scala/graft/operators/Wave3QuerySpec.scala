@@ -259,6 +259,22 @@ class Wave3QuerySpec extends SparkSpec {
     }
   }
 
+  test("imp_missing_corr: phi matches the driver 2x2 recompute; masks are near-independent") {
+    val r = Q.impMissingCorr(spark, sf).collect().head
+    val masked = graft.Tables.maskedCustomer(spark, sf)
+      .select(col("c_acctbal").isNull, col("c_mktsegment").isNull)
+      .as[(Boolean, Boolean)].collect()
+    val n = masked.length.toDouble
+    val na = masked.count(_._1).toDouble
+    val ns = masked.count(_._2).toDouble
+    val n11 = masked.count(r => r._1 && r._2).toDouble
+    val phi = (n11 * n - na * ns) / math.sqrt(na * (n - na) * ns * (n - ns))
+    assert(r.getLong(1) == n.toLong && r.getLong(4) == n11.toLong)
+    assert(math.abs(r.getDouble(5) - phi) < 1e-6)
+    // the %7 / %11 masks are structurally near-independent — phi small
+    assert(math.abs(r.getDouble(5)) < 0.2)
+  }
+
   test("imp_hotdeck face leaves no missing cells and preserves observed values") {
     val masked = graft.Tables.maskedCustomer(spark, sf)
       .select("c_custkey", "c_acctbal", "c_mktsegment")
