@@ -497,8 +497,11 @@ object Analytics {
   def qAssoc(spark: SparkSession, dir: String): DataFrame = {
     val baskets = assocBaskets(spark, dir).localCheckpoint(eager = false)
     val nOrders = baskets.agg(count(lit(1)).as("_n"))
+    // the item-count frame feeds BOTH join sides; un-pinned, Catalyst
+    // re-runs the explode+agg once per side (verified in the plan dump)
     val items = baskets.select(explode(col("_ps")).as("part"))
       .groupBy("part").agg(count(lit(1)).as("n_item"))
+      .localCheckpoint(eager = false)
     val pairs = baskets
       .select(explode(expr(
         "flatten(transform(_ps, (x, i) -> " +
