@@ -494,8 +494,11 @@ object Analytics {
     Tables(spark, dir, "lineitem")
       .groupBy("l_orderkey").agg(sort_array(collect_set(col("l_partkey"))).as("_ps"))
 
-  def qAssoc(spark: SparkSession, dir: String): DataFrame = {
-    val baskets = assocBaskets(spark, dir).localCheckpoint(eager = false)
+  /** Library face: association rules over any (basket-id, sorted distinct
+    * item array `_ps`) frame — see [[qAssoc]] for the scale commentary. */
+  def associationRules(basketsIn: DataFrame, minSupport: Long,
+                       topK: Int): DataFrame = {
+    val baskets = basketsIn.localCheckpoint(eager = false)
     val nOrders = baskets.agg(count(lit(1)).as("_n"))
     // the item-count frame feeds BOTH join sides; un-pinned, Catalyst
     // re-runs the explode+agg once per side (verified in the plan dump)
@@ -508,7 +511,7 @@ object Analytics {
           "transform(slice(_ps, i + 2, size(_ps)), y -> struct(x, y))))")).as("_p"))
       .select(col("_p.x").as("part_a"), col("_p.y").as("part_b"))
       .groupBy("part_a", "part_b").agg(count(lit(1)).as("n_ab"))
-      .filter(col("n_ab") >= 2)
+      .filter(col("n_ab") >= minSupport)
     pairs
       .join(items.select(col("part").as("part_a"), col("n_item").as("_na")), "part_a")
       .join(items.select(col("part").as("part_b"), col("n_item").as("_nb")), "part_b")
@@ -520,8 +523,11 @@ object Analytics {
         round(col("n_ab").cast("double") * col("_n").cast("double")
           / (col("_na").cast("double") * col("_nb").cast("double")), 6).as("lift"))
       .orderBy(col("lift").desc, col("part_a"), col("part_b"))
-      .limit(20)
+      .limit(topK)
   }
+
+  def qAssoc(spark: SparkSession, dir: String): DataFrame =
+    associationRules(assocBaskets(spark, dir), minSupport = 2L, topK = 20)
 
   /** Conversion-lag distribution: seconds from each converting user's FIRST
     * view to their first subsequent purchase — the latency face of
@@ -864,12 +870,16 @@ object Analytics {
     * and the rank-weighted sum Σ i·xᵢ unrolls per value block as
     * m·C₍₋₎ + m(m+1)/2 from a window over that collapsed frame (the
     * lint-sanctioned aggregate-below shape). Exact integers until the
-    * final division. */
-  def eventsGini(spark: SparkSession, dir: String): DataFrame = {
+    * final division. Library face [[giniOf]] takes any (key, cnt) frame. */
+  def eventsGini(spark: SparkSession, dir: String): DataFrame =
+    giniOf(Tables(spark, dir, "events")
+      .groupBy("user_id").agg(count(lit(1)).as("cnt")))
+
+  /** Gini over any frame with a positive bigint `cnt` column — the
+    * value-histogram rank-sum unroll described on [[eventsGini]]. */
+  def giniOf(perKey: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val perUser = Tables(spark, dir, "events")
-      .groupBy("user_id").agg(count(lit(1)).as("cnt"))
-    val hist = perUser.groupBy("cnt").agg(count(lit(1)).as("m"))
+    val hist = perKey.groupBy("cnt").agg(count(lit(1)).as("m"))
     val w = Window.orderBy("cnt").rowsBetween(Window.unboundedPreceding, 0)
     val blocks = hist
       .withColumn("_cle", sum(col("m")).over(w))
