@@ -76,6 +76,40 @@ object StreamScalingBench {
       } finally q.stop()
     }
 
+    // ---- stream_bots: U users over W minute windows with B planted
+    // bursters — state is the open (window, user) counts (≤ W×U), output
+    // is ONE alert per (burster, burst window) regardless of n
+    for (n <- Seq(2000, 20000, 100000)) {
+      val users = 500
+      val windows = 30
+      val bursters = 2
+      val evs = (0 until n).map { i =>
+        // 5% of traffic concentrates on 2 bursters IN THE CURRENT window
+        // (bursts riding event-time keeps them ahead of the watermark at
+        // every volume; per-(burster, window) burst ≈ n/1200)
+        val burst = i % 20 == 0
+        val uid = if (burst) (i / 20) % bursters else (i * 2654435761L % users).abs + 100L
+        val w = i.toLong * windows / n
+        SEv(new Timestamp(base + w * 60000L + (i % 50) * 10L), "click", 1.0, uid)
+      }
+      val input = MemoryStream[SEv]
+      val out = graft.streaming.Streams.botAlerts(
+        input.toDF().withColumnRenamed("event_id", "user_id"), "ts", "user_id",
+        threshold = 15L)
+      val q = out.writeStream.format("memory").queryName(s"sb_bots_$n")
+        .outputMode("append").start()
+      try {
+        val t0 = System.nanoTime()
+        evs.grouped(n / 4).foreach { g => input.addData(g: _*); q.processAllAvailable() }
+        val live = Option(q.lastProgress).map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(-1L)
+        input.addData(SEv(new Timestamp(base + 1000L * 60000L), "click", 1.0, 1L))
+        q.processAllAvailable()
+        val secs = (System.nanoTime() - t0) / 1e9
+        if (n > 2000)
+          record("stream_bots", n, secs, live, spark.table(s"sb_bots_$n").count())
+      } finally q.stop()
+    }
+
     // ---- stream_curate: D distinct texts at ~5× duplication — state is
     // the kept content hashes inside the watermark, bounded by D not n
     for (n <- Seq(2000, 20000, 100000)) {
