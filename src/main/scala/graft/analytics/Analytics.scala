@@ -1001,6 +1001,45 @@ object Analytics {
         (col("_r.e").cast("double") / 1000000.0).as("ewma"))
   }
 
+  /** Holt double-exponential smoothing (level + trend) of the daily
+    * series — one model order above [[ewmaOverDaily]]: the EWMA lags a
+    * trending series by design; Holt's trend state closes the lag and its
+    * (level + trend) one-step forecast is the natural upgrade of the
+    * seasonal-naive baseline events_forecast_eval scores. Identical
+    * execution/determinism discipline: a row-local integer fixed-point
+    * fold over each type's sorted day array (α=0.3, β=0.2 as exact /10
+    * rationals, 1e-6 units, floor-div — bitwise replayable by the
+    * oracle's recursive CTE), ONE type-keyed shuffle, days-bounded rows. */
+  def eventsHolt(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "events")
+      .groupBy(col("event_type"), expr("ts div 86400000000000").as("d"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy("event_type")
+      .agg(sort_array(collect_list(struct(col("d"), col("n")))).as("_days"))
+      .select(col("event_type"), explode(expr(
+        """aggregate(
+          | _days,
+          | struct(CAST(-1 AS BIGINT) AS l, CAST(0 AS BIGINT) AS b,
+          |        CAST(array() AS ARRAY<STRUCT<d: BIGINT, n: BIGINT,
+          |          l: BIGINT, b: BIGINT>>) AS out),
+          | (acc, x) -> struct(
+          |   IF(acc.l < 0, x.n * 1000000L,
+          |      (3000000L * x.n + 7L * (acc.l + acc.b)) div 10) AS l,
+          |   IF(acc.l < 0, CAST(0 AS BIGINT),
+          |      (2L * ((3000000L * x.n + 7L * (acc.l + acc.b)) div 10 - acc.l)
+          |       + 8L * acc.b) div 10) AS b,
+          |   array_append(acc.out, struct(x.d AS d, x.n AS n,
+          |     IF(acc.l < 0, x.n * 1000000L,
+          |        (3000000L * x.n + 7L * (acc.l + acc.b)) div 10) AS l,
+          |     IF(acc.l < 0, CAST(0 AS BIGINT),
+          |        (2L * ((3000000L * x.n + 7L * (acc.l + acc.b)) div 10 - acc.l)
+          |         + 8L * acc.b) div 10) AS b)) AS out),
+          | acc -> acc.out)""".stripMargin)).as("_r"))
+      .select(col("event_type"), col("_r.d").as("d"), col("_r.n").as("n_events"),
+        (col("_r.l").cast("double") / 1000000.0).as("level"),
+        (col("_r.b").cast("double") / 1000000.0).as("trend"),
+        ((col("_r.l") + col("_r.b")).cast("double") / 1000000.0).as("forecast_next"))
+
   /** Binned range join: revenue falling inside recurring promo windows
     * ([min+100k, min+100k+35) days, a derived interval table). A naive
     * range join is O(rows × windows); because the windows have a fixed

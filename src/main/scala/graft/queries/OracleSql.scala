@@ -2186,6 +2186,27 @@ object OracleSql {
         |SELECT event_type, d, n AS n_events, CAST(e AS DOUBLE) / 1000000.0 AS ewma
         |FROM ew""".stripMargin,
 
+    "events_holt" ->
+      """WITH RECURSIVE daily AS (
+        |  SELECT event_type, epoch_ns(ts) // 86400000000000 AS d,
+        |         CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |rd AS (SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY d) AS rn
+        |       FROM daily),
+        |h AS (
+        |  SELECT event_type, d, n, rn, n * 1000000 AS l, CAST(0 AS BIGINT) AS b
+        |  FROM rd WHERE rn = 1
+        |  UNION ALL
+        |  SELECT rd.event_type, rd.d, rd.n, rd.rn,
+        |   (3000000 * rd.n + 7 * (h.l + h.b)) // 10,
+        |   (2 * ((3000000 * rd.n + 7 * (h.l + h.b)) // 10 - h.l) + 8 * h.b) // 10
+        |  FROM rd JOIN h ON rd.event_type = h.event_type AND rd.rn = h.rn + 1)
+        |SELECT event_type, d, n AS n_events,
+        | CAST(l AS DOUBLE) / 1000000.0 AS level,
+        | CAST(b AS DOUBLE) / 1000000.0 AS trend,
+        | CAST(l + b AS DOUBLE) / 1000000.0 AS forecast_next
+        |FROM h""".stripMargin,
+
     "range_join" ->
       """WITH anchor AS (SELECT min(CAST(l_shipdate AS DATE)) AS d0 FROM lineitem),
         |w AS (SELECT range AS window_id FROM range(0, 1000000)

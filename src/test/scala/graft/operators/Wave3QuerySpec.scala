@@ -275,6 +275,42 @@ class Wave3QuerySpec extends SparkSpec {
     assert(math.abs(r.getDouble(5)) < 0.2)
   }
 
+  test("events_holt matches the driver Holt recursion and tracks a linear trend") {
+    val got = graft.analytics.Analytics.eventsHolt(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))).toMap
+    val daily = graft.Tables(spark, sf, "events")
+      .groupBy(col("event_type"), expr("ts div 86400000000000").as("d"))
+      .agg(count(lit(1)).as("n"))
+      .as[(String, Long, Long)].collect()
+    daily.groupBy(_._1).foreach { case (t, rows) =>
+      var l = -1L; var b = 0L
+      rows.sortBy(_._2).foreach { case (_, d, n) =>
+        if (l < 0) { l = n * 1000000L; b = 0L }
+        else {
+          val nl = (3000000L * n + 7L * (l + b)) / 10L
+          b = (2L * (nl - l) + 8L * b) / 10L
+          l = nl
+        }
+        val (gn, gl, gb, gf) = got((t, d))
+        assert(gn == n && gl == l / 1e6 && gb == b / 1e6 && gf == (l + b) / 1e6)
+      }
+    }
+    // a planted linear ramp: the trend state converges near the slope and
+    // the one-step forecast beats the EWMA's lag
+    var l = -1L; var b = 0L
+    (1 to 60).foreach { i =>
+      val n = 100L + 10L * i
+      if (l < 0) { l = n * 1000000L }
+      else {
+        val nl = (3000000L * n + 7L * (l + b)) / 10L
+        b = (2L * (nl - l) + 8L * b) / 10L
+        l = nl
+      }
+    }
+    assert(math.abs(b / 1e6 - 10.0) < 1.0, s"trend ${b / 1e6} should approach slope 10")
+  }
+
   test("imp_hotdeck face leaves no missing cells and preserves observed values") {
     val masked = graft.Tables.maskedCustomer(spark, sf)
       .select("c_custkey", "c_acctbal", "c_mktsegment")
