@@ -39,6 +39,22 @@ case class NearDupAlert(doc_id: Long, matched_id: Long, hamming: Int)
 /** Bounded per-chunk-group memory of recent fingerprints. */
 case class ChunkMemory(entries: List[(Long, Long)]) // (doc_id, fp), newest first
 
+/** One typed event pre-bucketed to its epoch day (see
+  * [[Streams.holtSmoothed]]). */
+case class TypedDayEvent(event_type: String, d: Long)
+
+/** Per-type streaming Holt model state: the open day's partial count, the
+  * integer fixed-point (level, trend) recursion state, and the last
+  * closed day (the late-event fence). */
+case class HoltModelState(curD: Long, curN: Long, l: Long, b: Long,
+                          lastClosed: Long)
+
+/** One CLOSED day's smoothed point emitted by [[Streams.holtSmoothed]] —
+  * bitwise the batch [[graft.analytics.Analytics.eventsHolt]] row for the
+  * same day sequence. */
+case class HoltPoint(event_type: String, d: Long, n_events: Long,
+                     level: Double, trend: Double, forecast_next: Double)
+
 /** Event record for streaming attribution: any event type; view/click
   * update the per-user touch state, purchase emits. */
 case class TouchEvent(user_id: Long, t: Long, event_type: String, event_id: Long)
@@ -308,6 +324,51 @@ object Streams {
       .filter(col("n_events") >= threshold)
       .select(col("window.start").as("window_start"),
         col(idCol).as("user_id"), col("n_events"))
+
+  /** Streaming Holt smoothing — LIVE MODEL STATE in the state store: the
+    * real-time face of the batch `Analytics.eventsHolt`. Per event type,
+    * state carries the open day's partial count plus the integer
+    * fixed-point (level, trend) recursion (α=0.3, β=0.2 — the IDENTICAL
+    * algebra, so an emitted point is bitwise the batch row for the same
+    * day sequence, which the spec pins). A day CLOSES when a later day's
+    * first event arrives for that type; the closed day folds into the
+    * model and emits one [[HoltPoint]] — exactly-once per (type, day).
+    * State is one small record per event type (enum-sized), never
+    * event- or day-volume; events for already-closed days are DROPPED
+    * (documented late policy — align the upstream watermark with the
+    * day grain to bound it). */
+  def holtSmoothed(events: Dataset[TypedDayEvent]): Dataset[HoltPoint] = {
+    implicit val outEnc = Encoders.product[HoltPoint]
+    implicit val stEnc = Encoders.product[HoltModelState]
+    events.groupByKey(_.event_type)(Encoders.STRING)
+      .flatMapGroupsWithState[HoltModelState, HoltPoint](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (t: String, batch: Iterator[TypedDayEvent], state: GroupState[HoltModelState]) =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[HoltPoint]
+          var st = state.getOption.getOrElse(
+            HoltModelState(-1L, 0L, -1L, 0L, Long.MinValue))
+          def close(): Unit = if (st.curD >= 0) {
+            val (nl, nb) =
+              if (st.l < 0) (st.curN * 1000000L, 0L)
+              else {
+                val nl0 = (3000000L * st.curN + 7L * (st.l + st.b)) / 10L
+                (nl0, (2L * (nl0 - st.l) + 8L * st.b) / 10L)
+              }
+            out += HoltPoint(t, st.curD, st.curN,
+              nl / 1e6, nb / 1e6, (nl + nb) / 1e6)
+            st = HoltModelState(-1L, 0L, nl, nb, st.curD)
+          }
+          // events within a micro-batch arrive unordered: sort the group
+          batch.toSeq.sortBy(_.d).foreach { e =>
+            if (e.d <= st.lastClosed) () // late for a closed day: dropped
+            else if (st.curD < 0) st = st.copy(curD = e.d, curN = 1L)
+            else if (e.d == st.curD) st = st.copy(curN = st.curN + 1L)
+            else if (e.d > st.curD) { close(); st = st.copy(curD = e.d, curN = 1L) }
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
 
   /** Stream-stream interval join: pair each purchase with every click by
     * the same user in the preceding `horizonSec` seconds. Both sides carry

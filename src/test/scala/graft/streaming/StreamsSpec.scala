@@ -107,6 +107,38 @@ class StreamsSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming Holt emits closed days bitwise-equal to the batch recursion; late days drop") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[TypedDayEvent]
+    val out = Streams.holtSmoothed(input.toDS())
+    val query = out.writeStream.format("memory").queryName("holt_out")
+      .outputMode("append").start()
+    try {
+      // day counts: d0=3, d1=2, d2=2 (split across batches), d3 opens
+      input.addData(Seq(0L, 0L, 0L, 1L, 1L, 2L).map(TypedDayEvent("click", _)): _*)
+      query.processAllAvailable()
+      input.addData(Seq(2L, 3L, 0L).map(TypedDayEvent("click", _)): _*)
+      query.processAllAvailable()
+      val got = spark.table("holt_out")
+        .as[HoltPoint].collect().sortBy(_.d).toSeq
+      // driver-side reference over the closed days (0, 1, 2); the late
+      // day-0 event in batch 2 must NOT change day 0's already-emitted
+      // count, and day 2's count must include BOTH batches' events
+      var l = -1L; var b = 0L
+      val want = Seq((0L, 3L), (1L, 2L), (2L, 2L)).map { case (d, n) =>
+        if (l < 0) { l = n * 1000000L; b = 0L }
+        else {
+          val nl = (3000000L * n + 7L * (l + b)) / 10L
+          b = (2L * (nl - l) + 8L * b) / 10L
+          l = nl
+        }
+        HoltPoint("click", d, n, l / 1e6, b / 1e6, (l + b) / 1e6)
+      }
+      assert(got == want, s"got $got")
+    } finally query.stop()
+  }
+
   test("streaming windowed HLL distinct matches exact counts on small cardinalities") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
