@@ -27,8 +27,10 @@ object ScalingBench {
     // cost), the fuzzy pair join, and the KS band self-join
     "graph_pagerank", "graph_triangles", "fuzzy_join", "profile_ks",
     // wave-3: the two-path link join, the basket pair expansion, the
-    // (label, half, dim) drift rollup, and the user-window lifecycle
-    "graph_linkpred", "orders_assoc", "embed_drift", "events_lifecycle")
+    // (label, half, dim) drift rollup, the user-window lifecycle, the
+    // dual-lineage dedup audit, and the Lloyd-pass topic miner
+    "graph_linkpred", "orders_assoc", "embed_drift", "events_lifecycle",
+    "dedup_recall", "text_topics")
 
   def main(args: Array[String]): Unit = {
     val sfDirs = sys.env.getOrElse("SPARK_GRAFT_SF_DIRS",
