@@ -1001,6 +1001,42 @@ object Analytics {
         (col("_r.e").cast("double") / 1000000.0).as("ewma"))
   }
 
+  /** Customer spend-quartile migration: bucket every customer's spend into
+    * quartiles separately for the EARLY and LATE half of the order
+    * history (split at the integer midpoint of the date range — no wall
+    * clock), then count the (early-quartile → late-quartile) transition
+    * matrix; bucket 0 = absent from that half. The segment-migration view
+    * every retention deck carries, built scale-safe: per-half spends are
+    * custkey aggregations, the quartile thresholds are 1-row exact-cents
+    * percentile aggregates broadcast back (never ntile over a global
+    * sort), the matrix is a ≤5×5 rollup. All-integer cent comparisons. */
+  def ordersMigration(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables(spark, dir, "orders").select(col("o_custkey"),
+      cents(col("o_totalprice"), 2).as("_tc"),
+      expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000").as("_d"))
+    val mid = o.agg(expr("(min(_d) + max(_d)) div 2").as("_mid"))
+    val tagged = o.crossJoin(broadcast(mid)).localCheckpoint(eager = false)
+    def half(cond: Column) = tagged.filter(cond)
+      .groupBy("o_custkey").agg(sum(col("_tc")).as("_s"))
+    def quartile(spend: DataFrame): DataFrame =
+      spend.agg(
+        round(expr("percentile(_s, 0.25D)"), 0).cast("bigint").as("_q1"),
+        round(expr("percentile(_s, 0.5D)"), 0).cast("bigint").as("_q2"),
+        round(expr("percentile(_s, 0.75D)"), 0).cast("bigint").as("_q3"))
+    def bucket(spend: DataFrame, out: String): DataFrame =
+      spend.crossJoin(broadcast(quartile(spend)))
+        .select(col("o_custkey"),
+          when(col("_s") <= col("_q1"), 1L)
+            .when(col("_s") <= col("_q2"), 2L)
+            .when(col("_s") <= col("_q3"), 3L)
+            .otherwise(4L).as(out))
+    bucket(half(col("_d") <= col("_mid")), "q_early")
+      .join(bucket(half(col("_d") > col("_mid")), "q_late"), Seq("o_custkey"), "full_outer")
+      .groupBy(coalesce(col("q_early"), lit(0L)).as("q_early"),
+        coalesce(col("q_late"), lit(0L)).as("q_late"))
+      .agg(count(lit(1)).as("n_customers"))
+  }
+
   /** Holt double-exponential smoothing (level + trend) of the daily
     * series — one model order above [[ewmaOverDaily]]: the EWMA lags a
     * trending series by design; Holt's trend state closes the lag and its

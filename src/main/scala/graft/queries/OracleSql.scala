@@ -429,6 +429,34 @@ object OracleSql {
          | coalesce(c_acctbal, CAST(gmv AS DOUBLE) / 100.0, CAST(gv AS DOUBLE) / 100.0) AS acctbal_imp
          |FROM mcv LEFT JOIN gm USING (c_nationkey) CROSS JOIN g""".stripMargin,
 
+    "orders_migration" ->
+      s"""WITH o AS (SELECT o_custkey, ${ac("o_totalprice")} AS tc,
+         |  epoch_ms(o_orderdate) // 86400000 AS d FROM orders),
+         |mid AS (SELECT (min(d) + max(d)) // 2 AS m FROM o),
+         |e AS (SELECT o_custkey, CAST(SUM(tc) AS BIGINT) AS s
+         |      FROM o CROSS JOIN mid WHERE d <= m GROUP BY 1),
+         |l AS (SELECT o_custkey, CAST(SUM(tc) AS BIGINT) AS s
+         |      FROM o CROSS JOIN mid WHERE d > m GROUP BY 1),
+         |eq AS (SELECT CAST(round(quantile_cont(s, 0.25), 0) AS BIGINT) AS q1,
+         |        CAST(round(quantile_cont(s, 0.5), 0) AS BIGINT) AS q2,
+         |        CAST(round(quantile_cont(s, 0.75), 0) AS BIGINT) AS q3 FROM e),
+         |lq AS (SELECT CAST(round(quantile_cont(s, 0.25), 0) AS BIGINT) AS q1,
+         |        CAST(round(quantile_cont(s, 0.5), 0) AS BIGINT) AS q2,
+         |        CAST(round(quantile_cont(s, 0.75), 0) AS BIGINT) AS q3 FROM l),
+         |eb AS (SELECT o_custkey,
+         |        CASE WHEN s <= q1 THEN 1 WHEN s <= q2 THEN 2
+         |             WHEN s <= q3 THEN 3 ELSE 4 END AS q_early
+         |       FROM e CROSS JOIN eq),
+         |lb AS (SELECT o_custkey,
+         |        CASE WHEN s <= q1 THEN 1 WHEN s <= q2 THEN 2
+         |             WHEN s <= q3 THEN 3 ELSE 4 END AS q_late
+         |       FROM l CROSS JOIN lq)
+         |SELECT CAST(coalesce(q_early, 0) AS BIGINT) AS q_early,
+         | CAST(coalesce(q_late, 0) AS BIGINT) AS q_late,
+         | CAST(count(*) AS BIGINT) AS n_customers
+         |FROM eb FULL OUTER JOIN lb USING (o_custkey)
+         |GROUP BY 1, 2""".stripMargin,
+
     "orders_cltv" ->
       s"""WITH o AS (SELECT o_custkey, ${ac("o_totalprice")} AS tc,
          |  epoch_ms(o_orderdate) // 86400000 AS d FROM orders),

@@ -328,6 +328,28 @@ class Wave3QuerySpec extends SparkSpec {
     assert(nCross >= 0)
   }
 
+  test("orders_migration: matrix covers every customer once per half, quartiles balance") {
+    val rows = graft.analytics.Analytics.ordersMigration(spark, sf)
+      .as[(Long, Long, Long)].collect()
+    val o = graft.Tables(spark, sf, "orders")
+      .select(col("o_custkey"),
+        expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000").as("d"))
+      .as[(Long, Long)].collect()
+    val mid = (o.map(_._2).min + o.map(_._2).max) / 2
+    val early = o.filter(_._2 <= mid).map(_._1).toSet
+    val late = o.filter(_._2 > mid).map(_._1).toSet
+    // every customer appears in exactly one matrix cell
+    assert(rows.map(_._3).sum == (early ++ late).size)
+    // row/column marginals: bucket 0 counts = customers absent that half
+    assert(rows.filter(_._1 == 0).map(_._3).sum == (late -- early).size)
+    assert(rows.filter(_._2 == 0).map(_._3).sum == (early -- late).size)
+    // quartile buckets 1..4 are near-balanced within each present half
+    val earlyCounts = rows.filter(_._1 > 0).groupBy(_._1)
+      .view.mapValues(_.map(_._3).sum).toMap
+    val n = early.size.toDouble
+    earlyCounts.values.foreach(c => assert(c > 0 && c <= n * 0.35 + 2))
+  }
+
   test("imp_hotdeck face leaves no missing cells and preserves observed values") {
     val masked = graft.Tables.maskedCustomer(spark, sf)
       .select("c_custkey", "c_acctbal", "c_mktsegment")
