@@ -9,14 +9,26 @@ import graft.Tables
   * the shape GraphX/Pregel lower to anyway, kept declarative so Catalyst
   * plans the shuffles): each PageRank iteration is ONE source-keyed join
   * of the rank frame against the edge list plus ONE target-keyed
-  * aggregation; triangle counting is the ordered two-path join semi-joined
-  * against the closing edge.
+  * aggregation; triangle counting enumerates wedges in the DEGREE-ORIENTED
+  * graph (every undirected edge directed from its lower-(degree, id)
+  * endpoint to the higher) and semi-joins them against the oriented
+  * closing edge.
+  *
+  * Why degree orientation: with edges oriented low→high degree, every
+  * out-degree is O(√E) (a node of degree d > √E has all but √E of its
+  * edges pointing AT it), so the wedge join's total fan-out is
+  * Σ outdeg² = O(E^1.5) — and, crucially for a 1000-executor cluster, no
+  * single join key carries more than O(E) pairs even when one hub node
+  * holds a constant fraction of all edges. Id-ordering (the naive plan)
+  * leaves a low-id hub contributing deg² pairs on one key.
   *
   * Determinism discipline: ranks are FIXED-POINT BIGINTs (units of 1e-12)
   * — every contribution is integer multiply/floor-divide, every fold an
   * order-free integer sum, so a DuckDB oracle replaying the same algebra
   * as a chained-CTE unrolled loop is bitwise identical. No doubles exist
-  * anywhere in the operator.
+  * anywhere in the operator. Triangle/link-pred outputs are order-free
+  * counts, so the orientation change is plan-only: results are bitwise
+  * identical to the id-ordered plan.
   */
 object Graph {
 
@@ -38,19 +50,30 @@ object Graph {
   }
 
   /** Weighted PageRank, `iters` synchronous iterations, damping 0.85, over
-    * a directed edge list (u, v, w). Nodes are the edge sources (symmetric
-    * input ⇒ no dangling mass). Returns (part, out_weight, rank_scaled)
-    * with rank in fixed-point 1e-12 units. Each iteration shuffles ONLY on
-    * node id; the edge and out-weight frames are checkpointed once and
-    * re-joined per iteration; the node count rides a broadcast scalar
-    * frame. Floor-division mass loss is deliberate (exactness over mass
-    * conservation) and identical in the oracle's unrolled CTE chain. */
+    * a directed edge list (u, v, w). Nodes are the edge sources; an edge
+    * TARGET with no out-edges would silently lose rank mass, so the plan
+    * carries an `assert_true` guard that fails the job on the first
+    * dangling target (one left-anti count riding the already-checkpointed
+    * frames — symmetric co-occurrence input never trips it). Returns
+    * (part, out_weight, rank_scaled) with rank in fixed-point 1e-12 units.
+    * Each iteration shuffles ONLY on node id; the edge and out-weight
+    * frames are checkpointed once and re-joined per iteration; the node
+    * count rides a broadcast scalar frame. Floor-division mass loss is
+    * deliberate (exactness over mass conservation) and identical in the
+    * oracle's unrolled CTE chain. */
   def pageRank(edges: DataFrame, iters: Int): DataFrame = {
     val e = edges.localCheckpoint(eager = false)
     val outw = e.groupBy("u").agg(sum(col("w")).as("wu"))
       .localCheckpoint(eager = false)
     val nRow = outw.agg(count(lit(1)).as("n"))
-    var r = outw.crossJoin(broadcast(nRow))
+    // dangling-mass guard: every target must appear as a source
+    val dangRow = e.select(col("v"))
+      .join(outw.select(col("u")), col("v") === col("u"), "left_anti")
+      .agg(count(lit(1)).as("n_dangling"))
+    var r = outw.crossJoin(broadcast(nRow)).crossJoin(broadcast(dangRow))
+      .filter(assert_true(col("n_dangling") === 0,
+        lit("pageRank: edge targets with no out-edges would lose rank mass;" +
+          " symmetrize the input or drop sink edges")).isNull)
       .select(col("u").as("node"), expr(s"${Scale}L div n").as("rank"))
     for (_ <- 1 to iters) {
       // AQE picks broadcast vs shuffle for the node-sized rank/outw
@@ -74,23 +97,53 @@ object Graph {
         col("rank").as("rank_scaled"))
   }
 
+  /** Degree-orient the canonical (u < v) undirected edge frame: each edge
+    * becomes (s, t, dt) directed from its lower-(degree, id) endpoint s to
+    * the higher t, with dt = deg(t) carried so wedge pairs can be ordered
+    * by the same total order without a further degree join. Degrees are
+    * counted in the thresholded graph itself. */
+  private[graph] def orient(und: DataFrame): DataFrame = {
+    val deg = und.select(col("u").as("x")).union(und.select(col("v").as("x")))
+      .groupBy("x").agg(count(lit(1)).as("d"))
+    val uFirst = col("du") < col("dv") ||
+      (col("du") === col("dv") && col("u") < col("v"))
+    und.join(deg.select(col("x").as("u"), col("d").as("du")), "u")
+      .join(deg.select(col("x").as("v"), col("d").as("dv")), "v")
+      .select(
+        when(uFirst, col("u")).otherwise(col("v")).as("s"),
+        when(uFirst, col("v")).otherwise(col("u")).as("t"),
+        when(uFirst, col("dv")).otherwise(col("du")).as("dt"))
+  }
+
+  /** Out-neighbor pairs of each oriented source: (s, a, b) with
+    * (deg(a), a) ≺ (deg(b), b). Total row count is Σ outdeg(s)² =
+    * O(E^1.5); the per-key (per-s) fan-out is outdeg(s)² = O(E). */
+  private[graph] def orientedWedges(o: DataFrame): DataFrame =
+    o.select(col("s"), col("t").as("a"), col("dt").as("da"))
+      .join(o.select(col("s"), col("t").as("b"), col("dt").as("db")), "s")
+      .filter(col("da") < col("db") ||
+        (col("da") === col("db") && col("a") < col("b")))
+      .select("s", "a", "b")
+
   /** Triangle and edge census of the thresholded undirected co-occurrence
-    * graph (edges with weight >= minW, canonical u < v). The count joins
-    * the ordered two-path e1(u,v)·e2(v,w) [u<v<w] against the closing edge
-    * (u,w) — each triangle counted exactly once. Ordering by node id
-    * bounds the join; the scale refinement is degree-ordering (orient
-    * edges low-degree→high-degree) which caps two-path fan-out at
-    * O(E^1.5) — same plan shape, different sort key. */
+    * graph (edges with weight >= minW, canonical u < v). Wedges are
+    * enumerated from the low end of the degree orientation — every
+    * triangle x ≺ y ≺ z (in the (deg, id) total order) appears exactly
+    * once as the out-pair (y, z) of its minimum vertex x — then
+    * semi-joined against the oriented closing edge y→z, which is the only
+    * direction the edge {y, z} can carry. The count is identical to the
+    * id-ordered plan's; only the join fan-out bound changes (O(E^1.5)
+    * total, O(E) per key, vs deg² on one key for a low-id hub). */
   def triangleStats(edges: DataFrame, minW: Long): DataFrame = {
     val und = edges.filter(col("w") >= minW && col("u") < col("v"))
       .select("u", "v").localCheckpoint(eager = false)
     val nodes = und.select(col("u").as("x"))
       .union(und.select(col("v").as("x")))
       .agg(count_distinct(col("x")).as("n_nodes"))
-    val e2 = und.select(col("u").as("v"), col("v").as("t"))
-    val closing = und.select(col("u").as("cu"), col("v").as("ct"))
-    val tri = und.join(e2, "v")
-      .join(closing, col("u") === col("cu") && col("t") === col("ct"), "left_semi")
+    val o = orient(und).localCheckpoint(eager = false)
+    val tri = orientedWedges(o)
+      .join(o.select(col("s").as("a"), col("t").as("b")), Seq("a", "b"),
+        "left_semi")
       .agg(count(lit(1)).as("n_triangles"))
     val ne = und.agg(count(lit(1)).as("n_edges"))
     nodes.crossJoin(broadcast(ne)).crossJoin(broadcast(tri))
@@ -101,23 +154,33 @@ object Graph {
     * every NON-adjacent pair sharing ≥ `minCommon` neighbors, scored by
     * common-neighbor count and neighborhood Jaccard
     * |N(a)∩N(b)| / |N(a)∪N(b)| — the classic graph-completion baselines
-    * (Liben-Nowell & Kleinberg 2003). The candidate generator is the SAME
-    * ordered two-path join the triangle census runs (pairs of neighbors of
-    * each z, a<b — never nodes²), so its fan-out carries the identical
-    * Σ deg(z)² bound with `minW` as the control knob; existing edges drop
-    * via one left-anti join on the canonical edge. cn and degrees are
-    * exact integers; Jaccard is one double division (6dp round). Top-k is
+    * (Liben-Nowell & Kleinberg 2003). Unlike the triangle census, exact
+    * common-neighbor counting must enumerate EVERY wedge a–z–b (the count
+    * itself is Σ deg(z)²), so degree orientation cannot shrink it; the
+    * scale control is `maxCenterDeg`: wedge centers with degree above the
+    * cap are EXCLUDED from cn before the self-join (filter pushed below
+    * the pair fan-out), bounding the blowup at maxCenterDeg × 2E pairs
+    * with no single join key above maxCenterDeg². The bias is deliberate
+    * and standard — a super-hub mediating everything is uninformative as
+    * a common neighbor (the Adamic-Adar 1/log deg insight taken to its
+    * limit) — and the DuckDB oracle applies the identical cap, so results
+    * hash-match at every scale, not just while no hub trips it. Jaccard
+    * denominators use FULL degrees. cn and degrees are exact integers;
+    * Jaccard is one double division (6dp round). Top-k is
     * TakeOrderedAndProject under a total order. */
   def linkPrediction(edges: DataFrame, minW: Long, minCommon: Long,
-                     topK: Int): DataFrame = {
+                     topK: Int, maxCenterDeg: Long = Long.MaxValue): DataFrame = {
     val und = edges.filter(col("w") >= minW && col("u") < col("v"))
       .select("u", "v").localCheckpoint(eager = false)
     val nbrs = und.select(col("u").as("z"), col("v").as("x"))
       .union(und.select(col("v").as("z"), col("u").as("x")))
       .localCheckpoint(eager = false)
     val deg = nbrs.groupBy("x").agg(count(lit(1)).as("d"))
-    val cand = nbrs.select(col("z"), col("x").as("a"))
-      .join(nbrs.select(col("z"), col("x").as("b")), "z")
+    val centered = nbrs.join(
+      deg.filter(col("d") <= maxCenterDeg).select(col("x").as("z")),
+      Seq("z"), "left_semi")
+    val cand = centered.select(col("z"), col("x").as("a"))
+      .join(centered.select(col("z"), col("x").as("b")), "z")
       .filter(col("a") < col("b"))
       .groupBy("a", "b").agg(count(lit(1)).as("cn"))
       .filter(col("cn") >= minCommon)
@@ -131,7 +194,30 @@ object Graph {
       .limit(topK)
   }
 
+  /** Candidate wedge frame linkPrediction aggregates, pre-groupBy — exposed
+    * for the planted-hub fan-out specs (count rows, don't re-derive). */
+  private[graph] def linkCandidates(edges: DataFrame, minW: Long,
+                                    maxCenterDeg: Long): DataFrame = {
+    val und = edges.filter(col("w") >= minW && col("u") < col("v"))
+      .select("u", "v")
+    val nbrs = und.select(col("u").as("z"), col("v").as("x"))
+      .union(und.select(col("v").as("z"), col("u").as("x")))
+    val deg = nbrs.groupBy("x").agg(count(lit(1)).as("d"))
+    val centered = nbrs.join(
+      deg.filter(col("d") <= maxCenterDeg).select(col("x").as("z")),
+      Seq("z"), "left_semi")
+    centered.select(col("z"), col("x").as("a"))
+      .join(centered.select(col("z"), col("x").as("b")), "z")
+      .filter(col("a") < col("b"))
+  }
+
   // ---------------------------------------------------------------- faces
+
+  /** Default wedge-center degree cap for the link-pred face. Far above any
+    * degree the co-occurrence graph reaches at test SFs (max observed 15
+    * at sf0.1), mirrored verbatim in the DuckDB oracle; at 100 TB it is
+    * the knob that keeps one hub part from generating deg² pairs. */
+  val LinkPredMaxCenterDeg = 1024L
 
   /** PageRank face: 5 iterations over the full weighted co-order graph. */
   def partPageRank(spark: SparkSession, dir: String): DataFrame =
@@ -142,8 +228,10 @@ object Graph {
     triangleStats(coOccurrenceEdges(Tables(spark, dir, "lineitem")), minW = 2L)
 
   /** Link-prediction face: top 50 missing edges of the same weight-≥2
-    * graph the triangle census reads, ≥2 common neighbors. */
+    * graph the triangle census reads, ≥2 common neighbors, hub centers
+    * capped at [[LinkPredMaxCenterDeg]]. */
   def partLinkPred(spark: SparkSession, dir: String): DataFrame =
     linkPrediction(coOccurrenceEdges(Tables(spark, dir, "lineitem")),
-      minW = 2L, minCommon = 2L, topK = 50)
+      minW = 2L, minCommon = 2L, topK = 50,
+      maxCenterDeg = LinkPredMaxCenterDeg)
 }

@@ -1642,8 +1642,10 @@ object OracleSql {
         |nbrs AS (SELECT u AS z, v AS x FROM und
         |         UNION ALL SELECT v AS z, u AS x FROM und),
         |deg AS (SELECT x, CAST(count(*) AS BIGINT) AS d FROM nbrs GROUP BY x),
+        |ctr AS (SELECT n.z, n.x FROM nbrs n JOIN deg dz ON dz.x = n.z
+        |        WHERE dz.d <= 1024),
         |cand AS (SELECT na.x AS a, nb.x AS b, CAST(count(*) AS BIGINT) AS cn
-        |         FROM nbrs na JOIN nbrs nb ON na.z = nb.z AND na.x < nb.x
+        |         FROM ctr na JOIN ctr nb ON na.z = nb.z AND na.x < nb.x
         |         GROUP BY 1, 2 HAVING count(*) >= 2),
         |miss AS (SELECT * FROM cand c
         |         WHERE NOT EXISTS (SELECT 1 FROM und

@@ -75,6 +75,62 @@ class GraphSpec extends SparkSpec {
     assert(Graph.linkPrediction(edgesDF(es), 1L, 3L, 10).count() == 0L)
   }
 
+  test("pageRank fails loudly on a directed graph with a sink (dangling mass)") {
+    // 1 -> 2, 2 has no out-edge: rank flowing into 2 would vanish
+    val ex = intercept[Exception] {
+      Graph.pageRank(edgesDF(Seq((1L, 2L, 1L), (3L, 1L, 1L))), iters = 2).collect()
+    }
+    assert(ex.getMessage.contains("lose rank mass") ||
+      Option(ex.getCause).exists(_.getMessage.contains("lose rank mass")))
+  }
+
+  test("degree orientation: a planted hub generates ZERO triangle wedges, not deg²") {
+    // hub-and-spokes: hub 1 (LOW id — the id-ordered plan's worst case)
+    // with 40 degree-1 spokes. Orientation points every edge spoke→hub,
+    // so the hub's out-degree is 0 and the wedge join emits nothing; the
+    // id-ordered two-path would have fanned out ~deg²/2 pairs from key 1.
+    val n = 40L
+    val und = (2L to n + 1L).map(s => (1L, s)).toDF("u", "v")
+    val wedges = Graph.orientedWedges(Graph.orient(und))
+    assert(wedges.count() == 0L)
+    // full face agrees: no triangles, hub+spokes node/edge census intact
+    val es = (2L to n + 1L).flatMap(s => Seq((1L, s, 5L), (s, 1L, 5L)))
+    val r = Graph.triangleStats(edgesDF(es), minW = 1L)
+      .select("n_nodes", "n_edges", "n_triangles").as[(Long, Long, Long)]
+      .collect()(0)
+    assert(r == ((n + 1L, n, 0L)))
+  }
+
+  test("degree orientation wedge total is Σ outdeg² = O(E^1.5) on hub+clique") {
+    // K5 over 10..14 (every node degree 4) plus hub 1 of degree 30: clique
+    // wedges survive, hub wedges vanish. Oriented K5 by id gives outdegs
+    // 4,3,2,1,0 → C(4,2)+C(3,2)+C(2,2)+0+0 = 6+3+1 = 10 wedges.
+    val clique = for { a <- 10L to 14L; b <- 10L to 14L if a < b } yield (a, b)
+    val spokes = (100L to 129L).map(s => (1L, s))
+    val und = (clique ++ spokes).toDF("u", "v")
+    assert(Graph.orientedWedges(Graph.orient(und)).count() == 10L)
+    // and all 10 K5 triangles close
+    val es = (clique ++ spokes).flatMap { case (a, b) => Seq((a, b, 5L), (b, a, 5L)) }
+    assert(Graph.triangleStats(edgesDF(es), 1L)
+      .select("n_triangles").as[Long].collect()(0) == 10L)
+  }
+
+  test("linkPrediction maxCenterDeg caps hub wedge fan-out in-plan") {
+    // hub-and-spokes, 40 spokes: uncapped, the hub center generates all
+    // C(40,2)=780 spoke pairs; capped below 40, the hub is excluded BEFORE
+    // the self-join and the candidate frame is empty (spoke centers have
+    // one neighbor each — no pairs).
+    val n = 40L
+    val es = (2L to n + 1L).flatMap(s => Seq((1L, s, 5L), (s, 1L, 5L)))
+    val df = edgesDF(es)
+    assert(Graph.linkCandidates(df, 1L, maxCenterDeg = Long.MaxValue).count() == 780L)
+    assert(Graph.linkCandidates(df, 1L, maxCenterDeg = 39L).count() == 0L)
+    // the face-level result follows the same cap
+    assert(Graph.linkPrediction(df, 1L, 1L, 1000, maxCenterDeg = Long.MaxValue)
+      .count() == 780L)
+    assert(Graph.linkPrediction(df, 1L, 1L, 1000, maxCenterDeg = 39L).count() == 0L)
+  }
+
   test("triangle-free graph yields zero; single triangle yields one") {
     val path = Seq((1L, 2L, 5L), (2L, 1L, 5L), (2L, 3L, 5L), (3L, 2L, 5L))
     assert(Graph.triangleStats(edgesDF(path), 1L)
