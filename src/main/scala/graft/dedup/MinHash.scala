@@ -1,6 +1,6 @@
 package graft.dedup
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** MinHash + LSH-banding near-duplicate detection.
@@ -28,25 +28,36 @@ object MinHash {
   def signature(shingles: Column, k: Int, seed: Long): Column =
     call_function("graft_minhash", shingles, lit(k), lit(seed))
 
+  /** The (id, sorted-hashed-shingles) frame every MinHash face starts
+    * from. */
+  private def shingleFrame(df: DataFrame, idCol: String, textCol: String,
+                           n: Int): DataFrame =
+    df.select(col(idCol).as("id"), Dedup.shingleHashes(col(textCol), n).as("sh"))
+      .filter(size(col("sh")) > 0)
+
+  /** Explode a (id, sh) frame into its b band-bucket rows (id, band,
+    * bucket) — the ONLY columns that travel through any candidate join. */
+  private def bandBuckets(sh: DataFrame, k: Int, bands: Int,
+                          seed: Long): DataFrame = {
+    val r = k / bands
+    sh.withColumn("sig", signature(col("sh"), k, seed))
+      .select(col("id"), col("sig"),
+        explode(sequence(lit(0), lit(bands - 1))).as("band"))
+      .withColumn("bucket", hash(col("band"),
+        slice(col("sig"), col("band") * r + 1, lit(r))))
+      .select("id", "band", "bucket")
+  }
+
   /** Near-dup pairs: (id_a, id_b, jaccard) for verified candidates. */
   def pairs(df: DataFrame, idCol: String, textCol: String,
             n: Int = 3, k: Int = 32, bands: Int = 8,
             threshold: Double = 0.5, seed: Long = 42L): DataFrame = {
     require(k % bands == 0, "k must be divisible by bands")
-    val r = k / bands
-    val sh = df.select(col(idCol).as("id"), Dedup.shingleHashes(col(textCol), n).as("sh"))
-      .filter(size(col("sh")) > 0)
-    val sigs = sh.withColumn("sig", signature(col("sh"), k, seed))
-
-    // explode into b band buckets: (band, hash(sig slice)) — shuffle key.
-    // Only (id, band, bucket) travels through the candidate join; shingle
-    // arrays join back AFTER pair dedup so band collisions never replicate
-    // the heavy arrays.
-    val banded = sigs.select(col("id"), col("sig"),
-        explode(sequence(lit(0), lit(bands - 1))).as("band"))
-      .withColumn("bucket", hash(col("band"),
-        slice(col("sig"), col("band") * r + 1, lit(r))))
-      .select("id", "band", "bucket")
+    val sh = shingleFrame(df, idCol, textCol, n)
+    // candidate pairs = equality join on (band, bucket); shingle arrays
+    // join back AFTER pair dedup so band collisions never replicate the
+    // heavy arrays
+    val banded = bandBuckets(sh, k, bands, seed)
     val left = banded.select(col("band"), col("bucket"), col("id").as("id_a"))
     val right = banded.select(col("band"), col("bucket"), col("id").as("id_b"))
     val cands = left.join(right, Seq("band", "bucket"))
@@ -56,6 +67,91 @@ object MinHash {
     cands
       .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .withColumn("jaccard", Dedup.jaccardHashed(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** Persist the corpus-side MinHash index ONCE so batch ingest never
+    * rescans the corpus — the near-dup analogue of [[Dedup.incremental]]
+    * (which is exact-digest only) and the dedup_labels / ann_index
+    * persist-once pattern applied to LSH banding. Three tables under
+    * `path`:
+    *   - `buckets/` (id, band, bucket) — corpus_rows × bands narrow rows,
+    *     range-clustered on (band, bucket) so a batch probe's equality
+    *     join scans tight row groups;
+    *   - `shingles/` (id, sh) — one sorted-hash array per doc for the
+    *     exact Jaccard verify (the text itself never persists);
+    *   - `params/` — one row (n, k, bands, threshold, seed). The probe
+    *     side reads its parameters FROM the index, so batch signatures
+    *     can never drift from the corpus signatures they join against.
+    * Index size: corpus_rows × (bands + 1) rows + shingle arrays — see
+    * docs/SCALE_BOUNDS.md. */
+  def writeBandIndex(corpus: DataFrame, idCol: String, textCol: String,
+                     path: String, n: Int = 3, k: Int = 32, bands: Int = 8,
+                     threshold: Double = 0.5, seed: Long = 42L): Unit = {
+    require(k % bands == 0, "k must be divisible by bands")
+    // lazy-checkpoint: the shingle scan feeds both the bucket write and
+    // the shingle write; without the pin the corpus tokenizes twice
+    val sh = shingleFrame(corpus, idCol, textCol, n).localCheckpoint(eager = false)
+    val parts = corpus.sparkSession.conf
+      .get("spark.sql.shuffle.partitions", "32").toInt
+    graft.sources.Sources.writeClustered(
+      bandBuckets(sh, k, bands, seed), s"$path/buckets",
+      Seq("band", "bucket"), parts)
+    sh.write.mode("overwrite").parquet(s"$path/shingles")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    Seq((n, k, bands, threshold, seed))
+      .toDF("n", "k", "bands", "threshold", "seed")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/params")
+  }
+
+  /** Incremental NEAR-dup: every verified near-duplicate pair TOUCHING the
+    * batch — batch-vs-corpus pairs straight off the persisted band index
+    * (no corpus rescan: the corpus side of the candidate join is the
+    * buckets table, the verify side the shingles table) plus batch-internal
+    * pairs from the same banding. With disjoint batch/corpus ids the
+    * result is exactly [[pairs]] over (corpus ∪ batch) restricted to pairs
+    * with at least one batch id (spec-pinned); overlapping ids are treated
+    * as the same document (self-pairs drop). Emits (id_a, id_b, jaccard),
+    * id_a < id_b. Cost scales with batch size × bands, never corpus size:
+    * the probe shuffles batch bucket rows against a clustered narrow
+    * table. */
+  def pairsIncremental(spark: SparkSession, indexPath: String,
+                       batch: DataFrame, idCol: String,
+                       textCol: String): DataFrame = {
+    val p = spark.read.parquet(s"$indexPath/params").collect()(0)
+    val (n, k, bands) = (p.getAs[Int]("n"), p.getAs[Int]("k"), p.getAs[Int]("bands"))
+    val (threshold, seed) = (p.getAs[Double]("threshold"), p.getAs[Long]("seed"))
+    // batch shingles feed the banding AND both verify sides — pin once
+    val bsh = shingleFrame(batch, idCol, textCol, n).localCheckpoint(eager = false)
+    val bban = bandBuckets(bsh, k, bands, seed)
+    val cban = spark.read.parquet(s"$indexPath/buckets")
+    val csh = spark.read.parquet(s"$indexPath/shingles")
+    // batch-vs-corpus candidates: equality join on (band, bucket) against
+    // the persisted narrow table; batch-internal candidates: the usual
+    // banded self-join. Canonicalize and dedup BEFORE the heavy verify —
+    // a batch pair whose ids are also indexed would otherwise verify twice.
+    val bc = bban.select(col("band"), col("bucket"), col("id").as("_x"))
+      .join(cban.select(col("band"), col("bucket"), col("id").as("_y")),
+        Seq("band", "bucket"))
+      .filter(col("_x") =!= col("_y"))
+      .select(least(col("_x"), col("_y")).as("id_a"),
+        greatest(col("_x"), col("_y")).as("id_b"))
+    val bb = bban.select(col("band"), col("bucket"), col("id").as("id_a"))
+      .join(bban.select(col("band"), col("bucket"), col("id").as("id_b")),
+        Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+    val cands = bc.union(bb).dropDuplicates("id_a", "id_b")
+    // verify lookup: on id overlap either copy serves (same text, same
+    // hash family ⇒ identical arrays)
+    val lookup = bsh.unionByName(csh).dropDuplicates("id")
+      .localCheckpoint(eager = false)
+    cands
+      .join(lookup.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(lookup.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .withColumn("jaccard", Dedup.jaccardHashed(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")

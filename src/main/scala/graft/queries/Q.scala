@@ -1308,6 +1308,22 @@ object Q {
     graft.dedup.MinHash.pairs(Tables(s, dir, "documents"), "doc_id", "text",
       n = 3, k = 32, bands = 8, threshold = 0.10)
 
+  /** Incremental NEAR-dup workflow face: persist the band index over the
+    * standing corpus (everything but src0), then find every near-dup pair
+    * the src0 ingest batch introduces — against the index AND within the
+    * batch — without rescanning corpus text. Rows-only (MinHash hash
+    * family has no SQL form); the spec pins equivalence to corpus-wide
+    * [[graft.dedup.MinHash.pairs]] restricted to batch-touching pairs. */
+  def dedupNearIncremental(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_neardup_idx_" +
+      math.abs(dir.hashCode).toString
+    graft.dedup.MinHash.writeBandIndex(docs.filter(col("source") =!= "src0"),
+      "doc_id", "text", path, n = 3, k = 32, bands = 8, threshold = 0.10)
+    graft.dedup.MinHash.pairsIncremental(s, path,
+      docs.filter(col("source") === "src0"), "doc_id", "text")
+  }
+
   /** Estimator-quality audit for the dedup family — the ann_recall
     * pattern applied to MinHash: precision/recall of the banded MinHash
     * pair finder against the EXACT prefix-filter Jaccard ground truth at

@@ -1,0 +1,70 @@
+package graft.dedup
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** MinHash.writeBandIndex / pairsIncremental — the persisted-index
+  * incremental near-dup workflow. The contract: batch ingest against the
+  * index finds EXACTLY the pairs corpus-wide MinHash.pairs would report
+  * that touch the batch, without rescanning corpus text. */
+class NearIncrementalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("graft_nearinc").toString
+
+  // 40-word base so a one-word edit keeps Jaccard high enough that the
+  // 8-band × 4-row banding finds the pair deterministically (seed-fixed)
+  private val base = (1 to 40).map(i => s"w$i").mkString(" ")
+  private def edited(pos: Int, repl: String): String =
+    (1 to 40).map(i => if (i == pos) repl else s"w$i").mkString(" ")
+
+  test("pairsIncremental ≡ corpus-wide pairs restricted to batch-touching pairs") {
+    val corpus = Seq(
+      (100L, base),
+      (101L, edited(20, "xx")),
+      (102L, "completely unrelated text about catalyst optimizer rule ordering internals"),
+      (103L, "another unrelated document describing parquet row group layout and stats")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (1L, base),                 // exact dup of corpus 100
+      (2L, edited(30, "yy")),     // near dup of 100/101 and of batch 1
+      (3L, "totally novel content that matches nothing else anywhere in this corpus")
+    ).toDF("doc_id", "text")
+    val path = tmp()
+    MinHash.writeBandIndex(corpus, "doc_id", "text", path,
+      n = 3, k = 32, bands = 8, threshold = 0.3)
+    val inc = MinHash.pairsIncremental(spark, path, batch, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().toSet
+    // ground truth: the one-shot corpus-wide run over corpus ∪ batch,
+    // restricted to pairs with at least one batch id (batch ids < 100, and
+    // id_a < id_b, so "touches batch" ⇔ id_a < 100)
+    val full = MinHash.pairs(corpus.union(batch), "doc_id", "text",
+        n = 3, k = 32, bands = 8, threshold = 0.3)
+      .filter(col("id_a") < 100L)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(inc == full)
+    // the planted dups are actually found, through both candidate paths
+    assert(inc.exists { case (a, b, _) => a == 1L && b == 100L }) // vs index
+    assert(inc.exists { case (a, b, _) => a == 1L && b == 2L })   // in-batch
+    // corpus-internal pairs (e.g. 100~101) are NOT re-reported
+    assert(inc.forall { case (a, _, _) => a < 100L })
+    // novel doc pairs with nothing
+    assert(inc.forall { case (a, b, _) => a != 3L && b != 3L })
+  }
+
+  test("probe takes threshold and hash params from the index, not the caller") {
+    val corpus = Seq((100L, base)).toDF("doc_id", "text")
+    val batch = Seq(
+      (1L, base),              // exact dup → jaccard 1.0 survives any threshold
+      (2L, edited(10, "zz"))   // near dup ~0.85 — must DROP under the 0.99 index
+    ).toDF("doc_id", "text")
+    val path = tmp()
+    MinHash.writeBandIndex(corpus, "doc_id", "text", path,
+      n = 3, k = 32, bands = 8, threshold = 0.99)
+    val got = MinHash.pairsIncremental(spark, path, batch, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got.map { case (a, b, _) => (a, b) } == Set((1L, 100L)))
+    assert(got.head._3 == 1.0)
+  }
+}
