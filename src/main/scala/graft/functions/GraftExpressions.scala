@@ -475,13 +475,19 @@ object DeflateLenExpr {
   }
 }
 
-/** BPE token count of a text under the embedded merge table
-  * ([[graft.text.Bpe]]) — the honest context-window budget signal beside
-  * the regex approximation. The tokenizer's merge loop can't be expressed
-  * in SQL built-ins; like [[DeflateLenExpr]], a native expression keeps
-  * the per-row work inside whole-stage codegen (the generated code calls
-  * one static helper — no UDF serialization, no Row boxing). */
-case class BpeCountExpr(child: Expression)
+/** BPE token count of a text under a merge table — the honest
+  * context-window budget signal beside the regex approximation. The
+  * default is the embedded oracle-checked [[graft.text.Bpe.default]]
+  * table; a production vocabulary arrives as a parsed merges.txt
+  * ([[graft.text.Bpe.parseMerges]]) carried INSIDE the expression node —
+  * it serializes with the plan and is embedded into generated code via
+  * `addReferenceObj`, so it reaches every executor on a real cluster (a
+  * JVM-global registry would only work in local mode). The tokenizer's
+  * merge loop can't be expressed in SQL built-ins; like
+  * [[DeflateLenExpr]], a native expression keeps the per-row work inside
+  * whole-stage codegen — no UDF serialization, no Row boxing. */
+case class BpeCountExpr(child: Expression,
+                        table: graft.text.BpeTable = graft.text.Bpe.default)
   extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
@@ -492,12 +498,15 @@ case class BpeCountExpr(child: Expression)
   override def prettyName: String = "graft_bpe_count"
 
   override protected def nullSafeEval(a: Any): Any =
-    graft.text.Bpe.countText(
+    table.countText(
       a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString)
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bpeTable", table,
+      classOf[graft.text.BpeTable].getName)
     nullSafeCodeGen(ctx, ev, a =>
-      s"${ev.value} = graft.text.Bpe.countText($a.toString());")
+      s"${ev.value} = $ref.countText($a.toString());")
+  }
 
   override protected def withNewChildInternal(newChild: Expression): BpeCountExpr =
     copy(child = newChild)
@@ -696,7 +705,19 @@ object GraftFunctions {
     "graft_deflate_len" -> (exprs => DeflateLenExpr(exprs(0))),
     "graft_lev_bounded" -> (exprs => BoundedLevenshteinExpr(exprs(0), exprs(1),
       positiveIntArg("graft_lev_bounded", "k", exprs(2)))),
-    "graft_bpe_count" -> (exprs => BpeCountExpr(exprs(0))),
+    // 1-arg: the embedded default table; 2-arg: a FOLDABLE merges.txt
+    // string (rank-ordered "left right" lines) parsed once at plan time
+    "graft_bpe_count" -> (exprs =>
+      if (exprs.length <= 1) BpeCountExpr(exprs(0))
+      else {
+        require(exprs(1).foldable && exprs(1).dataType == StringType,
+          "graft_bpe_count: the merge table must be a foldable string " +
+            "(merges.txt content, e.g. lit(...))")
+        val txt = exprs(1).eval(null)
+        require(txt != null, "graft_bpe_count: merge table string is null")
+        BpeCountExpr(exprs(0), new graft.text.BpeTable(
+          graft.text.Bpe.parseMerges(txt.toString)))
+      }),
     "graft_vec_avg" -> (exprs => VectorAvgAgg(exprs(0)).toAggregateExpression()),
     "graft_minhash" -> (exprs => MinHashSigExpr(exprs(0),
       positiveIntArg("graft_minhash", "k", exprs(1)),

@@ -81,6 +81,108 @@ class BpeSpec extends SparkSpec {
       "faces never diverge — the BPE face is redundant")
   }
 
+  // the oracle discipline, in-test: apply the merges ONCE EACH in rank
+  // order as string replaces over the '|t|' token representation — the
+  // exact algebra the generated DuckDB replace-chain runs. For a
+  // well-formed table this equals the priority loop.
+  private def seqReplaceCount(word: String, merges: Seq[(String, String)]): Int = {
+    var s = word.map(ch => s"|$ch|").mkString
+    merges.foreach { case (l, r) => s = s.replace(s"|$l||$r|", s"|$l$r|") }
+    s.count(_ == '|') / 2
+  }
+
+  private def assertWellFormed(merges: Seq[(String, String)]): Unit = {
+    val produced = collection.mutable.Set.empty[String]
+    merges.foreach { case (l, r) =>
+      for (t <- Seq(l, r))
+        assert(t.length == 1 || produced.contains(t),
+          s"operand '$t' is neither a char nor an earlier merge product")
+      val fused = l + r
+      assert(!produced.contains(fused), s"duplicate product '$fused'")
+      produced += fused
+    }
+  }
+
+  test("parseMerges/renderMerges round-trip; headers skip; malformed lines fail") {
+    val txt = "#version: 0.2\n\ne r\nin g\ner ing\n"
+    val m = Bpe.parseMerges(txt)
+    assert(m == IndexedSeq(("e", "r"), ("in", "g"), ("er", "ing")))
+    assert(Bpe.parseMerges(Bpe.renderMerges(m)) == m)
+    // the embedded table round-trips through the file format too
+    assert(Bpe.parseMerges(Bpe.renderMerges(Bpe.merges)) == Bpe.merges.toIndexedSeq)
+    intercept[IllegalArgumentException](Bpe.parseMerges("e r extra"))
+    intercept[IllegalArgumentException](Bpe.parseMerges("lonetoken"))
+  }
+
+  test("train learns deterministic well-formed merges that fuse frequent words") {
+    val wc = Seq(("data", 50L), ("table", 40L), ("datatable", 10L), ("rare", 1L))
+    val m = Bpe.train(wc, numMerges = 20, minCount = 2L)
+    assertWellFormed(m)
+    val t = new BpeTable(m)
+    assert(t.countWord("data") == 1)
+    assert(t.countWord("table") == 1)
+    // minCount floor: the count-1 word contributes no merges of its own
+    assert(t.countWord("rare") > 1)
+    // determinism: same input, same table
+    assert(Bpe.train(wc, 20, 2L) == m)
+  }
+
+  test("a trained ≥1k-merge external table runs the native expression under the replace-chain oracle") {
+    import spark.implicits._
+    // synthetic corpus with deep pair structure: all two-syllable words
+    // over 40 distinct CV-C syllables, each word count 2 (≥ minCount)
+    val cons = "bcdfghjklmnpqrstvwxz"
+    // (consonant, vowel) pairs are distinct, so all 40 syllables are too
+    val syls = for (c1 <- 0 until 8; v <- 0 until 5)
+      yield s"${cons(c1)}${"aeiou"(v)}${cons((c1 * 5 + v) % 20)}"
+    val words = for (a <- syls; b <- syls if a != b) yield a + b
+    val wc = words.map(w => (w, 2L))
+    val merges = Bpe.train(wc, numMerges = 1200, minCount = 2L)
+    assert(merges.length >= 1000, s"only ${merges.length} merges learned")
+    assertWellFormed(merges)
+    // priority loop ≡ rank-ordered sequential replace, across the whole
+    // vocabulary and OOV probes — the well-formedness equivalence the
+    // generated-oracle discipline rests on, at 1k+ merges
+    val table = new BpeTable(merges)
+    val probes = words.take(300) ++ Seq("zzzq", "aeiou", syls.head * 3,
+      words.head + words.last)
+    probes.foreach { w =>
+      assert(table.countWord(w) == seqReplaceCount(w, merges),
+        s"priority loop vs replace chain diverge on '$w'")
+    }
+    // the 2-arg native expression carries the external table through the
+    // plan (addReferenceObj) and matches the same oracle algebra
+    graft.functions.GraftFunctions.register(spark)
+    val mergesTxt = Bpe.renderMerges(merges)
+    val docs = probes.zipWithIndex.map { case (w, i) => (i.toLong, w) }
+      .toDF("doc_id", "text")
+    val got = docs.select(col("doc_id"),
+        call_function("graft_bpe_count", col("text"), lit(mergesTxt)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    probes.zipWithIndex.foreach { case (w, i) =>
+      assert(got(i.toLong) == seqReplaceCount(w, merges), s"expression on '$w'")
+    }
+    // and the external table actually CHANGES counts vs the default
+    assert(table.countWord(words.head) == 1)
+    assert(Bpe.countWord(words.head) > 1)
+  }
+
+  test("trainFromCorpus aggregates distributed and fuses the corpus' frequent words") {
+    val docs = graft.Tables(spark, "/root/testdata/sf0.001", "documents")
+    val m = Bpe.trainFromCorpus(docs, "text", numMerges = 128, maxVocab = 5000)
+    // sf0.001's vocabulary dries up (best pair count < minCount) before
+    // 128 merges — the early stop is the contract, not a shortfall
+    assert(m.length >= 64 && m.length <= 128)
+    assertWellFormed(m)
+    // a table trained on the live corpus fuses at least as well as the
+    // embedded 64-merge prefix on the corpus' own text
+    val t = new BpeTable(m)
+    val sample = docs.select("text").limit(20).collect().map(_.getString(0))
+    val (trained, embedded) =
+      (sample.map(t.countText).sum, sample.map(Bpe.countText).sum)
+    assert(trained <= embedded, s"trained=$trained embedded=$embedded")
+  }
+
   test("packWindows consumes BPE counts: budgets shrink vs whitespace counts") {
     val docs = graft.Tables(spark, "/root/testdata/sf0.001", "documents")
     val ws = Packing.packWindows(docs, "doc_id",
