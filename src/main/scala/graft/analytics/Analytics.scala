@@ -193,9 +193,14 @@ object Analytics {
     val daily = Tables(spark, dir, "events")
       .groupBy(expr("ts div 86400000000000").as("d"))
       .agg(count(lit(1)).as("n_events"))
+    // Σc² lifts each square into decimal(38,0) BEFORE multiplying: a day
+    // above ~3e9 events would overflow the int64 product silently. The
+    // decimal sum stays an exact order-free integer; values below 2^53
+    // cast to the identical double the bigint path produced.
     val st = daily.agg(
         sum("n_events").cast("double").as("_s"),
-        sum(col("n_events") * col("n_events")).cast("double").as("_ss"),
+        sum(col("n_events").cast("decimal(19,0)") * col("n_events"))
+          .cast("double").as("_ss"),
         count(lit(1)).cast("double").as("_n"))
       .select((col("_s") / col("_n")).as("_mu"),
         sqrt((col("_ss") - col("_s") * col("_s") / col("_n")) / (col("_n") - 1.0)).as("_sigma"))
@@ -210,16 +215,19 @@ object Analytics {
     * mean/std ((days+4) mod 7 — the eventsHeatmap integer calendar, no
     * locale functions). Two aggregations over the daily frame (days, then
     * 7 weekday rows, broadcast back); exact integer moments, closed-form
-    * doubles. Weekdays observed ≤ twice emit NULL z (std undefined or
-    * zero-df) rather than a fake 0. */
+    * doubles. A weekday observed once (σ undefined) or with zero variance
+    * emits NULL z rather than a fake 0; two observations yield a real
+    * df=1 z-score. */
   def eventsAnomalyDow(spark: SparkSession, dir: String): DataFrame = {
     val daily = Tables(spark, dir, "events")
       .groupBy(expr("ts div 86400000000000").as("d"))
       .agg(count(lit(1)).as("n_events"))
       .withColumn("dow", pmod(col("d") + 4, lit(7L)))
+    // same decimal lift as eventsAnomaly: n² must not square in int64
     val st = daily.groupBy("dow").agg(
         sum("n_events").cast("double").as("_s"),
-        sum(col("n_events") * col("n_events")).cast("double").as("_ss"),
+        sum(col("n_events").cast("decimal(19,0)") * col("n_events"))
+          .cast("double").as("_ss"),
         count(lit(1)).cast("double").as("_n"))
       .select(col("dow"), (col("_s") / col("_n")).as("_mu"),
         when(col("_n") > 1.0,
@@ -885,8 +893,18 @@ object Analytics {
       .withColumn("_cle", sum(col("m")).over(w))
       .select(col("cnt"), col("m"),
         (col("_cle") - col("m")).as("_clt"))
-      // m(m+1) is even, so `div` is exact — Column./ would go double
-      .select(expr("cnt * (m * _clt + (m * (m + 1)) div 2)").as("_s1"),
+      // m(m+1) is even, so `div` is exact — Column./ would go double.
+      // The rank-weighted block term is ~cnt·m·n_users and its SUM is on
+      // the order of n_users × total_events — far past int64 at the 100 TB
+      // tier (1e9 users × 1e12 events ~ 1e21) — so the cnt factor lifts
+      // the product into decimal(38,0) BEFORE multiplying and the sum
+      // accumulates exactly in 128-bit (order-free, like the hugeint DuckDB
+      // promotes its own SUM(BIGINT) to). The inner m·_clt ≤ n_users² stays
+      // bigint-safe to 3e9 users. Values below 2^53 cast to the identical
+      // double the old bigint path produced.
+      .select(expr(
+          "cast(cnt as decimal(38,0)) * (m * _clt + (m * (m + 1)) div 2)")
+          .as("_s1"),
         (col("cnt") * col("m")).as("_sx"), col("m"))
     blocks.agg(sum(col("m")).as("n_users"), sum(col("_sx")).as("total_events"),
         sum(col("_s1")).as("_rs"))

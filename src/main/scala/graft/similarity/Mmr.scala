@@ -28,11 +28,22 @@ object Mmr {
     require(k >= 1 && pool >= k, s"need pool >= k >= 1, got pool=$pool k=$k")
     require(lambda >= 0 && lambda <= 1, s"lambda must be in [0,1], got $lambda")
     val qn = math.sqrt(queryVec.map(x => x * x).sum)
+    require(qn > 0 && !qn.isNaN, "query vector must have a positive finite norm")
     val q = typedLit(queryVec)
-    // stage 1 (distributed): relevance top-pool, one pass over candidates
+    // stage 1 (distributed): relevance top-pool, one pass over candidates.
+    // A zero-norm vector would divide by zero (ANSI: error); a
+    // NaN-component vector yields a NaN cosine, and NaN sorts ABOVE every
+    // real value in a descending order — broken vectors would crowd the
+    // pool and poison mmr_score. The when() guard skips the division for
+    // non-positive/NaN norms (NaN > 0 is false) and the between() keeps
+    // only valid cosines in [-1, 1] (NaN fails any comparison), so callers
+    // needn't pre-run embed_norm_audit.
     val rel = candidates
       .select(col(idCol).as("id"), toDouble(col(vecCol)).as("v"))
-      .withColumn("rel", dot(col("v"), q) / (norm(col("v")) * lit(qn)))
+      .withColumn("_nv", norm(col("v")))
+      .withColumn("rel", when(col("_nv") > 0.0,
+        dot(col("v"), q) / (col("_nv") * lit(qn))))
+      .filter(col("rel").between(-1.000001, 1.000001))
       .orderBy(col("rel").desc, col("id"))
       .limit(pool)
     val poolRows = rel.select("id", "rel", "v").collect().map { r =>

@@ -334,9 +334,12 @@ object Streams {
     * first event arrives for that type; the closed day folds into the
     * model and emits one [[HoltPoint]] — exactly-once per (type, day).
     * State is one small record per event type (enum-sized), never
-    * event- or day-volume; events for already-closed days are DROPPED
-    * (documented late policy — align the upstream watermark with the
-    * day grain to bound it). */
+    * event- or day-volume. Late policy (two faces, both drops): events
+    * for already-CLOSED days are dropped, and so is an event for a
+    * never-opened day that sits strictly between the last closed day and
+    * the currently open one (a skipped day arriving in a LATER batch —
+    * cross-batch disorder; within a batch the group is sorted). Align the
+    * upstream watermark with the day grain to bound both. */
   def holtSmoothed(events: Dataset[TypedDayEvent]): Dataset[HoltPoint] = {
     implicit val outEnc = Encoders.product[HoltPoint]
     implicit val stEnc = Encoders.product[HoltModelState]
@@ -363,7 +366,10 @@ object Streams {
             if (e.d <= st.lastClosed) () // late for a closed day: dropped
             else if (st.curD < 0) st = st.copy(curD = e.d, curN = 1L)
             else if (e.d == st.curD) st = st.copy(curN = st.curN + 1L)
-            else if (e.d > st.curD) { close(); st = st.copy(curD = e.d, curN = 1L) }
+            else if (e.d < st.curD) () // skipped day arriving after a newer
+              // day already opened (cross-batch disorder): dropped — the
+              // same late policy as closed days, made explicit
+            else { close(); st = st.copy(curD = e.d, curN = 1L) }
           }
           state.update(st)
           out.iterator

@@ -35,6 +35,21 @@ class MmrSpec extends SparkSpec {
     assert(got.map(_._2) == Seq(1L, 2L, 3L))
   }
 
+  test("zero-norm and NaN candidates never crowd the pool (NaN sorts above every real)") {
+    val q = Array(1.0, 0.0)
+    val cands = Seq(
+      1L -> Array(1.0, 0.02),
+      2L -> Array(0.0, 0.0),                 // zero norm → rel = NaN
+      3L -> Array(Double.NaN, 1.0),          // NaN component → rel = NaN
+      4L -> Array(0.5, -0.866)
+    )
+    val got = Mmr.select(spark, df(cands), "vec_id", "embedding", q,
+        pool = 4, k = 4, lambda = 0.5)
+      .select("vec_id", "mmr_score").as[(Long, Double)].collect().toSeq
+    assert(got.map(_._1).toSet == Set(1L, 4L), s"broken vectors leaked: $got")
+    assert(got.forall(r => !r._2.isNaN))
+  }
+
   test("pool smaller than candidate set bounds the driver state; k caps output") {
     val q = Array(1.0, 0.0)
     val cands = (1L to 100L).map(i => i -> Array(1.0 / i, 1.0 - 1.0 / i))
