@@ -257,9 +257,50 @@ object Dedup {
         shingleHashes(col(textCol), n).as("sh"))
       .filter(size(col("sh")) > 0)
 
-  def jaccardPairs(df: DataFrame, idCol: String, textCol: String, blockCol: String,
-                   n: Int = 3, threshold: Double = 0.5): DataFrame = {
+  /** Candidate (id_a, id_b) frame of [[jaccardPairs]], pre-verify —
+    * factored so the planted-skew specs can COUNT candidate fan-out
+    * in-plan rather than trust the docstring. `maxDocFreq > 0` drops
+    * shingles above that within-block document frequency from the PREFIX
+    * ranking (never from the verify arrays): fan-out is Σ prefixFreq², so
+    * a boilerplate shingle at 100× median frequency contributes zero
+    * candidate pairs instead of freq². The trade (shared with
+    * [[substringSpans]]'s cap): a pair whose entire prefix overlap rode
+    * the dropped shingle is missed — 0 keeps the operator EXACT. */
+  private[dedup] def jaccardCandidates(sh: DataFrame, threshold: Double,
+                                       maxDocFreq: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val tokens = sh.select(col("id"), col("block"), size(col("sh")).cast("int").as("sz"),
+      explode(col("sh")).as("t"))
+    // within-block document frequency — the canonical rare-first prefix order
+    val dfreq = tokens.groupBy("block", "t").agg(count(lit(1)).as("_df"))
+    // ε guards the float ceil/compares: at worst the prefix grows by one
+    // element (more candidates, still exact); without it a t·sz that lands
+    // a hair above an integer could shorten the prefix and MISS a pair
+    // sitting exactly at the threshold.
+    val eps = 1e-9
+    val prefixLen = (col("sz") - ceil(lit(threshold) * col("sz") - lit(eps)) + 1).cast("int")
+    val ranked = tokens.join(dfreq, Seq("block", "t"))
+    val eligible = if (maxDocFreq > 0) ranked.filter(col("_df") <= maxDocFreq)
+      else ranked
+    val prefix = eligible
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy("block", "id").orderBy(asc("_df"), asc("t"))))
+      .filter(col("_rn") <= prefixLen)
+      .select("block", "t", "id", "sz")
+    val a = prefix.select(col("block"), col("t"), col("id").as("id_a"), col("sz").as("sz_a"))
+    val b = prefix.select(col("block"), col("t"), col("id").as("id_b"), col("sz").as("sz_b"))
+    a.join(b, Seq("block", "t"))
+      .filter(col("id_a") < col("id_b"))
+      // J ≥ t ⇒ t·max(|a|,|b|) ≤ |a∩b| ≤ min(|a|,|b|)
+      .filter(col("sz_b") >= lit(threshold) * col("sz_a") - lit(eps) &&
+        col("sz_a") >= lit(threshold) * col("sz_b") - lit(eps))
+      .select("id_a", "id_b")
+      .dropDuplicates("id_a", "id_b")
+  }
+
+  def jaccardPairs(df: DataFrame, idCol: String, textCol: String, blockCol: String,
+                   n: Int = 3, threshold: Double = 0.5,
+                   maxDocFreq: Long = 0L): DataFrame = {
     // The shingle frame feeds THREE branches of one plan (the token
     // explode and both sides of the pair verify) and Catalyst cannot
     // collapse them (different downstream join keys ⇒ different
@@ -273,31 +314,7 @@ object Dedup {
     // hashes) for two extra full tokenize+hash scans of the corpus.
     val sh = shingleFrame(df, idCol, textCol, blockCol, n)
       .localCheckpoint(eager = false)
-    val tokens = sh.select(col("id"), col("block"), size(col("sh")).cast("int").as("sz"),
-      explode(col("sh")).as("t"))
-    // within-block document frequency — the canonical rare-first prefix order
-    val dfreq = tokens.groupBy("block", "t").agg(count(lit(1)).as("_df"))
-    // ε guards the float ceil/compares: at worst the prefix grows by one
-    // element (more candidates, still exact); without it a t·sz that lands
-    // a hair above an integer could shorten the prefix and MISS a pair
-    // sitting exactly at the threshold.
-    val eps = 1e-9
-    val prefixLen = (col("sz") - ceil(lit(threshold) * col("sz") - lit(eps)) + 1).cast("int")
-    val prefix = tokens.join(dfreq, Seq("block", "t"))
-      .withColumn("_rn", row_number().over(
-        Window.partitionBy("block", "id").orderBy(asc("_df"), asc("t"))))
-      .filter(col("_rn") <= prefixLen)
-      .select("block", "t", "id", "sz")
-    val a = prefix.select(col("block"), col("t"), col("id").as("id_a"), col("sz").as("sz_a"))
-    val b = prefix.select(col("block"), col("t"), col("id").as("id_b"), col("sz").as("sz_b"))
-    val cands = a.join(b, Seq("block", "t"))
-      .filter(col("id_a") < col("id_b"))
-      // J ≥ t ⇒ t·max(|a|,|b|) ≤ |a∩b| ≤ min(|a|,|b|)
-      .filter(col("sz_b") >= lit(threshold) * col("sz_a") - lit(eps) &&
-        col("sz_a") >= lit(threshold) * col("sz_b") - lit(eps))
-      .select("id_a", "id_b")
-      .dropDuplicates("id_a", "id_b")
-    cands
+    jaccardCandidates(sh, threshold, maxDocFreq)
       .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .withColumn("jaccard", jaccardHashed(col("sh_a"), col("sh_b")))
@@ -465,12 +482,14 @@ object Dedup {
     * Emits (id_a, id_b, containment) with id_a the SMALLER document
     * (lower id on equal sizes) — the one to drop in a keep-longest
     * dedup policy. */
-  def containmentPairs(df: DataFrame, idCol: String, textCol: String, blockCol: String,
-                       n: Int = 3, threshold: Double = 0.5): DataFrame = {
+  /** Candidate frame of [[containmentPairs]], pre-verify — same factoring
+    * and `maxDocFreq` semantics as [[jaccardCandidates]]. The cap applies
+    * to the PREFIX side only: fan-out is Σ prefixFreq·fullFreq, so zeroing
+    * a hot shingle's prefix frequency removes its contribution while the
+    * full index stays intact for every other shingle's probes. */
+  private[dedup] def containmentCandidates(sh: DataFrame, threshold: Double,
+                                           maxDocFreq: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // lazy-checkpointed for the same three-branch reuse as jaccardPairs
-    val sh = shingleFrame(df, idCol, textCol, blockCol, n)
-      .localCheckpoint(eager = false)
     val tokens = sh.select(col("id"), col("block"), size(col("sh")).cast("int").as("sz"),
       explode(col("sh")).as("t"))
     val dfreq = tokens.groupBy("block", "t").agg(count(lit(1)).as("_df"))
@@ -479,21 +498,32 @@ object Dedup {
     // could shorten the prefix and MISS a threshold-boundary pair
     val eps = 1e-9
     val prefixLen = (col("sz") - ceil(lit(threshold) * col("sz") - lit(eps)) + 1).cast("int")
-    val prefix = tokens.join(dfreq, Seq("block", "t"))
+    val ranked = tokens.join(dfreq, Seq("block", "t"))
+    val eligible = if (maxDocFreq > 0) ranked.filter(col("_df") <= maxDocFreq)
+      else ranked
+    val prefix = eligible
       .withColumn("_rn", row_number().over(
         Window.partitionBy("block", "id").orderBy(asc("_df"), asc("t"))))
       .filter(col("_rn") <= prefixLen)
       .select("block", "t", "id", "sz")
     val a = prefix.select(col("block"), col("t"), col("id").as("id_a"), col("sz").as("sz_a"))
     val b = tokens.select(col("block"), col("t"), col("id").as("id_b"), col("sz").as("sz_b"))
-    val cands = a.join(b, Seq("block", "t"))
+    a.join(b, Seq("block", "t"))
       // orient every pair small→large (ids break exact-size ties) so each
       // unordered pair is generated once, from the side the bound covers
       .filter(col("sz_a") < col("sz_b") ||
         (col("sz_a") === col("sz_b") && col("id_a") < col("id_b")))
       .select("id_a", "id_b")
       .dropDuplicates("id_a", "id_b")
-    cands
+  }
+
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String, blockCol: String,
+                       n: Int = 3, threshold: Double = 0.5,
+                       maxDocFreq: Long = 0L): DataFrame = {
+    // lazy-checkpointed for the same three-branch reuse as jaccardPairs
+    val sh = shingleFrame(df, idCol, textCol, blockCol, n)
+      .localCheckpoint(eager = false)
+    containmentCandidates(sh, threshold, maxDocFreq)
       .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .withColumn("containment",
