@@ -32,6 +32,66 @@ object AnnIndex {
     c.write.mode("overwrite").partitionBy("list").parquet(s"$path/vectors")
   }
 
+  /** Assign each batch vector to its nearest persisted centroid (cosine,
+    * ties to the lower list id — the ivfTopK probe rule at nProbe=1).
+    * Centroids broadcast; the batch streams once. */
+  private def assignLists(spark: SparkSession, path: String, batch: DataFrame,
+                          idCol: String, vecCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val centroids = spark.read.parquet(s"$path/centroids")
+    batch.select(col(idCol).as("vec_id"), toDouble(col(vecCol)).as("v"))
+      .join(broadcast(centroids), lit(true))
+      .withColumn("_cs", cosine(col("v"), col("cv")))
+      .withColumn("_pr", row_number().over(
+        Window.partitionBy("vec_id").orderBy(desc("_cs"), asc("list"))))
+      .filter(col("_pr") === 1)
+      .select(col("vec_id"), col("list"), col("v"))
+  }
+
+  /** Index-health gate for an ingest batch — embed_drift applied to the
+    * PERSISTED centroids: per probed list, the cosine between the batch's
+    * own centroid and the trained one, with `retrain=true` below `minCos`.
+    * A drifted batch means the trained partitioning no longer matches the
+    * data (new encoder version, new domain) and appending would degrade
+    * recall silently; a passing batch is safe to [[append]]. One
+    * assignment pass + one list-keyed rollup; centroids broadcast. */
+  def driftGate(spark: SparkSession, path: String, batch: DataFrame,
+                idCol: String, vecCol: String, minCos: Double = 0.9): DataFrame = {
+    val assigned = assignLists(spark, path, batch, idCol, vecCol)
+    val bc = assigned.groupBy("list")
+      .agg(call_function("graft_vec_avg", col("v")).as("bv"),
+        count(lit(1)).as("n_batch"))
+    val trained = spark.read.parquet(s"$path/centroids")
+    bc.join(broadcast(trained), Seq("list"))
+      .select(col("list"), col("n_batch"),
+        round(cosine(col("bv"), col("cv")), 6).as("centroid_cos"))
+      .withColumn("retrain", col("centroid_cos") < minCos)
+  }
+
+  /** Append an ingest batch into the persisted layout: vectors land in
+    * their nearest list's PARTITION (mode=append writes new files into the
+    * existing list=... directories), so [[ivfTopK]]'s static partition
+    * pruning serves them with no re-train and no index rewrite —
+    * spec-pinned. Run [[driftGate]] first (or use [[refresh]]). */
+  def append(spark: SparkSession, path: String, batch: DataFrame,
+             idCol: String, vecCol: String): Unit =
+    assignLists(spark, path, batch, idCol, vecCol)
+      .write.mode("append").partitionBy("list").parquet(s"$path/vectors")
+
+  /** The refresh policy in one call: gate the batch, APPEND if every
+    * probed list passes, otherwise touch nothing and hand back the gate
+    * report flagging re-train. Returns (appended, gate frame). */
+  def refresh(spark: SparkSession, path: String, batch: DataFrame,
+              idCol: String, vecCol: String,
+              minCos: Double = 0.9): (Boolean, DataFrame) = {
+    // two consumers (the any-drift check + the returned report): pin once
+    val gate = driftGate(spark, path, batch, idCol, vecCol, minCos)
+      .localCheckpoint()
+    val drifted = gate.filter(col("retrain")).limit(1).count() > 0
+    if (!drifted) append(spark, path, batch, idCol, vecCol)
+    (!drifted, gate)
+  }
+
   /** Serve a query batch from the persisted index. Identical algebra to
     * [[AnnLsh.ivfTopK]] (same probes, same norm placement, same heap
     * top-k), different data source — the spec pins result equality. */

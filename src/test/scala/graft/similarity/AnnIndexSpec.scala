@@ -26,6 +26,53 @@ class AnnIndexSpec extends SparkSpec {
     assert(fromIndex.nonEmpty)
   }
 
+  test("refresh appends a healthy batch and the pruned query path serves it") {
+    import spark.implicits._
+    def oneHot(l: Int, scale: Float, bleed: Float) =
+      Array.tabulate(4)(d => if (d == l) scale else if (d == (l + 1) % 4) bleed else 0f)
+    // 40 vectors, 4 clean lists; every stored vector is slightly
+    // off-axis so an exactly-on-axis append can win rank 1
+    val vecs = (0L until 40L)
+      .map(i => (i, oneHot((i % 4).toInt, 1f, 0.1f), (i % 4).toInt))
+      .toDF("vec_id", "embedding", "label")
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf3").toString
+    AnnIndex.writeIvf(vecs, "vec_id", "embedding", "label", dir)
+    // batch along the same axes: gate passes, vectors append in place
+    val batch = (100L until 108L)
+      .map(i => (i, oneHot((i % 4).toInt, 3f, 0f)))
+      .toDF("vec_id", "embedding")
+    val (appended, gate) = AnnIndex.refresh(spark, dir, batch, "vec_id", "embedding")
+    assert(appended, gate.collect().mkString(", "))
+    assert(gate.filter(col("retrain")).count() == 0)
+    // the appended exactly-on-axis vector now outranks every stored one
+    // on its axis — served straight off the PRUNED persisted layout
+    val q = Seq((999L, oneHot(0, 1f, 0f))).toDF("vec_id", "embedding")
+    val out = AnnIndex.ivfTopK(spark, dir, q, "vec_id", "embedding", k = 3, nProbe = 1)
+    val top = out.orderBy(col("cos").desc).collect()
+    assert(Set(100L, 104L).contains(top(0).getLong(1)),
+      s"appended vector not served first: ${top.toSeq}")
+    val planStr = out.queryExecution.executedPlan.toString
+    assert(planStr.contains("PartitionFilters"), "append broke partition pruning")
+  }
+
+  test("a drifted batch trips the gate and refresh appends nothing") {
+    import spark.implicits._
+    val vecs = (0L until 40L)
+      .map(i => (i, Array.tabulate(4)(d => if (d == (i % 4).toInt) 1f else 0f), (i % 4).toInt))
+      .toDF("vec_id", "embedding", "label")
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf4").toString
+    AnnIndex.writeIvf(vecs, "vec_id", "embedding", "label", dir)
+    val before = spark.read.parquet(s"$dir/vectors").count()
+    // diagonal batch: cos vs any one-hot centroid = 0.5 << 0.9
+    val batch = (200L until 208L)
+      .map(i => (i, Array.fill(4)(1f))).toDF("vec_id", "embedding")
+    val (appended, gate) = AnnIndex.refresh(spark, dir, batch, "vec_id", "embedding")
+    assert(!appended)
+    assert(gate.filter(col("retrain")).count() > 0)
+    assert(spark.read.parquet(s"$dir/vectors").count() == before,
+      "drifted batch must not be appended")
+  }
+
   test("the probed-list filter prunes the persisted layout partitions") {
     import spark.implicits._
     val vecs = (0L until 100L)
