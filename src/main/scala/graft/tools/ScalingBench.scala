@@ -58,6 +58,8 @@ object ScalingBench {
         once() // unmeasured warmup: codegen + JIT for this (query, sf) plan
         System.gc()
         val s = List(once(), once(), once()).sorted
+        // incremental progress: long sf points are visible as they land
+        System.err.println(f"[scaling] $name $dir ${fmt(s(1))}")
         s(1)
       }
       println(f"$name%-20s ${medians.map(fmt).mkString("  ")}")
