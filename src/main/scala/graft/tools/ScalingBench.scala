@@ -32,6 +32,30 @@ object ScalingBench {
     "graph_linkpred", "orders_assoc", "embed_drift", "events_lifecycle",
     "dedup_recall", "text_topics")
 
+  /** Bench-only knob faces: the SAME library calls as the registered
+    * queries, with the scale knob docs/SCALE_BOUNDS.md prescribes for
+    * growing corpora. They exist so the "drop maxHamming / raise planes"
+    * advice is a MEASURED curve, not an adjective — each is the
+    * geometry-bound face's prescription applied (dedup_simhash's
+    * maxHamming 7→3 turns 8-bit pigeonhole chunks into 16-bit ones,
+    * 256→65,536 buckets; embed_cluster_lsh's planes 4→8 turns 16
+    * buckets/table into 256). Narrower recall is the documented trade.
+    * Not registered in SparkEntry: they are evidence for the knob, not a
+    * new operator surface. */
+  private val KnobFaces: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] = Map(
+    "dedup_simhash_h3" -> ((s: SparkSession, dir: String) =>
+      graft.dedup.SimHash.pairs(graft.Tables(s, dir, "documents"),
+        "doc_id", "text", maxHamming = 3)),
+    "embed_cluster_lsh_p8" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.functions.col
+      val e = graft.Tables(s, dir, "embeddings")
+      val pairs = graft.similarity.AnnLsh.selfPairs(e, "vec_id", "embedding",
+        dim = 64, minCos = 0.35, planes = 8, tables = 16)
+      graft.dedup.Dedup.connectedComponents(e.select(col("vec_id")), "vec_id",
+          pairs, "id_a", "id_b")
+        .select(col("id").as("vec_id"), col("cluster_id"))
+    }))
+
   def main(args: Array[String]): Unit = {
     val sfDirs = sys.env.getOrElse("SPARK_GRAFT_SF_DIRS",
       "/root/testdata/sf0.001,/root/testdata/sf0.01,/root/testdata/sf0.1").split(",").toSeq
@@ -45,10 +69,10 @@ object ScalingBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val names = (if (args.nonEmpty) args.toSeq else DefaultQueries)
-      .filter(graft.SparkEntry.queries.contains)
+      .filter(n => graft.SparkEntry.queries.contains(n) || KnobFaces.contains(n))
     def fmt(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     val rows = for (name <- names) yield {
-      val fn = graft.SparkEntry.queries(name)
+      val fn = graft.SparkEntry.queries.getOrElse(name, KnobFaces(name))
       val medians = for (dir <- sfDirs) yield {
         def once(): Double = {
           val t0 = System.nanoTime()
