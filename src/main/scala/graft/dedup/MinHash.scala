@@ -107,6 +107,80 @@ object MinHash {
       .coalesce(1).write.mode("overwrite").parquet(s"$path/params")
   }
 
+  /** Fold an ingested batch INTO the persisted band index so the NEXT
+    * batch's probe sees it — the second half of the ingest loop whose
+    * first half is [[pairsIncremental]] (probe, then append: the
+    * ann_refresh append-in-place pattern applied to the LSH band index).
+    * Batch signatures are computed with the index's OWN params row, so
+    * appended rows can never drift from the corpus rows later probes join
+    * them against. Ids already indexed are dropped by an anti-join guard
+    * keyed on the shingles table, and buckets write BEFORE shingles: a
+    * crash between the two writes leaves at worst duplicate bucket rows on
+    * retry, which the probe's candidate `dropDuplicates` absorbs — never a
+    * doc that is verifiable but unfindable (the shingles-first failure
+    * mode). A fully completed re-append of the same batch is a no-op on
+    * both tables. Appended bucket rows are range-clustered WITHIN each
+    * batch's files; (band, bucket) clustering across the whole index
+    * degrades as batches accumulate, so run [[compactBandIndex]] on the
+    * ordinary parquet-compaction cadence. Cost: batch_rows × bands bucket
+    * rows + batch shingle arrays + one id anti-join against the index —
+    * never a corpus rescan. */
+  def appendToBandIndex(spark: SparkSession, indexPath: String,
+                        batch: DataFrame, idCol: String,
+                        textCol: String): Unit = {
+    val p = spark.read.parquet(s"$indexPath/params").collect()(0)
+    val (n, k, bands) = (p.getAs[Int]("n"), p.getAs[Int]("k"), p.getAs[Int]("bands"))
+    val seed = p.getAs[Long]("seed")
+    val indexed = spark.read.parquet(s"$indexPath/shingles").select("id")
+    // novel batch docs only; pin once — the frame feeds both appends
+    val novel = shingleFrame(batch, idCol, textCol, n)
+      .join(indexed, Seq("id"), "left_anti")
+      .localCheckpoint(eager = false)
+    val parts = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    graft.sources.Sources.writeClustered(
+      bandBuckets(novel, k, bands, seed), s"$indexPath/buckets",
+      Seq("band", "bucket"), parts, mode = "append")
+    novel.write.mode("append").parquet(s"$indexPath/shingles")
+  }
+
+  /** Re-cluster an appended-to band index: after many [[appendToBandIndex]]
+    * batches the bucket table is a pile of per-batch file sets, each
+    * clustered only within itself, so a probe's (band, bucket) equality
+    * join touches every batch's files. Compaction rewrites the EXISTING
+    * rows — no re-shingling, no re-hashing, params untouched —
+    * range-clustered on (band, bucket) across the whole index again, and
+    * compacts the shingle files to the same partition target. Write goes
+    * to a sibling temp dir then swaps via `FileSystem.rename` (atomic on
+    * HDFS/local; NOT on S3-style stores — run the swap under a
+    * Delta/Iceberg transaction there), so a crash mid-compact leaves the
+    * live index intact: the half-written temp dir is deleted and redone
+    * by the next compact. Run on the ordinary parquet-compaction cadence
+    * (docs/SCALE_BOUNDS.md). */
+  def compactBandIndex(spark: SparkSession, path: String): Unit = {
+    val parts = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val hconf = spark.sparkContext.hadoopConfiguration
+    def swap(sub: String)(write: String => Unit): Unit = {
+      val live = new org.apache.hadoop.fs.Path(s"$path/$sub")
+      val tmp = new org.apache.hadoop.fs.Path(s"$path/_${sub}_compacting")
+      val old = new org.apache.hadoop.fs.Path(s"$path/_${sub}_old")
+      val fs = live.getFileSystem(hconf)
+      fs.delete(tmp, true)
+      fs.delete(old, true)
+      write(tmp.toString)
+      require(fs.rename(live, old) && fs.rename(tmp, live),
+        s"compact swap failed for $live")
+      fs.delete(old, true)
+    }
+    swap("buckets") { out =>
+      graft.sources.Sources.writeClustered(
+        spark.read.parquet(s"$path/buckets"), out, Seq("band", "bucket"), parts)
+    }
+    swap("shingles") { out =>
+      spark.read.parquet(s"$path/shingles")
+        .repartition(parts).write.parquet(out)
+    }
+  }
+
   /** Incremental NEAR-dup: every verified near-duplicate pair TOUCHING the
     * batch — batch-vs-corpus pairs straight off the persisted band index
     * (no corpus rescan: the corpus side of the candidate join is the

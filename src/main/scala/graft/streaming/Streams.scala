@@ -481,6 +481,39 @@ object Streams {
       }
   }
 
+  /** Streaming ingest loop over the persisted MinHash band index — the
+    * durable-memory sibling of [[nearDupAlerts]]: each micro-batch first
+    * PROBES the index ([[graft.dedup.MinHash.pairsIncremental]] — every
+    * verified near-dup pair touching the batch, batch-internal pairs
+    * included) and then FOLDS the batch into the index
+    * ([[graft.dedup.MinHash.appendToBandIndex]]) so later micro-batches
+    * see it. Where nearDupAlerts trades recall for bounded executor-memory
+    * state (a recency horizon per chunk group), this face keeps corpus
+    * memory COMPLETE and on disk: per-batch cost is batch_rows × bands
+    * against the clustered bucket table, state is the index itself, and
+    * executor memory holds nothing between batches. Alerts append to
+    * `alertPath` as (id_a, id_b, jaccard) parquet. Failure-retry is
+    * at-least-once on the alert sink (a replayed batch re-probes and may
+    * re-append alert rows — downstream `dropDuplicates(id_a, id_b)`
+    * absorbs them); the index append itself is id-guarded, so a replay
+    * never duplicates verify rows. Probe strictly BEFORE append — the
+    * order is what keeps a doc from matching itself. */
+  def nearDupIndexed(docs: DataFrame, idCol: String, textCol: String,
+                     indexPath: String, alertPath: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        // the batch feeds the probe AND the append — pin it once (eager:
+        // foreachBatch frames re-execute per action otherwise, and the
+        // append must see exactly the probed rows)
+        val b = batch.localCheckpoint()
+        graft.dedup.MinHash.pairsIncremental(spark, indexPath, b, idCol, textCol)
+          .write.mode("append").parquet(alertPath)
+        graft.dedup.MinHash.appendToBandIndex(spark, indexPath, b, idCol, textCol)
+      }
+
   /** Streaming CDC apply: fold each micro-batch of keyed changes into the
     * running snapshot with [[graft.operators.MergeUpsert.merge]] — one
     * full-outer join per batch, exactly the batch operator's semantics

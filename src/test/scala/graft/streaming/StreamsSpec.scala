@@ -478,6 +478,44 @@ class StreamsSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("indexed streaming near-dup probes the band index, then folds each batch in") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_ndix").toString
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    def edited(pos: Int, repl: String) =
+      (1 to 40).map(i => if (i == pos) repl else s"w$i").mkString(" ")
+    val corpus = Seq((100L, base),
+      (101L, "unrelated corpus filler text about exchange reuse and codegen stages")
+    ).toDF("doc_id", "text")
+    graft.dedup.MinHash.writeBandIndex(corpus, "doc_id", "text", s"$dir/index",
+      n = 3, k = 32, bands = 8, threshold = 0.3)
+    val input = MemoryStream[(Long, String)]
+    val docs = input.toDF().toDF("doc_id", "text")
+    val query = Streams.nearDupIndexed(docs, "doc_id", "text",
+        s"$dir/index", s"$dir/alerts")
+      .option("checkpointLocation", s"$dir/ckpt").start()
+    def alerts() = spark.read.parquet(s"$dir/alerts")
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    try {
+      input.addData((1L, edited(5, "aa")))
+      query.processAllAvailable()
+      assert(alerts() == Set((1L, 100L))) // probe against the corpus index
+      // the second micro-batch must ALSO match batch 1's doc — only
+      // possible if the first batch was folded into the index
+      input.addData((2L, edited(5, "aa")),
+        (3L, "novel streamed content matching nothing indexed or streamed before"))
+      query.processAllAvailable()
+      assert(alerts() == Set((1L, 100L), (1L, 2L), (2L, 100L)))
+    } finally query.stop()
+    // the index on disk now covers corpus + both batches: a fresh batch
+    // probe (the batch API, no stream) sees streamed docs as corpus
+    val probe = graft.dedup.MinHash.pairsIncremental(spark, s"$dir/index",
+        Seq((7L, edited(5, "aa"))).toDF("doc_id", "text"), "doc_id", "text")
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(probe == Set((1L, 7L), (2L, 7L), (7L, 100L)))
+  }
+
   test("streaming CDC apply folds change batches into the snapshot") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
