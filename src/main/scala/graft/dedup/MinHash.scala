@@ -29,8 +29,8 @@ object MinHash {
     call_function("graft_minhash", shingles, lit(k), lit(seed))
 
   /** The (id, sorted-hashed-shingles) frame every MinHash face starts
-    * from. */
-  private def shingleFrame(df: DataFrame, idCol: String, textCol: String,
+    * from. Package-visible for the PushdownSpec plan tripwires. */
+  private[graft] def shingleFrame(df: DataFrame, idCol: String, textCol: String,
                            n: Int): DataFrame =
     df.select(col(idCol).as("id"), Dedup.shingleHashes(col(textCol), n).as("sh"))
       .filter(size(col("sh")) > 0)
@@ -132,9 +132,16 @@ object MinHash {
     val (n, k, bands) = (p.getAs[Int]("n"), p.getAs[Int]("k"), p.getAs[Int]("bands"))
     val seed = p.getAs[Long]("seed")
     val indexed = spark.read.parquet(s"$indexPath/shingles").select("id")
-    // novel batch docs only; pin once — the frame feeds both appends
-    val novel = shingleFrame(batch, idCol, textCol, n)
-      .join(indexed, Seq("id"), "left_anti")
+    val bsh = shingleFrame(batch, idCol, textCol, n)
+      .localCheckpoint(eager = false)
+    // novel batch docs only. Corpus ids are scanned, never shuffled: the
+    // batch id set broadcasts into a semi join that reduces the index
+    // side to `hits` (≤ batch rows), and the anti join against hits
+    // broadcasts too — a direct left_anti against the index would
+    // shuffle corpus_rows ids on every batch. Pin once — novel feeds
+    // both appends.
+    val hits = indexed.join(broadcast(bsh.select("id")), Seq("id"), "left_semi")
+    val novel = bsh.join(broadcast(hits), Seq("id"), "left_anti")
       .localCheckpoint(eager = false)
     val parts = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
     graft.sources.Sources.writeClustered(
@@ -181,33 +188,26 @@ object MinHash {
     }
   }
 
-  /** Incremental NEAR-dup: every verified near-duplicate pair TOUCHING the
-    * batch — batch-vs-corpus pairs straight off the persisted band index
-    * (no corpus rescan: the corpus side of the candidate join is the
-    * buckets table, the verify side the shingles table) plus batch-internal
-    * pairs from the same banding. With disjoint batch/corpus ids the
-    * result is exactly [[pairs]] over (corpus ∪ batch) restricted to pairs
-    * with at least one batch id (spec-pinned); overlapping ids are treated
-    * as the same document (self-pairs drop). Emits (id_a, id_b, jaccard),
-    * id_a < id_b. Cost scales with batch size × bands, never corpus size:
-    * the probe shuffles batch bucket rows against a clustered narrow
-    * table. */
-  def pairsIncremental(spark: SparkSession, indexPath: String,
-                       batch: DataFrame, idCol: String,
-                       textCol: String): DataFrame = {
-    val p = spark.read.parquet(s"$indexPath/params").collect()(0)
-    val (n, k, bands) = (p.getAs[Int]("n"), p.getAs[Int]("k"), p.getAs[Int]("bands"))
-    val (threshold, seed) = (p.getAs[Double]("threshold"), p.getAs[Long]("seed"))
-    // batch shingles feed the banding AND both verify sides — pin once
-    val bsh = shingleFrame(batch, idCol, textCol, n).localCheckpoint(eager = false)
+  /** Candidate (id_a, id_b) pairs for [[pairsIncremental]], BEFORE its
+    * checkpoint pin — factored out so the plan tripwire can assert the
+    * bucket probe's scan/join properties, which the checkpoint hides from
+    * the final plan. Batch-vs-corpus candidates are an equality join on
+    * (band, bucket) against the persisted narrow table; batch-internal
+    * candidates the usual banded self-join; canonicalized and deduped
+    * BEFORE the heavy verify — a batch pair whose ids are also indexed
+    * would otherwise verify twice. The batch banding (batch_rows × bands
+    * narrow rows) broadcasts EXPLICITLY: pre-materialization Catalyst has
+    * no size estimate for the checkpointed batch and would default the
+    * probe to a sort-merge join that shuffles the corpus bucket table —
+    * the hint pins the corpus side to a pure scan. Batch × bands must
+    * therefore fit the broadcast budget; that IS the operator's sizing
+    * contract (split oversized ingest batches). */
+  private[graft] def incrementalCandidates(spark: SparkSession,
+      indexPath: String, bsh: DataFrame, k: Int, bands: Int,
+      seed: Long): DataFrame = {
     val bban = bandBuckets(bsh, k, bands, seed)
     val cban = spark.read.parquet(s"$indexPath/buckets")
-    val csh = spark.read.parquet(s"$indexPath/shingles")
-    // batch-vs-corpus candidates: equality join on (band, bucket) against
-    // the persisted narrow table; batch-internal candidates: the usual
-    // banded self-join. Canonicalize and dedup BEFORE the heavy verify —
-    // a batch pair whose ids are also indexed would otherwise verify twice.
-    val bc = bban.select(col("band"), col("bucket"), col("id").as("_x"))
+    val bc = broadcast(bban.select(col("band"), col("bucket"), col("id").as("_x")))
       .join(cban.select(col("band"), col("bucket"), col("id").as("_y")),
         Seq("band", "bucket"))
       .filter(col("_x") =!= col("_y"))
@@ -218,11 +218,49 @@ object MinHash {
         Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
-    val cands = bc.union(bb).dropDuplicates("id_a", "id_b")
-    // verify lookup: on id overlap either copy serves (same text, same
-    // hash family ⇒ identical arrays)
-    val lookup = bsh.unionByName(csh).dropDuplicates("id")
+    bc.union(bb).dropDuplicates("id_a", "id_b")
+  }
+
+  /** Incremental NEAR-dup: every verified near-duplicate pair TOUCHING the
+    * batch — batch-vs-corpus pairs straight off the persisted band index
+    * (no corpus rescan: the corpus side of the candidate join is the
+    * buckets table, the verify side the shingles table) plus batch-internal
+    * pairs from the same banding. With disjoint batch/corpus ids the
+    * result is exactly [[pairs]] over (corpus ∪ batch) restricted to pairs
+    * with at least one batch id (spec-pinned); overlapping ids are treated
+    * as the same document (self-pairs drop). Emits (id_a, id_b, jaccard),
+    * id_a < id_b. Cost scales with batch size × bands, never corpus size:
+    * every shuffle and broadcast in the plan is batch- or
+    * candidate-sized — the corpus bucket and shingle tables are only ever
+    * SCANNED (buckets: narrow clustered rows against the broadcast batch
+    * banding; shingles: semi-join-reduced to candidate ids by a broadcast
+    * before the verify join touches them). */
+  def pairsIncremental(spark: SparkSession, indexPath: String,
+                       batch: DataFrame, idCol: String,
+                       textCol: String): DataFrame = {
+    val p = spark.read.parquet(s"$indexPath/params").collect()(0)
+    val (n, k, bands) = (p.getAs[Int]("n"), p.getAs[Int]("k"), p.getAs[Int]("bands"))
+    val (threshold, seed) = (p.getAs[Double]("threshold"), p.getAs[Long]("seed"))
+    // batch shingles feed the banding AND both verify sides — pin once
+    val bsh = shingleFrame(batch, idCol, textCol, n).localCheckpoint(eager = false)
+    val csh = spark.read.parquet(s"$indexPath/shingles")
+    // cands feeds the verify joins AND the lookup restriction — pin once
+    // (the checkpoint hides the bucket probe from the final plan, so the
+    // PushdownSpec tripwire asserts on incrementalCandidates directly)
+    val cands = incrementalCandidates(spark, indexPath, bsh, k, bands, seed)
       .localCheckpoint(eager = false)
+    // verify lookup: on id overlap either copy serves (same text, same
+    // hash family ⇒ identical arrays). The corpus shingle table is
+    // semi-join-REDUCED to candidate ids before anything touches it:
+    // candIds is candidate-sized (every candidate touches the batch), so
+    // the semi join broadcasts it and the corpus side is scanned, never
+    // shuffled — the naive `bsh ∪ csh dropDuplicates` would shuffle
+    // corpus_rows shingle arrays on every batch.
+    val candIds = cands
+      .select(explode(array(col("id_a"), col("id_b"))).as("id")).distinct()
+    val lookup = bsh
+      .unionByName(csh.join(broadcast(candIds), Seq("id"), "left_semi"))
+      .dropDuplicates("id")
     cands
       .join(lookup.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(lookup.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))

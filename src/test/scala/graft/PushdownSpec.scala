@@ -133,6 +133,74 @@ class PushdownSpec extends SparkSpec {
       s"shingle frame needs only (doc_id, source, text), got $cols")
   }
 
+  test("incremental near-dup probe joins never shuffle the corpus index tables") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    // the scale contract of MinHash.pairsIncremental: the persisted bucket
+    // and shingle tables (corpus-sized at 100 TB) are SCANNED into
+    // broadcast joins — batch banding and candidate ids are the broadcast
+    // sides — so no per-batch shuffle ever carries corpus rows
+    def scanUnder(p: SparkPlan, path: String, stopAtShuffle: Boolean): Boolean = p match {
+      case _: ShuffleExchangeExec if stopAtShuffle => false
+      case a: AdaptiveSparkPlanExec => scanUnder(a.executedPlan, path, stopAtShuffle)
+      case f: FileSourceScanExec =>
+        f.relation.location.rootPaths.exists(_.toString.contains(path))
+      case other => other.children.exists(scanUnder(_, path, stopAtShuffle))
+    }
+    // does `p`'s subtree read RAW rows of the scan — i.e. reach it without
+    // an intervening broadcast join (below a BHJ the corpus rows have
+    // already been reduced to candidate-sized join output)?
+    def rawScanUnder(p: SparkPlan, path: String): Boolean = p match {
+      case _: BroadcastHashJoinExec => false
+      case a: AdaptiveSparkPlanExec => rawScanUnder(a.executedPlan, path)
+      case f: FileSourceScanExec =>
+        f.relation.location.rootPaths.exists(_.toString.contains(path))
+      case other => other.children.exists(rawScanUnder(_, path))
+    }
+    def collect[T](p: SparkPlan)(pf: PartialFunction[SparkPlan, T]): Seq[T] = {
+      val here = pf.lift(p).toSeq
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case other => other.children
+      }
+      here ++ kids.flatMap(collect(_)(pf))
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_pidx").toString
+    val docs = Tables(spark, sf, "documents")
+    graft.dedup.MinHash.writeBandIndex(
+      docs.filter(org.apache.spark.sql.functions.col("source") =!= "src0"),
+      "doc_id", "text", dir, n = 3, k = 32, bands = 8, threshold = 0.1)
+    val batch = docs.filter(org.apache.spark.sql.functions.col("source") === "src0")
+    // bucket-probe assertions sit on the pre-checkpoint candidate builder
+    // (the checkpoint hides the bucket scan behind Scan ExistingRDD in the
+    // final plan — same pattern as the dedup shingle-frame tripwires)
+    val candPlan = graft.dedup.MinHash.incrementalCandidates(spark, dir,
+        graft.dedup.MinHash.shingleFrame(batch, "doc_id", "text", 3),
+        k = 32, bands = 8, seed = 42L)
+      .queryExecution.executedPlan
+    // 1. no shuffle carries RAW corpus bucket rows — every shuffle above
+    //    the bucket scan sits past the broadcast probe join, i.e. moves
+    //    candidate-sized output only
+    val shufflesOverBuckets = collect(candPlan) {
+      case s: ShuffleExchangeExec if rawScanUnder(s, s"$dir/buckets") => s
+    }
+    assert(shufflesOverBuckets.isEmpty,
+      s"corpus bucket table is shuffled raw by the probe:\n$candPlan")
+    // 2. the bucket scan streams shuffle-free into a broadcast hash join
+    //    (the batch banding is the broadcast side, per the explicit hint)
+    val bucketBhjs = collect(candPlan) { case b: BroadcastHashJoinExec => b }
+    assert(bucketBhjs.exists(b => scanUnder(b, s"$dir/buckets", stopAtShuffle = true)),
+      s"corpus buckets scan does not reach a broadcast join shuffle-free:\n$candPlan")
+    // 3. in the FULL probe plan, the corpus shingle table is semi-reduced
+    //    by a broadcast of candidate ids before the verify join — its scan
+    //    reaches a broadcast join without crossing any shuffle
+    val probePlan = graft.dedup.MinHash.pairsIncremental(spark, dir,
+      batch, "doc_id", "text").queryExecution.executedPlan
+    val probeBhjs = collect(probePlan) { case b: BroadcastHashJoinExec => b }
+    assert(probeBhjs.exists(b => scanUnder(b, s"$dir/shingles", stopAtShuffle = true)),
+      s"corpus shingles scan does not reach a broadcast join shuffle-free:\n$probePlan")
+  }
+
   test("substring positional index prunes documents to (id, text) exactly") {
     val docs = Tables(spark, sf, "documents")
     val scans = scansOf(
