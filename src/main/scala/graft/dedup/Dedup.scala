@@ -1,6 +1,6 @@
 package graft.dedup
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
 
@@ -23,18 +23,116 @@ object Dedup {
   /** Incremental ingest dedup: keep only the batch rows whose content is
     * NOT already in the corpus. A Bloom sketch of the corpus digests
     * short-circuits the overwhelmingly-novel majority before any shuffle
-    * ([[graft.operators.BloomPrune.antiJoin]]); only sketch hits — true
-    * duplicates plus the fpp sliver — pay the exact digest anti-join. The
-    * corpus side ships only digests (32 B/doc), never payloads.
-    * `expectedCorpusKeys` sizes the sketch; overshooting costs memory,
-    * undershooting only raises the false-positive (= needless-verify)
-    * rate, never correctness. */
+    * ([[graft.operators.BloomPrune.antiJoinSmallProbe]] — the batch is
+    * ingest-sized by definition, so the hit keys broadcast and the corpus
+    * digest column is SCANNED into the sketch and the semi-reduction,
+    * never shuffled); only sketch hits — true duplicates plus the fpp
+    * sliver — pay the exact digest anti-join. The corpus side ships only
+    * digests (32 B/doc), never payloads. `expectedCorpusKeys` sizes the
+    * sketch; overshooting costs memory, undershooting only raises the
+    * false-positive (= needless-verify) rate, never correctness. */
   def incremental(batch: DataFrame, corpus: DataFrame, idCol: String,
                   textCol: String, expectedCorpusKeys: Long = 1000000L): DataFrame = {
     val b = batch.select(col(idCol), sha2(col(textCol), 256).as("digest"))
     val c = corpus.select(sha2(col(textCol), 256).as("digest"))
-    graft.operators.BloomPrune.antiJoin(b, "digest", c, "digest", expectedCorpusKeys)
+    graft.operators.BloomPrune.antiJoinSmallProbe(
+        b, "digest", c, "digest", expectedCorpusKeys)
       .select(col(idCol), col("digest"))
+  }
+
+  /** Persist the exact-digest corpus index ONCE so [[incremental]]'s
+    * per-batch work drops its corpus scans entirely — the exact-dup
+    * member of the persisted-ingest-index family (band index for
+    * near-dup, IVF layout for ANN). Two tables + one binary under `path`:
+    *   - `digests/` — the corpus's DISTINCT sha-256 digests (32 B/doc),
+    *     the exact-verify side; document payloads never persist;
+    *   - `bloom/sketch` — a serialized Bloom sketch of those digests,
+    *     loaded driver-side (MBs) and broadcast per probe;
+    *   - `params/` — one row (expected_keys, fpp), so appends keep
+    *     building sketch-compatible batch blooms.
+    * INVARIANT maintained by [[appendToDigestIndex]]: the sketch is
+    * always a SUPERSET of the digest table (supersets only cost needless
+    * verifies; a missing key would be a silent false "novel"). */
+  def writeDigestIndex(corpus: DataFrame, textCol: String, path: String,
+                       expectedKeys: Long = 1000000L,
+                       fpp: Double = 0.01): Unit = {
+    val spark = corpus.sparkSession
+    // the one corpus-sized job, paid once at build (like writeBandIndex)
+    val d = corpus.select(sha2(col(textCol), 256).as("digest")).distinct()
+      .localCheckpoint(eager = false)
+    d.write.mode("overwrite").parquet(s"$path/digests")
+    writeBloom(spark, s"$path/bloom",
+      d.stat.bloomFilter("digest", expectedKeys, fpp))
+    import spark.implicits._
+    Seq((expectedKeys, fpp)).toDF("expected_keys", "fpp")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/params")
+  }
+
+  /** [[incremental]] against the PERSISTED digest index: per batch, the
+    * sketch loads driver-side (MBs — no corpus job at all), certainly-novel
+    * rows short-circuit, and only sketch hits verify against the digest
+    * table via the broadcast-reduced anti join
+    * ([[graft.operators.BloomPrune.antiJoinSmallProbe]] — the digest scan
+    * is semi-reduced by the broadcast hit keys, never shuffled). Emits the
+    * batch's novel (id, digest) rows, exactly [[incremental]]'s contract. */
+  def incrementalIndexed(spark: SparkSession, indexPath: String,
+                         batch: DataFrame, idCol: String,
+                         textCol: String): DataFrame = {
+    val b = batch.select(col(idCol), sha2(col(textCol), 256).as("digest"))
+    val corpus = spark.read.parquet(s"$indexPath/digests")
+    graft.operators.BloomPrune.antiJoinSmallProbe(
+        b, "digest", corpus, "digest", readBloom(spark, s"$indexPath/bloom"))
+      .select(col(idCol), col("digest"))
+  }
+
+  /** Fold a probed batch INTO the digest index so the next batch sees it.
+    * Write order maintains the superset invariant under a mid-append
+    * crash: the MERGED sketch (old ∪ batch digests, built with the
+    * index's own params so the merge is size-compatible) lands FIRST via
+    * a temp-file + rename swap, then the batch's novel digests append to
+    * the table. A crash between the two leaves a sketch with keys the
+    * table lacks — those cost one needless verify each and the retried
+    * append re-lands them; the reverse order could leave table keys the
+    * sketch misses, i.e. silent false "novel"s. Re-appending a completed
+    * batch is a no-op on the table (novelty filter) and idempotent on the
+    * sketch (bloom insertion is). */
+  def appendToDigestIndex(spark: SparkSession, indexPath: String,
+                          batch: DataFrame, idCol: String,
+                          textCol: String): Unit = {
+    val p = spark.read.parquet(s"$indexPath/params").collect()(0)
+    val (expectedKeys, fpp) = (p.getAs[Long]("expected_keys"), p.getAs[Double]("fpp"))
+    // novel rows BEFORE the sketch swap — afterwards they'd all be
+    // sketch-hits. EAGER checkpoint: the probe must materialize NOW, not
+    // lazily inside the later digests-append action, which reads the same
+    // path it writes (self-read-write) and would run after the swap.
+    val novel = incrementalIndexed(spark, indexPath, batch, idCol, textCol)
+      .localCheckpoint()
+    val merged = readBloom(spark, s"$indexPath/bloom")
+    merged.mergeInPlace(
+      batch.select(sha2(col(textCol), 256).as("digest"))
+        .stat.bloomFilter("digest", expectedKeys, fpp))
+    writeBloom(spark, s"$indexPath/bloom", merged)
+    novel.select("digest").write.mode("append").parquet(s"$indexPath/digests")
+  }
+
+  private def writeBloom(spark: SparkSession, dir: String,
+                         bf: org.apache.spark.util.sketch.BloomFilter): Unit = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val live = new org.apache.hadoop.fs.Path(s"$dir/sketch")
+    val tmp = new org.apache.hadoop.fs.Path(s"$dir/_sketch_tmp")
+    val fs = live.getFileSystem(hconf)
+    val out = fs.create(tmp, true)
+    try bf.writeTo(out) finally out.close()
+    fs.delete(live, false)
+    require(fs.rename(tmp, live), s"bloom sketch swap failed for $live")
+  }
+
+  private def readBloom(spark: SparkSession,
+                        dir: String): org.apache.spark.util.sketch.BloomFilter = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(s"$dir/sketch")
+    val in = p.getFileSystem(hconf).open(p)
+    try org.apache.spark.util.sketch.BloomFilter.readFrom(in) finally in.close()
   }
 
   /** Word n-gram shingles of `text` (distinct, SORTED), as an array column.

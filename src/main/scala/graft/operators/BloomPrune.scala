@@ -72,4 +72,41 @@ object BloomPrune {
         Seq(probeKey), "left_anti")
     certainlyNovel.unionByName(verified)
   }
+
+  /** [[antiJoin]] for a SMALL probe against a corpus-sized build side —
+    * the ingest-batch case ([[graft.dedup.Dedup.incremental]]), where
+    * antiJoin's `build.distinct()` would shuffle the whole corpus key
+    * column on every batch. Same result row-for-row, different plan: the
+    * bloom-hit keys (true dups + fpp sliver, ≤ probe rows) broadcast into
+    * a semi join that REDUCES the build side to hit keys only — the
+    * corpus is scanned, never shuffled — and the exact anti join then
+    * runs against a broadcast of that hit-key-sized reduction. The probe
+    * (and so the hit-key set) must fit the broadcast budget: that is this
+    * variant's sizing contract — for a corpus-sized PROBE use [[antiJoin]],
+    * whose shuffle carries the hit fraction instead. */
+  def antiJoinSmallProbe(probe: DataFrame, probeKey: String,
+                         build: DataFrame, buildKey: String,
+                         expectedKeys: Long, fpp: Double = 0.01): DataFrame =
+    antiJoinSmallProbe(probe, probeKey, build, buildKey,
+      build.stat.bloomFilter(buildKey, expectedKeys, fpp))
+
+  /** [[antiJoinSmallProbe]] with a PREBUILT sketch of the build side —
+    * the persisted-index path ([[graft.dedup.Dedup.incrementalIndexed]]),
+    * where rebuilding the sketch would rescan the corpus per batch. The
+    * sketch must be a SUPERSET of the build keys (extra keys only cost
+    * needless verifies; a missing key would be a false negative and break
+    * the no-false-negative guarantee). */
+  def antiJoinSmallProbe(probe: DataFrame, probeKey: String,
+                         build: DataFrame, buildKey: String,
+                         bf: BloomFilter): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    val might = mightContain(probe, probeKey, bf)
+    // same null-key routing as antiJoin: null keys are certainly novel
+    val certainlyNovel = probe.filter(coalesce(!might, lit(true)))
+    val hits = probe.filter(coalesce(might, lit(false)))
+    val buildHits = build.select(col(buildKey).as(probeKey))
+      .join(broadcast(hits.select(probeKey).distinct()), Seq(probeKey), "left_semi")
+    val verified = hits.join(broadcast(buildHits.distinct()), Seq(probeKey), "left_anti")
+    certainlyNovel.unionByName(verified)
+  }
 }

@@ -35,6 +35,50 @@ class IncrementalSpec extends SparkSpec {
     assert(direct.size == 500 - 71) // 71 multiples of 7 ≤ 500
   }
 
+  test("digest index: indexed probe equals corpus-scanning incremental") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_digidx").toString
+    val corpus = Seq((100L, "existing document one"), (101L, "existing document two"),
+      (102L, "existing document one") // corpus-internal dup — index stores DISTINCT digests
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (1L, "a brand new document"),
+      (2L, "existing document one"),
+      (3L, "another novel document"),
+      (4L, "existing document two")
+    ).toDF("doc_id", "text")
+    Dedup.writeDigestIndex(corpus, "text", dir, expectedKeys = 100L)
+    val viaIndex = Dedup.incrementalIndexed(spark, dir, batch, "doc_id", "text")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    val direct = Dedup.incremental(batch, corpus, "doc_id", "text",
+        expectedCorpusKeys = 100L)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(viaIndex == direct && viaIndex == Seq(1L, 3L))
+  }
+
+  test("digest index append: the NEXT batch sees folded digests; re-append is a no-op") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_digidx").toString
+    val corpus = Seq((100L, "seed corpus document")).toDF("doc_id", "text")
+    Dedup.writeDigestIndex(corpus, "text", dir, expectedKeys = 100L)
+    val b1 = Seq((1L, "first batch novel doc"), (2L, "seed corpus document"))
+      .toDF("doc_id", "text")
+    Dedup.appendToDigestIndex(spark, dir, b1, "doc_id", "text")
+    // only b1's NOVEL digest landed (doc 2 was a corpus dup)
+    val nDigests = spark.read.parquet(s"$dir/digests").count()
+    assert(nDigests == 2) // seed + b1 doc 1
+    // batch 2: dup of b1's doc 1 must now be caught WITHOUT any corpus frame
+    val b2 = Seq((5L, "first batch novel doc"), (6L, "second batch novel doc"))
+      .toDF("doc_id", "text")
+    val novel2 = Dedup.incrementalIndexed(spark, dir, b2, "doc_id", "text")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(novel2 == Seq(6L))
+    // re-appending b1 changes nothing: novelty filter on the table, bloom
+    // insertion idempotent
+    Dedup.appendToDigestIndex(spark, dir, b1, "doc_id", "text")
+    assert(spark.read.parquet(s"$dir/digests").count() == nDigests)
+    assert(Dedup.incrementalIndexed(spark, dir, b2, "doc_id", "text")
+      .select("doc_id").as[Long].collect().sorted.toSeq == Seq(6L))
+  }
+
   test("percentRank matches the SQL percent_rank definition including ties") {
     val df = Seq((1L, 10.0), (2L, 20.0), (3L, 20.0), (4L, 30.0), (5L, 5.0))
       .toDF("id", "v")

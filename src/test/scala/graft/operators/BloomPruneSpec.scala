@@ -55,6 +55,28 @@ class BloomPruneSpec extends SparkSpec {
     }
   }
 
+  test("antiJoinSmallProbe equals antiJoin (and the exact left-anti) on the same shapes") {
+    // the broadcast-reduced plan variant must be row-for-row identical —
+    // same randomized duplicates-and-nulls shapes as the antiJoin test,
+    // fpp 0.5 so the verify branch actually carries false positives
+    for (seed <- Seq(1L, 7L, 23L)) {
+      def keys(n: Int, mod: Long, salt: Long): Seq[Option[Long]] =
+        (0 until n).map { i =>
+          val h = (i * 2654435761L + seed * 40503L + salt) & 0x7fffffffL
+          if (h % 19 == 0) None else Some(h % mod)
+        }
+      val probe = keys(400, 97L, 0L).toDF("k")
+      val build = keys(120, 97L, 13L).flatten.toDF("bk")
+      def bag(df: org.apache.spark.sql.DataFrame): Map[Option[Long], Int] =
+        df.collect().toSeq
+          .map(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
+          .groupBy(identity).map { case (k, v) => k -> v.size }
+      val got = bag(BloomPrune.antiJoinSmallProbe(probe, "k", build, "bk", 120, fpp = 0.5))
+      val exact = bag(probe.join(build, col("k") === col("bk"), "left_anti"))
+      assert(got == exact, s"seed $seed")
+    }
+  }
+
   test("antiJoin keeps null probe keys, exactly like the left-anti join") {
     // a null key matches nothing, so an exact left_anti KEEPS the row; the
     // sketch probe is NULL there and a bare !might filter would silently
