@@ -514,6 +514,30 @@ object Streams {
         graft.dedup.MinHash.appendToBandIndex(spark, indexPath, b, idCol, textCol)
       }
 
+  /** Streaming EXACT-dedup ingest over the persisted digest index — the
+    * exact-dup sibling of [[nearDupIndexed]] and the durable-memory
+    * sibling of the bounded-state streaming dedup: each micro-batch
+    * probes the index ([[graft.dedup.Dedup.incrementalIndexed]] — zero
+    * corpus jobs, the sketch loads driver-side), appends the NOVEL rows'
+    * (id, digest) to `novelPath`, and folds the batch into the index
+    * ([[graft.dedup.Dedup.appendToDigestIndex]], sketch-first crash
+    * ordering) so later micro-batches dedup against it. At-least-once on
+    * the novel sink under failure-retry (replays may re-append novel
+    * rows — `dropDuplicates("digest")` downstream); the index fold
+    * itself is novelty-guarded and idempotent. */
+  def dedupIndexed(docs: DataFrame, idCol: String, textCol: String,
+                   indexPath: String, novelPath: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val b = batch.localCheckpoint()
+        graft.dedup.Dedup.incrementalIndexed(spark, indexPath, b, idCol, textCol)
+          .write.mode("append").parquet(novelPath)
+        graft.dedup.Dedup.appendToDigestIndex(spark, indexPath, b, idCol, textCol)
+      }
+
   /** Streaming CDC apply: fold each micro-batch of keyed changes into the
     * running snapshot with [[graft.operators.MergeUpsert.merge]] — one
     * full-outer join per batch, exactly the batch operator's semantics

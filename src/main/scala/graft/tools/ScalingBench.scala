@@ -46,6 +46,25 @@ object ScalingBench {
     "dedup_simhash_h3" -> ((s: SparkSession, dir: String) =>
       graft.dedup.SimHash.pairs(graft.Tables(s, dir, "documents"),
         "doc_id", "text", maxHamming = 3)),
+    // probe-only cost of the persisted band index vs CORPUS decade, at a
+    // FIXED batch (the sf0.001 src0 slice): the unmeasured warmup call
+    // builds the index for this dir once; the timed calls probe it. The
+    // curve isolates what a batch ingest actually pays as the corpus
+    // grows — per the plan contract, a narrow corpus scan, no corpus
+    // shuffle.
+    "dedup_near_inc_probe" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.functions.col
+      val path = System.getProperty("java.io.tmpdir") +
+        "/graft_scaling_nearidx_" + math.abs(dir.hashCode).toString
+      val params = new org.apache.hadoop.fs.Path(s"$path/params")
+      if (!params.getFileSystem(s.sparkContext.hadoopConfiguration).exists(params))
+        graft.dedup.MinHash.writeBandIndex(graft.Tables(s, dir, "documents"),
+          "doc_id", "text", path, n = 3, k = 32, bands = 8, threshold = 0.10)
+      graft.dedup.MinHash.pairsIncremental(s, path,
+        graft.Tables(s, "/root/testdata/sf0.001", "documents")
+          .filter(col("source") === "src0"),
+        "doc_id", "text")
+    }),
     "embed_cluster_lsh_p8" -> ((s: SparkSession, dir: String) => {
       import org.apache.spark.sql.functions.col
       val e = graft.Tables(s, dir, "embeddings")

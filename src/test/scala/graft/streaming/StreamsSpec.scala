@@ -516,6 +516,38 @@ class StreamsSpec extends SparkSpec {
     assert(probe == Set((1L, 7L), (2L, 7L), (7L, 100L)))
   }
 
+  test("indexed streaming exact dedup: novel rows land, dups are caught across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_sdix").toString
+    val corpus = Seq((100L, "seed corpus document")).toDF("doc_id", "text")
+    graft.dedup.Dedup.writeDigestIndex(corpus, "text", s"$dir/index",
+      expectedKeys = 100L)
+    val input = MemoryStream[(Long, String)]
+    val docs = input.toDF().toDF("doc_id", "text")
+    val query = Streams.dedupIndexed(docs, "doc_id", "text",
+        s"$dir/index", s"$dir/novel")
+      .option("checkpointLocation", s"$dir/ckpt").start()
+    def novelIds() = spark.read.parquet(s"$dir/novel")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    try {
+      input.addData((1L, "first streamed doc"), (2L, "seed corpus document"))
+      query.processAllAvailable()
+      assert(novelIds() == Seq(1L)) // corpus dup dropped
+      // second batch: dup of batch 1 plus a fresh doc — only the fresh
+      // doc is novel, proving batch 1 was folded into the index
+      input.addData((3L, "first streamed doc"), (4L, "second streamed doc"))
+      query.processAllAvailable()
+      assert(novelIds() == Seq(1L, 4L))
+    } finally query.stop()
+    // the on-disk index now covers corpus + both batches for batch callers
+    val probe = graft.dedup.Dedup.incrementalIndexed(spark, s"$dir/index",
+        Seq((9L, "second streamed doc"), (10L, "still unseen content"))
+          .toDF("doc_id", "text"), "doc_id", "text")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(probe == Seq(10L))
+  }
+
   test("streaming CDC apply folds change batches into the snapshot") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
