@@ -115,6 +115,30 @@ object Dedup {
     novel.select("digest").write.mode("append").parquet(s"$indexPath/digests")
   }
 
+  /** Compact the appended-to digest table (the digest-index sibling of
+    * [[MinHash.compactBandIndex]]): rewrite the accumulated per-batch
+    * files — deduped, since a crash-retried append can land a digest
+    * twice — to the shuffle-partition target behind the same temp-dir +
+    * `FileSystem.rename` swap (atomic on HDFS/local; table-format
+    * transaction on object stores). Sketch and params are untouched: the
+    * sketch stays a superset through the row dedup. Run on the ordinary
+    * parquet-compaction cadence. */
+  def compactDigestIndex(spark: SparkSession, path: String): Unit = {
+    val parts = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val live = new org.apache.hadoop.fs.Path(s"$path/digests")
+    val tmp = new org.apache.hadoop.fs.Path(s"$path/_digests_compacting")
+    val old = new org.apache.hadoop.fs.Path(s"$path/_digests_old")
+    val fs = live.getFileSystem(hconf)
+    fs.delete(tmp, true)
+    fs.delete(old, true)
+    spark.read.parquet(live.toString).distinct()
+      .repartition(parts).write.parquet(tmp.toString)
+    require(fs.rename(live, old) && fs.rename(tmp, live),
+      s"compact swap failed for $live")
+    fs.delete(old, true)
+  }
+
   private def writeBloom(spark: SparkSession, dir: String,
                          bf: org.apache.spark.util.sketch.BloomFilter): Unit = {
     val hconf = spark.sparkContext.hadoopConfiguration

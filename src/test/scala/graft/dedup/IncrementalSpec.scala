@@ -77,6 +77,14 @@ class IncrementalSpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/digests").count() == nDigests)
     assert(Dedup.incrementalIndexed(spark, dir, b2, "doc_id", "text")
       .select("doc_id").as[Long].collect().sorted.toSeq == Seq(6L))
+    // compaction rewrites the per-batch files; probes and row count are
+    // unchanged and no temp/backup dirs survive
+    Dedup.compactDigestIndex(spark, dir)
+    assert(spark.read.parquet(s"$dir/digests").count() == nDigests)
+    assert(Dedup.incrementalIndexed(spark, dir, b2, "doc_id", "text")
+      .select("doc_id").as[Long].collect().sorted.toSeq == Seq(6L))
+    val subs = new java.io.File(dir).listFiles().map(_.getName).toSet
+    assert(subs == Set("digests", "bloom", "params"))
   }
 
   test("percentRank matches the SQL percent_rank definition including ties") {
