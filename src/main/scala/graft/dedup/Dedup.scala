@@ -23,20 +23,29 @@ object Dedup {
   /** Incremental ingest dedup: keep only the batch rows whose content is
     * NOT already in the corpus. A Bloom sketch of the corpus digests
     * short-circuits the overwhelmingly-novel majority before any shuffle
-    * ([[graft.operators.BloomPrune.antiJoinSmallProbe]] — the batch is
-    * ingest-sized by definition, so the hit keys broadcast and the corpus
-    * digest column is SCANNED into the sketch and the semi-reduction,
-    * never shuffled); only sketch hits — true duplicates plus the fpp
-    * sliver — pay the exact digest anti-join. The corpus side ships only
+    * ([[graft.operators.BloomPrune.antiJoinSmallProbe]] under the default
+    * `smallBatch=true` ingest contract: the hit keys broadcast and the
+    * corpus digest column is SCANNED into the sketch and the
+    * semi-reduction, never shuffled; a CORPUS-PROPORTIONAL batch — e.g.
+    * re-deduping a whole source — passes `smallBatch=false` and takes
+    * [[graft.operators.BloomPrune.antiJoin]]'s shuffle, which degrades
+    * gracefully instead of overflowing a forced broadcast); only sketch
+    * hits — true duplicates plus the fpp sliver — pay the exact digest
+    * anti-join. The corpus side ships only
     * digests (32 B/doc), never payloads. `expectedCorpusKeys` sizes the
     * sketch; overshooting costs memory, undershooting only raises the
     * false-positive (= needless-verify) rate, never correctness. */
   def incremental(batch: DataFrame, corpus: DataFrame, idCol: String,
-                  textCol: String, expectedCorpusKeys: Long = 1000000L): DataFrame = {
+                  textCol: String, expectedCorpusKeys: Long = 1000000L,
+                  smallBatch: Boolean = true): DataFrame = {
     val b = batch.select(col(idCol), sha2(col(textCol), 256).as("digest"))
     val c = corpus.select(sha2(col(textCol), 256).as("digest"))
-    graft.operators.BloomPrune.antiJoinSmallProbe(
+    (if (smallBatch)
+      graft.operators.BloomPrune.antiJoinSmallProbe(
         b, "digest", c, "digest", expectedCorpusKeys)
+    else
+      graft.operators.BloomPrune.antiJoin(
+        b, "digest", c, "digest", expectedCorpusKeys))
       .select(col(idCol), col("digest"))
   }
 
@@ -78,6 +87,12 @@ object Dedup {
   def incrementalIndexed(spark: SparkSession, indexPath: String,
                          batch: DataFrame, idCol: String,
                          textCol: String): DataFrame = {
+    // reader-side swap recovery: a crashed compact may have left the
+    // digest table only in its _old backup
+    val live = new org.apache.hadoop.fs.Path(s"$indexPath/digests")
+    graft.sources.Sources.restoreSwap(
+      live.getFileSystem(spark.sparkContext.hadoopConfiguration), live,
+      new org.apache.hadoop.fs.Path(s"$indexPath/_digests_old"))
     val b = batch.select(col(idCol), sha2(col(textCol), 256).as("digest"))
     val corpus = spark.read.parquet(s"$indexPath/digests")
     graft.operators.BloomPrune.antiJoinSmallProbe(
@@ -98,21 +113,37 @@ object Dedup {
     * sketch (bloom insertion is). */
   def appendToDigestIndex(spark: SparkSession, indexPath: String,
                           batch: DataFrame, idCol: String,
-                          textCol: String): Unit = {
+                          textCol: String): Unit =
+    // EAGER checkpoint: the probe must materialize NOW, not lazily inside
+    // the later digests-append action, which reads the same path it
+    // writes (self-read-write) and would run after the sketch swap
+    appendNovelToDigestIndex(spark, indexPath,
+      incrementalIndexed(spark, indexPath, batch, idCol, textCol)
+        .localCheckpoint())
+
+  /** Fold an ALREADY-PROBED batch into the index: `novel` must be
+    * [[incrementalIndexed]]'s output for the batch, MATERIALIZED (pass a
+    * checkpointed frame — it is read twice here, and the table append
+    * reads the path the probe scanned). The streaming face probes once
+    * and hands the frame straight here instead of re-probing. Merging
+    * only the NOVEL digests into the sketch preserves the superset
+    * invariant — a batch digest that was a dup is already in the table,
+    * hence already in the sketch. The digest append is `distinct()`-ed:
+    * an intra-batch repeated text yields several novel ROWS (correct for
+    * the caller) but must land ONE table digest. */
+  def appendNovelToDigestIndex(spark: SparkSession, indexPath: String,
+                               novel: DataFrame): Unit = {
+    // all-dup batch (e.g. a re-append): nothing to fold — and Spark's
+    // bloomFilter aggregate NPEs on zero rows, so the guard is required
+    if (novel.isEmpty) return
     val p = spark.read.parquet(s"$indexPath/params").collect()(0)
     val (expectedKeys, fpp) = (p.getAs[Long]("expected_keys"), p.getAs[Double]("fpp"))
-    // novel rows BEFORE the sketch swap — afterwards they'd all be
-    // sketch-hits. EAGER checkpoint: the probe must materialize NOW, not
-    // lazily inside the later digests-append action, which reads the same
-    // path it writes (self-read-write) and would run after the swap.
-    val novel = incrementalIndexed(spark, indexPath, batch, idCol, textCol)
-      .localCheckpoint()
     val merged = readBloom(spark, s"$indexPath/bloom")
     merged.mergeInPlace(
-      batch.select(sha2(col(textCol), 256).as("digest"))
-        .stat.bloomFilter("digest", expectedKeys, fpp))
+      novel.select("digest").stat.bloomFilter("digest", expectedKeys, fpp))
     writeBloom(spark, s"$indexPath/bloom", merged)
-    novel.select("digest").write.mode("append").parquet(s"$indexPath/digests")
+    novel.select("digest").distinct()
+      .write.mode("append").parquet(s"$indexPath/digests")
   }
 
   /** Compact the appended-to digest table (the digest-index sibling of
@@ -124,38 +155,43 @@ object Dedup {
     * sketch stays a superset through the row dedup. Run on the ordinary
     * parquet-compaction cadence. */
   def compactDigestIndex(spark: SparkSession, path: String): Unit = {
-    val parts = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
-    val hconf = spark.sparkContext.hadoopConfiguration
     val live = new org.apache.hadoop.fs.Path(s"$path/digests")
     val tmp = new org.apache.hadoop.fs.Path(s"$path/_digests_compacting")
     val old = new org.apache.hadoop.fs.Path(s"$path/_digests_old")
-    val fs = live.getFileSystem(hconf)
-    fs.delete(tmp, true)
-    fs.delete(old, true)
-    spark.read.parquet(live.toString).distinct()
-      .repartition(parts).write.parquet(tmp.toString)
-    require(fs.rename(live, old) && fs.rename(tmp, live),
-      s"compact swap failed for $live")
-    fs.delete(old, true)
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    graft.sources.Sources.recoverSwap(fs, live, tmp, old)
+    // distinct() already lands on the shuffle-partition target — no
+    // extra repartition pass
+    spark.read.parquet(live.toString).distinct().write.parquet(tmp.toString)
+    graft.sources.Sources.publishSwap(fs, live, tmp, old)
   }
 
+  private def bloomPaths(dir: String) = (
+    new org.apache.hadoop.fs.Path(s"$dir/sketch"),
+    new org.apache.hadoop.fs.Path(s"$dir/_sketch_tmp"),
+    new org.apache.hadoop.fs.Path(s"$dir/_sketch_old"))
+
+  /** Publish a sketch through the backed-up rename swap
+    * ([[graft.sources.Sources.publishSwap]]): any single crash leaves at
+    * worst the OLD sketch live (still a superset of the table, since the
+    * digest append runs strictly after the sketch swap) — never a window
+    * with no sketch at all. */
   private def writeBloom(spark: SparkSession, dir: String,
                          bf: org.apache.spark.util.sketch.BloomFilter): Unit = {
-    val hconf = spark.sparkContext.hadoopConfiguration
-    val live = new org.apache.hadoop.fs.Path(s"$dir/sketch")
-    val tmp = new org.apache.hadoop.fs.Path(s"$dir/_sketch_tmp")
-    val fs = live.getFileSystem(hconf)
+    val (live, tmp, old) = bloomPaths(dir)
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    graft.sources.Sources.recoverSwap(fs, live, tmp, old)
     val out = fs.create(tmp, true)
     try bf.writeTo(out) finally out.close()
-    fs.delete(live, false)
-    require(fs.rename(tmp, live), s"bloom sketch swap failed for $live")
+    graft.sources.Sources.publishSwap(fs, live, tmp, old)
   }
 
   private def readBloom(spark: SparkSession,
                         dir: String): org.apache.spark.util.sketch.BloomFilter = {
-    val hconf = spark.sparkContext.hadoopConfiguration
-    val p = new org.apache.hadoop.fs.Path(s"$dir/sketch")
-    val in = p.getFileSystem(hconf).open(p)
+    val (live, _, old) = bloomPaths(dir)
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    graft.sources.Sources.restoreSwap(fs, live, old)
+    val in = fs.open(live)
     try org.apache.spark.util.sketch.BloomFilter.readFrom(in) finally in.close()
   }
 

@@ -107,6 +107,20 @@ object MinHash {
       .coalesce(1).write.mode("overwrite").parquet(s"$path/params")
   }
 
+  /** Reader-side swap recovery for the index tables: if a crashed
+    * [[compactBandIndex]] left a table only in its `_old` backup, restore
+    * it before reading. Probe/append entry points call this — cheap
+    * namenode existence checks — so index users never see the
+    * mid-publish window. */
+  private def restoreIndex(spark: SparkSession, path: String): Unit = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    for (sub <- Seq("buckets", "shingles")) {
+      val live = new org.apache.hadoop.fs.Path(s"$path/$sub")
+      graft.sources.Sources.restoreSwap(live.getFileSystem(hconf), live,
+        new org.apache.hadoop.fs.Path(s"$path/_${sub}_old"))
+    }
+  }
+
   /** Fold an ingested batch INTO the persisted band index so the NEXT
     * batch's probe sees it — the second half of the ingest loop whose
     * first half is [[pairsIncremental]] (probe, then append: the
@@ -128,6 +142,7 @@ object MinHash {
   def appendToBandIndex(spark: SparkSession, indexPath: String,
                         batch: DataFrame, idCol: String,
                         textCol: String): Unit = {
+    restoreIndex(spark, indexPath)
     val p = spark.read.parquet(s"$indexPath/params").collect()(0)
     val (n, k, bands) = (p.getAs[Int]("n"), p.getAs[Int]("k"), p.getAs[Int]("bands"))
     val seed = p.getAs[Long]("seed")
@@ -141,7 +156,10 @@ object MinHash {
     // shuffle corpus_rows ids on every batch. Pin once — novel feeds
     // both appends.
     val hits = indexed.join(broadcast(bsh.select("id")), Seq("id"), "left_semi")
+    // dropDuplicates: an intra-batch repeated id must land ONCE (the
+    // anti-join only guards against ids already indexed)
     val novel = bsh.join(broadcast(hits), Seq("id"), "left_anti")
+      .dropDuplicates("id")
       .localCheckpoint(eager = false)
     val parts = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
     graft.sources.Sources.writeClustered(
@@ -156,13 +174,14 @@ object MinHash {
     * join touches every batch's files. Compaction rewrites the EXISTING
     * rows — no re-shingling, no re-hashing, params untouched —
     * range-clustered on (band, bucket) across the whole index again, and
-    * compacts the shingle files to the same partition target. Write goes
-    * to a sibling temp dir then swaps via `FileSystem.rename` (atomic on
-    * HDFS/local; NOT on S3-style stores — run the swap under a
-    * Delta/Iceberg transaction there), so a crash mid-compact leaves the
-    * live index intact: the half-written temp dir is deleted and redone
-    * by the next compact. Run on the ordinary parquet-compaction cadence
-    * (docs/SCALE_BOUNDS.md). */
+    * compacts the shingle files to the same partition target. Each table
+    * rewrites into a sibling temp dir and publishes through the
+    * backed-up rename swap ([[graft.sources.Sources.publishSwap]] after
+    * its `recoverSwap` — atomic renames on HDFS/local; on S3-style
+    * stores run the swap under a Delta/Iceberg transaction): any single
+    * crash leaves AT WORST the old clustering live and the next compact
+    * recovers and redoes it — never a window with no live copy. Run on
+    * the ordinary parquet-compaction cadence (docs/SCALE_BOUNDS.md). */
   def compactBandIndex(spark: SparkSession, path: String): Unit = {
     val parts = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
     val hconf = spark.sparkContext.hadoopConfiguration
@@ -171,12 +190,9 @@ object MinHash {
       val tmp = new org.apache.hadoop.fs.Path(s"$path/_${sub}_compacting")
       val old = new org.apache.hadoop.fs.Path(s"$path/_${sub}_old")
       val fs = live.getFileSystem(hconf)
-      fs.delete(tmp, true)
-      fs.delete(old, true)
+      graft.sources.Sources.recoverSwap(fs, live, tmp, old)
       write(tmp.toString)
-      require(fs.rename(live, old) && fs.rename(tmp, live),
-        s"compact swap failed for $live")
-      fs.delete(old, true)
+      graft.sources.Sources.publishSwap(fs, live, tmp, old)
     }
     swap("buckets") { out =>
       graft.sources.Sources.writeClustered(
@@ -204,10 +220,11 @@ object MinHash {
     * contract (split oversized ingest batches). */
   private[graft] def incrementalCandidates(spark: SparkSession,
       indexPath: String, bsh: DataFrame, k: Int, bands: Int,
-      seed: Long): DataFrame = {
+      seed: Long, smallBatch: Boolean = true): DataFrame = {
     val bban = bandBuckets(bsh, k, bands, seed)
     val cban = spark.read.parquet(s"$indexPath/buckets")
-    val bc = broadcast(bban.select(col("band"), col("bucket"), col("id").as("_x")))
+    val bside = bban.select(col("band"), col("bucket"), col("id").as("_x"))
+    val bc = (if (smallBatch) broadcast(bside) else bside)
       .join(cban.select(col("band"), col("bucket"), col("id").as("_y")),
         Seq("band", "bucket"))
       .filter(col("_x") =!= col("_y"))
@@ -229,15 +246,21 @@ object MinHash {
     * result is exactly [[pairs]] over (corpus ∪ batch) restricted to pairs
     * with at least one batch id (spec-pinned); overlapping ids are treated
     * as the same document (self-pairs drop). Emits (id_a, id_b, jaccard),
-    * id_a < id_b. Cost scales with batch size × bands, never corpus size:
-    * every shuffle and broadcast in the plan is batch- or
-    * candidate-sized — the corpus bucket and shingle tables are only ever
-    * SCANNED (buckets: narrow clustered rows against the broadcast batch
-    * banding; shingles: semi-join-reduced to candidate ids by a broadcast
-    * before the verify join touches them). */
+    * id_a < id_b. With `smallBatch=true` (the ingest contract — batch ×
+    * bands and the candidate-id set must fit the broadcast budget), every
+    * shuffle and broadcast in the plan is batch- or candidate-sized: the
+    * corpus bucket and shingle tables are only ever SCANNED (buckets:
+    * narrow clustered rows against the broadcast batch banding; shingles:
+    * semi-join-reduced to candidate ids by a broadcast before the verify
+    * join touches them). Pass `smallBatch=false` for a CORPUS-PROPORTIONAL
+    * batch (e.g. re-probing a whole source): the hints drop and Catalyst
+    * falls back to shuffle joins that degrade gracefully instead of
+    * overflowing a forced broadcast. */
   def pairsIncremental(spark: SparkSession, indexPath: String,
                        batch: DataFrame, idCol: String,
-                       textCol: String): DataFrame = {
+                       textCol: String,
+                       smallBatch: Boolean = true): DataFrame = {
+    restoreIndex(spark, indexPath)
     val p = spark.read.parquet(s"$indexPath/params").collect()(0)
     val (n, k, bands) = (p.getAs[Int]("n"), p.getAs[Int]("k"), p.getAs[Int]("bands"))
     val (threshold, seed) = (p.getAs[Double]("threshold"), p.getAs[Long]("seed"))
@@ -247,7 +270,8 @@ object MinHash {
     // cands feeds the verify joins AND the lookup restriction — pin once
     // (the checkpoint hides the bucket probe from the final plan, so the
     // PushdownSpec tripwire asserts on incrementalCandidates directly)
-    val cands = incrementalCandidates(spark, indexPath, bsh, k, bands, seed)
+    val cands = incrementalCandidates(spark, indexPath, bsh, k, bands, seed,
+        smallBatch)
       .localCheckpoint(eager = false)
     // verify lookup: on id overlap either copy serves (same text, same
     // hash family ⇒ identical arrays). The corpus shingle table is
@@ -259,7 +283,8 @@ object MinHash {
     val candIds = cands
       .select(explode(array(col("id_a"), col("id_b"))).as("id")).distinct()
     val lookup = bsh
-      .unionByName(csh.join(broadcast(candIds), Seq("id"), "left_semi"))
+      .unionByName(csh.join(
+        if (smallBatch) broadcast(candIds) else candIds, Seq("id"), "left_semi"))
       .dropDuplicates("id")
     cands
       .join(lookup.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))

@@ -974,7 +974,10 @@ object Q {
     val batch = docs.filter(col("source") === "src0" ||
       (col("source") === "src1" && col("doc_id") % 3 === 0))
     val corpus = docs.filter(col("source") =!= "src0")
-    Dedup.incremental(batch, corpus, "doc_id", "text")
+    // this face's "batch" is a corpus-proportional slice (it scales with
+    // sf), so it takes the graceful-shuffle path, not the broadcast
+    // ingest contract
+    Dedup.incremental(batch, corpus, "doc_id", "text", smallBatch = false)
   }
 
   /** Percent-rank feature transform of customer balances — histogram
@@ -1320,8 +1323,11 @@ object Q {
       math.abs(dir.hashCode).toString
     graft.dedup.MinHash.writeBandIndex(docs.filter(col("source") =!= "src0"),
       "doc_id", "text", path, n = 3, k = 32, bands = 8, threshold = 0.10)
+    // the src0 "batch" is corpus-proportional (scales with sf):
+    // smallBatch=false drops the broadcast hints for graceful shuffles
     graft.dedup.MinHash.pairsIncremental(s, path,
-      docs.filter(col("source") === "src0"), "doc_id", "text")
+      docs.filter(col("source") === "src0"), "doc_id", "text",
+      smallBatch = false)
   }
 
   /** Estimator-quality audit for the dedup family — the ann_recall

@@ -136,4 +136,49 @@ object Sources {
       else df.repartition(n)
     laid.write.mode("overwrite").parquet(outPath)
   }
+
+  /** Crash-safe publish of a freshly-written path over a live one, via
+    * `FileSystem.rename` (atomic on HDFS/local; on S3-style stores run
+    * the swap under a Delta/Iceberg transaction instead). The live copy
+    * is renamed to a `_<name>_old` backup BEFORE the new data takes its
+    * place, and [[recoverSwap]] — which every writer AND reader of a
+    * swapped path must call first — restores the backup if a crash
+    * between the two renames left no live copy. Worst case under any
+    * single crash: the OLD data stays live (the new write is redone),
+    * never a window with no copy at all. Works for files and
+    * directories alike. */
+  def publishSwap(fs: org.apache.hadoop.fs.FileSystem,
+                  live: org.apache.hadoop.fs.Path,
+                  tmp: org.apache.hadoop.fs.Path,
+                  old: org.apache.hadoop.fs.Path): Unit = {
+    require(fs.exists(live) || !fs.exists(old),
+      s"backup $old is the only copy — run recoverSwap before publishSwap")
+    if (fs.exists(old)) require(fs.delete(old, true), s"stale backup stuck: $old")
+    if (fs.exists(live))
+      require(fs.rename(live, old), s"backup rename failed: $live -> $old")
+    require(fs.rename(tmp, live), s"publish rename failed: $tmp -> $live")
+    fs.delete(old, true)
+  }
+
+  /** READER-side recovery: restore the `_old` backup when a crash
+    * mid-[[publishSwap]] left no live copy. Touches nothing else, so it
+    * is safe to call from probes while a compactor may be writing its
+    * temp dir. Idempotent. */
+  def restoreSwap(fs: org.apache.hadoop.fs.FileSystem,
+                  live: org.apache.hadoop.fs.Path,
+                  old: org.apache.hadoop.fs.Path): Unit =
+    if (!fs.exists(live) && fs.exists(old))
+      require(fs.rename(old, live), s"backup restore failed: $old -> $live")
+
+  /** WRITER-side recovery before re-writing a swapped path:
+    * [[restoreSwap]] plus clearing any half-written temp from a crashed
+    * writer (single-maintenance-writer assumption — a concurrent
+    * compactor's temp would be clobbered). */
+  def recoverSwap(fs: org.apache.hadoop.fs.FileSystem,
+                  live: org.apache.hadoop.fs.Path,
+                  tmp: org.apache.hadoop.fs.Path,
+                  old: org.apache.hadoop.fs.Path): Unit = {
+    restoreSwap(fs, live, old)
+    fs.delete(tmp, true)
+  }
 }

@@ -532,10 +532,14 @@ object Streams {
       .outputMode(OutputMode.Append())
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
-        val b = batch.localCheckpoint()
-        graft.dedup.Dedup.incrementalIndexed(spark, indexPath, b, idCol, textCol)
-          .write.mode("append").parquet(novelPath)
-        graft.dedup.Dedup.appendToDigestIndex(spark, indexPath, b, idCol, textCol)
+        // probe ONCE; the checkpointed novel frame serves the sink write
+        // AND the index fold (appendNovelToDigestIndex), so the batch is
+        // digested and verified a single time per micro-batch
+        val novel = graft.dedup.Dedup.incrementalIndexed(
+            spark, indexPath, batch, idCol, textCol)
+          .localCheckpoint()
+        novel.write.mode("append").parquet(novelPath)
+        graft.dedup.Dedup.appendNovelToDigestIndex(spark, indexPath, novel)
       }
 
   /** Streaming CDC apply: fold each micro-batch of keyed changes into the

@@ -54,16 +54,24 @@ object ScalingBench {
     // shuffle.
     "dedup_near_inc_probe" -> ((s: SparkSession, dir: String) => {
       import org.apache.spark.sql.functions.col
+      // caveat: the per-dir index is keyed on the dir PATH and reused
+      // across runs — `rm -rf $TMPDIR/graft_scaling_nearidx_*` after
+      // regenerating testdata in place, or timings measure a stale index
       val path = System.getProperty("java.io.tmpdir") +
         "/graft_scaling_nearidx_" + math.abs(dir.hashCode).toString
       val params = new org.apache.hadoop.fs.Path(s"$path/params")
       if (!params.getFileSystem(s.sparkContext.hadoopConfiguration).exists(params))
         graft.dedup.MinHash.writeBandIndex(graft.Tables(s, dir, "documents"),
           "doc_id", "text", path, n = 3, k = 32, bands = 8, threshold = 0.10)
-      graft.dedup.MinHash.pairsIncremental(s, path,
-        graft.Tables(s, "/root/testdata/sf0.001", "documents")
-          .filter(col("source") === "src0"),
-        "doc_id", "text")
+      // fixed probe batch so the curve isolates corpus growth; fall back
+      // to a deterministic slice of the dir itself when the default
+      // testdata layout isn't present (custom SPARK_GRAFT_SF_DIRS)
+      val fixedDir = "/root/testdata/sf0.001"
+      val batch =
+        if (new java.io.File(s"$fixedDir/documents.parquet").exists())
+          graft.Tables(s, fixedDir, "documents").filter(col("source") === "src0")
+        else graft.Tables(s, dir, "documents").filter(col("doc_id") % 1009 === 0)
+      graft.dedup.MinHash.pairsIncremental(s, path, batch, "doc_id", "text")
     }),
     "embed_cluster_lsh_p8" -> ((s: SparkSession, dir: String) => {
       import org.apache.spark.sql.functions.col

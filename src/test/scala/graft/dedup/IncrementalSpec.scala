@@ -87,6 +87,46 @@ class IncrementalSpec extends SparkSpec {
     assert(subs == Set("digests", "bloom", "params"))
   }
 
+  test("digest index: intra-batch repeated text lands ONE table digest") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_digidx").toString
+    Dedup.writeDigestIndex(Seq((100L, "seed doc")).toDF("doc_id", "text"),
+      "text", dir, expectedKeys = 100L)
+    val batch = Seq((1L, "same novel text"), (2L, "same novel text"))
+      .toDF("doc_id", "text")
+    // both batch ROWS are novel to the caller…
+    val novel = Dedup.incrementalIndexed(spark, dir, batch, "doc_id", "text")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(novel == Seq(1L, 2L))
+    // …but the appended table stays digest-distinct
+    Dedup.appendToDigestIndex(spark, dir, batch, "doc_id", "text")
+    assert(spark.read.parquet(s"$dir/digests").count() == 2) // seed + 1
+    assert(spark.read.parquet(s"$dir/digests").distinct().count() == 2)
+  }
+
+  test("digest index survives a simulated mid-swap crash (sketch AND table)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_digidx").toString
+    val corpus = Seq((100L, "seed doc"), (101L, "other doc")).toDF("doc_id", "text")
+    Dedup.writeDigestIndex(corpus, "text", dir, expectedKeys = 100L)
+    val probeBatch = Seq((1L, "seed doc"), (2L, "fresh doc")).toDF("doc_id", "text")
+    def novelIds() = Dedup.incrementalIndexed(spark, dir, probeBatch,
+      "doc_id", "text").select("doc_id").as[Long].collect().sorted.toSeq
+    assert(novelIds() == Seq(2L))
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    // crash window: backup rename done, publish rename not — only _old left
+    assert(fs.rename(new org.apache.hadoop.fs.Path(s"$dir/bloom/sketch"),
+      new org.apache.hadoop.fs.Path(s"$dir/bloom/_sketch_old")))
+    assert(novelIds() == Seq(2L)) // reader-side restoreSwap recovers
+    assert(fs.rename(new org.apache.hadoop.fs.Path(s"$dir/digests"),
+      new org.apache.hadoop.fs.Path(s"$dir/_digests_old")))
+    assert(novelIds() == Seq(2L))
+    // and the writer paths recover too: compact after a simulated crash
+    assert(fs.rename(new org.apache.hadoop.fs.Path(s"$dir/digests"),
+      new org.apache.hadoop.fs.Path(s"$dir/_digests_old")))
+    Dedup.compactDigestIndex(spark, dir)
+    assert(novelIds() == Seq(2L))
+  }
+
   test("percentRank matches the SQL percent_rank definition including ties") {
     val df = Seq((1L, 10.0), (2L, 20.0), (3L, 20.0), (4L, 30.0), (5L, 5.0))
       .toDF("id", "v")

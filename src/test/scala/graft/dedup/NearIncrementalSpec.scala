@@ -145,4 +145,45 @@ class NearIncrementalSpec extends SparkSpec {
     val subs = new java.io.File(path).listFiles().map(_.getName).toSet
     assert(subs == Set("buckets", "shingles", "params"))
   }
+
+  test("band index survives a simulated mid-swap crash; probes and compact recover") {
+    val corpus = Seq((100L, base)).toDF("doc_id", "text")
+    val path = tmp()
+    MinHash.writeBandIndex(corpus, "doc_id", "text", path,
+      n = 3, k = 32, bands = 8, threshold = 0.3)
+    val probeBatch = Seq((2L, edited(9, "ee"))).toDF("doc_id", "text")
+    def probe() = MinHash.pairsIncremental(spark, path, probeBatch,
+        "doc_id", "text")
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(probe() == Set((2L, 100L)))
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    // crash window of compactBandIndex: live renamed to _old, new copy
+    // not yet published — reader-side restore must bring it back
+    assert(fs.rename(new org.apache.hadoop.fs.Path(s"$path/buckets"),
+      new org.apache.hadoop.fs.Path(s"$path/_buckets_old")))
+    assert(probe() == Set((2L, 100L)))
+    // and a compact straight after the same crash state recovers first
+    assert(fs.rename(new org.apache.hadoop.fs.Path(s"$path/shingles"),
+      new org.apache.hadoop.fs.Path(s"$path/_shingles_old")))
+    MinHash.compactBandIndex(spark, path)
+    assert(probe() == Set((2L, 100L)))
+    val subs = new java.io.File(path).listFiles().map(_.getName).toSet
+    assert(subs == Set("buckets", "shingles", "params"))
+  }
+
+  test("intra-batch repeated id appends once to the band index") {
+    val corpus = Seq((100L, base)).toDF("doc_id", "text")
+    val path = tmp()
+    MinHash.writeBandIndex(corpus, "doc_id", "text", path,
+      n = 3, k = 32, bands = 8, threshold = 0.3)
+    // the same id twice in one batch (an upstream hiccup) must land once
+    val b = Seq((1L, edited(11, "ff")), (1L, edited(11, "ff")))
+      .toDF("doc_id", "text")
+    MinHash.appendToBandIndex(spark, path, b, "doc_id", "text")
+    assert(spark.read.parquet(s"$path/shingles")
+      .filter(col("id") === 1L).count() == 1)
+    assert(spark.read.parquet(s"$path/buckets")
+      .filter(col("id") === 1L).count() == 8) // bands, not 2 × bands
+  }
 }
