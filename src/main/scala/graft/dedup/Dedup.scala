@@ -22,22 +22,26 @@ object Dedup {
 
   /** Incremental ingest dedup: keep only the batch rows whose content is
     * NOT already in the corpus. A Bloom sketch of the corpus digests
-    * short-circuits the overwhelmingly-novel majority before any shuffle
-    * ([[graft.operators.BloomPrune.antiJoinSmallProbe]] under the default
-    * `smallBatch=true` ingest contract: the hit keys broadcast and the
-    * corpus digest column is SCANNED into the sketch and the
-    * semi-reduction, never shuffled; a CORPUS-PROPORTIONAL batch — e.g.
-    * re-deduping a whole source — passes `smallBatch=false` and takes
-    * [[graft.operators.BloomPrune.antiJoin]]'s shuffle, which degrades
-    * gracefully instead of overflowing a forced broadcast); only sketch
-    * hits — true duplicates plus the fpp sliver — pay the exact digest
-    * anti-join. The corpus side ships only
-    * digests (32 B/doc), never payloads. `expectedCorpusKeys` sizes the
-    * sketch; overshooting costs memory, undershooting only raises the
-    * false-positive (= needless-verify) rate, never correctness. */
+    * short-circuits the overwhelmingly-novel majority before any shuffle;
+    * only sketch hits — true duplicates plus the fpp sliver — pay the
+    * exact digest anti-join. The corpus side ships only digests
+    * (32 B/doc), never payloads. `expectedCorpusKeys` sizes the sketch;
+    * overshooting costs memory, undershooting only raises the
+    * false-positive (= needless-verify) rate, never correctness.
+    *
+    * `smallBatch` is an EXPLICIT opt-in to the small-ingest contract
+    * ([[graft.operators.BloomPrune.antiJoinSmallProbe]]: the batch's
+    * sketch-hit keys BROADCAST and the corpus digest column is scanned
+    * into the sketch and the semi-reduction, never shuffled) — the
+    * fastest plan for the per-batch ingest loop, but a forced broadcast
+    * that overflows on a corpus-proportional batch. The DEFAULT is the
+    * gracefully-degrading shuffle anti-join
+    * ([[graft.operators.BloomPrune.antiJoin]]): callers that satisfy the
+    * bounded-batch contract opt in, instead of every caller silently
+    * inheriting a driver-OOM risk. */
   def incremental(batch: DataFrame, corpus: DataFrame, idCol: String,
                   textCol: String, expectedCorpusKeys: Long = 1000000L,
-                  smallBatch: Boolean = true): DataFrame = {
+                  smallBatch: Boolean = false): DataFrame = {
     val b = batch.select(col(idCol), sha2(col(textCol), 256).as("digest"))
     val c = corpus.select(sha2(col(textCol), 256).as("digest"))
     (if (smallBatch)
@@ -87,14 +91,16 @@ object Dedup {
   def incrementalIndexed(spark: SparkSession, indexPath: String,
                          batch: DataFrame, idCol: String,
                          textCol: String): DataFrame = {
-    // reader-side swap recovery: a crashed compact may have left the
-    // digest table only in its _old backup
+    // NON-MUTATING reader-side swap resolution: if a compact is mid-swap
+    // (or crashed mid-swap), read the _old backup in place — a
+    // reader-issued restore could re-occupy `digests` inside a live
+    // publisher's rename window and corrupt the publish
     val live = new org.apache.hadoop.fs.Path(s"$indexPath/digests")
-    graft.sources.Sources.restoreSwap(
+    val digPath = graft.sources.Sources.resolveSwap(
       live.getFileSystem(spark.sparkContext.hadoopConfiguration), live,
       new org.apache.hadoop.fs.Path(s"$indexPath/_digests_old"))
     val b = batch.select(col(idCol), sha2(col(textCol), 256).as("digest"))
-    val corpus = spark.read.parquet(s"$indexPath/digests")
+    val corpus = spark.read.parquet(digPath.toString)
     graft.operators.BloomPrune.antiJoinSmallProbe(
         b, "digest", corpus, "digest", readBloom(spark, s"$indexPath/bloom"))
       .select(col(idCol), col("digest"))
@@ -142,6 +148,13 @@ object Dedup {
     merged.mergeInPlace(
       novel.select("digest").stat.bloomFilter("digest", expectedKeys, fpp))
     writeBloom(spark, s"$indexPath/bloom", merged)
+    // appender-side guard: if a compact's publish is in flight, wait for
+    // its rename to land (ms); only restore the backup once the grace
+    // period proves the publisher crashed
+    val live = new org.apache.hadoop.fs.Path(s"$indexPath/digests")
+    graft.sources.Sources.awaitOrRestore(
+      live.getFileSystem(spark.sparkContext.hadoopConfiguration), live,
+      new org.apache.hadoop.fs.Path(s"$indexPath/_digests_old"))
     novel.select("digest").distinct()
       .write.mode("append").parquet(s"$indexPath/digests")
   }
@@ -149,21 +162,36 @@ object Dedup {
   /** Compact the appended-to digest table (the digest-index sibling of
     * [[MinHash.compactBandIndex]]): rewrite the accumulated per-batch
     * files — deduped, since a crash-retried append can land a digest
-    * twice — to the shuffle-partition target behind the same temp-dir +
+    * twice — to the shuffle-partition target behind the temp-dir +
     * `FileSystem.rename` swap (atomic on HDFS/local; table-format
     * transaction on object stores). Sketch and params are untouched: the
-    * sketch stays a superset through the row dedup. Run on the ordinary
-    * parquet-compaction cadence. */
+    * sketch stays a superset through the row dedup. SAFE AGAINST
+    * CONCURRENT APPENDERS: the rewrite reads a file-list snapshot and the
+    * publish goes through [[graft.sources.Sources.publishSwapReconcile]],
+    * which copies any file appended after the snapshot into the new
+    * layout before the swap — a streaming `dedupIndexed` micro-batch that
+    * lands mid-compact is preserved, not silently deleted (late files may
+    * briefly duplicate a digest row; the next compact's distinct removes
+    * it, and duplicates never change probe results). Only concurrent
+    * COMPACTORS are excluded (single-compactor contract). Run on the
+    * ordinary parquet-compaction cadence. */
   def compactDigestIndex(spark: SparkSession, path: String): Unit = {
     val live = new org.apache.hadoop.fs.Path(s"$path/digests")
     val tmp = new org.apache.hadoop.fs.Path(s"$path/_digests_compacting")
     val old = new org.apache.hadoop.fs.Path(s"$path/_digests_old")
     val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
     graft.sources.Sources.recoverSwap(fs, live, tmp, old)
+    // snapshot the input file list; files landing after this line are
+    // "late appends" the reconcile copies across the swap
+    val snapshot = graft.sources.Sources.dataFiles(fs, live)
+    if (snapshot.isEmpty) return // empty table: nothing to compact
     // distinct() already lands on the shuffle-partition target — no
-    // extra repartition pass
-    spark.read.parquet(live.toString).distinct().write.parquet(tmp.toString)
-    graft.sources.Sources.publishSwap(fs, live, tmp, old)
+    // extra repartition pass. Read the SNAPSHOT files, not the live dir:
+    // a file appended mid-rewrite must not be both rewritten and
+    // reconciled (lazy parquet reads race the listing otherwise)
+    spark.read.parquet(snapshot.toSeq.map(f => s"$live/$f"): _*)
+      .distinct().write.parquet(tmp.toString)
+    graft.sources.Sources.publishSwapReconcile(fs, live, tmp, old, snapshot)
   }
 
   private def bloomPaths(dir: String) = (
@@ -190,8 +218,10 @@ object Dedup {
                         dir: String): org.apache.spark.util.sketch.BloomFilter = {
     val (live, _, old) = bloomPaths(dir)
     val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    graft.sources.Sources.restoreSwap(fs, live, old)
-    val in = fs.open(live)
+    // non-mutating: read whichever copy exists — a reader-issued restore
+    // could collide with a concurrent writeBloom's publish window
+    val p = graft.sources.Sources.resolveSwap(fs, live, old)
+    val in = fs.open(p)
     try org.apache.spark.util.sketch.BloomFilter.readFrom(in) finally in.close()
   }
 

@@ -107,16 +107,28 @@ object MinHash {
       .coalesce(1).write.mode("overwrite").parquet(s"$path/params")
   }
 
-  /** Reader-side swap recovery for the index tables: if a crashed
-    * [[compactBandIndex]] left a table only in its `_old` backup, restore
-    * it before reading. Probe/append entry points call this — cheap
-    * namenode existence checks — so index users never see the
-    * mid-publish window. */
-  private def restoreIndex(spark: SparkSession, path: String): Unit = {
+  /** NON-MUTATING reader-side swap resolution for an index table: the
+    * path to read now — the live table, or its `_old` backup while a
+    * [[compactBandIndex]] publish is in flight (or crashed mid-swap).
+    * Probes call this instead of restoring: a probe-issued restore could
+    * re-occupy the live path inside a concurrent publisher's rename
+    * window and corrupt the publish (cheap namenode existence checks). */
+  private def resolvedTable(spark: SparkSession, path: String,
+                            sub: String): String = {
+    val live = new org.apache.hadoop.fs.Path(s"$path/$sub")
+    graft.sources.Sources.resolveSwap(
+      live.getFileSystem(spark.sparkContext.hadoopConfiguration), live,
+      new org.apache.hadoop.fs.Path(s"$path/_${sub}_old")).toString
+  }
+
+  /** APPENDER-side guard before writing into an index table: wait out an
+    * in-flight compact publish (ms), restore the backup only once the
+    * grace period proves the publisher crashed. */
+  private def awaitIndex(spark: SparkSession, path: String): Unit = {
     val hconf = spark.sparkContext.hadoopConfiguration
     for (sub <- Seq("buckets", "shingles")) {
       val live = new org.apache.hadoop.fs.Path(s"$path/$sub")
-      graft.sources.Sources.restoreSwap(live.getFileSystem(hconf), live,
+      graft.sources.Sources.awaitOrRestore(live.getFileSystem(hconf), live,
         new org.apache.hadoop.fs.Path(s"$path/_${sub}_old"))
     }
   }
@@ -142,7 +154,7 @@ object MinHash {
   def appendToBandIndex(spark: SparkSession, indexPath: String,
                         batch: DataFrame, idCol: String,
                         textCol: String): Unit = {
-    restoreIndex(spark, indexPath)
+    awaitIndex(spark, indexPath)
     val p = spark.read.parquet(s"$indexPath/params").collect()(0)
     val (n, k, bands) = (p.getAs[Int]("n"), p.getAs[Int]("k"), p.getAs[Int]("bands"))
     val seed = p.getAs[Long]("seed")
@@ -185,21 +197,28 @@ object MinHash {
   def compactBandIndex(spark: SparkSession, path: String): Unit = {
     val parts = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
     val hconf = spark.sparkContext.hadoopConfiguration
-    def swap(sub: String)(write: String => Unit): Unit = {
+    // each table rewrites a FILE-LIST SNAPSHOT and publishes through the
+    // reconciling swap: a streaming appendToBandIndex micro-batch landing
+    // mid-rewrite is copied across the swap instead of silently deleted
+    // (concurrent APPENDERS tolerated; concurrent compactors excluded —
+    // single-compactor contract)
+    def swap(sub: String)(write: (Seq[String], String) => Unit): Unit = {
       val live = new org.apache.hadoop.fs.Path(s"$path/$sub")
       val tmp = new org.apache.hadoop.fs.Path(s"$path/_${sub}_compacting")
       val old = new org.apache.hadoop.fs.Path(s"$path/_${sub}_old")
       val fs = live.getFileSystem(hconf)
       graft.sources.Sources.recoverSwap(fs, live, tmp, old)
-      write(tmp.toString)
-      graft.sources.Sources.publishSwap(fs, live, tmp, old)
+      val snapshot = graft.sources.Sources.dataFiles(fs, live)
+      if (snapshot.isEmpty) return // empty table: nothing to compact
+      write(snapshot.toSeq.map(f => s"$live/$f"), tmp.toString)
+      graft.sources.Sources.publishSwapReconcile(fs, live, tmp, old, snapshot)
     }
-    swap("buckets") { out =>
+    swap("buckets") { (files, out) =>
       graft.sources.Sources.writeClustered(
-        spark.read.parquet(s"$path/buckets"), out, Seq("band", "bucket"), parts)
+        spark.read.parquet(files: _*), out, Seq("band", "bucket"), parts)
     }
-    swap("shingles") { out =>
-      spark.read.parquet(s"$path/shingles")
+    swap("shingles") { (files, out) =>
+      spark.read.parquet(files: _*)
         .repartition(parts).write.parquet(out)
     }
   }
@@ -222,7 +241,7 @@ object MinHash {
       indexPath: String, bsh: DataFrame, k: Int, bands: Int,
       seed: Long, smallBatch: Boolean = true): DataFrame = {
     val bban = bandBuckets(bsh, k, bands, seed)
-    val cban = spark.read.parquet(s"$indexPath/buckets")
+    val cban = spark.read.parquet(resolvedTable(spark, indexPath, "buckets"))
     val bside = bban.select(col("band"), col("bucket"), col("id").as("_x"))
     val bc = (if (smallBatch) broadcast(bside) else bside)
       .join(cban.select(col("band"), col("bucket"), col("id").as("_y")),
@@ -260,13 +279,12 @@ object MinHash {
                        batch: DataFrame, idCol: String,
                        textCol: String,
                        smallBatch: Boolean = true): DataFrame = {
-    restoreIndex(spark, indexPath)
     val p = spark.read.parquet(s"$indexPath/params").collect()(0)
     val (n, k, bands) = (p.getAs[Int]("n"), p.getAs[Int]("k"), p.getAs[Int]("bands"))
     val (threshold, seed) = (p.getAs[Double]("threshold"), p.getAs[Long]("seed"))
     // batch shingles feed the banding AND both verify sides — pin once
     val bsh = shingleFrame(batch, idCol, textCol, n).localCheckpoint(eager = false)
-    val csh = spark.read.parquet(s"$indexPath/shingles")
+    val csh = spark.read.parquet(resolvedTable(spark, indexPath, "shingles"))
     // cands feeds the verify joins AND the lookup restriction — pin once
     // (the checkpoint hides the bucket probe from the final plan, so the
     // PushdownSpec tripwire asserts on incrementalCandidates directly)

@@ -72,15 +72,37 @@ object AnnIndex {
     * their nearest list's PARTITION (mode=append writes new files into the
     * existing list=... directories), so [[ivfTopK]]'s static partition
     * pruning serves them with no re-train and no index rewrite —
-    * spec-pinned. Run [[driftGate]] first (or use [[refresh]]). */
+    * spec-pinned. Run [[driftGate]] first (or use [[refresh]]).
+    *
+    * IDEMPOTENT under retry/replay: ids already in the persisted vectors
+    * table are dropped by an anti-join guard (the appendToBandIndex
+    * pattern — the batch id set broadcasts into a semi join that reduces
+    * the corpus side to ≤ batch rows, so the vectors table is only ever
+    * SCANNED, never shuffled), so a replayed micro-batch or crash-retried
+    * append never double-serves a vec_id from [[ivfTopK]], and a
+    * PARTIALLY-landed append (parquet append is not transactional)
+    * converges: the retry appends exactly the missing ids. The guard
+    * treats vec_id as an immutable content key — re-appending a CHANGED
+    * vector under an old id is a no-op by design (re-train for encoder
+    * migrations). */
   def append(spark: SparkSession, path: String, batch: DataFrame,
-             idCol: String, vecCol: String): Unit =
-    assignLists(spark, path, batch, idCol, vecCol)
+             idCol: String, vecCol: String): Unit = {
+    // assigned feeds the guard AND the write — pin once (lazy: no job at
+    // plan-build time; materializes inside the first action)
+    val assigned = assignLists(spark, path, batch, idCol, vecCol)
+      .localCheckpoint(eager = false)
+    val indexed = spark.read.parquet(s"$path/vectors").select("vec_id")
+    val hits = indexed.join(broadcast(assigned.select("vec_id")),
+      Seq("vec_id"), "left_semi")
+    assigned.join(broadcast(hits), Seq("vec_id"), "left_anti")
       .write.mode("append").partitionBy("list").parquet(s"$path/vectors")
+  }
 
   /** The refresh policy in one call: gate the batch, APPEND if every
     * probed list passes, otherwise touch nothing and hand back the gate
-    * report flagging re-train. Returns (appended, gate frame). */
+    * report flagging re-train. Returns (appended, gate frame). Retry-safe:
+    * the append is id-guarded (see [[append]]), so replaying a refresh
+    * whose append partially landed converges instead of duplicating. */
   def refresh(spark: SparkSession, path: String, batch: DataFrame,
               idCol: String, vecCol: String,
               minCos: Double = 0.9): (Boolean, DataFrame) = {

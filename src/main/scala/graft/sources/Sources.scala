@@ -160,15 +160,107 @@ object Sources {
     fs.delete(old, true)
   }
 
-  /** READER-side recovery: restore the `_old` backup when a crash
-    * mid-[[publishSwap]] left no live copy. Touches nothing else, so it
-    * is safe to call from probes while a compactor may be writing its
-    * temp dir. Idempotent. */
+  /** WRITER-side restore: bring the `_old` backup back when a crash
+    * mid-[[publishSwap]] left no live copy. MUTATES the swapped path, so
+    * it must only run under the single-maintenance-writer contract: a
+    * restore issued while a live publisher sits between its two renames
+    * would re-occupy `live` and break (or nest) the publisher's final
+    * rename. Readers use [[resolveSwap]] (non-mutating); appenders use
+    * [[awaitOrRestore]] (restore only after a publisher-absent grace
+    * period). Idempotent. */
   def restoreSwap(fs: org.apache.hadoop.fs.FileSystem,
                   live: org.apache.hadoop.fs.Path,
                   old: org.apache.hadoop.fs.Path): Unit =
     if (!fs.exists(live) && fs.exists(old))
       require(fs.rename(old, live), s"backup restore failed: $old -> $live")
+
+  /** NON-MUTATING reader-side resolution of a swapped path: the path to
+    * read NOW — `live` when present, else the `_old` backup a publisher
+    * (in-flight or crashed) has parked the previous copy at. Probes can
+    * call this concurrently with [[publishSwap]]: unlike a reader-issued
+    * [[restoreSwap]], nothing is renamed, so a publisher mid-window can
+    * never find its target re-occupied. The residual race — the publisher
+    * deletes `_old` just after a reader resolved to it — surfaces as a
+    * loud read error (retry the resolve), never as a corrupted publish. */
+  def resolveSwap(fs: org.apache.hadoop.fs.FileSystem,
+                  live: org.apache.hadoop.fs.Path,
+                  old: org.apache.hadoop.fs.Path): org.apache.hadoop.fs.Path =
+    if (fs.exists(live)) live
+    else if (fs.exists(old)) old
+    else live
+
+  /** APPENDER-side guard before writing into a swapped path: if `live` is
+    * missing, a publisher is either mid-window (it returns within
+    * milliseconds) or crashed. Poll for up to `waitMs` — a healthy
+    * publisher's rename lands long before the deadline — and only restore
+    * the backup once the grace period proves the publisher absent. This
+    * keeps appenders safe to run concurrently with a (reconciling)
+    * compactor without the reader-restore race: the restore path only
+    * executes against a crashed publish. */
+  def awaitOrRestore(fs: org.apache.hadoop.fs.FileSystem,
+                     live: org.apache.hadoop.fs.Path,
+                     old: org.apache.hadoop.fs.Path,
+                     waitMs: Long = 2000L, pollMs: Long = 50L): Unit = {
+    if (fs.exists(live) || !fs.exists(old)) return
+    val deadline = System.nanoTime() + waitMs * 1000000L
+    while (!fs.exists(live) && System.nanoTime() < deadline)
+      Thread.sleep(pollMs)
+    restoreSwap(fs, live, old)
+  }
+
+  /** The visible data files of a table directory (hidden `_`/`.` files —
+    * `_SUCCESS`, checksums — excluded): the snapshot a RECONCILING
+    * compactor takes before rewriting, so [[publishSwapReconcile]] can
+    * tell which files landed after it. */
+  def dataFiles(fs: org.apache.hadoop.fs.FileSystem,
+                dir: org.apache.hadoop.fs.Path): Set[String] =
+    if (!fs.exists(dir)) Set.empty
+    else fs.listStatus(dir).iterator.filter { st =>
+      val n = st.getPath.getName
+      st.isFile && !n.startsWith("_") && !n.startsWith(".")
+    }.map(_.getPath.getName).toSet
+
+  /** [[publishSwap]] for a compactor running concurrently with
+    * APPEND-ONLY writers (streaming ingest faces, index appenders): any
+    * data file that landed in `live` after the compactor took its
+    * `snapshot` — and is therefore absent from the rewrite in `tmp` — is
+    * COPIED from the backup into `tmp` before the final rename, so a
+    * micro-batch appended during the rewrite survives the swap instead of
+    * being silently deleted with the old files. Copy, not move: a crash
+    * between the copy and the publish leaves the `_old` backup whole, and
+    * the next recovery restores every row. Late files may duplicate rows
+    * the rewrite also holds (a crash-retried append) — the same benign
+    * duplicates ordinary appends can leave, removed by the NEXT compact.
+    * Concurrent COMPACTORS remain excluded (single-compactor contract:
+    * `recoverSwap` clobbers a peer's temp dir). */
+  def publishSwapReconcile(fs: org.apache.hadoop.fs.FileSystem,
+                           live: org.apache.hadoop.fs.Path,
+                           tmp: org.apache.hadoop.fs.Path,
+                           old: org.apache.hadoop.fs.Path,
+                           snapshot: Set[String]): Unit = {
+    require(fs.exists(live) || !fs.exists(old),
+      s"backup $old is the only copy — run recoverSwap before publishSwapReconcile")
+    if (fs.exists(old)) require(fs.delete(old, true), s"stale backup stuck: $old")
+    if (fs.exists(live))
+      require(fs.rename(live, old), s"backup rename failed: $live -> $old")
+    // the backup now holds everything `live` accumulated, including files
+    // appended after the snapshot; listing AFTER the rename means any
+    // append that won the race into the old directory is seen here
+    if (fs.exists(old)) {
+      fs.listStatus(old).iterator.filter { st =>
+        val n = st.getPath.getName
+        st.isFile && !n.startsWith("_") && !n.startsWith(".") &&
+          !snapshot.contains(n)
+      }.foreach { st =>
+        val dst = new org.apache.hadoop.fs.Path(tmp, st.getPath.getName)
+        require(org.apache.hadoop.fs.FileUtil.copy(fs, st.getPath, fs, dst,
+          false, fs.getConf),
+          s"late-append reconcile copy failed: ${st.getPath} -> $dst")
+      }
+    }
+    require(fs.rename(tmp, live), s"publish rename failed: $tmp -> $live")
+    fs.delete(old, true)
+  }
 
   /** WRITER-side recovery before re-writing a swapped path:
     * [[restoreSwap]] plus clearing any half-written temp from a crashed

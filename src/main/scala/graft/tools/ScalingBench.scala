@@ -54,11 +54,18 @@ object ScalingBench {
     // shuffle.
     "dedup_near_inc_probe" -> ((s: SparkSession, dir: String) => {
       import org.apache.spark.sql.functions.col
-      // caveat: the per-dir index is keyed on the dir PATH and reused
-      // across runs — `rm -rf $TMPDIR/graft_scaling_nearidx_*` after
-      // regenerating testdata in place, or timings measure a stale index
+      // the per-dir index cache is keyed on a CONTENT fingerprint of the
+      // corpus file (total bytes ⊕ mixed mtimes), not the dir path alone:
+      // regenerated testdata at the same path gets a fresh index instead
+      // of silently benching against a stale one
+      def fp(f: java.io.File): Long =
+        if (f.isDirectory)
+          Option(f.listFiles()).map(_.map(fp).foldLeft(0L)(_ ^ _)).getOrElse(0L)
+        else f.length() + f.lastModified() * 0x9E3779B97F4A7C15L
+      val key = fp(new java.io.File(s"$dir/documents.parquet")) ^
+        dir.hashCode.toLong
       val path = System.getProperty("java.io.tmpdir") +
-        "/graft_scaling_nearidx_" + math.abs(dir.hashCode).toString
+        "/graft_scaling_nearidx_" + java.lang.Long.toUnsignedString(key)
       val params = new org.apache.hadoop.fs.Path(s"$path/params")
       if (!params.getFileSystem(s.sparkContext.hadoopConfiguration).exists(params))
         graft.dedup.MinHash.writeBandIndex(graft.Tables(s, dir, "documents"),

@@ -116,15 +116,46 @@ class IncrementalSpec extends SparkSpec {
     // crash window: backup rename done, publish rename not — only _old left
     assert(fs.rename(new org.apache.hadoop.fs.Path(s"$dir/bloom/sketch"),
       new org.apache.hadoop.fs.Path(s"$dir/bloom/_sketch_old")))
-    assert(novelIds() == Seq(2L)) // reader-side restoreSwap recovers
+    assert(novelIds() == Seq(2L)) // reader resolves to the backup IN PLACE
     assert(fs.rename(new org.apache.hadoop.fs.Path(s"$dir/digests"),
       new org.apache.hadoop.fs.Path(s"$dir/_digests_old")))
     assert(novelIds() == Seq(2L))
-    // and the writer paths recover too: compact after a simulated crash
-    assert(fs.rename(new org.apache.hadoop.fs.Path(s"$dir/digests"),
-      new org.apache.hadoop.fs.Path(s"$dir/_digests_old")))
+    // readers are NON-MUTATING now: the table is still only in its backup
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/digests")))
+    // the writer path (compact) restores it and publishes a fresh layout
     Dedup.compactDigestIndex(spark, dir)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$dir/digests")))
     assert(novelIds() == Seq(2L))
+  }
+
+  test("compact preserves a file appended after its snapshot (reconciling swap)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_digidx").toString
+    Dedup.writeDigestIndex(Seq((100L, "seed doc")).toDF("doc_id", "text"),
+      "text", dir, expectedKeys = 100L)
+    Dedup.appendToDigestIndex(spark, dir,
+      Seq((1L, "second doc")).toDF("doc_id", "text"), "doc_id", "text")
+    // simulate a concurrent appender landing a micro-batch between the
+    // compactor's snapshot and its publish: compact with the snapshot
+    // taken BEFORE a third digest lands
+    val live = new org.apache.hadoop.fs.Path(s"$dir/digests")
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val snapshot = graft.sources.Sources.dataFiles(fs, live)
+    // the "late" append (normally concurrent; here sequential — the
+    // snapshot is what decides, not wall-clock)
+    Dedup.appendToDigestIndex(spark, dir,
+      Seq((2L, "third doc")).toDF("doc_id", "text"), "doc_id", "text")
+    val tmp = new org.apache.hadoop.fs.Path(s"$dir/_digests_compacting")
+    val old = new org.apache.hadoop.fs.Path(s"$dir/_digests_old")
+    spark.read.parquet(snapshot.toSeq.map(f => s"$live/$f"): _*)
+      .distinct().write.parquet(tmp.toString)
+    graft.sources.Sources.publishSwapReconcile(fs, live, tmp, old, snapshot)
+    // all three digests survive the swap — the late file was copied across
+    assert(spark.read.parquet(s"$dir/digests").distinct().count() == 3)
+    // and a probe still sees the late digest as a duplicate
+    val again = Dedup.incrementalIndexed(spark, dir,
+      Seq((9L, "third doc"), (10L, "brand new")).toDF("doc_id", "text"),
+      "doc_id", "text").select("doc_id").as[Long].collect().sorted.toSeq
+    assert(again == Seq(10L))
   }
 
   test("percentRank matches the SQL percent_rank definition including ties") {

@@ -73,6 +73,38 @@ class AnnIndexSpec extends SparkSpec {
       "drifted batch must not be appended")
   }
 
+  test("append is idempotent: a replayed batch never double-serves a vec_id") {
+    import spark.implicits._
+    def oneHot(l: Int, scale: Float) =
+      Array.tabulate(4)(d => if (d == l) scale else 0f)
+    // stored vectors bleed off-axis so the exactly-on-axis appended ones
+    // strictly win the cosine ranking (no k-boundary ties)
+    val vecs = (0L until 40L)
+      .map(i => (i, Array.tabulate(4)(d =>
+        if (d == (i % 4).toInt) 1f else 0.1f), (i % 4).toInt))
+      .toDF("vec_id", "embedding", "label")
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf5").toString
+    AnnIndex.writeIvf(vecs, "vec_id", "embedding", "label", dir)
+    val batch = Seq((100L, oneHot(0, 2f)), (101L, oneHot(1, 2f)))
+      .toDF("vec_id", "embedding")
+    AnnIndex.append(spark, dir, batch, "vec_id", "embedding")
+    // a retried / replayed micro-batch must be a no-op on the table…
+    AnnIndex.append(spark, dir, batch, "vec_id", "embedding")
+    val stored = spark.read.parquet(s"$dir/vectors")
+    assert(stored.count() == 42)
+    assert(stored.filter(col("vec_id") === 100L).count() == 1)
+    // …and a partially-landed append converges: only the missing id lands
+    val wider = batch.union(Seq((102L, oneHot(2, 2f))).toDF("vec_id", "embedding"))
+    AnnIndex.append(spark, dir, wider, "vec_id", "embedding")
+    assert(spark.read.parquet(s"$dir/vectors").count() == 43)
+    // served exactly once from the pruned path
+    val q = Seq((999L, oneHot(0, 1f))).toDF("vec_id", "embedding")
+    val served = AnnIndex.ivfTopK(spark, dir, q, "vec_id", "embedding",
+        k = 5, nProbe = 1)
+      .filter(col("neighbor_id") === 100L)
+    assert(served.count() == 1)
+  }
+
   test("the probed-list filter prunes the persisted layout partitions") {
     import spark.implicits._
     val vecs = (0L until 100L)

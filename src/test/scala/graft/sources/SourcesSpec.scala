@@ -217,4 +217,52 @@ class SourcesSpec extends SparkSpec {
       case _ => ()
     }
   }
+
+  test("resolveSwap is non-mutating; awaitOrRestore restores only a crashed publish") {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val base = java.nio.file.Files.createTempDirectory("graft_swap").toString
+    val live = new org.apache.hadoop.fs.Path(s"$base/t")
+    val old = new org.apache.hadoop.fs.Path(s"$base/_t_old")
+    fs.mkdirs(live)
+    // healthy state: resolves to live, restore is a no-op
+    assert(Sources.resolveSwap(fs, live, old) == live)
+    Sources.awaitOrRestore(fs, live, old, waitMs = 10L)
+    assert(fs.exists(live) && !fs.exists(old))
+    // mid-publish window: only the backup exists. A READER must not
+    // rename anything — it reads the backup in place…
+    assert(fs.rename(live, old))
+    assert(Sources.resolveSwap(fs, live, old) == old)
+    assert(!fs.exists(live) && fs.exists(old), "reader mutated the swap state")
+    // …while an APPENDER, after the grace period proves the publisher
+    // crashed, restores the backup and proceeds
+    Sources.awaitOrRestore(fs, live, old, waitMs = 60L, pollMs = 20L)
+    assert(fs.exists(live) && !fs.exists(old))
+  }
+
+  test("publishSwapReconcile copies post-snapshot files across the swap") {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val base = java.nio.file.Files.createTempDirectory("graft_swapr").toString
+    val live = new org.apache.hadoop.fs.Path(s"$base/t")
+    val tmp = new org.apache.hadoop.fs.Path(s"$base/_t_tmp")
+    val old = new org.apache.hadoop.fs.Path(s"$base/_t_old")
+    def put(dir: org.apache.hadoop.fs.Path, name: String, body: String): Unit = {
+      val o = fs.create(new org.apache.hadoop.fs.Path(dir, name), true)
+      try o.write(body.getBytes("UTF-8")) finally o.close()
+    }
+    fs.mkdirs(live); fs.mkdirs(tmp)
+    put(live, "part-0", "a")
+    put(live, "_SUCCESS", "")
+    val snapshot = Sources.dataFiles(fs, live)
+    assert(snapshot == Set("part-0")) // hidden files excluded
+    put(tmp, "part-rewritten", "a-compacted")
+    // a concurrent appender lands AFTER the snapshot
+    put(live, "part-late", "b")
+    Sources.publishSwapReconcile(fs, live, tmp, old, snapshot)
+    val after = Sources.dataFiles(fs, live)
+    assert(after == Set("part-rewritten", "part-late"),
+      s"late append lost across the swap: $after")
+    assert(!fs.exists(old) && !fs.exists(tmp))
+  }
 }
