@@ -79,4 +79,10 @@ object Tables {
     * each column is sometimes the predictor and sometimes the target. */
   def miceLineitem(spark: SparkSession, dir: String): DataFrame =
     maskMod(maskedLineitem(spark, dir), "l_quantity", "l_orderkey + l_linenumber", 17, 2)
+
+  /** [[miceLineitem]] plus l_discount masked ((ok+ln)%19==3) — the
+    * THREE-column chained-imputation input where every column regresses
+    * on the other two (multi-predictor MICE). */
+  def miceLineitem3(spark: SparkSession, dir: String): DataFrame =
+    maskMod(miceLineitem(spark, dir), "l_discount", "l_orderkey + l_linenumber", 19, 3)
 }

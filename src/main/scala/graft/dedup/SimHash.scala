@@ -26,45 +26,166 @@ object SimHash {
   def simhash64(tokens: Column, seed: Long): Column =
     simhashFromHashes(transform(tokens, t => xxhash64(lit(seed), t)))
 
-  /** Near-dup pairs (id_a, id_b, hamming ≤ maxHamming). */
+  /** Corpus-adaptive hamming budget: the largest `maxHamming ≤ cap` whose
+    * pigeonhole chunk width `64 / (maxHamming + 1)` still gives every
+    * chunk at least `n / targetOccupancy` buckets.
+    *
+    * The scale law this encodes (docs/SCALE_BOUNDS.md): the pair join is
+    * Σ_bucket occupancy² per chunk, and the chunk width is FIXED by the
+    * hamming budget — at maxHamming=7 there are only 2⁸ buckets per chunk
+    * forever, so occupancy (and the join) grows linearly with corpus rows
+    * and the operator bends super-linear (the measured 17.5× fourth-decade
+    * ratio). Deriving the budget from `n` holds expected occupancy at
+    * `targetOccupancy` instead: ~2ⁿ corpus growth costs one hamming step.
+    * The trade is RECALL SEMANTICS, not correctness: pairs up to the
+    * derived budget are still found EXACTLY (the pigeonhole guarantee
+    * holds at every width); pairs between the derived budget and `cap`
+    * are no longer reported. The recall cost is measured per decade in
+    * docs/GEOMETRY_RECALL.json rather than asserted.
+    *
+    * Floor: maxHamming=1 (32-bit chunks, 4·10⁹ buckets — enough for any
+    * corpus this side of a resharding). Takes `n` as a PARAMETER so the
+    * library builds no eager count into a caller's plan; faces pass a
+    * (metadata-cheap) parquet count. */
+  def adaptiveMaxHamming(n: Long, cap: Int = 7,
+                         targetOccupancy: Long = 32L): Int = {
+    require(cap >= 1 && cap <= 63, s"cap must be in [1, 63], got $cap")
+    require(targetOccupancy >= 1, s"targetOccupancy must be >= 1")
+    val neededBits = math.ceil(
+      math.log(math.max(1.0, n.toDouble / targetOccupancy)) / math.log(2.0)).toInt
+    (cap to 2 by -1).find(h => 64 / (h + 1) >= neededBits).getOrElse(1)
+  }
+
+  /** Near-dup pairs (id_a, id_b, hamming ≤ maxHamming). `d` widens the
+    * pigeonhole to block combinations ([[pairsFromFingerprintsBlocked]])
+    * — same result set at every d (exact recall at the radius), more
+    * buckets per combinatorial step; derive it from corpus cardinality
+    * with [[adaptiveBlocks]] for growing corpora. */
   def pairs(df: DataFrame, idCol: String, textCol: String,
-            maxHamming: Int = 3, seed: Long = 42L): DataFrame = {
+            maxHamming: Int = 3, seed: Long = 42L, d: Int = 1): DataFrame = {
     val fp = df
       .select(col(idCol).as("id"),
         transform(split(col(textCol), " "), t => xxhash64(lit(seed), t)).as("_th"))
       .select(col("id"), simhashFromHashes(col("_th")).as("fp"))
-    pairsFromFingerprints(fp, "id", "fp", maxHamming)
+    pairsFromFingerprintsBlocked(fp, "id", "fp", maxHamming, d)
   }
 
   /** The pigeonhole candidate join over an EXISTING 64-bit fingerprint
     * column — shared by the text simhash face and any other 64-bit
     * locality hash (e.g. the multimodal perceptual hash): fingerprints
     * within the hamming budget must agree on one of maxHamming+1 chunks,
-    * so equality joins on chunk keys find every candidate. */
+    * so equality joins on chunk keys find every candidate. Equivalent to
+    * [[pairsFromFingerprintsBlocked]] at `d = 1`. */
   def pairsFromFingerprints(df: DataFrame, idCol: String, fpCol: String,
-                            maxHamming: Int): DataFrame = {
+                            maxHamming: Int): DataFrame =
+    pairsFromFingerprintsBlocked(df, idCol, fpCol, maxHamming, d = 1)
+
+  /** GENERALIZED pigeonhole candidate join (the block-combination scheme
+    * of Manku–Jain–Sarma, WWW'07 §3, as relational dataflow): split the
+    * 64-bit fingerprint into `k = maxHamming + d` blocks and key each of
+    * the C(k, d) combinations of `d` blocks. ≤ `maxHamming` bit errors
+    * corrupt at most `maxHamming` blocks, leaving ≥ d blocks clean, so
+    * SOME combination's key matches exactly — recall at the full radius
+    * is EXACT at every d, like the classic d=1 chunk join, but the key
+    * carries d·(64/k) bits instead of 64/(maxHamming+1): one step of d
+    * multiplies the bucket count by ~2^(64/k) while the per-doc row
+    * explode grows only C(k, d). This is what keeps the FULL hamming
+    * radius affordable as the corpus grows (d=1's bucket count is frozen
+    * by the radius — the measured super-linear bend); derive d from
+    * corpus cardinality with [[adaptiveBlocks]]. Shuffles key on
+    * (combination, key) only; candidate pairs dedup after the
+    * hamming-filter, exactly the d=1 plan shape. */
+  def pairsFromFingerprintsBlocked(df: DataFrame, idCol: String, fpCol: String,
+                                   maxHamming: Int, d: Int): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 63,
       s"maxHamming must be in [0, 63], got $maxHamming")
-    val chunks = maxHamming + 1
-    val bitsPer = 64 / chunks
-    // 1L << 64 wraps to 1: the maxHamming=0 single-chunk case must key on
-    // the WHOLE fingerprint, not collapse every doc into bucket 0 (results
+    require(d >= 1, s"d must be >= 1, got $d")
+    val k = maxHamming + d
+    require(k <= 64, s"maxHamming + d must be <= 64, got $k")
+    val bitsPer = 64 / k
+    // 1L << 64 wraps to 1: the k=1 single-block case must key on the
+    // WHOLE fingerprint, not collapse every doc into bucket 0 (results
     // would still verify, but through one all-pairs bucket)
-    val chunkMask = if (bitsPer >= 64) -1L else (1L << bitsPer) - 1
+    val blockMask = if (bitsPer >= 64) -1L else (1L << bitsPer) - 1
+    // the (id, fp) frame feeds the distinct-fp candidate join AND both
+    // expansion joins — lazy-checkpoint so the fingerprint computation
+    // (often a full tokenize+hash scan upstream) runs once
     val fp = df.select(col(idCol).as("id"), col(fpCol).as("fp"))
-
-    val chunked = fp.select(col("id"), col("fp"),
-        explode(sequence(lit(0), lit(chunks - 1))).as("chunk"))
-      .withColumn("ckey",
-        expr(s"shiftright(fp, chunk * $bitsPer)").bitwiseAND(chunkMask))
-    val left = chunked.select(col("chunk"), col("ckey"), col("id").as("id_a"), col("fp").as("fp_a"))
-    val right = chunked.select(col("chunk"), col("ckey"), col("id").as("id_b"), col("fp").as("fp_b"))
-    left.join(right, Seq("chunk", "ckey"))
+      .localCheckpoint(eager = false)
+    // COLLAPSE IDENTICAL FINGERPRINTS FIRST: near-dup corpora hold large
+    // exact-fingerprint groups (verbatim copies hash identically), and a
+    // group of m docs would otherwise push m·C(k,d) keyed rows and m²
+    // candidate rows per combination through the join and the pair-dedup
+    // — C(k,d)× the true-pair volume in pure overhead. Running the
+    // pigeonhole over DISTINCT fingerprints keeps the join + dedup at
+    // distinct-fp scale; member pairs re-expand afterwards, emitting each
+    // output pair EXACTLY ONCE (fp pairs are unique after their dedup,
+    // within-group pairs are generated by one ordered self-join), so no
+    // corpus-sized dropDuplicates exists anywhere in the plan.
+    val groups = fp.select("fp").distinct()
+    // one (comb, ckey) struct per combination, exploded — C(k, d) narrow
+    // rows per DISTINCT fingerprint (d=1 ⇒ the classic k chunk rows)
+    val combos = (0 until k).combinations(d).toSeq
+    val keyStructs = combos.zipWithIndex.map { case (blocks, ci) =>
+      val key = blocks.zipWithIndex.map { case (b, j) =>
+        shiftleft(shiftright(col("fp"), b * bitsPer).bitwiseAND(blockMask),
+          j * bitsPer)
+      }.reduce(_ bitwiseOR _)
+      struct(lit(ci).as("comb"), key.as("ckey"))
+    }
+    val keyed = groups.select(col("fp"),
+        explode(array(keyStructs: _*)).as("_ck"))
+      .select(col("fp"), col("_ck.comb").as("comb"), col("_ck.ckey").as("ckey"))
+    val left = keyed.select(col("comb"), col("ckey"), col("fp").as("fp_a"))
+    val right = keyed.select(col("comb"), col("ckey"), col("fp").as("fp_b"))
+    val fpPairs = left.join(right, Seq("comb", "ckey"))
+      .filter(col("fp_a") < col("fp_b"))
+      .select(col("fp_a"), col("fp_b"))
+      .dropDuplicates("fp_a", "fp_b")
+      .withColumn("hamming",
+        bit_count(col("fp_a").bitwiseXOR(col("fp_b"))))
+      .filter(col("hamming") <= maxHamming)
+    // cross-group expansion: every member pairing of a qualifying
+    // fingerprint pair is a true output pair (canonicalized by id — the
+    // fp order is not the id order)
+    val cross = fpPairs
+      .join(fp.select(col("fp").as("fp_a"), col("id").as("_ia")), Seq("fp_a"))
+      .join(fp.select(col("fp").as("fp_b"), col("id").as("_ib")), Seq("fp_b"))
+      .select(least(col("_ia"), col("_ib")).as("id_a"),
+        greatest(col("_ia"), col("_ib")).as("id_b"), col("hamming"))
+    // within-group pairs: identical fingerprints are hamming-0 near-dups
+    // (reported at every budget, like the pre-collapse join did)
+    val within = fp.select(col("fp"), col("id").as("id_a"))
+      .join(fp.select(col("fp"), col("id").as("id_b")), Seq("fp"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).as("hamming"))
-      // hamming filter BEFORE the pair-dedup shuffle: far fewer rows travel
-      .filter(col("hamming") <= maxHamming)
-      .dropDuplicates("id_a", "id_b")
+        lit(0).cast("integer").as("hamming"))
+    cross.unionByName(within)
+  }
+
+  /** Corpus-adaptive block-combination width for
+    * [[pairsFromFingerprintsBlocked]]: the smallest `d ≤ maxD` whose key
+    * width `d·(64/(maxHamming+d))` yields at least `n / targetOccupancy`
+    * buckets — i.e. holds expected bucket occupancy (and with it the
+    * Σ occupancy² bucket-local pair join) flat as the corpus grows,
+    * WITHOUT narrowing the hamming radius: recall stays exact at every d.
+    * d=1 up to targetOccupancy·2^(64/(h+1)) rows (the legacy geometry,
+    * bitwise-identical pairs), then one combinatorial step per ~2^7
+    * growth. Costs: per-doc explode C(h+d, d) (8 → 36 → 120 rows at
+    * h=7), saturating at `maxD` — key width tops out near 64·d/(h+d)
+    * bits, so past ~targetOccupancy·2^(3·64/(h+3)) rows (≈ 8M docs at
+    * h=7, occ=32) occupancy grows linearly again; beyond that,
+    * pre-block the corpus (source/language) or narrow the radius with
+    * [[adaptiveMaxHamming]] — the documented trade, measured in
+    * docs/GEOMETRY_RECALL.json. */
+  def adaptiveBlocks(n: Long, maxHamming: Int = 7,
+                     targetOccupancy: Long = 32L, maxD: Int = 3): Int = {
+    require(maxHamming >= 1 && maxD >= 1)
+    val neededBits = math.ceil(
+      math.log(math.max(1.0, n.toDouble / targetOccupancy)) / math.log(2.0)).toInt
+    (1 to maxD).find { d =>
+      val bitsPer = 64 / (maxHamming + d)
+      bitsPer >= 1 && d * bitsPer >= neededBits
+    }.getOrElse(maxD)
   }
 }

@@ -548,6 +548,64 @@ object OracleSql {
          |FROM $last""".stripMargin
     },
 
+    "imp_iterative_multi" -> {
+      // Multi-predictor MICE: mean init, then per sweep each of (x, y, z)
+      // regresses on the OTHER TWO via exact HUGEINT cross-moments and the
+      // centered 2x2 Cramer solve, fills quantized to integer cents.
+      // Mirrors graft.imputer.IterativeImpute.mice3 expression-for-
+      // expression (same double op order, same nesting).
+      val mv =
+        """SELECT l_orderkey, l_linenumber,
+          | CASE WHEN (l_orderkey + l_linenumber) % 17 = 2 THEN NULL ELSE l_quantity END AS x,
+          | CASE WHEN (l_orderkey + l_linenumber) % 13 = 1 THEN NULL ELSE l_extendedprice END AS y,
+          | CASE WHEN (l_orderkey + l_linenumber) % 19 = 3 THEN NULL ELSE l_discount END AS z
+          |FROM lineitem""".stripMargin
+      val updates = (1 to 2).flatMap(_ => Seq(
+        ("yf", "zf", "xc", "xf"), ("xf", "zf", "yc", "yf"), ("xf", "yf", "zc", "zf")))
+      val (ctes, last) = updates.zipWithIndex.foldLeft((List.empty[String], "f0")) {
+        case ((acc, prev), ((p1, p2, tgt, tgtf), i)) =>
+          val s = s"s${i + 1}"
+          val f = s"f${i + 1}"
+          val sCte =
+            s"""$s AS (SELECT my, m1, m2,
+               |  (c1y * c22 - c2y * c12) / (c11 * c22 - c12 * c12) AS b1,
+               |  (c11 * c2y - c12 * c1y) / (c11 * c22 - c12 * c12) AS b2
+               | FROM (SELECT sy / n AS my, s1 / n AS m1, s2 / n AS m2,
+               |   s11 - s1 * s1 / n AS c11, s22 - s2 * s2 / n AS c22,
+               |   s12 - s1 * s2 / n AS c12, s1y - s1 * sy / n AS c1y,
+               |   s2y - s2 * sy / n AS c2y
+               |  FROM (SELECT
+               |   CAST(SUM(CAST($p1 AS HUGEINT) * $tgt) AS DOUBLE) AS s1y,
+               |   CAST(SUM(CAST($p2 AS HUGEINT) * $tgt) AS DOUBLE) AS s2y,
+               |   CAST(SUM(CAST($p1 AS HUGEINT) * $p1) AS DOUBLE) AS s11,
+               |   CAST(SUM(CAST($p2 AS HUGEINT) * $p2) AS DOUBLE) AS s22,
+               |   CAST(SUM(CAST($p1 AS HUGEINT) * $p2) AS DOUBLE) AS s12,
+               |   CAST(SUM($p1) AS DOUBLE) AS s1, CAST(SUM($p2) AS DOUBLE) AS s2,
+               |   CAST(SUM($tgt) AS DOUBLE) AS sy, CAST(count(*) AS DOUBLE) AS n
+               |   FROM $prev WHERE $tgt IS NOT NULL)))""".stripMargin
+          val keeps = Seq("xf", "yf", "zf").filter(_ != tgtf).mkString(", ")
+          val fCte =
+            s"""$f AS (SELECT l_orderkey, l_linenumber, xc, yc, zc, $keeps,
+               |  CASE WHEN $tgt IS NOT NULL THEN $tgt
+               |       ELSE CAST(round(my - b1 * m1 - b2 * m2 + b1 * CAST($p1 AS DOUBLE) + b2 * CAST($p2 AS DOUBLE), 0) AS BIGINT) END AS $tgtf
+               |  FROM $prev CROSS JOIN $s)""".stripMargin
+          (acc :+ sCte :+ fCte, f)
+      }
+      s"""WITH mv AS ($mv),
+         |b AS (SELECT l_orderkey, l_linenumber, ${ac("x")} AS xc, ${ac("y")} AS yc, ${ac("z")} AS zc FROM mv),
+         |m0 AS (SELECT CAST(round(CAST(SUM(xc) AS DOUBLE) / count(xc), 0) AS BIGINT) AS mxc,
+         |              CAST(round(CAST(SUM(yc) AS DOUBLE) / count(yc), 0) AS BIGINT) AS myc,
+         |              CAST(round(CAST(SUM(zc) AS DOUBLE) / count(zc), 0) AS BIGINT) AS mzc FROM b),
+         |f0 AS (SELECT l_orderkey, l_linenumber, xc, yc, zc,
+         |        coalesce(xc, mxc) AS xf, coalesce(yc, myc) AS yf, coalesce(zc, mzc) AS zf FROM b CROSS JOIN m0),
+         |${ctes.mkString(",\n")}
+         |SELECT l_orderkey, l_linenumber,
+         | CAST(xf AS DOUBLE) / 100.0 AS l_quantity_imp,
+         | CAST(yf AS DOUBLE) / 100.0 AS l_extendedprice_imp,
+         | CAST(zf AS DOUBLE) / 100.0 AS l_discount_imp
+         |FROM $last""".stripMargin
+    },
+
     "imp_simulation" ->
       s"""WITH mcv AS ($MCV),
          |obs AS (SELECT c_custkey, ${ac("c_acctbal")} AS acv FROM mcv WHERE c_acctbal IS NOT NULL),

@@ -264,6 +264,16 @@ object Q {
     graft.imputer.IterativeImpute.mice2(Tables.miceLineitem(s, dir),
       Seq("l_orderkey", "l_linenumber"), "l_quantity", "l_extendedprice")
 
+  /** MULTI-predictor MICE (sklearn IterativeImputer semantics): quantity,
+    * price and discount each partially missing, each target regressing on
+    * BOTH other columns via exact-moment in-plan Cramer normal equations
+    * ([[graft.imputer.IterativeImpute.mice3]]) — hash-checked, the oracle
+    * replays the identical algebra. */
+  def impIterativeMulti(s: SparkSession, dir: String): DataFrame =
+    graft.imputer.IterativeImpute.mice3(Tables.miceLineitem3(s, dir),
+      Seq("l_orderkey", "l_linenumber"), "l_quantity", "l_extendedprice",
+      "l_discount")
+
   /** Simulation study (ref fit() test split): deterministic modulo split,
     * mean-impute MSE on the continuous column, mode-impute accuracy on the
     * categorical one. */
@@ -1371,9 +1381,23 @@ object Q {
         round(col("n_both").cast("double") / col("n_exact"), 6).as("recall"))
   }
 
-  def dedupSimhash(s: SparkSession, dir: String): DataFrame =
-    graft.dedup.SimHash.pairs(Tables(s, dir, "documents"), "doc_id", "text",
-      maxHamming = 7)
+  /** SimHash near-dup pairs with the pigeonhole geometry DERIVED from
+    * corpus cardinality ([[graft.dedup.SimHash.adaptiveBlocks]]): the
+    * hamming radius stays at the full 7 at EVERY scale — the generalized
+    * block-combination pigeonhole keeps recall exact while multiplying
+    * the bucket count per combinatorial step — so the result SET is
+    * scale-invariant; only the candidate geometry adapts. ≤8k-doc
+    * corpora run the legacy d=1 8-bit chunks bitwise; sf1's 50k docs
+    * derive d=2 (C(9,2)=36 combinations of 7-bit block pairs — 2¹⁴
+    * buckets instead of the 2⁸ that bent the fixed face 17.5×
+    * super-linear). The count is one metadata-cheap parquet job; the
+    * (identity) recall of each derived geometry is verified per decade
+    * in docs/GEOMETRY_RECALL.json. */
+  def dedupSimhash(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+    graft.dedup.SimHash.pairs(docs, "doc_id", "text", maxHamming = 7,
+      d = graft.dedup.SimHash.adaptiveBlocks(docs.count()))
+  }
 
   def annLsh(s: SparkSession, dir: String): DataFrame = {
     val e = Tables(s, dir, "embeddings")
@@ -1383,13 +1407,26 @@ object Q {
 
   /** Scale path of [[embedCluster]]: the SAME connected-components engine
     * over LSH-bucketed pair generation instead of the label-blocked exact
-    * join — no block is ever all-pairs. Wide-recall config (4 planes × 16
-    * tables) because the synthetic corpus's near-dups sit at low cosine;
-    * production near-dup thresholds (≥0.7) need far fewer tables. */
+    * join — no block is ever all-pairs. The signature width is DERIVED
+    * from corpus cardinality ([[graft.similarity.AnnLsh.adaptivePlanes]]):
+    * ≤1k-vector test corpora keep the legacy wide-recall 4 planes
+    * bitwise; each corpus doubling adds a plane so buckets grow with rows
+    * and the bucket-collision join stays ~linear (the fixed-4-plane face
+    * was unmeasurable at sf1 — 16 buckets/table at any size). 16 tables
+    * hold recall up as planes grow; the residual recall cost per decade
+    * is measured in docs/GEOMETRY_RECALL.json against exact sampled
+    * ground truth. Production near-dup thresholds (≥0.7) need far fewer
+    * tables than this low-cosine synthetic corpus. */
   def embedClusterLsh(s: SparkSession, dir: String): DataFrame = {
     val e = Tables(s, dir, "embeddings")
+    val n = e.count()
+    // the face already paid the count for adaptivePlanes, so it can also
+    // assert the broadcast contract for the verify joins: ≤200k 64-dim
+    // vectors is ~100MB — model-sized; beyond that AQE decides
     val pairs = graft.similarity.AnnLsh.selfPairs(e, "vec_id", "embedding",
-      dim = 64, minCos = 0.35, planes = 4, tables = 16)
+      dim = 64, minCos = 0.35,
+      planes = graft.similarity.AnnLsh.adaptivePlanes(n), tables = 16,
+      broadcastVectors = n <= 200000L)
     Dedup.connectedComponents(e.select(col("vec_id")), "vec_id",
         pairs, "id_a", "id_b")
       .select(col("id").as("vec_id"), col("cluster_id"))

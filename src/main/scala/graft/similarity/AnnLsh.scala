@@ -30,9 +30,12 @@ object AnnLsh {
 
   /** `planes`-bit signature of a double-array column for one hash table:
     * sign bits of dot products with deterministic ±1 hyperplanes. Each
-    * plane is a LITERAL array evaluated by the native graft_dot loop — a
-    * handful of tiny generated loops instead of a planes×dim expression
-    * tree that would blow past codegen method limits. */
+    * plane is a LITERAL array evaluated by the native graft_dot loop.
+    * Kept as the single-table reference form; the hot paths use
+    * [[signatures]] — at production geometry (16 tables × ~10+ planes)
+    * the composed form's thousands of literal constants push the stage
+    * off whole-stage codegen onto the interpreted path (measured 12.3s
+    * to sign 20k vectors that the native expression does in <1s). */
   def signature(v: Column, dim: Int, planes: Int, table: Int): Column = {
     val bits = (0 until planes).map { p =>
       val plane = (0 until dim).map(d => if ((mix(table, p, d) & 1L) == 0L) 1.0 else -1.0).toArray
@@ -40,6 +43,38 @@ object AnnLsh {
       when(dotp >= 0, lit(1L << p)).otherwise(lit(0L))
     }
     bits.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** ALL `tables` signatures at once via the native
+    * [[graft.functions.LshSignaturesExpr]] — one generated triple loop per
+    * row, bitwise-identical to `array(signature(v, dim, planes, 0), …)`
+    * (spec-pinned). */
+  def signatures(v: Column, planes: Int, tables: Int): Column =
+    call_function("graft_lsh_sigs", v, lit(planes), lit(tables))
+
+  /** Corpus-adaptive signature width: `planes = max(floor,
+    * ceil(log2(n / targetOccupancy)))`, capped. Buckets per table are
+    * 2^planes, so holding EXPECTED OCCUPANCY at `targetOccupancy` means
+    * one extra plane per corpus doubling — the knob docs/SCALE_BOUNDS.md
+    * prescribes for [[selfPairs]]/[[lshTopK]], derived instead of
+    * hand-set. The scale law: the bucket-collision join is
+    * tables × Σ_bucket occupancy², so FIXED planes (e.g. the old 4-plane
+    * face: 16 buckets forever) grow occupancy linearly with rows and the
+    * join quadratically (the measured 11.7×/decade bend at p8, worse at
+    * p4); adaptive planes hold the per-bucket work flat and the join
+    * ~linear. The trade is recall — per true pair 1−(1−p^planes)^tables
+    * with p = 1−acos(cos)/π falls as planes grow — measured per decade
+    * in docs/GEOMETRY_RECALL.json against an exact sampled ground truth,
+    * never silent. Takes `n` as a parameter (no eager count inside
+    * library plan-builders); faces pass a metadata-cheap parquet count.
+    * Cap 24 bounds signature cost; floor 4 keeps tiny corpora at the
+    * legacy geometry (bitwise-identical pairs there). */
+  def adaptivePlanes(n: Long, targetOccupancy: Long = 64L,
+                     floor: Int = 4, cap: Int = 24): Int = {
+    require(targetOccupancy >= 1 && floor >= 1 && cap >= floor)
+    val needed = math.ceil(
+      math.log(math.max(1.0, n.toDouble / targetOccupancy)) / math.log(2.0)).toInt
+    math.min(cap, math.max(floor, needed))
   }
 
   /** Per-query top-k of a scored candidate frame (query_id, neighbor_id,
@@ -179,7 +214,8 @@ object AnnLsh {
     * uncorrelated vectors; for low-threshold semantic grouping use the
     * IVF/label-blocked generators instead. */
   def selfPairs(df: DataFrame, idCol: String, vecCol: String, dim: Int,
-                minCos: Double, planes: Int = 8, tables: Int = 8): DataFrame = {
+                minCos: Double, planes: Int = 8, tables: Int = 8,
+                broadcastVectors: Boolean = false): DataFrame = {
     val base = df.select(col(idCol).as("id"), toDouble(col(vecCol)).as("v"))
     // candidate generation and pair-dedup run on NARROW (table, bucket, id)
     // rows — a row here is ~24 bytes. Carrying the vectors through the
@@ -188,31 +224,54 @@ object AnnLsh {
     // seconds regression at 16 tables); the exact-cosine verify re-joins
     // them AFTER dedup, one row per unique pair.
     val signed = base.select(col("id"),
-        array((0 until tables).map(t => signature(col("v"), dim, planes, t)): _*).as("_sigs"))
+        signatures(col("v"), planes, tables).as("_sigs"))
       .select(col("id"), posexplode(col("_sigs")).as(Seq("table", "bucket")))
     val a = signed.select(col("table"), col("bucket"), col("id").as("id_a"))
     val b = signed.select(col("table"), col("bucket"), col("id").as("id_b"))
-    val cand = a.join(b, Seq("table", "bucket"))
+    val collided = a.join(b, Seq("table", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
-      .dropDuplicates("id_a", "id_b")
-    // The vector re-join is left UNHINTED on purpose: AQE downgrades it to
-    // a broadcast at runtime whenever the vector table is small (the
-    // common case), and a hard broadcast() would OOM on a billion-vector
-    // corpus. Sizing it ourselves would need an eager count() — a full
-    // job over the caller's arbitrary lineage as a plan-building side
-    // effect, which a library operator must not do.
+    // Pair-dedup placement depends on the verify-join strategy. Broadcast
+    // verify: collisions verify IN PLACE (no shuffle at all between the
+    // bucket join and the cos filter), so deduping the raw collisions
+    // first would ADD a corpus-collision-sized exchange to save re-scoring
+    // the ~few-% multi-table duplicates — measured 6s of pure loss at 16
+    // tables × 9 planes; the dedup runs AFTER the filter, on output-sized
+    // rows. Shuffle verify (unbounded corpora): candidates shuffle on id
+    // anyway, so deduping first keeps duplicate pairs from shipping
+    // vector-width rows twice — there it pays.
+    val cand = if (broadcastVectors) collided
+      else collided.dropDuplicates("id_a", "id_b")
+    // The vector re-join is UNHINTED by default: AQE downgrades it to a
+    // broadcast at runtime whenever the vector table is small, and a hard
+    // broadcast() would OOM on a billion-vector corpus. Sizing it
+    // ourselves would need an eager count() — a full job over the
+    // caller's arbitrary lineage as a plan-building side effect, which a
+    // library operator must not do. BUT the AQE estimate sits on a size
+    // cliff: a vector table a hair over the broadcast threshold (64-dim
+    // doubles cross it near ~20k rows) silently flips both verify joins
+    // to sort-merge, shuffling candidate_pairs × vector_width bytes —
+    // measured 3GB/28s where the broadcast plan is seconds. Callers that
+    // KNOW the corpus is model-sized (e.g. a face that already counted it
+    // for adaptivePlanes) pass broadcastVectors=true — the explicit
+    // bounded-side contract, same pattern as pairsIncremental's
+    // smallBatch.
     // per-vector norms below the re-join (once per vector, not once per
     // candidate pair — the pair volume is the big number here); identical
     // factors and order as the fused cosine, so cos is bitwise-unchanged
-    cand
-      .join(base.select(col("id").as("id_a"), col("v").as("va"),
-        norm(col("v")).as("_na")), Seq("id_a"))
-      .join(base.select(col("id").as("id_b"), col("v").as("vb"),
-        norm(col("v")).as("_nb")), Seq("id_b"))
+    def side(n: String) = {
+      val s = base.select(col("id").as(n), col("v").as(n.replace("id_", "v")),
+        norm(col("v")).as("_n" + n.stripPrefix("id_")))
+      if (broadcastVectors) broadcast(s) else s
+    }
+    val verified = cand
+      .join(side("id_a"), Seq("id_a"))
+      .join(side("id_b"), Seq("id_b"))
       .withColumn("cos", dot(col("va"), col("vb")) / (col("_na") * col("_nb")))
       .filter(col("cos") >= minCos)
       .select("id_a", "id_b", "cos")
+    // broadcast path deduped nothing yet — dedup the OUTPUT-sized rows
+    if (broadcastVectors) verified.dropDuplicates("id_a", "id_b") else verified
   }
 
   /** LSH-bucketed approximate top-k: join query/candidate signatures per
@@ -226,7 +285,7 @@ object AnnLsh {
     def signed(df: DataFrame, id: String, vec: String): DataFrame = {
       val base = df.select(col(idCol).as(id), toDouble(col(vecCol)).as(vec))
       base.select(col(id), col(vec),
-          array((0 until tables).map(t => signature(col(vec), dim, planes, t)): _*).as("_sigs"))
+          signatures(col(vec), planes, tables).as("_sigs"))
         .select(col(id), col(vec), posexplode(col("_sigs")).as(Seq("table", "bucket")))
     }
     val c = signed(candidates, "neighbor_id", "v")

@@ -492,27 +492,42 @@ object Streams {
     * memory COMPLETE and on disk: per-batch cost is batch_rows × bands
     * against the clustered bucket table, state is the index itself, and
     * executor memory holds nothing between batches. Alerts append to
-    * `alertPath` as (id_a, id_b, jaccard) parquet. Failure-retry is
-    * at-least-once on the alert sink (a replayed batch re-probes and may
-    * re-append alert rows — downstream `dropDuplicates(id_a, id_b)`
-    * absorbs them); the index append itself is id-guarded, so a replay
-    * never duplicates verify rows. Probe strictly BEFORE append — the
-    * order is what keeps a doc from matching itself. */
+    * `alertPath` as (id_a, id_b, jaccard) parquet partitioned by
+    * `batch_id`. The alert sink is IDEMPOTENT under failure-retry: each
+    * micro-batch dynamically overwrites ONLY its own `batch_id=N`
+    * partition (the canonical foreachBatch exactly-once-sink recipe), so
+    * a replayed batch replaces its previous alert rows instead of
+    * appending duplicates; the index append itself is id-guarded, so a
+    * replay never duplicates verify rows either. Probe strictly BEFORE
+    * append — the order is what keeps a doc from matching itself. */
   def nearDupIndexed(docs: DataFrame, idCol: String, textCol: String,
                      indexPath: String, alertPath: String)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     docs.writeStream
       .outputMode(OutputMode.Append())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val spark = batch.sparkSession
-        // the batch feeds the probe AND the append — pin it once (eager:
-        // foreachBatch frames re-execute per action otherwise, and the
-        // append must see exactly the probed rows)
-        val b = batch.localCheckpoint()
-        graft.dedup.MinHash.pairsIncremental(spark, indexPath, b, idCol, textCol)
-          .write.mode("append").parquet(alertPath)
-        graft.dedup.MinHash.appendToBandIndex(spark, indexPath, b, idCol, textCol)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        nearDupIndexedBatch(batch, batchId, idCol, textCol, indexPath, alertPath)
       }
+
+  /** One [[nearDupIndexed]] micro-batch — factored out so the replay
+    * contract is spec-testable without re-running a stream: calling this
+    * twice with the SAME batchId (what engine failure-recovery does)
+    * leaves exactly one copy of the batch's alert rows and index rows. */
+  def nearDupIndexedBatch(batch: DataFrame, batchId: Long, idCol: String,
+                          textCol: String, indexPath: String,
+                          alertPath: String): Unit = {
+    val spark = batch.sparkSession
+    // the batch feeds the probe AND the append — pin it once (eager:
+    // foreachBatch frames re-execute per action otherwise, and the
+    // append must see exactly the probed rows)
+    val b = batch.localCheckpoint()
+    graft.dedup.MinHash.pairsIncremental(spark, indexPath, b, idCol, textCol)
+      .withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id").parquet(alertPath)
+    graft.dedup.MinHash.appendToBandIndex(spark, indexPath, b, idCol, textCol)
+  }
 
   /** Streaming EXACT-dedup ingest over the persisted digest index — the
     * exact-dup sibling of [[nearDupIndexed]] and the durable-memory
@@ -521,26 +536,44 @@ object Streams {
     * corpus jobs, the sketch loads driver-side), appends the NOVEL rows'
     * (id, digest) to `novelPath`, and folds the batch into the index
     * ([[graft.dedup.Dedup.appendToDigestIndex]], sketch-first crash
-    * ordering) so later micro-batches dedup against it. At-least-once on
-    * the novel sink under failure-retry (replays may re-append novel
-    * rows — `dropDuplicates("digest")` downstream); the index fold
-    * itself is novelty-guarded and idempotent. */
+    * ordering) so later micro-batches dedup against it. The novel sink —
+    * parquet partitioned by `batch_id` — is IDEMPOTENT under
+    * failure-retry: each micro-batch dynamically overwrites only its own
+    * `batch_id=N` partition, so a replay replaces its rows instead of
+    * duplicating them (a replay AFTER a successful fold probes everything
+    * as duplicate — zero novel rows — and touches no partition, so the
+    * first successful write stands: those rows WERE novel when the batch
+    * first landed); the index fold itself is novelty-guarded and
+    * idempotent. */
   def dedupIndexed(docs: DataFrame, idCol: String, textCol: String,
                    indexPath: String, novelPath: String)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     docs.writeStream
       .outputMode(OutputMode.Append())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val spark = batch.sparkSession
-        // probe ONCE; the checkpointed novel frame serves the sink write
-        // AND the index fold (appendNovelToDigestIndex), so the batch is
-        // digested and verified a single time per micro-batch
-        val novel = graft.dedup.Dedup.incrementalIndexed(
-            spark, indexPath, batch, idCol, textCol)
-          .localCheckpoint()
-        novel.write.mode("append").parquet(novelPath)
-        graft.dedup.Dedup.appendNovelToDigestIndex(spark, indexPath, novel)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        dedupIndexedBatch(batch, batchId, idCol, textCol, indexPath, novelPath)
       }
+
+  /** One [[dedupIndexed]] micro-batch — factored out so the replay
+    * contract is spec-testable without re-running a stream: re-running
+    * the same batchId (what engine failure-recovery does) leaves exactly
+    * one copy of the batch's novel rows. */
+  def dedupIndexedBatch(batch: DataFrame, batchId: Long, idCol: String,
+                        textCol: String, indexPath: String,
+                        novelPath: String): Unit = {
+    val spark = batch.sparkSession
+    // probe ONCE; the checkpointed novel frame serves the sink write
+    // AND the index fold (appendNovelToDigestIndex), so the batch is
+    // digested and verified a single time per micro-batch
+    val novel = graft.dedup.Dedup.incrementalIndexed(
+        spark, indexPath, batch, idCol, textCol)
+      .localCheckpoint()
+    novel.withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id").parquet(novelPath)
+    graft.dedup.Dedup.appendNovelToDigestIndex(spark, indexPath, novel)
+  }
 
   /** Streaming CDC apply: fold each micro-batch of keyed changes into the
     * running snapshot with [[graft.operators.MergeUpsert.merge]] — one

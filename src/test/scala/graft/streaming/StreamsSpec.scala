@@ -604,4 +604,53 @@ class StreamsSpec extends SparkSpec {
         (2L, "A", 0L, None), (3L, "C", 7L, None)))
     } finally query.stop()
   }
+
+  test("indexed-face alert sinks are idempotent: replaying a micro-batch emits once") {
+    import spark.implicits._
+    // near-dup face: replay the SAME (batch, batchId) — what streaming
+    // failure-recovery does — and the alert partition must hold ONE copy
+    val dir = java.nio.file.Files.createTempDirectory("graft_replay").toString
+    val corpus = Seq((100L, (1 to 40).map(i => s"w$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    graft.dedup.MinHash.writeBandIndex(corpus, "doc_id", "text",
+      s"$dir/nidx", threshold = 0.10)
+    val batch = Seq(
+      (1L, ((1 to 40).map(i => s"w$i") :+ "tail").mkString(" ")),
+      (2L, "wholly novel streamed content nothing matches"))
+      .toDF("doc_id", "text")
+    Streams.nearDupIndexedBatch(batch, 5L, "doc_id", "text",
+      s"$dir/nidx", s"$dir/alerts")
+    val once = spark.read.parquet(s"$dir/alerts")
+      .select("id_a", "id_b", "batch_id").collect().toSeq
+    assert(once.nonEmpty)
+    Streams.nearDupIndexedBatch(batch, 5L, "doc_id", "text",
+      s"$dir/nidx", s"$dir/alerts")
+    val twice = spark.read.parquet(s"$dir/alerts")
+      .select("id_a", "id_b", "batch_id").collect().toSeq
+    assert(twice.size == once.size,
+      s"replayed micro-batch duplicated alert rows: $twice")
+    // a DIFFERENT batch id appends alongside, untouched by the replay
+    Streams.nearDupIndexedBatch(
+      Seq((7L, ((1 to 40).map(i => s"w$i") :+ "othertail").mkString(" ")))
+        .toDF("doc_id", "text"),
+      6L, "doc_id", "text", s"$dir/nidx", s"$dir/alerts")
+    val both = spark.read.parquet(s"$dir/alerts")
+    assert(both.filter(col("batch_id") === 5L).count() == once.size.toLong)
+    assert(both.filter(col("batch_id") === 6L).count() > 0)
+
+    // exact-dedup face: same replay contract on the novel sink; a replay
+    // AFTER the fold probes all-dup (no novel rows) and the first write
+    // stands
+    graft.dedup.Dedup.writeDigestIndex(corpus, "text", s"$dir/didx",
+      expectedKeys = 100L)
+    val eb = Seq((1L, "first streamed doc"), (2L, "first streamed doc"))
+      .toDF("doc_id", "text")
+    Streams.dedupIndexedBatch(eb, 3L, "doc_id", "text", s"$dir/didx", s"$dir/novel")
+    def novelRows() = spark.read.parquet(s"$dir/novel")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(novelRows() == Seq(1L, 2L)) // both rows novel to the CALLER
+    Streams.dedupIndexedBatch(eb, 3L, "doc_id", "text", s"$dir/didx", s"$dir/novel")
+    assert(novelRows() == Seq(1L, 2L),
+      "replayed micro-batch changed the novel sink")
+  }
 }
