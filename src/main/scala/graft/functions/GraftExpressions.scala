@@ -310,8 +310,10 @@ case class MinHashSigExpr(child: Expression, k: Int, seed: Long)
   * calls against 64-double array literals per row — thousands of constants
   * that blow whole-stage codegen onto the interpreted path (measured 12.3s
   * to sign 20k vectors at 16×9; this expression does it in one tight
-  * loop). Returns array<bigint> of length `tables`. */
-case class LshSignaturesExpr(child: Expression, planes: Int, tables: Int)
+  * loop). `dim` is ENFORCED per row — a mixed/corrupt vector column must
+  * fail loudly (matching graft_dot's contract), never sign into a wrong
+  * bucket silently. Returns array<bigint> of length `tables`. */
+case class LshSignaturesExpr(child: Expression, dim: Int, planes: Int, tables: Int)
   extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
@@ -324,6 +326,9 @@ case class LshSignaturesExpr(child: Expression, planes: Int, tables: Int)
   override protected def nullSafeEval(a: Any): Any = {
     val v = a.asInstanceOf[ArrayData]
     val n = v.numElements()
+    if (n != dim)
+      throw new IllegalArgumentException(
+        s"graft_lsh_sigs: vector has $n elements, expected dim=$dim")
     val sigs = new Array[Long](tables)
     var t = 0
     while (t < tables) {
@@ -365,6 +370,9 @@ case class LshSignaturesExpr(child: Expression, planes: Int, tables: Int)
       s"""
          |long[] $sigs = new long[$tables];
          |int $n = $a.numElements();
+         |if ($n != $dim)
+         |  throw new IllegalArgumentException(
+         |    "graft_lsh_sigs: vector has " + $n + " elements, expected dim=" + $dim);
          |for (int $t = 0; $t < $tables; $t++) {
          |  long $sig = 0L;
          |  for (int $p = 0; $p < $planes; $p++) {
@@ -387,6 +395,149 @@ case class LshSignaturesExpr(child: Expression, planes: Int, tables: Int)
     })
 
   override protected def withNewChildInternal(newChild: Expression): LshSignaturesExpr =
+    copy(child = newChild)
+}
+
+/** Margin-aware MULTI-PROBE random-hyperplane LSH buckets — the
+  * recall-holding companion to [[LshSignaturesExpr]]: per table, element 0
+  * is the primary signature (bitwise-identical to graft_lsh_sigs — same
+  * splitmix planes, same d-ascending accumulation) and elements 1..probes
+  * are the signature with the i-th LOWEST-|margin| bit flipped, margin
+  * being the hyperplane dot product |Σ_d v(d)·plane(t,p,d)| — the bits
+  * most likely to disagree between two near-duplicate vectors are exactly
+  * the ones whose projection sits nearest the hyperplane (Lv et al.,
+  * multi-probe LSH, VLDB'07). Probing those buckets on ONE side of the
+  * candidate join recovers most of the recall that extra tables would buy
+  * at 1/probes of the signing cost: per-table collision probability rises
+  * from p^planes to ≈ p^planes + probes·p^(planes−1)(1−p) while signing
+  * work stays one table pass. Ties in |margin| break toward the lower
+  * plane index (deterministic across executors). `dim` enforced per row
+  * like graft_lsh_sigs. Returns array<array<bigint>> of `tables` rows ×
+  * (1+probes) buckets. */
+case class LshProbesExpr(child: Expression, dim: Int, planes: Int, tables: Int,
+                         probes: Int)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  require(probes >= 0 && probes <= planes,
+    s"graft_lsh_probes: probes must be in [0, planes=$planes], got $probes")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"graft_lsh_probes expects array<double>, got $t")
+  }
+  override def dataType: DataType =
+    ArrayType(ArrayType(LongType, containsNull = false), containsNull = false)
+  override def prettyName: String = "graft_lsh_probes"
+
+  override protected def nullSafeEval(a: Any): Any = {
+    val v = a.asInstanceOf[ArrayData]
+    val n = v.numElements()
+    if (n != dim)
+      throw new IllegalArgumentException(
+        s"graft_lsh_probes: vector has $n elements, expected dim=$dim")
+    val out = new Array[Any](tables)
+    val margins = new Array[Double](planes)
+    val used = new Array[Boolean](planes)
+    var t = 0
+    while (t < tables) {
+      var sig = 0L
+      var p = 0
+      while (p < planes) {
+        var s = 0.0
+        var d = 0
+        while (d < n) {
+          var z = t.toLong * 0x9E3779B97F4A7C15L + p.toLong * 0xBF58476D1CE4E5B9L +
+            d.toLong * 0x94D049BB133111EBL + 0x2545F4914F6CDD1DL
+          z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+          z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+          z = z ^ (z >>> 31)
+          val x = v.getDouble(d)
+          s += (if ((z & 1L) == 0L) x else -x)
+          d += 1
+        }
+        if (s >= 0) sig |= (1L << p)
+        margins(p) = math.abs(s)
+        used(p) = false
+        p += 1
+      }
+      val buckets = new Array[Long](1 + probes)
+      buckets(0) = sig
+      var i = 0
+      while (i < probes) {
+        var best = -1
+        var p2 = 0
+        while (p2 < planes) {
+          if (!used(p2) && (best < 0 || margins(p2) < margins(best))) best = p2
+          p2 += 1
+        }
+        used(best) = true
+        buckets(1 + i) = sig ^ (1L << best)
+        i += 1
+      }
+      out(t) = new org.apache.spark.sql.catalyst.util.GenericArrayData(buckets)
+      t += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val out = ctx.freshName("out")
+      val margins = ctx.freshName("margins")
+      val used = ctx.freshName("used")
+      val buckets = ctx.freshName("buckets")
+      val t = ctx.freshName("t")
+      val p = ctx.freshName("p")
+      val p2 = ctx.freshName("p2")
+      val d = ctx.freshName("d")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      val z = ctx.freshName("z")
+      val x = ctx.freshName("x")
+      val sig = ctx.freshName("sig")
+      val i = ctx.freshName("i")
+      val best = ctx.freshName("best")
+      s"""
+         |int $n = $a.numElements();
+         |if ($n != $dim)
+         |  throw new IllegalArgumentException(
+         |    "graft_lsh_probes: vector has " + $n + " elements, expected dim=" + $dim);
+         |Object[] $out = new Object[$tables];
+         |double[] $margins = new double[$planes];
+         |boolean[] $used = new boolean[$planes];
+         |for (int $t = 0; $t < $tables; $t++) {
+         |  long $sig = 0L;
+         |  for (int $p = 0; $p < $planes; $p++) {
+         |    double $s = 0.0;
+         |    for (int $d = 0; $d < $n; $d++) {
+         |      long $z = (long) $t * 0x9E3779B97F4A7C15L + (long) $p * 0xBF58476D1CE4E5B9L
+         |        + (long) $d * 0x94D049BB133111EBL + 0x2545F4914F6CDD1DL;
+         |      $z = ($z ^ ($z >>> 30)) * 0xBF58476D1CE4E5B9L;
+         |      $z = ($z ^ ($z >>> 27)) * 0x94D049BB133111EBL;
+         |      $z = $z ^ ($z >>> 31);
+         |      double $x = $a.getDouble($d);
+         |      $s += (($z & 1L) == 0L) ? $x : -$x;
+         |    }
+         |    if ($s >= 0) $sig |= (1L << $p);
+         |    $margins[$p] = Math.abs($s);
+         |    $used[$p] = false;
+         |  }
+         |  long[] $buckets = new long[${1 + probes}];
+         |  $buckets[0] = $sig;
+         |  for (int $i = 0; $i < $probes; $i++) {
+         |    int $best = -1;
+         |    for (int $p2 = 0; $p2 < $planes; $p2++) {
+         |      if (!$used[$p2] && ($best < 0 || $margins[$p2] < $margins[$best])) $best = $p2;
+         |    }
+         |    $used[$best] = true;
+         |    $buckets[1 + $i] = $sig ^ (1L << $best);
+         |  }
+         |  $out[$t] = new org.apache.spark.sql.catalyst.util.GenericArrayData($buckets);
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): LshProbesExpr =
     copy(child = newChild)
 }
 
@@ -813,8 +964,14 @@ object GraftFunctions {
       positiveIntArg("graft_minhash", "k", exprs(1)),
       longArg("graft_minhash", "seed", exprs(2)))),
     "graft_lsh_sigs" -> (exprs => LshSignaturesExpr(exprs(0),
-      positiveIntArg("graft_lsh_sigs", "planes", exprs(1)),
-      positiveIntArg("graft_lsh_sigs", "tables", exprs(2)))),
+      positiveIntArg("graft_lsh_sigs", "dim", exprs(1)),
+      positiveIntArg("graft_lsh_sigs", "planes", exprs(2)),
+      positiveIntArg("graft_lsh_sigs", "tables", exprs(3)))),
+    "graft_lsh_probes" -> (exprs => LshProbesExpr(exprs(0),
+      positiveIntArg("graft_lsh_probes", "dim", exprs(1)),
+      positiveIntArg("graft_lsh_probes", "planes", exprs(2)),
+      positiveIntArg("graft_lsh_probes", "tables", exprs(3)),
+      positiveIntArg("graft_lsh_probes", "probes", exprs(4)))),
     "graft_shingle_hashes" -> (exprs => ShingleHashesExpr(exprs(0),
       positiveIntArg("graft_shingle_hashes", "n", exprs(1)))),
     "graft_shingle_hashes_pos" -> (exprs => PositionalShingleHashesExpr(exprs(0),

@@ -1197,13 +1197,22 @@ object Q {
   /** Multimodal NEAR-dup: perceptual aHash over the (stub-) decoded 8×8
     * grid, then the SimHash pigeonhole candidate join — catches re-encoded
     * / slightly-edited media that mm_dedup's exact digest cannot.
-    * Rows-only (the decoder is the sandbox stub). */
+    * The block-combination width is derived from corpus cardinality
+    * exactly as [[dedupSimhash]]'s is ([[graft.dedup.SimHash
+    * .adaptiveBlocks]]): the hamming-8 radius stays exact at every scale
+    * while the bucket count per combinatorial step grows with the corpus
+    * — fixed d=1 would freeze this face at 64/(8+1)=7-bit chunks (128
+    * buckets per chunk forever), the same super-linear saturation law
+    * the text face already escaped. Rows-only (the decoder is the
+    * sandbox stub). */
   def mmPhash(s: SparkSession, dir: String): DataFrame = {
     import graft.multimodal.{Multimodal, StubDecoder}
-    val bin = Multimodal.asBinaryTable(Tables(s, dir, "documents"), "doc_id", "text")
+    val docs = Tables(s, dir, "documents")
+    val bin = Multimodal.asBinaryTable(docs, "doc_id", "text")
     val hashed = Multimodal.withPerceptualHash(bin, StubDecoder)
       .select("doc_id", "phash")
-    graft.dedup.SimHash.pairsFromFingerprints(hashed, "doc_id", "phash", maxHamming = 8)
+    graft.dedup.SimHash.pairsFromFingerprintsBlocked(hashed, "doc_id", "phash",
+        maxHamming = 8, d = graft.dedup.SimHash.adaptiveBlocks(docs.count(), maxHamming = 8))
       .groupBy("hamming").agg(count(lit(1)).as("n_pairs"))
   }
 
@@ -1412,21 +1421,27 @@ object Q {
     * ≤1k-vector test corpora keep the legacy wide-recall 4 planes
     * bitwise; each corpus doubling adds a plane so buckets grow with rows
     * and the bucket-collision join stays ~linear (the fixed-4-plane face
-    * was unmeasurable at sf1 — 16 buckets/table at any size). 16 tables
-    * hold recall up as planes grow; the residual recall cost per decade
-    * is measured in docs/GEOMETRY_RECALL.json against exact sampled
-    * ground truth. Production near-dup thresholds (≥0.7) need far fewer
-    * tables than this low-cosine synthetic corpus. */
+    * was unmeasurable at sf1 — 16 buckets/table at any size). Recall is
+    * HELD as planes grow by margin-aware multi-probe
+    * ([[graft.similarity.AnnLsh.adaptiveProbes]]): each vector also
+    * probes its lowest-|margin| flip buckets on one side of the candidate
+    * join, so per-table collision probability stays ~flat where frozen
+    * 16-table recall fell 0.76 → 0.196 across the third-to-fourth decade;
+    * the measured per-decade recall (overall and the cos≥0.7 dedup-regime
+    * tier, with planted high-cosine pairs so the tier is non-vacuous)
+    * lives in docs/GEOMETRY_RECALL.json. */
   def embedClusterLsh(s: SparkSession, dir: String): DataFrame = {
     val e = Tables(s, dir, "embeddings")
     val n = e.count()
+    val planes = graft.similarity.AnnLsh.adaptivePlanes(n)
     // the face already paid the count for adaptivePlanes, so it can also
     // assert the broadcast contract for the verify joins: ≤200k 64-dim
     // vectors is ~100MB — model-sized; beyond that AQE decides
     val pairs = graft.similarity.AnnLsh.selfPairs(e, "vec_id", "embedding",
       dim = 64, minCos = 0.35,
-      planes = graft.similarity.AnnLsh.adaptivePlanes(n), tables = 16,
-      broadcastVectors = n <= 200000L)
+      planes = planes, tables = 16,
+      broadcastVectors = n <= 200000L,
+      probes = graft.similarity.AnnLsh.adaptiveProbes(planes))
     Dedup.connectedComponents(e.select(col("vec_id")), "vec_id",
         pairs, "id_a", "id_b")
       .select(col("id").as("vec_id"), col("cluster_id"))

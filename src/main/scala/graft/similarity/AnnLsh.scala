@@ -48,9 +48,20 @@ object AnnLsh {
   /** ALL `tables` signatures at once via the native
     * [[graft.functions.LshSignaturesExpr]] — one generated triple loop per
     * row, bitwise-identical to `array(signature(v, dim, planes, 0), …)`
-    * (spec-pinned). */
-  def signatures(v: Column, planes: Int, tables: Int): Column =
-    call_function("graft_lsh_sigs", v, lit(planes), lit(tables))
+    * (spec-pinned). `dim` is ENFORCED per row inside the expression: a
+    * mixed/corrupt vector column fails loudly (graft_dot's contract)
+    * instead of silently signing into a wrong bucket. */
+  def signatures(v: Column, dim: Int, planes: Int, tables: Int): Column =
+    call_function("graft_lsh_sigs", v, lit(dim), lit(planes), lit(tables))
+
+  /** Primary + `probes` margin-aware probe buckets per table via the
+    * native [[graft.functions.LshProbesExpr]] (array<array<bigint>>,
+    * element 0 of each inner array is the primary signature — bitwise
+    * [[signatures]] — and elements 1..probes flip the lowest-|margin|
+    * bits in margin order). See [[adaptiveProbes]] for the recall law. */
+  def probedSignatures(v: Column, dim: Int, planes: Int, tables: Int,
+                       probes: Int): Column =
+    call_function("graft_lsh_probes", v, lit(dim), lit(planes), lit(tables), lit(probes))
 
   /** Corpus-adaptive signature width: `planes = max(floor,
     * ceil(log2(n / targetOccupancy)))`, capped. Buckets per table are
@@ -76,6 +87,23 @@ object AnnLsh {
       math.log(math.max(1.0, n.toDouble / targetOccupancy)) / math.log(2.0)).toInt
     math.min(cap, math.max(floor, needed))
   }
+
+  /** The multi-probe budget that HOLDS RECALL as [[adaptivePlanes]] grows:
+    * recall per true pair is 1−(1−P)^tables, and each added plane
+    * multiplies the single-bucket P = p^planes by p — with tables frozen,
+    * recall falls monotonically toward 0 (the measured 0.76 → 0.196 cliff
+    * between the third and fourth decade at 16 tables). Probing the
+    * `probes` lowest-margin buckets on one side of the candidate join
+    * lifts P to ≈ p^planes + probes·p^(planes−1)(1−p) — one probe buys
+    * roughly what multiplying tables by (1−p)/p·planes would, at 1/probes
+    * of the signing cost and with only narrow (table, bucket, id) rows
+    * fanning out. At the geometry floor there is nothing to recover
+    * (small corpora keep the legacy wide-recall buckets bitwise), so the
+    * budget is 0 there; past it, probe every plane up to `cap` — at
+    * planes≈9, p≈0.6 (the cos≈0.35 cluster threshold) this holds the
+    * fourth-decade recall near the third's instead of 0.196. */
+  def adaptiveProbes(planes: Int, floor: Int = 4, cap: Int = 16): Int =
+    if (planes <= floor) 0 else math.min(cap, planes)
 
   /** Per-query top-k of a scored candidate frame (query_id, neighbor_id,
     * cos) via the native bounded-heap aggregate `graft_topk`
@@ -215,7 +243,7 @@ object AnnLsh {
     * IVF/label-blocked generators instead. */
   def selfPairs(df: DataFrame, idCol: String, vecCol: String, dim: Int,
                 minCos: Double, planes: Int = 8, tables: Int = 8,
-                broadcastVectors: Boolean = false): DataFrame = {
+                broadcastVectors: Boolean = false, probes: Int = 0): DataFrame = {
     val base = df.select(col(idCol).as("id"), toDouble(col(vecCol)).as("v"))
     // candidate generation and pair-dedup run on NARROW (table, bucket, id)
     // rows — a row here is ~24 bytes. Carrying the vectors through the
@@ -223,14 +251,38 @@ object AnnLsh {
     // bucket collision (measured 16× more shuffle bytes and a double-digit
     // seconds regression at 16 tables); the exact-cosine verify re-joins
     // them AFTER dedup, one row per unique pair.
-    val signed = base.select(col("id"),
-        signatures(col("v"), planes, tables).as("_sigs"))
-      .select(col("id"), posexplode(col("_sigs")).as(Seq("table", "bucket")))
-    val a = signed.select(col("table"), col("bucket"), col("id").as("id_a"))
-    val b = signed.select(col("table"), col("bucket"), col("id").as("id_b"))
-    val collided = a.join(b, Seq("table", "bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b")
+    val collided = if (probes <= 0) {
+      val signed = base.select(col("id"),
+          signatures(col("v"), dim, planes, tables).as("_sigs"))
+        .select(col("id"), posexplode(col("_sigs")).as(Seq("table", "bucket")))
+      val a = signed.select(col("table"), col("bucket"), col("id").as("id_a"))
+      val b = signed.select(col("table"), col("bucket"), col("id").as("id_b"))
+      a.join(b, Seq("table", "bucket"))
+        .filter(col("id_a") < col("id_b"))
+        .select("id_a", "id_b")
+    } else {
+      // MULTI-PROBE candidate join ([[adaptiveProbes]]): the LEFT side
+      // expands to primary + lowest-margin probe buckets, the RIGHT side
+      // keys on the primary only — a pair collides when either member
+      // probes into the other's primary bucket, so the fan-out is
+      // (1+probes)× on one side instead of both (probing both sides buys
+      // nothing: margin-flip is how a near-dup's differing bit is reached,
+      // and one direction suffices to meet in a bucket). Margin-selected
+      // probe sets are per-vector, hence ASYMMETRIC — both orderings are
+      // kept and canonicalized by id, where the single-probe path's
+      // id_a < id_b filter would drop pairs only one direction finds.
+      val sigd = base.select(col("id"),
+          probedSignatures(col("v"), dim, planes, tables, probes).as("_ps"))
+        .select(col("id"), posexplode(col("_ps")).as(Seq("table", "buckets")))
+      val a = sigd.select(col("table"), col("id").as("_pa"),
+        explode(col("buckets")).as("bucket"))
+      val b = sigd.select(col("table"), col("id").as("_pb"),
+        element_at(col("buckets"), 1).as("bucket"))
+      a.join(b, Seq("table", "bucket"))
+        .filter(col("_pa") =!= col("_pb"))
+        .select(least(col("_pa"), col("_pb")).as("id_a"),
+          greatest(col("_pa"), col("_pb")).as("id_b"))
+    }
     // Pair-dedup placement depends on the verify-join strategy. Broadcast
     // verify: collisions verify IN PLACE (no shuffle at all between the
     // bucket join and the cos filter), so deduping the raw collisions
@@ -285,7 +337,7 @@ object AnnLsh {
     def signed(df: DataFrame, id: String, vec: String): DataFrame = {
       val base = df.select(col(idCol).as(id), toDouble(col(vecCol)).as(vec))
       base.select(col(id), col(vec),
-          signatures(col(vec), planes, tables).as("_sigs"))
+          signatures(col(vec), dim, planes, tables).as("_sigs"))
         .select(col(id), col(vec), posexplode(col("_sigs")).as(Seq("table", "bucket")))
     }
     val c = signed(candidates, "neighbor_id", "v")

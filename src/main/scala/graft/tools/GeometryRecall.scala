@@ -72,9 +72,30 @@ object GeometryRecall {
           .pairs(docs, "doc_id", "text", maxHamming = hTrunc).count()
       val truncRecall = if (nLegacy == 0) 1.0 else nTrunc.toDouble / nLegacy
 
-      val e = graft.Tables(spark, dir, "embeddings")
+      val e0 = graft.Tables(spark, dir, "embeddings").select("vec_id", "embedding")
+      // PLANT known high-cosine near-duplicates: the synthetic embeddings
+      // are low-cosine (no natural cos>=0.7 pairs at any decade), which
+      // made the dedup-regime recall tier 0/0 — vacuous. One perturbed
+      // copy of every sampled vector, multiplicative per-element noise
+      // with a per-vector amplitude spread (uniform delta in [-amp, amp],
+      // amp in [0.3, 1.5] => cos ~ 1/sqrt(1+amp^2/3) in [0.76, 0.99]),
+      // all deterministic (xxhash64 of (vec_id, element index)). The
+      // offset is ≡ 0 (mod 97) so planted copies join the query sample
+      // and every (original, copy) pair lands in the exact ground truth.
+      val plantOffset = 97L * 10310000L
+      val planted = e0.filter(col("vec_id") % 97 === 0)
+        .select((col("vec_id") + plantOffset).as("vec_id"),
+          transform(col("embedding"), (x, i) =>
+            (x.cast("double") * (lit(1.0) +
+              (pmod(xxhash64(col("vec_id"), i), lit(2001)) - 1000).cast("double")
+                / 1000.0 *
+              (lit(0.3) + pmod(xxhash64(col("vec_id")), lit(100)).cast("double")
+                / 100.0 * 1.2))).cast("float")).as("embedding"))
+      val nPlanted = planted.count()
+      val e = e0.unionByName(planted).localCheckpoint()
       val nVecs = e.count()
       val planes = graft.similarity.AnnLsh.adaptivePlanes(nVecs)
+      val probes = graft.similarity.AnnLsh.adaptiveProbes(planes)
       val sample = e.filter(col("vec_id") % 97 === 0)
       // exact sampled ground truth: one broadcast-queries corpus scan;
       // keep cos so the >=0.7 regime tier splits without a second scan
@@ -87,9 +108,12 @@ object GeometryRecall {
         .localCheckpoint()
       val nExact = exact.count()
       val nExact70 = exact.filter(col("cos") >= 0.7).count()
+      // the REGISTERED face's geometry: adaptive planes, 16 tables, and
+      // the margin-aware multi-probe budget that holds recall as planes
+      // grow (Q.embedClusterLsh passes exactly these knobs)
       val found = graft.similarity.AnnLsh
         .selfPairs(e, "vec_id", "embedding", dim = 64, minCos = minCos,
-          planes = planes, tables = 16)
+          planes = planes, tables = 16, probes = probes)
         .join(exact, Seq("id_a", "id_b"), "left_semi")
         .localCheckpoint()
       val nFound = found.count()
@@ -99,15 +123,18 @@ object GeometryRecall {
       val lshRecall70 = if (nExact70 == 0) 1.0 else nFound70.toDouble / nExact70
 
       System.err.println(f"[recall] $dir docs=$nDocs d=$dAdapt sim=$simRecall%.4f " +
-        f"trunc(h=$hTrunc)=$truncRecall%.4f vecs=$nVecs planes=$planes " +
-        f"lsh=$lshRecall%.4f ($nFound/$nExact) lsh70=$lshRecall70%.4f ($nFound70/$nExact70)")
+        f"trunc(h=$hTrunc)=$truncRecall%.4f vecs=$nVecs planes=$planes probes=$probes " +
+        f"planted=$nPlanted lsh=$lshRecall%.4f ($nFound/$nExact) " +
+        f"lsh70=$lshRecall70%.4f ($nFound70/$nExact70)")
       (dir, nDocs, dAdapt, nFace, nLegacy, simRecall, hTrunc, truncRecall,
-        nVecs, planes, nExact, nFound, lshRecall, nExact70, nFound70, lshRecall70)
+        nVecs, planes, probes, nPlanted, nExact, nFound, lshRecall,
+        nExact70, nFound70, lshRecall70)
     }
 
     def f(v: Double) = "%.4f".formatLocal(java.util.Locale.ROOT, v)
     val json = rows.map {
-      case (dir, nd, dA, nf, nl, sr, ht, tr, nv, p, ne, nfound, lr, ne70, nf70, lr70) =>
+      case (dir, nd, dA, nf, nl, sr, ht, tr, nv, p, pr, npl, ne, nfound, lr,
+            ne70, nf70, lr70) =>
         s"""    {"sf_dir": "$dir", "docs": $nd,
            |     "simhash_blocks_d": $dA, "simhash_pairs_face": $nf,
            |     "simhash_pairs_legacy_d1": $nl,
@@ -115,6 +142,7 @@ object GeometryRecall {
            |     "simhash_trunc_fallback_h": $ht,
            |     "simhash_trunc_fallback_recall": ${f(tr)},
            |     "vectors": $nv, "lsh_planes": $p, "lsh_tables": 16,
+           |     "lsh_probes": $pr, "planted_high_cos_copies": $npl,
            |     "exact_sampled_pairs": $ne, "lsh_found": $nfound,
            |     "lsh_recall_vs_exact_sample": ${f(lr)},
            |     "exact_sampled_pairs_cos70": $ne70, "lsh_found_cos70": $nf70,
@@ -123,7 +151,7 @@ object GeometryRecall {
     val w = new java.io.PrintWriter(outPath, "UTF-8")
     try w.println(
       s"""{
-  "protocol": "per decade: the registered simhash face (radius 7, adaptive block-combination pigeonhole) is exact by construction, so simhash_recall_vs_legacy is an IDENTITY TRIPWIRE (both sides exact hamming<=7 pair sets); simhash_trunc_fallback_recall is the measured recall of the radius-truncation fallback (adaptiveMaxHamming) for the saturated regime. lsh recall = fraction of the EXACT cosine>=$minCos pairs touching the deterministic vec_id%97 sample that the adaptive-planes selfPairs generator reports (16 tables), overall and restricted to cos>=0.7 (the dedup-regime tier where hyperplane LSH is structurally sharp)",
+  "protocol": "per decade: the registered simhash face (radius 7, adaptive block-combination pigeonhole) is exact by construction, so simhash_recall_vs_legacy is an IDENTITY TRIPWIRE (both sides exact hamming<=7 pair sets); simhash_trunc_fallback_recall is the measured recall of the radius-truncation fallback (adaptiveMaxHamming) for the saturated regime. lsh recall = fraction of the EXACT cosine>=$minCos pairs touching the deterministic vec_id%97 sample that the registered selfPairs geometry (adaptive planes, 16 tables, adaptive margin-aware multi-probe) reports, overall and restricted to cos>=0.7. The corpus is augmented with one deterministic perturbed copy of every sampled vector (cos in ~[0.76, 0.99]) so the cos>=0.7 dedup-regime tier measures real pairs instead of 0/0",
   "decades": [
 $json
   ]

@@ -140,6 +140,83 @@ class AnnLshSpec extends SparkSpec {
       m.contains("maxBlockRows") && m.contains("selfPairs")))
   }
 
+  test("graft_lsh_probes: element 0 is bitwise graft_lsh_sigs; probes flip one bit each") {
+    val v = graft.functions.VectorFunctions.toDouble(col("embedding"))
+    val rows = vectors.select(
+        AnnLsh.signatures(v, 8, 6, 4).as("sigs"),
+        AnnLsh.probedSignatures(v, 8, 6, 4, probes = 3).as("probed"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val sigs = r.getSeq[Long](0)
+      val probed = r.getSeq[scala.collection.Seq[Long]](1)
+      assert(probed.length == 4 && probed.forall(_.length == 4))
+      probed.zip(sigs).foreach { case (buckets, sig) =>
+        assert(buckets.head == sig) // primary bitwise-identical
+        // each probe flips exactly one DISTINCT bit of the primary
+        val flipped = buckets.tail.map(b => b ^ sig)
+        assert(flipped.forall(f => java.lang.Long.bitCount(f) == 1))
+        assert(flipped.distinct.length == flipped.length)
+      }
+    }
+  }
+
+  test("lsh signing fails loudly on a vector that does not match dim") {
+    import spark.implicits._
+    val bad = Seq((0L, Seq(1.0f, 2.0f, 3.0f)), (1L, Seq(1.0f, 2.0f)))
+      .toDF("vec_id", "embedding")
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    val v = graft.functions.VectorFunctions.toDouble(col("embedding"))
+    val e1 = intercept[Exception] {
+      bad.select(AnnLsh.signatures(v, 3, 4, 2)).collect()
+    }
+    assert(msgs(e1).exists(_.contains("expected dim=3")), msgs(e1).mkString(" | "))
+    val e2 = intercept[Exception] {
+      bad.select(AnnLsh.probedSignatures(v, 3, 4, 2, probes = 2)).collect()
+    }
+    assert(msgs(e2).exists(_.contains("expected dim=3")), msgs(e2).mkString(" | "))
+  }
+
+  test("multi-probe selfPairs: exact precision, recall >= single-probe on near-dups") {
+    import spark.implicits._
+    // same family construction as SelfPairsSpec but a DELIBERATELY
+    // recall-starved geometry (10 planes x 2 tables) so probing has
+    // something to recover
+    val dim = 16
+    def unit(seed: Int): Array[Float] = {
+      val rnd = new scala.util.Random(seed)
+      val arr = Array.fill(dim)(rnd.nextGaussian())
+      val n = math.sqrt(arr.map(x => x * x).sum)
+      arr.map(x => (x / n).toFloat)
+    }
+    val rows = for (fam <- 0 until 12; c <- 0 until 4) yield {
+      val base = unit(fam + 1)
+      val d = base.zipWithIndex.map { case (x, i) =>
+        x + 0.05f * (((fam * 4 + c) * 31 + i * 7) % 5 - 2)
+      }
+      ((fam * 4 + c).toLong, d)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    def pairsAt(probes: Int) =
+      AnnLsh.selfPairs(df, "vec_id", "embedding", dim, minCos = 0.9,
+          planes = 10, tables = 2, probes = probes)
+        .as[(Long, Long, Double)].collect()
+    val single = pairsAt(0)
+    val probed = pairsAt(6)
+    // precision stays exact: every emitted pair is cosine-verified
+    assert(probed.forall(_._3 >= 0.9))
+    // canonical ordering and no duplicate pairs despite the asymmetric join
+    val probedPairs = probed.map(p => (p._1, p._2))
+    assert(probedPairs.forall(p => p._1 < p._2))
+    assert(probedPairs.distinct.length == probedPairs.length)
+    // probing only ADDS candidates: strict superset-or-equal of single-probe
+    assert(single.map(p => (p._1, p._2)).toSet.subsetOf(probedPairs.toSet))
+    // and at this starved geometry it genuinely recovers pairs
+    assert(probedPairs.length > single.length,
+      s"probed=${probedPairs.length} single=${single.length}")
+  }
+
   test("lsh signature is deterministic across invocations") {
     val s1 = vectors.select(AnnLsh.signature(
       graft.functions.VectorFunctions.toDouble(col("embedding")), 8, 6, 0)).collect()
