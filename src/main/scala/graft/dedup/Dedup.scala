@@ -148,16 +148,29 @@ object Dedup {
     merged.mergeInPlace(
       novel.select("digest").stat.bloomFilter("digest", expectedKeys, fpp))
     writeBloom(spark, s"$indexPath/bloom", merged)
-    // appender-side guard: if a compact's publish is in flight, wait for
-    // its rename to land (ms); only restore the backup once the grace
-    // period proves the publisher crashed
+    // MUTUAL EXCLUSION with the compactor's publish window: the append
+    // holds the index's maintenance lease for the duration of its write,
+    // so it can never recreate `digests` between the compactor's two
+    // renames (and a slow reconcile can never make the appender restore
+    // the backup mid-publish — the old grace-period failure pair). A
+    // missing live table under the lease is a CRASHED publish: restore
+    // immediately, no timeout guessing.
     val live = new org.apache.hadoop.fs.Path(s"$indexPath/digests")
-    graft.sources.Sources.awaitOrRestore(
-      live.getFileSystem(spark.sparkContext.hadoopConfiguration), live,
-      new org.apache.hadoop.fs.Path(s"$indexPath/_digests_old"))
-    novel.select("digest").distinct()
-      .write.mode("append").parquet(s"$indexPath/digests")
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    graft.sources.Sources.withSwapLock(fs, maintenanceLock(indexPath)) {
+      graft.sources.Sources.restoreUnderLock(fs, live,
+        new org.apache.hadoop.fs.Path(s"$indexPath/_digests_old"))
+      novel.select("digest").distinct()
+        .write.mode("append").parquet(s"$indexPath/digests")
+    }
   }
+
+  /** One lease per index root ([[graft.sources.Sources.withSwapLock]]):
+    * held by appenders across their table writes and by the compactor
+    * across its snapshot and publish windows — never across the long
+    * rewrite itself, so appends flow while the compactor rewrites. */
+  private def maintenanceLock(indexPath: String): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(s"$indexPath/_maintenance_lock")
 
   /** Compact the appended-to digest table (the digest-index sibling of
     * [[MinHash.compactBandIndex]]): rewrite the accumulated per-batch
@@ -180,10 +193,14 @@ object Dedup {
     val tmp = new org.apache.hadoop.fs.Path(s"$path/_digests_compacting")
     val old = new org.apache.hadoop.fs.Path(s"$path/_digests_old")
     val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    graft.sources.Sources.recoverSwap(fs, live, tmp, old)
-    // snapshot the input file list; files landing after this line are
-    // "late appends" the reconcile copies across the swap
-    val snapshot = graft.sources.Sources.dataFiles(fs, live)
+    val lock = maintenanceLock(path)
+    // lease scope 1: recovery + snapshot (appends must not interleave
+    // with a restore). Released for the long rewrite — appends landing
+    // then are "late files" the reconcile copies across the swap.
+    val snapshot = graft.sources.Sources.withSwapLock(fs, lock) {
+      graft.sources.Sources.recoverSwap(fs, live, tmp, old)
+      graft.sources.Sources.dataFiles(fs, live)
+    }
     if (snapshot.isEmpty) return // empty table: nothing to compact
     // distinct() already lands on the shuffle-partition target — no
     // extra repartition pass. Read the SNAPSHOT files, not the live dir:
@@ -191,7 +208,11 @@ object Dedup {
     // reconciled (lazy parquet reads race the listing otherwise)
     spark.read.parquet(snapshot.toSeq.map(f => s"$live/$f"): _*)
       .distinct().write.parquet(tmp.toString)
-    graft.sources.Sources.publishSwapReconcile(fs, live, tmp, old, snapshot)
+    // lease scope 2: the publish window — no append can start a write
+    // into `digests` while the table is between its two renames
+    graft.sources.Sources.withSwapLock(fs, lock) {
+      graft.sources.Sources.publishSwapReconcile(fs, live, tmp, old, snapshot)
+    }
   }
 
   private def bloomPaths(dir: String) = (

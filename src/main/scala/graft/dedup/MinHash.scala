@@ -121,14 +121,23 @@ object MinHash {
       new org.apache.hadoop.fs.Path(s"$path/_${sub}_old")).toString
   }
 
-  /** APPENDER-side guard before writing into an index table: wait out an
-    * in-flight compact publish (ms), restore the backup only once the
-    * grace period proves the publisher crashed. */
-  private def awaitIndex(spark: SparkSession, path: String): Unit = {
+  /** One maintenance lease per index root
+    * ([[graft.sources.Sources.withSwapLock]]): held by the appender across
+    * its buckets+shingles writes and by the compactor across each table's
+    * snapshot and publish windows — real mutual exclusion instead of the
+    * old grace-period guess. */
+  private def maintenanceLock(path: String): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(s"$path/_maintenance_lock")
+
+  /** APPENDER-side guard — call only while HOLDING the maintenance lease:
+    * a missing live table with a backup present can only be a crashed
+    * compact publish (no publisher can be mid-window under the lease), so
+    * restore immediately. */
+  private def restoreIndexUnderLock(spark: SparkSession, path: String): Unit = {
     val hconf = spark.sparkContext.hadoopConfiguration
     for (sub <- Seq("buckets", "shingles")) {
       val live = new org.apache.hadoop.fs.Path(s"$path/$sub")
-      graft.sources.Sources.awaitOrRestore(live.getFileSystem(hconf), live,
+      graft.sources.Sources.restoreUnderLock(live.getFileSystem(hconf), live,
         new org.apache.hadoop.fs.Path(s"$path/_${sub}_old"))
     }
   }
@@ -154,30 +163,34 @@ object MinHash {
   def appendToBandIndex(spark: SparkSession, indexPath: String,
                         batch: DataFrame, idCol: String,
                         textCol: String): Unit = {
-    awaitIndex(spark, indexPath)
-    val p = spark.read.parquet(s"$indexPath/params").collect()(0)
-    val (n, k, bands) = (p.getAs[Int]("n"), p.getAs[Int]("k"), p.getAs[Int]("bands"))
-    val seed = p.getAs[Long]("seed")
-    val indexed = spark.read.parquet(s"$indexPath/shingles").select("id")
-    val bsh = shingleFrame(batch, idCol, textCol, n)
-      .localCheckpoint(eager = false)
-    // novel batch docs only. Corpus ids are scanned, never shuffled: the
-    // batch id set broadcasts into a semi join that reduces the index
-    // side to `hits` (≤ batch rows), and the anti join against hits
-    // broadcasts too — a direct left_anti against the index would
-    // shuffle corpus_rows ids on every batch. Pin once — novel feeds
-    // both appends.
-    val hits = indexed.join(broadcast(bsh.select("id")), Seq("id"), "left_semi")
-    // dropDuplicates: an intra-batch repeated id must land ONCE (the
-    // anti-join only guards against ids already indexed)
-    val novel = bsh.join(broadcast(hits), Seq("id"), "left_anti")
-      .dropDuplicates("id")
-      .localCheckpoint(eager = false)
-    val parts = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
-    graft.sources.Sources.writeClustered(
-      bandBuckets(novel, k, bands, seed), s"$indexPath/buckets",
-      Seq("band", "bucket"), parts, mode = "append")
-    novel.write.mode("append").parquet(s"$indexPath/shingles")
+    val fs = new org.apache.hadoop.fs.Path(indexPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    graft.sources.Sources.withSwapLock(fs, maintenanceLock(indexPath)) {
+      restoreIndexUnderLock(spark, indexPath)
+      val p = spark.read.parquet(s"$indexPath/params").collect()(0)
+      val (n, k, bands) = (p.getAs[Int]("n"), p.getAs[Int]("k"), p.getAs[Int]("bands"))
+      val seed = p.getAs[Long]("seed")
+      val indexed = spark.read.parquet(s"$indexPath/shingles").select("id")
+      val bsh = shingleFrame(batch, idCol, textCol, n)
+        .localCheckpoint(eager = false)
+      // novel batch docs only. Corpus ids are scanned, never shuffled: the
+      // batch id set broadcasts into a semi join that reduces the index
+      // side to `hits` (≤ batch rows), and the anti join against hits
+      // broadcasts too — a direct left_anti against the index would
+      // shuffle corpus_rows ids on every batch. Pin once — novel feeds
+      // both appends.
+      val hits = indexed.join(broadcast(bsh.select("id")), Seq("id"), "left_semi")
+      // dropDuplicates: an intra-batch repeated id must land ONCE (the
+      // anti-join only guards against ids already indexed)
+      val novel = bsh.join(broadcast(hits), Seq("id"), "left_anti")
+        .dropDuplicates("id")
+        .localCheckpoint(eager = false)
+      val parts = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+      graft.sources.Sources.writeClustered(
+        bandBuckets(novel, k, bands, seed), s"$indexPath/buckets",
+        Seq("band", "bucket"), parts, mode = "append")
+      novel.write.mode("append").parquet(s"$indexPath/shingles")
+    }
   }
 
   /** Re-cluster an appended-to band index: after many [[appendToBandIndex]]
@@ -207,11 +220,19 @@ object MinHash {
       val tmp = new org.apache.hadoop.fs.Path(s"$path/_${sub}_compacting")
       val old = new org.apache.hadoop.fs.Path(s"$path/_${sub}_old")
       val fs = live.getFileSystem(hconf)
-      graft.sources.Sources.recoverSwap(fs, live, tmp, old)
-      val snapshot = graft.sources.Sources.dataFiles(fs, live)
+      val lock = maintenanceLock(path)
+      // lease scope 1: recovery + snapshot; released during the rewrite
+      // so appends flow (they become reconciled late files); scope 2: the
+      // publish window — no append can recreate the table mid-rename
+      val snapshot = graft.sources.Sources.withSwapLock(fs, lock) {
+        graft.sources.Sources.recoverSwap(fs, live, tmp, old)
+        graft.sources.Sources.dataFiles(fs, live)
+      }
       if (snapshot.isEmpty) return // empty table: nothing to compact
       write(snapshot.toSeq.map(f => s"$live/$f"), tmp.toString)
-      graft.sources.Sources.publishSwapReconcile(fs, live, tmp, old, snapshot)
+      graft.sources.Sources.withSwapLock(fs, lock) {
+        graft.sources.Sources.publishSwapReconcile(fs, live, tmp, old, snapshot)
+      }
     }
     swap("buckets") { (files, out) =>
       graft.sources.Sources.writeClustered(

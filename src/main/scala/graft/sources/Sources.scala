@@ -166,8 +166,8 @@ object Sources {
     * restore issued while a live publisher sits between its two renames
     * would re-occupy `live` and break (or nest) the publisher's final
     * rename. Readers use [[resolveSwap]] (non-mutating); appenders use
-    * [[awaitOrRestore]] (restore only after a publisher-absent grace
-    * period). Idempotent. */
+    * [[restoreUnderLock]] while holding the table's [[withSwapLock]]
+    * lease. Idempotent. */
   def restoreSwap(fs: org.apache.hadoop.fs.FileSystem,
                   live: org.apache.hadoop.fs.Path,
                   old: org.apache.hadoop.fs.Path): Unit =
@@ -189,24 +189,84 @@ object Sources {
     else if (fs.exists(old)) old
     else live
 
-  /** APPENDER-side guard before writing into a swapped path: if `live` is
-    * missing, a publisher is either mid-window (it returns within
-    * milliseconds) or crashed. Poll for up to `waitMs` — a healthy
-    * publisher's rename lands long before the deadline — and only restore
-    * the backup once the grace period proves the publisher absent. This
-    * keeps appenders safe to run concurrently with a (reconciling)
-    * compactor without the reader-restore race: the restore path only
-    * executes against a crashed publish. */
-  def awaitOrRestore(fs: org.apache.hadoop.fs.FileSystem,
-                     live: org.apache.hadoop.fs.Path,
-                     old: org.apache.hadoop.fs.Path,
-                     waitMs: Long = 2000L, pollMs: Long = 50L): Unit = {
-    if (fs.exists(live) || !fs.exists(old)) return
-    val deadline = System.nanoTime() + waitMs * 1000000L
-    while (!fs.exists(live) && System.nanoTime() < deadline)
-      Thread.sleep(pollMs)
-    restoreSwap(fs, live, old)
+  /** REAL mutual exclusion between a swapped table's maintenance writers
+    * — the compactor's publish window and every appender's write — via a
+    * heartbeat lease file. The previous grace-period guess ("a publisher
+    * returns within 2s") broke both ways: a slow reconcile copy made
+    * healthy appenders time out and restore the backup INSIDE the
+    * publisher's rename window, and an append that started inside the
+    * window recreated `live` under the publisher's final rename. Under
+    * the lease neither interleaving exists: the publisher holds the lock
+    * across its two renames, appenders hold it across their write, and a
+    * CRASHED holder is detected by heartbeat age, not by guessing at
+    * publish duration — a live holder's daemon touches the lock file
+    * every leaseMs/4, so only a genuinely dead holder ever gets stolen
+    * (atomically, via rename — exactly one contender wins).
+    *
+    * Probes/readers stay LOCK-FREE ([[resolveSwap]]) — the lease covers
+    * only the maintenance-writer pair. `fs.create(overwrite=false)` is
+    * atomic on HDFS (namenode-arbitrated); on S3-style stores use a
+    * conditional-put / table-format lock instead. Reentrant acquisition
+    * is NOT supported — one lock per maintenance operation. */
+  def withSwapLock[T](fs: org.apache.hadoop.fs.FileSystem,
+                      lockPath: org.apache.hadoop.fs.Path,
+                      leaseMs: Long = 60000L, pollMs: Long = 100L)(body: => T): T = {
+    require(leaseMs >= 4 * pollMs, s"leaseMs=$leaseMs too short for pollMs=$pollMs")
+    val token = java.util.UUID.randomUUID().toString
+    var acquired = false
+    while (!acquired) {
+      try {
+        val out = fs.create(lockPath, false)
+        try out.write(token.getBytes("UTF-8")) finally out.close()
+        acquired = true
+      } catch {
+        case _: java.io.IOException =>
+          val st =
+            try Some(fs.getFileStatus(lockPath))
+            catch { case _: java.io.FileNotFoundException => None }
+          st match {
+            case Some(s) if System.currentTimeMillis() - s.getModificationTime > leaseMs =>
+              // stale: the holder's heartbeat died. Steal via rename — the
+              // one contender whose rename succeeds clears it; the rest
+              // loop back to the create race.
+              val tomb = new org.apache.hadoop.fs.Path(
+                lockPath.getParent, s".${lockPath.getName}.stale.$token")
+              if (try fs.rename(lockPath, tomb) catch { case _: java.io.IOException => false })
+                fs.delete(tomb, false)
+            case _ => Thread.sleep(pollMs)
+          }
+      }
+    }
+    // heartbeat daemon: a LIVE holder is never stolen, no matter how long
+    // the body (a Spark append job, a reconcile copy) runs
+    @volatile var done = false
+    val hb = new Thread(() => {
+      while (!done) {
+        Thread.sleep(math.max(1L, leaseMs / 4))
+        if (!done)
+          try fs.setTimes(lockPath, System.currentTimeMillis(), -1)
+          catch { case _: java.io.IOException => () } // stolen/FS hiccup: next op fails loudly
+      }
+    }, s"swap-lock-heartbeat-${lockPath.getName}")
+    hb.setDaemon(true)
+    hb.start()
+    try body
+    finally {
+      done = true
+      hb.interrupt()
+      fs.delete(lockPath, false)
+    }
   }
+
+  /** APPENDER-side guard before writing into a swapped path — call ONLY
+    * while holding the table's [[withSwapLock]] lease: under the lease no
+    * publisher can be between its renames, so a missing `live` with an
+    * `_old` backup present can only be a CRASHED publish, and restoring
+    * it immediately is safe (no grace-period guessing). */
+  def restoreUnderLock(fs: org.apache.hadoop.fs.FileSystem,
+                       live: org.apache.hadoop.fs.Path,
+                       old: org.apache.hadoop.fs.Path): Unit =
+    restoreSwap(fs, live, old)
 
   /** The visible data files of a table directory (hidden `_`/`.` files —
     * `_SUCCESS`, checksums — excluded): the snapshot a RECONCILING
@@ -232,7 +292,17 @@ object Sources {
     * the rewrite also holds (a crash-retried append) — the same benign
     * duplicates ordinary appends can leave, removed by the NEXT compact.
     * Concurrent COMPACTORS remain excluded (single-compactor contract:
-    * `recoverSwap` clobbers a peer's temp dir). */
+    * `recoverSwap` clobbers a peer's temp dir).
+    *
+    * MUST run under the table's [[withSwapLock]] lease, with COOPERATING
+    * appenders holding the same lease across their writes: the lease is
+    * what guarantees no append's output committer recreates `live` inside
+    * the rename window. Against a NON-cooperating writer that recreates
+    * `live` anyway, [[absorbRecreatedLive]] is the belt-and-braces: its
+    * visible data files are merged into `tmp` before the final rename
+    * (the writer's in-flight temp state is discarded — its commit then
+    * fails LOUDLY instead of nesting tmp inside live or making the next
+    * compact silently truncate the table by deleting `_old`). */
   def publishSwapReconcile(fs: org.apache.hadoop.fs.FileSystem,
                            live: org.apache.hadoop.fs.Path,
                            tmp: org.apache.hadoop.fs.Path,
@@ -258,8 +328,36 @@ object Sources {
           s"late-append reconcile copy failed: ${st.getPath} -> $dst")
       }
     }
+    absorbRecreatedLive(fs, live, tmp)
     require(fs.rename(tmp, live), s"publish rename failed: $tmp -> $live")
     fs.delete(old, true)
+  }
+
+  /** Belt-and-braces for [[publishSwapReconcile]]'s final rename: if a
+    * NON-cooperating writer recreated `live` inside the publish window
+    * (e.g. a FileOutputCommitter job that was not holding the lease), an
+    * unconditional `rename(tmp, live)` would fail (local FS) or NEST tmp
+    * inside live (HDFS semantics for rename-onto-existing-dir) — and the
+    * NEXT compact's recovery would then delete `_old`, the only full
+    * copy, silently truncating the table. Instead: merge the recreated
+    * directory's VISIBLE data files into `tmp` (committed rows survive)
+    * and delete the rest (`_temporary` half-state — the rogue writer's
+    * commit fails loudly, the correct outcome for a lock violation), so
+    * the final rename always lands on a clear path. No-op when `live`
+    * does not exist (the lease-protected normal case). */
+  def absorbRecreatedLive(fs: org.apache.hadoop.fs.FileSystem,
+                          live: org.apache.hadoop.fs.Path,
+                          tmp: org.apache.hadoop.fs.Path): Unit = {
+    if (!fs.exists(live)) return
+    fs.listStatus(live).iterator.filter { st =>
+      val n = st.getPath.getName
+      st.isFile && !n.startsWith("_") && !n.startsWith(".")
+    }.foreach { st =>
+      val dst = new org.apache.hadoop.fs.Path(tmp, st.getPath.getName)
+      require(fs.rename(st.getPath, dst),
+        s"recreated-live absorb failed: ${st.getPath} -> $dst")
+    }
+    require(fs.delete(live, true), s"recreated live dir stuck: $live")
   }
 
   /** WRITER-side recovery before re-writing a swapped path:

@@ -557,7 +557,20 @@ object Streams {
   /** One [[dedupIndexed]] micro-batch — factored out so the replay
     * contract is spec-testable without re-running a stream: re-running
     * the same batchId (what engine failure-recovery does) leaves exactly
-    * one copy of the batch's novel rows. */
+    * one copy of the batch's novel rows.
+    *
+    * The replay overwrite UNIONS with the partition's previous attempt:
+    * a first attempt that wrote its novel rows and then crashed MID-FOLD
+    * (some of the batch's digests committed to the index, some not)
+    * replays with those digests probing as duplicates — the recomputed
+    * novel set is a strict SUBSET of the first attempt's, and overwriting
+    * with it alone would DELETE genuinely-novel rows from the sink (zero
+    * copies anywhere). Rows in the existing partition were novel when the
+    * batch FIRST landed — that verdict is final; the union (id-deduped,
+    * first attempt wins ties) restores exactly-once semantics across the
+    * partial-fold crash while staying idempotent for the clean-replay
+    * cases (no partition → plain write; fully-folded replay → recomputed
+    * set is empty, union re-lands the first attempt unchanged). */
   def dedupIndexedBatch(batch: DataFrame, batchId: Long, idCol: String,
                         textCol: String, indexPath: String,
                         novelPath: String): Unit = {
@@ -568,7 +581,15 @@ object Streams {
     val novel = graft.dedup.Dedup.incrementalIndexed(
         spark, indexPath, batch, idCol, textCol)
       .localCheckpoint()
-    novel.withColumn("batch_id", lit(batchId))
+    val partition = new org.apache.hadoop.fs.Path(s"$novelPath/batch_id=$batchId")
+    val fs = partition.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val toWrite =
+      if (!fs.exists(partition)) novel
+      else novel.unionByName(
+          spark.read.parquet(partition.toString).select(novel.columns.map(col): _*))
+        .dropDuplicates(idCol)
+        .localCheckpoint() // pin: the write below overwrites its own input
+    toWrite.withColumn("batch_id", lit(batchId))
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("batch_id").parquet(novelPath)

@@ -218,26 +218,86 @@ class SourcesSpec extends SparkSpec {
     }
   }
 
-  test("resolveSwap is non-mutating; awaitOrRestore restores only a crashed publish") {
+  test("resolveSwap is non-mutating; restoreUnderLock restores a crashed publish") {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
     val base = java.nio.file.Files.createTempDirectory("graft_swap").toString
     val live = new org.apache.hadoop.fs.Path(s"$base/t")
     val old = new org.apache.hadoop.fs.Path(s"$base/_t_old")
+    val lock = new org.apache.hadoop.fs.Path(s"$base/_t_lock")
     fs.mkdirs(live)
     // healthy state: resolves to live, restore is a no-op
     assert(Sources.resolveSwap(fs, live, old) == live)
-    Sources.awaitOrRestore(fs, live, old, waitMs = 10L)
+    Sources.withSwapLock(fs, lock) { Sources.restoreUnderLock(fs, live, old) }
     assert(fs.exists(live) && !fs.exists(old))
-    // mid-publish window: only the backup exists. A READER must not
+    // crashed-publish state: only the backup exists. A READER must not
     // rename anything — it reads the backup in place…
     assert(fs.rename(live, old))
     assert(Sources.resolveSwap(fs, live, old) == old)
     assert(!fs.exists(live) && fs.exists(old), "reader mutated the swap state")
-    // …while an APPENDER, after the grace period proves the publisher
-    // crashed, restores the backup and proceeds
-    Sources.awaitOrRestore(fs, live, old, waitMs = 60L, pollMs = 20L)
+    // …while an APPENDER holding the maintenance lease restores it
+    // immediately (under the lease no publisher can be mid-window)
+    Sources.withSwapLock(fs, lock) { Sources.restoreUnderLock(fs, live, old) }
     assert(fs.exists(live) && !fs.exists(old))
+    assert(!fs.exists(lock), "lease file leaked after release")
+  }
+
+  test("withSwapLock mutually excludes, releases on failure, steals a stale lease") {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val base = java.nio.file.Files.createTempDirectory("graft_lock").toString
+    val lock = new org.apache.hadoop.fs.Path(s"$base/_lock")
+    // mutual exclusion: a contender cannot enter while the holder is in
+    // its critical section — interleavings would break the ordering below
+    val order = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val holderIn = new java.util.concurrent.CountDownLatch(1)
+    val t1 = new Thread(() => Sources.withSwapLock(fs, lock, leaseMs = 60000L) {
+      order.add("t1-enter"); holderIn.countDown()
+      Thread.sleep(300); order.add("t1-exit")
+    })
+    t1.start(); holderIn.await()
+    val t2 = new Thread(() => Sources.withSwapLock(fs, lock, leaseMs = 60000L,
+      pollMs = 20L) { order.add("t2-enter") })
+    t2.start(); t1.join(); t2.join()
+    assert(order.toArray.toSeq == Seq("t1-enter", "t1-exit", "t2-enter"))
+    assert(!fs.exists(lock))
+    // release-on-failure: a throwing body must not leave the lease held
+    intercept[RuntimeException] {
+      Sources.withSwapLock(fs, lock) { throw new RuntimeException("boom") }
+    }
+    assert(!fs.exists(lock), "lease leaked after a failed body")
+    // stale steal: a lease whose holder died (no heartbeat) is taken over
+    // after leaseMs instead of deadlocking forever
+    val o = fs.create(lock, false); o.write("dead-holder".getBytes("UTF-8")); o.close()
+    fs.setTimes(lock, System.currentTimeMillis() - 10000L, -1)
+    var entered = false
+    Sources.withSwapLock(fs, lock, leaseMs = 1000L, pollMs = 20L) { entered = true }
+    assert(entered && !fs.exists(lock))
+  }
+
+  test("absorbRecreatedLive merges a rogue writer's committed files, drops half-state") {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val base = java.nio.file.Files.createTempDirectory("graft_absorb").toString
+    val live = new org.apache.hadoop.fs.Path(s"$base/t")
+    val tmp = new org.apache.hadoop.fs.Path(s"$base/_t_tmp")
+    def put(dir: org.apache.hadoop.fs.Path, name: String): Unit = {
+      val o = fs.create(new org.apache.hadoop.fs.Path(dir, name), true)
+      try o.write("x".getBytes("UTF-8")) finally o.close()
+    }
+    fs.mkdirs(tmp); put(tmp, "part-rewritten")
+    // no-op when live does not exist (the lease-protected normal case)
+    Sources.absorbRecreatedLive(fs, live, tmp)
+    assert(Sources.dataFiles(fs, tmp) == Set("part-rewritten"))
+    // a non-cooperating writer recreated live mid-window: committed data
+    // files move into tmp; committer half-state is dropped; the final
+    // rename path is clear
+    fs.mkdirs(live); put(live, "part-rogue")
+    fs.mkdirs(new org.apache.hadoop.fs.Path(live, "_temporary"))
+    Sources.absorbRecreatedLive(fs, live, tmp)
+    assert(!fs.exists(live))
+    assert(Sources.dataFiles(fs, tmp) == Set("part-rewritten", "part-rogue"))
+    assert(fs.rename(tmp, live), "final publish rename must land on a clear path")
   }
 
   test("publishSwapReconcile copies post-snapshot files across the swap") {

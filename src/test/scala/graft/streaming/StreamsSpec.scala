@@ -653,4 +653,44 @@ class StreamsSpec extends SparkSpec {
     assert(novelRows() == Seq(1L, 2L),
       "replayed micro-batch changed the novel sink")
   }
+
+  test("dedupIndexedBatch replay after a PARTIAL index fold keeps every novel row") {
+    import spark.implicits._
+    // the crash this pins: first attempt writes its novel partition, then
+    // dies mid-fold with only SOME of the batch's digests committed to the
+    // index. The replay probes those as duplicates — the recomputed novel
+    // set is a strict subset — and an overwrite with the subset alone
+    // would delete genuinely-novel rows from the sink (zero copies left).
+    val dir = java.nio.file.Files.createTempDirectory("graft_partial").toString
+    val corpus = Seq((100L, "seed corpus document")).toDF("doc_id", "text")
+    graft.dedup.Dedup.writeDigestIndex(corpus, "text", s"$dir/didx",
+      expectedKeys = 100L)
+    val batch = Seq((11L, "alpha streamed doc"), (12L, "beta streamed doc"))
+      .toDF("doc_id", "text")
+    // first attempt, reconstructed state: full novel partition on the
+    // sink, but only doc 11's digest folded before the crash
+    val novel = graft.dedup.Dedup.incrementalIndexed(
+      spark, s"$dir/didx", batch, "doc_id", "text").localCheckpoint()
+    assert(novel.count() == 2)
+    novel.withColumn("batch_id", lit(9L))
+      .write.partitionBy("batch_id").parquet(s"$dir/novel")
+    graft.dedup.Dedup.appendNovelToDigestIndex(spark, s"$dir/didx",
+      novel.filter(col("doc_id") === 11L).localCheckpoint())
+    // engine failure-recovery replays the SAME (batch, batchId)
+    Streams.dedupIndexedBatch(batch, 9L, "doc_id", "text",
+      s"$dir/didx", s"$dir/novel")
+    val after = spark.read.parquet(s"$dir/novel")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(after == Seq(11L, 12L),
+      s"partial-fold replay lost novel rows: $after")
+    // and the replay completed the fold: a fresh probe sees both as dups
+    assert(graft.dedup.Dedup.incrementalIndexed(
+      spark, s"$dir/didx", batch, "doc_id", "text").count() == 0)
+    // a further replay stays idempotent
+    Streams.dedupIndexedBatch(batch, 9L, "doc_id", "text",
+      s"$dir/didx", s"$dir/novel")
+    val again = spark.read.parquet(s"$dir/novel")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(again == Seq(11L, 12L))
+  }
 }
