@@ -1536,6 +1536,69 @@ object Q {
       "vec_id", "embedding", model, k = 5)
   }
 
+  /** Quality monitoring of the PERSISTED IVF index — recall@5 of
+    * [[graft.similarity.AnnIndex.ivfTopK]] serving (partition-pruned scan
+    * of the written layout) against exact brute-force, measured BEFORE and
+    * AFTER an [[graft.similarity.AnnIndex.append]] of a held-out ingest
+    * batch: the number a pipeline's refresh policy watches — a drift-gated
+    * append that silently degraded recall would surface here, where
+    * ann_recall (the in-memory LSH face) never touches the persisted path.
+    * Rows-only (float accumulation order). One train + one append + two
+    * (brute, served) query passes; queries are the tiny vec_id%97 sample,
+    * so every join broadcasts the query side. */
+  def annIndexRecall(s: SparkSession, dir: String): DataFrame = {
+    import graft.similarity.{AnnIndex, AnnLsh}
+    val e = Tables(s, dir, "embeddings")
+    // deterministic split: the held-out ingest batch an index would see
+    // AFTER training (vec_id ≡ 5 mod 13 ≈ 7.7% of the corpus)
+    val base = e.filter(!(col("vec_id") % 13 === 5)).localCheckpoint(eager = false)
+    val batch = e.filter(col("vec_id") % 13 === 5)
+    val q = e.filter(col("vec_id") % 97 === 0)
+    val k = 5
+    val path = java.nio.file.Files.createTempDirectory("graft_annidx").toString
+    AnnIndex.writeIvf(base, "vec_id", "embedding", "label", path)
+    def recallOf(phase: String, corpus: DataFrame): DataFrame = {
+      val brute = AnnLsh.bruteTopK(corpus, q, "vec_id", "embedding", k)
+        .select("query_id", "neighbor_id")
+      val served = AnnIndex.ivfTopK(s, path, q, "vec_id", "embedding",
+          k = k, nProbe = 3)
+        .select("query_id", "neighbor_id")
+      // zero-recall queries must stay in the denominator: total hits and
+      // total queries aggregate separately, then ride a 1-row crossJoin
+      val nh = brute.join(served, Seq("query_id", "neighbor_id"), "left_semi")
+        .agg(count(lit(1)).as("_nh"))
+      q.agg(count(lit(1)).as("_nq")).crossJoin(nh)
+        .select(lit(phase).as("phase"), col("_nq").as("n_queries"),
+          (col("_nh").cast("double") / (col("_nq") * k)).as("mean_recall_at_5"))
+    }
+    val before = recallOf("1_before_append", base)
+    AnnIndex.append(s, path, batch, "vec_id", "embedding")
+    // after the append the index must serve the FULL corpus's truth
+    val after = recallOf("2_after_append", e)
+    before.unionByName(after)
+  }
+
+  /** BPE end-to-end: TRAIN a merge table on the corpus itself
+    * ([[graft.text.Bpe.trainFromCorpus]] — distributed word count, bounded
+    * driver-side count-greedy merges), then apply it with the native
+    * `graft_bpe_count(text, merges)` codegen loop — the production
+    * train→count path (text_tokens_bpe applies a FIXED default table).
+    * Per-doc trained-BPE token counts plus the untrained baseline, so the
+    * compression the learned merges buy is visible in-row. Rows-only
+    * (the trained table depends on corpus statistics, not SQL-expressible). */
+  def bpeTrainCount(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+    val merges = graft.text.Bpe.trainFromCorpus(docs, "text",
+      numMerges = 256, minCount = 2L, maxVocab = 50000)
+    val table = graft.text.Bpe.renderMerges(merges)
+    docs.select(col("doc_id"),
+      call_function("graft_bpe_count", col("text"), lit(table))
+        .cast("bigint").as("n_bpe_trained"),
+      call_function("graft_bpe_count", col("text"))
+        .cast("bigint").as("n_bpe_default"),
+      lit(merges.length).cast("bigint").as("n_merges"))
+  }
+
   /** Fuzzy entity matching over part names: every distinct-name pair within
     * Levenshtein distance 2, found via the lossless q-gram count-filter
     * join (never all-pairs) — see [[graft.operators.FuzzyJoin]]. */

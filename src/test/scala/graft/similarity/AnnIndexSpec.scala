@@ -122,4 +122,19 @@ class AnnIndexSpec extends SparkSpec {
       s"no partition filter on the vectors scan:\n$planStr")
     assert(out.count() == 3)
   }
+
+  test("ann_index_recall face audits the persisted index before AND after append") {
+    val rows = graft.queries.Q.annIndexRecall(spark, "/root/testdata/sf0.001")
+      .orderBy("phase").collect()
+    assert(rows.map(_.getAs[String]("phase")).toSeq ==
+      Seq("1_before_append", "2_after_append"))
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_queries") > 0)
+      val rec = r.getAs[Double]("mean_recall_at_5")
+      assert(rec >= 0.0 && rec <= 1.0, s"recall out of range: $rec")
+    }
+    // the persisted layout with 3 probed label lists must genuinely serve:
+    // a dead index (recall 0 everywhere) is the failure this face watches for
+    assert(rows.map(_.getAs[Double]("mean_recall_at_5")).max > 0.0)
+  }
 }

@@ -217,4 +217,25 @@ class BpeSpec extends SparkSpec {
     // concatenating chunks in order restores the document
     assert(c2.map(_.getAs[String]("chunk_text")).mkString(" ") == "the 123456 the")
   }
+
+  test("bpe_train_count face: corpus-trained merges apply through the native counter") {
+    graft.functions.GraftFunctions.register(spark)
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val out = graft.queries.Q.bpeTrainCount(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(out.length == docs.count())
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_bpe_trained") >= 1L)
+      assert(r.getAs[Long]("n_bpe_default") >= 1L)
+      assert(r.getAs[Long]("n_merges") >= 1L)
+    }
+    // training is deterministic: a second train+count run is identical
+    val again = graft.queries.Q.bpeTrainCount(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq ==
+      again.map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq)
+    // the trained table differs from the default: corpus statistics drove it
+    assert(out.exists(r => r.getAs[Long]("n_bpe_trained") !=
+      r.getAs[Long]("n_bpe_default")))
+  }
 }
