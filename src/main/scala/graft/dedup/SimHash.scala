@@ -138,13 +138,35 @@ object SimHash {
       .select(col("fp"), col("_ck.comb").as("comb"), col("_ck.ckey").as("ckey"))
     val left = keyed.select(col("comb"), col("ckey"), col("fp").as("fp_a"))
     val right = keyed.select(col("comb"), col("ckey"), col("fp").as("fp_b"))
-    val fpPairs = left.join(right, Seq("comb", "ckey"))
+    // Bucket-join discipline, measured at the fourth decade (50k docs,
+    // d=2, docs/SCALING.json): simhash bits are CORRELATED (common tokens
+    // vote the same way in every document), so block keys are heavily
+    // skewed — Σ occupancy² is ~26× the uniform-key estimate (70M
+    // candidate enumerations from 50k distinct fps; hottest 14-bit bucket
+    // 1,486 fps). Two consequences are encoded here:
+    // 1. SHUFFLE-HASH join, not sort-merge: SMJ's buffered per-key-group
+    //    iteration pays ~300ns per enumerated pair on duplicate-heavy
+    //    keys (measured 19.3s for the raw enumeration); the per-partition
+    //    hashmap streams the same 70M pairs through whole-stage codegen
+    //    in 1.5s. The build side is the narrow 24-byte keyed frame,
+    //    hashmap = build_rows/partitions per task — bounded by the same
+    //    geometry that bounds the join itself; drop the hint only if a
+    //    partition's build side ever outgrows executor memory (SMJ spills,
+    //    13× slower here).
+    // 2. HAMMING-FILTER BEFORE THE PAIR DEDUP: the popcount filter is a
+    //    codegen projection inside the join stage — no exchange — so the
+    //    dropDuplicates shuffle carries only true-radius pairs × their
+    //    combination multiplicity (7.7M rows), not the 70M skewed
+    //    collision volume. Results bitwise-identical (dedup of identical
+    //    (fp_a, fp_b, hamming) rows commutes with the filter).
+    // Together: candidate stage 24.6s → 2.5s, face 20.5× → ~linear decade.
+    val fpPairs = left.join(right.hint("shuffle_hash"), Seq("comb", "ckey"))
       .filter(col("fp_a") < col("fp_b"))
-      .select(col("fp_a"), col("fp_b"))
-      .dropDuplicates("fp_a", "fp_b")
       .withColumn("hamming",
         bit_count(col("fp_a").bitwiseXOR(col("fp_b"))))
       .filter(col("hamming") <= maxHamming)
+      .select(col("fp_a"), col("fp_b"), col("hamming"))
+      .dropDuplicates("fp_a", "fp_b")
     // cross-group expansion: every member pairing of a qualifying
     // fingerprint pair is a true output pair (canonicalized by id — the
     // fp order is not the id order)

@@ -94,15 +94,18 @@ object AnnLsh {
     * recall falls monotonically toward 0 (the measured 0.76 → 0.196 cliff
     * between the third and fourth decade at 16 tables). Probing the
     * `probes` lowest-margin buckets on one side of the candidate join
-    * lifts P to ≈ p^planes + probes·p^(planes−1)(1−p) — one probe buys
-    * roughly what multiplying tables by (1−p)/p·planes would, at 1/probes
-    * of the signing cost and with only narrow (table, bucket, id) rows
-    * fanning out. At the geometry floor there is nothing to recover
-    * (small corpora keep the legacy wide-recall buckets bitwise), so the
-    * budget is 0 there; past it, probe every plane up to `cap` — at
-    * planes≈9, p≈0.6 (the cos≈0.35 cluster threshold) this holds the
-    * fourth-decade recall near the third's instead of 0.196. */
-  def adaptiveProbes(planes: Int, floor: Int = 4, cap: Int = 16): Int =
+    * lifts P to ≈ p^planes + h·probes·p^(planes−1)(1−p), where h is the
+    * probability the disagreeing bit ranks inside the probe budget — and
+    * MARGIN selection makes h high at small budgets (a wrong bit is
+    * precisely one whose projection landed near the hyperplane), which is
+    * the Lv et al. result: a few margin-ordered probes buy what many
+    * extra tables would. Candidate-join cost scales with (1+probes)
+    * (one side of the join fans out), so the budget is the recall/cost
+    * dial: cap=4 holds measured fourth-decade recall ~3.5× above the
+    * frozen-geometry 0.196 at half the full-probe-ring cost. At the
+    * geometry floor there is nothing to recover (small corpora keep the
+    * legacy wide-recall buckets bitwise), so the budget is 0 there. */
+  def adaptiveProbes(planes: Int, floor: Int = 4, cap: Int = 4): Int =
     if (planes <= floor) 0 else math.min(cap, planes)
 
   /** Per-query top-k of a scored candidate frame (query_id, neighbor_id,
@@ -251,13 +254,20 @@ object AnnLsh {
     // bucket collision (measured 16× more shuffle bytes and a double-digit
     // seconds regression at 16 tables); the exact-cosine verify re-joins
     // them AFTER dedup, one row per unique pair.
+    // Both bucket joins below carry a SHUFFLE-HASH hint on the primary
+    // side: bucket keys are duplicate-heavy by construction (occupancy is
+    // the whole point), and sort-merge's buffered per-key-group iteration
+    // pays ~300ns per enumerated candidate where the per-partition
+    // hashmap streams them through codegen (measured 13× on the simhash
+    // sibling join, same shape). Build side is the narrow 24-byte keyed
+    // frame, per-task hashmap = build_rows/partitions.
     val collided = if (probes <= 0) {
       val signed = base.select(col("id"),
           signatures(col("v"), dim, planes, tables).as("_sigs"))
         .select(col("id"), posexplode(col("_sigs")).as(Seq("table", "bucket")))
       val a = signed.select(col("table"), col("bucket"), col("id").as("id_a"))
       val b = signed.select(col("table"), col("bucket"), col("id").as("id_b"))
-      a.join(b, Seq("table", "bucket"))
+      a.join(b.hint("shuffle_hash"), Seq("table", "bucket"))
         .filter(col("id_a") < col("id_b"))
         .select("id_a", "id_b")
     } else {
@@ -278,7 +288,7 @@ object AnnLsh {
         explode(col("buckets")).as("bucket"))
       val b = sigd.select(col("table"), col("id").as("_pb"),
         element_at(col("buckets"), 1).as("bucket"))
-      a.join(b, Seq("table", "bucket"))
+      a.join(b.hint("shuffle_hash"), Seq("table", "bucket"))
         .filter(col("_pa") =!= col("_pb"))
         .select(least(col("_pa"), col("_pb")).as("id_a"),
           greatest(col("_pa"), col("_pb")).as("id_b"))

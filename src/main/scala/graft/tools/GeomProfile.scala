@@ -47,6 +47,49 @@ object GeomProfile {
         .localCheckpoint()
       t("simhash: fingerprints (materialize)") { fp.count() }
       t("simhash: distinct fps") { fp.select("fp").distinct().count() }
+      // granular: where inside the blocked join does the time go?
+      val k = 7 + d
+      val bitsPer = 64 / k
+      val mask = (1L << bitsPer) - 1
+      val combos = (0 until k).combinations(d).toSeq
+      val keyStructs = combos.zipWithIndex.map { case (blocks, ci) =>
+        val key = blocks.zipWithIndex.map { case (b, j) =>
+          shiftleft(shiftright(col("fp"), b * bitsPer).bitwiseAND(mask), j * bitsPer)
+        }.reduce(_ bitwiseOR _)
+        struct(lit(ci).as("comb"), key.as("ckey"))
+      }
+      val keyed = fp.select("fp").distinct()
+        .select(col("fp"), explode(array(keyStructs: _*)).as("_ck"))
+        .select(col("fp"), col("_ck.comb").as("comb"), col("_ck.ckey").as("ckey"))
+        .localCheckpoint()
+      t("simhash: keyed rows (materialize)") { keyed.count() }
+      val l = keyed.select(col("comb"), col("ckey"), col("fp").as("fp_a"))
+      val r = keyed.select(col("comb"), col("ckey"), col("fp").as("fp_b"))
+      t("simhash: raw join output") {
+        l.join(r, Seq("comb", "ckey")).filter(col("fp_a") < col("fp_b")).count()
+      }
+      t("simhash: raw join output (shuffle_hash hint)") {
+        l.join(r.hint("shuffle_hash"), Seq("comb", "ckey"))
+          .filter(col("fp_a") < col("fp_b")).count()
+      }
+      t("simhash: SHJ + hamming filter + dedup") {
+        l.join(r.hint("shuffle_hash"), Seq("comb", "ckey"))
+          .filter(col("fp_a") < col("fp_b"))
+          .withColumn("hamming", bit_count(col("fp_a").bitwiseXOR(col("fp_b"))))
+          .filter(col("hamming") <= 7)
+          .dropDuplicates("fp_a", "fp_b").count()
+      }
+      t("simhash: join + hamming filter") {
+        l.join(r, Seq("comb", "ckey")).filter(col("fp_a") < col("fp_b"))
+          .withColumn("hamming", bit_count(col("fp_a").bitwiseXOR(col("fp_b"))))
+          .filter(col("hamming") <= 7).count()
+      }
+      t("simhash: join + filter + dedup") {
+        l.join(r, Seq("comb", "ckey")).filter(col("fp_a") < col("fp_b"))
+          .withColumn("hamming", bit_count(col("fp_a").bitwiseXOR(col("fp_b"))))
+          .filter(col("hamming") <= 7)
+          .dropDuplicates("fp_a", "fp_b").count()
+      }
       t("simhash: FULL blocked pairs from fps") {
         graft.dedup.SimHash.pairsFromFingerprintsBlocked(fp, "id", "fp", 7, d).count()
       }
