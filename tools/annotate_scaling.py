@@ -38,9 +38,13 @@ sf1_note = (
     "the previously-excluded embed_cluster_lsh is now measurable at sf1 "
     "because its registered face derives planes from corpus cardinality "
     "(AnnLsh.adaptivePlanes) and holds recall with margin-aware multi-probe "
-    "(AnnLsh.adaptiveProbes; GEOMETRY_RECALL.json: sf1 recall 0.788 overall, "
-    "1.000 on the cos>=0.7 dedup-regime tier, vs 0.196 for the frozen "
-    "16-table geometry). dedup_simhash keeps the FULL hamming-7 radius at "
+    "(AnnLsh.adaptiveProbes, 4 margin-ordered probe buckets; GEOMETRY_RECALL.json: "
+    "sf1 recall 0.737 overall, 1.000 on the cos>=0.7 dedup-regime tier, vs 0.196 "
+    "for the frozen probe-less 16-table geometry). Both pigeonhole/bucket joins are "
+    "shuffle_hash on the narrow keyed side with the radius filter inside the join "
+    "stage (simhash keys skew ~26x above uniform from correlated bits; sort-merge "
+    "paid ~300ns per enumerated candidate - measured 13x). dedup_simhash keeps the "
+    "FULL hamming-7 radius at "
     "every decade via the block-combination pigeonhole "
     "(SimHash.adaptiveBlocks, d=2 at sf1 - recall identity-verified per "
     "decade), and mm_phash derives the same d from corpus cardinality at "
