@@ -549,6 +549,120 @@ case class LshProbesExpr(child: Expression, dim: Int, planes: Int, tables: Int,
   * string, so each window hashes in place with ZERO allocations (the
   * composed form allocates a token array, n-element slices, and a joined
   * string per window, and the lambda runs interpreted — ~20× slower). */
+/** Winnowing fingerprint picks, packed (gram_hash << 20) | gram_pos —
+  * BITWISE-identical to the staged higher-order-function form in
+  * [[graft.text.TextAnalysis]] (spec-pinned: same tokens via
+  * `split(text, " ", -1)` byte-scanning — a space is one byte in UTF-8 and
+  * never a continuation byte; same per-token feature
+  * `length(tok)·7 + ascii(tok)` (first code point; 0 for empty tokens); same rolling `(h·131 + feat) mod 1e9+7` gram hash; same
+  * first-min window pick with 1-based absolute positions; same
+  * order-preserving distinct). The staged SQL form evaluates every lambda
+  * INTERPRETED — per-element expression trees and array allocations at
+  * every level — measured ~0.17 ms/doc (8–9s of the 10.1s dedup_winnow
+  * face at the fourth decade, the whole curve bend); this one tight
+  * JVM pass is the same O(n·(k+w)) with no allocations beyond the output
+  * and runs inside whole-stage codegen. */
+case class WinnowPackedExpr(child: Expression, k: Int, w: Int)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  require(k >= 1 && w >= 1, s"graft_winnow: k and w must be >= 1, got k=$k w=$w")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"graft_winnow expects string, got $t")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_winnow"
+
+  override protected def nullSafeEval(t: Any): Any =
+    WinnowPackedExpr.compute(t.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], k, w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.WinnowPackedExpr.compute($a, $k, $w);")
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowPackedExpr =
+    copy(child = newChild)
+}
+
+object WinnowPackedExpr {
+  private val M = 1000000007L
+
+  def compute(s: org.apache.spark.unsafe.types.UTF8String, k: Int,
+              w: Int): ArrayData = {
+    val bytes = s.getBytes
+    // token count: split(" ", -1) keeps leading/inner/trailing empties —
+    // tokens = spaces + 1, always
+    var nTok = 1
+    var i = 0
+    while (i < bytes.length) { if (bytes(i) == 0x20) nTok += 1; i += 1 }
+    if (nTok < k)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Long])
+    // per-token feature: numChars·7 + first CODE POINT (0 for empty) —
+    // exactly length(tok)*7 + ascii(substring(tok, 1, 1)): Spark's ascii
+    // decodes the first character, not the first byte (ascii('ü') = 252)
+    val feat = new Array[Long](nTok)
+    var t = 0
+    var start = 0
+    i = 0
+    while (i <= bytes.length) {
+      if (i == bytes.length || bytes(i) == 0x20) {
+        var chars = 0L
+        var j = start
+        while (j < i) { if ((bytes(j) & 0xC0) != 0x80) chars += 1; j += 1 }
+        val first: Long =
+          if (i <= start) 0L
+          else {
+            val b0 = bytes(start) & 0xFF
+            if (b0 < 0x80) b0.toLong
+            else if ((b0 & 0xE0) == 0xC0 && start + 1 < i)
+              (((b0 & 0x1F) << 6) | (bytes(start + 1) & 0x3F)).toLong
+            else if ((b0 & 0xF0) == 0xE0 && start + 2 < i)
+              (((b0 & 0x0F) << 12) | ((bytes(start + 1) & 0x3F) << 6) |
+                (bytes(start + 2) & 0x3F)).toLong
+            else if ((b0 & 0xF8) == 0xF0 && start + 3 < i)
+              (((b0 & 0x07) << 18) | ((bytes(start + 1) & 0x3F) << 12) |
+                ((bytes(start + 2) & 0x3F) << 6) | (bytes(start + 3) & 0x3F)).toLong
+            else b0.toLong // malformed tail: best effort, matches no valid corpus
+          }
+        feat(t) = chars * 7L + first
+        t += 1
+        start = i + 1
+      }
+      i += 1
+    }
+    val g = nTok - (k - 1)
+    val grams = new Array[Long](g)
+    var x = 0
+    while (x < g) {
+      var h = 0L
+      var j = 0
+      while (j < k) { h = (h * 131L + feat(x + j)) % M; j += 1 }
+      grams(x) = h
+      x += 1
+    }
+    val wl = if (w < g) w else g
+    val picks = new java.util.LinkedHashSet[java.lang.Long]()
+    var j0 = 0
+    while (j0 <= g - wl) {
+      var mv = grams(j0)
+      var mp = 0
+      var y = 1
+      while (y < wl) {
+        if (grams(j0 + y) < mv) { mv = grams(j0 + y); mp = y }
+        y += 1
+      }
+      // (mv << 20) + 1-based absolute gram position of the first minimum
+      picks.add(java.lang.Long.valueOf((mv << 20) + (j0 + mp + 1).toLong))
+      j0 += 1
+    }
+    val out = new Array[Long](picks.size())
+    val it = picks.iterator()
+    var z = 0
+    while (it.hasNext) { out(z) = it.next(); z += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
 case class ShingleHashesExpr(child: Expression, n: Int)
   extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
 
@@ -974,10 +1088,15 @@ object GraftFunctions {
       positiveIntArg("graft_lsh_probes", "probes", exprs(4)))),
     "graft_shingle_hashes" -> (exprs => ShingleHashesExpr(exprs(0),
       positiveIntArg("graft_shingle_hashes", "n", exprs(1)))),
+    "graft_winnow" -> (exprs => WinnowPackedExpr(exprs(0),
+      positiveIntArg("graft_winnow", "k", exprs(1)),
+      positiveIntArg("graft_winnow", "w", exprs(2)))),
     "graft_shingle_hashes_pos" -> (exprs => PositionalShingleHashesExpr(exprs(0),
       positiveIntArg("graft_shingle_hashes_pos", "n", exprs(1)))),
     "graft_topk" -> (exprs => TopKAgg(exprs(0), exprs(1),
-      intArg("graft_topk", "k", exprs(2))).toAggregateExpression()))
+      intArg("graft_topk", "k", exprs(2))).toAggregateExpression()),
+    "graft_topk_str" -> (exprs => TopKStrAgg(exprs(0), exprs(1), exprs(2),
+      intArg("graft_topk_str", "k", exprs(3))).toAggregateExpression()))
 
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry

@@ -249,3 +249,173 @@ case class TopKAgg(
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): TopKAgg =
     copy(score = newLeft, id = newRight)
 }
+
+/** [[TopKBuffer]] for STRING ids with a long payload riding along: size-k
+  * min-heap under (score desc, id asc — UTF8 binary order, identical to a
+  * Spark `orderBy(score.desc, id.asc)` window on strings). Stored ids are
+  * CLONED on insert: a TypedImperativeAggregate's input UTF8Strings can
+  * point into a reused row buffer, and keeping a reference would corrupt
+  * the heap when the buffer is overwritten — the clone happens only for
+  * entries that are actually kept, so rejected candidates stay
+  * allocation-free. */
+final class TopKStrBuffer(val k: Int) {
+  var size = 0
+  val scores = new Array[Double](math.max(k, 1))
+  val ids = new Array[org.apache.spark.unsafe.types.UTF8String](math.max(k, 1))
+  val payloads = new Array[Long](math.max(k, 1))
+
+  @inline private def worse(s1: Double, id1: org.apache.spark.unsafe.types.UTF8String,
+                            s2: Double, id2: org.apache.spark.unsafe.types.UTF8String): Boolean = {
+    val c = java.lang.Double.compare(s1, s2)
+    c < 0 || (c == 0 && id1.compareTo(id2) > 0)
+  }
+
+  /** `owned=false` marks an id that may alias a reused input buffer (clone
+    * before storing); merge/deserialize pass `owned=true`. */
+  def insert(s: Double, id: org.apache.spark.unsafe.types.UTF8String, p: Long,
+             owned: Boolean): Unit = {
+    if (k <= 0) return
+    if (size < k) {
+      var i = size
+      scores(i) = s; ids(i) = if (owned) id else id.clone(); payloads(i) = p
+      size += 1
+      while (i > 0 && worse(scores(i), ids(i), scores((i - 1) / 2), ids((i - 1) / 2))) {
+        swap(i, (i - 1) / 2); i = (i - 1) / 2
+      }
+    } else if (worse(scores(0), ids(0), s, id)) {
+      scores(0) = s; ids(0) = if (owned) id else id.clone(); payloads(0) = p
+      var i = 0
+      var done = false
+      while (!done) {
+        val l = 2 * i + 1; val r = 2 * i + 2
+        var w = i
+        if (l < size && worse(scores(l), ids(l), scores(w), ids(w))) w = l
+        if (r < size && worse(scores(r), ids(r), scores(w), ids(w))) w = r
+        if (w == i) done = true else { swap(i, w); i = w }
+      }
+    }
+  }
+
+  @inline private def swap(i: Int, j: Int): Unit = {
+    val ts = scores(i); scores(i) = scores(j); scores(j) = ts
+    val ti = ids(i); ids(i) = ids(j); ids(j) = ti
+    val tp = payloads(i); payloads(i) = payloads(j); payloads(j) = tp
+  }
+
+  /** Entries best-first: (score desc, id asc). */
+  def sortedTriples: Array[(Double, org.apache.spark.unsafe.types.UTF8String, Long)] = {
+    val out = Array.tabulate(size)(i => (scores(i), ids(i), payloads(i)))
+    out.sortWith { case ((s1, id1, _), (s2, id2, _)) =>
+      val c = java.lang.Double.compare(s1, s2)
+      c > 0 || (c == 0 && id1.compareTo(id2) < 0)
+    }
+  }
+}
+
+/** [[TopKAgg]] for STRING ids with a long payload — the per-document
+  * top-k-terms shape (tf-idf, keyword extraction): keep the k best
+  * (score, term, payload) per group under (score desc, term asc). As a
+  * TypedImperativeAggregate it runs with MAP-SIDE partial aggregation:
+  * each partition reduces to ≤k entries per group before the shuffle and
+  * no task ever SORTS a group's full scored term list — replacing the
+  * `row_number() OVER (PARTITION BY doc ORDER BY score DESC, term)`
+  * window, whose per-partition sort of the whole scored (doc, term)
+  * stream was the measured driver of text_tfidf's decade curve.
+  * Returns array<struct<score:double, id:string, payload:bigint>>
+  * best-first. */
+case class TopKStrAgg(
+    score: Expression,
+    id: Expression,
+    payload: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[TopKStrBuffer]
+  with org.apache.spark.sql.catalyst.trees.TernaryLike[Expression] {
+
+  override def first: Expression = score
+  override def second: Expression = id
+  override def third: Expression = payload
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (score.dataType, id.dataType, payload.dataType) match {
+      case (DoubleType, StringType, LongType) => TypeCheckResult.TypeCheckSuccess
+      case (s, i, p) => TypeCheckResult.TypeCheckFailure(
+        s"graft_topk_str expects (double, string, bigint, int k), got ($s, $i, $p)")
+    }
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("score", DoubleType), StructField("id", StringType),
+      StructField("payload", LongType))),
+    containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "graft_topk_str"
+
+  override def createAggregationBuffer(): TopKStrBuffer = new TopKStrBuffer(k)
+
+  override def update(buf: TopKStrBuffer, input: InternalRow): TopKStrBuffer = {
+    val s = score.eval(input)
+    val i = id.eval(input)
+    val p = payload.eval(input)
+    if (s != null && i != null && p != null)
+      buf.insert(s.asInstanceOf[Double],
+        i.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+        p.asInstanceOf[Long], owned = false)
+    buf
+  }
+
+  override def merge(a: TopKStrBuffer, b: TopKStrBuffer): TopKStrBuffer = {
+    var i = 0
+    while (i < b.size) { a.insert(b.scores(i), b.ids(i), b.payloads(i), owned = true); i += 1 }
+    a
+  }
+
+  override def eval(buf: TopKStrBuffer): Any = {
+    val triples = buf.sortedTriples
+    new GenericArrayData(triples.map { case (s, id, p) =>
+      InternalRow(s, id, p)
+    }.asInstanceOf[Array[Any]])
+  }
+
+  override def serialize(buf: TopKStrBuffer): Array[Byte] = {
+    var bytes = 4
+    var i = 0
+    while (i < buf.size) { bytes += 8 + 4 + buf.ids(i).numBytes() + 8; i += 1 }
+    val bb = ByteBuffer.allocate(bytes)
+    bb.putInt(buf.size)
+    i = 0
+    while (i < buf.size) {
+      bb.putDouble(buf.scores(i))
+      val idb = buf.ids(i).getBytes
+      bb.putInt(idb.length); bb.put(idb)
+      bb.putLong(buf.payloads(i))
+      i += 1
+    }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): TopKStrBuffer = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt()
+    val buf = new TopKStrBuffer(k)
+    var i = 0
+    while (i < n) {
+      val s = bb.getDouble()
+      val len = bb.getInt()
+      val idb = new Array[Byte](len)
+      bb.get(idb)
+      val p = bb.getLong()
+      buf.insert(s, org.apache.spark.unsafe.types.UTF8String.fromBytes(idb), p,
+        owned = true)
+      i += 1
+    }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): TopKStrAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): TopKStrAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(newFirst: Expression,
+      newSecond: Expression, newThird: Expression): TopKStrAgg =
+    copy(score = newFirst, id = newSecond, payload = newThird)
+}

@@ -154,20 +154,34 @@ object TextAnalysis {
     * as a broadcast 1-row aggregate, so the whole thing is one declarative
     * plan (no driver-side count). The term join is left to Catalyst/AQE:
     * at bench scale it broadcasts, at 100 TB vocabulary it degrades to a
-    * shuffle join rather than OOMing the driver. The final top-k window
-    * partitions on doc_id — max parallelism, no global funnel. */
+    * shuffle join rather than OOMing the driver. The per-doc top-k runs as
+    * the native bounded-heap aggregate `graft_topk_str`
+    * ([[graft.functions.TopKStrAgg]] — map-side partials, ≤k entries per
+    * doc cross the shuffle, no sort anywhere), replacing the
+    * `row_number() OVER (PARTITION BY doc)` window whose per-partition
+    * sort of the whole scored (doc, term) stream was the measured driver
+    * of the face's decade curve (same ordering: tfidf desc, term asc —
+    * UTF8 binary, identical rows, spec-pinned against the window form). */
   def tfidfTopK(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+    val scored = tfidfScored(df, idCol, textCol)
+    scored.groupBy(col(idCol))
+      .agg(call_function("graft_topk_str",
+        col("tfidf"), col("term"), col("tf"), lit(k)).as("_tk"))
+      .select(col(idCol), explode(col("_tk")).as("_s"))
+      .select(col(idCol), col("_s.id").as("term"),
+        col("_s.payload").as("tf"), col("_s.score").as("tfidf"))
+  }
+
+  /** The scored (doc, term, tf, tfidf) stream both top-k forms rank. */
+  private[text] def tfidfScored(df: DataFrame, idCol: String,
+                                textCol: String): DataFrame = {
     val tf = df.select(col(idCol), explode(tokens(col(textCol))).as("term"))
       .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val n = df.agg(count(lit(1)).cast("double").as("_n"))
-    val scored = tf.join(dfreq, Seq("term")).crossJoin(broadcast(n))
+    tf.join(dfreq, Seq("term")).crossJoin(broadcast(n))
       .withColumn("tfidf", col("tf").cast("double") *
         (log((lit(1.0) + col("_n")) / (lit(1.0) + col("df").cast("double"))) + lit(1.0)))
-    val w = Window.partitionBy(idCol).orderBy(col("tfidf").desc, col("term").asc)
-    scored.withColumn("_rk", row_number().over(w)).filter(col("_rk") <= k)
-      .select(col(idCol), col("term"), col("tf"), col("tfidf"))
   }
 
   /** RAG-style document chunking: split each document's token stream into
@@ -518,20 +532,41 @@ object TextAnalysis {
   }
 
   /** Shared winnowing core: per-doc packed (hash<<20)|pos fingerprint array
-    * plus the gram count, all row-local array math.
-    *
-    * DELIBERATELY staged across three Project boundaries (tokens → gram
-    * hashes → window picks): higher-order array functions evaluate
-    * interpreted with NO common-subexpression sharing, so a single fused
-    * expression re-evaluates the token split inside every gram lambda and
-    * the gram array inside every window lambda — O(n⁴) per document
-    * (measured: ~0.35 s/doc on 50-token docs — 3 orders over the staged
-    * form). As separate aliased columns each level materializes once per
-    * row and lambda references are O(1) attribute reads; CollapseProject
-    * keeps the stages apart because the aliases are non-cheap and
-    * multiply-referenced. */
+    * plus the gram count — one native codegen pass
+    * ([[graft.functions.WinnowPackedExpr]], bitwise-pinned against
+    * [[winnowPackedSql]] below). The staged SQL form still paid
+    * interpreted-lambda cost at every level (~0.17 ms/doc — 8–9s of the
+    * 10.1s fourth-decade dedup_winnow face, the whole curve bend); the
+    * native pass is the same O(n·(k+w)) with no per-element expression
+    * trees. */
   private def winnowPacked(df: DataFrame, idCol: String, textCol: String,
                            k: Int, w: Int): DataFrame = {
+    val t = tokens(col(textCol))
+    df.select(col(idCol),
+      when(size(t) >= k, (size(t) - (k - 1)).cast("bigint"))
+        .otherwise(lit(0L)).as("n_grams"),
+      call_function("graft_winnow", col(textCol), lit(k), lit(w)).as("_f"))
+  }
+
+  /** Spec hook for the native/SQL bitwise pin ([[winnowPackedSql]]). */
+  private[text] def winnowPackedHook(df: DataFrame, idCol: String, textCol: String,
+                                     k: Int, w: Int): DataFrame =
+    winnowPacked(df, idCol, textCol, k, w)
+
+  /** The REFERENCE staged higher-order-function winnowing form, kept as
+    * the spec oracle for [[graft.functions.WinnowPackedExpr]] (and as the
+    * readable statement of the algebra). DELIBERATELY staged across three
+    * Project boundaries (tokens → gram hashes → window picks): higher-order
+    * array functions evaluate interpreted with NO common-subexpression
+    * sharing, so a single fused expression re-evaluates the token split
+    * inside every gram lambda and the gram array inside every window
+    * lambda — O(n⁴) per document (measured: ~0.35 s/doc on 50-token docs —
+    * 3 orders over the staged form). As separate aliased columns each
+    * level materializes once per row and lambda references are O(1)
+    * attribute reads; CollapseProject keeps the stages apart because the
+    * aliases are non-cheap and multiply-referenced. */
+  private[text] def winnowPackedSql(df: DataFrame, idCol: String, textCol: String,
+                                    k: Int, w: Int): DataFrame = {
     val M = 1000000007L
     val step = (h: Column, tok: Column) =>
       (h * 131L + (length(tok).cast("bigint") * 7L +

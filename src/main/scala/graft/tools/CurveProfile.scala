@@ -66,7 +66,8 @@ object CurveProfile {
       // the self-join fan-out term: Σ df·(df−1)/2 over kept hashes — the
       // candidate-pair volume the bucket join must materialize
       val fanout = kept.agg(
-        sum(col("_df") * (col("_df") - 1) / 2).as("pairs")).head().getLong(0)
+        (sum(col("_df") * (col("_df") - 1)) / 2).cast("bigint").as("pairs"))
+        .head().getLong(0)
       println(f"[curve] $dir%-28s winnow: Σ df(df-1)/2 fan-out          rows=$fanout")
       val idx = idx0.join(kept.select("fp_hash"), Seq("fp_hash"), "left_semi")
         .localCheckpoint()

@@ -74,6 +74,43 @@ class PmiWinnowSpec extends SparkSpec {
     }
   }
 
+  test("native graft_winnow is BITWISE the staged SQL form, adversarial inputs included") {
+    graft.functions.GraftFunctions.register(spark)
+    val rnd = new scala.util.Random(23)
+    val vocab = Vector("aa", "bob", "c", "dd", "eee", "ü2", "日本", "")
+    val random = (1L to 60L).map { i =>
+      val n = 1 + rnd.nextInt(40)
+      i -> (1 to n).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    }
+    val edges = Seq(
+      100L -> "",                       // one empty token
+      101L -> " ",                      // two empty tokens
+      102L -> "   ",                    // all-space run
+      103L -> "solo",                   // below k tokens
+      104L -> "a b c",                  // k-1 tokens
+      105L -> "a b c d",               // exactly k tokens: one gram
+      106L -> "a  b   c d e",          // consecutive-space empties inline
+      107L -> "a b c d e ",            // trailing empty token
+      108L -> " a b c d e",            // leading empty token
+      109L -> "ü ü ü ü ü ü",          // multibyte first bytes (signed ascii)
+      110L -> "x x x x x x x x x x")   // identical grams: distinct-pick dedup
+    val df = (random ++ edges).toDF("doc_id", "text")
+    def rows(d: org.apache.spark.sql.DataFrame) = d
+      .selectExpr("doc_id", "n_grams", "_f")
+      .as[(Long, Long, Seq[Long])].collect().map(r => r._1 -> (r._2, r._3.toList)).toMap
+    val native = rows(TextAnalysis.winnowPackedHook(df, "doc_id", "text", 4, 4))
+    val sql = rows(TextAnalysis.winnowPackedSql(df, "doc_id", "text", 4, 4))
+    assert(native.keySet == sql.keySet)
+    native.keys.toSeq.sorted.foreach { id =>
+      assert(native(id) == sql(id),
+        s"doc $id: native=${native(id)} sql=${sql(id)}")
+    }
+    // and at a different geometry
+    val n2 = rows(TextAnalysis.winnowPackedHook(df, "doc_id", "text", 2, 5))
+    val s2 = rows(TextAnalysis.winnowPackedSql(df, "doc_id", "text", 2, 5))
+    assert(n2 == s2)
+  }
+
   test("winnow: a shared >= w+k-1 token run always shares a fingerprint") {
     val rnd = new scala.util.Random(13)
     val vocab = Vector("x1", "y22", "z", "w4", "v55", "u6")

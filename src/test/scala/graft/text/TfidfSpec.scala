@@ -34,4 +34,26 @@ class TfidfSpec extends SparkSpec {
       .filter($"doc_id" === 0L).as[(Long, String, Long, Double)].collect()
     assert(top1.head._2 == "a")
   }
+
+  test("heap-aggregate top-k is row-identical to the row_number window form") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    // the sf corpus plus tie-heavy and multibyte-term docs: the aggregate's
+    // UTF8-binary (score desc, term asc) order must match the window's
+    val extra = Seq((900L, "tie tie tee tee toe toe"), (901L, "ü2 ü2 zz aa"),
+      (902L, "one"))
+      .toDF("doc_id", "text")
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", $"text").unionByName(extra)
+    val k = 5
+    val viaAgg = TextAnalysis.tfidfTopK(docs, "doc_id", "text", k)
+      .as[(Long, String, Long, Double)].collect().toSet
+    val w = Window.partitionBy($"doc_id").orderBy($"tfidf".desc, $"term".asc)
+    val viaWindow = TextAnalysis.tfidfScored(docs, "doc_id", "text")
+      .withColumn("_rk", row_number().over(w)).filter($"_rk" <= k)
+      .select($"doc_id", $"term", $"tf", $"tfidf")
+      .as[(Long, String, Long, Double)].collect().toSet
+    assert(viaAgg == viaWindow)
+    assert(viaAgg.nonEmpty)
+  }
 }
