@@ -74,12 +74,29 @@ knob_note = (
     "growth (fixed sf0.001/src0 batch)."
 )
 
+curve_note = (
+    "Steepest-curve drivers, measured by stage decomposition "
+    "(tools/CurveProfile + GeomProfile, r12): dedup_winnow's 6.2x/decade was "
+    "~0.17ms/doc of INTERPRETED higher-order-lambda fingerprinting (8-9s of "
+    "the 10.1s fourth-decade face; the self-join fan-out term sum df(df-1)/2 "
+    "was innocent at 872k pairs) - replaced by the native graft_winnow codegen "
+    f"pass, now {fmt(ratio('dedup_winnow', 3))}/decade. text_tfidf's "
+    "vocabulary re-agg was innocent too (310 terms at sf1); the driver is the "
+    "linear scored (doc,term) stream through the per-doc top-k - now ranked "
+    "by the graft_topk_str bounded-heap aggregate (map-side partials, <=k "
+    "rows per doc cross the shuffle, no sort funnel) at "
+    f"{fmt(ratio('text_tfidf', 3))}/decade. dedup_simhash/embed_cluster_lsh "
+    "20x bends were the sort-merge enumeration of skewed bucket joins - see "
+    "sf1_note."
+)
+
 doc = {
     "sf_dirs": src["sf_dirs"],
     "protocol": src["protocol"],
     "unit": "sec",
     "sf1_note": sf1_note,
     "knob_note": knob_note,
+    "curve_note": curve_note,
     "queries": {k: q[k] for k in sorted(q)},
 }
 with open(out, "w") as f:
