@@ -498,7 +498,11 @@ object Dedup {
       .select("block", "t", "id", "sz")
     val a = prefix.select(col("block"), col("t"), col("id").as("id_a"), col("sz").as("sz_a"))
     val b = prefix.select(col("block"), col("t"), col("id").as("id_b"), col("sz").as("sz_b"))
-    a.join(b, Seq("block", "t"))
+    // shuffle_hash: inverted-index keys are duplicate-heavy by design and
+    // sort-merge pays ~300ns per enumerated candidate on such keys (the
+    // measured SimHash.pairsFromFingerprintsBlocked law); the build side
+    // is the narrow prefix frame
+    a.join(b.hint("shuffle_hash"), Seq("block", "t"))
       .filter(col("id_a") < col("id_b"))
       // J ≥ t ⇒ t·max(|a|,|b|) ≤ |a∩b| ≤ min(|a|,|b|)
       .filter(col("sz_b") >= lit(threshold) * col("sz_a") - lit(eps) &&
@@ -717,6 +721,10 @@ object Dedup {
       .select("block", "t", "id", "sz")
     val a = prefix.select(col("block"), col("t"), col("id").as("id_a"), col("sz").as("sz_a"))
     val b = tokens.select(col("block"), col("t"), col("id").as("id_b"), col("sz").as("sz_b"))
+    // NO shuffle_hash here (unlike jaccardCandidates): the prefix×tokens
+    // join's enumeration volume is small relative to its inputs, and the
+    // hint measured ~6% SLOWER at the fourth decade — sort-merge + AQE
+    // keep the flexibility
     a.join(b, Seq("block", "t"))
       // orient every pair small→large (ids break exact-size ties) so each
       // unordered pair is generated once, from the side the bound covers

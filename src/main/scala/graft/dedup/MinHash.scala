@@ -60,7 +60,11 @@ object MinHash {
     val banded = bandBuckets(sh, k, bands, seed)
     val left = banded.select(col("band"), col("bucket"), col("id").as("id_a"))
     val right = banded.select(col("band"), col("bucket"), col("id").as("id_b"))
-    val cands = left.join(right, Seq("band", "bucket"))
+    // shuffle_hash: band buckets are duplicate-heavy keys (occupancy is
+    // the point) — sort-merge pays ~300ns per enumerated candidate there
+    // (the SimHash.pairsFromFingerprintsBlocked measurement); the build
+    // side is the narrow banded frame
+    val cands = left.join(right.hint("shuffle_hash"), Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
       .dropDuplicates("id_a", "id_b")
