@@ -353,4 +353,44 @@ class PushdownSpec extends SparkSpec {
     assert(g == Set("user_id", "event_id", "event_type", "ts"),
       s"trigrams needs 4 columns, got $g")
   }
+
+  test("bucket-geometry candidate joins run as SHUFFLED HASH joins, not sort-merge") {
+    // The measured law (r12, docs/SCALING.json curve_note): bucket/band/
+    // pigeonhole keys are duplicate-heavy by construction, and sort-merge's
+    // buffered per-key-group iteration pays ~300ns per enumerated candidate
+    // pair — 19.3s vs 1.5s for the same 70M-pair simhash enumeration at the
+    // fourth decade. The shuffle_hash hints encode that; this tripwire
+    // keeps a refactor (or a planner change) from silently dropping them
+    // back to sort-merge.
+    import org.apache.spark.sql.execution.joins.{ShuffledHashJoinExec, SortMergeJoinExec}
+    def joins(df: DataFrame): (Int, Int) = {
+      var shj = 0
+      var smj = 0
+      def walk(p: SparkPlan): Unit = {
+        p match {
+          case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+          case _: ShuffledHashJoinExec => shj += 1
+          case _: SortMergeJoinExec => smj += 1
+          case _ => ()
+        }
+        p.children.foreach(walk)
+      }
+      walk(df.queryExecution.executedPlan)
+      (shj, smj)
+    }
+    // candidate-only sub-plans: every equality join present IS the bucket
+    // join (the verify/expansion joins are downstream of these frames)
+    val docs = graft.Tables(spark, sf, "documents")
+    val emb = graft.Tables(spark, sf, "embeddings")
+    val simhash = graft.dedup.SimHash.pairs(docs, "doc_id", "text", maxHamming = 7)
+    assert(joins(simhash)._1 >= 1, "simhash pigeonhole join lost its shuffle_hash")
+    val minhash = graft.dedup.MinHash.pairs(docs, "doc_id", "text", threshold = 0.1)
+    assert(joins(minhash)._1 >= 1, "minhash band join lost its shuffle_hash")
+    val lshSingle = graft.similarity.AnnLsh.selfPairs(emb, "vec_id", "embedding",
+      dim = 64, minCos = 0.35, planes = 4, tables = 4)
+    assert(joins(lshSingle)._1 >= 1, "LSH bucket join (single-probe) lost its shuffle_hash")
+    val lshProbed = graft.similarity.AnnLsh.selfPairs(emb, "vec_id", "embedding",
+      dim = 64, minCos = 0.35, planes = 5, tables = 4, probes = 3)
+    assert(joins(lshProbed)._1 >= 1, "LSH bucket join (multi-probe) lost its shuffle_hash")
+  }
 }
