@@ -57,6 +57,24 @@ object Tables {
     } else df
   }
 
+  // (dir, table) → row count, session-lifetime. Parquet counts are
+  // metadata-cheap but still a job each; the adaptive-geometry faces
+  // (dedup_simhash, mm_phash, embed_cluster_lsh) derive their keying
+  // geometry from corpus cardinality on EVERY execution, so a bench pass
+  // was paying 3 count jobs per face run for a number that never changes
+  // within a session. ConcurrentHashMap: faces run concurrently under the
+  // bench harness. Immutable-input contract: the testdata tables are
+  // read-only per session (the driver regenerates dirs, not files in
+  // place) — a pipeline over mutating tables should pass its own stat.
+  private val countCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), java.lang.Long]()
+
+  /** Session-cached row count of a testdata table — ONE count job per
+    * (dir, table) per session, shared by every adaptive-geometry face. */
+  def cachedCount(spark: SparkSession, dir: String, name: String): Long =
+    countCache.computeIfAbsent((dir, name),
+      _ => java.lang.Long.valueOf(apply(spark, dir, name).count())).longValue()
+
   /** NULL out `valueCol` where `keyCol % m == r` — mirrored in oracle SQL. */
   def maskMod(df: DataFrame, valueCol: String, keyExpr: String, m: Int, r: Int): DataFrame =
     df.withColumn(valueCol,

@@ -525,8 +525,18 @@ object Dedup {
     // native shingle hash is cheap against shuffle+schedule cost); at
     // cluster scale it trades ONE executor-local write of (id, block,
     // hashes) for two extra full tokenize+hash scans of the corpus.
-    val sh = shingleFrame(df, idCol, textCol, blockCol, n)
-      .localCheckpoint(eager = false)
+    jaccardPairsFromShingles(
+      shingleFrame(df, idCol, textCol, blockCol, n).localCheckpoint(eager = false),
+      threshold, maxDocFreq)
+  }
+
+  /** [[jaccardPairs]] over a PRE-BUILT (id, block, sh) shingle frame — the
+    * entry for faces that run several shingle-based generators over one
+    * corpus (dedup_recall runs this AND the MinHash finder): pass one
+    * lazily-checkpointed [[shingleFrame]] and the corpus tokenizes ONCE
+    * for all of them. The caller owns the checkpoint. */
+  def jaccardPairsFromShingles(sh: DataFrame, threshold: Double = 0.5,
+                               maxDocFreq: Long = 0L): DataFrame = {
     jaccardCandidates(sh, threshold, maxDocFreq)
       .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))

@@ -51,9 +51,19 @@ object MinHash {
   /** Near-dup pairs: (id_a, id_b, jaccard) for verified candidates. */
   def pairs(df: DataFrame, idCol: String, textCol: String,
             n: Int = 3, k: Int = 32, bands: Int = 8,
-            threshold: Double = 0.5, seed: Long = 42L): DataFrame = {
+            threshold: Double = 0.5, seed: Long = 42L): DataFrame =
+    // lazy-checkpoint: the shingle frame feeds the band buckets AND both
+    // verify joins (the jaccardPairs rule) — tokenize the corpus once
+    pairsFromShingles(shingleFrame(df, idCol, textCol, n)
+      .localCheckpoint(eager = false), k, bands, threshold, seed)
+
+  /** [[pairs]] over a PRE-BUILT (id, sh) shingle frame — lets a face that
+    * runs several shingle-based generators (dedup_recall: this AND the
+    * exact prefix-filter) share ONE tokenize+hash scan. The caller owns
+    * the checkpoint. */
+  def pairsFromShingles(sh: DataFrame, k: Int = 32, bands: Int = 8,
+                        threshold: Double = 0.5, seed: Long = 42L): DataFrame = {
     require(k % bands == 0, "k must be divisible by bands")
-    val sh = shingleFrame(df, idCol, textCol, n)
     // candidate pairs = equality join on (band, bucket); shingle arrays
     // join back AFTER pair dedup so band collisions never replicate the
     // heavy arrays

@@ -107,22 +107,6 @@ object SimHash {
     // WHOLE fingerprint, not collapse every doc into bucket 0 (results
     // would still verify, but through one all-pairs bucket)
     val blockMask = if (bitsPer >= 64) -1L else (1L << bitsPer) - 1
-    // the (id, fp) frame feeds the distinct-fp candidate join AND both
-    // expansion joins — lazy-checkpoint so the fingerprint computation
-    // (often a full tokenize+hash scan upstream) runs once
-    val fp = df.select(col(idCol).as("id"), col(fpCol).as("fp"))
-      .localCheckpoint(eager = false)
-    // COLLAPSE IDENTICAL FINGERPRINTS FIRST: near-dup corpora hold large
-    // exact-fingerprint groups (verbatim copies hash identically), and a
-    // group of m docs would otherwise push m·C(k,d) keyed rows and m²
-    // candidate rows per combination through the join and the pair-dedup
-    // — C(k,d)× the true-pair volume in pure overhead. Running the
-    // pigeonhole over DISTINCT fingerprints keeps the join + dedup at
-    // distinct-fp scale; member pairs re-expand afterwards, emitting each
-    // output pair EXACTLY ONCE (fp pairs are unique after their dedup,
-    // within-group pairs are generated by one ordered self-join), so no
-    // corpus-sized dropDuplicates exists anywhere in the plan.
-    val groups = fp.select("fp").distinct()
     // one (comb, ckey) struct per combination, exploded — C(k, d) narrow
     // rows per DISTINCT fingerprint (d=1 ⇒ the classic k chunk rows)
     val combos = (0 until k).combinations(d).toSeq
@@ -133,6 +117,33 @@ object SimHash {
       }.reduce(_ bitwiseOR _)
       struct(lit(ci).as("comb"), key.as("ckey"))
     }
+    pairsViaGroupKeys(df, idCol, fpCol, maxHamming, keyStructs)
+  }
+
+  /** The shared candidate-join tail of every fingerprint banding scheme
+    * (block-combination pigeonhole, permuted-mask tables): collapse to
+    * DISTINCT fingerprints, key each with the caller's (comb, ckey)
+    * structs, bucket-join, hamming-filter INSIDE the join stage, dedup
+    * fingerprint pairs, then re-expand to member id pairs. */
+  private def pairsViaGroupKeys(df: DataFrame, idCol: String, fpCol: String,
+                                maxHamming: Int,
+                                keyStructs: Seq[Column]): DataFrame = {
+    // the (id, fp) frame feeds the distinct-fp candidate join AND both
+    // expansion joins — lazy-checkpoint so the fingerprint computation
+    // (often a full tokenize+hash scan upstream) runs once
+    val fp = df.select(col(idCol).as("id"), col(fpCol).as("fp"))
+      .localCheckpoint(eager = false)
+    // COLLAPSE IDENTICAL FINGERPRINTS FIRST: near-dup corpora hold large
+    // exact-fingerprint groups (verbatim copies hash identically), and a
+    // group of m docs would otherwise push m·keys keyed rows and m²
+    // candidate rows per key through the join and the pair-dedup —
+    // keyStructs.size× the true-pair volume in pure overhead. Running the
+    // banding over DISTINCT fingerprints keeps the join + dedup at
+    // distinct-fp scale; member pairs re-expand afterwards, emitting each
+    // output pair EXACTLY ONCE (fp pairs are unique after their dedup,
+    // within-group pairs are generated by one ordered self-join), so no
+    // corpus-sized dropDuplicates exists anywhere in the plan.
+    val groups = fp.select("fp").distinct()
     val keyed = groups.select(col("fp"),
         explode(array(keyStructs: _*)).as("_ck"))
       .select(col("fp"), col("_ck.comb").as("comb"), col("_ck.ckey").as("ckey"))
@@ -209,5 +220,153 @@ object SimHash {
       val bitsPer = 64 / (maxHamming + d)
       bitsPer >= 1 && d * bitsPer >= neededBits
     }.getOrElse(maxD)
+  }
+
+  /** TRUE when [[adaptiveBlocks]] has SATURATED for this corpus: even
+    * d = maxD's key width (d·(64/(maxHamming+d)) bits) cannot supply
+    * `n / targetOccupancy` buckets, so occupancy — and the Σ occupancy²
+    * bucket join — grows linearly again (the measured super-linear
+    * regime past ~8M docs at h=7, occ=32, maxD=3). The routing predicate
+    * for [[pairsFromFingerprintsAdaptive]]: below it the exact
+    * block-combination pigeonhole; above it the permuted-mask tables
+    * ([[pairsFromFingerprintsPermuted]]), which keep the key width
+    * growing with the corpus at a MEASURED probabilistic recall instead
+    * of the radius-truncation fallback's measured 0.061. */
+  def blockedSaturated(n: Long, maxHamming: Int = 7,
+                       targetOccupancy: Long = 32L, maxD: Int = 3): Boolean = {
+    val neededBits = math.ceil(
+      math.log(math.max(1.0, n.toDouble / targetOccupancy)) / math.log(2.0)).toInt
+    val d = adaptiveBlocks(n, maxHamming, targetOccupancy, maxD)
+    d * (64 / (maxHamming + d)) < neededBits
+  }
+
+  /** Collision probability of ONE random `maskBits`-bit mask for a pair at
+    * hamming distance exactly `hamming`: the pair collides iff none of the
+    * differing bits is masked — C(64−h, w)/C(64, w) as a telescoping
+    * product. Monotone decreasing in both arguments; 0 when w > 64−h. */
+  def maskCollisionP(maskBits: Int, hamming: Int): Double =
+    if (maskBits > 64 - hamming) 0.0
+    else (0 until maskBits).map(i => (64.0 - hamming - i) / (64.0 - i)).product
+
+  /** Geometry of the PERMUTED-MASK banding tier ([[pairsFromFingerprintsPermuted]])
+    * — the saturated-regime replacement for the exact pigeonhole (Manku–
+    * Jain–Sarma WWW'07 §4's permuted tables, keyed as random bit-subset
+    * masks: equality of `fp AND mask` IS equality on the mask's w sampled
+    * positions, one codegen AND per table instead of a bit-gather).
+    * Returns (maskBits, tables):
+    *   - maskBits starts at the occupancy-flat width ceil(log2(n/occ)) —
+    *     UNBOUNDED by the radius, unlike the pigeonhole's d·(64/(h+d)) —
+    *     so bucket occupancy stays at targetOccupancy at ANY corpus size;
+    *   - tables is the LSH table count that compounds the per-table
+    *     worst-case collision probability p = C(64−h,w)/C(64,w) to the
+    *     recall target: t = ⌈ln(1−R)/ln(1−p)⌉. Pairs closer than the full
+    *     radius collide MORE often, so R is the floor over the radius.
+    *   - recall-first trade: if t would exceed maxTables, the mask NARROWS
+    *     until the table budget affords R — occupancy (join cost) gives
+    *     way before recall does, and the give-back is logged in the
+    *     returned width, never silent.
+    * Growth law: p ≈ ((64−h)/64)^w, so t ≈ ln(1/(1−R))·(64/(64−h))^w —
+    * polynomial in n (t ∝ n^(h/64·log₂e·…) ≈ n^0.17 at h=7, occ=32): ~21
+    * tables at 8M docs; at 1B the occupancy width would need 66 tables,
+    * so the mask narrows 2 bits (4× occupancy) to 63 tables at the same
+    * recall. That is the honest price of holding
+    * BOTH occupancy and recall at mandate scale; the exact pigeonhole
+    * holds recall=1 but not occupancy, the radius truncation holds
+    * occupancy but measured at recall 0.061. Measured under forced
+    * saturation per decade in docs/GEOMETRY_RECALL.json. */
+  def permutedGeometry(n: Long, maxHamming: Int = 7,
+                       targetOccupancy: Long = 32L,
+                       targetRecall: Double = 0.9,
+                       maxTables: Int = 64): (Int, Int) = {
+    require(maxHamming >= 1 && maxHamming <= 56, s"maxHamming in [1,56], got $maxHamming")
+    require(targetRecall > 0.0 && targetRecall < 1.0, s"targetRecall in (0,1)")
+    require(maxTables >= 1 && targetOccupancy >= 1)
+    def tablesFor(w: Int): Long = {
+      val p = maskCollisionP(w, maxHamming)
+      if (p <= 0.0) Long.MaxValue
+      else math.max(1L,
+        math.ceil(math.log(1.0 - targetRecall) / math.log(1.0 - p)).toLong)
+    }
+    val wanted = math.ceil(
+      math.log(math.max(1.0, n.toDouble / targetOccupancy)) / math.log(2.0)).toInt
+    val w = (math.min(math.max(1, wanted), 64 - maxHamming) to 1 by -1)
+      .find(w => tablesFor(w) <= maxTables).getOrElse(1)
+    (w, tablesFor(w).toInt)
+  }
+
+  /** `tables` deterministic w-bit masks (w distinct positions of 0..63,
+    * Fisher–Yates over a fixed-seed java.util.Random — identical on every
+    * executor and every run). */
+  def permutedMasks(maskBits: Int, tables: Int, seed: Long = 0x517EC0DEL): Array[Long] = {
+    require(maskBits >= 1 && maskBits <= 64 && tables >= 1)
+    val rnd = new java.util.Random(seed)
+    Array.fill(tables) {
+      val pos = (0 until 64).toArray
+      var m = 0L
+      for (i <- 0 until maskBits) {
+        val j = i + rnd.nextInt(64 - i)
+        val t = pos(i); pos(i) = pos(j); pos(j) = t
+        m |= 1L << pos(i)
+      }
+      m
+    }
+  }
+
+  /** PERMUTED-MASK near-dup candidate join — the saturated-regime tier:
+    * each of `tables` independent random w-bit masks keys every DISTINCT
+    * fingerprint on `fp AND mask` (one codegen AND; mask equality is
+    * position-subset equality), collisions hamming-filter inside the join
+    * stage, and the same exact-verify + group-expansion tail as the
+    * pigeonhole runs downstream — so precision is still EXACT (every
+    * emitted pair is within the radius); only RECALL is probabilistic,
+    * ≥ `targetRecall` in expectation by [[permutedGeometry]]'s table
+    * count and MEASURED (not asserted) under forced saturation in
+    * docs/GEOMETRY_RECALL.json. Shuffles key on (table, masked-fp) only;
+    * per-doc explode is `tables` rows — flat in n for fixed geometry. */
+  def pairsFromFingerprintsPermuted(df: DataFrame, idCol: String, fpCol: String,
+                                    maxHamming: Int, maskBits: Int, tables: Int,
+                                    seed: Long = 0x517EC0DEL): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 63,
+      s"maxHamming must be in [0, 63], got $maxHamming")
+    val keyStructs = permutedMasks(maskBits, tables, seed).zipWithIndex.map {
+      case (m, ti) =>
+        struct(lit(ti).as("comb"), col("fp").bitwiseAND(lit(m)).as("ckey"))
+    }.toSeq
+    pairsViaGroupKeys(df, idCol, fpCol, maxHamming, keyStructs)
+  }
+
+  /** The REGIME SWITCH over an existing 64-bit fingerprint column: exact
+    * block-combination pigeonhole while [[adaptiveBlocks]] has buckets to
+    * give (recall 1.0 by construction — every corpus below
+    * ~targetOccupancy·2^(maxD·64/(h+maxD)) rows, ≈8M docs at h=7), then
+    * the permuted-mask tables ([[blockedSaturated]] regime) — measured
+    * probabilistic recall at occupancy held flat, instead of the
+    * radius-truncation fallback (measured recall 0.061) that was the only
+    * alternative past saturation. Faces pass `n` from a cached stat
+    * ([[graft.Tables.cachedCount]]) — no count job inside the plan. */
+  def pairsFromFingerprintsAdaptive(df: DataFrame, idCol: String, fpCol: String,
+                                    maxHamming: Int, n: Long,
+                                    targetOccupancy: Long = 32L, maxD: Int = 3,
+                                    targetRecall: Double = 0.9): DataFrame =
+    if (!blockedSaturated(n, maxHamming, targetOccupancy, maxD))
+      pairsFromFingerprintsBlocked(df, idCol, fpCol, maxHamming,
+        adaptiveBlocks(n, maxHamming, targetOccupancy, maxD))
+    else {
+      val (w, t) = permutedGeometry(n, maxHamming, targetOccupancy, targetRecall)
+      pairsFromFingerprintsPermuted(df, idCol, fpCol, maxHamming, w, t)
+    }
+
+  /** [[pairsFromFingerprintsAdaptive]] over raw text (the dedup_simhash
+    * face's entry): simhash the tokens, then route by regime. */
+  def pairsAdaptive(df: DataFrame, idCol: String, textCol: String,
+                    maxHamming: Int, n: Long, seed: Long = 42L,
+                    targetOccupancy: Long = 32L, maxD: Int = 3,
+                    targetRecall: Double = 0.9): DataFrame = {
+    val fp = df
+      .select(col(idCol).as("id"),
+        transform(split(col(textCol), " "), t => xxhash64(lit(seed), t)).as("_th"))
+      .select(col("id"), simhashFromHashes(col("_th")).as("fp"))
+    pairsFromFingerprintsAdaptive(fp, "id", "fp", maxHamming, n,
+      targetOccupancy, maxD, targetRecall)
   }
 }

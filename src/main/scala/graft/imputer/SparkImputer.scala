@@ -92,14 +92,27 @@ class SparkImputer(
   }
 
   /** Input checks mirroring the reference __init__ validation (ref L83-99):
-    * declared columns must exist in the frame. */
+    * declared columns must exist in the frame, and a declared categorical
+    * must be an atomic type — the TypeError class of the reference's
+    * error tests (tests.py:61-88), surfaced at entry instead of as an
+    * indexer stack trace mid-fit. */
   private[imputer] def validateAgainst(df: DataFrame): Unit = {
+    import org.apache.spark.sql.types.{ArrayType, BinaryType, MapType, StructType}
     val cols = df.columns.toSet
     require(cols.contains(idCol), s"id column '$idCol' is not in the data frame")
     val badCat = categorical.filterNot(cols.contains)
     require(badCat.isEmpty, s"The following columns are not in data frame: $badCat")
     val badFeat = features.filterNot(cols.contains)
     require(badFeat.isEmpty, s"The following feature columns are not in data frame: $badFeat")
+    val badType = categorical.filter(cols.contains).filter { c =>
+      df.schema(c).dataType match {
+        case _: ArrayType | _: MapType | _: StructType | BinaryType => true
+        case _ => false
+      }
+    }
+    require(badType.isEmpty,
+      "categorical columns must be atomic-typed (string/numeric/bool), got: " +
+        badType.map(c => s"$c: ${df.schema(c).dataType.simpleString}").mkString(", "))
   }
 
   /** The reference detects missingness with pandas isna(), which treats both

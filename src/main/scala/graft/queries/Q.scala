@@ -1211,8 +1211,13 @@ object Q {
     val bin = Multimodal.asBinaryTable(docs, "doc_id", "text")
     val hashed = Multimodal.withPerceptualHash(bin, StubDecoder)
       .select("doc_id", "phash")
-    graft.dedup.SimHash.pairsFromFingerprintsBlocked(hashed, "doc_id", "phash",
-        maxHamming = 8, d = graft.dedup.SimHash.adaptiveBlocks(docs.count(), maxHamming = 8))
+    // regime switch (SimHash.pairsFromFingerprintsAdaptive): exact
+    // pigeonhole until the block-combination geometry saturates (~5M
+    // media at h=8), then permuted-mask tables at measured probabilistic
+    // recall — never the 0.061-recall radius truncation. Cardinality is
+    // the session-cached stat: zero count jobs per execution.
+    graft.dedup.SimHash.pairsFromFingerprintsAdaptive(hashed, "doc_id", "phash",
+        maxHamming = 8, n = Tables.cachedCount(s, dir, "documents"))
       .groupBy("hamming").agg(count(lit(1)).as("n_pairs"))
   }
 
@@ -1361,16 +1366,22 @@ object Q {
   def dedupRecall(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables(s, dir, "documents")
     val src = docs.select(col("doc_id"), col("source"))
-    val exact = Dedup.jaccardPairs(docs, "doc_id", "text", "source",
-        n = 3, threshold = 0.10)
+    // ONE shingle scan feeds BOTH generators: the exact prefix-filter
+    // ground truth and the banded MinHash finder consume the same
+    // lazily-checkpointed (id, block, sh) frame — previously each
+    // re-tokenized the corpus (the face's curve is its components' sum;
+    // this removes the duplicated scan term, measured in CurveProfile)
+    val sh = Dedup.shingleFrame(docs, "doc_id", "text", "source", n = 3)
+      .localCheckpoint(eager = false)
+    val exact = Dedup.jaccardPairsFromShingles(sh, threshold = 0.10)
       .select(col("id_a"), col("id_b")).localCheckpoint(eager = false)
     // MinHash runs corpus-wide; split its finds into within-block (the
     // apples-to-apples recall comparison) and CROSS-block (pairs the
     // source-blocking scheme is structurally blind to — running the audit
     // on this corpus surfaced 24 of them at sf0.01, an honest measure of
     // what blocking trades away)
-    val mh = graft.dedup.MinHash.pairs(docs, "doc_id", "text",
-        n = 3, k = 32, bands = 8, threshold = 0.10)
+    val mh = graft.dedup.MinHash.pairsFromShingles(
+        sh.select(col("id"), col("sh")), k = 32, bands = 8, threshold = 0.10)
       .select(col("id_a"), col("id_b"))
       .join(src.select(col("doc_id").as("id_a"), col("source").as("_sa")), "id_a")
       .join(src.select(col("doc_id").as("id_b"), col("source").as("_sb")), "id_b")
@@ -1401,11 +1412,17 @@ object Q {
     * buckets instead of the 2⁸ that bent the fixed face 17.5×
     * super-linear). The count is one metadata-cheap parquet job; the
     * (identity) recall of each derived geometry is verified per decade
-    * in docs/GEOMETRY_RECALL.json. */
+    * in docs/GEOMETRY_RECALL.json. PAST saturation (~8M docs, where even
+    * d=3's key width runs out of buckets) the face routes to the
+    * permuted-mask tables ([[graft.dedup.SimHash.pairsAdaptive]]) —
+    * occupancy held flat at measured ≥0.9-design recall, replacing the
+    * radius-truncation fallback whose measured recall was 0.061. The
+    * cardinality is the session-cached stat — zero count jobs per
+    * execution. */
   def dedupSimhash(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables(s, dir, "documents")
-    graft.dedup.SimHash.pairs(docs, "doc_id", "text", maxHamming = 7,
-      d = graft.dedup.SimHash.adaptiveBlocks(docs.count()))
+    graft.dedup.SimHash.pairsAdaptive(docs, "doc_id", "text", maxHamming = 7,
+      n = Tables.cachedCount(s, dir, "documents"))
   }
 
   def annLsh(s: SparkSession, dir: String): DataFrame = {
@@ -1432,14 +1449,19 @@ object Q {
     * lives in docs/GEOMETRY_RECALL.json. */
   def embedClusterLsh(s: SparkSession, dir: String): DataFrame = {
     val e = Tables(s, dir, "embeddings")
-    val n = e.count()
+    val n = Tables.cachedCount(s, dir, "embeddings")
     val planes = graft.similarity.AnnLsh.adaptivePlanes(n)
     // the face already paid the count for adaptivePlanes, so it can also
     // assert the broadcast contract for the verify joins: ≤200k 64-dim
     // vectors is ~100MB — model-sized; beyond that AQE decides
+    // recall is HELD as planes grow by the measured two-dial law:
+    // margin-aware multi-probe up to 4 (cheap, then dominated) plus
+    // +8 TABLES per plane past 8 (AnnLsh.adaptiveTables — ProbeSweep:
+    // sf1 overall recall 0.737 @ 16 tables → 0.862 @ the derived 24);
+    // sf≤0.1 corpora keep the legacy 16-table geometry bitwise
     val pairs = graft.similarity.AnnLsh.selfPairs(e, "vec_id", "embedding",
       dim = 64, minCos = 0.35,
-      planes = planes, tables = 16,
+      planes = planes, tables = graft.similarity.AnnLsh.adaptiveTables(planes),
       broadcastVectors = n <= 200000L,
       probes = graft.similarity.AnnLsh.adaptiveProbes(planes))
     Dedup.connectedComponents(e.select(col("vec_id")), "vec_id",
@@ -1545,7 +1567,11 @@ object Q {
     * ann_recall (the in-memory LSH face) never touches the persisted path.
     * Rows-only (float accumulation order). One train + one append + two
     * (brute, served) query passes; queries are the tiny vec_id%97 sample,
-    * so every join broadcasts the query side. */
+    * so every join broadcasts the query side. The scratch index lives in
+    * the driver's tmpdir — a LOCAL-MODE (or shared-filesystem) contract,
+    * like the other rows-only index faces; on a real cluster point the
+    * index at shared storage. The two recall frames materialize eagerly
+    * so the scratch index deletes before this returns (no leak per run). */
   def annIndexRecall(s: SparkSession, dir: String): DataFrame = {
     import graft.similarity.{AnnIndex, AnnLsh}
     val e = Tables(s, dir, "embeddings")
@@ -1555,27 +1581,39 @@ object Q {
     val batch = e.filter(col("vec_id") % 13 === 5)
     val q = e.filter(col("vec_id") % 97 === 0)
     val k = 5
-    val path = java.nio.file.Files.createTempDirectory("graft_annidx").toString
-    AnnIndex.writeIvf(base, "vec_id", "embedding", "label", path)
-    def recallOf(phase: String, corpus: DataFrame): DataFrame = {
-      val brute = AnnLsh.bruteTopK(corpus, q, "vec_id", "embedding", k)
-        .select("query_id", "neighbor_id")
-      val served = AnnIndex.ivfTopK(s, path, q, "vec_id", "embedding",
-          k = k, nProbe = 3)
-        .select("query_id", "neighbor_id")
-      // zero-recall queries must stay in the denominator: total hits and
-      // total queries aggregate separately, then ride a 1-row crossJoin
-      val nh = brute.join(served, Seq("query_id", "neighbor_id"), "left_semi")
-        .agg(count(lit(1)).as("_nh"))
-      q.agg(count(lit(1)).as("_nq")).crossJoin(nh)
-        .select(lit(phase).as("phase"), col("_nq").as("n_queries"),
-          (col("_nh").cast("double") / (col("_nq") * k)).as("mean_recall_at_5"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_annidx")
+    val path = tmp.toString
+    try {
+      AnnIndex.writeIvf(base, "vec_id", "embedding", "label", path)
+      def recallOf(phase: String, corpus: DataFrame): DataFrame = {
+        val brute = AnnLsh.bruteTopK(corpus, q, "vec_id", "embedding", k)
+          .select("query_id", "neighbor_id")
+        val served = AnnIndex.ivfTopK(s, path, q, "vec_id", "embedding",
+            k = k, nProbe = 3)
+          .select("query_id", "neighbor_id")
+        // zero-recall queries must stay in the denominator: total hits and
+        // total queries aggregate separately, then ride a 1-row crossJoin
+        val nh = brute.join(served, Seq("query_id", "neighbor_id"), "left_semi")
+          .agg(count(lit(1)).as("_nh"))
+        q.agg(count(lit(1)).as("_nq")).crossJoin(nh)
+          .select(lit(phase).as("phase"), col("_nq").as("n_queries"),
+            (col("_nh").cast("double") / (col("_nq") * k)).as("mean_recall_at_5"))
+      }
+      // each audit is ONE row — eager checkpoints pin the before-audit to
+      // the pre-append index state and leave the returned plan reading
+      // nothing from the scratch index, so the finally-delete is safe
+      val before = recallOf("1_before_append", base).localCheckpoint()
+      AnnIndex.append(s, path, batch, "vec_id", "embedding")
+      // after the append the index must serve the FULL corpus's truth
+      val after = recallOf("2_after_append", e).localCheckpoint()
+      before.unionByName(after)
+    } finally {
+      // recursive delete of the scratch index — tmpdir hygiene is part of
+      // the face's contract (the bench protocol runs it 4+ times a session)
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
     }
-    val before = recallOf("1_before_append", base)
-    AnnIndex.append(s, path, batch, "vec_id", "embedding")
-    // after the append the index must serve the FULL corpus's truth
-    val after = recallOf("2_after_append", e)
-    before.unionByName(after)
   }
 
   /** BPE end-to-end: TRAIN a merge table on the corpus itself

@@ -108,6 +108,25 @@ object AnnLsh {
   def adaptiveProbes(planes: Int, floor: Int = 4, cap: Int = 4): Int =
     if (planes <= floor) 0 else math.min(cap, planes)
 
+  /** The TABLE count that holds recall as [[adaptivePlanes]] grows past
+    * the probe budget's reach. Measured at sf1 (tools/ProbeSweep, planes
+    * 9, 20k+planted vectors, exact cos≥0.35 ground truth): growing PROBES
+    * past 4 is dominated — probes 4→8 buys +0.05 recall at ~2× candidate
+    * cost (margin-flip reaches only the near-boundary bits) — while
+    * growing TABLES compounds independently: 16→24 tables lifts overall
+    * recall 0.737→0.862 at ~1.34× cost, 16→32 → 0.925. Theory agrees:
+    * recall = 1−(1−P)^tables, so holding it as P falls with planes needs
+    * tables ∝ (1/p)^planes growth; +8 tables per plane past the pivot
+    * tracks that within the measured range. Below the pivot the legacy
+    * 16 tables stay (small corpora keep wide-recall buckets — and the
+    * sf≤0.1 bench geometry — bitwise). Cap 64 bounds signature and join
+    * cost; past it, recall falls and docs/GEOMETRY_RECALL.json's floor
+    * gate fails loudly rather than letting the decade regress silently. */
+  def adaptiveTables(planes: Int, base: Int = 16, pivot: Int = 8,
+                     perPlane: Int = 8, cap: Int = 64): Int =
+    if (planes <= pivot) base
+    else math.min(cap, base + perPlane * (planes - pivot))
+
   /** Per-query top-k of a scored candidate frame (query_id, neighbor_id,
     * cos) via the native bounded-heap aggregate `graft_topk`
     * ([[graft.functions.TopKAgg]]). Map-side partial aggregation reduces

@@ -4,6 +4,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types.StructType
 
+/** A [[Sources.withSwapLock]] holder finished its critical section but no
+  * longer owned the lease (stolen as stale during a pause/stall): the
+  * section was NOT exclusive and its writes may have interleaved with the
+  * new holder's — the caller must reconcile, not proceed. */
+class SwapLeaseLostException(msg: String) extends IllegalStateException(msg)
+
 /** Source/sink helpers. The reference tool ingests CSV frames
   * (tests read test_data_territories.csv); at engine scale the same data
   * arrives as CSV/JSON landing files and leaves as partitioned parquet.
@@ -207,7 +213,25 @@ object Sources {
     * only the maintenance-writer pair. `fs.create(overwrite=false)` is
     * atomic on HDFS (namenode-arbitrated); on S3-style stores use a
     * conditional-put / table-format lock instead. Reentrant acquisition
-    * is NOT supported — one lock per maintenance operation. */
+    * is NOT supported — one lock per maintenance operation.
+    *
+    * TOKEN FENCE: the lease file holds the holder's UUID, and every
+    * heartbeat AND the release re-read it — a holder whose lease was
+    * stolen (a JVM/GC pause or FS stall longer than `leaseMs`) stops
+    * extending the NEW holder's lease, never deletes it, and FAILS the
+    * call with [[SwapLeaseLostException]] instead of returning as if the
+    * critical section had been exclusive — the caller must treat the
+    * operation as suspect (its writes may have interleaved with the
+    * thief's).
+    *
+    * CLOCK DOMAIN: stale detection compares the CONTENDER's clock against
+    * a modification time set by the HOLDER's clock (`fs.setTimes`), so
+    * holder and contenders must share a clock domain to within ≪ leaseMs
+    * (true on a single driver, or NTP-synced cluster nodes against one
+    * HDFS namenode's arbitration). Cross-machine skew approaching leaseMs
+    * risks premature steals (the token fence then surfaces them loudly on
+    * the victim) or unstealabe locks from a skewed-ahead dead holder
+    * (raise leaseMs or clear the lock administratively). */
   def withSwapLock[T](fs: org.apache.hadoop.fs.FileSystem,
                       lockPath: org.apache.hadoop.fs.Path,
                       leaseMs: Long = 60000L, pollMs: Long = 100L)(body: => T): T = {
@@ -237,25 +261,56 @@ object Sources {
           }
       }
     }
+    // the fence read: whose token does the lease file hold right now?
+    // None on any read failure — a vanished/unreadable lease is treated
+    // as not-ours (never extend, never delete, fail the body loudly).
+    def ownerToken(): Option[String] =
+      try {
+        val in = fs.open(lockPath)
+        try {
+          val buf = new Array[Byte](64)
+          val n = in.read(buf)
+          if (n <= 0) None else Some(new String(buf, 0, n, "UTF-8"))
+        } finally in.close()
+      } catch { case _: java.io.IOException => None }
     // heartbeat daemon: a LIVE holder is never stolen, no matter how long
     // the body (a Spark append job, a reconcile copy) runs
     @volatile var done = false
+    @volatile var lost = false
     val hb = new Thread(() => {
-      while (!done) {
-        Thread.sleep(math.max(1L, leaseMs / 4))
-        if (!done)
-          try fs.setTimes(lockPath, System.currentTimeMillis(), -1)
-          catch { case _: java.io.IOException => () } // stolen/FS hiccup: next op fails loudly
-      }
+      try {
+        while (!done && !lost) {
+          Thread.sleep(math.max(1L, leaseMs / 4))
+          if (!done) {
+            if (ownerToken().contains(token))
+              try fs.setTimes(lockPath, System.currentTimeMillis(), -1)
+              catch { case _: java.io.IOException => () } // FS hiccup: next beat re-checks
+            else lost = true // stolen: never extend the thief's lease
+          }
+        }
+      } catch { case _: InterruptedException => () } // release signal: exit quietly
     }, s"swap-lock-heartbeat-${lockPath.getName}")
     hb.setDaemon(true)
     hb.start()
-    try body
-    finally {
-      done = true
-      hb.interrupt()
-      fs.delete(lockPath, false)
-    }
+    val result =
+      try body
+      catch {
+        case e: Throwable =>
+          done = true; hb.interrupt()
+          // release only what we still own — deleting a thief's lease would
+          // let a THIRD writer enter its critical section
+          if (ownerToken().contains(token)) fs.delete(lockPath, false)
+          throw e
+      }
+    done = true; hb.interrupt()
+    if (lost || !ownerToken().contains(token))
+      throw new SwapLeaseLostException(
+        s"swap lock $lockPath: lease lost mid-critical-section (holder paused/" +
+          s"stalled past leaseMs=$leaseMs and was stolen); the completed " +
+          "operation may have interleaved with the new holder — reconcile before " +
+          "trusting its writes")
+    fs.delete(lockPath, false)
+    result
   }
 
   /** APPENDER-side guard before writing into a swapped path — call ONLY

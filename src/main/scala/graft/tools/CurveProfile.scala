@@ -80,6 +80,24 @@ object CurveProfile {
       t(dir, "winnow: registered face end-to-end") {
         graft.queries.Q.dedupWinnow(spark, dir).count()
       }
+
+      // ---- dedup_recall stage terms (VERDICT r12 task 2: 4.7×/decade,
+      // the steepest tracked curve — decompose into its generator terms)
+      t(dir, "recall: shingle scan (the shared term)") {
+        docs.select(graft.dedup.Dedup.shingleHashes(col("text"), 3).as("sh"))
+          .filter(size(col("sh")) > 0).count()
+      }
+      t(dir, "recall: exact jaccard ground truth") {
+        graft.dedup.Dedup.jaccardPairs(docs, "doc_id", "text", "source",
+          n = 3, threshold = 0.10).count()
+      }
+      t(dir, "recall: banded minhash finder") {
+        graft.dedup.MinHash.pairs(docs, "doc_id", "text",
+          n = 3, k = 32, bands = 8, threshold = 0.10).count()
+      }
+      t(dir, "recall: registered face end-to-end") {
+        graft.queries.Q.dedupRecall(spark, dir).count()
+      }
     }
     spark.stop()
   }

@@ -107,6 +107,106 @@ class AdaptiveGeometrySpec extends SparkSpec {
     assert(narrow.nonEmpty && narrow.size < wide.size)
   }
 
+  test("blockedSaturated routes: false at every test decade, true past ~8M docs") {
+    for (n <- Seq(60L, 600L, 5000L, 50000L, 1000000L, 8000000L))
+      assert(!SimHash.blockedSaturated(n), s"n=$n must stay on the exact pigeonhole")
+    // occ·2^(3·(64/10)) = 32·2^18 ≈ 8.4M is the h=7 boundary
+    for (n <- Seq(9000000L, 100000000L, 10000000000L))
+      assert(SimHash.blockedSaturated(n), s"n=$n must route to permuted tables")
+    // the phash face (h=8, d·bitsPer tops at 3·5=15 bits): ~1M boundary
+    assert(!SimHash.blockedSaturated(1000000L, maxHamming = 8))
+    assert(SimHash.blockedSaturated(1100000L, maxHamming = 8))
+  }
+
+  test("permutedGeometry holds occupancy AND recall, narrowing the mask last") {
+    // pre-saturation widths match the occupancy law exactly
+    val (w8m, t8m) = SimHash.permutedGeometry(9000000L)
+    assert(w8m == math.ceil(math.log(9000000.0 / 32) / math.log(2)).toInt)
+    // table count is the compounding law: (1-p)^t <= 1-R < (1-p)^(t-1)
+    val p = SimHash.maskCollisionP(w8m, 7)
+    assert(math.pow(1 - p, t8m) <= 0.1 + 1e-12, s"w=$w8m t=$t8m p=$p")
+    assert(math.pow(1 - p, t8m - 1) > 0.1, s"t=$t8m not minimal")
+    // 1B docs: still affordable — the occupancy-flat width would be 25
+    // but t(25)=66 > 64, so the mask narrows 2 bits (4× occupancy) to
+    // keep the table budget: the recall-first trade, visibly
+    val (w1b, t1b) = SimHash.permutedGeometry(1000000000L)
+    assert(w1b == 23 && t1b <= 64, s"1B: w=$w1b t=$t1b")
+    assert(math.pow(1 - SimHash.maskCollisionP(w1b, 7), t1b) <= 0.1 + 1e-12)
+    // recall-first: an absurd corpus narrows the mask instead of silently
+    // undershooting the recall target
+    val (wHuge, tHuge) = SimHash.permutedGeometry(Long.MaxValue / 4, maxTables = 64)
+    assert(tHuge <= 64)
+    assert(math.pow(1 - SimHash.maskCollisionP(wHuge, 7), tHuge) <= 0.1 + 1e-12)
+    // mask never exceeds 64-h (p=0 there: no recall possible)
+    assert(wHuge <= 57)
+  }
+
+  test("permutedMasks are deterministic w-bit subsets") {
+    val m1 = SimHash.permutedMasks(16, 24)
+    val m2 = SimHash.permutedMasks(16, 24)
+    assert(m1.toSeq == m2.toSeq, "masks must be run-deterministic")
+    assert(m1.forall(m => java.lang.Long.bitCount(m) == 16))
+    assert(m1.distinct.length == m1.length, "duplicate masks waste tables")
+    assert(SimHash.permutedMasks(16, 24, seed = 7L).toSeq != m1.toSeq)
+  }
+
+  test("permuted tier: exact precision, measured recall >= design target") {
+    // planted corpus: 1500 random base fingerprints, each with a partner
+    // at hamming distance cycling 1..7 (random bit choices), plus one
+    // verbatim copy every 100 — all deterministic
+    val rnd = new java.util.Random(0xD00DL)
+    val rows = (0 until 1500).flatMap { i =>
+      val fp = rnd.nextLong()
+      val h = 1 + (i % 7)
+      var partner = fp
+      val flipped = scala.collection.mutable.Set[Int]()
+      while (flipped.size < h) flipped += rnd.nextInt(64)
+      flipped.foreach(b => partner ^= 1L << b)
+      val copy = if (i % 100 == 0) Seq((i * 10L + 2, fp)) else Seq.empty
+      Seq((i * 10L, fp), (i * 10L + 1, partner)) ++ copy
+    }
+    val fps = rows.toDF("id", "fp")
+    // ground truth: the exact pigeonhole (recall 1.0 by construction)
+    val exact = SimHash.pairsFromFingerprints(fps, "id", "fp", maxHamming = 7)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(exact.size >= 1500, s"planted corpus lost pairs: ${exact.size}")
+    // the saturated-regime tier at its own derived geometry (occupancy 1
+    // forces a production-shaped 12-bit mask on this 3k corpus)
+    val (w, t) = SimHash.permutedGeometry(rows.size.toLong, maxHamming = 7,
+      targetOccupancy = 1L, targetRecall = 0.9)
+    val found = SimHash.pairsFromFingerprintsPermuted(fps, "id", "fp",
+        maxHamming = 7, maskBits = w, tables = t)
+      .as[(Long, Long, Long)].collect().toSet
+    // PRECISION IS EXACT: the hamming filter verifies every candidate
+    assert(found.subsetOf(exact), "permuted tier emitted an out-of-radius pair")
+    // hamming-0 groups are structural (within-group expansion), never lost
+    val zeros = exact.filter(_._3 == 0L)
+    assert(zeros.nonEmpty && zeros.subsetOf(found), "identical-fp pairs missed")
+    // measured recall >= the 0.9 design target minus sampling slack —
+    // worst-case pairs (h=7) collide at >= p per table by construction and
+    // closer pairs strictly more often (1500 pairs => tight concentration)
+    val recall = found.size.toDouble / exact.size
+    assert(recall >= 0.85, s"permuted recall $recall below design (w=$w t=$t)")
+  }
+
+  test("pairsFromFingerprintsAdaptive routes by regime, bitwise below it") {
+    val base = 0x0123456789ABCDEFL
+    val fps = (0 to 9).map(d => (d.toLong, base ^ ((1L << d) - 1)))
+      .toDF("id", "fp")
+    val exact = SimHash.pairsFromFingerprintsBlocked(fps, "id", "fp", 7, d = 1)
+      .as[(Long, Long, Long)].collect().toSet
+    // below saturation: the adaptive face IS the exact pigeonhole
+    val routedExact = SimHash.pairsFromFingerprintsAdaptive(fps, "id", "fp",
+        maxHamming = 7, n = 50000L)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(routedExact == exact)
+    // above saturation: the permuted tier (still a subset — exact precision)
+    val routedPermuted = SimHash.pairsFromFingerprintsAdaptive(fps, "id", "fp",
+        maxHamming = 7, n = 10000000L)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(routedPermuted.subsetOf(exact))
+  }
+
   test("small corpora keep the legacy geometry bitwise (faces unchanged)") {
     val docs = graft.Tables(spark, "/root/testdata/sf0.001", "documents")
     val n = docs.count()

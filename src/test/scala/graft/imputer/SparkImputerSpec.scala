@@ -274,6 +274,34 @@ class SparkImputerSpec extends SparkSpec {
     intercept[IllegalArgumentException] { new SparkImputer(idCol = "id", classThreshold = 0) }
   }
 
+  test("loud failure per bad-input class: missing id, wrong-typed categorical") {
+    import spark.implicits._
+    // ref tests.py pins a SPECIFIC loud error per malformed-input class —
+    // the contract is "fail at entry with the named column", never a
+    // confusing stack trace mid-fit
+    val df = Seq((1L, 1.0, Seq(1.0))).toDF("id", "x", "arr")
+    // missing id column
+    val e1 = intercept[IllegalArgumentException] {
+      new SparkImputer(idCol = "row_id")
+        .fit(df, new DecisionTreeClassifier(), new DecisionTreeRegressor())
+    }
+    assert(e1.getMessage.contains("id column 'row_id' is not in the data frame"))
+    // wrong-typed categorical (the ref TypeError class): an array column
+    // cannot be a category — named loudly at entry
+    val e2 = intercept[IllegalArgumentException] {
+      new SparkImputer(idCol = "id", categorical = Seq("arr"))
+        .fit(df, new DecisionTreeClassifier(), new DecisionTreeRegressor())
+    }
+    assert(e2.getMessage.contains("categorical columns must be atomic-typed")
+      && e2.getMessage.contains("arr: array<double>"))
+    // transform-side validation fails the same way (shared entry checks)
+    val e3 = intercept[IllegalArgumentException] {
+      new SparkImputer(idCol = "id", categorical = Seq("arr"))
+        .fitTransform(df, new DecisionTreeClassifier(), new DecisionTreeRegressor())
+    }
+    assert(e3.getMessage.contains("atomic-typed"))
+  }
+
   test("findImputationVariance: zero for identical datasets, positive for different") {
     import spark.implicits._
     val d1 = Seq((1.0, "a"), (2.0, "a"), (3.0, "b")).toDF("x", "c")

@@ -275,6 +275,50 @@ class SourcesSpec extends SparkSpec {
     assert(entered && !fs.exists(lock))
   }
 
+  test("withSwapLock token fence: a stolen lease fails loudly, never deletes the thief's") {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val base = java.nio.file.Files.createTempDirectory("graft_fence").toString
+    val lock = new org.apache.hadoop.fs.Path(s"$base/_lock")
+    def steal(): Unit = {
+      // simulate a contender's stale-steal completing while the holder is
+      // paused: the old lease vanishes and a NEW holder's token replaces it
+      fs.delete(lock, false)
+      val o = fs.create(lock, false)
+      try o.write("thief-token".getBytes("UTF-8")) finally o.close()
+    }
+    def lockContent(): String = {
+      val in = fs.open(lock)
+      try { val b = new Array[Byte](64); val n = in.read(b); new String(b, 0, n, "UTF-8") }
+      finally in.close()
+    }
+    // body completes but the lease was stolen mid-section → the call must
+    // FAIL (the section was not exclusive) and the thief's lease survives
+    intercept[SwapLeaseLostException] {
+      Sources.withSwapLock(fs, lock) { steal() }
+    }
+    assert(fs.exists(lock) && lockContent() == "thief-token",
+      "release deleted the new holder's lease")
+    fs.delete(lock, false)
+    // a FAILING body with a stolen lease: the body's exception propagates
+    // (not masked by the fence) and the thief's lease still survives
+    val ex = intercept[RuntimeException] {
+      Sources.withSwapLock(fs, lock) { steal(); throw new RuntimeException("boom") }
+    }
+    assert(ex.getMessage == "boom")
+    assert(fs.exists(lock) && lockContent() == "thief-token")
+    fs.delete(lock, false)
+    // heartbeat fencing: beats during the body read the thief's token,
+    // stop extending, and the release still fails loudly
+    intercept[SwapLeaseLostException] {
+      Sources.withSwapLock(fs, lock, leaseMs = 200L, pollMs = 20L) {
+        steal(); Thread.sleep(400)
+      }
+    }
+    assert(lockContent() == "thief-token")
+    fs.delete(lock, false)
+  }
+
   test("absorbRecreatedLive merges a rogue writer's committed files, drops half-state") {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
