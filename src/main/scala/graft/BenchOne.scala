@@ -16,9 +16,10 @@ object BenchOne {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
+    val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "2").toInt
     args.foreach { name =>
       val fn = SparkEntry.queries(name)
-      (1 to 2).foreach { i =>
+      (1 to runs).foreach { i =>
         val t0 = System.nanoTime()
         val n = fn(spark, sfDir).count()
         println(f"[benchone] $name run$i: ${(System.nanoTime() - t0) / 1e9}%.3f s ($n rows)")
