@@ -1637,6 +1637,31 @@ object Q {
       lit(merges.length).cast("bigint").as("n_merges"))
   }
 
+  /** The SATURATED-REGIME near-dup tier as a first-class face: permuted-
+    * mask simhash tables ([[graft.dedup.SimHash.pairsFromFingerprintsPermuted]])
+    * at the production-shaped geometry the regime switch would derive past
+    * blocked saturation (targetOccupancy=1 forces the occupancy-flat mask
+    * width at this corpus — what dedup_simhash/mm_phash actually run at
+    * ~32× this cardinality). PRECISION is exact (every emitted pair
+    * hamming-verified inside the join stage); RECALL is probabilistic by
+    * design — ≥0.9 in expectation from the compounding table count,
+    * measured 0.947–0.965 per decade against the exact pigeonhole in
+    * docs/GEOMETRY_RECALL.json, whose floor gate fails below 0.8.
+    * Summarized per hamming. Rows-only (probabilistic recall has no SQL
+    * form; AdaptiveGeometrySpec pins precision, determinism, and the
+    * recall law on a planted corpus). */
+  def dedupPermuted(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+    val n = Tables.cachedCount(s, dir, "documents")
+    val (w, t) = graft.dedup.SimHash.permutedGeometry(n, maxHamming = 7,
+      targetOccupancy = 1L)
+    val fp = docs.select(col("doc_id").as("id"),
+      graft.dedup.SimHash.simhash64(split(col("text"), " "), 42L).as("fp"))
+    graft.dedup.SimHash.pairsFromFingerprintsPermuted(fp, "id", "fp",
+        maxHamming = 7, maskBits = w, tables = t)
+      .groupBy("hamming").agg(count(lit(1)).as("n_pairs"))
+  }
+
   /** Fuzzy entity matching over part names: every distinct-name pair within
     * Levenshtein distance 2, found via the lossless q-gram count-filter
     * join (never all-pairs) — see [[graft.operators.FuzzyJoin]]. */

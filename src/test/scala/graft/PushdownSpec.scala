@@ -392,5 +392,11 @@ class PushdownSpec extends SparkSpec {
     val lshProbed = graft.similarity.AnnLsh.selfPairs(emb, "vec_id", "embedding",
       dim = 64, minCos = 0.35, planes = 5, tables = 4, probes = 3)
     assert(joins(lshProbed)._1 >= 1, "LSH bucket join (multi-probe) lost its shuffle_hash")
+    // the saturated-regime permuted-mask tier shares the keyed-join tail —
+    // pin it independently so a permuted-path refactor can't silently
+    // regress to sort-merge on the same duplicate-heavy keys
+    val permuted = graft.dedup.SimHash.pairsAdaptive(docs, "doc_id", "text",
+      maxHamming = 7, n = 10000000L)
+    assert(joins(permuted)._1 >= 1, "permuted-mask join lost its shuffle_hash")
   }
 }
