@@ -187,6 +187,20 @@ class AdaptiveGeometrySpec extends SparkSpec {
     // closer pairs strictly more often (1500 pairs => tight concentration)
     val recall = found.size.toDouble / exact.size
     assert(recall >= 0.85, s"permuted recall $recall below design (w=$w t=$t)")
+    // the mm_phash radius (h=8): same law, wider radius — the geometry
+    // derives more tables to hold the same target, and the measured
+    // recall holds. This is the phash face's saturated-regime plan.
+    val exact8 = SimHash.pairsFromFingerprints(fps, "id", "fp", maxHamming = 8)
+      .as[(Long, Long, Long)].collect().toSet
+    val (w8, t8) = SimHash.permutedGeometry(rows.size.toLong, maxHamming = 8,
+      targetOccupancy = 1L, targetRecall = 0.9)
+    assert(t8 >= t, s"h=8 must need >= as many tables as h=7 (got $t8 < $t)")
+    val found8 = SimHash.pairsFromFingerprintsPermuted(fps, "id", "fp",
+        maxHamming = 8, maskBits = w8, tables = t8)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(found8.subsetOf(exact8))
+    val recall8 = found8.size.toDouble / exact8.size
+    assert(recall8 >= 0.85, s"h=8 permuted recall $recall8 (w=$w8 t=$t8)")
   }
 
   test("pairsFromFingerprintsAdaptive routes by regime, bitwise below it") {
