@@ -475,7 +475,7 @@ object Dedup {
     * candidate pairs instead of freq². The trade (shared with
     * [[substringSpans]]'s cap): a pair whose entire prefix overlap rode
     * the dropped shingle is missed — 0 keeps the operator EXACT. */
-  private[dedup] def jaccardCandidates(sh: DataFrame, threshold: Double,
+  private[graft] def jaccardCandidates(sh: DataFrame, threshold: Double,
                                        maxDocFreq: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val tokens = sh.select(col("id"), col("block"), size(col("sh")).cast("int").as("sz"),

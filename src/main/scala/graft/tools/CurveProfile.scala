@@ -98,6 +98,59 @@ object CurveProfile {
       t(dir, "recall: registered face end-to-end") {
         graft.queries.Q.dedupRecall(spark, dir).count()
       }
+
+      // ---- dedup_jaccard stage terms (4.2×/decade — name the term)
+      val jsh = graft.dedup.Dedup.shingleFrame(docs, "doc_id", "text",
+        "source", 3).localCheckpoint()
+      t(dir, "jaccard: shingle frame (materialize)") { jsh.count() }
+      // the candidate fan-out the prefix filter admits: Σ prefixFreq²
+      // over (block, shingle) — the quadratic-in-occupancy join term
+      val cands = graft.dedup.Dedup.jaccardCandidates(jsh, 0.10, 0L)
+        .localCheckpoint()
+      t(dir, "jaccard: prefix-filter candidates") { cands.count() }
+      t(dir, "jaccard: verify join (exact sorted-merge)") {
+        cands
+          .join(jsh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+          .join(jsh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+          .withColumn("jaccard",
+            graft.dedup.Dedup.jaccardHashed(col("sh_a"), col("sh_b")))
+          .filter(col("jaccard") >= 0.10).count()
+      }
+      t(dir, "jaccard: registered face end-to-end") {
+        graft.queries.Q.dedupJaccard(spark, dir).count()
+      }
+      // counterfactual: NO checkpoint — the corpus tokenizes 3× but the
+      // heavy shingle arrays never serialize to the block store. Names
+      // whether the face's cost is the scan or the checkpoint write.
+      t(dir, "jaccard: face WITHOUT the checkpoint") {
+        graft.dedup.Dedup.jaccardPairsFromShingles(
+          graft.dedup.Dedup.shingleFrame(docs, "doc_id", "text", "source", 3),
+          threshold = 0.10).count()
+      }
+      // COLD stage isolation (fresh lineage each, no shared checkpoint):
+      // candidates-only vs the full face names whether the array-shipping
+      // verify join or the prefix-filter candidate stage carries the curve
+      t(dir, "jaccard: COLD candidates only") {
+        graft.dedup.Dedup.jaccardCandidates(
+          graft.dedup.Dedup.shingleFrame(docs, "doc_id", "text", "source", 3),
+          0.10, 0L).count()
+      }
+      t(dir, "jaccard: COLD shingle compute only") {
+        graft.dedup.Dedup.shingleFrame(docs, "doc_id", "text", "source", 3)
+          .select(size(col("sh"))).agg(sum(col("size(sh)"))).count()
+      }
+
+      // ---- dedup_substring_self stage terms (4.4×/decade)
+      val pos = graft.dedup.Dedup.positionalShingles(docs, "doc_id", "text", 8)
+        .localCheckpoint()
+      t(dir, "substr_self: positional shingles") { pos.count() }
+      t(dir, "substr_self: repeated-shingle prune") {
+        pos.groupBy("s").agg(countDistinct(col("_id")).as("_nd"))
+          .filter(col("_nd") >= 2).count()
+      }
+      t(dir, "substr_self: registered face end-to-end") {
+        graft.queries.Q.dedupSubstringSelf(spark, dir).count()
+      }
     }
     spark.stop()
   }

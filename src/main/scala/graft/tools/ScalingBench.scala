@@ -19,7 +19,8 @@ object ScalingBench {
   private val DefaultQueries = Seq(
     "embed_cluster_lsh", "ann_ivfpq", "ann_pq", "ann_lsh", "imp_ml_tree",
     "dedup_cluster", "dedup_stats", "dedup_jaccard", "dedup_containment",
-    "dedup_simhash", "dedup_substring", "dedup_substring_self", "dedup_winnow",
+    "dedup_simhash", "dedup_permuted", "dedup_substring", "dedup_substring_self",
+    "dedup_winnow",
     "text_tokens_bpe", "mm_phash",
     "q_basket", "imp_als", "q21_waiting", "text_tfidf", "imp_knn",
     "pipeline_neardup", "imp_ffill_bfill", "q1_agg", "q6_filter",
