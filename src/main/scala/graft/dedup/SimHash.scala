@@ -41,7 +41,12 @@ object SimHash {
     * derived budget are still found EXACTLY (the pigeonhole guarantee
     * holds at every width); pairs between the derived budget and `cap`
     * are no longer reported. The recall cost is measured per decade in
-    * docs/GEOMETRY_RECALL.json rather than asserted.
+    * docs/GEOMETRY_RECALL.json rather than asserted — 0.061 at sf1,
+    * which is why the registered faces now route to the permuted-mask
+    * tier instead ([[pairsFromFingerprintsAdaptive]]); this budget
+    * remains only as the measured knob-curve reference
+    * (dedup_simhash_h3) and for callers that truly want a narrower
+    * EXACT radius.
     *
     * Floor: maxHamming=1 (32-bit chunks, 4·10⁹ buckets — enough for any
     * corpus this side of a resharding). Takes `n` as a PARAMETER so the
@@ -207,10 +212,11 @@ object SimHash {
     * growth. Costs: per-doc explode C(h+d, d) (8 → 36 → 120 rows at
     * h=7), saturating at `maxD` — key width tops out near 64·d/(h+d)
     * bits, so past ~targetOccupancy·2^(3·64/(h+3)) rows (≈ 8M docs at
-    * h=7, occ=32) occupancy grows linearly again; beyond that,
-    * pre-block the corpus (source/language) or narrow the radius with
-    * [[adaptiveMaxHamming]] — the documented trade, measured in
-    * docs/GEOMETRY_RECALL.json. */
+    * h=7, occ=32) occupancy grows linearly again; beyond that the faces
+    * ROUTE to the permuted-mask tier ([[pairsFromFingerprintsAdaptive]],
+    * measured recall 0.947–0.965 under forced saturation) — the old
+    * radius narrowing ([[adaptiveMaxHamming]], measured recall 0.061)
+    * is superseded and kept only as the knob-curve reference. */
   def adaptiveBlocks(n: Long, maxHamming: Int = 7,
                      targetOccupancy: Long = 32L, maxD: Int = 3): Int = {
     require(maxHamming >= 1 && maxD >= 1)
