@@ -1491,6 +1491,36 @@ object Q {
         sum("_n").as("n_events"), count(lit(1)).as("n_days"))
   }
 
+  /** Re-aggregatable QUANTILE rollup — the percentile twin of
+    * [[eventsDistinctRollup]], completing the 100 TB pre-aggregation
+    * pattern pair: per-(type, day) KLL sketches of the value stream are
+    * built in ONE pass (the frame a pipeline persists as its daily
+    * summary), then per-type p50/p95/p99 merge from the SKETCHES alone —
+    * `kll_merge_agg_double` is a true sketch union, so the rollup never
+    * rescans raw events and re-aggregates exactly across any partitioning
+    * (unlike `approx_percentile`/`percentile_approx`, whose sketch cannot
+    * be stored and re-merged from SQL). k=200 ⇒ ~1.65% normalized rank
+    * error. Rows-only (DuckDB has no KLL; KLL compaction coin-flips are
+    * not seed-pinned, so the spec checks the merged estimates against
+    * exact percentiles within rank-error bounds, not bitwise). */
+  def eventsQuantileRollup(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables(s, dir, "events")
+      .select(col("event_type"), expr("ts div 86400000000000").as("d"),
+        col("value").cast("double").as("v"))
+      .groupBy("event_type", "d")
+      .agg(expr("kll_sketch_agg_double(v, 200)").as("_sk"),
+        count(lit(1)).as("_n"))
+    daily.groupBy("event_type")
+      .agg(expr("kll_sketch_get_quantile_double(kll_merge_agg_double(_sk), " +
+          "array(0.5D, 0.95D, 0.99D))").as("_qs"),
+        sum("_n").as("n_events"), count(lit(1)).as("n_days"))
+      .select(col("event_type"),
+        element_at(col("_qs"), 1).as("p50"),
+        element_at(col("_qs"), 2).as("p95"),
+        element_at(col("_qs"), 3).as("p99"),
+        col("n_events"), col("n_days"))
+  }
+
   /** ANN quality monitoring: recall@5 of the LSH index against the exact
     * brute-force neighbors, per query — the metric a pipeline watches to
     * size planes/tables before trusting an approximate index. Both sides

@@ -25,6 +25,58 @@ class SketchRollupSpec extends SparkSpec {
     }
   }
 
+  test("merged daily KLL sketches hit exact per-type percentiles within rank error") {
+    val dir = "/root/testdata/sf0.001"
+    val got = graft.queries.Q.eventsQuantileRollup(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getLong(4))).toMap
+    // exact per-type sorted values; check the RANK of each estimate —
+    // KLL k=200 guarantees ~1.65% normalized rank error (two-sided), and
+    // the merge preserves the bound; 3% leaves slack for the merge
+    val byType = graft.Tables(spark, dir, "events")
+      .select(col("event_type"), col("value").cast("double").as("v"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1))
+      .groupBy(_._1).map { case (t, vs) => t -> vs.map(_._2).sorted }
+    assert(got.keySet == byType.keySet)
+    for ((t, (p50, p95, p99, n)) <- got) {
+      val vs = byType(t)
+      assert(n == vs.length, s"$t event count is exact, not sketched")
+      for ((est, q) <- Seq((p50, 0.50), (p95, 0.95), (p99, 0.99))) {
+        val rank = vs.count(_ <= est).toDouble / vs.length
+        assert(math.abs(rank - q) <= 0.03,
+          s"$t q=$q: estimate $est sits at rank $rank")
+      }
+    }
+  }
+
+  test("KLL rollup re-aggregates from persisted daily sketches (never rescans)") {
+    // the pattern's point: persist the daily sketch frame, then derive the
+    // per-type percentiles FROM THE PERSISTED SKETCHES — estimates must
+    // stay within the same rank bound, proving the sketch survives a
+    // parquet round-trip and a re-merge (what approx_percentile cannot do)
+    val dir = "/root/testdata/sf0.001"
+    val daily = graft.Tables(spark, dir, "events")
+      .select(col("event_type"), expr("ts div 86400000000000").as("d"),
+        col("value").cast("double").as("v"))
+      .groupBy("event_type", "d")
+      .agg(expr("kll_sketch_agg_double(v, 200)").as("sk"))
+    val path = java.nio.file.Files.createTempDirectory("graft_kll").toString
+    daily.write.mode("overwrite").parquet(path)
+    val rolled = spark.read.parquet(path)
+      .groupBy("event_type")
+      .agg(expr("kll_sketch_get_quantile_double(kll_merge_agg_double(sk), 0.95D)").as("p95"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val byType = graft.Tables(spark, dir, "events")
+      .select(col("event_type"), col("value").cast("double").as("v"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1))
+      .groupBy(_._1).map { case (t, vs) => t -> vs.map(_._2).sorted }
+    for ((t, est) <- rolled) {
+      val vs = byType(t)
+      val rank = vs.count(_ <= est).toDouble / vs.length
+      assert(math.abs(rank - 0.95) <= 0.03, s"$t persisted-sketch p95 rank $rank")
+    }
+  }
+
   test("sketch rollup is deterministic across partitionings") {
     val dir = "/root/testdata/sf0.001"
     def run() = graft.queries.Q.eventsDistinctRollup(spark, dir)
