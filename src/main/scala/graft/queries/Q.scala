@@ -1521,6 +1521,40 @@ object Q {
         col("n_events"), col("n_days"))
   }
 
+  /** Audience SET ALGEBRA from sketches — the third member of the
+    * re-aggregatable rollup family (HLL distinct counts, KLL quantiles,
+    * and now Theta set operations): one pass builds a per-event-type
+    * Theta sketch of the user audience (the frame a pipeline persists);
+    * every ordered type pair then derives |A|, |B|, |A∩B|, |A\B| and the
+    * audience Jaccard FROM THE SKETCHES ALONE — `theta_intersection` /
+    * `theta_difference` are true set-algebra operators on the stored
+    * sketch (HLL unions but can never intersect; exact distinct
+    * intersections rescan raw events per pair — at 100 TB that is P
+    * pair-scans vs one). The pair join is a broadcast self-join of the
+    * 5-row sketch frame. Rows-only (DuckDB has no theta sketches; the
+    * spec pins every estimate against exact per-pair distincts within
+    * sketch error). */
+  def eventsThetaOverlap(s: SparkSession, dir: String): DataFrame = {
+    val sk = Tables(s, dir, "events")
+      .select(col("event_type"), col("user_id"))
+      .groupBy("event_type")
+      .agg(expr("theta_sketch_agg(user_id)").as("_sk"))
+      .localCheckpoint(eager = false)
+    val a = sk.select(col("event_type").as("type_a"), col("_sk").as("_ska"))
+    val b = sk.select(col("event_type").as("type_b"), col("_sk").as("_skb"))
+    a.join(broadcast(b), col("type_a") < col("type_b"))
+      .select(col("type_a"), col("type_b"),
+        expr("theta_sketch_estimate(_ska)").cast("bigint").as("users_a"),
+        expr("theta_sketch_estimate(_skb)").cast("bigint").as("users_b"),
+        expr("theta_sketch_estimate(theta_intersection(_ska, _skb))")
+          .cast("bigint").as("users_both"),
+        expr("theta_sketch_estimate(theta_difference(_ska, _skb))")
+          .cast("bigint").as("users_only_a"),
+        round(expr("theta_sketch_estimate(theta_intersection(_ska, _skb))") /
+          expr("theta_sketch_estimate(theta_union(_ska, _skb))"), 6)
+          .as("audience_jaccard"))
+  }
+
   /** ANN quality monitoring: recall@5 of the LSH index against the exact
     * brute-force neighbors, per query — the metric a pipeline watches to
     * size planes/tables before trusting an approximate index. Both sides

@@ -77,6 +77,29 @@ class SketchRollupSpec extends SparkSpec {
     }
   }
 
+  test("theta set algebra matches exact audience intersections within sketch error") {
+    val dir = "/root/testdata/sf0.001"
+    val got = graft.queries.Q.eventsThetaOverlap(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    val events = graft.Tables(spark, dir, "events")
+      .select(col("event_type"), col("user_id"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    val byType = events.groupBy(_._1).map { case (t, vs) => t -> vs.map(_._2).toSet }
+    val types = byType.keys.toSeq.sorted
+    val pairs = for (a <- types; b <- types if a < b) yield (a, b)
+    assert(got.keySet == pairs.toSet, s"expected all ${pairs.size} ordered pairs")
+    def ok(est: Long, exact: Int, what: String): Unit =
+      assert(math.abs(est - exact) <= math.max(5L, (0.10 * exact).toLong),
+        s"$what: estimate $est vs exact $exact")
+    for (((a, b), (ua, ub, both, onlyA)) <- got) {
+      val (sa, sb) = (byType(a), byType(b))
+      ok(ua, sa.size, s"$a |A|"); ok(ub, sb.size, s"$a∩$b |B|")
+      ok(both, (sa intersect sb).size, s"$a∩$b")
+      ok(onlyA, (sa diff sb).size, s"$a\\$b")
+    }
+  }
+
   test("sketch rollup is deterministic across partitionings") {
     val dir = "/root/testdata/sf0.001"
     def run() = graft.queries.Q.eventsDistinctRollup(spark, dir)
