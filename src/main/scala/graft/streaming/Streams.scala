@@ -281,6 +281,35 @@ object Streams {
         hll_sketch_estimate(col("distinct_sketch")).as("approx_distinct"),
         col("n_events"), col("distinct_sketch"))
 
+  /** Streaming per-(window, type) value QUANTILES via datasketches KLL —
+    * the percentile twin of [[windowedDistinct]]: exact streaming
+    * percentiles need every value in state, the sketch caps each group's
+    * state at the k-bounded KLL size no matter how many values flow
+    * through. Watermark-evicted windowed state, mergeable partials.
+    *
+    * Like windowedDistinct, the output carries the sketch BINARY
+    * (`quantile_sketch`), not just the estimates: `kll_merge_agg_double`
+    * is a true sketch union, so persisted window sketches re-merge into
+    * longer horizons downstream (the events_quantile_rollup batch face,
+    * same k) without rescanning raw events — per-window percentile
+    * ESTIMATES cannot be merged at all (a p95 of p95s is not the p95).
+    * Caller column names are never spliced into SQL text: the value is
+    * pre-projected to a fixed internal name, and only the Int `k` is
+    * interpolated. */
+  def windowedQuantiles(events: DataFrame, tsCol: String, typeCol: String,
+                        valueCol: String, windowLen: String = "1 hour",
+                        watermark: String = "30 minutes",
+                        k: Int = 200): DataFrame =
+    events.withColumn("_v", col(valueCol).cast("double"))
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowLen), col(typeCol))
+      .agg(expr(s"kll_sketch_agg_double(_v, $k)").as("quantile_sketch"),
+        count(lit(1)).as("n_events"))
+      .select(col("window.start").as("window_start"), col(typeCol),
+        expr("kll_sketch_get_quantile_double(quantile_sketch, 0.5D)").as("p50"),
+        expr("kll_sketch_get_quantile_double(quantile_sketch, 0.95D)").as("p95"),
+        col("n_events"), col("quantile_sketch"))
+
   /** Streaming per-window heavy hitters: the top-k user ids by event count
     * in each tumbling window — the hot-key/abuse monitor a stream pipeline
     * runs next to its windowed totals. TWO chained stateful aggregations

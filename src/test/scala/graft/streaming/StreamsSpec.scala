@@ -164,6 +164,43 @@ class StreamsSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming KLL window sketches re-merge downstream into exact-rank quantiles") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    // values 1..100 in window 0, 101..200 in window 1: the per-window p95s
+    // (~95, ~195) CANNOT be combined into the true merged p95 (~190) by
+    // any arithmetic on the estimates — only the sketch union can
+    val h0 = 1700000000000L / 3600000L * 3600000L // epoch-hour aligned
+    val events = (1 to 100).map(i =>
+        Ev(new Timestamp(h0 + i * 30000L), "click", i.toDouble, i)) ++
+      (101 to 200).map(i =>
+        Ev(new Timestamp(h0 + 3600000L + (i - 100) * 30000L), "click", i.toDouble, i))
+    val out = Streams.windowedQuantiles(input.toDF(), "ts", "event_type", "value")
+    val query = out.writeStream.format("memory").queryName("kll_out")
+      .outputMode("complete").start()
+    try {
+      input.addData(events: _*)
+      query.processAllAvailable()
+      val landed = spark.table("kll_out")
+      assert(landed.schema("quantile_sketch").dataType ==
+        org.apache.spark.sql.types.BinaryType)
+      assert(landed.count() == 2)
+      // per-window medians sit in their own ranges (sketch exact at n=100)
+      val p50s = landed.select("p50").as[Double].collect().sorted
+      assert(p50s(0) > 40 && p50s(0) < 61 && p50s(1) > 140 && p50s(1) < 161,
+        s"per-window p50s: ${p50s.toSeq}")
+      // downstream re-merge from the landed sketches — the batch rollup
+      // shape; no raw events rescanned. True merged p95 over 1..200 = 190.
+      val merged = landed.groupBy("event_type")
+        .agg(expr("kll_sketch_get_quantile_double(kll_merge_agg_double(quantile_sketch), 0.95D)")
+          .as("p95"))
+        .as[(String, Double)].collect().toMap
+      assert(math.abs(merged("click") - 190.0) <= 6.0,
+        s"union-merged p95: $merged (naive mean of window p95s would be ~145)")
+    } finally query.stop()
+  }
+
   test("streaming window sketches union-merge downstream: lambda rollup matches exact distinct") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
