@@ -30,6 +30,30 @@ object OracleSql {
 
   val sql: Map[String, String] = Map(
 
+    // Theta audience set algebra: below the sketch's k = 4096 retained
+    // entries the theta sketch is in EXACT mode (theta = 1.0, every hash
+    // retained), so estimates ARE the exact distinct counts at every test
+    // scale (≤ ~1.5k users/type at sf0.1) and the face hash-matches exact
+    // SQL set algebra; at production cardinalities it degrades gracefully
+    // to the documented ~2% estimate (the spec's error-bound tier).
+    // audience_jaccard divides the same exact integer-valued doubles in
+    // both engines (IEEE division + round(x, 6) — bitwise-stable).
+    "events_theta_overlap" ->
+      """WITH au AS (SELECT DISTINCT event_type AS t, user_id AS u FROM events),
+        | sz AS (SELECT t, count(*) AS n FROM au GROUP BY t),
+        | ovl AS (SELECT x.t AS ta, y.t AS tb, count(*) AS nboth
+        |         FROM au x JOIN au y ON x.u = y.u AND x.t < y.t
+        |         GROUP BY x.t, y.t)
+        |SELECT a.t AS type_a, b.t AS type_b,
+        | a.n AS users_a, b.n AS users_b,
+        | COALESCE(o.nboth, 0) AS users_both,
+        | a.n - COALESCE(o.nboth, 0) AS users_only_a,
+        | round(CAST(COALESCE(o.nboth, 0) AS DOUBLE)
+        |   / CAST(a.n + b.n - COALESCE(o.nboth, 0) AS DOUBLE), 6)
+        |   AS audience_jaccard
+        |FROM sz a JOIN sz b ON a.t < b.t
+        |LEFT JOIN ovl o ON o.ta = a.t AND o.tb = b.t""".stripMargin,
+
     // -------------------------------------------------------------- backbone
     "q1_agg" ->
       s"""SELECT l_returnflag, l_linestatus,
