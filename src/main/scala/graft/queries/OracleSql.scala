@@ -54,6 +54,19 @@ object OracleSql {
         |FROM sz a JOIN sz b ON a.t < b.t
         |LEFT JOIN ovl o ON o.ta = a.t AND o.tb = b.t""".stripMargin,
 
+    // N-way theta intersection (exact mode at test scales, like the
+    // overlap face): always-on audience = users whose distinct-day count
+    // equals the type's day count.
+    "events_retention_sketch" ->
+      """WITH ud AS (SELECT DISTINCT event_type AS t, epoch_ns(ts) // 86400000000000 AS d,
+        |   user_id AS u FROM events),
+        | days AS (SELECT t, count(DISTINCT d) AS nd FROM ud GROUP BY t),
+        | peruser AS (SELECT t, u, count(DISTINCT d) AS c FROM ud GROUP BY t, u)
+        |SELECT days.t AS event_type, CAST(days.nd AS BIGINT) AS n_days,
+        | CAST((SELECT count(*) FROM peruser p WHERE p.t = days.t AND p.c = days.nd)
+        |   AS BIGINT) AS users_every_day
+        |FROM days""".stripMargin,
+
     // -------------------------------------------------------------- backbone
     "q1_agg" ->
       s"""SELECT l_returnflag, l_linestatus,

@@ -1555,6 +1555,30 @@ object Q {
           .as("audience_jaccard"))
   }
 
+  /** N-WAY audience intersection from sketches — the strictest retention
+    * cut ("users active on EVERY day"), via `theta_intersection_agg` over
+    * the persisted per-(type, day) audience sketches: the daily sketch
+    * table is built once (the same frame the other rollups persist) and
+    * the always-on audience derives from the sketches alone — exact SQL
+    * needs a per-(type, user) distinct-day count over raw events, a scan
+    * that grows with history; the sketch path re-aggregates the daily
+    * summaries. Below the sketch's 4096 retained entries intersection
+    * stays in exact mode, so the face hash-matches the exact SQL at every
+    * test scale (oracle registered); production cardinality degrades to
+    * the documented estimate. */
+  def eventsRetentionSketch(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables(s, dir, "events")
+      .select(col("event_type"), expr("ts div 86400000000000").as("d"),
+        col("user_id"))
+      .groupBy("event_type", "d")
+      .agg(expr("theta_sketch_agg(user_id)").as("_sk"))
+    daily.groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"),
+        expr("theta_sketch_estimate(theta_intersection_agg(_sk))")
+          .cast("bigint").as("users_every_day"))
+      .select(col("event_type"), col("n_days"), col("users_every_day"))
+  }
+
   /** ANN quality monitoring: recall@5 of the LSH index against the exact
     * brute-force neighbors, per query — the metric a pipeline watches to
     * size planes/tables before trusting an approximate index. Both sides

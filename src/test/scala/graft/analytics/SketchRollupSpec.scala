@@ -100,6 +100,24 @@ class SketchRollupSpec extends SparkSpec {
     }
   }
 
+  test("theta N-way intersection equals the exact always-on audience") {
+    val dir = "/root/testdata/sf0.001"
+    val got = graft.queries.Q.eventsRetentionSketch(spark, dir)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val exact = graft.Tables(spark, dir, "events")
+      .select(col("event_type"), expr("ts div 86400000000000").as("d"), col("user_id"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val byType = exact.groupBy(_._1)
+    for ((t, rows) <- byType) {
+      val days = rows.map(_._2).distinct.size
+      val alwaysOn = rows.groupBy(_._3)
+        .count { case (_, es) => es.map(_._2).distinct.size == days }
+      val (gd, ga) = got(t)
+      // exact mode below 4096 retained entries: equality, not a bound
+      assert(gd == days && ga == alwaysOn, s"$t: got ($gd,$ga) exact ($days,$alwaysOn)")
+    }
+  }
+
   test("sketch rollup is deterministic across partitionings") {
     val dir = "/root/testdata/sf0.001"
     def run() = graft.queries.Q.eventsDistinctRollup(spark, dir)
