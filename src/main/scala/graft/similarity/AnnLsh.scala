@@ -104,7 +104,12 @@ object AnnLsh {
     * dial: cap=4 holds measured fourth-decade recall ~3.5× above the
     * frozen-geometry 0.196 at half the full-probe-ring cost. At the
     * geometry floor there is nothing to recover (small corpora keep the
-    * legacy wide-recall buckets bitwise), so the budget is 0 there. */
+    * legacy wide-recall buckets bitwise), so the budget is 0 there.
+    * Cap 4 is MEASURED, not arbitrary (tools/ProbeSweep, sf1): probes
+    * 4→8 buys +0.05 recall at ~2× candidate cost — margin flips only
+    * reach near-boundary bits — while [[adaptiveTables]] compounds
+    * independently (+0.125 at 1.34×); past the probe cap, tables are
+    * the recall dial. */
   def adaptiveProbes(planes: Int, floor: Int = 4, cap: Int = 4): Int =
     if (planes <= floor) 0 else math.min(cap, planes)
 
