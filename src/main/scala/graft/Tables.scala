@@ -57,22 +57,34 @@ object Tables {
     } else df
   }
 
-  // (dir, table) → row count, session-lifetime. Parquet counts are
-  // metadata-cheap but still a job each; the adaptive-geometry faces
-  // (dedup_simhash, mm_phash, embed_cluster_lsh) derive their keying
-  // geometry from corpus cardinality on EVERY execution, so a bench pass
-  // was paying 3 count jobs per face run for a number that never changes
-  // within a session. ConcurrentHashMap: faces run concurrently under the
-  // bench harness. Immutable-input contract: the testdata tables are
-  // read-only per session (the driver regenerates dirs, not files in
-  // place) — a pipeline over mutating tables should pass its own stat.
+  // (dir, table, content-fingerprint) → row count, session-lifetime.
+  // Parquet counts are metadata-cheap but still a job each; the
+  // adaptive-geometry faces (dedup_simhash, mm_phash, embed_cluster_lsh)
+  // derive their keying geometry from corpus cardinality on EVERY
+  // execution, so a bench pass was paying 3 count jobs per face run for a
+  // number that never changes within a session. ConcurrentHashMap: faces
+  // run concurrently under the bench harness. The key carries a cheap
+  // CONTENT fingerprint (file lengths ⊕ mtimes — same idiom as the band-
+  // index cache in ScalingBench) so testdata regenerated at the same path
+  // mid-session feeds a fresh cardinality into the geometry, not a stale
+  // one; the fingerprint walk is a local metadata stat, no Spark job.
   private val countCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, String), java.lang.Long]()
+    new java.util.concurrent.ConcurrentHashMap[(String, String, Long), java.lang.Long]()
+
+  private def contentFingerprint(path: String): Long = {
+    def fp(f: java.io.File): Long =
+      if (f.isDirectory)
+        Option(f.listFiles()).map(_.map(fp).foldLeft(0L)(_ ^ _)).getOrElse(0L)
+      else f.length() + f.lastModified() * 0x9E3779B97F4A7C15L
+    fp(new java.io.File(path))
+  }
 
   /** Session-cached row count of a testdata table — ONE count job per
-    * (dir, table) per session, shared by every adaptive-geometry face. */
+    * (dir, table, content) per session, shared by every adaptive-geometry
+    * face, invalidated automatically when the files under the path change. */
   def cachedCount(spark: SparkSession, dir: String, name: String): Long =
-    countCache.computeIfAbsent((dir, name),
+    countCache.computeIfAbsent(
+      (dir, name, contentFingerprint(s"$dir/$name.parquet")),
       _ => java.lang.Long.valueOf(apply(spark, dir, name).count())).longValue()
 
   /** NULL out `valueCol` where `keyCol % m == r` — mirrored in oracle SQL. */

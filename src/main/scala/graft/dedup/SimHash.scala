@@ -295,18 +295,47 @@ object SimHash {
     }
     val wanted = math.ceil(
       math.log(math.max(1.0, n.toDouble / targetOccupancy)) / math.log(2.0)).toInt
+    // the table budget is NEVER silently exceeded: if even the 1-bit mask
+    // can't compound to targetRecall within maxTables (extreme recall targets
+    // at wide radii), fail loudly — the caller chooses which side gives way
+    // (raise maxTables or lower targetRecall), not this function. Each
+    // candidate width must also admit `tables` DISTINCT masks
+    // ([[permutedMasks]] rejects duplicates): t ≤ C(64, w).
     val w = (math.min(math.max(1, wanted), 64 - maxHamming) to 1 by -1)
-      .find(w => tablesFor(w) <= maxTables).getOrElse(1)
+      .find(w => tablesFor(w) <= math.min(maxTables.toLong, distinctMaskCapacity(w)))
+      .getOrElse(throw new IllegalArgumentException(
+        s"permutedGeometry: even a 1-bit mask needs ${tablesFor(1)} tables to " +
+          s"reach recall=$targetRecall at maxHamming=$maxHamming, exceeding " +
+          s"maxTables=$maxTables — raise maxTables or lower targetRecall"))
     (w, tablesFor(w).toInt)
   }
 
-  /** `tables` deterministic w-bit masks (w distinct positions of 0..63,
-    * Fisher–Yates over a fixed-seed java.util.Random — identical on every
-    * executor and every run). */
+  /** Number of distinct w-bit masks over 64 positions — C(64, w), capped at
+    * Int.MaxValue (exact integral recurrence; the cap guard keeps every
+    * intermediate product well inside Long). */
+  def distinctMaskCapacity(maskBits: Int): Long = {
+    var c = 1L
+    var i = 0
+    while (i < maskBits && c < Int.MaxValue) { c = c * (64 - i) / (i + 1); i += 1 }
+    math.min(c, Int.MaxValue.toLong)
+  }
+
+  /** `tables` deterministic DISTINCT w-bit masks (w distinct positions of
+    * 0..63, Fisher–Yates over a fixed-seed java.util.Random — identical on
+    * every executor and every run). Duplicate draws are rejected and redrawn:
+    * a repeated mask would silently shrink the EFFECTIVE table count below
+    * what [[permutedGeometry]]'s recall compounding assumed. Requires
+    * tables ≤ C(64, w) so the rejection loop terminates. */
   def permutedMasks(maskBits: Int, tables: Int, seed: Long = 0x517EC0DEL): Array[Long] = {
     require(maskBits >= 1 && maskBits <= 64 && tables >= 1)
+    require(tables <= distinctMaskCapacity(maskBits),
+      s"$tables distinct $maskBits-bit masks requested but only " +
+        s"${distinctMaskCapacity(maskBits)} exist")
     val rnd = new java.util.Random(seed)
-    Array.fill(tables) {
+    val seen = scala.collection.mutable.HashSet.empty[Long]
+    val out = new Array[Long](tables)
+    var k = 0
+    while (k < tables) {
       val pos = (0 until 64).toArray
       var m = 0L
       for (i <- 0 until maskBits) {
@@ -314,8 +343,9 @@ object SimHash {
         val t = pos(i); pos(i) = pos(j); pos(j) = t
         m |= 1L << pos(i)
       }
-      m
+      if (seen.add(m)) { out(k) = m; k += 1 } // duplicate: redraw
     }
+    out
   }
 
   /** PERMUTED-MASK near-dup candidate join — the saturated-regime tier:

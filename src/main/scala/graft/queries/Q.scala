@@ -1697,8 +1697,12 @@ object Q {
       before.unionByName(after)
     } finally {
       // recursive delete of the scratch index — tmpdir hygiene is part of
-      // the face's contract (the bench protocol runs it 4+ times a session)
-      val fs = org.apache.hadoop.fs.FileSystem.get(
+      // the face's contract (the bench protocol runs it 4+ times a session).
+      // The scratch dir is a java.nio LOCAL tempdir, so delete through the
+      // LOCAL FileSystem explicitly: the default FS on a cluster is HDFS and
+      // would resolve the bare path against it — leaking the local scratch
+      // every run and deleting any coincidentally same-named HDFS path
+      val fs = org.apache.hadoop.fs.FileSystem.getLocal(
         s.sparkContext.hadoopConfiguration)
       fs.delete(new org.apache.hadoop.fs.Path(path), true)
     }

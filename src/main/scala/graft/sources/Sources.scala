@@ -262,30 +262,70 @@ object Sources {
       }
     }
     // the fence read: whose token does the lease file hold right now?
-    // None on any read failure — a vanished/unreadable lease is treated
-    // as not-ours (never extend, never delete, fail the body loudly).
-    def ownerToken(): Option[String] =
+    // Tri-state, because "couldn't read" and "read a different token" demand
+    // opposite reactions: a CONFIRMED mismatch (or a vanished file — steals
+    // rename the lease out before recreating it) means stolen, while a
+    // transient IO failure or short read means "unknown, re-check" — a single
+    // FS hiccup must not permanently kill a healthy exclusive section.
+    sealed trait OwnerRead
+    case class OwnerIs(tok: String) extends OwnerRead
+    case object OwnerGone extends OwnerRead // confirmed: lease file absent
+    case object ReadFailed extends OwnerRead // transient: retry next beat
+    def readOwner(): OwnerRead =
       try {
         val in = fs.open(lockPath)
         try {
+          // read to EOF — a single in.read() is not guaranteed to return the
+          // whole token, and a partial UUID must not read as "not ours"
           val buf = new Array[Byte](64)
-          val n = in.read(buf)
-          if (n <= 0) None else Some(new String(buf, 0, n, "UTF-8"))
+          var off = 0
+          var n = 0
+          while (off < buf.length && { n = in.read(buf, off, buf.length - off); n > 0 })
+            off += n
+          if (off <= 0) ReadFailed else OwnerIs(new String(buf, 0, off, "UTF-8"))
         } finally in.close()
-      } catch { case _: java.io.IOException => None }
+      } catch {
+        case _: java.io.FileNotFoundException => OwnerGone
+        case _: java.io.IOException           => ReadFailed
+      }
+    // CONFIRMED ownership check with bounded retry over transient failures —
+    // used where a spurious ReadFailed would otherwise throw or leak a lease.
+    def confirmOwner(attempts: Int): OwnerRead = {
+      var last: OwnerRead = ReadFailed
+      var i = 0
+      while (i < attempts) {
+        last = readOwner()
+        if (last != ReadFailed) return last
+        i += 1
+        if (i < attempts) Thread.sleep(math.min(pollMs, 50L))
+      }
+      last
+    }
     // heartbeat daemon: a LIVE holder is never stolen, no matter how long
     // the body (a Spark append job, a reconcile copy) runs
     @volatile var done = false
     @volatile var lost = false
     val hb = new Thread(() => {
       try {
+        var readFails = 0 // consecutive — reset on any successful fence read
         while (!done && !lost) {
           Thread.sleep(math.max(1L, leaseMs / 4))
           if (!done) {
-            if (ownerToken().contains(token))
-              try fs.setTimes(lockPath, System.currentTimeMillis(), -1)
-              catch { case _: java.io.IOException => () } // FS hiccup: next beat re-checks
-            else lost = true // stolen: never extend the thief's lease
+            readOwner() match {
+              case OwnerIs(t) if t == token =>
+                readFails = 0
+                try fs.setTimes(lockPath, System.currentTimeMillis(), -1)
+                catch { case _: java.io.IOException => () } // FS hiccup: next beat re-checks
+              case OwnerIs(_) | OwnerGone =>
+                lost = true // CONFIRMED stolen: never extend the thief's lease
+              case ReadFailed =>
+                // transient: skip this extension (never blind-extend what might
+                // be a thief's lease) and re-check next beat; only a sustained
+                // outage — 3 beats = 3/4 leaseMs of confirmed silence, the
+                // point where a steal becomes possible anyway — marks lost
+                readFails += 1
+                if (readFails >= 3) lost = true
+            }
           }
         }
       } catch { case _: InterruptedException => () } // release signal: exit quietly
@@ -299,11 +339,14 @@ object Sources {
           done = true; hb.interrupt()
           // release only what we still own — deleting a thief's lease would
           // let a THIRD writer enter its critical section
-          if (ownerToken().contains(token)) fs.delete(lockPath, false)
+          if (confirmOwner(3) == OwnerIs(token)) fs.delete(lockPath, false)
           throw e
       }
     done = true; hb.interrupt()
-    if (lost || !ownerToken().contains(token))
+    // final fence: retry transient read failures before declaring the lease
+    // lost — a healthy section must not throw on one IO hiccup, but an
+    // UNCONFIRMABLE ownership (3 straight failures) still fails loudly
+    if (lost || confirmOwner(3) != OwnerIs(token))
       throw new SwapLeaseLostException(
         s"swap lock $lockPath: lease lost mid-critical-section (holder paused/" +
           s"stalled past leaseMs=$leaseMs and was stolen); the completed " +

@@ -150,6 +150,33 @@ class AdaptiveGeometrySpec extends SparkSpec {
     assert(SimHash.permutedMasks(16, 24, seed = 7L).toSeq != m1.toSeq)
   }
 
+  test("permutedMasks rejects duplicates; geometry never exceeds the table budget silently") {
+    // narrow masks WILL draw duplicates — the rejection loop must still
+    // deliver the full count of DISTINCT masks (the recall law compounds
+    // over effective tables, so a silent duplicate under-delivers recall)
+    val narrow = SimHash.permutedMasks(2, 500)
+    assert(narrow.length == 500 && narrow.distinct.length == 500,
+      "duplicate masks silently shrink the effective table count")
+    assert(narrow.forall(m => java.lang.Long.bitCount(m) == 2))
+    // more distinct masks than exist → loud require, not an infinite loop
+    assert(SimHash.distinctMaskCapacity(1) == 64L)
+    assert(SimHash.distinctMaskCapacity(2) == 2016L)
+    intercept[IllegalArgumentException] { SimHash.permutedMasks(1, 65) }
+    // a geometry that can't reach the recall target within maxTables even
+    // at w=1 fails loudly — the budget is never silently exceeded
+    intercept[IllegalArgumentException] {
+      SimHash.permutedGeometry(1000000L, maxHamming = 56,
+        targetRecall = 0.9999, maxTables = 16)
+    }
+    // and every geometry it DOES return fits both the budget and the
+    // distinct-mask capacity of its width
+    for (n <- Seq(10000000L, 100000000L, 1000000000L)) {
+      val (w, t) = SimHash.permutedGeometry(n)
+      assert(t <= 64 && t <= SimHash.distinctMaskCapacity(w))
+      assert(SimHash.permutedMasks(w, t).distinct.length == t)
+    }
+  }
+
   test("permuted tier: exact precision, measured recall >= design target") {
     // planted corpus: 1500 random base fingerprints, each with a partner
     // at hamming distance cycling 1..7 (random bit choices), plus one

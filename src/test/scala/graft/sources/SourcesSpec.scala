@@ -319,6 +319,48 @@ class SourcesSpec extends SparkSpec {
     fs.delete(lock, false)
   }
 
+  test("withSwapLock fence tolerates transient read failures; sustained outage fails loudly") {
+    val raw = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val base = java.nio.file.Files.createTempDirectory("graft_hiccup").toString
+    val lock = new org.apache.hadoop.fs.Path(s"$base/_lock")
+    // inject IOExceptions into the fence READ path only (open), leaving
+    // create/setTimes/delete healthy — the exact failure the advice named:
+    // a single hiccup during a heartbeat must not permanently kill a
+    // healthy exclusive section
+    val failOpens = new java.util.concurrent.atomic.AtomicInteger(0)
+    val fs = new org.apache.hadoop.fs.FilterFileSystem(raw) {
+      override def open(p: org.apache.hadoop.fs.Path, bufferSize: Int)
+          : org.apache.hadoop.fs.FSDataInputStream = {
+        if (failOpens.get() > 0) {
+          failOpens.decrementAndGet()
+          throw new java.io.IOException("injected fence-read failure")
+        }
+        super.open(p, bufferSize)
+      }
+    }
+    // TRANSIENT: two failed beats (below the 3-consecutive threshold), then
+    // reads recover — the section completes and the lease releases cleanly
+    var completed = false
+    failOpens.set(2)
+    Sources.withSwapLock(fs, lock, leaseMs = 400L, pollMs = 20L) {
+      Thread.sleep(600); completed = true
+    }
+    assert(completed, "healthy section killed by a transient fence-read failure")
+    assert(!raw.exists(lock), "lease leaked after a hiccup-tolerant release")
+    // SUSTAINED: every read fails — 3 consecutive failed beats mean the
+    // holder can no longer confirm ownership while a steal becomes possible,
+    // so the call must fail loudly rather than return as if exclusive
+    failOpens.set(1000)
+    intercept[SwapLeaseLostException] {
+      Sources.withSwapLock(fs, lock, leaseMs = 400L, pollMs = 20L) {
+        Thread.sleep(600)
+      }
+    }
+    failOpens.set(0)
+    raw.delete(lock, false) // unconfirmable ownership → release never deletes
+  }
+
   test("absorbRecreatedLive merges a rogue writer's committed files, drops half-state") {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
