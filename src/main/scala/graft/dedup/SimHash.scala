@@ -107,6 +107,14 @@ object SimHash {
     require(d >= 1, s"d must be >= 1, got $d")
     val k = maxHamming + d
     require(k <= 64, s"maxHamming + d must be <= 64, got $k")
+    pairsViaGroupKeys(df, idCol, fpCol, maxHamming, blockedKeyStructs(maxHamming, d))
+  }
+
+  /** The (comb, ckey) banding structs of the block-combination pigeonhole
+    * — exposed so the persisted [[FingerprintIndex]] keys probe batches
+    * IDENTICALLY to the corpus rows they join against. */
+  def blockedKeyStructs(maxHamming: Int, d: Int): Seq[Column] = {
+    val k = maxHamming + d
     val bitsPer = 64 / k
     // 1L << 64 wraps to 1: the k=1 single-block case must key on the
     // WHOLE fingerprint, not collapse every doc into bucket 0 (results
@@ -115,14 +123,13 @@ object SimHash {
     // one (comb, ckey) struct per combination, exploded — C(k, d) narrow
     // rows per DISTINCT fingerprint (d=1 ⇒ the classic k chunk rows)
     val combos = (0 until k).combinations(d).toSeq
-    val keyStructs = combos.zipWithIndex.map { case (blocks, ci) =>
+    combos.zipWithIndex.map { case (blocks, ci) =>
       val key = blocks.zipWithIndex.map { case (b, j) =>
         shiftleft(shiftright(col("fp"), b * bitsPer).bitwiseAND(blockMask),
           j * bitsPer)
       }.reduce(_ bitwiseOR _)
       struct(lit(ci).as("comb"), key.as("ckey"))
     }
-    pairsViaGroupKeys(df, idCol, fpCol, maxHamming, keyStructs)
   }
 
   /** The shared candidate-join tail of every fingerprint banding scheme
@@ -364,12 +371,48 @@ object SimHash {
                                     seed: Long = 0x517EC0DEL): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 63,
       s"maxHamming must be in [0, 63], got $maxHamming")
-    val keyStructs = permutedMasks(maskBits, tables, seed).zipWithIndex.map {
+    pairsViaGroupKeys(df, idCol, fpCol, maxHamming,
+      permutedKeyStructs(maskBits, tables, seed))
+  }
+
+  /** The (comb, ckey) banding structs of the permuted-mask tier — see
+    * [[blockedKeyStructs]] for why they are exposed. */
+  def permutedKeyStructs(maskBits: Int, tables: Int,
+                         seed: Long = 0x517EC0DEL): Seq[Column] =
+    permutedMasks(maskBits, tables, seed).zipWithIndex.map {
       case (m, ti) =>
         struct(lit(ti).as("comb"), col("fp").bitwiseAND(lit(m)).as("ckey"))
     }.toSeq
-    pairsViaGroupKeys(df, idCol, fpCol, maxHamming, keyStructs)
+
+  /** The REGIME-SWITCHED banding geometry as a persistable record — what
+    * [[pairsFromFingerprintsAdaptive]] derives per call and the
+    * [[FingerprintIndex]] pins at build time (probe batches must key
+    * EXACTLY like the corpus rows already in the index, so the index
+    * stores this record in its params table instead of re-deriving from a
+    * drifting corpus count). `keyStructs` rebuilds the banding columns. */
+  case class FpGeometry(regime: String, maxHamming: Int, d: Int,
+                        maskBits: Int, tables: Int, seed: Long) {
+    def keyStructs: Seq[Column] = regime match {
+      case "blocked"  => blockedKeyStructs(maxHamming, d)
+      case "permuted" => permutedKeyStructs(maskBits, tables, seed)
+      case other => throw new IllegalArgumentException(s"unknown regime $other")
+    }
   }
+
+  /** Derive the [[FpGeometry]] the regime switch picks at corpus size `n`
+    * — the single source for [[pairsFromFingerprintsAdaptive]] and the
+    * persisted index's build/rekey. */
+  def adaptiveGeometry(n: Long, maxHamming: Int,
+                       targetOccupancy: Long = 32L, maxD: Int = 3,
+                       targetRecall: Double = 0.9,
+                       seed: Long = 0x517EC0DEL): FpGeometry =
+    if (!blockedSaturated(n, maxHamming, targetOccupancy, maxD))
+      FpGeometry("blocked", maxHamming,
+        adaptiveBlocks(n, maxHamming, targetOccupancy, maxD), 0, 0, seed)
+    else {
+      val (w, t) = permutedGeometry(n, maxHamming, targetOccupancy, targetRecall)
+      FpGeometry("permuted", maxHamming, 0, w, t, seed)
+    }
 
   /** The REGIME SWITCH over an existing 64-bit fingerprint column: exact
     * block-combination pigeonhole while [[adaptiveBlocks]] has buckets to
@@ -383,14 +426,10 @@ object SimHash {
   def pairsFromFingerprintsAdaptive(df: DataFrame, idCol: String, fpCol: String,
                                     maxHamming: Int, n: Long,
                                     targetOccupancy: Long = 32L, maxD: Int = 3,
-                                    targetRecall: Double = 0.9): DataFrame =
-    if (!blockedSaturated(n, maxHamming, targetOccupancy, maxD))
-      pairsFromFingerprintsBlocked(df, idCol, fpCol, maxHamming,
-        adaptiveBlocks(n, maxHamming, targetOccupancy, maxD))
-    else {
-      val (w, t) = permutedGeometry(n, maxHamming, targetOccupancy, targetRecall)
-      pairsFromFingerprintsPermuted(df, idCol, fpCol, maxHamming, w, t)
-    }
+                                    targetRecall: Double = 0.9): DataFrame = {
+    val g = adaptiveGeometry(n, maxHamming, targetOccupancy, maxD, targetRecall)
+    pairsViaGroupKeys(df, idCol, fpCol, maxHamming, g.keyStructs)
+  }
 
   /** [[pairsFromFingerprintsAdaptive]] over raw text (the dedup_simhash
     * face's entry): simhash the tokens, then route by regime. */

@@ -1354,6 +1354,29 @@ object Q {
       smallBatch = false)
   }
 
+  /** Incremental HAMMING-family ingest over the persisted fingerprint
+    * index ([[graft.dedup.FingerprintIndex]] — the dedup_near_incremental
+    * pattern applied to simhash/phash): the non-src0 corpus builds the
+    * index once (simhash fingerprints, pinned adaptive geometry), the
+    * src0 slice probes it — every hamming-≤7 pair touching the batch,
+    * with the corpus side a clustered narrow keys scan, never a corpus
+    * re-fingerprint. The batch is corpus-proportional (scales with sf) so
+    * smallBatch=false drops the broadcast hints for graceful shuffles.
+    * Rows-only (the hash family has no SQL form); the spec pins probe ≡
+    * corpus-wide pairs restricted to batch-touching. */
+  def dedupFpIncremental(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+    val fps = docs.select(col("doc_id"),
+      graft.dedup.SimHash.simhash64(split(col("text"), " "), 42L).as("fp"))
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_fp_idx_" +
+      math.abs(dir.hashCode).toString
+    graft.dedup.FingerprintIndex.write(fps.filter(col("doc_id") % 5 =!= 0),
+      "doc_id", "fp", path)
+    graft.dedup.FingerprintIndex.pairsIncremental(s, path,
+      fps.filter(col("doc_id") % 5 === 0), "doc_id", "fp",
+      smallBatch = false)
+  }
+
   /** Estimator-quality audit for the dedup family — the ann_recall
     * pattern applied to MinHash: precision/recall of the banded MinHash
     * pair finder against the EXACT prefix-filter Jaccard ground truth at
@@ -1458,12 +1481,45 @@ object Q {
     // margin-aware multi-probe up to 4 (cheap, then dominated) plus
     // +8 TABLES per plane past 8 (AnnLsh.adaptiveTables — ProbeSweep:
     // sf1 overall recall 0.737 @ 16 tables → 0.862 @ the derived 24);
-    // sf≤0.1 corpora keep the legacy 16-table geometry bitwise
-    val pairs = graft.similarity.AnnLsh.selfPairs(e, "vec_id", "embedding",
-      dim = 64, minCos = 0.35,
-      planes = planes, tables = graft.similarity.AnnLsh.adaptiveTables(planes),
-      broadcastVectors = n <= 200000L,
-      probes = graft.similarity.AnnLsh.adaptiveProbes(planes))
+    // sf≤0.1 corpora keep the legacy 16-table geometry bitwise.
+    // PAST CAP-64 EXHAUSTION (planes > 14, ~1M vectors) the table dial
+    // has no affordable answer (tables ∝ (1/p)^planes) — route to the
+    // IVF tier: coarse partition + exact within-list pairing, linear in
+    // n at fixed list size, recall measured/floored per decade alongside
+    // the LSH geometry (docs/GEOMETRY_RECALL.json). Every current
+    // testdata decade stays on the LSH side bitwise.
+    val pairs =
+      if (graft.similarity.AnnLsh.tablesExhausted(planes))
+        graft.similarity.AnnIvf.selfPairs(e, "vec_id", "embedding",
+          minCos = 0.35, nLists = graft.similarity.AnnIvf.ivfLists(n),
+          assign = graft.similarity.AnnIvf.ivfAssign(
+            graft.similarity.AnnIvf.ivfLists(n)))
+      else graft.similarity.AnnLsh.selfPairs(e, "vec_id", "embedding",
+        dim = 64, minCos = 0.35,
+        planes = planes, tables = graft.similarity.AnnLsh.adaptiveTables(planes),
+        broadcastVectors = n <= 200000L,
+        probes = graft.similarity.AnnLsh.adaptiveProbes(planes))
+    Dedup.connectedComponents(e.select(col("vec_id")), "vec_id",
+        pairs, "id_a", "id_b")
+      .select(col("id").as("vec_id"), col("cluster_id"))
+  }
+
+  /** The IVF-routed tier of [[embedClusterLsh]] run EXPLICITLY at this
+    * decade's derived geometry (the generator the face switches to past
+    * the LSH table dial's cap-64 exhaustion, ~1M vectors) — registered
+    * as its own face so the routing target has a measured bench curve
+    * and a rows-only correctness gate BEFORE any corpus crosses the
+    * boundary, exactly like dedup_permuted backs dedup_simhash. Same
+    * output shape as embed_cluster_lsh (vec_id, cluster_id); pair recall
+    * vs exact ground truth is measured per decade with its own floor in
+    * docs/GEOMETRY_RECALL.json. */
+  def embedClusterIvf(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables(s, dir, "embeddings")
+    val n = Tables.cachedCount(s, dir, "embeddings")
+    val nl = graft.similarity.AnnIvf.ivfLists(n)
+    val pairs = graft.similarity.AnnIvf.selfPairs(e, "vec_id", "embedding",
+      minCos = 0.35, nLists = nl,
+      assign = graft.similarity.AnnIvf.ivfAssign(nl))
     Dedup.connectedComponents(e.select(col("vec_id")), "vec_id",
         pairs, "id_a", "id_b")
       .select(col("id").as("vec_id"), col("cluster_id"))

@@ -113,24 +113,77 @@ object AnnLsh {
   def adaptiveProbes(planes: Int, floor: Int = 4, cap: Int = 4): Int =
     if (planes <= floor) 0 else math.min(cap, planes)
 
+  /** The compounding-law table demand, FITTED to the ProbeSweep curve
+    * instead of the superseded linear +8/plane heuristic. Measured at sf1
+    * (tools/ProbeSweep, planes 9, probes 4, 20k+planted vectors, exact
+    * cos≥0.35 ground truth): tables 16/24/32/48/64 → recall
+    * 0.737/0.862/0.925/0.979/(~0.99), which the law recall = 1−(1−P)^t
+    * fits at effective per-table P = 0.08 to within ±0.006 at EVERY
+    * measured point — so the dial extrapolates from the law, not from a
+    * slope guess. Per added plane P decays by the worst-pair retention
+    * p = 1−acos(0.35)/π ≈ 0.614, hence
+    * t(planes) = ⌈ln(1−R)/ln(1−0.08·0.614^(planes−9))⌉ with R = 0.862,
+    * the sf1-measured level the dial holds: 24 tables at planes 9
+    * (bitwise the shipped sf1 geometry), 40 at 10, 64 at 11 — then 105+
+    * at 12: the demand is EXPONENTIAL in corpus doublings, which is the
+    * whole reason a routed past-cap tier exists. Probes stay capped at 4
+    * throughout (ProbeSweep: probes past 4 are dominated — +0.05 recall
+    * at ~2× candidate cost). */
+  def tablesNeeded(planes: Int, measuredPlanes: Int = 9,
+                   measuredP: Double = 0.08, pMin: Double = 0.614,
+                   targetRecall: Double = 0.862): Long = {
+    val pp = math.min(0.999999,
+      measuredP * math.pow(pMin, (planes - measuredPlanes).toDouble))
+    math.max(1L, math.ceil(math.log(1.0 - targetRecall) / math.log(1.0 - pp)).toLong)
+  }
+
   /** The TABLE count that holds recall as [[adaptivePlanes]] grows past
-    * the probe budget's reach. Measured at sf1 (tools/ProbeSweep, planes
-    * 9, 20k+planted vectors, exact cos≥0.35 ground truth): growing PROBES
-    * past 4 is dominated — probes 4→8 buys +0.05 recall at ~2× candidate
-    * cost (margin-flip reaches only the near-boundary bits) — while
-    * growing TABLES compounds independently: 16→24 tables lifts overall
-    * recall 0.737→0.862 at ~1.34× cost, 16→32 → 0.925. Theory agrees:
-    * recall = 1−(1−P)^tables, so holding it as P falls with planes needs
-    * tables ∝ (1/p)^planes growth; +8 tables per plane past the pivot
-    * tracks that within the measured range. Below the pivot the legacy
-    * 16 tables stay (small corpora keep wide-recall buckets — and the
-    * sf≤0.1 bench geometry — bitwise). Cap 64 bounds signature and join
-    * cost; past it, recall falls and docs/GEOMETRY_RECALL.json's floor
-    * gate fails loudly rather than letting the decade regress silently. */
+    * the probe budget's reach: [[tablesNeeded]]'s fitted compounding law,
+    * floored at the legacy 16 and capped at 64. Below the pivot the
+    * legacy 16 tables stay (small corpora keep wide-recall buckets — and
+    * the sf≤0.1 bench geometry — bitwise; planes 9 derives 24, bitwise
+    * the shipped sf1 geometry). Cap 64 bounds signature and join cost;
+    * WHERE THE LAW'S DEMAND EXCEEDS IT the capped geometry's predicted
+    * recall decays (0.70 at planes 12, 0.52 at 13, 0.25 at 15 — the
+    * measured forced-saturation row in docs/GEOMETRY_RECALL.json agrees
+    * at 0.32) and [[tablesExhausted]] routes the faces out. */
   def adaptiveTables(planes: Int, base: Int = 16, pivot: Int = 8,
-                     perPlane: Int = 8, cap: Int = 64): Int =
+                     cap: Int = 64): Int =
     if (planes <= pivot) base
-    else math.min(cap, base + perPlane * (planes - pivot))
+    else math.min(cap.toLong, math.max(base.toLong, tablesNeeded(planes))).toInt
+
+  /** Predicted overall recall of the CAPPED table budget at this plane
+    * count, from the fitted law — the number [[tablesExhausted]] compares
+    * against the routed tier's measurement. */
+  def cappedRecall(planes: Int, cap: Int = 64, measuredPlanes: Int = 9,
+                   measuredP: Double = 0.08, pMin: Double = 0.614): Double = {
+    val pp = math.min(0.999999,
+      measuredP * math.pow(pMin, (planes - measuredPlanes).toDouble))
+    1.0 - math.pow(1.0 - pp, cap.toDouble)
+  }
+
+  /** The table dial's EXHAUSTION gate — true when even the FULL cap-64
+    * budget's predicted recall ([[cappedRecall]], fitted law) falls below
+    * what the routed IVF tier MEASURES at production shape (0.58 overall
+    * at sf1's ~1024 effective occupancy, tools/IvfSweep) — i.e. planes ≥
+    * 13, ~262k vectors at occupancy 64. Past it every extra plane loses
+    * recall no affordable table count buys back (demand ∝ (1/p)^planes,
+    * exponential in corpus doublings), and narrowing planes-per-table
+    * instead gives occupancy back quadratically (candidates ∝
+    * tables·n²/2^planes). So this regime has no in-family rescue — the
+    * analog of simhash's [[graft.dedup.SimHash.blockedSaturated]], and
+    * the routing point where [[graft.queries.Q.embedClusterLsh]] switches
+    * the pair generator to [[AnnIvf.selfPairs]] (coarse partition + exact
+    * within-list pairing, linear in n at fixed list size, recall
+    * measured per decade in docs/GEOMETRY_RECALL.json with its own
+    * floor). The dedup regime never needed the rescue: cos≥0.7 recall
+    * measures 1.0 even at the forced saturated geometry — the routing
+    * buys back the LOW-COS tier and the linear cost law. Below the gate
+    * the LSH geometry is untouched — every current testdata decade keeps
+    * its pairs bitwise. */
+  def tablesExhausted(planes: Int, cap: Int = 64,
+                      ivfMeasuredRecall: Double = 0.58): Boolean =
+    cappedRecall(planes, cap) < ivfMeasuredRecall
 
   /** Per-query top-k of a scored candidate frame (query_id, neighbor_id,
     * cos) via the native bounded-heap aggregate `graft_topk`

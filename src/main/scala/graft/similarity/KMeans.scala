@@ -42,17 +42,9 @@ object KMeans {
     (array_position(dists, array_min(dists)) - 1).cast("int")
   }
 
-  /** Cluster `df` into `k` groups; returns (idCol, cluster) for every row.
-    * `iters` full Lloyd passes over the data. */
-  def assign(df: DataFrame, idCol: String, vecCol: String, k: Int,
-             iters: Int = 3): DataFrame = {
-    require(k >= 1, s"k must be >= 1, got $k")
-    require(iters >= 0, s"iters must be >= 0, got $iters")
-    val base = df.select(col(idCol).as("id"), toDouble(col(vecCol)).as("v"))
-      // several Lloyd passes + the final assignment re-read this frame;
-      // localCheckpoint materializes it once instead of re-running the
-      // caller's arbitrary upstream lineage every iteration
-      .localCheckpoint()
+  /** Lloyd passes over a pre-built (id, v) frame — the shared core of
+    * [[assign]] and [[fitCentroids]]. The caller owns the checkpoint. */
+  private def fitOn(base: DataFrame, k: Int, iters: Int): Array[Array[Double]] = {
     // deterministic, diversity-preserving seed: the k lowest-HASH vectors
     // (TakeOrderedAndProject — scale-safe, no global sort materializes)
     var centroids: Array[Array[Double]] = base
@@ -68,6 +60,34 @@ object KMeans {
       // empty clusters keep their previous centroid
       centroids = centroids.indices.map(i => updated.getOrElse(i, centroids(i))).toArray
     }
+    centroids
+  }
+
+  /** Train centroids only (k·dim doubles of driver state) — the coarse-
+    * quantizer entry for operators that need the MODEL rather than the
+    * assignment (e.g. [[AnnIvf.selfPairs]]'s list structure). Identical
+    * seeding/update schedule to [[assign]]. */
+  def fitCentroids(df: DataFrame, idCol: String, vecCol: String, k: Int,
+                   iters: Int = 3): Array[Array[Double]] = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(iters >= 0, s"iters must be >= 0, got $iters")
+    val base = df.select(col(idCol).as("id"), toDouble(col(vecCol)).as("v"))
+      .localCheckpoint()
+    fitOn(base, k, iters)
+  }
+
+  /** Cluster `df` into `k` groups; returns (idCol, cluster) for every row.
+    * `iters` full Lloyd passes over the data. */
+  def assign(df: DataFrame, idCol: String, vecCol: String, k: Int,
+             iters: Int = 3): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(iters >= 0, s"iters must be >= 0, got $iters")
+    val base = df.select(col(idCol).as("id"), toDouble(col(vecCol)).as("v"))
+      // several Lloyd passes + the final assignment re-read this frame;
+      // localCheckpoint materializes it once instead of re-running the
+      // caller's arbitrary upstream lineage every iteration
+      .localCheckpoint()
+    val centroids = fitOn(base, k, iters)
     base.select(col("id").as(idCol), assignCol(col("v"), centroids).as("cluster"))
   }
 }

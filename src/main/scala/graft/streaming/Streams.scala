@@ -558,6 +558,52 @@ object Streams {
     graft.dedup.MinHash.appendToBandIndex(spark, indexPath, b, idCol, textCol)
   }
 
+  /** Streaming ingest loop over the persisted HAMMING fingerprint index
+    * ([[graft.dedup.FingerprintIndex]]) — [[nearDupIndexed]] for the
+    * simhash/phash family: each micro-batch of PRE-FINGERPRINTED rows
+    * (a 64-bit `fpCol` — text simhash or media perceptual hash, the
+    * decode/hash stage runs upstream) first PROBES the index
+    * (every verified hamming-radius pair touching the batch, batch-
+    * internal pairs included, at the index's PINNED banding geometry) and
+    * then FOLDS the batch in so later micro-batches see it. Corpus memory
+    * is complete and on disk; executor memory holds nothing between
+    * batches; per-batch cost is batch keys against the clustered keys
+    * table — never a corpus rescan (the media re-encode case: a
+    * re-encoded image must match an original indexed months ago, far
+    * past any recency horizon). Alerts append to `alertPath` as
+    * (id_a, id_b, hamming) parquet partitioned by `batch_id`; the sink is
+    * IDEMPOTENT under failure-retry (dynamic overwrite of the batch's own
+    * partition), and the index fold is id-guarded, so replays duplicate
+    * nothing. Probe strictly BEFORE append — the order is what keeps a
+    * doc from matching itself. */
+  def fpIndexed(docs: DataFrame, idCol: String, fpCol: String,
+                indexPath: String, alertPath: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        fpIndexedBatch(batch, batchId, idCol, fpCol, indexPath, alertPath)
+      }
+
+  /** One [[fpIndexed]] micro-batch — factored out so the replay contract
+    * is spec-testable without re-running a stream: calling this twice
+    * with the SAME batchId (what engine failure-recovery does) leaves
+    * exactly one copy of the batch's alert rows and index rows. */
+  def fpIndexedBatch(batch: DataFrame, batchId: Long, idCol: String,
+                     fpCol: String, indexPath: String,
+                     alertPath: String): Unit = {
+    val spark = batch.sparkSession
+    // the batch feeds the probe AND the append — pin it once (eager: the
+    // append must see exactly the probed rows)
+    val b = batch.localCheckpoint()
+    graft.dedup.FingerprintIndex.pairsIncremental(spark, indexPath, b, idCol, fpCol)
+      .withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id").parquet(alertPath)
+    graft.dedup.FingerprintIndex.append(spark, indexPath, b, idCol, fpCol)
+  }
+
   /** Streaming EXACT-dedup ingest over the persisted digest index — the
     * exact-dup sibling of [[nearDupIndexed]] and the durable-memory
     * sibling of the bounded-state streaming dedup: each micro-batch

@@ -39,7 +39,11 @@ object GeometryRecall {
     wPerm: Int, tPerm: Int, nPerm: Long, permRecall: Double,
     nVecs: Long, planes: Int, probes: Int, tables: Int, nPlanted: Long,
     nExact: Long, nFound: Long, lshRecall: Double,
-    nExact70: Long, nFound70: Long, lshRecall70: Double)
+    nExact70: Long, nFound70: Long, lshRecall70: Double,
+    fPlanes: Int, fTables: Int, nForced: Long, forcedRecall: Double,
+    nForced70: Long, forcedRecall70: Double,
+    ivfLists: Int, nIvf: Long, ivfRecall: Double,
+    nIvf70: Long, ivfRecall70: Double)
 
   def main(args: Array[String]): Unit = {
     val defaultDirs = Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
@@ -146,15 +150,59 @@ object GeometryRecall {
       val lshRecall = if (nExact == 0) 1.0 else nFound.toDouble / nExact
       val lshRecall70 = if (nExact70 == 0) 1.0 else nFound70.toDouble / nExact70
 
+      // FORCED PAST-CAP geometry — the cliff row (kept for the record like
+      // the simhash truncation fallback, NO floor): the first plane width
+      // past cap-64 exhaustion (AnnLsh.tablesExhausted, planes 15 ≈ what a
+      // ~1M-vector corpus derives at occupancy 64), tables pinned at the
+      // cap. Recall depends only on (planes, tables, probes) and the pair
+      // cosine distribution, so measuring it on THIS corpus is the
+      // production number a fifth-decade corpus would pay if the table
+      // dial were left to saturate instead of routing.
+      val fPlanes = math.max(15, graft.similarity.AnnLsh.adaptivePlanes(nVecs, 1L))
+      val fTables = graft.similarity.AnnLsh.adaptiveTables(fPlanes)
+      assert(graft.similarity.AnnLsh.tablesExhausted(fPlanes),
+        s"forced planes $fPlanes must sit past the exhaustion gate")
+      val forced = graft.similarity.AnnLsh
+        .selfPairs(e, "vec_id", "embedding", dim = 64, minCos = minCos,
+          planes = fPlanes, tables = fTables,
+          probes = graft.similarity.AnnLsh.adaptiveProbes(fPlanes))
+        .join(exact, Seq("id_a", "id_b"), "left_semi")
+        .localCheckpoint()
+      val nForced = forced.count()
+      val nForced70 = forced.join(exact.filter(col("cos") >= 0.7),
+        Seq("id_a", "id_b"), "left_semi").count()
+      val forcedRecall = if (nExact == 0) 1.0 else nForced.toDouble / nExact
+      val forcedRecall70 = if (nExact70 == 0) 1.0 else nForced70.toDouble / nExact70
+
+      // THE ROUTED TIER at this decade's derived geometry — what
+      // embed_cluster_lsh actually runs past the exhaustion gate
+      // (Q.embedClusterIvf registers the same generator as a bench face).
+      // Floored: the routing answer must stay measured, not asserted.
+      val nIvfLists = graft.similarity.AnnIvf.ivfLists(nVecs)
+      val ivfFound = graft.similarity.AnnIvf
+        .selfPairs(e, "vec_id", "embedding", minCos = minCos, nLists = nIvfLists,
+          assign = graft.similarity.AnnIvf.ivfAssign(nIvfLists))
+        .join(exact, Seq("id_a", "id_b"), "left_semi")
+        .localCheckpoint()
+      val nIvf = ivfFound.count()
+      val nIvf70 = ivfFound.join(exact.filter(col("cos") >= 0.7),
+        Seq("id_a", "id_b"), "left_semi").count()
+      val ivfRecall = if (nExact == 0) 1.0 else nIvf.toDouble / nExact
+      val ivfRecall70 = if (nExact70 == 0) 1.0 else nIvf70.toDouble / nExact70
+
       System.err.println(f"[recall] $dir docs=$nDocs d=$dAdapt sim=$simRecall%.4f " +
         f"trunc(h=$hTrunc)=$truncRecall%.4f perm(w=$wPerm,t=$tPerm)=$permRecall%.4f " +
         f"vecs=$nVecs planes=$planes probes=$probes " +
         f"planted=$nPlanted lsh=$lshRecall%.4f ($nFound/$nExact) " +
-        f"lsh70=$lshRecall70%.4f ($nFound70/$nExact70)")
+        f"lsh70=$lshRecall70%.4f ($nFound70/$nExact70) " +
+        f"forced(p=$fPlanes,t=$fTables)=$forcedRecall%.4f/70=$forcedRecall70%.4f " +
+        f"ivf(l=$nIvfLists)=$ivfRecall%.4f/70=$ivfRecall70%.4f")
       Decade(dir, nDocs, dAdapt, nFace, nLegacy, simRecall, hTrunc, truncRecall,
         wPerm, tPerm, nPerm, permRecall,
         nVecs, planes, probes, tables, nPlanted, nExact, nFound, lshRecall,
-        nExact70, nFound70, lshRecall70)
+        nExact70, nFound70, lshRecall70,
+        fPlanes, fTables, nForced, forcedRecall, nForced70, forcedRecall70,
+        nIvfLists, nIvf, ivfRecall, nIvf70, ivfRecall70)
     }
 
     def f(v: Double) = "%.4f".formatLocal(java.util.Locale.ROOT, v)
@@ -174,13 +222,20 @@ object GeometryRecall {
            |     "exact_sampled_pairs": ${r.nExact}, "lsh_found": ${r.nFound},
            |     "lsh_recall_vs_exact_sample": ${f(r.lshRecall)},
            |     "exact_sampled_pairs_cos70": ${r.nExact70}, "lsh_found_cos70": ${r.nFound70},
-           |     "lsh_recall_cos70": ${f(r.lshRecall70)}}""".stripMargin
+           |     "lsh_recall_cos70": ${f(r.lshRecall70)},
+           |     "lsh_forced_saturated_planes": ${r.fPlanes},
+           |     "lsh_forced_saturated_tables": ${r.fTables},
+           |     "lsh_forced_saturated_recall": ${f(r.forcedRecall)},
+           |     "lsh_forced_saturated_recall_cos70": ${f(r.forcedRecall70)},
+           |     "ivf_lists": ${r.ivfLists},
+           |     "ivf_pairs_recall": ${f(r.ivfRecall)},
+           |     "ivf_pairs_recall_cos70": ${f(r.ivfRecall70)}}""".stripMargin
     }.mkString(",\n")
     val w = new java.io.PrintWriter(outPath, "UTF-8")
     try w.println(
       s"""{
-  "protocol": "per decade: the registered simhash face (radius 7, adaptive block-combination pigeonhole) is exact by construction, so simhash_recall_vs_legacy is an IDENTITY TRIPWIRE (both sides exact hamming<=7 pair sets); simhash_trunc_fallback_recall is the superseded radius-truncation fallback kept for the record; simhash_permuted_forced_recall is the SATURATED-REGIME tier (SimHash.pairsFromFingerprintsPermuted) measured at the production-shaped geometry forced by targetOccupancy=1 (the mask width the regime switch would derive at ~32x this corpus) against the same exact ground truth — the number dedup_simhash/mm_phash actually pay past ~8M docs. lsh recall = fraction of the EXACT cosine>=$minCos pairs touching the deterministic vec_id%97 sample that the registered selfPairs geometry (adaptive planes, adaptive tables, adaptive margin-aware multi-probe) reports, overall and restricted to cos>=0.7. The corpus is augmented with one deterministic perturbed copy of every sampled vector (cos in ~[0.76, 0.99]) so the cos>=0.7 dedup-regime tier measures real pairs instead of 0/0. FLOORS: the tool exits nonzero when any decade measures below its floor (identity 1.0, permuted 0.8, lsh overall 0.8, lsh cos70 0.99) — a silent next-decade regression fails the build instead of a narrative",
-  "floors": {"simhash_recall_vs_legacy": 1.0, "simhash_permuted_forced_recall": 0.8, "lsh_recall_vs_exact_sample": 0.8, "lsh_recall_cos70": 0.99},
+  "protocol": "per decade: the registered simhash face (radius 7, adaptive block-combination pigeonhole) is exact by construction, so simhash_recall_vs_legacy is an IDENTITY TRIPWIRE (both sides exact hamming<=7 pair sets); simhash_trunc_fallback_recall is the superseded radius-truncation fallback kept for the record; simhash_permuted_forced_recall is the SATURATED-REGIME tier (SimHash.pairsFromFingerprintsPermuted) measured at the production-shaped geometry forced by targetOccupancy=1 (the mask width the regime switch would derive at ~32x this corpus) against the same exact ground truth — the number dedup_simhash/mm_phash actually pay past ~8M docs. lsh recall = fraction of the EXACT cosine>=$minCos pairs touching the deterministic vec_id%97 sample that the registered selfPairs geometry (adaptive planes, adaptive tables, adaptive margin-aware multi-probe) reports, overall and restricted to cos>=0.7. The corpus is augmented with one deterministic perturbed copy of every sampled vector (cos in ~[0.76, 0.99]) so the cos>=0.7 dedup-regime tier measures real pairs instead of 0/0. lsh_forced_saturated_* is the CLIFF ROW kept for the record (no floor): the capped-table geometry at the first plane width past AnnLsh.tablesExhausted — what a ~1M-vector corpus would pay if the table dial were left to saturate. ivf_pairs_* is the ROUTED TIER (AnnIvf.selfPairs at this decade's derived list count and IvfSweep-measured assign — the generator embed_cluster_lsh switches to past the gate, registered as the embed_cluster_ivf face), FLOORED: the routing answer stays measured, not asserted. Note the regime split the forced rows expose: the saturated-LSH cos70 recall stays 1.0 (near-dups never cliff, even past the cap), so the routing buys back the LOW-COS tier (overall 0.32 -> 0.58 at sf1) and the linear cost law. FLOORS: the tool exits nonzero when any decade measures below its floor (identity 1.0, permuted 0.8, lsh overall 0.8, lsh cos70 0.99, ivf overall 0.5, ivf cos70 0.98) — a silent next-decade regression fails the build instead of a narrative",
+  "floors": {"simhash_recall_vs_legacy": 1.0, "simhash_permuted_forced_recall": 0.8, "lsh_recall_vs_exact_sample": 0.8, "lsh_recall_cos70": 0.99, "ivf_pairs_recall": 0.5, "ivf_pairs_recall_cos70": 0.98},
   "decades": [
 $json
   ]
@@ -191,7 +246,9 @@ $json
       ("simhash_recall_vs_legacy", rows.map(_.simRecall).min, 1.0),
       ("simhash_permuted_forced_recall", rows.map(_.permRecall).min, 0.8),
       ("lsh_recall_vs_exact_sample", rows.map(_.lshRecall).min, 0.8),
-      ("lsh_recall_cos70", rows.map(_.lshRecall70).min, 0.99))
+      ("lsh_recall_cos70", rows.map(_.lshRecall70).min, 0.99),
+      ("ivf_pairs_recall", rows.map(_.ivfRecall).min, 0.5),
+      ("ivf_pairs_recall_cos70", rows.map(_.ivfRecall70).min, 0.98))
     val broken = floors.filter { case (_, v, fl) => v < fl }
     broken.foreach { case (name, v, fl) =>
       System.err.println(f"[recall] GATE FAIL: $name measured $v%.4f < floor $fl%.4f") }

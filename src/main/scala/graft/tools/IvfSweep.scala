@@ -3,24 +3,17 @@ package graft.tools
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** Dev-only: sweep the multi-probe budget at one decade — measured recall
-  * (overall and cos>=0.7) AND wall time per probe count, so the
-  * adaptiveProbes growth law is set from a curve, not a guess (VERDICT
-  * r12 task 3: probes capped at 4 leaves sf1 overall recall at 0.737;
-  * find the budget that clears ~0.85 at bench-neutral cost).
+/** Dev-only: sweep the IVF pair-tier geometry (list count, multi-assign
+  * width, Lloyd iters) at one decade — measured recall (overall and
+  * cos>=0.7) AND wall time, so the routed tier's knobs are set from a
+  * curve, not a guess (the ProbeSweep discipline applied to AnnIvf).
   *
-  * `runMain graft.tools.ProbeSweep [p4t16 p4t24 p4t64pl15 ...]`
-  * (probes/tables specs, optional `plN` planes override to force a
-  * past-exhaustion width; default p0t16 p2t16 p4t16 p6t16).
-  * Env: SPARK_GRAFT_SF_DIR (default target/sf1), SPARK_GRAFT_CPUS. */
-object ProbeSweep {
+  * `runMain graft.tools.IvfSweep [l79a2i2 l79a4i2 l40a3i3 ...]`
+  * (lists/assign/iters specs; default sweeps assign at the derived list
+  * count). Env: SPARK_GRAFT_SF_DIR (default target/sf1), SPARK_GRAFT_CPUS. */
+object IvfSweep {
   def main(args: Array[String]): Unit = {
-    val spec = "p(\\d+)t(\\d+)(?:pl(\\d+))?".r
-    val sweep: Seq[(Int, Int, Option[Int])] =
-      if (args.nonEmpty) args.toSeq.map {
-        case spec(p, t, pl) => (p.toInt, t.toInt, Option(pl).map(_.toInt))
-      }
-      else Seq((0, 16, None), (2, 16, None), (4, 16, None), (6, 16, None))
+    val spec = "l(\\d+)a(\\d+)i(\\d+)".r
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/repo/target/sf1")
     val minCos = 0.35
     val spark = SparkSession.builder()
@@ -46,7 +39,11 @@ object ProbeSweep {
               / 100.0 * 1.2))).cast("float")).as("embedding"))
     val e = e0.unionByName(planted).localCheckpoint()
     val nVecs = e.count()
-    val planes = graft.similarity.AnnLsh.adaptivePlanes(nVecs)
+    val derived = graft.similarity.AnnIvf.ivfLists(nVecs)
+    val sweep: Seq[(Int, Int, Int)] =
+      if (args.nonEmpty) args.toSeq.map { case spec(l, a, i) => (l.toInt, a.toInt, i.toInt) }
+      else Seq((derived, 2, 2), (derived, 3, 2), (derived, 4, 2),
+        (derived / 2, 2, 2), (derived / 2, 3, 2))
     val sample = e.filter(col("vec_id") % 97 === 0)
     val exact = graft.similarity.AnnLsh
       .rangeSearch(e, sample, "vec_id", "embedding", minCos)
@@ -56,21 +53,20 @@ object ProbeSweep {
       .localCheckpoint()
     val nExact = exact.count()
     val nExact70 = exact.filter(col("cos") >= 0.7).count()
-    println(s"[sweep] $dir vecs=$nVecs planes=$planes exact=$nExact exact70=$nExact70")
+    println(s"[ivfsweep] $dir vecs=$nVecs derivedLists=$derived exact=$nExact exact70=$nExact70")
 
-    for ((probes, tables, planesOverride) <- sweep) {
-      val pl = planesOverride.getOrElse(planes)
+    for ((lists, assign, iters) <- sweep) {
       val t0 = System.nanoTime()
-      val found = graft.similarity.AnnLsh
-        .selfPairs(e, "vec_id", "embedding", dim = 64, minCos = minCos,
-          planes = pl, tables = tables, probes = probes)
+      val found = graft.similarity.AnnIvf
+        .selfPairs(e, "vec_id", "embedding", minCos = minCos,
+          nLists = lists, assign = assign, iters = iters)
         .join(exact, Seq("id_a", "id_b"), "left_semi")
         .localCheckpoint()
       val nFound = found.count()
       val sec = (System.nanoTime() - t0) / 1e9
       val nFound70 = found.join(exact.filter(col("cos") >= 0.7),
         Seq("id_a", "id_b"), "left_semi").count()
-      println(f"[sweep] probes=$probes%2d tables=$tables%2d planes=$pl%2d  " +
+      println(f"[ivfsweep] lists=$lists%5d assign=$assign%2d iters=$iters%2d  " +
         f"recall=${nFound.toDouble / math.max(1, nExact)}%.4f " +
         f"recall70=${nFound70.toDouble / math.max(1, nExact70)}%.4f  ${sec}%7.2fs")
     }

@@ -553,6 +553,51 @@ class StreamsSpec extends SparkSpec {
     assert(probe == Set((1L, 7L), (2L, 7L), (7L, 100L)))
   }
 
+  test("indexed streaming hamming dedup probes the fingerprint index, then folds each batch in") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_fpix").toString
+    val fp0 = 0x0123456789ABCDEFL
+    def flip(fp: Long, bits: Int*): Long =
+      bits.foldLeft(fp)((f, b) => f ^ (1L << b))
+    val corpus = Seq((100L, fp0),
+      (101L, 0x7EADBEEFCAFE1234L) // far from everything
+    ).toDF("doc_id", "fp")
+    graft.dedup.FingerprintIndex.write(corpus, "doc_id", "fp", s"$dir/index")
+    val input = MemoryStream[(Long, Long)]
+    val docs = input.toDF().toDF("doc_id", "fp")
+    val query = Streams.fpIndexed(docs, "doc_id", "fp",
+        s"$dir/index", s"$dir/alerts")
+      .option("checkpointLocation", s"$dir/ckpt").start()
+    def alerts() = spark.read.parquet(s"$dir/alerts")
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    try {
+      input.addData((1L, flip(fp0, 5))) // hamming 1 of the corpus doc
+      query.processAllAvailable()
+      assert(alerts() == Set((1L, 100L))) // probe against the corpus index
+      // the second micro-batch must ALSO match batch 1's doc (hamming 2)
+      // — only possible if the first batch was folded into the index
+      input.addData((2L, flip(fp0, 5, 9)),
+        (3L, 0x5A5A5A5A5A5A5A5AL)) // novel, matches nothing
+      query.processAllAvailable()
+      assert(alerts() == Set((1L, 100L), (1L, 2L), (2L, 100L)))
+    } finally query.stop()
+    // the index on disk now covers corpus + both batches; replaying a
+    // micro-batch (failure recovery) leaves ONE copy of its alert rows
+    val before = spark.read.parquet(s"$dir/alerts").count()
+    Streams.fpIndexedBatch(Seq((2L, flip(fp0, 5, 9))).toDF("doc_id", "fp"),
+      1L, "doc_id", "fp", s"$dir/index", s"$dir/alerts")
+    assert(spark.read.parquet(s"$dir/alerts").count() == before,
+      "replayed micro-batch duplicated alert or index rows")
+    // and a fresh batch probe (the batch API, no stream) sees streamed
+    // docs as corpus
+    val probe = graft.dedup.FingerprintIndex.pairsIncremental(spark,
+        s"$dir/index", Seq((7L, flip(fp0, 9))).toDF("doc_id", "fp"),
+        "doc_id", "fp")
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(probe == Set((1L, 7L), (2L, 7L), (7L, 100L)))
+  }
+
   test("indexed streaming exact dedup: novel rows land, dups are caught across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
