@@ -118,6 +118,33 @@ class SketchRollupSpec extends SparkSpec {
     }
   }
 
+  test("theta set algebra holds its bound in ESTIMATE mode (past 4096 retained)") {
+    // the exact-mode tests above cannot see estimate behavior (testdata
+    // cardinality sits below the sketch's 4096-entry exact regime), so
+    // synthesize two 20k-user audiences with a known 8k intersection —
+    // the regime tools/SketchError measures on sf1, pinned here in-suite.
+    // Bounds are the SketchRollupSpec contract: max(5, 10% of exact).
+    val rows = (0 until 20000).map(u => ("a", u.toLong)) ++
+      (12000 until 32000).map(u => ("b", u.toLong))
+    val df = rows.toDF("event_type", "user_id")
+    val sk = df.groupBy("event_type").agg(expr("theta_sketch_agg(user_id)").as("_sk"))
+    val got = sk.agg(
+      expr("theta_sketch_estimate(theta_intersection_agg(_sk))").as("both"),
+      expr("theta_sketch_estimate(theta_union_agg(_sk))").as("all"))
+      .collect()(0)
+    def ok(est: Long, exact: Long, what: String): Unit =
+      assert(math.abs(est - exact) <= math.max(5.0, 0.10 * exact),
+        s"$what: estimate $est vs exact $exact")
+    ok(got.getLong(0), 8000L, "estimate-mode A∩B")   // 12000..19999
+    ok(got.getLong(1), 32000L, "estimate-mode A∪B")
+    // and the per-audience estimates themselves
+    val singles = sk.select(col("event_type"),
+        expr("theta_sketch_estimate(_sk)").as("u"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    ok(singles("a"), 20000L, "estimate-mode |A|")
+    ok(singles("b"), 20000L, "estimate-mode |B|")
+  }
+
   test("sketch rollup is deterministic across partitionings") {
     val dir = "/root/testdata/sf0.001"
     def run() = graft.queries.Q.eventsDistinctRollup(spark, dir)
