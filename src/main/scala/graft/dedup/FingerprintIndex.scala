@@ -169,14 +169,12 @@ object FingerprintIndex {
     * `smallBatch` is the band-index ingest contract: batch × keys and
     * the candidate fp set must fit the broadcast budget; pass false for
     * corpus-proportional batches and the hints drop to shuffle joins. */
-  def pairsIncremental(spark: SparkSession, indexPath: String,
-                       batch: DataFrame, idCol: String, fpCol: String,
-                       smallBatch: Boolean = true): DataFrame = {
-    val (g, _) = readParams(spark, indexPath)
-    val bfp = batch.select(col(idCol).as("id"), col(fpCol).as("fp"))
-      .dropDuplicates("id")
-      .localCheckpoint(eager = false)
-    val bkeys = keyRows(bfp, g).localCheckpoint(eager = false)
+  /** Verified fingerprint pairs of [[pairsIncremental]], BEFORE its
+    * checkpoint pin — factored out (the MinHash.incrementalCandidates
+    * pattern) so the plan tripwire can assert the keys probe's scan/join
+    * properties, which the checkpoint hides from the final plan. */
+  private[graft] def incrementalFpPairs(spark: SparkSession, indexPath: String,
+      bkeys: DataFrame, maxHamming: Int, smallBatch: Boolean): DataFrame = {
     val ckeys = spark.read.parquet(resolvedTable(spark, indexPath, "keys"))
     // batch-vs-corpus fingerprint candidates: broadcast batch banding
     // against the clustered corpus keys scan; hamming-filter INSIDE the
@@ -195,10 +193,25 @@ object FingerprintIndex {
         Seq("comb", "ckey"))
       .filter(col("fp_a") < col("fp_b"))
       .select("fp_a", "fp_b")
-    val fpPairs = bc.unionByName(bb)
+    bc.unionByName(bb)
       .withColumn("hamming", bit_count(col("fp_a").bitwiseXOR(col("fp_b"))))
-      .filter(col("hamming") <= g.maxHamming)
+      .filter(col("hamming") <= maxHamming)
       .dropDuplicates("fp_a", "fp_b")
+  }
+
+  def pairsIncremental(spark: SparkSession, indexPath: String,
+                       batch: DataFrame, idCol: String, fpCol: String,
+                       smallBatch: Boolean = true): DataFrame = {
+    val (g, _) = readParams(spark, indexPath)
+    val bfp = batch.select(col(idCol).as("id"), col(fpCol).as("fp"))
+      .dropDuplicates("id")
+      .localCheckpoint(eager = false)
+    val bkeys = keyRows(bfp, g).localCheckpoint(eager = false)
+    // fpPairs feeds the expansion joins AND the membership restriction —
+    // pin once (the checkpoint hides the keys probe from the final plan,
+    // so the PushdownSpec tripwire asserts on incrementalFpPairs directly)
+    val fpPairs = incrementalFpPairs(spark, indexPath, bkeys, g.maxHamming,
+        smallBatch)
       .localCheckpoint(eager = false)
     // membership lookup, reduced to candidate fps BEFORE the corpus fps
     // table is touched (candidate-sized broadcast semi join — the corpus

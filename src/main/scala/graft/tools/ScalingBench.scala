@@ -81,6 +81,36 @@ object ScalingBench {
         else graft.Tables(s, dir, "documents").filter(col("doc_id") % 1009 === 0)
       graft.dedup.MinHash.pairsIncremental(s, path, batch, "doc_id", "text")
     }),
+    // probe-only cost of the persisted FINGERPRINT index vs CORPUS decade
+    // (the dedup_near_inc_probe discipline applied to the hamming
+    // family): the warmup call builds the index for this dir once (keyed
+    // on a content fingerprint — regenerated testdata gets a fresh
+    // index); timed calls probe a FIXED batch, so the curve isolates
+    // what a batch ingest pays as the corpus grows — a clustered narrow
+    // keys scan, never a corpus re-fingerprint.
+    "dedup_fp_inc_probe" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.functions.{col, split}
+      def fpOf(f: java.io.File): Long =
+        if (f.isDirectory)
+          Option(f.listFiles()).map(_.map(fpOf).foldLeft(0L)(_ ^ _)).getOrElse(0L)
+        else f.length() + f.lastModified() * 0x9E3779B97F4A7C15L
+      val key = fpOf(new java.io.File(s"$dir/documents.parquet")) ^
+        dir.hashCode.toLong
+      val path = System.getProperty("java.io.tmpdir") +
+        "/graft_scaling_fpidx_" + java.lang.Long.toUnsignedString(key)
+      def fps(d: String) = graft.Tables(s, d, "documents")
+        .select(col("doc_id"),
+          graft.dedup.SimHash.simhash64(split(col("text"), " "), 42L).as("fp"))
+      val params = new org.apache.hadoop.fs.Path(s"$path/params")
+      if (!params.getFileSystem(s.sparkContext.hadoopConfiguration).exists(params))
+        graft.dedup.FingerprintIndex.write(fps(dir), "doc_id", "fp", path)
+      val fixedDir = "/root/testdata/sf0.001"
+      val batch =
+        if (new java.io.File(s"$fixedDir/documents.parquet").exists())
+          fps(fixedDir).filter(col("doc_id") % 7 === 0)
+        else fps(dir).filter(col("doc_id") % 1009 === 0)
+      graft.dedup.FingerprintIndex.pairsIncremental(s, path, batch, "doc_id", "fp")
+    }),
     "embed_cluster_lsh_p8" -> ((s: SparkSession, dir: String) => {
       import org.apache.spark.sql.functions.col
       val e = graft.Tables(s, dir, "embeddings")

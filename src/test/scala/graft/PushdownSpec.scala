@@ -201,6 +201,76 @@ class PushdownSpec extends SparkSpec {
       s"corpus shingles scan does not reach a broadcast join shuffle-free:\n$probePlan")
   }
 
+  test("incremental fingerprint probe joins never shuffle the corpus index tables") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    import org.apache.spark.sql.functions.{col, split}
+    // the scale contract of FingerprintIndex.pairsIncremental — identical
+    // to the band-index probe's: the persisted keys and fps tables
+    // (corpus-sized at 100 TB) are SCANNED into broadcast joins, so no
+    // per-batch shuffle ever carries corpus rows
+    def scanUnder(p: SparkPlan, path: String, stopAtShuffle: Boolean): Boolean = p match {
+      case _: ShuffleExchangeExec if stopAtShuffle => false
+      case a: AdaptiveSparkPlanExec => scanUnder(a.executedPlan, path, stopAtShuffle)
+      case f: FileSourceScanExec =>
+        f.relation.location.rootPaths.exists(_.toString.contains(path))
+      case other => other.children.exists(scanUnder(_, path, stopAtShuffle))
+    }
+    def rawScanUnder(p: SparkPlan, path: String): Boolean = p match {
+      case _: BroadcastHashJoinExec => false
+      case a: AdaptiveSparkPlanExec => rawScanUnder(a.executedPlan, path)
+      case f: FileSourceScanExec =>
+        f.relation.location.rootPaths.exists(_.toString.contains(path))
+      case other => other.children.exists(rawScanUnder(_, path))
+    }
+    def collect[T](p: SparkPlan)(pf: PartialFunction[SparkPlan, T]): Seq[T] = {
+      val here = pf.lift(p).toSeq
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case other => other.children
+      }
+      here ++ kids.flatMap(collect(_)(pf))
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_fpidx_plan").toString
+    val docs = Tables(spark, sf, "documents")
+    def fps(df: org.apache.spark.sql.DataFrame) = df.select(col("doc_id"),
+      graft.dedup.SimHash.simhash64(split(col("text"), " "), 42L).as("fp"))
+    graft.dedup.FingerprintIndex.write(
+      fps(docs.filter(col("source") =!= "src0")), "doc_id", "fp", dir)
+    val batch = fps(docs.filter(col("source") === "src0"))
+    // keys-probe assertions sit on the pre-checkpoint pair builder (the
+    // checkpoint hides the keys scan behind Scan ExistingRDD downstream)
+    val g = graft.dedup.SimHash.adaptiveGeometry(400, 7)
+    val bkeys = batch.select("fp").distinct()
+      .select(col("fp"),
+        org.apache.spark.sql.functions.explode(
+          org.apache.spark.sql.functions.array(g.keyStructs: _*)).as("_ck"))
+      .select(col("_ck.comb").as("comb"), col("_ck.ckey").as("ckey"), col("fp"))
+    val candPlan = graft.dedup.FingerprintIndex.incrementalFpPairs(spark, dir,
+      bkeys, maxHamming = 7, smallBatch = true).queryExecution.executedPlan
+    // 1. no shuffle carries RAW corpus key rows
+    val shufflesOverKeys = collect(candPlan) {
+      case s: ShuffleExchangeExec if rawScanUnder(s, s"$dir/keys") => s
+    }
+    assert(shufflesOverKeys.isEmpty,
+      s"corpus keys table is shuffled raw by the probe:\n$candPlan")
+    // 2. the keys scan streams shuffle-free into a broadcast hash join
+    //    (the batch banding is the broadcast side)
+    val keyBhjs = collect(candPlan) { case b: BroadcastHashJoinExec => b }
+    assert(keyBhjs.exists(b => scanUnder(b, s"$dir/keys", stopAtShuffle = true)),
+      s"corpus keys scan does not reach a broadcast join shuffle-free:\n$candPlan")
+    // 3. in the FULL probe plan the corpus fps table is semi-reduced by a
+    //    broadcast of candidate fingerprints before the expansion joins
+    val probePlan = graft.dedup.FingerprintIndex.pairsIncremental(spark, dir,
+      docs.filter(col("source") === "src0")
+        .select(col("doc_id"),
+          graft.dedup.SimHash.simhash64(split(col("text"), " "), 42L).as("fp")),
+      "doc_id", "fp").queryExecution.executedPlan
+    val probeBhjs = collect(probePlan) { case b: BroadcastHashJoinExec => b }
+    assert(probeBhjs.exists(b => scanUnder(b, s"$dir/fps", stopAtShuffle = true)),
+      s"corpus fps scan does not reach a broadcast join shuffle-free:\n$probePlan")
+  }
+
   test("substring positional index prunes documents to (id, text) exactly") {
     val docs = Tables(spark, sf, "documents")
     val scans = scansOf(
