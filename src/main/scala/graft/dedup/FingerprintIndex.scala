@@ -215,17 +215,23 @@ object FingerprintIndex {
       .localCheckpoint(eager = false)
     // membership lookup, reduced to candidate fps BEFORE the corpus fps
     // table is touched (candidate-sized broadcast semi join — the corpus
-    // is scanned, never shuffled). The batch flag survives the union so
-    // the expansion can enforce "touches the batch"; on id overlap the
-    // batch copy wins (same id ⇒ same document either way).
+    // is scanned, never shuffled). On id overlap either copy serves
+    // (same id ⇒ same document); the batch flag is derived from the
+    // batch ID SET after the dedup rather than riding the union, so
+    // "touches the batch" is deterministic regardless of which copy
+    // dropDuplicates kept.
     val candFps = fpPairs
       .select(explode(array(col("fp_a"), col("fp_b"))).as("fp")).distinct()
     val cfps = spark.read.parquet(resolvedTable(spark, indexPath, "fps"))
-    val members = bfp.withColumn("_b", lit(true))
+    val batchIds = bfp.select(col("id"), lit(true).as("_bm"))
+    val members = bfp
       .unionByName(
         cfps.join(if (smallBatch) broadcast(candFps) else candFps,
-          Seq("fp"), "left_semi").withColumn("_b", lit(false)))
+          Seq("fp"), "left_semi"))
       .dropDuplicates("id")
+      .join(if (smallBatch) broadcast(batchIds) else batchIds, Seq("id"), "left")
+      .withColumn("_b", coalesce(col("_bm"), lit(false)))
+      .drop("_bm")
     // cross-fingerprint expansion, restricted to batch-touching pairs
     val cross = fpPairs
       .join(members.select(col("fp").as("fp_a"), col("id").as("_ia"),

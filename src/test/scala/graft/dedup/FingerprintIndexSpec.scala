@@ -94,6 +94,20 @@ class FingerprintIndexSpec extends SparkSpec {
     assert(probe.contains((2L, 5L, 1))) // via the appended fp's key rows
   }
 
+  test("id overlap: a re-ingested id is the same document, and its pairs still touch the batch") {
+    val path = tmp()
+    FingerprintIndex.write(Seq((100L, fp0), (101L, flip(fp0, 1)))
+      .toDF("doc_id", "fp"), "doc_id", "fp", path)
+    // the batch re-ingests id 100 (same fp — the same document): no
+    // self-pair, and the (100, 101) pair IS batch-touching (100 is in the
+    // batch) — the flag must be deterministic regardless of which copy of
+    // the overlapping id the membership dedup kept
+    val probe = FingerprintIndex.pairsIncremental(spark, path,
+        Seq((100L, fp0)).toDF("doc_id", "fp"), "doc_id", "fp")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(probe == Set((100L, 101L, 1)))
+  }
+
   test("compact re-clusters; probes unchanged; crash windows recover") {
     val path = tmp()
     FingerprintIndex.write(corpus, "doc_id", "fp", path)
