@@ -898,9 +898,10 @@ object OracleSql {
         |        CAST(SUM(tf) AS BIGINT) AS n_bigrams
         |       FROM sc GROUP BY doc_id)
         |SELECT doc_id, n_bigrams,
-        | round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), lps), (a, b) -> a + b), 6) AS logprob,
-        | round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), lps), (a, b) -> a + b)
-        |   / CAST(n_bigrams AS DOUBLE), 6) AS avg_logprob
+        | floor(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), lps), (a, b) -> a + b)
+        |   * 1000000.0 + 0.5) / 1000000.0 AS logprob,
+        | floor(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), lps), (a, b) -> a + b)
+        |   / CAST(n_bigrams AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS avg_logprob
         |FROM ag""".stripMargin,
 
     "text_logprob" ->
@@ -915,9 +916,10 @@ object OracleSql {
         |        CAST(SUM(tf) AS BIGINT) AS n_tokens
         |       FROM sc GROUP BY doc_id)
         |SELECT doc_id, n_tokens,
-        | list_reduce(list_prepend(CAST(0.0 AS DOUBLE), lps), (a, b) -> a + b) AS logprob,
-        | list_reduce(list_prepend(CAST(0.0 AS DOUBLE), lps), (a, b) -> a + b)
-        |   / CAST(n_tokens AS DOUBLE) AS avg_logprob
+        | floor(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), lps), (a, b) -> a + b)
+        |   * 1000000.0 + 0.5) / 1000000.0 AS logprob,
+        | floor(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), lps), (a, b) -> a + b)
+        |   / CAST(n_tokens AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS avg_logprob
         |FROM ag""".stripMargin,
 
     "clip_outliers" ->
@@ -1519,14 +1521,15 @@ object OracleSql {
         |  CAST(len(regexp_extract_all(text, '[aeiouy]+')) AS BIGINT) AS n_syllables
         | FROM documents)
         |SELECT doc_id, n_words, n_sentences, n_syllables,
-        | CASE WHEN n_words > 0 THEN round(206.835
+        | CASE WHEN n_words > 0 THEN floor((206.835
         |  - 1.015 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
-        |  - 84.6 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE)), 4)
+        |  - 84.6 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE)))
+        |  * 10000.0 + 0.5) / 10000.0
         | END AS flesch,
-        | CASE WHEN n_words > 0 THEN round(
+        | CASE WHEN n_words > 0 THEN floor((
         |  0.39 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
         |  + 11.8 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE))
-        |  - 15.59, 4)
+        |  - 15.59) * 10000.0 + 0.5) / 10000.0
         | END AS fk_grade
         |FROM c""".stripMargin,
 

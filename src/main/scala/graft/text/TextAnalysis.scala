@@ -230,9 +230,16 @@ object TextAnalysis {
     scored.groupBy(idCol)
       .agg(sort_array(collect_list(struct(col("_t"), col("_lp")))).as("_l"),
         sum("_tf").as("n_tokens"))
-      .withColumn("logprob",
+      .withColumn("_sum",
         aggregate(col("_l"), lit(0.0), (acc, x) => acc + x.getField("_lp")))
-      .withColumn("avg_logprob", col("logprob") / col("n_tokens").cast("double"))
+      // 6dp cross-engine-exact rounding (floor(x·10⁶+0.5)/10⁶ — IEEE ops
+      // spelled identically in the oracle, never native round(): the r14
+      // sf1 spot-gate measured ONE doc in 50k where Java and DuckDB ln()
+      // of the same cnt/tot ratio differ by 1 ulp, and the raw-double
+      // compare failed on it; the quantization absorbs the libm gap
+      .withColumn("logprob", floor(col("_sum") * lit(1e6) + lit(0.5)) / lit(1e6))
+      .withColumn("avg_logprob",
+        floor(col("_sum") / col("n_tokens").cast("double") * lit(1e6) + lit(0.5)) / lit(1e6))
       .select(col(idCol), col("n_tokens"), col("logprob"), col("avg_logprob"))
   }
 
@@ -262,12 +269,15 @@ object TextAnalysis {
         sum("_tf").as("n_bigrams"))
       .withColumn("_sum",
         aggregate(col("_l"), lit(0.0), (acc, x) => acc + x.getField("_lp")))
-      // 6dp rounding (the withEntropy discipline): ln of arbitrary count
-      // RATIOS disagrees by ≤1 ulp across engines (unigram logprob's
-      // cnt/tot ratios happen to agree; bigram cb/cw ratios measurably
-      // don't), and the rounding absorbs it
-      .withColumn("logprob", round(col("_sum"), 6))
-      .withColumn("avg_logprob", round(col("_sum") / col("n_bigrams").cast("double"), 6))
+      // 6dp cross-engine-exact rounding: ln of arbitrary count RATIOS
+      // disagrees by ≤1 ulp across engines and the quantization absorbs
+      // it. floor(x·10⁶+0.5)/10⁶ instead of native round() — Spark rounds
+      // the exact BigDecimal expansion where DuckDB rounds in float math,
+      // so native round() itself diverges on grid-boundary values (the
+      // r14 sf1 spot-gate measured it on text_readability)
+      .withColumn("logprob", floor(col("_sum") * lit(1e6) + lit(0.5)) / lit(1e6))
+      .withColumn("avg_logprob",
+        floor(col("_sum") / col("n_bigrams").cast("double") * lit(1e6) + lit(0.5)) / lit(1e6))
       .select(col(idCol), col("n_bigrams"), col("logprob"), col("avg_logprob"))
   }
 
@@ -595,8 +605,14 @@ object TextAnalysis {
     * plus the reading-ease and grade-level scores. Pure codegen projection,
     * no shuffle; counts are exact BIGINTs and the two scores are closed-form
     * doubles over those integers (written in one fixed evaluation order so
-    * the oracle's identical expression is bitwise-equal, rounded 4dp for
-    * the cross-engine division ulp). Sentence count floors at 1: a corpus
+    * the oracle's identical expression is bitwise-equal). The 4dp rounding
+    * is floor(x·10⁴ + 0.5)/10⁴ — IEEE ops spelled out identically in both
+    * engines — NOT the native round(): Spark rounds the double's exact
+    * BigDecimal expansion while DuckDB rounds in float math, and on a
+    * 4dp-boundary value the two disagree (measured at sf1: one fk_grade
+    * row in 50k, 31.0687 vs 31.0688 — the r14 sf1 spot-gate's find).
+    * Half-up-toward-+∞ on negatives is the documented tie rule.
+    * Sentence count floors at 1: a corpus
     * with no terminal punctuation (this one) still gets a defined score,
     * with words-per-sentence degenerating to document length — documented,
     * not hidden. Empty documents yield NULL scores, not a division crash. */
@@ -605,16 +621,20 @@ object TextAnalysis {
     val s = greatest(lit(1L),
       size(regexp_extract_all(col(textCol), lit("[.!?]+"), lit(0))).cast("bigint"))
     val sy = size(regexp_extract_all(col(textCol), lit("[aeiouy]+"), lit(0))).cast("bigint")
+    // cross-engine-exact 4dp: floor is IEEE-specified, so both engines run
+    // the identical op sequence on identical doubles — no native round()
+    def round4(x: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      floor(x * lit(10000.0) + lit(0.5)) / lit(10000.0)
     df.withColumn("n_words", w)
       .withColumn("n_sentences", s)
       .withColumn("n_syllables", sy)
       .withColumn("flesch",
-        when(w > 0L, round(
+        when(w > 0L, round4(
           lit(206.835) - lit(1.015) * (w.cast("double") / s.cast("double")) -
-            lit(84.6) * (sy.cast("double") / w.cast("double")), 4)))
+            lit(84.6) * (sy.cast("double") / w.cast("double")))))
       .withColumn("fk_grade",
-        when(w > 0L, round(
+        when(w > 0L, round4(
           lit(0.39) * (w.cast("double") / s.cast("double")) +
-            lit(11.8) * (sy.cast("double") / w.cast("double")) - lit(15.59), 4)))
+            lit(11.8) * (sy.cast("double") / w.cast("double")) - lit(15.59))))
   }
 }

@@ -11,10 +11,13 @@ class LogprobSpec extends SparkSpec {
     val out = TextAnalysis.withLogprob(df, "doc_id", "text")
       .as[(Long, Long, Double, Double)].collect().map(r => r._1 -> r).toMap
     val lpA = math.log(3.0 / 4.0); val lpB = math.log(1.0 / 4.0)
+    // the face quantizes to the 6dp cross-engine-exact grid
+    // (floor(x·10⁶+0.5)/10⁶ — absorbs the measured 1-ulp libm gap)
+    def r6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
     assert(out(0L)._2 == 2L)
-    assert(out(0L)._3 == 0.0 + 2.0 * lpA)
-    assert(out(1L)._3 == (0.0 + lpA) + lpB)   // fold order: term-sorted, a then b
-    assert(out(1L)._4 == out(1L)._3 / 2.0)
+    assert(out(0L)._3 == r6(0.0 + 2.0 * lpA))
+    assert(out(1L)._3 == r6((0.0 + lpA) + lpB)) // fold order: term-sorted, a then b
+    assert(out(1L)._4 == r6(((0.0 + lpA) + lpB) / 2.0))
   }
 
   test("longer repetitive docs score higher avg_logprob than rare-token docs") {
