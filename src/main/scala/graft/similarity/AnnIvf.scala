@@ -78,8 +78,13 @@ object AnnIvf {
     * the 0.98 floor — shrunk only when the list count itself is small
     * (assign ≥ lists/4 degenerates toward all-pairs; tiny corpora keep
     * assign 2, which their GEOMETRY_RECALL rows measure at 1.0 cos70
-    * anyway). For the routed production regime (n > ~1M ⇒ nLists ≥ 4096)
-    * this is always 4. */
+    * anyway). For the routed production regime (n > ~262k ⇒ the gate's
+    * planes ≥ 13) this is always 4. OVERALL-recall-priority callers
+    * (semantic grouping where the low-cos tail matters more than cost)
+    * double `targetListSize` instead: the swept l40a4 point — bigger
+    * cells, same assign — measures overall 0.734 / cos70 0.985 at 2×
+    * the default's candidate volume; the default optimizes cos70 per
+    * second because the routed face's primary contract is dedup. */
   def ivfAssign(nLists: Int): Int =
     math.max(1, math.min(4, nLists / 4))
 
