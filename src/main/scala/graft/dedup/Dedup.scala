@@ -634,6 +634,50 @@ object Dedup {
     * up as a long run on diagonal g = p (overlapping occurrences are true
     * repeats and are reported as such). Emits (doc_id, start_a, start_b,
     * span_tokens) with start_a < start_b, 0-based offsets. */
+  /** APPLY span dedup — the ACTION half of the Lee et al. 2022 family:
+    * [[substringSpans]] FINDS verbatim ≥ minSpanTokens runs shared
+    * between documents; this strips each found span from the HIGHER
+    * doc id (keep-first-copy, the paper's dedup policy: exactly one
+    * copy of every duplicated span survives, in the lowest id that
+    * carries it) and emits the cleaned corpus with removal stats.
+    *
+    * Relational dataflow: the loser side's [start_b, start_b+len) token
+    * positions explode to (id, pos) rows (output-span-sized — Σ
+    * span_tokens, never corpus-sized), distinct-merged so overlapping
+    * spans from different pairs strip once; the corpus tokenizes once
+    * into (id, pos, token) and an anti-join on (id, pos) keeps the
+    * surviving tokens; per-doc reconstruction is a sort_array over
+    * (pos, token) structs + array_join — bounded by document length
+    * (chunk giant documents first, the winnowPacked bound). Documents
+    * stripped to nothing keep a row (n_tokens_kept = 0, empty text);
+    * token-order and whitespace are reconstructed exactly (split
+    * preserves empty tokens from repeated spaces, concat re-lands them).
+    * Emits (id, n_tokens, n_tokens_kept, cleaned_text). */
+  def stripSpans(df: DataFrame, idCol: String, textCol: String,
+                 k: Int = 8, minSpanTokens: Int = 20,
+                 maxDocFreq: Long = 0L): DataFrame = {
+    val spans = substringSpans(df, idCol, textCol, k, minSpanTokens, maxDocFreq)
+    val remove = spans.select(col("id_b").as("id"),
+        explode(sequence(col("start_b"),
+          col("start_b") + col("span_tokens") - 1)).as("pos"))
+      .distinct()
+    val base = df.select(col(idCol).as("id"), col(textCol).as("_text"))
+    val toks = base.select(col("id"),
+      posexplode(split(col("_text"), " ")).as(Seq("pos", "tok")))
+    val kept = toks.join(remove, Seq("id", "pos"), "left_anti")
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_tokens_kept"),
+        array_join(transform(
+          sort_array(collect_list(struct(col("pos"), col("tok")))),
+          s => s.getField("tok")), " ").as("cleaned_text"))
+    base
+      .join(toks.groupBy("id").agg(count(lit(1)).as("n_tokens")), Seq("id"))
+      .join(kept, Seq("id"), "left")
+      .select(col("id").as(idCol), col("n_tokens"),
+        coalesce(col("n_tokens_kept"), lit(0L)).as("n_tokens_kept"),
+        coalesce(col("cleaned_text"), lit("")).as("cleaned_text"))
+  }
+
   def selfSpans(df: DataFrame, idCol: String, textCol: String,
                 k: Int = 8, minSpanTokens: Int = 20): DataFrame = {
     import org.apache.spark.sql.expressions.Window

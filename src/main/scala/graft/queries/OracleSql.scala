@@ -1246,6 +1246,35 @@ object OracleSql {
         |SELECT id_a, id_b, start_a, start_b, span_tokens FROM sp
         |WHERE span_tokens >= 20""".stripMargin,
 
+    "dedup_strip_spans" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh0 AS (SELECT doc_id, unnest(generate_series(1, greatest(len(t) - 7, 0))) AS i, t
+        |        FROM d),
+        |sh AS (SELECT doc_id, i - 1 AS pos, array_to_string(t[i:i+7], ' ') AS s FROM sh0),
+        |p AS (SELECT a.doc_id AS da, b.doc_id AS db, a.pos AS pa, b.pos AS pb,
+        |       a.pos - b.pos AS g
+        |      FROM sh a JOIN sh b USING (s) WHERE a.doc_id < b.doc_id),
+        |isl AS (SELECT *, pa - row_number() OVER (PARTITION BY da, db, g ORDER BY pa) AS il
+        |        FROM p),
+        |sp AS (SELECT da AS id_a, db AS id_b, CAST(min(pa) AS BIGINT) AS start_a,
+        |        CAST(min(pb) AS BIGINT) AS start_b,
+        |        CAST(count(*) + 7 AS BIGINT) AS span_tokens
+        |       FROM isl GROUP BY da, db, g, il),
+        |rm AS (SELECT DISTINCT id_b AS doc_id,
+        |        unnest(generate_series(start_b, start_b + span_tokens - 1)) AS pos
+        |       FROM sp WHERE span_tokens >= 20),
+        |tok AS (SELECT doc_id, i - 1 AS pos, t[i] AS tok
+        |        FROM (SELECT doc_id, unnest(generate_series(1, len(t))) AS i, t FROM d)),
+        |kept AS (SELECT tok.doc_id, tok.pos, tok.tok FROM tok
+        |         ANTI JOIN rm ON tok.doc_id = rm.doc_id AND tok.pos = rm.pos),
+        |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens_kept,
+        |         array_to_string(list(tok ORDER BY pos), ' ') AS cleaned_text
+        |        FROM kept GROUP BY doc_id)
+        |SELECT d.doc_id, CAST(len(d.t) AS BIGINT) AS n_tokens,
+        | coalesce(agg.n_tokens_kept, 0) AS n_tokens_kept,
+        | coalesce(agg.cleaned_text, '') AS cleaned_text
+        |FROM d LEFT JOIN agg ON d.doc_id = agg.doc_id""".stripMargin,
+
     "dedup_substring_self" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         |sh0 AS (SELECT doc_id, unnest(generate_series(1, greatest(len(t) - 7, 0))) AS i, t

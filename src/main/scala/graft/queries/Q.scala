@@ -1065,6 +1065,17 @@ object Q {
     Dedup.substringSpans(Tables(s, dir, "documents"), "doc_id", "text",
       k = 8, minSpanTokens = 20)
 
+  /** Span-dedup APPLIED: strip every verbatim ≥ 20-token run from the
+    * higher doc id (keep-first-copy — exactly one copy of each
+    * duplicated span survives corpus-wide) and emit the cleaned corpus
+    * with per-doc removal stats — the ACTION half of dedup_substring's
+    * find (Lee et al. 2022 deduplicate by REMOVING spans, not just
+    * reporting them). Pure strings + bigints, so the face hash-matches
+    * the DuckDB oracle exactly. */
+  def dedupStripSpans(s: SparkSession, dir: String): DataFrame =
+    Dedup.stripSpans(Tables(s, dir, "documents"), "doc_id", "text",
+      k = 8, minSpanTokens = 20)
+
   /** Within-document duplicated spans (self-repetition ≥ 20 tokens —
     * pasted boilerplate, template stutter, generation loops). Empty on
     * this synthetic corpus (documents carry no internal repeats — itself

@@ -217,6 +217,49 @@ class DedupSpec extends SparkSpec {
     assert(j.isEmpty, s"jaccard unexpectedly caught it: ${j.toSeq}")
   }
 
+  test("stripSpans removes the planted span from the higher id only, keeper untouched") {
+    import spark.implicits._
+    val span = (0 until 200).map(i => s"s$i")
+    val aHead = (0 until 100).map(i => s"a$i"); val aTail = (0 until 50).map(i => s"x$i")
+    val bHead = (0 until 37).map(i => s"b$i");  val bTail = (0 until 80).map(i => s"y$i")
+    val docA = (aHead ++ span ++ aTail).mkString(" ")
+    val docB = (bHead ++ span ++ bTail).mkString(" ")
+    // doc 3 is the span VERBATIM — stripped to nothing (keep-first-copy:
+    // doc 1 carries the surviving copy); doc 4 matches nothing
+    val d = Seq((1L, docA), (2L, docB), (3L, span.mkString(" ")),
+      (4L, (0 until 60).map(i => s"z$i").mkString(" "))).toDF("doc_id", "text")
+    val out = Dedup.stripSpans(d, "doc_id", "text", k = 8, minSpanTokens = 20)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("n_tokens_kept"),
+          r.getAs[String]("cleaned_text"))).toMap
+    assert(out.keySet == Set(1L, 2L, 3L, 4L), "every document keeps a row")
+    // doc 1 (lowest id carrying the span) is UNTOUCHED
+    assert(out(1L) == (350L, 350L, docA))
+    // doc 2 loses exactly the 200-token span, head and tail survive in order
+    assert(out(2L)._1 == 317L && out(2L)._2 == 117L)
+    assert(out(2L)._3 == (bHead ++ bTail).mkString(" "))
+    // doc 3 strips to nothing but keeps its row
+    assert(out(3L) == (200L, 0L, ""))
+    // doc 4 untouched
+    assert(out(4L)._2 == 60L && out(4L)._3 == out(4L)._3)
+  }
+
+  test("stripSpans leaves exactly one copy of every duplicated span corpus-wide") {
+    import spark.implicits._
+    // three docs all sharing one span (a chain 1<2<3): doc 1 keeps it,
+    // docs 2 and 3 both strip it — one surviving copy
+    val span = (0 until 40).map(i => s"s$i")
+    def doc(prefix: String, n: Int) = ((0 until n).map(i => s"$prefix$i") ++ span).mkString(" ")
+    val d = Seq((1L, doc("a", 10)), (2L, doc("b", 20)), (3L, doc("c", 30)))
+      .toDF("doc_id", "text")
+    val out = Dedup.stripSpans(d, "doc_id", "text", k = 8, minSpanTokens = 20)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("cleaned_text")).toMap
+    val survivors = out.values.count(t => t.contains("s0 s1"))
+    assert(survivors == 1, s"expected exactly one surviving span copy: $out")
+    assert(out(2L) == (0 until 20).map(i => s"b$i").mkString(" "))
+    assert(out(3L) == (0 until 30).map(i => s"c$i").mkString(" "))
+  }
+
   test("substringSpans finds nothing below the span floor and merges runs maximally") {
     import spark.implicits._
     // 19 shared tokens < minSpanTokens=20 → no output; exactly 20 → one span
