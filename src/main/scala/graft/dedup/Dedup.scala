@@ -432,9 +432,7 @@ object Dedup {
       .withColumn("_t", split(col(textCol), " "))
       .withColumn(textCol,
         when(col("_rs").isNull, col(textCol)).otherwise(
-          concat_ws(" ", filter(col("_t"), (t, i) =>
-            !exists(col("_rs"), r =>
-              i.cast("long") >= r.getField("s") && i.cast("long") < r.getField("e"))))))
+          concat_ws(" ", tokensOutsideRanges(col("_t"), col("_rs")))))
       .drop("_vid", "_rs", "_t")
   }
 
@@ -634,48 +632,54 @@ object Dedup {
     * up as a long run on diagonal g = p (overlapping occurrences are true
     * repeats and are reported as such). Emits (doc_id, start_a, start_b,
     * span_tokens) with start_a < start_b, 0-based offsets. */
-  /** APPLY span dedup — the ACTION half of the Lee et al. 2022 family:
-    * [[substringSpans]] FINDS verbatim ≥ minSpanTokens runs shared
-    * between documents; this strips each found span from the HIGHER
-    * doc id (keep-first-copy, the paper's dedup policy: exactly one
-    * copy of every duplicated span survives, in the lowest id that
-    * carries it) and emits the cleaned corpus with removal stats.
+  /** The shared range-strip kernel of [[removeSpans]] /
+    * [[removeSelfSpans]] / [[stripSpans]]: tokens of `tokensCol` whose
+    * index falls inside no (s, e) range of `rangesCol` — a pure
+    * higher-order codegen filter, O(tokens × ranges-per-doc) with NO
+    * corpus-token shuffle (ranges per doc are few, bounded by
+    * doc length / minSpanTokens; overlapping ranges merge through the
+    * any-range-covers predicate, so a span reported by several pairs or
+    * harmonics strips once). */
+  private def tokensOutsideRanges(tokensCol: Column, rangesCol: Column): Column =
+    filter(tokensCol, (_, i) =>
+      !exists(rangesCol, r =>
+        i.cast("long") >= r.getField("s") && i.cast("long") < r.getField("e")))
+
+  /** APPLY span dedup end-to-end — the ACTION half of the Lee et al.
+    * 2022 family: [[substringSpans]] FINDS verbatim ≥ minSpanTokens runs
+    * shared between documents; this strips each found span from the
+    * HIGHER doc id (keep-first-copy, the paper's dedup policy: exactly
+    * one copy of every duplicated span survives, in the lowest id that
+    * carries it) and emits the cleaned corpus WITH removal stats —
+    * [[removeSpans]] is the span-frame-driven in-place rewrite for
+    * callers that already hold a span list; this face derives the spans
+    * and accounts for what it cut.
     *
-    * Relational dataflow: the loser side's [start_b, start_b+len) token
-    * positions explode to (id, pos) rows (output-span-sized — Σ
-    * span_tokens, never corpus-sized), distinct-merged so overlapping
-    * spans from different pairs strip once; the corpus tokenizes once
-    * into (id, pos, token) and an anti-join on (id, pos) keeps the
-    * surviving tokens; per-doc reconstruction is a sort_array over
-    * (pos, token) structs + array_join — bounded by document length
-    * (chunk giant documents first, the winnowPacked bound). Documents
-    * stripped to nothing keep a row (n_tokens_kept = 0, empty text);
-    * token-order and whitespace are reconstructed exactly (split
-    * preserves empty tokens from repeated spaces, concat re-lands them).
-    * Emits (id, n_tokens, n_tokens_kept, cleaned_text). */
+    * Plan shape: the only shuffle beyond the span finder is the per-doc
+    * range-list groupBy (output-span-sized); the strip itself is the
+    * [[tokensOutsideRanges]] codegen filter riding a left join of the
+    * range lists onto the corpus scan — corpus tokens never shuffle.
+    * Documents stripped to nothing keep a row (0 kept, empty text);
+    * token order and whitespace reconstruct exactly (split preserves
+    * empty tokens from repeated spaces, the join re-lands them). Emits
+    * (id, n_tokens, n_tokens_kept, cleaned_text). */
   def stripSpans(df: DataFrame, idCol: String, textCol: String,
                  k: Int = 8, minSpanTokens: Int = 20,
                  maxDocFreq: Long = 0L): DataFrame = {
     val spans = substringSpans(df, idCol, textCol, k, minSpanTokens, maxDocFreq)
-    val remove = spans.select(col("id_b").as("id"),
-        explode(sequence(col("start_b"),
-          col("start_b") + col("span_tokens") - 1)).as("pos"))
-      .distinct()
-    val base = df.select(col(idCol).as("id"), col(textCol).as("_text"))
-    val toks = base.select(col("id"),
-      posexplode(split(col("_text"), " ")).as(Seq("pos", "tok")))
-    val kept = toks.join(remove, Seq("id", "pos"), "left_anti")
-      .groupBy("id")
-      .agg(count(lit(1)).as("n_tokens_kept"),
-        array_join(transform(
-          sort_array(collect_list(struct(col("pos"), col("tok")))),
-          s => s.getField("tok")), " ").as("cleaned_text"))
-    base
-      .join(toks.groupBy("id").agg(count(lit(1)).as("n_tokens")), Seq("id"))
-      .join(kept, Seq("id"), "left")
-      .select(col("id").as(idCol), col("n_tokens"),
-        coalesce(col("n_tokens_kept"), lit(0L)).as("n_tokens_kept"),
-        coalesce(col("cleaned_text"), lit("")).as("cleaned_text"))
+    val ranges = spans
+      .groupBy(col("id_b").as("_vid"))
+      .agg(sort_array(collect_list(struct(col("start_b").as("s"),
+        (col("start_b") + col("span_tokens")).as("e")))).as("_rs"))
+    df.select(col(idCol), col(textCol))
+      .join(ranges, col(idCol) === col("_vid"), "left")
+      .withColumn("_t", split(col(textCol), " "))
+      .withColumn("_kept", when(col("_rs").isNull, col("_t"))
+        .otherwise(tokensOutsideRanges(col("_t"), col("_rs"))))
+      .select(col(idCol),
+        size(col("_t")).cast("bigint").as("n_tokens"),
+        size(col("_kept")).cast("bigint").as("n_tokens_kept"),
+        array_join(col("_kept"), " ").as("cleaned_text"))
   }
 
   def selfSpans(df: DataFrame, idCol: String, textCol: String,
@@ -724,9 +728,7 @@ object Dedup {
       .withColumn(textCol,
         when(col("_rs").isNull, col(textCol)).otherwise(
           // keep token i unless some [s, e) range covers it
-          concat_ws(" ", filter(col("_t"), (t, i) =>
-            !exists(col("_rs"), r =>
-              i.cast("long") >= r.getField("s") && i.cast("long") < r.getField("e"))))))
+          concat_ws(" ", tokensOutsideRanges(col("_t"), col("_rs")))))
       .drop("_vid", "_rs", "_t")
   }
 
