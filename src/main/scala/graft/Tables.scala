@@ -71,12 +71,24 @@ object Tables {
   private val countCache =
     new java.util.concurrent.ConcurrentHashMap[(String, String, Long), java.lang.Long]()
 
-  private def contentFingerprint(path: String): Long = {
-    def fp(f: java.io.File): Long =
-      if (f.isDirectory)
-        Option(f.listFiles()).map(_.map(fp).foldLeft(0L)(_ ^ _)).getOrElse(0L)
-      else f.length() + f.lastModified() * 0x9E3779B97F4A7C15L
-    fp(new java.io.File(path))
+  /** Driver-side metadata fingerprint of the files under `path`, resolved
+    * through the Hadoop FileSystem so HDFS/S3A table paths fingerprint the
+    * same way local ones do (lengths ⊕ mtimes; object stores report both).
+    * Entries keyed by superseded fingerprints stay in the map for the
+    * session — bounded by regens-per-session × tables, negligible.
+    * Pipelines that MUTATE a table in place between reads should still
+    * pass their own post-mutation count rather than rely on mtime
+    * granularity (some stores round mtimes to seconds). */
+  private def contentFingerprint(hconf: org.apache.hadoop.conf.Configuration,
+                                 path: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(hconf)
+    def fp(st: org.apache.hadoop.fs.FileStatus): Long =
+      if (st.isDirectory)
+        fs.listStatus(st.getPath).map(fp).foldLeft(0L)(_ ^ _)
+      else st.getLen + st.getModificationTime * 0x9E3779B97F4A7C15L
+    try fp(fs.getFileStatus(p))
+    catch { case _: java.io.FileNotFoundException => 0L }
   }
 
   /** Session-cached row count of a testdata table — ONE count job per
@@ -84,7 +96,8 @@ object Tables {
     * face, invalidated automatically when the files under the path change. */
   def cachedCount(spark: SparkSession, dir: String, name: String): Long =
     countCache.computeIfAbsent(
-      (dir, name, contentFingerprint(s"$dir/$name.parquet")),
+      (dir, name, contentFingerprint(spark.sparkContext.hadoopConfiguration,
+        s"$dir/$name.parquet")),
       _ => java.lang.Long.valueOf(apply(spark, dir, name).count())).longValue()
 
   /** NULL out `valueCol` where `keyCol % m == r` — mirrored in oracle SQL. */

@@ -220,8 +220,15 @@ object FingerprintIndex {
     // batch ID SET after the dedup rather than riding the union, so
     // "touches the batch" is deterministic regardless of which copy
     // dropDuplicates kept.
+    // batch fps union in unconditionally: a corpus doc sharing a batch
+    // doc's EXACT fingerprint has no cross-fp candidate row, yet its
+    // membership is what the hamming-0 `within` branch pairs against —
+    // without it, a verbatim corpus copy with no hamming-[1,d] neighbor
+    // would be unfindable despite being indexed
     val candFps = fpPairs
-      .select(explode(array(col("fp_a"), col("fp_b"))).as("fp")).distinct()
+      .select(explode(array(col("fp_a"), col("fp_b"))).as("fp"))
+      .unionByName(bfp.select("fp"))
+      .distinct()
     val cfps = spark.read.parquet(resolvedTable(spark, indexPath, "fps"))
     val batchIds = bfp.select(col("id"), lit(true).as("_bm"))
     val members = bfp

@@ -1379,13 +1379,27 @@ object Q {
     val docs = Tables(s, dir, "documents")
     val fps = docs.select(col("doc_id"),
       graft.dedup.SimHash.simhash64(split(col("text"), " "), 42L).as("fp"))
-    val path = s"${System.getProperty("java.io.tmpdir")}/graft_fp_idx_" +
-      math.abs(dir.hashCode).toString
-    graft.dedup.FingerprintIndex.write(fps.filter(col("doc_id") % 5 =!= 0),
-      "doc_id", "fp", path)
-    graft.dedup.FingerprintIndex.pairsIncremental(s, path,
-      fps.filter(col("doc_id") % 5 === 0), "doc_id", "fp",
-      smallBatch = false)
+    // unique scratch dir per run (the bench protocol runs the face 4+
+    // times a session, possibly concurrently) + finally-delete — the
+    // annIndexRecall tmpdir-hygiene contract
+    val path = java.nio.file.Files.createTempDirectory("graft_fp_idx").toString
+    try {
+      graft.dedup.FingerprintIndex.write(fps.filter(col("doc_id") % 5 =!= 0),
+        "doc_id", "fp", path)
+      // eager checkpoint: the returned plan must read nothing from the
+      // scratch index once the finally-delete has run
+      graft.dedup.FingerprintIndex.pairsIncremental(s, path,
+          fps.filter(col("doc_id") % 5 === 0), "doc_id", "fp",
+          smallBatch = false)
+        .localCheckpoint()
+    } finally {
+      // LOCAL FileSystem explicitly: the scratch dir is a java.nio local
+      // tempdir, and on a cluster the default FS (HDFS) would mis-resolve
+      // the bare path
+      val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+        s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+    }
   }
 
   /** Estimator-quality audit for the dedup family — the ann_recall

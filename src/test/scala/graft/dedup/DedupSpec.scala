@@ -240,8 +240,9 @@ class DedupSpec extends SparkSpec {
     assert(out(2L)._3 == (bHead ++ bTail).mkString(" "))
     // doc 3 strips to nothing but keeps its row
     assert(out(3L) == (200L, 0L, ""))
-    // doc 4 untouched
-    assert(out(4L)._2 == 60L && out(4L)._3 == out(4L)._3)
+    // doc 4 untouched — cleaned_text equals the ORIGINAL text
+    assert(out(4L)._2 == 60L &&
+      out(4L)._3 == (0 until 60).map(i => s"z$i").mkString(" "))
   }
 
   test("stripSpans leaves exactly one copy of every duplicated span corpus-wide") {

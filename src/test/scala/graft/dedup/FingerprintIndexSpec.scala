@@ -64,6 +64,20 @@ class FingerprintIndexSpec extends SparkSpec {
     assert(inc.forall { case (a, b, _) => a != 3L && b != 3L })
   }
 
+  test("hamming-0 pair with NO cross-fp neighbor: exact-fp corpus copy is still found") {
+    // regression: the membership restriction used to be built only from
+    // cross-fp candidate pairs, so a verbatim corpus copy whose
+    // fingerprint had no hamming-[1,d] neighbor anywhere never entered
+    // `members` and the (batch, corpus, 0) pair was silently dropped
+    val path = tmp()
+    FingerprintIndex.write(Seq((100L, fp0)).toDF("doc_id", "fp"),
+      "doc_id", "fp", path)
+    val probe = FingerprintIndex.pairsIncremental(spark, path,
+        Seq((1L, fp0)).toDF("doc_id", "fp"), "doc_id", "fp")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(probe == Set((1L, 100L, 0)))
+  }
+
   test("append folds the batch: the NEXT probe sees it, id-guarded, fp-deduped keys") {
     val path = tmp()
     FingerprintIndex.write(corpus, "doc_id", "fp", path)
