@@ -9,7 +9,7 @@ import graft.Tables
   * tables are explicitly broadcast so the fact table never shuffles for them.
   *
   * Numeric discipline: monetary/quantity aggregates are summed as integer
-  * "cents" (BIGINT) — `round(x·10^k, 0)` per row is exact for fixed-decimal
+  * "cents" (BIGINT) — `floor(x·10^k + 0.5)` per row is exact for fixed-decimal
   * source data — then converted back with a single division. Integer sums are
   * order-independent, so results are bitwise-reproducible across engines and
   * across shuffle orders (a plain double sum of 600k values drifts ~1e-4 with
@@ -18,9 +18,12 @@ import graft.Tables
   */
 object Analytics {
 
-  /** Exact fixed-point lift: x·10^scale rounded to BIGINT. */
+  /** Exact fixed-point lift: x·10^scale rounded half-up to BIGINT via the
+    * cross-engine-exact floor(x+0.5) form (docs/SF1_GATE.md class 1: native
+    * round() on doubles disagrees between Spark and DuckDB on grid-boundary
+    * values; floor/×/+ are IEEE ops both engines run identically). */
   def cents(c: Column, scale: Int): Column =
-    round(c * math.pow(10, scale), 0).cast("bigint")
+    floor((c * math.pow(10, scale)) + lit(0.5)).cast("bigint")
 
   /** TPC-H Q1-style pricing summary: one shuffle, partial aggregation
     * map-side, group-key cardinality 6. */
@@ -236,7 +239,7 @@ object Analytics {
     daily.join(broadcast(st), "dow")
       .select(col("d"), col("dow"), col("n_events"),
         when(col("_sigma") > 0.0,
-          round((col("n_events").cast("double") - col("_mu")) / col("_sigma"), 6))
+          (floor(((col("n_events").cast("double") - col("_mu")) / col("_sigma")) * lit(1e6) + lit(0.5)) / lit(1e6)))
           .as("z_dow"))
   }
 
@@ -275,7 +278,7 @@ object Analytics {
     val tot = cells.agg(sum("n_events").as("_tot"))
     cells.crossJoin(broadcast(tot))
       .select(col("dow"), col("hour"), col("n_events"),
-        round(col("n_events").cast("double") / col("_tot").cast("double"), 8)
+        (floor((col("n_events").cast("double") / col("_tot").cast("double")) * lit(1e8) + lit(0.5)) / lit(1e8))
           .as("share"))
   }
 
@@ -300,8 +303,8 @@ object Analytics {
       .agg(expr("percentile(_dev, 0.5)").as("_mad"))
     daily.crossJoin(broadcast(med)).crossJoin(broadcast(mad))
       .select(col("d"), col("n_events"),
-        round((col("n_events").cast("double") - col("_med"))
-          / (lit(1.4826) * col("_mad")), 6).as("robust_z"))
+        (floor(((col("n_events").cast("double") - col("_med"))
+          / (lit(1.4826) * col("_mad"))) * lit(1e6) + lit(0.5)) / lit(1e6)).as("robust_z"))
   }
 
   /** Cohort retention matrix: users grouped by first-activity day, distinct
@@ -460,7 +463,7 @@ object Analytics {
       .crossJoin(broadcast(b.agg(count(lit(1)).as("n_view_click"))))
       .crossJoin(broadcast(c.agg(count(lit(1)).as("n_full_funnel"))))
       .crossJoin(broadcast(conv.agg(
-        round(expr("percentile(_secs, 0.5)"), 0).cast("bigint").as("median_convert_sec"))))
+        floor((expr("percentile(_secs, 0.5)")) + lit(0.5)).cast("bigint").as("median_convert_sec"))))
   }
 
   /** Market-basket co-occurrence: top-20 part pairs appearing in the same
@@ -525,11 +528,11 @@ object Analytics {
       .join(items.select(col("part").as("part_b"), col("n_item").as("_nb")), "part_b")
       .crossJoin(broadcast(nOrders))
       .select(col("part_a"), col("part_b"), col("n_ab"),
-        round(col("n_ab").cast("double") / col("_n").cast("double"), 6).as("support"),
-        round(col("n_ab").cast("double") / col("_na").cast("double"), 6).as("conf_a_b"),
-        round(col("n_ab").cast("double") / col("_nb").cast("double"), 6).as("conf_b_a"),
-        round(col("n_ab").cast("double") * col("_n").cast("double")
-          / (col("_na").cast("double") * col("_nb").cast("double")), 6).as("lift"))
+        (floor((col("n_ab").cast("double") / col("_n").cast("double")) * lit(1e6) + lit(0.5)) / lit(1e6)).as("support"),
+        (floor((col("n_ab").cast("double") / col("_na").cast("double")) * lit(1e6) + lit(0.5)) / lit(1e6)).as("conf_a_b"),
+        (floor((col("n_ab").cast("double") / col("_nb").cast("double")) * lit(1e6) + lit(0.5)) / lit(1e6)).as("conf_b_a"),
+        (floor((col("n_ab").cast("double") * col("_n").cast("double")
+          / (col("_na").cast("double") * col("_nb").cast("double"))) * lit(1e6) + lit(0.5)) / lit(1e6)).as("lift"))
       .orderBy(col("lift").desc, col("part_a"), col("part_b"))
       .limit(topK)
   }
@@ -556,10 +559,10 @@ object Analytics {
         expr("percentile(_secs, array(0.25D, 0.5D, 0.75D, 0.9D))").as("_q"),
         min(col("_secs")).as("min_sec"), max(col("_secs")).as("max_sec"))
       .select(col("n_conversions"),
-        round(element_at(col("_q"), 1), 0).cast("bigint").as("p25_sec"),
-        round(element_at(col("_q"), 2), 0).cast("bigint").as("p50_sec"),
-        round(element_at(col("_q"), 3), 0).cast("bigint").as("p75_sec"),
-        round(element_at(col("_q"), 4), 0).cast("bigint").as("p90_sec"),
+        floor((element_at(col("_q"), 1)) + lit(0.5)).cast("bigint").as("p25_sec"),
+        floor((element_at(col("_q"), 2)) + lit(0.5)).cast("bigint").as("p50_sec"),
+        floor((element_at(col("_q"), 3)) + lit(0.5)).cast("bigint").as("p75_sec"),
+        floor((element_at(col("_q"), 4)) + lit(0.5)).cast("bigint").as("p90_sec"),
         col("min_sec"), col("max_sec"))
   }
 
@@ -572,7 +575,7 @@ object Analytics {
     val c = Tables(spark, dir, "customer")
     val ac = cents(col("c_acctbal"), 2)
     val avgStat = c.agg(
-      round(sum(ac).cast("double") / count(lit(1)), 0).cast("bigint").as("_avg"))
+      floor((sum(ac).cast("double") / count(lit(1))) + lit(0.5)).cast("bigint").as("_avg"))
     c.crossJoin(broadcast(avgStat))
       .filter(ac > col("_avg"))
       .join(Tables(spark, dir, "orders").select(col("o_custkey")),
@@ -866,8 +869,8 @@ object Analytics {
       .join(totals.select(col("event_type").as("type_a"), col("n").as("n_a")), "type_a")
       .join(totals.select(col("event_type").as("type_b"), col("n").as("n_b")), "type_b")
       .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"), col("n_both"),
-        round(col("n_both").cast("double")
-          / (col("n_a") + col("n_b") - col("n_both")).cast("double"), 6).as("jaccard"))
+        (floor((col("n_both").cast("double")
+          / (col("n_a") + col("n_b") - col("n_both")).cast("double")) * lit(1e6) + lit(0.5)) / lit(1e6)).as("jaccard"))
   }
 
   /** Gini concentration of event volume across users — "do 1% of users
@@ -909,9 +912,9 @@ object Analytics {
     blocks.agg(sum(col("m")).as("n_users"), sum(col("_sx")).as("total_events"),
         sum(col("_s1")).as("_rs"))
       .select(col("n_users"), col("total_events"),
-        round((lit(2.0) * col("_rs").cast("double")
+        (floor(((lit(2.0) * col("_rs").cast("double")
           - (col("n_users") + 1).cast("double") * col("total_events").cast("double"))
-          / (col("n_users").cast("double") * col("total_events").cast("double")), 6)
+          / (col("n_users").cast("double") * col("total_events").cast("double"))) * lit(1e6) + lit(0.5)) / lit(1e6))
           .as("gini"))
   }
 
@@ -982,8 +985,8 @@ object Analytics {
       .rowsBetween(Window.unboundedPreceding, 0)
     daily.select(col("event_type"), col("d"), col("n_events"),
       sum("n_events").over(w7).as("sum_7d"),
-      round(sum("n_events").over(w7).cast("double")
-        / count(lit(1)).over(w7).cast("double"), 6).as("avg_7d"),
+      (floor((sum("n_events").over(w7).cast("double")
+        / count(lit(1)).over(w7).cast("double")) * lit(1e6) + lit(0.5)) / lit(1e6)).as("avg_7d"),
       sum("n_events").over(wRun).as("running_total"))
   }
 
@@ -1038,9 +1041,9 @@ object Analytics {
       .groupBy("o_custkey").agg(sum(col("_tc")).as("_s"))
     def quartile(spend: DataFrame): DataFrame =
       spend.agg(
-        round(expr("percentile(_s, 0.25D)"), 0).cast("bigint").as("_q1"),
-        round(expr("percentile(_s, 0.5D)"), 0).cast("bigint").as("_q2"),
-        round(expr("percentile(_s, 0.75D)"), 0).cast("bigint").as("_q3"))
+        floor((expr("percentile(_s, 0.25D)")) + lit(0.5)).cast("bigint").as("_q1"),
+        floor((expr("percentile(_s, 0.5D)")) + lit(0.5)).cast("bigint").as("_q2"),
+        floor((expr("percentile(_s, 0.75D)")) + lit(0.5)).cast("bigint").as("_q3"))
     def bucket(spend: DataFrame, out: String): DataFrame =
       spend.crossJoin(broadcast(quartile(spend)))
         .select(col("o_custkey"),
@@ -1265,8 +1268,8 @@ object Analytics {
     val vy = m("m") * col("syy") - col("sy") * col("sy")
     m.select(col("event_type"), col("lag"), col("m").as("n_pairs"),
       when(vx > 0L && vy > 0L,
-        round((m("m") * col("sxy") - col("sx") * col("sy")).cast("double") /
-          (sqrt(vx.cast("double")) * sqrt(vy.cast("double"))), 6))
+        (floor(((m("m") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (sqrt(vx.cast("double")) * sqrt(vy.cast("double")))) * lit(1e6) + lit(0.5)) / lit(1e6)))
         .as("autocorr"))
   }
 
@@ -1325,9 +1328,9 @@ object Analytics {
       pa.as("rate_a"), pb.as("rate_b"),
       when(col("conv_a") + col("conv_b") > 0L &&
           col("conv_a") + col("conv_b") < col("n_a") + col("n_b"),
-        round((pa - pb) / sqrt(pp * (lit(1.0) - pp) *
+        (floor(((pa - pb) / sqrt(pp * (lit(1.0) - pp) *
           (lit(1.0) / col("n_a").cast("double") +
-            lit(1.0) / col("n_b").cast("double"))), 6)).as("z_score"))
+            lit(1.0) / col("n_b").cast("double")))) * lit(1e6) + lit(0.5)) / lit(1e6))).as("z_score"))
   }
 
   /** TPC-H Q2-style minimum-cost supplier (adapted: no partsupp table, so
@@ -1503,7 +1506,7 @@ object Analytics {
       .withColumn("m", count(lit(1)).over(Window.partitionBy("event_type")))
     r.filter(col("rn") === expr("(m + 1) div 2") || col("rn") === expr("m div 2 + 1"))
       .groupBy("event_type")
-      .agg(max(col("m")).as("n_pairs"), round(avg(col("slope")), 6).as("slope_med"))
+      .agg(max(col("m")).as("n_pairs"), (floor((avg(col("slope"))) * lit(1e6) + lit(0.5)) / lit(1e6)).as("slope_med"))
   }
 
   /** Period-over-period contribution decomposition: split the event range
@@ -1530,7 +1533,7 @@ object Analytics {
     perType.crossJoin(broadcast(tot))
       .select(col("event_type"), col("n_first"), col("n_second"), col("delta"),
         when(col("total_delta") =!= 0L,
-          round(col("delta").cast("double") / col("total_delta").cast("double"), 6))
+          (floor((col("delta").cast("double") / col("total_delta").cast("double")) * lit(1e6) + lit(0.5)) / lit(1e6)))
           .as("share"))
   }
 
@@ -1612,9 +1615,9 @@ object Analytics {
     val tot = c.agg(sum(col("n_obs")).as("n_total"))
     c.crossJoin(broadcast(tot))
       .select(col("digit"), col("n_obs"),
-        round(col("n_obs").cast("double") / col("n_total").cast("double"), 6)
+        (floor((col("n_obs").cast("double") / col("n_total").cast("double")) * lit(1e6) + lit(0.5)) / lit(1e6))
           .as("obs_frac"),
-        round(log10((col("digit") + 1L).cast("double") / col("digit").cast("double")), 6)
+        (floor((log10((col("digit") + 1L).cast("double") / col("digit").cast("double"))) * lit(1e6) + lit(0.5)) / lit(1e6))
           .as("exp_frac"))
   }
 

@@ -83,9 +83,9 @@ object Profile {
           min_by(col("_v"), struct((-col("_c")).as("nc"), col("_v").as("v")))
             .as("mode_value"),
           max(col("_c")).as("mode_n"),
-          round(log(sum(col("_c")).cast("double"))
+          (floor((log(sum(col("_c")).cast("double"))
             - sum(col("_c").cast("double") * log(col("_c").cast("double")))
-              / sum(col("_c")).cast("double"), 6).as("entropy"))
+              / sum(col("_c")).cast("double")) * lit(1e6) + lit(0.5)) / lit(1e6)).as("entropy"))
         .select(lit(c).as("variable"), col("n"), col("n_distinct"),
           col("mode_value"), col("mode_n"), col("entropy"))
     }
@@ -108,7 +108,7 @@ object Profile {
       .groupBy(groupCol)
       .agg(count(lit(1)).as("n"), expr(s"percentile(_vc, $arr)").as("_q"))
       .select(col(groupCol) +: col("n") +: ps.zipWithIndex.map { case (p, i) =>
-        (round(element_at(col("_q"), i + 1), 0).cast("bigint").cast("double") / k)
+        (floor((element_at(col("_q"), i + 1)) + lit(0.5)).cast("bigint").cast("double") / k)
           .as(s"p${math.round(p * 100)}")
       }: _*)
   }
@@ -144,7 +144,7 @@ object Profile {
       val num = (col("_n") * col(s"_sp_${a}_${b}") - col(s"_s_$a") * col(s"_s_$b")).cast("double")
       val da = (col("_n") * col(s"_ss_$a") - col(s"_s_$a") * col(s"_s_$a")).cast("double")
       val db = (col("_n") * col(s"_ss_$b") - col(s"_s_$b") * col(s"_s_$b")).cast("double")
-      (lit(a), lit(b), round(num / (sqrt(da) * sqrt(db)), 6))
+      (lit(a), lit(b), (floor((num / (sqrt(da) * sqrt(db))) * lit(1e6) + lit(0.5)) / lit(1e6)))
     }
     val rows = stackArgs.map { case (a, b, c) =>
       struct(a.as("col_a"), b.as("col_b"), c.as("corr"))
@@ -188,7 +188,7 @@ object Profile {
     binned.crossJoin(broadcast(totals))
       .select(col("_na"), col("_nb"),
         when(col("_na") > 0 && col("_nb") > 0,
-          round((p - q) * log(p / q) * 1e12, 0).cast("bigint"))
+          floor(((p - q) * log(p / q) * 1e12) + lit(0.5)).cast("bigint"))
           .otherwise(lit(null)).as("_term"))
       .agg(
         sum(when(col("_term").isNotNull, 1L).otherwise(0L)).as("n_bins_common"),
@@ -255,13 +255,13 @@ object Profile {
     val ratio = (col("_nxy").cast("double") * col("_n").cast("double")) /
       (col("_nx").cast("double") * col("_ny").cast("double"))
     val miRow = cells.join(mx, "_x").join(my, "_y").crossJoin(broadcast(tot))
-      .select(round((col("_nxy").cast("double") / col("_n").cast("double")) *
-          log(ratio) * 1e12, 0).cast("bigint").as("_t"))
+      .select(floor(((col("_nxy").cast("double") / col("_n").cast("double")) *
+          log(ratio) * 1e12) + lit(0.5)).cast("bigint").as("_t"))
       .agg(count(lit(1)).as("n_cells"), sum(col("_t")).as("_mi"))
     def entropy(marg: DataFrame, nCol: String, out: String): DataFrame =
       marg.crossJoin(broadcast(tot))
-        .select(round((col(nCol).cast("double") / col("_n").cast("double")) *
-            log(col("_n").cast("double") / col(nCol).cast("double")) * 1e12, 0)
+        .select(floor(((col(nCol).cast("double") / col("_n").cast("double")) *
+            log(col("_n").cast("double") / col(nCol).cast("double")) * 1e12) + lit(0.5))
           .cast("bigint").as("_e"))
         .agg(sum(col("_e")).as(out))
     miRow.crossJoin(broadcast(entropy(mx, "_nx", "_hx")))
@@ -272,9 +272,9 @@ object Profile {
         (col("_hx").cast("double") / 1e12).as("h_x"),
         (col("_hy").cast("double") / 1e12).as("h_y"),
         when(col("_hx") > 0L && col("_hy") > 0L,
-          round((col("_mi").cast("double") / 1e12) /
+          (floor(((col("_mi").cast("double") / 1e12) /
             sqrt((col("_hx").cast("double") / 1e12) *
-              (col("_hy").cast("double") / 1e12)), 6)).as("nmi"))
+              (col("_hy").cast("double") / 1e12))) * lit(1e6) + lit(0.5)) / lit(1e6))).as("nmi"))
   }
 
   /** MI face on the testdata: market segment × nation dependence. */
@@ -309,11 +309,11 @@ object Profile {
       when(col("na") > 0L, p * log(p / m)).otherwise(lit(0.0)) +
         when(col("nb") > 0L, q * log(q / m)).otherwise(lit(0.0))
     terms.crossJoin(broadcast(tot))
-      .select(round(contrib * 0.5 * 1e12, 0).cast("bigint").as("_c"))
+      .select(floor((contrib * 0.5 * 1e12) + lit(0.5)).cast("bigint").as("_c"))
       .agg(count(lit(1)).as("n_terms"), sum(col("_c")).as("_j"))
       .select(lit(srcA).as("src_a"), lit(srcB).as("src_b"), col("n_terms"),
-        round(col("_j").cast("double") / 1e12, 6).as("jsd_nats"),
-        round(col("_j").cast("double") / 1e12 / math.log(2.0), 6).as("jsd_bits"))
+        (floor((col("_j").cast("double") / 1e12) * lit(1e6) + lit(0.5)) / lit(1e6)).as("jsd_nats"),
+        (floor((col("_j").cast("double") / 1e12 / math.log(2.0)) * lit(1e6) + lit(0.5)) / lit(1e6)).as("jsd_bits"))
   }
 
   /** JSD face on the testdata: src0 vs src1 vocabulary drift. */
@@ -364,7 +364,7 @@ object Profile {
         max(struct(col("stat").as("s"), (-col("band")).as("nb_"))).as("_pk"))
       .select(lit(labelA).as("seg_a"), lit(labelB).as("seg_b"),
         col("n_a"), col("n_b"),
-        round(col("_s").cast("double") / (col("n_a") * col("n_b")).cast("double"), 6)
+        (floor((col("_s").cast("double") / (col("n_a") * col("n_b")).cast("double")) * lit(1e6) + lit(0.5)) / lit(1e6))
           .as("ks_stat"),
         (-col("_pk.nb_")).as("peak_band"))
   }

@@ -188,8 +188,8 @@ object Graph {
     cand.join(deg.select(col("x").as("a"), col("d").as("da")), "a")
       .join(deg.select(col("x").as("b"), col("d").as("db")), "b")
       .select(col("a"), col("b"), col("cn"),
-        round(col("cn").cast("double") /
-          (col("da") + col("db") - col("cn")).cast("double"), 6).as("jaccard"))
+        (floor((col("cn").cast("double") /
+          (col("da") + col("db") - col("cn")).cast("double")) * lit(1e6) + lit(0.5)) / lit(1e6)).as("jaccard"))
       .orderBy(col("cn").desc, col("jaccard").desc, col("a"), col("b"))
       .limit(topK)
   }

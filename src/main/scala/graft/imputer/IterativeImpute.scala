@@ -12,7 +12,7 @@ import org.apache.spark.sql.functions._
   *     y-OBSERVED rows and re-predicts the missing ys, then does the same
   *     for x on the freshly-filled y.
   *
-  * Every fill is quantized to integer units (`round(v·10^2)` cents — the
+  * Every fill is quantized to integer units (`floor(v·10^2 + 0.5)` cents — the
   * oracle discipline), so the OLS moments of the NEXT sweep are sums of
   * integers: exact, order-free, bitwise-reproducible by the DuckDB oracle.
   * Cross-moment sums run in decimal(38,0) (HUGEINT on the oracle side) so a
@@ -50,8 +50,8 @@ object IterativeImpute {
   private def sweepOne(cur: DataFrame, predF: String, tgtObs: String, tgtF: String): DataFrame =
     cur.crossJoin(broadcast(olsStats(cur, predF, tgtObs)))
       .withColumn(tgtF, when(col(tgtObs).isNotNull, col(tgtObs))
-        .otherwise(round(col("_my") - col("_b") * col("_mx")
-          + col("_b") * col(predF).cast("double"), 0).cast("bigint")))
+        .otherwise(floor((col("_my") - col("_b") * col("_mx")
+          + col("_b") * col(predF).cast("double")) + lit(0.5)).cast("bigint")))
       .drop("_my", "_mx", "_b")
 
   /** @param sweeps full x/y rounds after the mean initialization
@@ -63,8 +63,8 @@ object IterativeImpute {
     val base = df.select(
       idCols.map(col) ++ Seq(c(col(xCol), 2).as("_xc"), c(col(yCol), 2).as("_yc")): _*)
     val means = base.agg(
-      round(sum("_xc").cast("double") / count(col("_xc")), 0).cast("bigint").as("_mxc"),
-      round(sum("_yc").cast("double") / count(col("_yc")), 0).cast("bigint").as("_myc"))
+      floor((sum("_xc").cast("double") / count(col("_xc"))) + lit(0.5)).cast("bigint").as("_mxc"),
+      floor((sum("_yc").cast("double") / count(col("_yc"))) + lit(0.5)).cast("bigint").as("_myc"))
     val init = base.crossJoin(broadcast(means))
       .withColumn("_xf", coalesce(col("_xc"), col("_mxc")))
       .withColumn("_yf", coalesce(col("_yc"), col("_myc")))
@@ -117,10 +117,9 @@ object IterativeImpute {
                         tgtObs: String, tgtF: String): DataFrame =
     cur.crossJoin(broadcast(ols2Stats(cur, p1F, p2F, tgtObs)))
       .withColumn(tgtF, when(col(tgtObs).isNotNull, col(tgtObs))
-        .otherwise(round(
-          col("_my") - col("_b1") * col("_m1") - col("_b2") * col("_m2")
+        .otherwise(floor((col("_my") - col("_b1") * col("_m1") - col("_b2") * col("_m2")
             + col("_b1") * col(p1F).cast("double")
-            + col("_b2") * col(p2F).cast("double"), 0).cast("bigint")))
+            + col("_b2") * col(p2F).cast("double")) + lit(0.5)).cast("bigint")))
       .drop("_my", "_m1", "_m2", "_b1", "_b2")
 
   /** MICE with MULTIPLE predictors — the sklearn `IterativeImputer`
@@ -154,9 +153,9 @@ object IterativeImpute {
       idCols.map(col) ++ Seq(c(col(xCol), 2).as("_xc"), c(col(yCol), 2).as("_yc"),
         c(col(zCol), 2).as("_zc")): _*)
     val means = base.agg(
-      round(sum("_xc").cast("double") / count(col("_xc")), 0).cast("bigint").as("_mxc"),
-      round(sum("_yc").cast("double") / count(col("_yc")), 0).cast("bigint").as("_myc"),
-      round(sum("_zc").cast("double") / count(col("_zc")), 0).cast("bigint").as("_mzc"))
+      floor((sum("_xc").cast("double") / count(col("_xc"))) + lit(0.5)).cast("bigint").as("_mxc"),
+      floor((sum("_yc").cast("double") / count(col("_yc"))) + lit(0.5)).cast("bigint").as("_myc"),
+      floor((sum("_zc").cast("double") / count(col("_zc"))) + lit(0.5)).cast("bigint").as("_mzc"))
     val init = base.crossJoin(broadcast(means))
       .withColumn("_xf", coalesce(col("_xc"), col("_mxc")))
       .withColumn("_yf", coalesce(col("_yc"), col("_myc")))

@@ -73,7 +73,7 @@ object KnnImpute {
       .repartitionByRange(parts, col("_x"), col("_id"))
       .sortWithinPartitions("_x", "_id")
       .withColumn("_pid", spark_partition_id())
-      .withColumn("_yc", round(col("_y") * pow, 0).cast("bigint"))
+      .withColumn("_yc", floor((col("_y") * pow) + lit(0.5)).cast("bigint"))
     // tie pruning: rank observed rows within their (partition, x) group by
     // id; only the first k are selectable under the (dist, x, id) order
     val wx = Window.partitionBy("_pid", "_x").orderBy("_id")
@@ -132,7 +132,7 @@ object KnnImpute {
       .unionByName(crossCand)
       .withColumn("_rk", row_number().over(wrank)).filter(col("_rk") <= k)
       .groupBy("_mid")
-      .agg((round(sum("_cyc").cast("double") / count(lit(1)), 0).cast("bigint")
+      .agg((floor((sum("_cyc").cast("double") / count(lit(1))) + lit(0.5)).cast("bigint")
         .cast("double") / pow).as("_knn"))
 
     df.join(knn, col(idCol) === col("_mid"), "left")

@@ -314,7 +314,10 @@ class SparkImputer(
   }
 
   private[imputer] def maybeRound(target: String, c: org.apache.spark.sql.Column) =
-    if (roundColumns.contains(target)) round(c, 0) else c
+    // floor(x+0.5) not native round(): cross-engine-exact (SF1_GATE
+    // class 1); cast back to double — round(c, 0) preserved the type and
+    // downstream coalesce promotion must not change
+    if (roundColumns.contains(target)) floor(c + lit(0.5)).cast("double") else c
 
   /** Scaled feature matrix (ref fit scales features, L201) via the
     * configured scaler (default MinMax). */
@@ -375,7 +378,8 @@ class SparkImputerModel(val imputer: SparkImputer,
         case _ => false
       }
       val p0 = imputer.maybeRound(target, col("_predicted"))
-      val p = if (isIntegral && !imputer.roundColumns.contains(target)) round(p0, 0) else p0
+      val p = if (isIntegral && !imputer.roundColumns.contains(target))
+        floor(p0 + lit(0.5)).cast("double") else p0
       val predsP = preds.select(col(imputer.idCol), p.as("_p"))
       acc.join(predsP, Seq(imputer.idCol), "left")
         .withColumn(target,

@@ -34,7 +34,7 @@ object CorpusMix {
     val maxRate = rates.agg(max(col("_r")).as("_rmax"))
     val thresholds = rates.crossJoin(broadcast(maxRate))
       .select(col(sourceCol),
-        round(col("_r") / col("_rmax") * 10000.0, 0).cast("bigint").as("_thresh"))
+        floor((col("_r") / col("_rmax") * 10000.0) + lit(0.5)).cast("bigint").as("_thresh"))
     Sampling.requireIds(df, idCol).join(broadcast(thresholds), Seq(sourceCol))
       .filter(Sampling.bucket(col(idCol)) < col("_thresh"))
       .select(col(idCol), col(sourceCol))

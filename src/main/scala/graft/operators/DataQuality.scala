@@ -57,7 +57,7 @@ object DataQuality {
         count_distinct(struct(keyCols.map(col): _*)).as("_d"))
       .select(lit(name).as("candidate_key"), col("_n").as("n_rows"),
         col("_d").as("n_distinct"),
-        round(col("_d").cast("double") / col("_n"), 6).as("uniqueness"))
+        (floor((col("_d").cast("double") / col("_n")) * lit(1e6) + lit(0.5)) / lit(1e6)).as("uniqueness"))
   }
 
   /** Functional-dependency audit for `lhs → rhs`: a violating group is an

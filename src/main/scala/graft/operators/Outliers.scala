@@ -13,7 +13,7 @@ import graft.analytics.Analytics.cents
 object Outliers {
 
   /** Clip `valueCol` to its [lo, hi] percentile range (exact, computed on
-    * `round(v·10^scale)` integer units rounded back to one unit). NULLs
+    * `floor(v·10^scale + 0.5)` integer units rounded back to one unit). NULLs
     * pass through untouched. */
   def winsorize(df: DataFrame, valueCol: String, outCol: String,
                 lo: Double = 0.05, hi: Double = 0.95, scale: Int = 2): DataFrame = {
@@ -21,8 +21,8 @@ object Outliers {
     val pow = math.pow(10, scale)
     val vc: Column = cents(col(valueCol), scale)
     val bounds = df.select(vc.as("_vc"))
-      .agg(round(expr(s"percentile(_vc, $lo)"), 0).cast("bigint").as("_lo"),
-        round(expr(s"percentile(_vc, $hi)"), 0).cast("bigint").as("_hi"))
+      .agg(floor((expr(s"percentile(_vc, $lo)")) + lit(0.5)).cast("bigint").as("_lo"),
+        floor((expr(s"percentile(_vc, $hi)")) + lit(0.5)).cast("bigint").as("_hi"))
     df.crossJoin(broadcast(bounds))
       // greatest/least SKIP nulls (both engines), which would clip a NULL to
       // the low bound — pass NULLs through explicitly

@@ -22,7 +22,74 @@ object OracleSql {
       | CASE WHEN (l_orderkey + l_linenumber) % 13 = 1 THEN NULL ELSE l_extendedprice END AS l_extendedprice
       |FROM lineitem""".stripMargin
 
-  private def ac(c: String) = s"CAST(round($c * 100.0, 0) AS BIGINT)"
+  private def ac(c: String) = s"CAST(floor(($c * 100.0) + 0.5) AS BIGINT)"
+
+  /** Inverted-index bigram-shingle Jaccard pairs (same source, id_a <
+    * id_b, jaccard ≥ 0.10) — shared by dedup_jaccard / dedup_cluster /
+    * dedup_stats. The naive all-pairs `list_intersect` form is quadratic
+    * in docs-per-source and was 4 of the sf1 gate's 7 oracle-slow
+    * queries (docs/SF1_GATE.md); postings lists here are bounded (max
+    * per-source shingle df 6 at sf1), so the candidate join is linear in
+    * shared-shingle postings. Lossless: a pair with zero shared shingles
+    * cannot reach the 0.10 threshold, and the jaccard value divides the
+    * same BIGINT counts in the same DOUBLE expression shape, so surviving
+    * rows are bitwise identical to the all-pairs form. MATERIALIZED:
+    * DuckDB 1.0 inlines multiply-referenced CTEs. */
+  private val jaccardPairsCte =
+    """t AS (SELECT doc_id, source, string_split(text, ' ') AS t FROM documents),
+      |sh AS MATERIALIZED (SELECT doc_id, source,
+      |  unnest(list_distinct([array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)])) AS g
+      | FROM t),
+      |sz AS MATERIALIZED (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY 1),
+      |ix AS MATERIALIZED (SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS i
+      | FROM sh a JOIN sh b ON a.g = b.g AND a.source = b.source AND a.doc_id < b.doc_id
+      | GROUP BY 1, 2),
+      |p AS MATERIALIZED (SELECT id_a, id_b,
+      |  CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS jaccard
+      | FROM ix JOIN sz sa ON sa.doc_id = ix.id_a JOIN sz sb ON sb.doc_id = ix.id_b
+      | WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.10)""".stripMargin
+
+  /** Chained hook+jump min-label rounds — connected components WITHOUT a
+    * recursive CTE (the recursive `reach` form materializes the full
+    * node×reachable-label closure and was the other half of the sf1
+    * oracle-slow cost). Expects CTEs `nodes(node)` and `e(src, dst)`
+    * (both edge directions) in scope; emits l0..l&lt;rounds&gt;.
+    *
+    * Exactness is CHECKED, not assumed from the round count: labels are
+    * node ids, non-increasing, only ever propagate within a component,
+    * and the component-minimum node keeps its own id forever — so if no
+    * edge joins two different labels (the sentinel the callers append,
+    * which breaks the row-count compare LOUDLY when it fires), labels
+    * are constant per component and that constant is the component min:
+    * exactly the recursive form's answer. */
+  private def ccChain(rounds: Int): String = {
+    val sb = new StringBuilder(
+      "l0 AS MATERIALIZED (SELECT node, node AS lab FROM nodes)")
+    for (i <- 1 to rounds) sb.append(
+      s""",
+         |h$i AS MATERIALIZED (
+         | SELECT l.node, least(l.lab, coalesce(min(nl.lab), l.lab)) AS lab
+         | FROM l${i - 1} l LEFT JOIN e ON e.src = l.node
+         |  LEFT JOIN l${i - 1} nl ON nl.node = e.dst
+         | GROUP BY l.node, l.lab),
+         |l$i AS MATERIALIZED (
+         | SELECT h.node, least(h.lab, p2.lab) AS lab
+         | FROM h$i h JOIN h$i p2 ON p2.node = h.lab)""".stripMargin)
+    sb.toString
+  }
+
+  /** Convergence sentinel for [[ccChain]]: one impossible row when any
+    * edge still joins two labels — turns "not yet converged" into a loud
+    * row-count mismatch instead of a silently wrong clustering. */
+  private def ccSentinel(rounds: Int, cols: Int): String = {
+    val sel = Seq.fill(cols)("CAST(-1 AS BIGINT)").mkString(", ")
+    s"""UNION ALL
+       |SELECT $sel
+       |WHERE EXISTS (SELECT 1 FROM e JOIN l$rounds a ON a.node = e.src
+       |  JOIN l$rounds b ON b.node = e.dst WHERE a.lab <> b.lab)""".stripMargin
+  }
+
+  private val CcRounds = 10
 
   /** Shared event-type spine (graft.Tables.eventTypes) rendered as a SQL
     * VALUES list — oracle and engine derive from the same constant. */
@@ -37,7 +104,7 @@ object OracleSql {
     // SQL set algebra; at production cardinalities it degrades gracefully
     // to the documented ~2% estimate (the spec's error-bound tier).
     // audience_jaccard divides the same exact integer-valued doubles in
-    // both engines (IEEE division + round(x, 6) — bitwise-stable).
+    // both engines (IEEE division + floor(x·10⁶+0.5)/10⁶ — bitwise-stable).
     "events_theta_overlap" ->
       """WITH au AS (SELECT DISTINCT event_type AS t, user_id AS u FROM events),
         | sz AS (SELECT t, count(*) AS n FROM au GROUP BY t),
@@ -48,8 +115,8 @@ object OracleSql {
         | a.n AS users_a, b.n AS users_b,
         | COALESCE(o.nboth, 0) AS users_both,
         | a.n - COALESCE(o.nboth, 0) AS users_only_a,
-        | round(CAST(COALESCE(o.nboth, 0) AS DOUBLE)
-        |   / CAST(a.n + b.n - COALESCE(o.nboth, 0) AS DOUBLE), 6)
+        | floor((CAST(COALESCE(o.nboth, 0) AS DOUBLE)
+        |   / CAST(a.n + b.n - COALESCE(o.nboth, 0) AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0
         |   AS audience_jaccard
         |FROM sz a JOIN sz b ON a.t < b.t
         |LEFT JOIN ovl o ON o.ta = a.t AND o.tb = b.t""".stripMargin,
@@ -72,15 +139,15 @@ object OracleSql {
       s"""SELECT l_returnflag, l_linestatus,
          | CAST(SUM(${ac("l_quantity")}) AS DOUBLE) / 100.0 AS sum_qty,
          | CAST(SUM(${ac("l_extendedprice")}) AS DOUBLE) / 100.0 AS sum_base_price,
-         | CAST(SUM(CAST(round((l_extendedprice * (1.0 - l_discount)) * 10000.0, 0) AS BIGINT)) AS DOUBLE) / 10000.0 AS sum_disc_price,
+         | CAST(SUM(CAST(floor(((l_extendedprice * (1.0 - l_discount)) * 10000.0) + 0.5) AS BIGINT)) AS DOUBLE) / 10000.0 AS sum_disc_price,
          | CAST(SUM(${ac("l_quantity")}) AS DOUBLE) / (100.0 * count(*)) AS avg_qty,
-         | CAST(SUM(CAST(round(l_discount * 10000.0, 0) AS BIGINT)) AS DOUBLE) / (10000.0 * count(*)) AS avg_disc,
+         | CAST(SUM(CAST(floor((l_discount * 10000.0) + 0.5) AS BIGINT)) AS DOUBLE) / (10000.0 * count(*)) AS avg_disc,
          | count(*) AS count_order
          |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
 
     "q3_join" ->
       s"""SELECT l_orderkey, o_orderpriority,
-         | CAST(SUM(CAST(round((l_extendedprice * (1.0 - l_discount)) * 10000.0, 0) AS BIGINT)) AS DOUBLE) / 10000.0 AS revenue
+         | CAST(SUM(CAST(floor(((l_extendedprice * (1.0 - l_discount)) * 10000.0) + 0.5) AS BIGINT)) AS DOUBLE) / 10000.0 AS revenue
          |FROM lineitem
          |JOIN orders ON l_orderkey = o_orderkey
          |JOIN customer ON o_custkey = c_custkey
@@ -89,7 +156,7 @@ object OracleSql {
 
     "q5_multijoin" ->
       s"""SELECT n_name,
-         | CAST(SUM(CAST(round((l_extendedprice * (1.0 - l_discount)) * 10000.0, 0) AS BIGINT)) AS DOUBLE) / 10000.0 AS revenue
+         | CAST(SUM(CAST(floor(((l_extendedprice * (1.0 - l_discount)) * 10000.0) + 0.5) AS BIGINT)) AS DOUBLE) / 10000.0 AS revenue
          |FROM lineitem
          |JOIN orders ON l_orderkey = o_orderkey
          |JOIN customer ON o_custkey = c_custkey
@@ -114,7 +181,7 @@ object OracleSql {
 
     "q6_filter" ->
       s"""SELECT
-         | CAST(SUM(CAST(round((l_extendedprice * l_discount) * 10000.0, 0) AS BIGINT)) AS DOUBLE) / 10000.0 AS revenue,
+         | CAST(SUM(CAST(floor(((l_extendedprice * l_discount) * 10000.0) + 0.5) AS BIGINT)) AS DOUBLE) / 10000.0 AS revenue,
          | count(*) AS n_rows
          |FROM lineitem
          |WHERE l_discount >= 0.02 AND l_discount <= 0.05 AND l_quantity < 24""".stripMargin,
@@ -130,8 +197,8 @@ object OracleSql {
         "l_discount" -> "10000.0", "l_tax" -> "10000.0").map { case (c, k) =>
         s"""SELECT '$c' AS variable, count(*) AS n, count(DISTINCT $c) AS n_distinct,
            | min($c) AS min_value, max($c) AS max_value,
-           | CAST(SUM(CAST(round($c * $k, 0) AS BIGINT)) AS DOUBLE) / ($k * count(*)) AS mean_value,
-           | quantile_cont(CAST(round($c * $k, 0) AS BIGINT), 0.5) / $k AS p50
+           | CAST(SUM(CAST(floor(($c * $k) + 0.5) AS BIGINT)) AS DOUBLE) / ($k * count(*)) AS mean_value,
+           | quantile_cont(CAST(floor(($c * $k) + 0.5) AS BIGINT), 0.5) / $k AS p50
            |FROM lineitem""".stripMargin
       }.mkString("\nUNION ALL\n")
     },
@@ -146,7 +213,7 @@ object OracleSql {
     "q14_promo" ->
       """SELECT 100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO' THEN rc ELSE 0 END) AS DOUBLE)
         |  / CAST(SUM(rc) AS DOUBLE) AS promo_revenue_pct
-        |FROM (SELECT CAST(round((l_extendedprice * (1.0 - l_discount)) * 10000.0, 0) AS BIGINT) AS rc,
+        |FROM (SELECT CAST(floor(((l_extendedprice * (1.0 - l_discount)) * 10000.0) + 0.5) AS BIGINT) AS rc,
         |             p_type
         |      FROM lineitem JOIN part ON l_partkey = p_partkey)""".stripMargin,
 
@@ -163,7 +230,7 @@ object OracleSql {
     "orders_backlog" ->
       """WITH anchor AS (SELECT max(CAST(o_orderdate AS DATE)) AS ref FROM orders),
         |aged AS (SELECT date_diff('day', CAST(o_orderdate AS DATE), ref) // 90 AS age_bucket,
-        |          CAST(round(o_totalprice * 100.0, 0) AS BIGINT) AS vc
+        |          CAST(floor((o_totalprice * 100.0) + 0.5) AS BIGINT) AS vc
         |         FROM orders CROSS JOIN anchor
         |         WHERE o_orderstatus = 'O')
         |SELECT age_bucket, age_bucket * 90 AS age_days_lo,
@@ -179,7 +246,7 @@ object OracleSql {
         | FROM events GROUP BY 1, 2),
         |tot AS (SELECT CAST(SUM(n_events) AS BIGINT) AS t FROM cells)
         |SELECT dow, hour, n_events,
-        | round(CAST(n_events AS DOUBLE) / CAST(t AS DOUBLE), 8) AS share
+        | floor((CAST(n_events AS DOUBLE) / CAST(t AS DOUBLE)) * 100000000.0 + 0.5) / 100000000.0 AS share
         |FROM cells CROSS JOIN tot""".stripMargin,
 
     "events_anomaly_robust" ->
@@ -190,7 +257,7 @@ object OracleSql {
         |mad AS (SELECT quantile_cont(abs(CAST(n_events AS DOUBLE) - m), 0.5) AS mad
         |        FROM daily CROSS JOIN med)
         |SELECT d, n_events,
-        | round((CAST(n_events AS DOUBLE) - m) / (1.4826 * mad), 6) AS robust_z
+        | floor(((CAST(n_events AS DOUBLE) - m) / (1.4826 * mad)) * 1000000.0 + 0.5) / 1000000.0 AS robust_z
         |FROM daily CROSS JOIN med CROSS JOIN mad""".stripMargin,
 
     "events_cohort" ->
@@ -204,7 +271,7 @@ object OracleSql {
       """WITH b AS (SELECT o_custkey,
         |    max(epoch_ms(o_orderdate) // 1000) AS recency_t,
         |    count(*) AS frequency,
-        |    SUM(CAST(round(o_totalprice * 100.0, 0) AS BIGINT)) AS mc
+        |    SUM(CAST(floor((o_totalprice * 100.0) + 0.5) AS BIGINT)) AS mc
         |  FROM orders GROUP BY 1),
         |t AS (SELECT quantile_cont(recency_t, [0.25, 0.5, 0.75]) AS rt,
         |             quantile_cont(frequency, [0.25, 0.5, 0.75]) AS ft,
@@ -220,8 +287,8 @@ object OracleSql {
       def one(c: String) =
         s"""SELECT '$c' AS variable, n, n_distinct, mode_value, mode_n, entropy FROM
            | (SELECT CAST(SUM(c) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS n_distinct,
-           |   round(ln(CAST(SUM(c) AS DOUBLE))
-           |     - SUM(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))) / CAST(SUM(c) AS DOUBLE), 6) AS entropy
+           |   floor((ln(CAST(SUM(c) AS DOUBLE))
+           |     - SUM(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))) / CAST(SUM(c) AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS entropy
            |  FROM (SELECT CAST($c AS VARCHAR) AS v, count(*) AS c FROM customer
            |        WHERE $c IS NOT NULL GROUP BY 1))
            | CROSS JOIN
@@ -255,7 +322,7 @@ object OracleSql {
     "events_sessionize" ->
       """WITH e AS (
         | SELECT user_id, event_id, epoch_ns(ts) // 1000000000 AS t,
-        |        CAST(round(value * 100.0, 0) AS BIGINT) AS vc
+        |        CAST(floor((value * 100.0) + 0.5) AS BIGINT) AS vc
         | FROM events),
         |b AS (
         | SELECT user_id, t, vc, event_id,
@@ -276,8 +343,8 @@ object OracleSql {
     "events_window" ->
       """SELECT (epoch_ns(ts) // 3600000000000) * 3600 AS window_start, event_type,
         | count(*) AS n_events,
-        | CAST(SUM(CAST(round(value * 100.0, 0) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_value,
-        | CAST(SUM(CAST(round(value * 100.0, 0) AS BIGINT)) AS DOUBLE) / (100.0 * count(*)) AS avg_value
+        | CAST(SUM(CAST(floor((value * 100.0) + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_value,
+        | CAST(SUM(CAST(floor((value * 100.0) + 0.5) AS BIGINT)) AS DOUBLE) / (100.0 * count(*)) AS avg_value
         |FROM events GROUP BY 1, 2""".stripMargin,
 
     // --------------------------------------------------------------- imputer
@@ -364,16 +431,25 @@ object OracleSql {
 
     "imp_mean" ->
       s"""WITH mcv AS ($MCV),
-         |s AS (SELECT CAST(round(CAST(SUM(${ac("c_acctbal")}) AS DOUBLE) / count(c_acctbal), 0) AS BIGINT) AS m FROM mcv)
+         |s AS (SELECT CAST(floor((CAST(SUM(${ac("c_acctbal")}) AS DOUBLE) / count(c_acctbal)) + 0.5) AS BIGINT) AS m FROM mcv)
          |SELECT c_custkey, coalesce(c_acctbal, CAST(m AS DOUBLE) / 100.0) AS acctbal_imp
          |FROM mcv CROSS JOIN s""".stripMargin,
 
     "imp_median" ->
       s"""WITH mcv AS ($MCV),
-         |s AS (SELECT CAST(round(quantile_cont(${ac("c_acctbal")}, 0.5), 0) AS BIGINT) AS m FROM mcv)
+         |s AS (SELECT CAST(floor((quantile_cont(${ac("c_acctbal")}, 0.5)) + 0.5) AS BIGINT) AS m FROM mcv)
          |SELECT c_custkey, coalesce(c_acctbal, CAST(m AS DOUBLE) / 100.0) AS acctbal_imp
          |FROM mcv CROSS JOIN s""".stripMargin,
 
+    // k=3 nearest-by-custkey mean. The candidate join is BANDED (±8 on
+    // custkey) instead of the quadratic CROSS JOIN that blew the sf1
+    // oracle budget — provably lossless here: custkeys are consecutive
+    // integers and the mask NULLs exactly the keys ≡ 3 (mod 7), so any
+    // ±4 window around a missing key holds ≥ 3 observed keys (≤ 2 of the
+    // ≤ 9 keys are masked; edge-truncated windows still hold ≥ 5 keys of
+    // which ≤ 1 masked, for any table of ≥ 12 rows) — the global top-3
+    // by |ox−mx| always live inside the ±8 band, and the rank order
+    // within the band is the same expression.
     "imp_knn" ->
       s"""WITH mcv AS ($MCV),
          |obs AS (SELECT c_custkey AS oid, CAST(c_custkey AS DOUBLE) AS ox,
@@ -383,8 +459,8 @@ object OracleSql {
          |         FROM mcv WHERE c_acctbal IS NULL),
          |r AS (SELECT mid, yc,
          |        row_number() OVER (PARTITION BY mid ORDER BY abs(ox - mx), ox, oid) AS rk
-         |      FROM miss CROSS JOIN obs),
-         |im AS (SELECT mid, CAST(round(CAST(sum(yc) AS DOUBLE) / count(*), 0) AS BIGINT) AS myc
+         |      FROM miss JOIN obs ON ox BETWEEN mx - 8 AND mx + 8),
+         |im AS (SELECT mid, CAST(floor((CAST(sum(yc) AS DOUBLE) / count(*)) + 0.5) AS BIGINT) AS myc
          |       FROM r WHERE rk <= 3 GROUP BY mid)
          |SELECT c_custkey, coalesce(c_acctbal, CAST(myc AS DOUBLE) / 100.0) AS acctbal_imp
          |FROM mcv LEFT JOIN im ON mcv.c_custkey = im.mid""".stripMargin,
@@ -434,9 +510,9 @@ object OracleSql {
     "imp_group_mean" ->
       s"""WITH mcv AS ($MCV),
          |gm AS (SELECT c_nationkey,
-         |  CAST(round(CAST(SUM(${ac("c_acctbal")}) AS DOUBLE) / count(c_acctbal), 0) AS BIGINT) AS gmv
+         |  CAST(floor((CAST(SUM(${ac("c_acctbal")}) AS DOUBLE) / count(c_acctbal)) + 0.5) AS BIGINT) AS gmv
          | FROM mcv GROUP BY c_nationkey),
-         |g AS (SELECT CAST(round(CAST(SUM(${ac("c_acctbal")}) AS DOUBLE) / count(c_acctbal), 0) AS BIGINT) AS gv FROM mcv)
+         |g AS (SELECT CAST(floor((CAST(SUM(${ac("c_acctbal")}) AS DOUBLE) / count(c_acctbal)) + 0.5) AS BIGINT) AS gv FROM mcv)
          |SELECT c_custkey,
          | coalesce(c_acctbal, CAST(gmv AS DOUBLE) / 100.0, CAST(gv AS DOUBLE) / 100.0) AS acctbal_imp
          |FROM mcv LEFT JOIN gm USING (c_nationkey) CROSS JOIN g""".stripMargin,
@@ -450,18 +526,18 @@ object OracleSql {
          | FROM mcv)
          |SELECT 'c_acctbal~c_mktsegment' AS pair, n AS n_rows, na AS n_miss_a,
          | ns AS n_miss_b, n11 AS n_miss_both,
-         | round((CAST(n11 AS DOUBLE) * CAST(n AS DOUBLE)
+         | floor(((CAST(n11 AS DOUBLE) * CAST(n AS DOUBLE)
          |   - CAST(na AS DOUBLE) * CAST(ns AS DOUBLE))
          |  / sqrt(CAST(na AS DOUBLE) * CAST(n - na AS DOUBLE)
-         |    * CAST(ns AS DOUBLE) * CAST(n - ns AS DOUBLE)), 6) AS phi
+         |    * CAST(ns AS DOUBLE) * CAST(n - ns AS DOUBLE))) * 1000000.0 + 0.5) / 1000000.0 AS phi
          |FROM t""".stripMargin,
 
     "imp_group_median" ->
       s"""WITH mcv AS ($MCV),
          |gm AS (SELECT c_nationkey,
-         |  CAST(round(quantile_cont(${ac("c_acctbal")}, 0.5), 0) AS BIGINT) AS gmv
+         |  CAST(floor((quantile_cont(${ac("c_acctbal")}, 0.5)) + 0.5) AS BIGINT) AS gmv
          | FROM mcv GROUP BY c_nationkey),
-         |g AS (SELECT CAST(round(quantile_cont(${ac("c_acctbal")}, 0.5), 0) AS BIGINT) AS gv FROM mcv)
+         |g AS (SELECT CAST(floor((quantile_cont(${ac("c_acctbal")}, 0.5)) + 0.5) AS BIGINT) AS gv FROM mcv)
          |SELECT c_custkey,
          | coalesce(c_acctbal, CAST(gmv AS DOUBLE) / 100.0, CAST(gv AS DOUBLE) / 100.0) AS acctbal_imp
          |FROM mcv LEFT JOIN gm USING (c_nationkey) CROSS JOIN g""".stripMargin,
@@ -474,12 +550,12 @@ object OracleSql {
          |      FROM o CROSS JOIN mid WHERE d <= m GROUP BY 1),
          |l AS (SELECT o_custkey, CAST(SUM(tc) AS BIGINT) AS s
          |      FROM o CROSS JOIN mid WHERE d > m GROUP BY 1),
-         |eq AS (SELECT CAST(round(quantile_cont(s, 0.25), 0) AS BIGINT) AS q1,
-         |        CAST(round(quantile_cont(s, 0.5), 0) AS BIGINT) AS q2,
-         |        CAST(round(quantile_cont(s, 0.75), 0) AS BIGINT) AS q3 FROM e),
-         |lq AS (SELECT CAST(round(quantile_cont(s, 0.25), 0) AS BIGINT) AS q1,
-         |        CAST(round(quantile_cont(s, 0.5), 0) AS BIGINT) AS q2,
-         |        CAST(round(quantile_cont(s, 0.75), 0) AS BIGINT) AS q3 FROM l),
+         |eq AS (SELECT CAST(floor((quantile_cont(s, 0.25)) + 0.5) AS BIGINT) AS q1,
+         |        CAST(floor((quantile_cont(s, 0.5)) + 0.5) AS BIGINT) AS q2,
+         |        CAST(floor((quantile_cont(s, 0.75)) + 0.5) AS BIGINT) AS q3 FROM e),
+         |lq AS (SELECT CAST(floor((quantile_cont(s, 0.25)) + 0.5) AS BIGINT) AS q1,
+         |        CAST(floor((quantile_cont(s, 0.5)) + 0.5) AS BIGINT) AS q2,
+         |        CAST(floor((quantile_cont(s, 0.75)) + 0.5) AS BIGINT) AS q3 FROM l),
          |eb AS (SELECT o_custkey,
          |        CASE WHEN s <= q1 THEN 1 WHEN s <= q2 THEN 2
          |             WHEN s <= q3 THEN 3 ELSE 4 END AS q_early
@@ -503,8 +579,8 @@ object OracleSql {
          | FROM o GROUP BY 1)
          |SELECT o_custkey, n_orders, CAST(spend AS DOUBLE) / 100.0 AS total_spend,
          | tenure_days,
-         | round(CAST(spend AS DOUBLE) / (100.0 * tenure_days), 6) AS spend_per_day,
-         | round(365.0 * CAST(spend AS DOUBLE) / (100.0 * tenure_days), 6) AS cltv_365
+         | floor((CAST(spend AS DOUBLE) / (100.0 * tenure_days)) * 1000000.0 + 0.5) / 1000000.0 AS spend_per_day,
+         | floor((365.0 * CAST(spend AS DOUBLE) / (100.0 * tenure_days)) * 1000000.0 + 0.5) / 1000000.0 AS cltv_365
          |FROM a""".stripMargin,
 
     "text_lang_confusion" -> {
@@ -568,14 +644,14 @@ object OracleSql {
           val fCte =
             s"""$f AS (SELECT l_orderkey, l_linenumber, xc, yc, $keepF,
                |  CASE WHEN $tgt IS NOT NULL THEN $tgt
-               |       ELSE CAST(round(my - b * mx + b * CAST($pred AS DOUBLE), 0) AS BIGINT) END AS $tgtf
+               |       ELSE CAST(floor((my - b * mx + b * CAST($pred AS DOUBLE)) + 0.5) AS BIGINT) END AS $tgtf
                |  FROM $prev CROSS JOIN $s)""".stripMargin
           (acc :+ sCte :+ fCte, f)
       }
       s"""WITH mv AS ($mv),
          |b AS (SELECT l_orderkey, l_linenumber, ${ac("x")} AS xc, ${ac("y")} AS yc FROM mv),
-         |m0 AS (SELECT CAST(round(CAST(SUM(xc) AS DOUBLE) / count(xc), 0) AS BIGINT) AS mxc,
-         |              CAST(round(CAST(SUM(yc) AS DOUBLE) / count(yc), 0) AS BIGINT) AS myc FROM b),
+         |m0 AS (SELECT CAST(floor((CAST(SUM(xc) AS DOUBLE) / count(xc)) + 0.5) AS BIGINT) AS mxc,
+         |              CAST(floor((CAST(SUM(yc) AS DOUBLE) / count(yc)) + 0.5) AS BIGINT) AS myc FROM b),
          |f0 AS (SELECT l_orderkey, l_linenumber, xc, yc,
          |        coalesce(xc, mxc) AS xf, coalesce(yc, myc) AS yf FROM b CROSS JOIN m0),
          |${ctes.mkString(",\n")}
@@ -624,15 +700,15 @@ object OracleSql {
           val fCte =
             s"""$f AS (SELECT l_orderkey, l_linenumber, xc, yc, zc, $keeps,
                |  CASE WHEN $tgt IS NOT NULL THEN $tgt
-               |       ELSE CAST(round(my - b1 * m1 - b2 * m2 + b1 * CAST($p1 AS DOUBLE) + b2 * CAST($p2 AS DOUBLE), 0) AS BIGINT) END AS $tgtf
+               |       ELSE CAST(floor((my - b1 * m1 - b2 * m2 + b1 * CAST($p1 AS DOUBLE) + b2 * CAST($p2 AS DOUBLE)) + 0.5) AS BIGINT) END AS $tgtf
                |  FROM $prev CROSS JOIN $s)""".stripMargin
           (acc :+ sCte :+ fCte, f)
       }
       s"""WITH mv AS ($mv),
          |b AS (SELECT l_orderkey, l_linenumber, ${ac("x")} AS xc, ${ac("y")} AS yc, ${ac("z")} AS zc FROM mv),
-         |m0 AS (SELECT CAST(round(CAST(SUM(xc) AS DOUBLE) / count(xc), 0) AS BIGINT) AS mxc,
-         |              CAST(round(CAST(SUM(yc) AS DOUBLE) / count(yc), 0) AS BIGINT) AS myc,
-         |              CAST(round(CAST(SUM(zc) AS DOUBLE) / count(zc), 0) AS BIGINT) AS mzc FROM b),
+         |m0 AS (SELECT CAST(floor((CAST(SUM(xc) AS DOUBLE) / count(xc)) + 0.5) AS BIGINT) AS mxc,
+         |              CAST(floor((CAST(SUM(yc) AS DOUBLE) / count(yc)) + 0.5) AS BIGINT) AS myc,
+         |              CAST(floor((CAST(SUM(zc) AS DOUBLE) / count(zc)) + 0.5) AS BIGINT) AS mzc FROM b),
          |f0 AS (SELECT l_orderkey, l_linenumber, xc, yc, zc,
          |        coalesce(xc, mxc) AS xf, coalesce(yc, myc) AS yf, coalesce(zc, mzc) AS zf FROM b CROSS JOIN m0),
          |${ctes.mkString(",\n")}
@@ -646,7 +722,7 @@ object OracleSql {
     "imp_simulation" ->
       s"""WITH mcv AS ($MCV),
          |obs AS (SELECT c_custkey, ${ac("c_acctbal")} AS acv FROM mcv WHERE c_acctbal IS NOT NULL),
-         |m AS (SELECT CAST(round(CAST(SUM(acv) AS DOUBLE) / count(*), 0) AS BIGINT) AS m
+         |m AS (SELECT CAST(floor((CAST(SUM(acv) AS DOUBLE) / count(*)) + 0.5) AS BIGINT) AS m
          |      FROM obs WHERE c_custkey % 10 <> 0),
          |mse AS (SELECT CAST(SUM((m - acv) * (m - acv)) AS DOUBLE) / (10000.0 * count(*)) AS score
          |        FROM obs CROSS JOIN m WHERE c_custkey % 10 = 0),
@@ -666,9 +742,9 @@ object OracleSql {
          |obs AS (SELECT * FROM c WHERE yc IS NOT NULL),
          |train AS (SELECT * FROM obs WHERE k <> 0),
          |test AS (SELECT * FROM obs WHERE k = 0),
-         |meanstat AS (SELECT CAST(round(CAST(SUM(yc) AS DOUBLE) / count(*), 0) AS BIGINT) AS m FROM train),
-         |medstat AS (SELECT CAST(round(quantile_cont(yc, 0.5), 0) AS BIGINT) AS m FROM train),
-         |gmstat AS (SELECT l_suppkey, CAST(round(CAST(SUM(yc) AS DOUBLE) / count(*), 0) AS BIGINT) AS gm
+         |meanstat AS (SELECT CAST(floor((CAST(SUM(yc) AS DOUBLE) / count(*)) + 0.5) AS BIGINT) AS m FROM train),
+         |medstat AS (SELECT CAST(floor((quantile_cont(yc, 0.5)) + 0.5) AS BIGINT) AS m FROM train),
+         |gmstat AS (SELECT l_suppkey, CAST(floor((CAST(SUM(yc) AS DOUBLE) / count(*)) + 0.5) AS BIGINT) AS gm
          |           FROM train GROUP BY l_suppkey),
          |regstat AS (SELECT sy / n AS my, sx / n AS mx,
          |   (sxy - sx * sy / n) / (sxx - sx * sx / n) AS b
@@ -683,7 +759,7 @@ object OracleSql {
          |            FROM (SELECT coalesce(gm, m) AS p, yc
          |                  FROM test LEFT JOIN gmstat USING (l_suppkey) CROSS JOIN meanstat) t),
          |m_reg AS (SELECT CAST(SUM((p - yc) * (p - yc)) AS DOUBLE) / (10000.0 * count(*)) AS mse
-         |          FROM (SELECT CAST(round(my - b * mx + b * xc, 0) AS BIGINT) AS p, yc
+         |          FROM (SELECT CAST(floor((my - b * mx + b * xc) + 0.5) AS BIGINT) AS p, yc
          |                FROM test CROSS JOIN regstat) t),
          |allm AS (
          | SELECT 'mean' AS strategy, mse FROM m_mean
@@ -696,19 +772,19 @@ object OracleSql {
 
     "imp_variance" ->
       s"""WITH mcv AS ($MCV),
-         |meanstat AS (SELECT CAST(round(CAST(SUM(${ac("c_acctbal")}) AS DOUBLE) / count(c_acctbal), 0) AS BIGINT) AS m FROM mcv),
-         |medstat AS (SELECT CAST(round(quantile_cont(${ac("c_acctbal")}, 0.5), 0) AS BIGINT) AS m FROM mcv),
-         |gmstat AS (SELECT c_nationkey, CAST(round(CAST(SUM(${ac("c_acctbal")}) AS DOUBLE) / count(c_acctbal), 0) AS BIGINT) AS gm
+         |meanstat AS (SELECT CAST(floor((CAST(SUM(${ac("c_acctbal")}) AS DOUBLE) / count(c_acctbal)) + 0.5) AS BIGINT) AS m FROM mcv),
+         |medstat AS (SELECT CAST(floor((quantile_cont(${ac("c_acctbal")}, 0.5)) + 0.5) AS BIGINT) AS m FROM mcv),
+         |gmstat AS (SELECT c_nationkey, CAST(floor((CAST(SUM(${ac("c_acctbal")}) AS DOUBLE) / count(c_acctbal)) + 0.5) AS BIGINT) AS gm
          |           FROM mcv GROUP BY c_nationkey),
          |d1 AS (SELECT coalesce(${ac("c_acctbal")}, m) AS ic FROM mcv CROSS JOIN meanstat),
          |d2 AS (SELECT coalesce(${ac("c_acctbal")}, m) AS ic FROM mcv CROSS JOIN medstat),
          |d3 AS (SELECT coalesce(${ac("c_acctbal")}, gm, m) AS ic
          |       FROM mcv LEFT JOIN gmstat USING (c_nationkey) CROSS JOIN meanstat),
          |ms AS (
-         | SELECT round(CAST(SUM(ic) AS DOUBLE) / (100.0 * count(*)), 6) AS dm FROM d1
-         | UNION ALL SELECT round(CAST(SUM(ic) AS DOUBLE) / (100.0 * count(*)), 6) FROM d2
-         | UNION ALL SELECT round(CAST(SUM(ic) AS DOUBLE) / (100.0 * count(*)), 6) FROM d3),
-         |contv AS (SELECT round(var_samp(dm), 8) AS imputation_variance FROM ms),
+         | SELECT floor((CAST(SUM(ic) AS DOUBLE) / (100.0 * count(*))) * 1000000.0 + 0.5) / 1000000.0 AS dm FROM d1
+         | UNION ALL SELECT floor((CAST(SUM(ic) AS DOUBLE) / (100.0 * count(*))) * 1000000.0 + 0.5) / 1000000.0 FROM d2
+         | UNION ALL SELECT floor((CAST(SUM(ic) AS DOUBLE) / (100.0 * count(*))) * 1000000.0 + 0.5) / 1000000.0 FROM d3),
+         |contv AS (SELECT floor((var_samp(dm)) * 100000000.0 + 0.5) / 100000000.0 AS imputation_variance FROM ms),
          |modestat AS (SELECT c_mktsegment AS v FROM mcv WHERE c_mktsegment IS NOT NULL
          |             GROUP BY 1 ORDER BY count(*) DESC, v ASC LIMIT 1),
          |gmodestat AS (SELECT c_nationkey, c_mktsegment AS gv FROM (
@@ -724,15 +800,15 @@ object OracleSql {
          |   WINDOW w AS (ORDER BY c_custkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) t
          |  WINDOW w2 AS (ORDER BY c_custkey ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)),
          |es AS (
-         | SELECT round(ln(CAST(SUM(c) AS DOUBLE)) - SUM(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))) / CAST(SUM(c) AS DOUBLE), 6) AS ent
+         | SELECT floor((ln(CAST(SUM(c) AS DOUBLE)) - SUM(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))) / CAST(SUM(c) AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS ent
          |  FROM (SELECT count(*) AS c FROM c1 GROUP BY sv) t
          | UNION ALL
-         | SELECT round(ln(CAST(SUM(c) AS DOUBLE)) - SUM(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))) / CAST(SUM(c) AS DOUBLE), 6)
+         | SELECT floor((ln(CAST(SUM(c) AS DOUBLE)) - SUM(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))) / CAST(SUM(c) AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0
          |  FROM (SELECT count(*) AS c FROM c2 GROUP BY sv) t
          | UNION ALL
-         | SELECT round(ln(CAST(SUM(c) AS DOUBLE)) - SUM(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))) / CAST(SUM(c) AS DOUBLE), 6)
+         | SELECT floor((ln(CAST(SUM(c) AS DOUBLE)) - SUM(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))) / CAST(SUM(c) AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0
          |  FROM (SELECT count(*) AS c FROM sfill GROUP BY sv) t),
-         |catv AS (SELECT round(var_samp(ent), 8) AS imputation_variance FROM es)
+         |catv AS (SELECT floor((var_samp(ent)) * 100000000.0 + 0.5) / 100000000.0 AS imputation_variance FROM es)
          |SELECT 'c_acctbal' AS variable, imputation_variance FROM contv
          |UNION ALL
          |SELECT 'c_mktsegment' AS variable, imputation_variance FROM catv""".stripMargin,
@@ -800,7 +876,7 @@ object OracleSql {
 
     "embed_outliers" ->
       """WITH b AS (SELECT vec_id, label,
-        |  [CAST(round(CAST(x AS DOUBLE) * 1000000.0, 0) AS BIGINT) for x in embedding] AS qv
+        |  [CAST(floor((CAST(x AS DOUBLE) * 1000000.0) + 0.5) AS BIGINT) for x in embedding] AS qv
         | FROM embeddings),
         |x AS (SELECT label, qv, unnest(generate_series(1, len(qv))) AS i FROM b),
         |s AS (SELECT label, i, CAST(SUM(qv[i]) AS BIGINT) AS sm,
@@ -809,11 +885,11 @@ object OracleSql {
         |c AS (SELECT label, list(CAST(sm AS DOUBLE) / CAST(n AS DOUBLE) ORDER BY i) AS cm
         |      FROM s GROUP BY label),
         |sc AS (SELECT vec_id, b.label,
-        |  CAST(round(list_sum([
+        |  CAST(floor((list_sum([
         |    (CAST(qv[i] AS DOUBLE) - cm[i]) * (CAST(qv[i] AS DOUBLE) - cm[i])
-        |    for i in range(1, len(qv) + 1)]), 0) AS BIGINT) AS score_q
+        |    for i in range(1, len(qv) + 1)])) + 0.5) AS BIGINT) AS score_q
         | FROM b JOIN c ON b.label = c.label),
-        |t AS (SELECT label, CAST(round(quantile_cont(score_q, 0.95), 0) AS BIGINT) AS thr
+        |t AS (SELECT label, CAST(floor((quantile_cont(score_q, 0.95)) + 0.5) AS BIGINT) AS thr
         |      FROM sc GROUP BY label)
         |SELECT vec_id, sc.label, score_q, score_q > thr AS is_outlier
         |FROM sc JOIN t ON sc.label = t.label""".stripMargin,
@@ -834,7 +910,7 @@ object OracleSql {
 
     "embed_drift" ->
       """WITH b AS (SELECT label, vec_id % 2 AS half,
-        |  [CAST(round(CAST(x AS DOUBLE) * 1000000.0, 0) AS BIGINT) for x in embedding] AS qv
+        |  [CAST(floor((CAST(x AS DOUBLE) * 1000000.0) + 0.5) AS BIGINT) for x in embedding] AS qv
         | FROM embeddings),
         |x AS (SELECT label, half, qv, unnest(generate_series(1, len(qv))) AS i FROM b),
         |s AS (SELECT label, half, i AS dim, CAST(SUM(qv[i]) AS BIGINT) AS sm,
@@ -853,8 +929,8 @@ object OracleSql {
         |               - CAST(so AS DOUBLE) / CAST(no AS DOUBLE))) AS ms
         |      FROM j GROUP BY label)
         |SELECT label, n_even, n_odd,
-        | round(CAST(d AS DOUBLE) / (sqrt(CAST(a AS DOUBLE)) * sqrt(CAST(bb AS DOUBLE))), 6) AS centroid_cos,
-        | round(ms / 1000000.0, 6) AS max_dim_shift
+        | floor((CAST(d AS DOUBLE) / (sqrt(CAST(a AS DOUBLE)) * sqrt(CAST(bb AS DOUBLE)))) * 1000000.0 + 0.5) / 1000000.0 AS centroid_cos,
+        | floor((ms / 1000000.0) * 1000000.0 + 0.5) / 1000000.0 AS max_dim_shift
         |FROM g""".stripMargin,
 
     "events_funnel" ->
@@ -869,7 +945,7 @@ object OracleSql {
         | (SELECT count(*) FROM a) AS n_view,
         | (SELECT count(*) FROM b) AS n_view_click,
         | (SELECT count(*) FROM c) AS n_full_funnel,
-        | (SELECT CAST(round(quantile_cont(secs, 0.5), 0) AS BIGINT) FROM conv) AS median_convert_sec""".stripMargin,
+        | (SELECT CAST(floor((quantile_cont(secs, 0.5)) + 0.5) AS BIGINT) FROM conv) AS median_convert_sec""".stripMargin,
 
     "text_chunk" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
@@ -925,8 +1001,8 @@ object OracleSql {
     "clip_outliers" ->
       s"""WITH c AS (SELECT l_orderkey, l_linenumber,
          |            ${ac("l_extendedprice")} AS vc FROM lineitem),
-         |b AS (SELECT CAST(round(quantile_cont(vc, 0.05), 0) AS BIGINT) AS lo,
-         |             CAST(round(quantile_cont(vc, 0.95), 0) AS BIGINT) AS hi FROM c)
+         |b AS (SELECT CAST(floor((quantile_cont(vc, 0.05)) + 0.5) AS BIGINT) AS lo,
+         |             CAST(floor((quantile_cont(vc, 0.95)) + 0.5) AS BIGINT) AS hi FROM c)
          |SELECT l_orderkey, l_linenumber,
          | CAST(least(greatest(vc, lo), hi) AS DOUBLE) / 100.0 AS price_clip
          |FROM c CROSS JOIN b""".stripMargin,
@@ -1110,8 +1186,8 @@ object OracleSql {
         |        CAST(count(*) AS BIGINT) AS n_pair
         |       FROM bg GROUP BY 1, 2 HAVING count(*) >= 5)
         |SELECT w1, w2, n_pair, u1.c AS n_w1, u2.c AS n_w2,
-        | round(ln((CAST(n_pair AS DOUBLE) * CAST(tot.n AS DOUBLE))
-        |    / (CAST(u1.c AS DOUBLE) * CAST(u2.c AS DOUBLE))), 6) AS pmi
+        | floor((ln((CAST(n_pair AS DOUBLE) * CAST(tot.n AS DOUBLE))
+        |    / (CAST(u1.c AS DOUBLE) * CAST(u2.c AS DOUBLE)))) * 1000000.0 + 0.5) / 1000000.0 AS pmi
         |FROM bc JOIN uni u1 ON w1 = u1.t
         |JOIN uni u2 ON w2 = u2.t
         |CROSS JOIN tot""".stripMargin,
@@ -1190,30 +1266,27 @@ object OracleSql {
         |FROM documents GROUP BY md5(text)""".stripMargin,
 
     "dedup_jaccard" ->
-      """WITH s AS (
-        | SELECT doc_id, source,
-        |  list_distinct([array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)]) AS sh
-        | FROM (SELECT doc_id, source, string_split(text, ' ') AS t FROM documents) d)
-        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        | CAST(CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS DOUBLE)
-        |  / (CAST(len(a.sh) AS BIGINT) + CAST(len(b.sh) AS BIGINT) - CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT)) AS jaccard
-        |FROM s a JOIN s b ON a.source = b.source AND a.doc_id < b.doc_id
-        |WHERE CAST(CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS DOUBLE)
-        |  / (CAST(len(a.sh) AS BIGINT) + CAST(len(b.sh) AS BIGINT) - CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT)) >= 0.10""".stripMargin,
+      s"""WITH $jaccardPairsCte
+         |SELECT id_a, id_b, jaccard FROM p""".stripMargin,
 
+    // Containment via the same inverted-index linearization (unigram
+    // tokens; per-source df ≤ 33 at sf1, so postings joins stay linear).
+    // The asymmetric candidate orientation (smaller set is a, ties by id)
+    // and the containment expression mirror the all-pairs form
+    // operand-for-operand; i ≥ 1 is implied by the 0.30 threshold.
     "dedup_containment" ->
-      """WITH s AS (
-        | SELECT doc_id, source,
-        |  list_distinct([array_to_string(t[i:i+1], ' ') for i in range(1, len(t))]) AS sh
-        | FROM (SELECT doc_id, source, string_split(text, ' ') AS t FROM documents) d)
-        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        | CAST(CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS DOUBLE)
-        |  / CAST(len(a.sh) AS BIGINT) AS containment
-        |FROM s a JOIN s b ON a.source = b.source
-        | AND (len(a.sh) < len(b.sh) OR (len(a.sh) = len(b.sh) AND a.doc_id < b.doc_id))
-        |WHERE len(a.sh) > 0 AND
-        | CAST(CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS DOUBLE)
-        |  / CAST(len(a.sh) AS BIGINT) >= 0.30""".stripMargin,
+      """WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS t FROM documents),
+        |sh AS MATERIALIZED (SELECT doc_id, source,
+        |  unnest(list_distinct([array_to_string(t[i:i+1], ' ') for i in range(1, len(t))])) AS g
+        | FROM t),
+        |sz AS MATERIALIZED (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY 1),
+        |ix AS MATERIALIZED (SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS i
+        | FROM sh a JOIN sh b ON a.g = b.g AND a.source = b.source AND a.doc_id <> b.doc_id
+        | GROUP BY 1, 2)
+        |SELECT id_a, id_b, CAST(i AS DOUBLE) / sa.n AS containment
+        |FROM ix JOIN sz sa ON sa.doc_id = ix.id_a JOIN sz sb ON sb.doc_id = ix.id_b
+        |WHERE (sa.n < sb.n OR (sa.n = sb.n AND id_a < id_b))
+        | AND CAST(i AS DOUBLE) / sa.n >= 0.30""".stripMargin,
 
     "sample_split" ->
       """SELECT doc_id, source,
@@ -1292,40 +1365,24 @@ object OracleSql {
         |WHERE span_tokens >= 20""".stripMargin,
 
     "dedup_cluster" ->
-      """WITH RECURSIVE s AS (
-        | SELECT doc_id, source,
-        |  list_distinct([array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)]) AS sh
-        | FROM (SELECT doc_id, source, string_split(text, ' ') AS t FROM documents) d),
-        |p AS (
-        | SELECT a.doc_id AS id_a, b.doc_id AS id_b
-        | FROM s a JOIN s b ON a.source = b.source AND a.doc_id < b.doc_id
-        | WHERE CAST(CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS DOUBLE)
-        |  / (CAST(len(a.sh) AS BIGINT) + CAST(len(b.sh) AS BIGINT) - CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT)) >= 0.10),
-        |e AS (SELECT id_a AS src, id_b AS dst FROM p UNION ALL SELECT id_b, id_a FROM p),
-        |reach(node, lab) AS (
-        | SELECT doc_id, doc_id FROM documents
-        | UNION
-        | SELECT e.src, r.lab FROM e JOIN reach r ON e.dst = r.node)
-        |SELECT node AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY node""".stripMargin,
+      s"""WITH $jaccardPairsCte,
+         |e AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM p
+         |  UNION ALL SELECT id_b, id_a FROM p),
+         |nodes AS (SELECT doc_id AS node FROM documents),
+         |${ccChain(CcRounds)}
+         |SELECT node AS doc_id, lab AS cluster_id FROM l$CcRounds
+         |${ccSentinel(CcRounds, 2)}""".stripMargin,
 
     "dedup_stats" ->
-      """WITH RECURSIVE s AS (
-        | SELECT doc_id, source,
-        |  list_distinct([array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)]) AS sh
-        | FROM (SELECT doc_id, source, string_split(text, ' ') AS t FROM documents) d),
-        |p AS (
-        | SELECT a.doc_id AS id_a, b.doc_id AS id_b
-        | FROM s a JOIN s b ON a.source = b.source AND a.doc_id < b.doc_id
-        | WHERE CAST(CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS DOUBLE)
-        |  / (CAST(len(a.sh) AS BIGINT) + CAST(len(b.sh) AS BIGINT) - CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT)) >= 0.10),
-        |e AS (SELECT id_a AS src, id_b AS dst FROM p UNION ALL SELECT id_b, id_a FROM p),
-        |reach(node, lab) AS (
-        | SELECT doc_id, doc_id FROM documents
-        | UNION
-        | SELECT e.src, r.lab FROM e JOIN reach r ON e.dst = r.node),
-        |cl AS (SELECT node, min(lab) AS cluster_id FROM reach GROUP BY node),
-        |sz AS (SELECT cluster_id, count(*) AS cluster_size FROM cl GROUP BY 1)
-        |SELECT cluster_size, count(*) AS n_clusters FROM sz GROUP BY 1""".stripMargin,
+      s"""WITH $jaccardPairsCte,
+         |e AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM p
+         |  UNION ALL SELECT id_b, id_a FROM p),
+         |nodes AS (SELECT doc_id AS node FROM documents),
+         |${ccChain(CcRounds)},
+         |csz AS (SELECT lab AS cluster_id, count(*) AS cluster_size
+         |        FROM l$CcRounds GROUP BY 1)
+         |SELECT cluster_size, count(*) AS n_clusters FROM csz GROUP BY 1
+         |${ccSentinel(CcRounds, 2)}""".stripMargin,
 
     "dedup_embed" ->
       """WITH e AS (SELECT vec_id, label, [CAST(x AS DOUBLE) for x in embedding] AS v FROM embeddings),
@@ -1337,20 +1394,25 @@ object OracleSql {
         | FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
         |SELECT id_a, id_b, cos FROM p WHERE cos > 0.35""".stripMargin,
 
+    // list_dot_product is DuckDB's native sequential double loop —
+    // bitwise-identical to the list_sum comprehension (verified over
+    // every within-label pair at the gate scales) at a fraction of the
+    // interpreted-comprehension cost; norms precompute per vector (the
+    // same sqrt on the same self-dot bits the pair form computed).
     "embed_cluster" ->
-      """WITH RECURSIVE em AS (SELECT vec_id, label, [CAST(x AS DOUBLE) for x in embedding] AS v FROM embeddings),
-        |p AS (
-        | SELECT a.vec_id AS id_a, b.vec_id AS id_b
-        | FROM em a JOIN em b ON a.label = b.label AND a.vec_id < b.vec_id
-        | WHERE list_sum([a.v[i] * b.v[i] for i in range(1, 65)])
-        |   / (sqrt(list_sum([a.v[i] * a.v[i] for i in range(1, 65)]))
-        |      * sqrt(list_sum([b.v[i] * b.v[i] for i in range(1, 65)]))) > 0.35),
-        |e AS (SELECT id_a AS src, id_b AS dst FROM p UNION ALL SELECT id_b, id_a FROM p),
-        |reach(node, lab) AS (
-        | SELECT vec_id, vec_id FROM embeddings
-        | UNION
-        | SELECT e.src, r.lab FROM e JOIN reach r ON e.dst = r.node)
-        |SELECT node AS vec_id, min(lab) AS cluster_id FROM reach GROUP BY node""".stripMargin,
+      s"""WITH em AS (SELECT vec_id, label, [CAST(x AS DOUBLE) for x in embedding] AS v FROM embeddings),
+         |nm AS MATERIALIZED (SELECT vec_id, label, v,
+         |  sqrt(list_dot_product(v, v)) AS nrm FROM em),
+         |p AS MATERIALIZED (
+         | SELECT a.vec_id AS id_a, b.vec_id AS id_b
+         | FROM nm a JOIN nm b ON a.label = b.label AND a.vec_id < b.vec_id
+         | WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) > 0.35),
+         |e AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM p
+         |  UNION ALL SELECT id_b, id_a FROM p),
+         |nodes AS (SELECT vec_id AS node FROM embeddings),
+         |${ccChain(CcRounds)}
+         |SELECT node AS vec_id, lab AS cluster_id FROM l$CcRounds
+         |${ccSentinel(CcRounds, 2)}""".stripMargin,
 
     // ------------------------------------------------------------ similarity
     "ann_topk" ->
@@ -1391,8 +1453,8 @@ object OracleSql {
         |            ON s.event_type = raw.event_type AND s.d = raw.d)
         |SELECT event_type, d, n_events,
         | CAST(SUM(n_events) OVER w7 AS BIGINT) AS sum_7d,
-        | round(CAST(SUM(n_events) OVER w7 AS DOUBLE)
-        |   / CAST(count(*) OVER w7 AS DOUBLE), 6) AS avg_7d,
+        | floor((CAST(SUM(n_events) OVER w7 AS DOUBLE)
+        |   / CAST(count(*) OVER w7 AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS avg_7d,
         | CAST(SUM(n_events) OVER (PARTITION BY event_type ORDER BY d
         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_total
         |FROM daily
@@ -1427,10 +1489,10 @@ object OracleSql {
     "profile_group_quantiles" ->
       s"""WITH c AS (SELECT l_returnflag, ${ac("l_extendedprice")} AS vc FROM lineitem)
          |SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
-         | CAST(CAST(round(quantile_cont(vc, 0.25), 0) AS BIGINT) AS DOUBLE) / 100.0 AS p25,
-         | CAST(CAST(round(quantile_cont(vc, 0.5), 0) AS BIGINT) AS DOUBLE) / 100.0 AS p50,
-         | CAST(CAST(round(quantile_cont(vc, 0.75), 0) AS BIGINT) AS DOUBLE) / 100.0 AS p75,
-         | CAST(CAST(round(quantile_cont(vc, 0.95), 0) AS BIGINT) AS DOUBLE) / 100.0 AS p95
+         | CAST(CAST(floor((quantile_cont(vc, 0.25)) + 0.5) AS BIGINT) AS DOUBLE) / 100.0 AS p25,
+         | CAST(CAST(floor((quantile_cont(vc, 0.5)) + 0.5) AS BIGINT) AS DOUBLE) / 100.0 AS p50,
+         | CAST(CAST(floor((quantile_cont(vc, 0.75)) + 0.5) AS BIGINT) AS DOUBLE) / 100.0 AS p75,
+         | CAST(CAST(floor((quantile_cont(vc, 0.95)) + 0.5) AS BIGINT) AS DOUBLE) / 100.0 AS p95
          |FROM c GROUP BY l_returnflag""".stripMargin,
 
     "profile_corr" -> {
@@ -1438,17 +1500,17 @@ object OracleSql {
         ("d", "l_discount"), ("t", "l_tax"))
       val corrRow = (a: String, an: String, b: String, bn: String) =>
         s"""SELECT '$an' AS col_a, '$bn' AS col_b,
-           | round(CAST(n*sp_$a$b - s_$a*s_$b AS DOUBLE)
+           | floor((CAST(n*sp_$a$b - s_$a*s_$b AS DOUBLE)
            |  / (sqrt(CAST(n*ss_$a - s_$a*s_$a AS DOUBLE))
-           |     * sqrt(CAST(n*ss_$b - s_$b*s_$b AS DOUBLE))), 6) AS corr FROM m""".stripMargin
+           |     * sqrt(CAST(n*ss_$b - s_$b*s_$b AS DOUBLE)))) * 1000000.0 + 0.5) / 1000000.0 AS corr FROM m""".stripMargin
       val rows = pairs.combinations(2).map { case Seq((a, an), (b, bn)) =>
         corrRow(a, an, b, bn)
       }.mkString("\nUNION ALL\n")
       s"""WITH c AS (SELECT
          |  CAST(${ac("l_quantity")} AS HUGEINT) AS q,
          |  CAST(${ac("l_extendedprice")} AS HUGEINT) AS e,
-         |  CAST(CAST(round(l_discount * 10000.0, 0) AS BIGINT) AS HUGEINT) AS d,
-         |  CAST(CAST(round(l_tax * 10000.0, 0) AS BIGINT) AS HUGEINT) AS t
+         |  CAST(CAST(floor((l_discount * 10000.0) + 0.5) AS BIGINT) AS HUGEINT) AS d,
+         |  CAST(CAST(floor((l_tax * 10000.0) + 0.5) AS BIGINT) AS HUGEINT) AS t
          | FROM lineitem),
          |m AS (SELECT CAST(count(*) AS HUGEINT) AS n,
          |  SUM(q) AS s_q, SUM(q*q) AS ss_q, SUM(e) AS s_e, SUM(e*e) AS ss_e,
@@ -1465,7 +1527,7 @@ object OracleSql {
          |st AS (SELECT CAST(SUM(ac) AS DOUBLE) AS s, CAST(SUM(ac*ac) AS DOUBLE) AS ss,
          |        CAST(count(c_acctbal) AS DOUBLE) AS n FROM c),
          |p AS (SELECT s / n AS mu, sqrt((ss - s * s / n) / (n - 1.0)) AS sigma,
-         |       CAST(round(s / n, 0) AS BIGINT) AS mc_imp FROM st)
+         |       CAST(floor((s / n) + 0.5) AS BIGINT) AS mc_imp FROM st)
          |SELECT c_custkey,
          | (CAST(COALESCE(ac, mc_imp) AS DOUBLE) - mu) / sigma AS acctbal_z
          |FROM c CROSS JOIN p""".stripMargin,
@@ -1480,11 +1542,11 @@ object OracleSql {
         |cnt AS (SELECT doc_id, bigram, count(*) AS c FROM bg GROUP BY 1, 2),
         |m AS (SELECT doc_id, CAST(max(c) AS BIGINT) AS top_bigram_cnt FROM cnt GROUP BY 1)
         |SELECT b.doc_id, n_tokens, n_distinct,
-        | round(CAST(n_tokens - n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) AS dup_word_frac,
+        | floor((CAST(n_tokens - n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS dup_word_frac,
         | COALESCE(top_bigram_cnt, 0) AS top_bigram_cnt,
         | CASE WHEN n_tokens > 1
-        |      THEN round(CAST(COALESCE(top_bigram_cnt, 0) AS DOUBLE)
-        |             / CAST(n_tokens - 1 AS DOUBLE), 6)
+        |      THEN floor((CAST(COALESCE(top_bigram_cnt, 0) AS DOUBLE)
+        |             / CAST(n_tokens - 1 AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0
         |      ELSE 0.0 END AS top_bigram_frac
         |FROM b LEFT JOIN m ON b.doc_id = m.doc_id""".stripMargin,
 
@@ -1494,14 +1556,14 @@ object OracleSql {
       s"""WITH cnt AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
          |r AS (SELECT source, (CASE source $cases ELSE 0.0 END) / n AS r FROM cnt),
          |t AS (SELECT source,
-         |       CAST(round(r / (max(r) OVER ()) * 10000.0, 0) AS BIGINT) AS thresh FROM r)
+         |       CAST(floor((r / (max(r) OVER ()) * 10000.0) + 0.5) AS BIGINT) AS thresh FROM r)
          |SELECT doc_id, source FROM documents JOIN t USING (source)
          |WHERE ((doc_id % 10000) * 2654435761) % 10000 < thresh""".stripMargin
     },
 
     "q22_antijoin" ->
-      s"""WITH a AS (SELECT CAST(round(CAST(SUM(${ac("c_acctbal")}) AS DOUBLE)
-         |                        / count(*), 0) AS BIGINT) AS avgc FROM customer)
+      s"""WITH a AS (SELECT CAST(floor((CAST(SUM(${ac("c_acctbal")}) AS DOUBLE)
+         |                        / count(*)) + 0.5) AS BIGINT) AS avgc FROM customer)
          |SELECT c_nationkey, CAST(count(*) AS BIGINT) AS numcust,
          | CAST(SUM(${ac("c_acctbal")}) AS DOUBLE) / 100.0 AS totacctbal
          |FROM customer CROSS JOIN a
@@ -1575,7 +1637,7 @@ object OracleSql {
         |  count(*) OVER (PARTITION BY event_type) AS m
         | FROM pairs)
         |SELECT event_type, CAST(max(m) AS BIGINT) AS n_pairs,
-        | round(avg(slope), 6) AS slope_med
+        | floor((avg(slope)) * 1000000.0 + 0.5) / 1000000.0 AS slope_med
         |FROM r WHERE rn = (m + 1) // 2 OR rn = m // 2 + 1
         |GROUP BY 1""".stripMargin,
 
@@ -1588,7 +1650,7 @@ object OracleSql {
         | FROM t WHERE length(w) > 0 GROUP BY 1),
         |tt AS (SELECT CAST(SUM(na) AS BIGINT) AS ta, CAST(SUM(nb) AS BIGINT) AS tb
         |       FROM v),
-        |c AS (SELECT CAST(round(
+        |c AS (SELECT CAST(floor((
         |   (CASE WHEN na > 0 THEN (CAST(na AS DOUBLE) / CAST(ta AS DOUBLE))
         |     * ln((CAST(na AS DOUBLE) / CAST(ta AS DOUBLE))
         |        / ((CAST(na AS DOUBLE) / CAST(ta AS DOUBLE)
@@ -1597,12 +1659,12 @@ object OracleSql {
         |     * ln((CAST(nb AS DOUBLE) / CAST(tb AS DOUBLE))
         |        / ((CAST(na AS DOUBLE) / CAST(ta AS DOUBLE)
         |            + CAST(nb AS DOUBLE) / CAST(tb AS DOUBLE)) / 2.0)) ELSE 0.0 END)
-        |  * 0.5 * 1e12, 0) AS BIGINT) AS cq
+        |  * 0.5 * 1e12) + 0.5) AS BIGINT) AS cq
         | FROM v CROSS JOIN tt)
         |SELECT 'src0' AS src_a, 'src1' AS src_b,
         | CAST(count(*) AS BIGINT) AS n_terms,
-        | round(CAST(SUM(cq) AS DOUBLE) / 1e12, 6) AS jsd_nats,
-        | round(CAST(SUM(cq) AS DOUBLE) / 1e12 / ln(2.0), 6) AS jsd_bits
+        | floor((CAST(SUM(cq) AS DOUBLE) / 1e12) * 1000000.0 + 0.5) / 1000000.0 AS jsd_nats,
+        | floor((CAST(SUM(cq) AS DOUBLE) / 1e12 / ln(2.0)) * 1000000.0 + 0.5) / 1000000.0 AS jsd_bits
         |FROM c""".stripMargin,
 
     "events_contribution" ->
@@ -1617,7 +1679,7 @@ object OracleSql {
         |SELECT event_type, n_first, n_second,
         | CAST(n_second - n_first AS BIGINT) AS delta,
         | CASE WHEN total_delta <> 0 THEN
-        |  round(CAST(n_second - n_first AS DOUBLE) / CAST(total_delta AS DOUBLE), 6)
+        |  floor((CAST(n_second - n_first AS DOUBLE) / CAST(total_delta AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0
         | END AS share
         |FROM p CROSS JOIN t""".stripMargin,
 
@@ -1626,7 +1688,7 @@ object OracleSql {
     // so a hash match checks the algorithm, not an echo of it.
     "orders_skyline" ->
       """WITH base AS (SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders,
-        |  CAST(SUM(CAST(round(o_totalprice * 100.0, 0) AS BIGINT)) AS BIGINT) AS mc
+        |  CAST(SUM(CAST(floor((o_totalprice * 100.0) + 0.5) AS BIGINT)) AS BIGINT) AS mc
         | FROM orders GROUP BY 1)
         |SELECT o_custkey, n_orders, CAST(mc AS DOUBLE) / 100.0 AS monetary
         |FROM base p
@@ -1654,23 +1716,23 @@ object OracleSql {
         |FROM med GROUP BY 1""".stripMargin,
 
     "orders_benford" ->
-      """WITH v AS (SELECT CAST(round(o_totalprice * 100.0, 0) AS BIGINT) AS v
+      """WITH v AS (SELECT CAST(floor((o_totalprice * 100.0) + 0.5) AS BIGINT) AS v
         |  FROM orders),
         |d AS (SELECT CAST(substr(CAST(v AS VARCHAR), 1, 1) AS BIGINT) AS digit,
         |  CAST(count(*) AS BIGINT) AS n_obs
         | FROM v WHERE v > 0 GROUP BY 1),
         |t AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS n_total FROM d)
         |SELECT digit, n_obs,
-        | round(CAST(n_obs AS DOUBLE) / CAST(n_total AS DOUBLE), 6) AS obs_frac,
-        | round(log10(CAST(digit + 1 AS DOUBLE) / CAST(digit AS DOUBLE)), 6) AS exp_frac
+        | floor((CAST(n_obs AS DOUBLE) / CAST(n_total AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS obs_frac,
+        | floor((log10(CAST(digit + 1 AS DOUBLE) / CAST(digit AS DOUBLE))) * 1000000.0 + 0.5) / 1000000.0 AS exp_frac
         |FROM d CROSS JOIN t""".stripMargin,
 
     "profile_ks" ->
-      """WITH ca AS (SELECT CAST(round(o_totalprice * 100.0, 0) AS BIGINT) // 100000 AS band,
+      """WITH ca AS (SELECT CAST(floor((o_totalprice * 100.0) + 0.5) AS BIGINT) // 100000 AS band,
         |  CAST(count(*) AS BIGINT) AS ca
         | FROM orders JOIN customer ON o_custkey = c_custkey
         | WHERE c_mktsegment = 'BUILDING' GROUP BY 1),
-        |cb AS (SELECT CAST(round(o_totalprice * 100.0, 0) AS BIGINT) // 100000 AS band,
+        |cb AS (SELECT CAST(floor((o_totalprice * 100.0) + 0.5) AS BIGINT) // 100000 AS band,
         |  CAST(count(*) AS BIGINT) AS cb
         | FROM orders JOIN customer ON o_custkey = c_custkey
         | WHERE c_mktsegment = 'MACHINERY' GROUP BY 1),
@@ -1687,7 +1749,7 @@ object OracleSql {
         |      FROM cum CROSS JOIN t)
         |SELECT 'BUILDING' AS seg_a, 'MACHINERY' AS seg_b,
         | max(na) AS n_a, max(nb) AS n_b,
-        | round(CAST(max(stat) AS DOUBLE) / CAST(max(na) * max(nb) AS DOUBLE), 6)
+        | floor((CAST(max(stat) AS DOUBLE) / CAST(max(na) * max(nb) AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0
         |   AS ks_stat,
         | -(max(struct_pack(s := stat, nb_ := -band)).nb_) AS peak_band
         |FROM s""".stripMargin,
@@ -1699,18 +1761,22 @@ object OracleSql {
     "graph_pagerank" -> {
       val s = graft.graph.Graph.Scale
       val iters = 5
+      // MATERIALIZED throughout: DuckDB 1.0 inlines every CTE reference,
+      // so without it the lineitem self-join in `pairs` re-evaluates once
+      // per iteration — the whole reason this oracle blew the sf1 gate's
+      // 90s budget (docs/SF1_GATE.md).
       val sb = new StringBuilder(
-        s"""WITH pairs AS (SELECT a.l_partkey AS u, b.l_partkey AS v,
+        s"""WITH pairs AS MATERIALIZED (SELECT a.l_partkey AS u, b.l_partkey AS v,
            |  CAST(count(*) AS BIGINT) AS w
            | FROM lineitem a JOIN lineitem b
            |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
            | GROUP BY 1, 2),
-           |outw AS (SELECT u, CAST(SUM(w) AS BIGINT) AS wu FROM pairs GROUP BY 1),
-           |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM outw),
-           |r0 AS (SELECT u AS node, $s // n AS rank FROM outw CROSS JOIN nn)""".stripMargin)
+           |outw AS MATERIALIZED (SELECT u, CAST(SUM(w) AS BIGINT) AS wu FROM pairs GROUP BY 1),
+           |nn AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS n FROM outw),
+           |r0 AS MATERIALIZED (SELECT u AS node, $s // n AS rank FROM outw CROSS JOIN nn)""".stripMargin)
       for (i <- 1 to iters) sb.append(
         s""",
-           |r$i AS (SELECT e.v AS node,
+           |r$i AS MATERIALIZED (SELECT e.v AS node,
            |  (15 * $s) // (100 * nn.n) + (85 * SUM((r.rank * e.w) // o.wu)) // 100 AS rank
            | FROM r${i - 1} r JOIN pairs e ON r.node = e.u
            |  JOIN outw o ON o.u = r.node CROSS JOIN nn
@@ -1778,7 +1844,7 @@ object OracleSql {
         |         WHERE NOT EXISTS (SELECT 1 FROM und
         |                           WHERE und.u = c.a AND und.v = c.b))
         |SELECT m.a, m.b, m.cn,
-        | round(CAST(m.cn AS DOUBLE) / CAST(da.d + db.d - m.cn AS DOUBLE), 6) AS jaccard
+        | floor((CAST(m.cn AS DOUBLE) / CAST(da.d + db.d - m.cn AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS jaccard
         |FROM miss m JOIN deg da ON da.x = m.a JOIN deg db ON db.x = m.b
         |ORDER BY m.cn DESC, jaccard DESC, m.a, m.b
         |LIMIT 50""".stripMargin,
@@ -1806,9 +1872,9 @@ object OracleSql {
     "imp_trimmed_mean" ->
       s"""WITH mc AS ($MCV),
          |c AS (SELECT c_custkey, c_acctbal, ${ac("c_acctbal")} AS ac FROM mc),
-         |band AS (SELECT CAST(round(quantile_cont(ac, 0.05), 0) AS BIGINT) AS lo,
-         |                CAST(round(quantile_cont(ac, 0.95), 0) AS BIGINT) AS hi FROM c),
-         |st AS (SELECT CAST(round(CAST(SUM(ac) AS DOUBLE) / count(*), 0) AS BIGINT) AS m
+         |band AS (SELECT CAST(floor((quantile_cont(ac, 0.05)) + 0.5) AS BIGINT) AS lo,
+         |                CAST(floor((quantile_cont(ac, 0.95)) + 0.5) AS BIGINT) AS hi FROM c),
+         |st AS (SELECT CAST(floor((CAST(SUM(ac) AS DOUBLE) / count(*)) + 0.5) AS BIGINT) AS m
          |       FROM c CROSS JOIN band WHERE ac >= lo AND ac <= hi)
          |SELECT c_custkey,
          | COALESCE(c_acctbal, CAST(m AS DOUBLE) / 100.0) AS acctbal_imp
@@ -1872,7 +1938,7 @@ object OracleSql {
     "q7_volume" ->
       """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
         | CAST(year(l_shipdate) AS BIGINT) AS l_year,
-        | CAST(SUM(CAST(round((l_extendedprice * (1.0 - l_discount)) * 10000.0, 0) AS BIGINT)) AS DOUBLE) / 10000.0 AS revenue
+        | CAST(SUM(CAST(floor(((l_extendedprice * (1.0 - l_discount)) * 10000.0) + 0.5) AS BIGINT)) AS DOUBLE) / 10000.0 AS revenue
         |FROM lineitem
         |JOIN supplier ON l_suppkey = s_suppkey
         |JOIN nation sn ON s_nationkey = sn.n_nationkey
@@ -1887,7 +1953,7 @@ object OracleSql {
 
     "q10_returns" ->
       """SELECT c_custkey, c_name, n_name, c_acctbal,
-        | CAST(SUM(CAST(round((l_extendedprice * (1.0 - l_discount)) * 10000.0, 0) AS BIGINT)) AS DOUBLE) / 10000.0 AS revenue
+        | CAST(SUM(CAST(floor(((l_extendedprice * (1.0 - l_discount)) * 10000.0) + 0.5) AS BIGINT)) AS DOUBLE) / 10000.0 AS revenue
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
@@ -1935,7 +2001,7 @@ object OracleSql {
     "q2_mincost" ->
       """WITH cost AS (
         |  SELECT l_partkey, l_suppkey, p_name, s_name, s_acctbal, n_name,
-        |   MIN(CAST(round(l_extendedprice * 100.0, 0) AS BIGINT)) AS cost_c
+        |   MIN(CAST(floor((l_extendedprice * 100.0) + 0.5) AS BIGINT)) AS cost_c
         |  FROM lineitem
         |  JOIN (SELECT p_partkey, p_name FROM part
         |        WHERE p_type = 'STANDARD' AND p_size <= 10) p ON l_partkey = p_partkey
@@ -1955,7 +2021,7 @@ object OracleSql {
     "q11_importantstock" ->
       """WITH v AS (
         |  SELECT l_partkey,
-        |   SUM(CAST(round(l_extendedprice * (1.0 - l_discount) * 10000.0, 0) AS BIGINT)) AS vc
+        |   SUM(CAST(floor((l_extendedprice * (1.0 - l_discount) * 10000.0) + 0.5) AS BIGINT)) AS vc
         |  FROM lineitem
         |  JOIN supplier ON l_suppkey = s_suppkey
         |  JOIN nation ON s_nationkey = n_nationkey
@@ -1979,7 +2045,7 @@ object OracleSql {
     "q20_excess" ->
       """WITH q AS (
         |  SELECT l_partkey, l_suppkey,
-        |   SUM(CAST(round(l_quantity * 100.0, 0) AS BIGINT)) AS qc
+        |   SUM(CAST(floor((l_quantity * 100.0) + 0.5) AS BIGINT)) AS qc
         |  FROM lineitem
         |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
         |    AND l_shipdate < TIMESTAMP '1997-01-01'
@@ -1996,7 +2062,7 @@ object OracleSql {
     "q_groupingsets" ->
       """SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
         | COALESCE(l_linestatus, 'ALL') AS linestatus,
-        | CAST(SUM(CAST(round(l_quantity * 100.0, 0) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_qty,
+        | CAST(SUM(CAST(floor((l_quantity * 100.0) + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_qty,
         | CAST(count(*) AS BIGINT) AS n_rows
         |FROM lineitem
         |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())""".stripMargin,
@@ -2016,9 +2082,9 @@ object OracleSql {
         | GROUP BY 1, 2)
         |SELECT event_type, lag, m AS n_pairs,
         | CASE WHEN m * sxx - sx * sx > 0 AND m * syy - sy * sy > 0 THEN
-        |  round(CAST(m * sxy - sx * sy AS DOUBLE)
+        |  floor((CAST(m * sxy - sx * sy AS DOUBLE)
         |   / (sqrt(CAST(m * sxx - sx * sx AS DOUBLE))
-        |      * sqrt(CAST(m * syy - sy * sy AS DOUBLE))), 6)
+        |      * sqrt(CAST(m * syy - sy * sy AS DOUBLE)))) * 1000000.0 + 0.5) / 1000000.0
         | ELSE NULL END AS autocorr
         |FROM mm""".stripMargin,
 
@@ -2072,17 +2138,17 @@ object OracleSql {
         |my AS (SELECT y, CAST(SUM(nxy) AS BIGINT) AS ny FROM cells GROUP BY 1),
         |tot AS (SELECT CAST(SUM(nxy) AS BIGINT) AS n FROM cells),
         |mi AS (SELECT CAST(count(*) AS BIGINT) AS n_cells,
-        |        CAST(SUM(CAST(round((CAST(nxy AS DOUBLE) / CAST(n AS DOUBLE))
+        |        CAST(SUM(CAST(floor(((CAST(nxy AS DOUBLE) / CAST(n AS DOUBLE))
         |          * ln((CAST(nxy AS DOUBLE) * CAST(n AS DOUBLE))
         |               / (CAST(nx AS DOUBLE) * CAST(ny AS DOUBLE)))
-        |          * 1e12, 0) AS BIGINT)) AS BIGINT) AS mi_s
+        |          * 1e12) + 0.5) AS BIGINT)) AS BIGINT) AS mi_s
         |       FROM cells JOIN mx USING (x) JOIN my USING (y) CROSS JOIN tot),
-        |hx AS (SELECT CAST(SUM(CAST(round((CAST(nx AS DOUBLE) / CAST(n AS DOUBLE))
-        |         * ln(CAST(n AS DOUBLE) / CAST(nx AS DOUBLE)) * 1e12, 0) AS BIGINT))
+        |hx AS (SELECT CAST(SUM(CAST(floor(((CAST(nx AS DOUBLE) / CAST(n AS DOUBLE))
+        |         * ln(CAST(n AS DOUBLE) / CAST(nx AS DOUBLE)) * 1e12) + 0.5) AS BIGINT))
         |        AS BIGINT) AS hx_s
         |       FROM mx CROSS JOIN tot),
-        |hy AS (SELECT CAST(SUM(CAST(round((CAST(ny AS DOUBLE) / CAST(n AS DOUBLE))
-        |         * ln(CAST(n AS DOUBLE) / CAST(ny AS DOUBLE)) * 1e12, 0) AS BIGINT))
+        |hy AS (SELECT CAST(SUM(CAST(floor(((CAST(ny AS DOUBLE) / CAST(n AS DOUBLE))
+        |         * ln(CAST(n AS DOUBLE) / CAST(ny AS DOUBLE)) * 1e12) + 0.5) AS BIGINT))
         |        AS BIGINT) AS hy_s
         |       FROM my CROSS JOIN tot)
         |SELECT n AS n_rows, n_cells,
@@ -2090,8 +2156,8 @@ object OracleSql {
         | CAST(hx_s AS DOUBLE) / 1e12 AS h_x,
         | CAST(hy_s AS DOUBLE) / 1e12 AS h_y,
         | CASE WHEN hx_s > 0 AND hy_s > 0 THEN
-        |   round((CAST(mi_s AS DOUBLE) / 1e12)
-        |     / sqrt((CAST(hx_s AS DOUBLE) / 1e12) * (CAST(hy_s AS DOUBLE) / 1e12)), 6)
+        |   floor(((CAST(mi_s AS DOUBLE) / 1e12)
+        |     / sqrt((CAST(hx_s AS DOUBLE) / 1e12) * (CAST(hy_s AS DOUBLE) / 1e12))) * 1000000.0 + 0.5) / 1000000.0
         | ELSE NULL END AS nmi
         |FROM mi CROSS JOIN hx CROSS JOIN hy CROSS JOIN tot""".stripMargin,
 
@@ -2110,11 +2176,11 @@ object OracleSql {
         | CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS rate_a,
         | CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS rate_b,
         | CASE WHEN conv_a + conv_b > 0 AND conv_a + conv_b < n_a + n_b THEN
-        |  round((CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+        |  floor(((CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE)
         |        - CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE))
         |  / sqrt((CAST(conv_a + conv_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
         |     * (1.0 - CAST(conv_a + conv_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
-        |     * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE))), 6)
+        |     * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE)))) * 1000000.0 + 0.5) / 1000000.0
         | ELSE NULL END AS z_score
         |FROM g""".stripMargin,
 
@@ -2166,24 +2232,24 @@ object OracleSql {
         |        CAST(count(*) AS BIGINT) AS n_distinct
         |       FROM h GROUP BY doc_id)
         |SELECT doc_id, n_tokens, n_distinct,
-        | round(ln(CAST(n_tokens AS DOUBLE))
+        | floor((ln(CAST(n_tokens AS DOUBLE))
         |  - list_reduce(list_prepend(CAST(0.0 AS DOUBLE), hs), (a, b) -> a + b)
-        |    / CAST(n_tokens AS DOUBLE), 6) AS entropy
+        |    / CAST(n_tokens AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS entropy
         |FROM ag""".stripMargin,
 
     "profile_drift" ->
       """WITH binned AS (
-        | SELECT CAST(round(l_extendedprice * 100.0, 0) AS BIGINT) // 50000 AS bin,
+        | SELECT CAST(floor((l_extendedprice * 100.0) + 0.5) AS BIGINT) // 50000 AS bin,
         |  CAST(SUM(CASE WHEN l_orderkey % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na,
         |  CAST(SUM(CASE WHEN l_orderkey % 2 = 0 THEN 0 ELSE 1 END) AS BIGINT) AS nb
         | FROM lineitem GROUP BY 1),
         |tot AS (SELECT CAST(SUM(na) AS BIGINT) AS ta, CAST(SUM(nb) AS BIGINT) AS tb
         |        FROM binned),
         |terms AS (SELECT na, nb,
-        |  CASE WHEN na > 0 AND nb > 0 THEN CAST(round(
+        |  CASE WHEN na > 0 AND nb > 0 THEN CAST(floor((
         |    (CAST(na AS DOUBLE) / CAST(ta AS DOUBLE) - CAST(nb AS DOUBLE) / CAST(tb AS DOUBLE))
         |     * ln((CAST(na AS DOUBLE) / CAST(ta AS DOUBLE)) / (CAST(nb AS DOUBLE) / CAST(tb AS DOUBLE)))
-        |     * 1e12, 0) AS BIGINT) ELSE NULL END AS term
+        |     * 1e12) + 0.5) AS BIGINT) ELSE NULL END AS term
         | FROM binned CROSS JOIN tot)
         |SELECT
         | CAST(SUM(CASE WHEN term IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_bins_common,
@@ -2207,7 +2273,7 @@ object OracleSql {
       """WITH m AS (SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
         |  CAST(month(o_orderdate) AS BIGINT) AS o_month,
         |  CAST(count(*) AS BIGINT) AS n_orders,
-        |  CAST(SUM(CAST(round(o_totalprice * 100.0, 0) AS BIGINT)) AS BIGINT) AS tc
+        |  CAST(SUM(CAST(floor((o_totalprice * 100.0) + 0.5) AS BIGINT)) AS BIGINT) AS tc
         | FROM orders GROUP BY 1, 2)
         |SELECT o_year, o_month, n_orders, CAST(tc AS DOUBLE) / 100.0 AS revenue,
         | CAST(tc - lag(tc, 1) OVER (ORDER BY o_year, o_month) AS DOUBLE)
@@ -2218,7 +2284,7 @@ object OracleSql {
 
     "profile_histogram" ->
       """WITH binned AS (
-        | SELECT CAST(round(l_extendedprice * 100.0, 0) AS BIGINT) // 50000 AS bin,
+        | SELECT CAST(floor((l_extendedprice * 100.0) + 0.5) AS BIGINT) // 50000 AS bin,
         |  CAST(count(*) AS BIGINT) AS n_rows
         | FROM lineitem GROUP BY 1),
         |tot AS (SELECT CAST(SUM(n_rows) AS BIGINT) AS t FROM binned)
@@ -2228,7 +2294,7 @@ object OracleSql {
 
     "orders_pareto" ->
       """WITH cr AS (SELECT o_custkey,
-        |  CAST(SUM(CAST(round(o_totalprice * 100.0, 0) AS BIGINT)) AS BIGINT) AS rc
+        |  CAST(SUM(CAST(floor((o_totalprice * 100.0) + 0.5) AS BIGINT)) AS BIGINT) AS rc
         | FROM orders GROUP BY 1),
         |tot AS (SELECT CAST(SUM(rc) AS BIGINT) AS t FROM cr),
         |top AS (SELECT o_custkey, rc FROM cr ORDER BY rc DESC, o_custkey ASC LIMIT 20)
@@ -2250,7 +2316,7 @@ object OracleSql {
 
     "q15_topsupplier" ->
       """WITH rev AS (SELECT l_suppkey,
-        |  CAST(SUM(CAST(round((l_extendedprice * (1.0 - l_discount)) * 10000.0, 0) AS BIGINT)) AS BIGINT) AS rc
+        |  CAST(SUM(CAST(floor(((l_extendedprice * (1.0 - l_discount)) * 10000.0) + 0.5) AS BIGINT)) AS BIGINT) AS rc
         | FROM lineitem
         | WHERE l_shipdate >= TIMESTAMP '1996-01-01'
         |   AND l_shipdate < TIMESTAMP '1996-04-01'
@@ -2273,7 +2339,7 @@ object OracleSql {
 
     "q19_disjunct" ->
       """SELECT
-        | CAST(SUM(CAST(round((l_extendedprice * (1.0 - l_discount)) * 10000.0, 0) AS BIGINT)) AS DOUBLE) / 10000.0 AS revenue,
+        | CAST(SUM(CAST(floor(((l_extendedprice * (1.0 - l_discount)) * 10000.0) + 0.5) AS BIGINT)) AS DOUBLE) / 10000.0 AS revenue,
         | CAST(count(*) AS BIGINT) AS n_lines
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 1 AND 20)
@@ -2283,9 +2349,9 @@ object OracleSql {
     "q8_marketshare" ->
       """SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
         | CAST(SUM(CASE WHEN sn.n_name = 'NATION_7'
-        |   THEN CAST(round((l_extendedprice * (1.0 - l_discount)) * 10000.0, 0) AS BIGINT)
+        |   THEN CAST(floor(((l_extendedprice * (1.0 - l_discount)) * 10000.0) + 0.5) AS BIGINT)
         |   ELSE 0 END) AS DOUBLE)
-        | / CAST(SUM(CAST(round((l_extendedprice * (1.0 - l_discount)) * 10000.0, 0) AS BIGINT)) AS DOUBLE) AS mkt_share
+        | / CAST(SUM(CAST(floor(((l_extendedprice * (1.0 - l_discount)) * 10000.0) + 0.5) AS BIGINT)) AS DOUBLE) AS mkt_share
         |FROM lineitem
         |JOIN part ON l_partkey = p_partkey
         |JOIN supplier ON l_suppkey = s_suppkey
@@ -2299,7 +2365,7 @@ object OracleSql {
 
     "q9_profit" ->
       """SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
-        | CAST(SUM(CAST(round((l_extendedprice * (1.0 - l_discount)) * 10000.0, 0) AS BIGINT)) AS DOUBLE) / 10000.0 AS profit
+        | CAST(SUM(CAST(floor(((l_extendedprice * (1.0 - l_discount)) * 10000.0) + 0.5) AS BIGINT)) AS DOUBLE) / 10000.0 AS profit
         |FROM lineitem
         |JOIN part ON l_partkey = p_partkey
         |JOIN supplier ON l_suppkey = s_suppkey
@@ -2371,7 +2437,7 @@ object OracleSql {
         |        SELECT date_diff('day', d0, (SELECT max(CAST(l_shipdate AS DATE)) FROM lineitem))
         |        FROM anchor) // 100)
         |SELECT window_id, CAST(window_id * 100 AS BIGINT) AS start_offset_days,
-        | CAST(SUM(CAST(round((l_extendedprice * (1.0 - l_discount)) * 10000.0, 0) AS BIGINT)) AS DOUBLE) / 10000.0 AS revenue,
+        | CAST(SUM(CAST(floor(((l_extendedprice * (1.0 - l_discount)) * 10000.0) + 0.5) AS BIGINT)) AS DOUBLE) / 10000.0 AS revenue,
         | CAST(count(*) AS BIGINT) AS n_items
         |FROM lineitem CROSS JOIN anchor
         |JOIN w ON date_diff('day', d0, CAST(l_shipdate AS DATE)) >= window_id * 100
@@ -2404,7 +2470,7 @@ object OracleSql {
 
     "feat_lag" ->
       """WITH e AS (SELECT event_id, user_id, epoch_ns(ts) // 1000000000 AS t, value,
-        |  CAST(round(value * 10000.0, 0) AS BIGINT) AS vc FROM events)
+        |  CAST(floor((value * 10000.0) + 0.5) AS BIGINT) AS vc FROM events)
         |SELECT event_id, user_id, t, value,
         | lag(value, 1) OVER w AS lag1,
         | lag(value, 2) OVER w AS lag2,
@@ -2456,11 +2522,11 @@ object OracleSql {
         |       ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
         |      GROUP BY 1, 2 HAVING count(*) >= 2)
         |SELECT part_a, part_b, n_ab,
-        | round(CAST(n_ab AS DOUBLE) / CAST(nt AS DOUBLE), 6) AS support,
-        | round(CAST(n_ab AS DOUBLE) / CAST(ia.ni AS DOUBLE), 6) AS conf_a_b,
-        | round(CAST(n_ab AS DOUBLE) / CAST(ib.ni AS DOUBLE), 6) AS conf_b_a,
-        | round(CAST(n_ab AS DOUBLE) * CAST(nt AS DOUBLE)
-        |  / (CAST(ia.ni AS DOUBLE) * CAST(ib.ni AS DOUBLE)), 6) AS lift
+        | floor((CAST(n_ab AS DOUBLE) / CAST(nt AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS support,
+        | floor((CAST(n_ab AS DOUBLE) / CAST(ia.ni AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS conf_a_b,
+        | floor((CAST(n_ab AS DOUBLE) / CAST(ib.ni AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS conf_b_a,
+        | floor((CAST(n_ab AS DOUBLE) * CAST(nt AS DOUBLE)
+        |  / (CAST(ia.ni AS DOUBLE) * CAST(ib.ni AS DOUBLE))) * 1000000.0 + 0.5) / 1000000.0 AS lift
         |FROM p JOIN items ia ON ia.part = part_a
         | JOIN items ib ON ib.part = part_b
         | CROSS JOIN n
@@ -2475,10 +2541,10 @@ object OracleSql {
         |      WHERE event_type = 'purchase' AND t > ta GROUP BY 1),
         |lags AS (SELECT (tp - ta) // 1000000000 AS secs FROM p JOIN a USING (user_id))
         |SELECT CAST(count(*) AS BIGINT) AS n_conversions,
-        | CAST(round(quantile_cont(secs, 0.25), 0) AS BIGINT) AS p25_sec,
-        | CAST(round(quantile_cont(secs, 0.5), 0) AS BIGINT) AS p50_sec,
-        | CAST(round(quantile_cont(secs, 0.75), 0) AS BIGINT) AS p75_sec,
-        | CAST(round(quantile_cont(secs, 0.9), 0) AS BIGINT) AS p90_sec,
+        | CAST(floor((quantile_cont(secs, 0.25)) + 0.5) AS BIGINT) AS p25_sec,
+        | CAST(floor((quantile_cont(secs, 0.5)) + 0.5) AS BIGINT) AS p50_sec,
+        | CAST(floor((quantile_cont(secs, 0.75)) + 0.5) AS BIGINT) AS p75_sec,
+        | CAST(floor((quantile_cont(secs, 0.9)) + 0.5) AS BIGINT) AS p90_sec,
         | CAST(min(secs) AS BIGINT) AS min_sec,
         | CAST(max(secs) AS BIGINT) AS max_sec
         |FROM lags""".stripMargin,
@@ -2497,13 +2563,13 @@ object OracleSql {
         |       FROM st)
         |SELECT d, dd.dow, n_events,
         | CASE WHEN sigma > 0.0
-        |      THEN round((CAST(n_events AS DOUBLE) - mu) / sigma, 6) END AS z_dow
+        |      THEN floor(((CAST(n_events AS DOUBLE) - mu) / sigma) * 1000000.0 + 0.5) / 1000000.0 END AS z_dow
         |FROM dd JOIN mu ON dd.dow = mu.dow""".stripMargin,
 
     "embed_norm_audit" ->
       """WITH b AS (SELECT label,
-        |  CAST(round(sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
-        |    for x in embedding])) * 1000000.0, 0) AS BIGINT) AS nq,
+        |  CAST(floor((sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+        |    for x in embedding])) * 1000000.0) + 0.5) AS BIGINT) AS nq,
         |  CAST(len(list_filter(embedding, x -> isnan(CAST(x AS DOUBLE)))) AS BIGINT) AS nn
         | FROM embeddings),
         |g AS (SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
@@ -2514,7 +2580,7 @@ object OracleSql {
         | FROM b GROUP BY label)
         |SELECT label, n_vecs, n_zero, n_nan_components,
         | CAST(mn AS DOUBLE) / 1000000.0 AS min_norm,
-        | CAST(CAST(round(CAST(sn AS DOUBLE) / n_vecs, 0) AS BIGINT) AS DOUBLE) / 1000000.0 AS mean_norm,
+        | CAST(CAST(floor((CAST(sn AS DOUBLE) / n_vecs) + 0.5) AS BIGINT) AS DOUBLE) / 1000000.0 AS mean_norm,
         | CAST(mx AS DOUBLE) / 1000000.0 AS max_norm
         |FROM g""".stripMargin,
 
@@ -2527,7 +2593,7 @@ object OracleSql {
         |       ON a.user_id = c.user_id AND a.event_type < c.event_type
         |      GROUP BY 1, 2)
         |SELECT type_a, type_b, ta.n AS n_a, tb.n AS n_b, n_both,
-        | round(CAST(n_both AS DOUBLE) / CAST(ta.n + tb.n - n_both AS DOUBLE), 6) AS jaccard
+        | floor((CAST(n_both AS DOUBLE) / CAST(ta.n + tb.n - n_both AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS jaccard
         |FROM b JOIN t ta ON ta.event_type = type_a
         | JOIN t tb ON tb.event_type = type_b""".stripMargin,
 
@@ -2545,9 +2611,9 @@ object OracleSql {
         |       CAST(SUM(sx) AS BIGINT) AS total_events,
         |       CAST(SUM(s1) AS BIGINT) AS rs FROM blocks)
         |SELECT n_users, total_events,
-        | round((2.0 * CAST(rs AS DOUBLE)
+        | floor(((2.0 * CAST(rs AS DOUBLE)
         |   - CAST(n_users + 1 AS DOUBLE) * CAST(total_events AS DOUBLE))
-        |  / (CAST(n_users AS DOUBLE) * CAST(total_events AS DOUBLE)), 6) AS gini
+        |  / (CAST(n_users AS DOUBLE) * CAST(total_events AS DOUBLE))) * 1000000.0 + 0.5) / 1000000.0 AS gini
         |FROM g""".stripMargin,
 
     "events_lifecycle" ->
@@ -2578,7 +2644,7 @@ object OracleSql {
         |SELECT user_id, CAST(SUM(c) AS BIGINT) AS n_events,
         | CAST(count(*) AS BIGINT) AS active_minutes,
         | CAST(max(c) AS BIGINT) AS peak_per_min,
-        | round(CAST(SUM(c) AS DOUBLE) / count(*), 6) AS events_per_minute,
+        | floor((CAST(SUM(c) AS DOUBLE) / count(*)) * 1000000.0 + 0.5) / 1000000.0 AS events_per_minute,
         | max(c) >= 2 AS bot_flag
         |FROM pm GROUP BY user_id""".stripMargin,
 
@@ -2592,9 +2658,9 @@ object OracleSql {
 
     "corpus_scorecard" ->
       """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
-        | round(CAST(SUM(len(string_split(text, ' '))) AS DOUBLE) / count(*), 6) AS avg_tokens,
-        | round(CAST(SUM(n_chars) AS DOUBLE) / count(*), 6) AS avg_chars,
-        | round(CAST(SUM(CASE WHEN n_chars < 100 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS pct_short,
+        | floor((CAST(SUM(len(string_split(text, ' '))) AS DOUBLE) / count(*)) * 1000000.0 + 0.5) / 1000000.0 AS avg_tokens,
+        | floor((CAST(SUM(n_chars) AS DOUBLE) / count(*)) * 1000000.0 + 0.5) / 1000000.0 AS avg_chars,
+        | floor((CAST(SUM(CASE WHEN n_chars < 100 THEN 1 ELSE 0 END) AS DOUBLE) / count(*)) * 1000000.0 + 0.5) / 1000000.0 AS pct_short,
         | CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
         |FROM documents GROUP BY source""".stripMargin,
 
@@ -2625,27 +2691,27 @@ object OracleSql {
       """SELECT 'orders(o_orderkey)' AS candidate_key,
         | CAST(count(*) AS BIGINT) AS n_rows,
         | CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
-        | round(CAST(count(DISTINCT o_orderkey) AS DOUBLE) / count(*), 6) AS uniqueness
+        | floor((CAST(count(DISTINCT o_orderkey) AS DOUBLE) / count(*)) * 1000000.0 + 0.5) / 1000000.0 AS uniqueness
         |FROM orders
         |UNION ALL
         |SELECT 'orders(o_custkey)', CAST(count(*) AS BIGINT),
         | CAST(count(DISTINCT o_custkey) AS BIGINT),
-        | round(CAST(count(DISTINCT o_custkey) AS DOUBLE) / count(*), 6)
+        | floor((CAST(count(DISTINCT o_custkey) AS DOUBLE) / count(*)) * 1000000.0 + 0.5) / 1000000.0
         |FROM orders
         |UNION ALL
         |SELECT 'orders(o_custkey,o_orderdate)', CAST(count(*) AS BIGINT),
         | CAST(count(DISTINCT (o_custkey, o_orderdate)) AS BIGINT),
-        | round(CAST(count(DISTINCT (o_custkey, o_orderdate)) AS DOUBLE) / count(*), 6)
+        | floor((CAST(count(DISTINCT (o_custkey, o_orderdate)) AS DOUBLE) / count(*)) * 1000000.0 + 0.5) / 1000000.0
         |FROM orders
         |UNION ALL
         |SELECT 'lineitem(l_orderkey,l_linenumber)', CAST(count(*) AS BIGINT),
         | CAST(count(DISTINCT (l_orderkey, l_linenumber)) AS BIGINT),
-        | round(CAST(count(DISTINCT (l_orderkey, l_linenumber)) AS DOUBLE) / count(*), 6)
+        | floor((CAST(count(DISTINCT (l_orderkey, l_linenumber)) AS DOUBLE) / count(*)) * 1000000.0 + 0.5) / 1000000.0
         |FROM lineitem
         |UNION ALL
         |SELECT 'lineitem(l_partkey,l_suppkey)', CAST(count(*) AS BIGINT),
         | CAST(count(DISTINCT (l_partkey, l_suppkey)) AS BIGINT),
-        | round(CAST(count(DISTINCT (l_partkey, l_suppkey)) AS DOUBLE) / count(*), 6)
+        | floor((CAST(count(DISTINCT (l_partkey, l_suppkey)) AS DOUBLE) / count(*)) * 1000000.0 + 0.5) / 1000000.0
         |FROM lineitem""".stripMargin,
 
     "dq_fd" ->
@@ -2673,7 +2739,7 @@ object OracleSql {
 
     "agg_incremental" ->
       """WITH e AS (SELECT event_type, epoch_ns(ts) // 86400000000000 AS d,
-        |   CAST(round(value * 10000.0, 0) AS BIGINT) AS vc FROM events),
+        |   CAST(floor((value * 10000.0) + 0.5) AS BIGINT) AS vc FROM events),
         |se AS (SELECT event_type, d, CAST(count(*) AS BIGINT) AS n, CAST(SUM(vc) AS BIGINT) AS sc
         |       FROM e WHERE d % 2 = 0 GROUP BY 1, 2),
         |so AS (SELECT event_type, d, CAST(count(*) AS BIGINT) AS n, CAST(SUM(vc) AS BIGINT) AS sc
@@ -2686,9 +2752,9 @@ object OracleSql {
     "imp_pool" -> {
       val ic1 = s"coalesce(${ac("c_acctbal")}, m)"
       s"""WITH mcv AS ($MCV),
-         |meanstat AS (SELECT CAST(round(CAST(SUM(${ac("c_acctbal")}) AS DOUBLE) / count(c_acctbal), 0) AS BIGINT) AS m FROM mcv),
-         |medstat AS (SELECT CAST(round(quantile_cont(${ac("c_acctbal")}, 0.5), 0) AS BIGINT) AS m FROM mcv),
-         |gmstat AS (SELECT c_nationkey, CAST(round(CAST(SUM(${ac("c_acctbal")}) AS DOUBLE) / count(c_acctbal), 0) AS BIGINT) AS gm
+         |meanstat AS (SELECT CAST(floor((CAST(SUM(${ac("c_acctbal")}) AS DOUBLE) / count(c_acctbal)) + 0.5) AS BIGINT) AS m FROM mcv),
+         |medstat AS (SELECT CAST(floor((quantile_cont(${ac("c_acctbal")}, 0.5)) + 0.5) AS BIGINT) AS m FROM mcv),
+         |gmstat AS (SELECT c_nationkey, CAST(floor((CAST(SUM(${ac("c_acctbal")}) AS DOUBLE) / count(c_acctbal)) + 0.5) AS BIGINT) AS gm
          |           FROM mcv GROUP BY c_nationkey),
          |m1 AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(SUM(ic) AS BIGINT) AS sc, CAST(SUM(ic*ic) AS BIGINT) AS sc2
          |       FROM (SELECT $ic1 AS ic FROM mcv CROSS JOIN meanstat) t),
@@ -2712,10 +2778,10 @@ object OracleSql {
          |g AS (SELECT q1, q2, q3, u1, u2, u3,
          |  ((q1 + q2) + q3) / 3.0 AS qbar FROM f)
          |SELECT 'c_acctbal' AS variable, CAST(3 AS BIGINT) AS m,
-         | round(qbar, 8) AS qbar,
-         | round(((u1 + u2) + u3) / 3.0, 8) AS within_var,
-         | round((((q1 - qbar) * (q1 - qbar) + (q2 - qbar) * (q2 - qbar)) + (q3 - qbar) * (q3 - qbar)) / 2.0, 8) AS between_var,
-         | round(((u1 + u2) + u3) / 3.0 + (1.0 + 1.0 / 3.0) * ((((q1 - qbar) * (q1 - qbar) + (q2 - qbar) * (q2 - qbar)) + (q3 - qbar) * (q3 - qbar)) / 2.0), 8) AS total_var
+         | floor((qbar) * 100000000.0 + 0.5) / 100000000.0 AS qbar,
+         | floor((((u1 + u2) + u3) / 3.0) * 100000000.0 + 0.5) / 100000000.0 AS within_var,
+         | floor(((((q1 - qbar) * (q1 - qbar) + (q2 - qbar) * (q2 - qbar)) + (q3 - qbar) * (q3 - qbar)) / 2.0) * 100000000.0 + 0.5) / 100000000.0 AS between_var,
+         | floor((((u1 + u2) + u3) / 3.0 + (1.0 + 1.0 / 3.0) * ((((q1 - qbar) * (q1 - qbar) + (q2 - qbar) * (q2 - qbar)) + (q3 - qbar) * (q3 - qbar)) / 2.0)) * 100000000.0 + 0.5) / 100000000.0 AS total_var
          |FROM g""".stripMargin
     }
   )

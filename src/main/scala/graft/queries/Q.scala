@@ -59,10 +59,10 @@ object Q {
       .select(lit("c_acctbal~c_mktsegment").as("pair"),
         col("_n").as("n_rows"), col("_na").as("n_miss_a"),
         col("_ns").as("n_miss_b"), col("_n11").as("n_miss_both"),
-        round((col("_n11").cast("double") * col("_n").cast("double")
+        (floor(((col("_n11").cast("double") * col("_n").cast("double")
           - col("_na").cast("double") * col("_ns").cast("double"))
           / sqrt(col("_na").cast("double") * (col("_n") - col("_na")).cast("double")
-            * col("_ns").cast("double") * (col("_n") - col("_ns")).cast("double")), 6)
+            * col("_ns").cast("double") * (col("_n") - col("_ns")).cast("double"))) * lit(1e6) + lit(0.5)) / lit(1e6))
           .as("phi"))
   }
 
@@ -101,7 +101,7 @@ object Q {
     val mc = Tables.maskedCustomer(s, dir)
     val ac = cents(col("c_acctbal"), 2)
     val stats = mc.agg(
-      round(sum(ac).cast("double") / count(col("c_acctbal")), 0).cast("bigint").as("_m"))
+      floor((sum(ac).cast("double") / count(col("c_acctbal"))) + lit(0.5)).cast("bigint").as("_m"))
     mc.crossJoin(broadcast(stats))
       .select(col("c_custkey"),
         coalesce(col("c_acctbal"), col("_m").cast("double") / 100.0).as("acctbal_imp"))
@@ -124,7 +124,7 @@ object Q {
         (col("_s") / col("_n")).as("_mu"),
         sqrt((col("_ss") - col("_s") * col("_s") / col("_n"))
           / (col("_n") - 1.0)).as("_sigma"),
-        round(col("_s") / col("_n"), 0).cast("bigint").as("_mc"))
+        floor((col("_s") / col("_n")) + lit(0.5)).cast("bigint").as("_mc"))
     mc.crossJoin(broadcast(st))
       .select(col("c_custkey"),
         ((coalesce(ac, col("_mc")).cast("double") - col("_mu")) / col("_sigma"))
@@ -134,7 +134,7 @@ object Q {
   def impMedian(s: SparkSession, dir: String): DataFrame = {
     val mc = Tables.maskedCustomer(s, dir)
     val stats = mc.select(cents(col("c_acctbal"), 2).as("_ac"))
-      .agg(round(expr("percentile(_ac, 0.5)"), 0).cast("bigint").as("_m"))
+      .agg(floor((expr("percentile(_ac, 0.5)")) + lit(0.5)).cast("bigint").as("_m"))
     mc.crossJoin(broadcast(stats))
       .select(col("c_custkey"),
         coalesce(col("c_acctbal"), col("_m").cast("double") / 100.0).as("acctbal_imp"))
@@ -174,9 +174,9 @@ object Q {
     val mc = Tables.maskedCustomer(s, dir)
     val ac = cents(col("c_acctbal"), 2)
     val gm = mc.groupBy("c_nationkey").agg(
-      round(sum(ac).cast("double") / count(col("c_acctbal")), 0).cast("bigint").as("_gm"))
+      floor((sum(ac).cast("double") / count(col("c_acctbal"))) + lit(0.5)).cast("bigint").as("_gm"))
     val g = mc.agg(
-      round(sum(ac).cast("double") / count(col("c_acctbal")), 0).cast("bigint").as("_g"))
+      floor((sum(ac).cast("double") / count(col("c_acctbal"))) + lit(0.5)).cast("bigint").as("_g"))
     mc.join(broadcast(gm), Seq("c_nationkey"), "left")
       .crossJoin(broadcast(g))
       .select(col("c_custkey"),
@@ -193,9 +193,9 @@ object Q {
     val mc = Tables.maskedCustomer(s, dir)
     val gm = mc.select(col("c_nationkey"), cents(col("c_acctbal"), 2).as("_ac"))
       .groupBy("c_nationkey").agg(
-        round(expr("percentile(_ac, 0.5D)"), 0).cast("bigint").as("_gm"))
+        floor((expr("percentile(_ac, 0.5D)")) + lit(0.5)).cast("bigint").as("_gm"))
     val g = mc.select(cents(col("c_acctbal"), 2).as("_ac")).agg(
-      round(expr("percentile(_ac, 0.5D)"), 0).cast("bigint").as("_g"))
+      floor((expr("percentile(_ac, 0.5D)")) + lit(0.5)).cast("bigint").as("_g"))
     mc.join(broadcast(gm), Seq("c_nationkey"), "left")
       .crossJoin(broadcast(g))
       .select(col("c_custkey"),
@@ -217,10 +217,10 @@ object Q {
       .select(col("o_custkey"), col("n_orders"),
         (col("_spend").cast("double") / 100.0).as("total_spend"),
         col("tenure_days"),
-        round(col("_spend").cast("double") / (lit(100.0) * col("tenure_days")), 6)
+        (floor((col("_spend").cast("double") / (lit(100.0) * col("tenure_days"))) * lit(1e6) + lit(0.5)) / lit(1e6))
           .as("spend_per_day"),
-        round(lit(365.0) * col("_spend").cast("double")
-          / (lit(100.0) * col("tenure_days")), 6).as("cltv_365"))
+        (floor((lit(365.0) * col("_spend").cast("double")
+          / (lit(100.0) * col("tenure_days"))) * lit(1e6) + lit(0.5)) / lit(1e6)).as("cltv_365"))
   }
 
   /** Label-quality audit: confusion matrix of the declared `lang` column
@@ -282,7 +282,7 @@ object Q {
     val ac = cents(col("c_acctbal"), 2)
     val obs = mc.filter(col("c_acctbal").isNotNull).select(col("c_custkey"), ac.as("_ac"))
     val m = obs.filter(col("c_custkey") % 10 =!= 0)
-      .agg(round(sum(col("_ac")).cast("double") / count(lit(1)), 0).cast("bigint").as("_m"))
+      .agg(floor((sum(col("_ac")).cast("double") / count(lit(1))) + lit(0.5)).cast("bigint").as("_m"))
     val mse = obs.filter(col("c_custkey") % 10 === 0).crossJoin(broadcast(m))
       .agg(sum((col("_m") - col("_ac")) * (col("_m") - col("_ac"))).cast("double").as("_sse"),
         count(lit(1)).as("_n"))
@@ -320,15 +320,15 @@ object Q {
         .select((col("_sse") / (lit(10000.0) * col("_n"))).as("mse"))
 
     val meanStat = train.agg(
-      round(sum(col("_yc")).cast("double") / count(lit(1)), 0).cast("bigint").as("_m"))
+      floor((sum(col("_yc")).cast("double") / count(lit(1))) + lit(0.5)).cast("bigint").as("_m"))
     val mseMean = mseOf(test.crossJoin(broadcast(meanStat)).withColumn("_p", col("_m")))
 
     val medStat = train.agg(
-      round(expr("percentile(_yc, 0.5)"), 0).cast("bigint").as("_m"))
+      floor((expr("percentile(_yc, 0.5)")) + lit(0.5)).cast("bigint").as("_m"))
     val mseMedian = mseOf(test.crossJoin(broadcast(medStat)).withColumn("_p", col("_m")))
 
     val gmStat = train.groupBy("l_suppkey").agg(
-      round(sum(col("_yc")).cast("double") / count(lit(1)), 0).cast("bigint").as("_gm"))
+      floor((sum(col("_yc")).cast("double") / count(lit(1))) + lit(0.5)).cast("bigint").as("_gm"))
     val mseGroup = mseOf(
       test.join(broadcast(gmStat), Seq("l_suppkey"), "left")
         .crossJoin(broadcast(meanStat))
@@ -346,7 +346,7 @@ object Q {
           / (col("_sxx") - col("_sx") * col("_sx") / col("_n"))).as("_b"))
     val mseReg = mseOf(test.crossJoin(broadcast(regStat))
       .withColumn("_p",
-        round(col("_my") - col("_b") * col("_mx") + col("_b") * col("_xc"), 0).cast("bigint")))
+        floor((col("_my") - col("_b") * col("_mx") + col("_b") * col("_xc")) + lit(0.5)).cast("bigint")))
 
     val all = mseMean.select(lit("mean").as("strategy"), col("mse"))
       .unionAll(mseMedian.select(lit("median").as("strategy"), col("mse")))
@@ -365,15 +365,15 @@ object Q {
 
     // continuous: mean-, median-, and nation-group-mean-imputed datasets
     val meanStat = mc.agg(
-      round(sum(ac).cast("double") / count(col("c_acctbal")), 0).cast("bigint").as("_m"))
+      floor((sum(ac).cast("double") / count(col("c_acctbal"))) + lit(0.5)).cast("bigint").as("_m"))
     val medStat = mc.select(ac.as("_ac"))
-      .agg(round(expr("percentile(_ac, 0.5)"), 0).cast("bigint").as("_m"))
+      .agg(floor((expr("percentile(_ac, 0.5)")) + lit(0.5)).cast("bigint").as("_m"))
     val gmStat = mc.groupBy("c_nationkey").agg(
-      round(sum(ac).cast("double") / count(col("c_acctbal")), 0).cast("bigint").as("_gm"))
+      floor((sum(ac).cast("double") / count(col("c_acctbal"))) + lit(0.5)).cast("bigint").as("_gm"))
 
     def dsMean(imputed: DataFrame): DataFrame =
       // imputed: one BIGINT column _ic (imputed cents); exact mean, 6dp-rounded
-      imputed.agg(round(sum(col("_ic")).cast("double") / (lit(100.0) * count(lit(1))), 6).as("_dm"))
+      imputed.agg((floor((sum(col("_ic")).cast("double") / (lit(100.0) * count(lit(1)))) * lit(1e6) + lit(0.5)) / lit(1e6)).as("_dm"))
 
     val m1 = dsMean(mc.crossJoin(broadcast(meanStat)).select(coalesce(ac, col("_m")).as("_ic")))
     val m2 = dsMean(mc.crossJoin(broadcast(medStat)).select(coalesce(ac, col("_m")).as("_ic")))
@@ -381,7 +381,7 @@ object Q {
       .crossJoin(broadcast(meanStat))
       .select(coalesce(ac, col("_gm"), col("_m")).as("_ic")))
     val contVar = m1.unionAll(m2).unionAll(m3)
-      .agg(round(var_samp(col("_dm")), 8).as("imputation_variance"))
+      .agg((floor((var_samp(col("_dm"))) * lit(1e8) + lit(0.5)) / lit(1e8)).as("imputation_variance"))
       .select(lit("c_acctbal").as("variable"), col("imputation_variance"))
 
     // categorical: mode-, group-mode-, and ffill/bfill-imputed datasets
@@ -399,10 +399,9 @@ object Q {
     def entropy(ds: DataFrame): DataFrame =
       // ds: one string column _v; entropy = ln N − Σ c·ln c / N, 6dp-rounded
       ds.groupBy("_v").agg(count(lit(1)).as("_c"))
-        .agg(round(
-          log(sum(col("_c")).cast("double"))
+        .agg((floor((log(sum(col("_c")).cast("double"))
             - sum(col("_c").cast("double") * log(col("_c").cast("double")))
-              / sum(col("_c")).cast("double"), 6).as("_ent"))
+              / sum(col("_c")).cast("double")) * lit(1e6) + lit(0.5)) / lit(1e6)).as("_ent"))
 
     val e1 = entropy(mc.crossJoin(broadcast(modeStat))
       .select(coalesce(col("c_mktsegment"), col("_mode")).as("_v")))
@@ -413,7 +412,7 @@ object Q {
       FfillBfill.ffillThenBfill(mc, "c_custkey", Seq("c_mktsegment"))
         .select(col("c_mktsegment").as("_v")))
     val catVar = e1.unionAll(e2).unionAll(e3)
-      .agg(round(var_samp(col("_ent")), 8).as("imputation_variance"))
+      .agg((floor((var_samp(col("_ent"))) * lit(1e8) + lit(0.5)) / lit(1e8)).as("imputation_variance"))
       .select(lit("c_mktsegment").as("variable"), col("imputation_variance"))
 
     contVar.unionAll(catVar)
@@ -435,11 +434,11 @@ object Q {
     val ac = cents(col("c_acctbal"), 2)
 
     val meanStat = mc.agg(
-      round(sum(ac).cast("double") / count(col("c_acctbal")), 0).cast("bigint").as("_m"))
+      floor((sum(ac).cast("double") / count(col("c_acctbal"))) + lit(0.5)).cast("bigint").as("_m"))
     val medStat = mc.select(ac.as("_ac"))
-      .agg(round(expr("percentile(_ac, 0.5)"), 0).cast("bigint").as("_m"))
+      .agg(floor((expr("percentile(_ac, 0.5)")) + lit(0.5)).cast("bigint").as("_m"))
     val gmStat = mc.groupBy("c_nationkey").agg(
-      round(sum(ac).cast("double") / count(col("c_acctbal")), 0).cast("bigint").as("_gm"))
+      floor((sum(ac).cast("double") / count(col("c_acctbal"))) + lit(0.5)).cast("bigint").as("_gm"))
 
     // one exact-integer moment pass per imputed dataset (c² ≤ 1e12 keeps the
     // Σc² sum far inside BIGINT at any n the 1-row reduce will ever see)
@@ -469,10 +468,10 @@ object Q {
     val w = (u(1) + u(2) + u(3)) / 3.0
     m1.crossJoin(m2).crossJoin(m3).select(
       lit("c_acctbal").as("variable"), lit(3L).as("m"),
-      round(qbar, 8).as("qbar"),
-      round(w, 8).as("within_var"),
-      round(b, 8).as("between_var"),
-      round(w + lit(1.0 + 1.0 / 3.0) * b, 8).as("total_var"))
+      (floor((qbar) * lit(1e8) + lit(0.5)) / lit(1e8)).as("qbar"),
+      (floor((w) * lit(1e8) + lit(0.5)) / lit(1e8)).as("within_var"),
+      (floor((b) * lit(1e8) + lit(0.5)) / lit(1e8)).as("between_var"),
+      (floor((w + lit(1.0 + 1.0 / 3.0) * b) * lit(1e8) + lit(0.5)) / lit(1e8)).as("total_var"))
   }
 
   /** Data-quality constraint report: one row per declared check with row
@@ -528,8 +527,8 @@ object Q {
   def embedNormAudit(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "embeddings")
       .select(col("label"),
-        round(sqrt(graft.functions.VectorFunctions.dot(
-          toDouble(col("embedding")), toDouble(col("embedding")))) * 1e6, 0)
+        floor((sqrt(graft.functions.VectorFunctions.dot(
+          toDouble(col("embedding")), toDouble(col("embedding")))) * 1e6) + lit(0.5))
           .cast("bigint").as("_nq"),
         size(filter(col("embedding"), x => isnan(x.cast("double"))))
           .cast("bigint").as("_nan"))
@@ -541,7 +540,7 @@ object Q {
         sum(col("_nq")).as("_sn"))
       .select(col("label"), col("n_vecs"), col("n_zero"), col("n_nan_components"),
         (col("_mn").cast("double") / 1e6).as("min_norm"),
-        (round(col("_sn").cast("double") / col("n_vecs"), 0).cast("bigint")
+        (floor((col("_sn").cast("double") / col("n_vecs")) + lit(0.5)).cast("bigint")
           .cast("double") / 1e6).as("mean_norm"),
         (col("_mx").cast("double") / 1e6).as("max_norm"))
 
@@ -584,7 +583,7 @@ object Q {
         max(col("c")).as("peak_per_min"))
       .select(col("user_id"), col("n_events"), col("active_minutes"),
         col("peak_per_min"),
-        round(col("n_events").cast("double") / col("active_minutes"), 6)
+        (floor((col("n_events").cast("double") / col("active_minutes")) * lit(1e6) + lit(0.5)) / lit(1e6))
           .as("events_per_minute"),
         (col("peak_per_min") >= 2).as("bot_flag"))
   }
@@ -652,9 +651,9 @@ object Q {
         sum(when(col("n_chars") < 100, 1L).otherwise(0L)).as("_short"),
         count_distinct(col("lang")).as("n_langs"))
       .select(col("source"), col("n_docs"),
-        round(col("_st").cast("double") / col("n_docs"), 6).as("avg_tokens"),
-        round(col("_sc").cast("double") / col("n_docs"), 6).as("avg_chars"),
-        round(col("_short").cast("double") / col("n_docs"), 6).as("pct_short"),
+        (floor((col("_st").cast("double") / col("n_docs")) * lit(1e6) + lit(0.5)) / lit(1e6)).as("avg_tokens"),
+        (floor((col("_sc").cast("double") / col("n_docs")) * lit(1e6) + lit(0.5)) / lit(1e6)).as("avg_chars"),
+        (floor((col("_short").cast("double") / col("n_docs")) * lit(1e6) + lit(0.5)) / lit(1e6)).as("pct_short"),
         col("n_langs"))
 
   /** Topic mining over the documents corpus: hashed bag-of-words →
@@ -1025,11 +1024,11 @@ object Q {
     val mc = Tables.maskedCustomer(s, dir)
     val ac = cents(col("c_acctbal"), 2)
     val band = mc.select(ac.as("_ac"))
-      .agg(round(expr("percentile(_ac, 0.05D)"), 0).cast("bigint").as("_lo"),
-        round(expr("percentile(_ac, 0.95D)"), 0).cast("bigint").as("_hi"))
+      .agg(floor((expr("percentile(_ac, 0.05D)")) + lit(0.5)).cast("bigint").as("_lo"),
+        floor((expr("percentile(_ac, 0.95D)")) + lit(0.5)).cast("bigint").as("_hi"))
     val stat = mc.select(ac.as("_ac")).crossJoin(broadcast(band))
       .filter(col("_ac") >= col("_lo") && col("_ac") <= col("_hi"))
-      .agg(round(sum(col("_ac")).cast("double") / count(lit(1)), 0)
+      .agg(floor((sum(col("_ac")).cast("double") / count(lit(1))) + lit(0.5))
         .cast("bigint").as("_m"))
     mc.crossJoin(broadcast(stat))
       .select(col("c_custkey"),
@@ -1308,8 +1307,8 @@ object Q {
       col("doc_id"),
       octet_length(col("text")).as("n_bytes"),
       expr("graft_deflate_len(text)").as("deflate_len"),
-      round(expr("graft_deflate_len(text)").cast("double")
-        / octet_length(col("text")).cast("double"), 6).as("compress_ratio"))
+      (floor((expr("graft_deflate_len(text)").cast("double")
+        / octet_length(col("text")).cast("double")) * lit(1e6) + lit(0.5)) / lit(1e6)).as("compress_ratio"))
 
   /** ALS matrix-completion impute over the (user × event_type) mean-value
     * matrix: cells masked by a deterministic modulo rule are recovered
@@ -1444,9 +1443,9 @@ object Q {
       .crossJoin(broadcast(both.agg(count(lit(1)).as("n_both"))))
       .select(col("n_exact"), col("n_minhash_within"), col("n_cross_block"),
         col("n_both"),
-        round(col("n_both").cast("double") / col("n_minhash_within"), 6)
+        (floor((col("n_both").cast("double") / col("n_minhash_within")) * lit(1e6) + lit(0.5)) / lit(1e6))
           .as("precision"),
-        round(col("n_both").cast("double") / col("n_exact"), 6).as("recall"))
+        (floor((col("n_both").cast("double") / col("n_exact")) * lit(1e6) + lit(0.5)) / lit(1e6)).as("recall"))
   }
 
   /** SimHash near-dup pairs with the pigeonhole geometry DERIVED from
@@ -1631,8 +1630,8 @@ object Q {
           .cast("bigint").as("users_both"),
         expr("theta_sketch_estimate(theta_difference(_ska, _skb))")
           .cast("bigint").as("users_only_a"),
-        round(expr("theta_sketch_estimate(theta_intersection(_ska, _skb))") /
-          expr("theta_sketch_estimate(theta_union(_ska, _skb))"), 6)
+        (floor((expr("theta_sketch_estimate(theta_intersection(_ska, _skb))") /
+          expr("theta_sketch_estimate(theta_union(_ska, _skb))")) * lit(1e6) + lit(0.5)) / lit(1e6))
           .as("audience_jaccard"))
   }
 

@@ -64,7 +64,7 @@ object AnnIndex {
     val trained = spark.read.parquet(s"$path/centroids")
     bc.join(broadcast(trained), Seq("list"))
       .select(col("list"), col("n_batch"),
-        round(cosine(col("bv"), col("cv")), 6).as("centroid_cos"))
+        (floor((cosine(col("bv"), col("cv"))) * lit(1e6) + lit(0.5)) / lit(1e6)).as("centroid_cos"))
       .withColumn("retrain", col("centroid_cos") < minCos)
   }
 

@@ -30,7 +30,7 @@ object EmbedDrift {
     val dec = (c: Column) => c.cast("decimal(38,0)")
     val base = df.select(col(labelCol).as("label"),
       pmod(col(idCol), lit(2L)).as("half"),
-      transform(col(vecCol), x => round(x.cast("double") * 1e6, 0).cast("bigint"))
+      transform(col(vecCol), x => floor((x.cast("double") * 1e6) + lit(0.5)).cast("bigint"))
         .as("qv"))
     val sums = base
       .select(col("label"), col("half"), posexplode(col("qv")).as(Seq("dim", "q")))
@@ -50,9 +50,9 @@ object EmbedDrift {
         max(abs(col("se").cast("double") / col("ne").cast("double")
           - col("so").cast("double") / col("no").cast("double"))).as("_ms"))
       .select(col("label"), col("n_even"), col("n_odd"),
-        round(col("_d").cast("double")
-          / (sqrt(col("_a").cast("double")) * sqrt(col("_b").cast("double"))), 6)
+        (floor((col("_d").cast("double")
+          / (sqrt(col("_a").cast("double")) * sqrt(col("_b").cast("double")))) * lit(1e6) + lit(0.5)) / lit(1e6))
           .as("centroid_cos"),
-        round(col("_ms") / 1e6, 6).as("max_dim_shift"))
+        (floor((col("_ms") / 1e6) * lit(1e6) + lit(0.5)) / lit(1e6)).as("max_dim_shift"))
   }
 }

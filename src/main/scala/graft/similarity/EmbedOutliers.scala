@@ -44,7 +44,7 @@ object EmbedOutliers {
             exactThreshold: Boolean = true,
             maxCentroidCells: Long = 200000L * 64): DataFrame = {
     val base = df.select(col(idCol).as("vec_id"), col(labelCol).as("label"),
-      transform(col(vecCol), x => round(x.cast("double") * 1e6, 0).cast("bigint"))
+      transform(col(vecCol), x => floor((x.cast("double") * 1e6) + lit(0.5)).cast("bigint"))
         .as("qv"))
     // exact integer per-(label, dim) sums — order-independent
     val sums = base.select(col("label"), posexplode(col("qv")).as(Seq("dim", "q")))
@@ -77,13 +77,13 @@ object EmbedOutliers {
             "raise the caps alongside the broadcast budget"))).isNull)
       .select("label", "cm")
     val scored = base.join(broadcast(centroids), Seq("label"))
-      .withColumn("score_q", round(expr(
+      .withColumn("score_q", floor((expr(
         """aggregate(
           |  zip_with(qv, cm, (q, m) -> (CAST(q AS DOUBLE) - m) * (CAST(q AS DOUBLE) - m)),
-          |  CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)""".stripMargin), 0).cast("bigint"))
+          |  CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)""".stripMargin)) + lit(0.5)).cast("bigint"))
       .select("vec_id", "label", "score_q")
     val thrExpr =
-      if (exactThreshold) round(expr(s"percentile(score_q, ${p}D)"), 0).cast("bigint")
+      if (exactThreshold) floor((expr(s"percentile(score_q, ${p}D)")) + lit(0.5)).cast("bigint")
       else expr(s"approx_percentile(score_q, ${p}D, 10000)").cast("bigint")
     val thr = scored.groupBy("label").agg(thrExpr.as("_thr"))
     scored.join(broadcast(thr), Seq("label"))

@@ -71,7 +71,7 @@ object Mmr {
     import spark.implicits._
     selected.toSeq.toDF("rank", "vec_id", "relevance", "mmr_score")
       .select(col("rank"), col("vec_id"),
-        round(col("relevance"), 6).as("relevance"),
-        round(col("mmr_score"), 6).as("mmr_score"))
+        (floor((col("relevance")) * lit(1e6) + lit(0.5)) / lit(1e6)).as("relevance"),
+        (floor((col("mmr_score")) * lit(1e6) + lit(0.5)) / lit(1e6)).as("mmr_score"))
   }
 }

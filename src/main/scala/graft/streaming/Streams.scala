@@ -751,7 +751,7 @@ object Streams {
                  watermark: String = "30 minutes"): DataFrame =
     events.withWatermark(tsCol, watermark)
       .select(col(tsCol),
-        (round(col(valueCol) * 100.0, 0).cast("bigint") / lit(bandCents))
+        (floor((col(valueCol) * 100.0) + lit(0.5)).cast("bigint") / lit(bandCents))
           .cast("bigint").as("band"))
       .groupBy(window(col(tsCol), windowLen), col("band"))
       .agg(count(lit(1)).as("n"))
@@ -790,6 +790,6 @@ object Streams {
         ((col("ref_n") + 1L).cast("double") / (col("nr") + col("b")).cast("double"))
           .as("q"))
       .groupBy("window_start")
-      .agg(round(sum((col("p") - col("q")) * log(col("p") / col("q"))), 6).as("psi"))
+      .agg((floor((sum((col("p") - col("q")) * log(col("p") / col("q")))) * lit(1e6) + lit(0.5)) / lit(1e6)).as("psi"))
   }
 }

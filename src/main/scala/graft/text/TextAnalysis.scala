@@ -134,12 +134,12 @@ object TextAnalysis {
       .groupBy(col(idCol)).agg(max(col("_c")).as("top_bigram_cnt"))
     base.join(top, Seq(idCol), "left")
       .select(col(idCol), col("n_tokens"), col("n_distinct"),
-        round((col("n_tokens") - col("n_distinct")).cast("double")
-          / col("n_tokens").cast("double"), 6).as("dup_word_frac"),
+        (floor(((col("n_tokens") - col("n_distinct")).cast("double")
+          / col("n_tokens").cast("double")) * lit(1e6) + lit(0.5)) / lit(1e6)).as("dup_word_frac"),
         coalesce(col("top_bigram_cnt"), lit(0L)).as("top_bigram_cnt"),
         when(col("n_tokens") > 1,
-          round(coalesce(col("top_bigram_cnt"), lit(0L)).cast("double")
-            / (col("n_tokens") - 1).cast("double"), 6))
+          (floor((coalesce(col("top_bigram_cnt"), lit(0L)).cast("double")
+            / (col("n_tokens") - 1).cast("double")) * lit(1e6) + lit(0.5)) / lit(1e6)))
           .otherwise(lit(0.0)).as("top_bigram_frac"))
   }
 
@@ -322,9 +322,9 @@ object TextAnalysis {
       .agg(sort_array(collect_list(struct(col("_t"), col("_h")))).as("_l"),
         sum("_tf").as("n_tokens"), count(lit(1)).as("n_distinct"))
       .withColumn("entropy",
-        round(log(col("n_tokens").cast("double"))
+        (floor((log(col("n_tokens").cast("double"))
           - aggregate(col("_l"), lit(0.0), (acc, x) => acc + x.getField("_h"))
-            / col("n_tokens").cast("double"), 6))
+            / col("n_tokens").cast("double")) * lit(1e6) + lit(0.5)) / lit(1e6)))
       .select(col(idCol), col("n_tokens"), col("n_distinct"), col("entropy"))
   }
 
@@ -447,8 +447,8 @@ object TextAnalysis {
       .join(uni.select(col("_t").as("w2"), col("_c").as("n_w2")), "w2")
       .crossJoin(broadcast(n))
       .select(col("w1"), col("w2"), col("n_pair"), col("n_w1"), col("n_w2"),
-        round(log((col("n_pair").cast("double") * col("_n").cast("double")) /
-          (col("n_w1").cast("double") * col("n_w2").cast("double"))), 6).as("pmi"))
+        (floor((log((col("n_pair").cast("double") * col("_n").cast("double")) /
+          (col("n_w1").cast("double") * col("n_w2").cast("double")))) * lit(1e6) + lit(0.5)) / lit(1e6)).as("pmi"))
   }
 
   /** Winnowing document fingerprints (Schleimer, Wilkerson & Aiken 2003 —
