@@ -80,6 +80,42 @@ object Bench {
       triageRound += 1
       noisy = names.filter(n => spreadOf(samples(n)) > trigger)
     }
+    // Cross-round delta trigger (r13 dedup_stats lesson: a UNIFORM
+    // in-suite slowdown — every sample inflated by the same neighbor's
+    // block-manager debris — keeps the spread tight, so the spread triage
+    // above never fires, and the round-over-round compare reads it as a
+    // +68% plan regression). Any query whose in-suite median moved >25%
+    // vs the prior committed full artifact (same sf dir) gets the same
+    // isolated re-time REGARDLESS of spread: isolated samples displace
+    // contended ones via the keep-3-fastest rule, so environment debris
+    // self-clears inside the session while a real plan regression
+    // survives into the reported median — with the prior/in-suite/
+    // isolated triple on record for the round narrative.
+    val prior: Map[String, Double] = try {
+      val src = scala.io.Source.fromFile(fullOut, "UTF-8")
+      val txt = try src.mkString finally src.close()
+      val sfOk = """"sf":\s*"([^"]*)"""".r.findFirstMatchIn(txt)
+        .exists(_.group(1) == sfDir)
+      if (!sfOk) Map.empty
+      else """"([A-Za-z0-9_]+)":\s*\{\s*"median":\s*([0-9.eE+-]+)""".r
+        .findAllMatchIn(txt).map(m => m.group(1) -> m.group(2).toDouble).toMap
+    } catch { case _: Throwable => Map.empty }
+    // >25% relative AND >0.2s absolute: sub-200ms scans swing 25% on
+    // pure scheduler noise, and re-timing them buys nothing — the r13
+    // incident class (dedup_stats +68% = +1.1s) is squarely above both
+    val movers = names.filter { n =>
+      val med = medianOf(samples(n))
+      prior.get(n).exists(p =>
+        p > 0 && math.abs(med - p) / p > 0.25 && math.abs(med - p) > 0.2)
+    }
+    val crossRetimed = collection.mutable.Map.empty[String, (Double, Double, Double)]
+    movers.foreach { n =>
+      val insuite = medianOf(samples(n))
+      System.gc(); Thread.sleep(200)
+      val iso = List(once(n), once(n))
+      samples(n) = (iso ::: samples(n)).sorted.take(3)
+      crossRetimed(n) = (prior(n), insuite, medianOf(samples(n)))
+    }
     val results = names.map(n => n -> medianOf(samples(n))).toMap
     // per-query relative spread (max−min)/median across the retained samples
     // — the honest noise floor; a real regression must clear it
@@ -106,10 +142,13 @@ object Bench {
   "value": ${fmt(total)},
   "unit": "sec",
   "n_queries": ${all.size},
-  "protocol": "median-of-3, rotated order, warmup pass, iterated isolated re-time while spread>0.4 (max 3 rounds)",
+  "protocol": "median-of-3, rotated order, warmup pass, iterated isolated re-time while spread>0.4 (max 3 rounds), isolated re-time for >25% cross-round movers vs prior full artifact",
   "med_spread": ${fmt(medSpread)},
   "p90_spread": ${fmt(p90Spread)},
   "retimed": [${retimed.toSeq.sorted.map("\"" + _ + "\"").mkString(",")}],
+  "cross_round_retimed": {${crossRetimed.toSeq.sortBy(_._1).map { case (k, (p, i, z)) =>
+        s""""$k": {"prior":${fmt(p)},"insuite":${fmt(i)},"isolated":${fmt(z)}}"""
+      }.mkString(", ")}},
   "sf": "$sfDir",
   "queries": {
 $perQuery
@@ -122,7 +161,7 @@ $perQuery
     } catch { case _: Throwable => () } // a read-only cwd must not fail the bench
     println(s"""{"metric":"total_full","value":${fmt(total)},"unit":"sec","queries":${entries(all)},"spread":${entries(spread.toSeq.sortBy(-_._2))},"sf":"$sfDir"}""")
     var top = all
-    def line() = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${all.size},"protocol":"median-of-3, rotated order, warmup pass, iterated isolated re-time >0.4","med_spread":${fmt(medSpread)},"p90_spread":${fmt(p90Spread)},"full_artifact":"$fullOut","queries":${entries(top)},"sf":"$sfDir"}"""
+    def line() = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${all.size},"protocol":"median-of-3, rotated order, warmup pass, iterated isolated re-time >0.4, cross-round >25% re-time","med_spread":${fmt(medSpread)},"p90_spread":${fmt(p90Spread)},"cross_movers":${crossRetimed.size},"full_artifact":"$fullOut","queries":${entries(top)},"sf":"$sfDir"}"""
     while (line().length > 1700 && top.nonEmpty) top = top.dropRight(5)
     println(line())
     spark.stop()

@@ -1384,14 +1384,19 @@ object OracleSql {
          |SELECT cluster_size, count(*) AS n_clusters FROM csz GROUP BY 1
          |${ccSentinel(CcRounds, 2)}""".stripMargin,
 
+    // list_dot_product ≡ the list_sum comprehension bitwise (same
+    // sequential double loop — verified over every within-label pair at
+    // the gate scales) at a fraction of the interpreted cost; norms
+    // precompute per vector. Same treatment as embed_cluster: this oracle
+    // sat at ~65s at sf1, one contended lane away from the 90s budget.
     "dedup_embed" ->
       """WITH e AS (SELECT vec_id, label, [CAST(x AS DOUBLE) for x in embedding] AS v FROM embeddings),
+        |nm AS MATERIALIZED (SELECT vec_id, label, v,
+        |  sqrt(list_dot_product(v, v)) AS nrm FROM e),
         |p AS (
         | SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-        |  list_sum([a.v[i] * b.v[i] for i in range(1, 65)])
-        |   / (sqrt(list_sum([a.v[i] * a.v[i] for i in range(1, 65)]))
-        |      * sqrt(list_sum([b.v[i] * b.v[i] for i in range(1, 65)]))) AS cos
-        | FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
+        |  list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cos
+        | FROM nm a JOIN nm b ON a.label = b.label AND a.vec_id < b.vec_id)
         |SELECT id_a, id_b, cos FROM p WHERE cos > 0.35""".stripMargin,
 
     // list_dot_product is DuckDB's native sequential double loop —
@@ -1758,35 +1763,36 @@ object OracleSql {
     // chain generated from the SAME constants the engine uses (Graph.Scale,
     // 5 iterations) — all-bigint fixed-point algebra, so the chain is
     // bitwise-equal to the Spark loop.
+    // Power iteration as a RECURSIVE CTE with an iteration counter — the
+    // working table holds one generation, so each of the 5 iterations
+    // evaluates ONCE. A chained-CTE unroll re-evaluated the whole prefix
+    // per level in DuckDB 1.0 (~3× per iteration, 171s at sf1 even with
+    // MATERIALIZED on every link); this form + the pre-joined edge table
+    // (ew = pairs ⋈ out-weights, hoisting the per-iteration join) runs
+    // the sf1 corpus in ~20s, bitwise-identical ranks.
     "graph_pagerank" -> {
       val s = graft.graph.Graph.Scale
       val iters = 5
-      // MATERIALIZED throughout: DuckDB 1.0 inlines every CTE reference,
-      // so without it the lineitem self-join in `pairs` re-evaluates once
-      // per iteration — the whole reason this oracle blew the sf1 gate's
-      // 90s budget (docs/SF1_GATE.md).
-      val sb = new StringBuilder(
-        s"""WITH pairs AS MATERIALIZED (SELECT a.l_partkey AS u, b.l_partkey AS v,
-           |  CAST(count(*) AS BIGINT) AS w
-           | FROM lineitem a JOIN lineitem b
-           |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
-           | GROUP BY 1, 2),
-           |outw AS MATERIALIZED (SELECT u, CAST(SUM(w) AS BIGINT) AS wu FROM pairs GROUP BY 1),
-           |nn AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS n FROM outw),
-           |r0 AS MATERIALIZED (SELECT u AS node, $s // n AS rank FROM outw CROSS JOIN nn)""".stripMargin)
-      for (i <- 1 to iters) sb.append(
-        s""",
-           |r$i AS MATERIALIZED (SELECT e.v AS node,
-           |  (15 * $s) // (100 * nn.n) + (85 * SUM((r.rank * e.w) // o.wu)) // 100 AS rank
-           | FROM r${i - 1} r JOIN pairs e ON r.node = e.u
-           |  JOIN outw o ON o.u = r.node CROSS JOIN nn
-           | GROUP BY e.v, nn.n)""".stripMargin)
-      sb.append(
-        s"""
-           |SELECT r.node AS part, o.wu AS out_weight,
-           | CAST(r.rank AS BIGINT) AS rank_scaled
-           |FROM r$iters r JOIN outw o ON o.u = r.node""".stripMargin)
-      sb.toString
+      s"""WITH RECURSIVE pairs AS MATERIALIZED (SELECT a.l_partkey AS u, b.l_partkey AS v,
+         |  CAST(count(*) AS BIGINT) AS w
+         | FROM lineitem a JOIN lineitem b
+         |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+         | GROUP BY 1, 2),
+         |outw AS MATERIALIZED (SELECT u, CAST(SUM(w) AS BIGINT) AS wu FROM pairs GROUP BY 1),
+         |ew AS MATERIALIZED (SELECT e.u, e.v, e.w, o.wu FROM pairs e JOIN outw o ON o.u = e.u),
+         |nn AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS n FROM outw),
+         |pr(node, rank, it) AS (
+         | SELECT u AS node, $s // n AS rank, 0 AS it FROM outw CROSS JOIN nn
+         | UNION ALL
+         | SELECT node, (15 * $s) // (100 * (SELECT n FROM nn)) + contrib AS rank, it FROM (
+         |   SELECT e.v AS node, (85 * SUM((r.rank * e.w) // e.wu)) // 100 AS contrib,
+         |     r.it + 1 AS it
+         |   FROM pr r JOIN ew e ON r.node = e.u
+         |   WHERE r.it < $iters
+         |   GROUP BY e.v, r.it) q)
+         |SELECT r.node AS part, o.wu AS out_weight,
+         | CAST(r.rank AS BIGINT) AS rank_scaled
+         |FROM pr r JOIN outw o ON o.u = r.node WHERE r.it = $iters""".stripMargin
     },
 
     "events_trigrams" ->

@@ -9,6 +9,7 @@ exact (bitwise for floats) cell values after sorting rows/columns.
 """
 import json
 import math
+import os
 import sys
 
 import duckdb
@@ -38,6 +39,13 @@ def cmp_cell(a, b) -> bool:
 
 def main() -> None:
     con = duckdb.connect()
+    # optional per-process thread cap: the budgeted sf1 wrapper runs 4
+    # compare lanes in parallel, and without a cap each DuckDB grabs every
+    # core — adjacent heavy oracles then time each other out. No effect on
+    # results, only on scheduling; the driver's sequential gate never sets it.
+    threads = os.environ.get("GRAFT_DUCKDB_THREADS")
+    if threads:
+        con.execute(f"SET threads={int(threads)}")
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
