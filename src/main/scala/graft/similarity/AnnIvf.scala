@@ -46,16 +46,38 @@ import graft.functions.VectorFunctions._
   * quadratic past exhaustion. Bounds: centroid training/assignment is
   * n·nLists dot products and nLists·dim driver doubles, so `nLists` caps
   * at [[maxLists]] (65536 ⇒ ≤32 MB of model, ≤16.7M vectors at flat
-  * occupancy 256); past THAT, list occupancy grows linearly (cost
-  * n²·assign²/maxLists) and the documented next rung is a two-level
-  * coarse quantizer — out of scope until a corpus crosses ~10⁷ vectors
-  * per label shard.
+  * occupancy 256).
+  *
+  * PAST THE CAP — MEASURED, not prose (GEOMETRY_RECALL ivf_overload,
+  * the family discipline applied one rung up: lists pinned at the
+  * at-cap shape, corpus doubled twice, exact sampled truth recomputed
+  * per corpus): occupancy 255 → 511 → 1023 measures overall recall
+  * 0.5812 → 0.5718 → 0.5569 and cos≥0.7 recall 0.990 → 0.985 → 0.990 —
+  * FLAT, floored at 0.5/0.98 — while generator wall time grows
+  * 67.9 → 159.3 → 423.9s (~2.3-2.7× per doubling, tracking the
+  * candidate law assign²·n·occupancy). The frozen-geometry argument
+  * holds: a pair's split probability depends on its angle vs the fixed
+  * cell size, not on how many vectors share the cell. So past-cap IVF
+  * pays COST, never a recall cliff — the OPPOSITE failure mode from
+  * saturated LSH — and the routing answer is: stay on IVF and budget
+  * the linear occupancy term, or shard the corpus; a two-level coarse
+  * quantizer would be a cost optimization, not a recall rescue.
   */
 object AnnIvf {
 
   /** List-count cap: model stays driver/broadcast-sized (65536·dim·8B =
     * 32 MB at dim 64) and centroid assignment stays one broadcast pass. */
   val maxLists = 65536
+
+  /** Overall-recall preset for [[ivfLists]]' `targetListSize` — the
+    * SEMANTIC tier: bigger cells at the same assign=4, the IvfSweep-swept
+    * doubled-cell point (overall 0.734 / cos70 0.985 at sf1, 2× the
+    * default's candidate volume; GEOMETRY_RECALL's ivf_overall_* rows
+    * floor it per decade). The default 256 optimizes cos70-per-second
+    * because the routed face's primary contract is dedup; callers doing
+    * semantic grouping — where the low-cos tail matters more than cost —
+    * pass `ivfLists(n, overallRecallListSize)` instead. */
+  val overallRecallListSize = 512L
 
   /** Derived list count: n / targetListSize, floored at 8, capped at
     * [[maxLists]] — occupancy holds flat at targetListSize until the cap,

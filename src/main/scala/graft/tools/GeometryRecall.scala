@@ -43,7 +43,31 @@ object GeometryRecall {
     fPlanes: Int, fTables: Int, nForced: Long, forcedRecall: Double,
     nForced70: Long, forcedRecall70: Double,
     ivfLists: Int, nIvf: Long, ivfRecall: Double,
-    nIvf70: Long, ivfRecall70: Double)
+    nIvf70: Long, ivfRecall70: Double,
+    ivfOLists: Int, ivfORecall: Double, ivfORecall70: Double)
+
+  private case class Overload(
+    factor: Int, nVecs: Long, lists: Int, occupancy: Long,
+    nExact: Long, recall: Double, nExact70: Long, recall70: Double,
+    secs: Double)
+
+  /** One deterministic perturbed high-cosine copy of every vec_id %% 97
+    * vector (cos ~ [0.76, 0.99]) — the synthetic embeddings have no
+    * natural cos>=0.7 pairs, so without planting the dedup-regime recall
+    * tier is 0/0 (vacuous). Offset ≡ 0 (mod 97) keeps copies in the
+    * query sample so every (original, copy) pair lands in the exact
+    * ground truth. */
+  private def plantCopies(e0: org.apache.spark.sql.DataFrame) = {
+    val plantOffset = 97L * 10310000L
+    e0.filter(col("vec_id") % 97 === 0)
+      .select((col("vec_id") + plantOffset).as("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          (x.cast("double") * (lit(1.0) +
+            (pmod(xxhash64(col("vec_id"), i), lit(2001)) - 1000).cast("double")
+              / 1000.0 *
+            (lit(0.3) + pmod(xxhash64(col("vec_id")), lit(100)).cast("double")
+              / 100.0 * 1.2))).cast("float")).as("embedding"))
+  }
 
   def main(args: Array[String]): Unit = {
     val defaultDirs = Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
@@ -108,15 +132,7 @@ object GeometryRecall {
       // all deterministic (xxhash64 of (vec_id, element index)). The
       // offset is ≡ 0 (mod 97) so planted copies join the query sample
       // and every (original, copy) pair lands in the exact ground truth.
-      val plantOffset = 97L * 10310000L
-      val planted = e0.filter(col("vec_id") % 97 === 0)
-        .select((col("vec_id") + plantOffset).as("vec_id"),
-          transform(col("embedding"), (x, i) =>
-            (x.cast("double") * (lit(1.0) +
-              (pmod(xxhash64(col("vec_id"), i), lit(2001)) - 1000).cast("double")
-                / 1000.0 *
-              (lit(0.3) + pmod(xxhash64(col("vec_id")), lit(100)).cast("double")
-                / 100.0 * 1.2))).cast("float")).as("embedding"))
+      val planted = plantCopies(e0)
       val nPlanted = planted.count()
       val e = e0.unionByName(planted).localCheckpoint()
       val nVecs = e.count()
@@ -190,19 +206,103 @@ object GeometryRecall {
       val ivfRecall = if (nExact == 0) 1.0 else nIvf.toDouble / nExact
       val ivfRecall70 = if (nExact70 == 0) 1.0 else nIvf70.toDouble / nExact70
 
+      // OVERALL-RECALL PRESET tier (AnnIvf.overallRecallListSize):
+      // doubled cells at the same assign — the semantic-grouping knob,
+      // measured and floored per decade like the default routed tier.
+      val ivfOLists = graft.similarity.AnnIvf.ivfLists(nVecs,
+        graft.similarity.AnnIvf.overallRecallListSize)
+      val ivfOFound = graft.similarity.AnnIvf
+        .selfPairs(e, "vec_id", "embedding", minCos = minCos, nLists = ivfOLists,
+          assign = graft.similarity.AnnIvf.ivfAssign(ivfOLists))
+        .join(exact, Seq("id_a", "id_b"), "left_semi")
+        .localCheckpoint()
+      val nIvfO = ivfOFound.count()
+      val nIvfO70 = ivfOFound.join(exact.filter(col("cos") >= 0.7),
+        Seq("id_a", "id_b"), "left_semi").count()
+      val ivfORecall = if (nExact == 0) 1.0 else nIvfO.toDouble / nExact
+      val ivfORecall70 = if (nExact70 == 0) 1.0 else nIvfO70.toDouble / nExact70
+
       System.err.println(f"[recall] $dir docs=$nDocs d=$dAdapt sim=$simRecall%.4f " +
         f"trunc(h=$hTrunc)=$truncRecall%.4f perm(w=$wPerm,t=$tPerm)=$permRecall%.4f " +
         f"vecs=$nVecs planes=$planes probes=$probes " +
         f"planted=$nPlanted lsh=$lshRecall%.4f ($nFound/$nExact) " +
         f"lsh70=$lshRecall70%.4f ($nFound70/$nExact70) " +
         f"forced(p=$fPlanes,t=$fTables)=$forcedRecall%.4f/70=$forcedRecall70%.4f " +
-        f"ivf(l=$nIvfLists)=$ivfRecall%.4f/70=$ivfRecall70%.4f")
+        f"ivf(l=$nIvfLists)=$ivfRecall%.4f/70=$ivfRecall70%.4f " +
+        f"ivfO(l=$ivfOLists)=$ivfORecall%.4f/70=$ivfORecall70%.4f")
       Decade(dir, nDocs, dAdapt, nFace, nLegacy, simRecall, hTrunc, truncRecall,
         wPerm, tPerm, nPerm, permRecall,
         nVecs, planes, probes, tables, nPlanted, nExact, nFound, lshRecall,
         nExact70, nFound70, lshRecall70,
         fPlanes, fTables, nForced, forcedRecall, nForced70, forcedRecall70,
-        nIvfLists, nIvf, ivfRecall, nIvf70, ivfRecall70)
+        nIvfLists, nIvf, ivfRecall, nIvf70, ivfRecall70,
+        ivfOLists, ivfORecall, ivfORecall70)
+    }
+
+    // PAST-maxLists ENDGAME — the family discipline ("measure the next
+    // regime BEFORE any corpus crosses it") applied one rung up from the
+    // LSH cap. Past AnnIvf.maxLists the cell geometry FREEZES (the list
+    // count pins at the cap) while occupancy grows linearly with n.
+    // Modeled exactly at tool scale: pin the list count at the largest
+    // decade's at-cap shape (occupancy ≈ targetListSize), then double the
+    // corpus twice with deterministic hash-fill vectors while the list
+    // count stays pinned — occupancy 1×/2×/4× the target is the regime a
+    // corpus at 1×/2×/4× the 16.7M-vector cap ceiling would run. Ground
+    // truth (exact sampled cosine range search) recomputes per corpus.
+    // The frozen-geometry expectation — a pair's split probability
+    // depends on its angle vs the FIXED cell size, not on how many other
+    // vectors share the cell — is FLAT recall with candidate cost linear
+    // in the overload factor; the floors make a silent deviation fail
+    // the tool instead of a narrative.
+    val overloadRows = {
+      val baseDir = sfDirs.last
+      val e0 = graft.Tables(spark, baseDir, "embeddings").select("vec_id", "embedding")
+      val base = e0.unionByName(plantCopies(e0)).localCheckpoint()
+      val n0 = base.count()
+      val listsPinned = graft.similarity.AnnIvf.ivfLists(n0)
+      val assign = graft.similarity.AnnIvf.ivfAssign(listsPinned)
+      for (factor <- Seq(1, 2, 4)) yield {
+        // deterministic low-structure fill: uniform [-1,1] elements from
+        // xxhash64(vec_id, dim) — pads occupancy like real growth (random
+        // 64-dim pairs still cross cos 0.35 in the tail, so the exact
+        // ground truth grows too; the planted copies keep the cos70 tier
+        // populated). Fill ids sit past a second offset, ≢ 0 (mod 97).
+        val fillOffset = 97L * 20310000L + 1L
+        val fill = spark.range((factor - 1L) * n0)
+          .select((col("id") + fillOffset).as("vec_id"),
+            transform(sequence(lit(0), lit(63)), i =>
+              ((pmod(xxhash64(col("id"), i), lit(20001)) - 10000).cast("double")
+                / 10000.0).cast("float")).as("embedding"))
+        val eo = base.unionByName(fill).localCheckpoint()
+        val nV = eo.count()
+        val sample = eo.filter(col("vec_id") % 97 === 0)
+        val exact = graft.similarity.AnnLsh
+          .rangeSearch(eo, sample, "vec_id", "embedding", minCos)
+          .select(least(col("query_id"), col("neighbor_id")).as("id_a"),
+            greatest(col("query_id"), col("neighbor_id")).as("id_b"),
+            col("cos"))
+          .dropDuplicates("id_a", "id_b")
+          .localCheckpoint()
+        val nExact = exact.count()
+        val nExact70 = exact.filter(col("cos") >= 0.7).count()
+        val t0 = System.nanoTime()
+        val found = graft.similarity.AnnIvf
+          .selfPairs(eo, "vec_id", "embedding", minCos = minCos,
+            nLists = listsPinned, assign = assign)
+          .join(exact, Seq("id_a", "id_b"), "left_semi")
+          .localCheckpoint()
+        val nFound = found.count()
+        val secs = (System.nanoTime() - t0) / 1e9
+        val nFound70 = found.join(exact.filter(col("cos") >= 0.7),
+          Seq("id_a", "id_b"), "left_semi").count()
+        val rec = if (nExact == 0) 1.0 else nFound.toDouble / nExact
+        val rec70 = if (nExact70 == 0) 1.0 else nFound70.toDouble / nExact70
+        System.err.println(f"[recall] overload x$factor vecs=$nV lists=$listsPinned " +
+          f"occ=${nV / listsPinned} recall=$rec%.4f ($nFound/$nExact) " +
+          f"recall70=$rec70%.4f ($nFound70/$nExact70) secs=$secs%.1f")
+        Overload(factor, nV, listsPinned, nV / listsPinned,
+          nExact, rec, nExact70, rec70, secs)
+      }
     }
 
     def f(v: Double) = "%.4f".formatLocal(java.util.Locale.ROOT, v)
@@ -229,15 +329,28 @@ object GeometryRecall {
            |     "lsh_forced_saturated_recall_cos70": ${f(r.forcedRecall70)},
            |     "ivf_lists": ${r.ivfLists},
            |     "ivf_pairs_recall": ${f(r.ivfRecall)},
-           |     "ivf_pairs_recall_cos70": ${f(r.ivfRecall70)}}""".stripMargin
+           |     "ivf_pairs_recall_cos70": ${f(r.ivfRecall70)},
+           |     "ivf_overall_lists": ${r.ivfOLists},
+           |     "ivf_overall_recall": ${f(r.ivfORecall)},
+           |     "ivf_overall_recall_cos70": ${f(r.ivfORecall70)}}""".stripMargin
+    }.mkString(",\n")
+    val overloadJson = overloadRows.map { o =>
+      s"""    {"factor": ${o.factor}, "vectors": ${o.nVecs}, "lists_pinned": ${o.lists},
+         |     "occupancy": ${o.occupancy}, "exact_sampled_pairs": ${o.nExact},
+         |     "recall": ${f(o.recall)}, "exact_sampled_pairs_cos70": ${o.nExact70},
+         |     "recall_cos70": ${f(o.recall70)}, "generator_secs": ${f(o.secs)}}""".stripMargin
     }.mkString(",\n")
     val w = new java.io.PrintWriter(outPath, "UTF-8")
     try w.println(
       s"""{
-  "protocol": "per decade: the registered simhash face (radius 7, adaptive block-combination pigeonhole) is exact by construction, so simhash_recall_vs_legacy is an IDENTITY TRIPWIRE (both sides exact hamming<=7 pair sets); simhash_trunc_fallback_recall is the superseded radius-truncation fallback kept for the record; simhash_permuted_forced_recall is the SATURATED-REGIME tier (SimHash.pairsFromFingerprintsPermuted) measured at the production-shaped geometry forced by targetOccupancy=1 (the mask width the regime switch would derive at ~32x this corpus) against the same exact ground truth — the number dedup_simhash/mm_phash actually pay past ~8M docs. lsh recall = fraction of the EXACT cosine>=$minCos pairs touching the deterministic vec_id%97 sample that the registered selfPairs geometry (adaptive planes, adaptive tables, adaptive margin-aware multi-probe) reports, overall and restricted to cos>=0.7. The corpus is augmented with one deterministic perturbed copy of every sampled vector (cos in ~[0.76, 0.99]) so the cos>=0.7 dedup-regime tier measures real pairs instead of 0/0. lsh_forced_saturated_* is the CLIFF ROW kept for the record (no floor): the capped-table geometry at the first plane width past AnnLsh.tablesExhausted — what a ~1M-vector corpus would pay if the table dial were left to saturate. ivf_pairs_* is the ROUTED TIER (AnnIvf.selfPairs at this decade's derived list count and IvfSweep-measured assign — the generator embed_cluster_lsh switches to past the gate, registered as the embed_cluster_ivf face), FLOORED: the routing answer stays measured, not asserted. Note the regime split the forced rows expose: the saturated-LSH cos70 recall stays 1.0 (near-dups never cliff, even past the cap), so the routing buys back the LOW-COS tier (overall 0.32 -> 0.58 at sf1) and the linear cost law. FLOORS: the tool exits nonzero when any decade measures below its floor (identity 1.0, permuted 0.8, lsh overall 0.8, lsh cos70 0.99, ivf overall 0.5, ivf cos70 0.98) — a silent next-decade regression fails the build instead of a narrative",
-  "floors": {"simhash_recall_vs_legacy": 1.0, "simhash_permuted_forced_recall": 0.8, "lsh_recall_vs_exact_sample": 0.8, "lsh_recall_cos70": 0.99, "ivf_pairs_recall": 0.5, "ivf_pairs_recall_cos70": 0.98},
+  "protocol": "per decade: the registered simhash face (radius 7, adaptive block-combination pigeonhole) is exact by construction, so simhash_recall_vs_legacy is an IDENTITY TRIPWIRE (both sides exact hamming<=7 pair sets); simhash_trunc_fallback_recall is the superseded radius-truncation fallback kept for the record; simhash_permuted_forced_recall is the SATURATED-REGIME tier (SimHash.pairsFromFingerprintsPermuted) measured at the production-shaped geometry forced by targetOccupancy=1 (the mask width the regime switch would derive at ~32x this corpus) against the same exact ground truth — the number dedup_simhash/mm_phash actually pay past ~8M docs. lsh recall = fraction of the EXACT cosine>=$minCos pairs touching the deterministic vec_id%97 sample that the registered selfPairs geometry (adaptive planes, adaptive tables, adaptive margin-aware multi-probe) reports, overall and restricted to cos>=0.7. The corpus is augmented with one deterministic perturbed copy of every sampled vector (cos in ~[0.76, 0.99]) so the cos>=0.7 dedup-regime tier measures real pairs instead of 0/0. lsh_forced_saturated_* is the CLIFF ROW kept for the record (no floor): the capped-table geometry at the first plane width past AnnLsh.tablesExhausted — what a ~1M-vector corpus would pay if the table dial were left to saturate. ivf_pairs_* is the ROUTED TIER (AnnIvf.selfPairs at this decade's derived list count and IvfSweep-measured assign — the generator embed_cluster_lsh switches to past the gate, registered as the embed_cluster_ivf face), FLOORED: the routing answer stays measured, not asserted. Note the regime split the forced rows expose: the saturated-LSH cos70 recall stays 1.0 (near-dups never cliff, even past the cap), so the routing buys back the LOW-COS tier (overall 0.32 -> 0.58 at sf1) and the linear cost law. ivf_overall_* is the OVERALL-RECALL PRESET (AnnIvf.overallRecallListSize: doubled cells, same assign — the semantic-grouping knob). FLOORS: the tool exits nonzero when any decade (or overload point) measures below its floor — a silent next-decade regression fails the build instead of a narrative",
+  "floors": {"simhash_recall_vs_legacy": 1.0, "simhash_permuted_forced_recall": 0.8, "lsh_recall_vs_exact_sample": 0.8, "lsh_recall_cos70": 0.99, "ivf_pairs_recall": 0.5, "ivf_pairs_recall_cos70": 0.98, "ivf_overall_recall": 0.5, "ivf_overall_recall_cos70": 0.98, "ivf_overload_recall": 0.5, "ivf_overload_recall_cos70": 0.98},
   "decades": [
 $json
+  ],
+  "ivf_overload_protocol": "past-maxLists endgame, measured BEFORE any corpus crosses the 16.7M-vector cap: lists pinned at the largest decade's at-cap shape (occupancy ~ targetListSize), corpus doubled twice with deterministic hash-fill vectors (plus the planted high-cos copies for the cos70 tier) while the pinned lists freeze the cell geometry exactly as the cap does in production; exact sampled ground truth recomputes per corpus. The frozen-geometry claim under test: a pair's split probability depends on its angle vs the FIXED cell size, not occupancy, so recall stays FLAT while generator cost grows linearly with the overload factor — past the cap IVF pays COST, never a recall cliff (the opposite failure mode from saturated LSH), so the routing answer is: stay on IVF and pay the linear occupancy term (or shard the corpus); the two-level coarse quantizer is a cost optimization, not a recall rescue",
+  "ivf_overload": [
+$overloadJson
   ]
 }""") finally w.close()
     // RECALL FLOOR GATE: a geometry change that regresses recall at any
@@ -248,7 +361,11 @@ $json
       ("lsh_recall_vs_exact_sample", rows.map(_.lshRecall).min, 0.8),
       ("lsh_recall_cos70", rows.map(_.lshRecall70).min, 0.99),
       ("ivf_pairs_recall", rows.map(_.ivfRecall).min, 0.5),
-      ("ivf_pairs_recall_cos70", rows.map(_.ivfRecall70).min, 0.98))
+      ("ivf_pairs_recall_cos70", rows.map(_.ivfRecall70).min, 0.98),
+      ("ivf_overall_recall", rows.map(_.ivfORecall).min, 0.5),
+      ("ivf_overall_recall_cos70", rows.map(_.ivfORecall70).min, 0.98),
+      ("ivf_overload_recall", overloadRows.map(_.recall).min, 0.5),
+      ("ivf_overload_recall_cos70", overloadRows.map(_.recall70).min, 0.98))
     val broken = floors.filter { case (_, v, fl) => v < fl }
     broken.foreach { case (name, v, fl) =>
       System.err.println(f"[recall] GATE FAIL: $name measured $v%.4f < floor $fl%.4f") }

@@ -14,9 +14,23 @@ import org.apache.spark.sql.functions._
   * the number whose growth law (windows×users / kept-hashes / snapshot
   * keys, never raw row count) is each face's 100 TB claim.
   *
-  * Run: `sbt "runMain graft.tools.StreamScalingBench"`; paste the table
-  * into docs/SCALING.md. One JSON line per (face, volume) plus a summary.
-  */
+  * The three PERSISTED-INDEX faces (stream_dedup_indexed,
+  * stream_neardup_indexed, stream_fp_indexed) carry their state on disk,
+  * not in the state store, so their rows measure the INDEX — and their
+  * state law is GATED, not just recorded: after the run the index must
+  * hold exactly what its growth law predicts (digests = corpus + DISTINCT
+  * novel texts; band/fp index rows = corpus + ingested ids, duplicates
+  * adding fps/shingle rows but no new key rows beyond their geometry) —
+  * the tool exits nonzero on any deviation. Per-batch wall times for the
+  * first and last micro-batch are recorded alongside: the incremental
+  * contract says batch cost tracks BATCH size, not corpus size, so the
+  * last batch (probing an index 8 batches bigger) should not trend away
+  * from the first (recorded, not gated — wall time is environment-noisy,
+  * index row counts are not).
+  *
+  * Run: `sbt "runMain graft.tools.StreamScalingBench"` — writes the row
+  * array to SPARK_GRAFT_STREAM_SCALING_OUT (default
+  * docs/STREAM_SCALING.json) and prints it. */
 object StreamScalingBench {
 
   case class SEv(ts: Timestamp, event_type: String, value: Double, event_id: Long)
@@ -159,7 +173,151 @@ object StreamScalingBench {
       } finally q.stop()
     }
 
-    println("[" + results.mkString(",") + "]")
+    // ---- the persisted-index ingest faces: disk-index state, gated laws.
+    // Batches are id-unique; every second batch row duplicates CONTENT
+    // (text/fingerprint) already seen, so the alert/dup paths stay hot.
+    val lawViolations = scala.collection.mutable.ArrayBuffer.empty[String]
+    def gate(face: String, what: String, got: Long, want: Long): Unit =
+      if (got != want) lawViolations += s"$face: $what = $got, law says $want"
+    def recordIdx(face: String, n: Int, secs: Double, stateRows: Long,
+                  outRows: Long, firstBatch: Double, lastBatch: Double): Unit = {
+      val line = s"""{"face":"$face","rows_in":$n,"sec":${fmt(secs)},""" +
+        s""""rows_per_sec":${fmt(n / secs)},"state_rows":$stateRows,""" +
+        s""""out_rows":$outRows,"batch_sec_first":${fmt(firstBatch)},""" +
+        s""""batch_sec_last":${fmt(lastBatch)}}"""
+      results += line
+      println(line)
+    }
+    val nBatches = 8
+
+    // stream_fp_indexed: base corpus of C random fps; streamed ids unique,
+    // half the rows re-use an already-ingested fingerprint (hamming 0).
+    // Law: fps rows = C + n exactly (id-guarded), keys rows = combos ×
+    // DISTINCT fps (duplicate fingerprints add no key rows).
+    for (n <- Seq(4000, 16000)) {
+      val dir = java.nio.file.Files.createTempDirectory("graft_ssb_fp").toString
+      val c = 2000
+      val rnd = new java.util.Random(0xF00D + n)
+      val baseFps = (0 until c).map(i => (i.toLong, rnd.nextLong()))
+      graft.dedup.FingerprintIndex.write(baseFps.toDF("doc_id", "fp"),
+        "doc_id", "fp", s"$dir/index")
+      val streamed = (0 until n).map { i =>
+        val id = (c + i).toLong
+        if (i % 2 == 1) (id, baseFps(i % c)._2)          // content dup
+        else (id, rnd.nextLong())                         // novel fp
+      }
+      val input = MemoryStream[(Long, Long)]
+      val q = graft.streaming.Streams.fpIndexed(
+          input.toDF().toDF("doc_id", "fp"), "doc_id", "fp",
+          s"$dir/index", s"$dir/alerts")
+        .option("checkpointLocation", s"$dir/ckpt").start()
+      try {
+        val batchSecs = streamed.grouped(n / nBatches).map { g =>
+          val t0 = System.nanoTime()
+          input.addData(g: _*); q.processAllAvailable()
+          (System.nanoTime() - t0) / 1e9
+        }.toSeq
+        val fps = spark.read.parquet(s"$dir/index/fps")
+        val keys = spark.read.parquet(s"$dir/index/keys")
+        val nFps = fps.count()
+        val distinctFps = fps.select("fp").distinct().count()
+        // combos per fp come from the PINNED geometry (d=1 at this corpus
+        // size => C(8,1) = 8 key rows per distinct fingerprint)
+        gate("stream_fp_indexed", "fps_rows", nFps, c + n)
+        gate("stream_fp_indexed", "keys_rows", keys.count(), distinctFps * 8)
+        recordIdx("stream_fp_indexed", n, batchSecs.sum, nFps + keys.count(),
+          spark.read.parquet(s"$dir/alerts").count(),
+          batchSecs.head, batchSecs.last)
+      } finally q.stop()
+    }
+
+    // stream_dedup_indexed: streamed rows duplicate each distinct text 4×.
+    // Law: digests = corpus + DISTINCT novel texts = C + n/4 — state is
+    // bounded by distinct CONTENT, never row volume.
+    for (n <- Seq(4000, 16000)) {
+      val dir = java.nio.file.Files.createTempDirectory("graft_ssb_dd").toString
+      val c = 2000
+      val corpus = (0 until c).map(i => (i.toLong, s"corpus doc $i stable text"))
+      graft.dedup.Dedup.writeDigestIndex(corpus.toDF("doc_id", "text"),
+        "text", s"$dir/index", expectedKeys = (c + n).toLong)
+      val streamed = (0 until n).map { i =>
+        ((c + i).toLong, s"streamed doc ${i % (n / 4)} body")
+      }
+      val input = MemoryStream[(Long, String)]
+      val q = graft.streaming.Streams.dedupIndexed(
+          input.toDF().toDF("doc_id", "text"), "doc_id", "text",
+          s"$dir/index", s"$dir/novel")
+        .option("checkpointLocation", s"$dir/ckpt").start()
+      try {
+        val batchSecs = streamed.grouped(n / nBatches).map { g =>
+          val t0 = System.nanoTime()
+          input.addData(g: _*); q.processAllAvailable()
+          (System.nanoTime() - t0) / 1e9
+        }.toSeq
+        val nDigests = spark.read.parquet(s"$dir/index/digests").count()
+        val novel = spark.read.parquet(s"$dir/novel").count()
+        gate("stream_dedup_indexed", "digest_rows", nDigests, c + n / 4)
+        gate("stream_dedup_indexed", "novel_rows", novel, n / 4)
+        recordIdx("stream_dedup_indexed", n, batchSecs.sum, nDigests, novel,
+          batchSecs.head, batchSecs.last)
+      } finally q.stop()
+    }
+
+    // stream_neardup_indexed: unique 12-token texts per id (near-dup
+    // alerts exercised by one shared tail token across a planted pair per
+    // batch is unnecessary here — the law under gate is the index shape).
+    // Law: buckets = (C + n) × bands; shingles cover exactly C + n ids.
+    for (n <- Seq(2000, 8000)) {
+      val dir = java.nio.file.Files.createTempDirectory("graft_ssb_nd").toString
+      val c = 1000
+      val bands = 8
+      def text(tag: String, i: Int) =
+        (0 until 12).map(t => s"${tag}_${i}_w$t").mkString(" ")
+      val corpus = (0 until c).map(i => (i.toLong, text("c", i)))
+      graft.dedup.MinHash.writeBandIndex(corpus.toDF("doc_id", "text"),
+        "doc_id", "text", s"$dir/index", n = 3, k = 32, bands = bands,
+        threshold = 0.3)
+      val streamed = (0 until n).map { i =>
+        val id = (c + i).toLong
+        // every 4th doc is a verbatim copy of an earlier streamed doc's
+        // text — the alert path stays exercised at every batch
+        if (i % 4 == 3) (id, text("s", i - 1)) else (id, text("s", i))
+      }
+      val input = MemoryStream[(Long, String)]
+      val q = graft.streaming.Streams.nearDupIndexed(
+          input.toDF().toDF("doc_id", "text"), "doc_id", "text",
+          s"$dir/index", s"$dir/alerts")
+        .option("checkpointLocation", s"$dir/ckpt").start()
+      try {
+        val batchSecs = streamed.grouped(n / nBatches).map { g =>
+          val t0 = System.nanoTime()
+          input.addData(g: _*); q.processAllAvailable()
+          (System.nanoTime() - t0) / 1e9
+        }.toSeq
+        val buckets = spark.read.parquet(s"$dir/index/buckets").count()
+        val shingleIds = spark.read.parquet(s"$dir/index/shingles")
+          .select("id").distinct().count()
+        gate("stream_neardup_indexed", "bucket_rows", buckets,
+          (c + n).toLong * bands)
+        gate("stream_neardup_indexed", "shingle_ids", shingleIds, c + n)
+        recordIdx("stream_neardup_indexed", n, batchSecs.sum, buckets,
+          spark.read.parquet(s"$dir/alerts").count(),
+          batchSecs.head, batchSecs.last)
+      } finally q.stop()
+    }
+
+    val json = "[" + results.mkString(",") + "]"
+    println(json)
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_STREAM_SCALING_OUT",
+      "docs/STREAM_SCALING.json")
+    try {
+      val w = new java.io.PrintWriter(outPath, "UTF-8")
+      try w.println(json) finally w.close()
+    } catch { case _: Throwable => () }
     spark.stop()
+    // STATE-LAW GATE: a face whose index grew off its law fails the TOOL,
+    // not a later narrative read
+    lawViolations.foreach(v => System.err.println(s"[stream-scaling] GATE FAIL: $v"))
+    if (lawViolations.nonEmpty) sys.exit(1)
   }
 }

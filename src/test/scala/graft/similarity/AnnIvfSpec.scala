@@ -67,6 +67,42 @@ class AnnIvfSpec extends SparkSpec {
     assert(AnnIvf.ivfLists(100000000L, 256L) == AnnIvf.maxLists)
   }
 
+  test("overall-recall preset: doubled cells at the same assign, cap reached later") {
+    // the semantic-tier knob (AnnIvf.overallRecallListSize = 512): half
+    // the lists of the dedup default at the same corpus — bigger cells,
+    // 2× candidate volume, the IvfSweep-measured overall-recall point
+    // (GEOMETRY_RECALL ivf_overall_* rows floor it per decade)
+    assert(AnnIvf.overallRecallListSize == 2L * 256L)
+    val n = 2000000L
+    val dedup = AnnIvf.ivfLists(n)
+    val overall = AnnIvf.ivfLists(n, AnnIvf.overallRecallListSize)
+    assert(overall == (dedup + 1) / 2, s"preset lists $overall vs dedup $dedup")
+    // assign dial unchanged at production shape
+    assert(AnnIvf.ivfAssign(overall) == AnnIvf.ivfAssign(dedup))
+    // the cap binds at 2x the corpus size the default hits it
+    assert(AnnIvf.ivfLists(2L * 256L * AnnIvf.maxLists,
+      AnnIvf.overallRecallListSize) == AnnIvf.maxLists)
+
+    // recall contract on planted families: the preset (bigger cells) must
+    // find at least the pairs the default finds on an easy planted corpus
+    import spark.implicits._
+    val rows = for (fam <- 0 until 30; c <- 0 until 4) yield {
+      val base = unit(fam + 1)
+      val d = base.zipWithIndex.map { case (x, i) =>
+        x + (if (i == c) 0.01f else 0.0f) }
+      ((fam * 4 + c).toLong, d)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val truth = (for (f <- 0 until 30; a <- 0 until 4; b <- a + 1 until 4)
+      yield (f * 4 + a.toLong, f * 4 + b.toLong)).toSet
+    val preset = AnnIvf.selfPairs(df, "vec_id", "embedding", minCos = 0.9,
+        nLists = 8, assign = 2)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(preset.subsetOf(truth), "exact verify must hold under the preset")
+    assert(preset.size >= truth.size * 90 / 100,
+      s"preset recall ${preset.size}/${truth.size} below the design target")
+  }
+
   test("embed_cluster_ivf face matches the brute-force cluster refinement contract") {
     val sf = "/root/testdata/sf0.001"
     val ivf = graft.queries.Q.embedClusterIvf(spark, sf)
