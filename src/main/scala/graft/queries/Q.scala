@@ -1549,6 +1549,37 @@ object Q {
       .select(col("id").as("vec_id"), col("cluster_id"))
   }
 
+  /** Incremental EMBEDDING near-dup ingest over the persisted IVF index
+    * ([[graft.similarity.AnnIndex.pairsIncremental]]) — the embedding
+    * member of the incremental-ingest family, completing the triple the
+    * digest / band / fingerprint indexes already carry: the standing
+    * corpus (vec_id % 13 ≠ 5) trains and persists the layout once, the
+    * ingest batch (% 13 = 5, corpus-proportional ⇒ smallBatch=false)
+    * probes it — every cosine ≥ 0.35 pair touching the batch, with the
+    * corpus side a PARTITION-PRUNED scan of the probed lists, never a
+    * corpus re-scan. Precision exact (cosine verify); recall is the
+    * measured IVF multi-assign recall (GEOMETRY_RECALL floors).
+    * Rows-only (IVF probe has no SQL form); the spec pins precision,
+    * planted-pair recall, and fold visibility. Scratch index in a unique
+    * tempdir with the finally-delete hygiene contract; the eager
+    * checkpoint pins the result before the delete. */
+  def embedDedupIncremental(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables(s, dir, "embeddings")
+    val path = java.nio.file.Files.createTempDirectory("graft_embinc").toString
+    try {
+      graft.similarity.AnnIndex.writeIvf(e.filter(!(col("vec_id") % 13 === 5)),
+        "vec_id", "embedding", "label", path)
+      graft.similarity.AnnIndex.pairsIncremental(s, path,
+          e.filter(col("vec_id") % 13 === 5), "vec_id", "embedding",
+          minCos = 0.35, nProbe = 2, smallBatch = false)
+        .localCheckpoint()
+    } finally {
+      val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+        s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+    }
+  }
+
   /** Re-aggregatable distinct-count rollup — THE 100 TB pre-aggregation
     * pattern: per-(type, day) HLL sketches are built in one pass (the
     * frame a pipeline would PERSIST as its daily summary table), then the

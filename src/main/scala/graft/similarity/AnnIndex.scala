@@ -114,6 +114,69 @@ object AnnIndex {
     (!drifted, gate)
   }
 
+  /** Every cosine ≥ `minCos` near-dup pair TOUCHING the batch, served
+    * from the persisted layout — the EMBEDDING member of the
+    * incremental-ingest family (the digest, band and fingerprint indexes
+    * each have one; until now the similarity family only had batch
+    * self-pairs and the top-k serve). Each batch vector probes its
+    * `nProbe` nearest persisted centroids; corpus candidates are the
+    * PARTITION-PRUNED scan of exactly those lists (the corpus is never
+    * re-encoded or fully scanned), batch-internal candidates share a
+    * probed list (the same multi-assign geometry). Precision is EXACT —
+    * every emitted pair is cosine-verified on the raw vectors; recall is
+    * the IVF multi-assign recall the GEOMETRY_RECALL rows measure and
+    * floor (cos ≥ 0.7 ≥ 0.98 at the swept assign). Emits
+    * (id_a, id_b, cos), id_a < id_b; an id present on both sides is the
+    * same document (self-pairs drop). Probe strictly BEFORE [[append]] —
+    * the fpIndexed ordering rule that keeps a doc from matching itself.
+    * `smallBatch` is the ingest contract: batch probes broadcast; pass
+    * false for corpus-proportional batches. */
+  def pairsIncremental(spark: SparkSession, path: String, batch: DataFrame,
+                       idCol: String, vecCol: String, minCos: Double,
+                       nProbe: Int = 2,
+                       smallBatch: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val centroids = spark.read.parquet(s"$path/centroids")
+    val b = batch.select(col(idCol).as("vec_id"), toDouble(col(vecCol)).as("v"))
+      .dropDuplicates("vec_id")
+    val probes = b.join(broadcast(centroids), lit(true))
+      .select(col("vec_id"), col("v"), col("list"),
+        cosine(col("v"), col("cv")).as("_cs"))
+      .withColumn("_pr", row_number().over(
+        Window.partitionBy("vec_id").orderBy(desc("_cs"), asc("list"))))
+      .filter(col("_pr") <= nProbe)
+      .select(col("list"), col("vec_id"), col("v"))
+      .localCheckpoint() // three consumers: list collect + two candidate joins
+    // bounded collect (≤ batch × nProbe): drives STATIC partition pruning
+    val probedLists = probes.select("list").distinct().collect().map(_.get(0))
+    val bq = probes.withColumn("_nq", norm(col("v")))
+    val bside = if (smallBatch) broadcast(bq) else bq
+    // batch vs corpus: pruned scan of the probed lists only; hamming
+    // discipline — verify INSIDE the join projection, pair-dedup after
+    val corpus = spark.read.parquet(s"$path/vectors")
+      .filter(col("list").isin(probedLists: _*))
+      .withColumn("_nv", norm(col("v")))
+    val bc = corpus.select(col("list"), col("vec_id").as("_cid"),
+        col("v").as("_cv"), col("_nv"))
+      .join(bside.select(col("list"), col("vec_id").as("_bid"),
+        col("v").as("_bv"), col("_nq")), Seq("list"))
+      .filter(col("_bid") =!= col("_cid"))
+      .withColumn("cos", dot(col("_bv"), col("_cv")) / (col("_nq") * col("_nv")))
+      .filter(col("cos") >= minCos)
+      .select(least(col("_bid"), col("_cid")).as("id_a"),
+        greatest(col("_bid"), col("_cid")).as("id_b"), col("cos"))
+    // batch-internal pairs from the shared-probed-list geometry
+    val bb = bq.select(col("list"), col("vec_id").as("_ba"),
+        col("v").as("_va"), col("_nq").as("_na"))
+      .join(bq.select(col("list"), col("vec_id").as("_bb"),
+        col("v").as("_vb"), col("_nq").as("_nb")), Seq("list"))
+      .filter(col("_ba") < col("_bb"))
+      .withColumn("cos", dot(col("_va"), col("_vb")) / (col("_na") * col("_nb")))
+      .filter(col("cos") >= minCos)
+      .select(col("_ba").as("id_a"), col("_bb").as("id_b"), col("cos"))
+    bc.unionByName(bb).dropDuplicates("id_a", "id_b")
+  }
+
   /** Serve a query batch from the persisted index. Identical algebra to
     * [[AnnLsh.ivfTopK]] (same probes, same norm placement, same heap
     * top-k), different data source — the spec pins result equality. */

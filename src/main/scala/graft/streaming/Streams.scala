@@ -604,6 +604,54 @@ object Streams {
     graft.dedup.FingerprintIndex.append(spark, indexPath, b, idCol, fpCol)
   }
 
+  /** Streaming ingest loop over the persisted IVF EMBEDDING index
+    * ([[graft.similarity.AnnIndex]]) — [[fpIndexed]] for the embedding
+    * near-dup family, completing the incremental triple (batch face /
+    * persisted-index probe / streaming loop) that the digest, band and
+    * fingerprint families already carry: each micro-batch of
+    * (id, embedding) rows first PROBES the index
+    * ([[graft.similarity.AnnIndex.pairsIncremental]] — every
+    * cosine ≥ minCos pair touching the batch, batch-internal pairs
+    * included, corpus side a partition-pruned scan of the probed lists)
+    * and then FOLDS the batch in ([[graft.similarity.AnnIndex.append]],
+    * id-guarded) so later micro-batches see it. Alerts append to
+    * `alertPath` as (id_a, id_b, cos) parquet partitioned by `batch_id`;
+    * the sink is IDEMPOTENT under failure-retry (dynamic overwrite of
+    * the batch's own partition) and the fold is id-guarded, so replays
+    * duplicate nothing. Probe strictly BEFORE append. Precision is
+    * exact (cosine verify); recall is the measured IVF multi-assign
+    * recall (GEOMETRY_RECALL floors). */
+  def embedIndexed(docs: DataFrame, idCol: String, vecCol: String,
+                   indexPath: String, alertPath: String, minCos: Double,
+                   nProbe: Int = 2)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        embedIndexedBatch(batch, batchId, idCol, vecCol, indexPath,
+          alertPath, minCos, nProbe)
+      }
+
+  /** One [[embedIndexed]] micro-batch — factored out so the replay
+    * contract is spec-testable without re-running a stream: calling this
+    * twice with the SAME batchId (what engine failure-recovery does)
+    * leaves exactly one copy of the batch's alert rows and index rows. */
+  def embedIndexedBatch(batch: DataFrame, batchId: Long, idCol: String,
+                        vecCol: String, indexPath: String, alertPath: String,
+                        minCos: Double, nProbe: Int = 2): Unit = {
+    val spark = batch.sparkSession
+    // the batch feeds the probe AND the append — pin it once (eager: the
+    // append must see exactly the probed rows)
+    val b = batch.localCheckpoint()
+    graft.similarity.AnnIndex.pairsIncremental(spark, indexPath, b,
+        idCol, vecCol, minCos, nProbe)
+      .withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id").parquet(alertPath)
+    graft.similarity.AnnIndex.append(spark, indexPath, b, idCol, vecCol)
+  }
+
   /** Streaming EXACT-dedup ingest over the persisted digest index — the
     * exact-dup sibling of [[nearDupIndexed]] and the durable-memory
     * sibling of the bounded-state streaming dedup: each micro-batch

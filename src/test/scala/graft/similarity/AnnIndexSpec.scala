@@ -55,6 +55,62 @@ class AnnIndexSpec extends SparkSpec {
     assert(planStr.contains("PartitionFilters"), "append broke partition pruning")
   }
 
+  test("pairsIncremental: exact precision, planted recall, fold visibility, self-drop") {
+    import spark.implicits._
+    def fam(seed: Int): Array[Float] = {
+      val rnd = new scala.util.Random(seed)
+      val v = Array.fill(16)(rnd.nextGaussian().toFloat)
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum).toFloat
+      v.map(_ / n)
+    }
+    def perturb(base: Array[Float], eps: Float, d: Int): Array[Float] =
+      base.zipWithIndex.map { case (x, i) => if (i == d) x + eps else x }
+    // 8 families × 3 corpus members; lists = family id (the writeIvf
+    // listCol) — near-dups share a list by construction
+    val corpus = (for (f <- 0 until 8; c <- 0 until 3)
+      yield ((f * 10 + c).toLong, perturb(fam(f + 1), 0.01f * (c + 1), c), f))
+      .toDF("vec_id", "embedding", "label")
+    val dir = java.nio.file.Files.createTempDirectory("graft_embinc_spec").toString
+    AnnIndex.writeIvf(corpus, "vec_id", "embedding", "label", dir)
+    // batch: one near-dup per family for 4 families, one batch-internal
+    // near-dup pair (both novel), one far vector, one RE-INGESTED id
+    val farV = Array.tabulate(16)(i => if (i < 8) 0.25f else -0.25f)
+    val batch = ((for (f <- 0 until 4)
+      yield ((100 + f).toLong, perturb(fam(f + 1), 0.02f, 5))) ++
+      Seq((200L, perturb(fam(20), 0.01f, 0)), (201L, perturb(fam(20), 0.02f, 1)),
+        (300L, farV),
+        (0L, perturb(fam(1), 0.01f, 0)))) // id 0 already indexed: same doc
+      .toDF("vec_id", "embedding")
+    val got = AnnIndex.pairsIncremental(spark, dir, batch, "vec_id", "embedding",
+        minCos = 0.9, nProbe = 2)
+      .as[(Long, Long, Double)].collect()
+    // EXACT precision: every emitted pair really is cos >= 0.9, ordered
+    assert(got.forall(p => p._3 >= 0.9 && p._1 < p._2))
+    val pairs = got.map(p => (p._1, p._2)).toSet
+    // the COMPLETE expected batch-touching set: each family probe finds
+    // its 3 corpus members; the re-ingested id 0 (same family as probe
+    // 100) touches its fellow corpus members 1, 2 and probe 100 — but
+    // never itself; the batch-internal near-dup (200, 201) lands via the
+    // shared probed list; the far vector 300 pairs with nothing; and
+    // untouched corpus-corpus pairs (e.g. (1, 2)) are NOT re-reported
+    val expected = Set(
+      (0L, 100L), (1L, 100L), (2L, 100L), (0L, 1L), (0L, 2L),
+      (10L, 101L), (11L, 101L), (12L, 101L),
+      (20L, 102L), (21L, 102L), (22L, 102L),
+      (30L, 103L), (31L, 103L), (32L, 103L),
+      (200L, 201L))
+    assert(pairs == expected, s"got $pairs")
+    // FOLD VISIBILITY: append the batch; a later batch near 200's family
+    // must match the STREAMED doc 200/201 — only possible post-fold
+    AnnIndex.append(spark, dir, batch, "vec_id", "embedding")
+    val probe2 = AnnIndex.pairsIncremental(spark, dir,
+        Seq((500L, perturb(fam(20), 0.015f, 2))).toDF("vec_id", "embedding"),
+        "vec_id", "embedding", minCos = 0.9, nProbe = 2)
+      .as[(Long, Long, Double)].collect().map(p => (p._1, p._2)).toSet
+    assert(probe2 == Set((200L, 500L), (201L, 500L)),
+      s"fold not visible to the next probe: $probe2")
+  }
+
   test("a drifted batch trips the gate and refresh appends nothing") {
     import spark.implicits._
     val vecs = (0L until 40L)

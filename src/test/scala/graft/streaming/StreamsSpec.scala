@@ -598,6 +598,57 @@ class StreamsSpec extends SparkSpec {
     assert(probe == Set((1L, 7L), (2L, 7L), (7L, 100L)))
   }
 
+  test("indexed streaming embedding dedup probes the IVF index, then folds each batch in") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_embix").toString
+    def axis(d: Int, eps: Float): Array[Float] =
+      Array.tabulate(8)(i => if (i == d) 1f else if (i == (d + 1) % 8) eps else 0f)
+    // corpus: two near-axis families; lists = the axis label
+    val corpus = Seq(
+      (100L, axis(0, 0.01f), 0), (101L, axis(0, 0.02f), 0),
+      (110L, axis(3, 0.01f), 1)).toDF("vec_id", "embedding", "label")
+    graft.similarity.AnnIndex.writeIvf(corpus, "vec_id", "embedding", "label",
+      s"$dir/index")
+    val input = MemoryStream[(Long, Array[Float])]
+    val docs = input.toDF().toDF("vec_id", "embedding")
+    val query = Streams.embedIndexed(docs, "vec_id", "embedding",
+        s"$dir/index", s"$dir/alerts", minCos = 0.9, nProbe = 1)
+      .option("checkpointLocation", s"$dir/ckpt").start()
+    def alerts() = spark.read.parquet(s"$dir/alerts")
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    try {
+      input.addData((1L, axis(0, 0.03f)))
+      query.processAllAvailable()
+      assert(alerts() == Set((1L, 100L), (1L, 101L))) // probe vs the corpus index
+      // the second micro-batch must ALSO match batch 1's doc — only
+      // possible if the first batch was folded into the index
+      input.addData((2L, axis(0, 0.04f)),
+        (3L, Array.tabulate(8)(i => if (i < 4) 0.5f else -0.5f))) // far: matches nothing
+      query.processAllAvailable()
+      assert(alerts() == Set((1L, 100L), (1L, 101L),
+        (1L, 2L), (2L, 100L), (2L, 101L)))
+    } finally query.stop()
+    // replaying a micro-batch (failure recovery) leaves ONE copy of its
+    // alert rows, and the id-guarded fold appends nothing
+    val before = spark.read.parquet(s"$dir/alerts").count()
+    val nVecs = spark.read.parquet(s"$dir/index/vectors").count()
+    Streams.embedIndexedBatch(Seq((2L, axis(0, 0.04f))).toDF("vec_id", "embedding"),
+      1L, "vec_id", "embedding", s"$dir/index", s"$dir/alerts",
+      minCos = 0.9, nProbe = 1)
+    assert(spark.read.parquet(s"$dir/alerts").count() == before,
+      "replayed micro-batch duplicated alert rows")
+    assert(spark.read.parquet(s"$dir/index/vectors").count() == nVecs,
+      "replayed micro-batch duplicated index rows")
+    // a fresh batch probe (the batch API, no stream) sees streamed docs
+    // as corpus
+    val probe = graft.similarity.AnnIndex.pairsIncremental(spark, s"$dir/index",
+        Seq((7L, axis(0, 0.05f))).toDF("vec_id", "embedding"),
+        "vec_id", "embedding", minCos = 0.9, nProbe = 1)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(probe == Set((1L, 7L), (2L, 7L), (7L, 100L), (7L, 101L)))
+  }
+
   test("indexed streaming exact dedup: novel rows land, dups are caught across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
