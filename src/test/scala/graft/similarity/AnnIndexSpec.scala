@@ -161,6 +161,26 @@ class AnnIndexSpec extends SparkSpec {
     assert(served.count() == 1)
   }
 
+  test("pairsIncremental's corpus scan carries the probed-list partition filter") {
+    import spark.implicits._
+    val vecs = (0L until 100L)
+      .map(i => (i, Array.fill(4)((i % 10).toFloat + 1f), (i % 10).toInt))
+      .toDF("vec_id", "embedding", "label")
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf6").toString
+    AnnIndex.writeIvf(vecs, "vec_id", "embedding", "label", dir)
+    val batch = Seq((500L, Array.fill(4)(3f))).toDF("vec_id", "embedding")
+    val out = AnnIndex.pairsIncremental(spark, dir, batch, "vec_id", "embedding",
+      minCos = 0.99, nProbe = 2)
+    // the layout-pruning property the incremental probe exists for: the
+    // corpus side must scan ONLY the probed lists' partitions
+    val planStr = out.queryExecution.executedPlan.toString
+    assert(planStr.contains("PartitionFilters") && planStr.contains("list"),
+      s"no partition filter on the corpus scan:\n$planStr")
+    // these vectors are all positive multiples of the ones vector =>
+    // cosine 1 within AND across lists; the probe finds its 2 lists' members
+    assert(out.count() > 0)
+  }
+
   test("the probed-list filter prunes the persisted layout partitions") {
     import spark.implicits._
     val vecs = (0L until 100L)
