@@ -91,8 +91,20 @@ object Bench {
     // self-clears inside the session while a real plan regression
     // survives into the reported median — with the prior/in-suite/
     // isolated triple on record for the round narrative.
-    val prior: Map[String, Double] = try {
-      val src = scala.io.Source.fromFile(fullOut, "UTF-8")
+    // ANCHOR AT THE DRIVER ARTIFACT (r15 lesson: BENCH_FULL.json is
+    // overwritten by every bench run — including the builder's elevated
+    // close-session runs — so anchoring there made the 12 r15 triples
+    // compare against an hour-old same-session run while the four real
+    // driver-vs-driver movers got no triple at all). The prior committed
+    // BENCH_r{N}.json is immutable; its summary line carries the ~60 most
+    // expensive queries — exactly the tier where a >0.2s absolute move is
+    // even possible. BENCH_FULL.json remains a SECONDARY anchor for
+    // queries below the driver tail's truncation: per query take the MIN
+    // across both sources, because shared-JVM session noise only ever
+    // INFLATES a deterministic plan's timing — the lower anchor is the
+    // honest baseline a real regression must clear.
+    def fullArtifactPrior(file: String): Map[String, Double] = try {
+      val src = scala.io.Source.fromFile(file, "UTF-8")
       val txt = try src.mkString finally src.close()
       val sfOk = """"sf":\s*"([^"]*)"""".r.findFirstMatchIn(txt)
         .exists(_.group(1) == sfDir)
@@ -100,6 +112,39 @@ object Bench {
       else """"([A-Za-z0-9_]+)":\s*\{\s*"median":\s*([0-9.eE+-]+)""".r
         .findAllMatchIn(txt).map(m => m.group(1) -> m.group(2).toDouble).toMap
     } catch { case _: Throwable => Map.empty }
+    // the driver artifact wraps the bench's summary line in a "tail"
+    // string (JSON-escaped quotes) — parse the LAST "queries":{...} map,
+    // which in the summary line is followed only by the quoted sf field,
+    // so a bare name:number regex over that suffix matches exactly the map
+    def driverArtifactPrior(file: String): Map[String, Double] = try {
+      val src = scala.io.Source.fromFile(file, "UTF-8")
+      val txt = try src.mkString finally src.close()
+      val i = txt.lastIndexOf("queries")
+      if (i < 0) Map.empty
+      else {
+        val seg = txt.substring(i)
+        if (!seg.contains(sfDir)) Map.empty
+        else {
+          val end = seg.indexOf('}')
+          if (end < 0) Map.empty
+          else """\\?"([A-Za-z0-9_]+)\\?":([0-9.eE+-]+)""".r
+            .findAllMatchIn(seg.substring(0, end))
+            .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        }
+      }
+    } catch { case _: Throwable => Map.empty }
+    val priorDriverFile = sys.env.get("SPARK_GRAFT_BENCH_PRIOR").orElse {
+      val rx = """BENCH_r(\d+)\.json""".r
+      Option(new java.io.File(".").listFiles()).toSeq.flatten
+        .flatMap(f => f.getName match {
+          case rx(n) => Some(n.toInt -> f.getName); case _ => None })
+        .sortBy(_._1).lastOption.map(_._2)
+    }
+    val priorSources =
+      priorDriverFile.map(driverArtifactPrior).getOrElse(Map.empty) ::
+      fullArtifactPrior(fullOut) :: Nil
+    val prior: Map[String, Double] =
+      priorSources.flatten.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).min }
     // >25% relative AND >0.2s absolute: sub-200ms scans swing 25% on
     // pure scheduler noise, and re-timing them buys nothing — the r13
     // incident class (dedup_stats +68% = +1.1s) is squarely above both

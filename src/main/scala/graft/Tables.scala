@@ -78,27 +78,41 @@ object Tables {
     * session — bounded by regens-per-session × tables, negligible.
     * Pipelines that MUTATE a table in place between reads should still
     * pass their own post-mutation count rather than rely on mtime
-    * granularity (some stores round mtimes to seconds). */
+    * granularity (some stores round mtimes to seconds).
+    *
+    * `None` means "do not cache": a missing root path, a transient
+    * mid-walk FileNotFound (file compacted/deleted between listStatus and
+    * the child stat), and any other IOException (S3 throttle, permission)
+    * all land here — none of them is a stable content key to cache a
+    * count under, and none should crash the caller's read path (the read
+    * itself will fail loudly if the table is genuinely gone). The old
+    * `0L` sentinel conflated all three WITH a legitimate xor-to-zero
+    * fingerprint, exactly the key a stale count could hide under. */
   private def contentFingerprint(hconf: org.apache.hadoop.conf.Configuration,
-                                 path: String): Long = {
+                                 path: String): Option[Long] = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(hconf)
     def fp(st: org.apache.hadoop.fs.FileStatus): Long =
       if (st.isDirectory)
         fs.listStatus(st.getPath).map(fp).foldLeft(0L)(_ ^ _)
       else st.getLen + st.getModificationTime * 0x9E3779B97F4A7C15L
-    try fp(fs.getFileStatus(p))
-    catch { case _: java.io.FileNotFoundException => 0L }
+    try Some(fp(fs.getFileStatus(p)))
+    catch { case _: java.io.IOException => None }
   }
 
   /** Session-cached row count of a testdata table — ONE count job per
     * (dir, table, content) per session, shared by every adaptive-geometry
-    * face, invalidated automatically when the files under the path change. */
+    * face, invalidated automatically when the files under the path change.
+    * An unfingerprintable path bypasses the cache entirely: the count runs
+    * (or fails loudly, if the table is really missing) but is never stored
+    * under a key a later healthy walk could collide with. */
   def cachedCount(spark: SparkSession, dir: String, name: String): Long =
-    countCache.computeIfAbsent(
-      (dir, name, contentFingerprint(spark.sparkContext.hadoopConfiguration,
-        s"$dir/$name.parquet")),
-      _ => java.lang.Long.valueOf(apply(spark, dir, name).count())).longValue()
+    contentFingerprint(spark.sparkContext.hadoopConfiguration,
+        s"$dir/$name.parquet") match {
+      case Some(f) => countCache.computeIfAbsent((dir, name, f),
+        _ => java.lang.Long.valueOf(apply(spark, dir, name).count())).longValue()
+      case None => apply(spark, dir, name).count()
+    }
 
   /** NULL out `valueCol` where `keyCol % m == r` — mirrored in oracle SQL. */
   def maskMod(df: DataFrame, valueCol: String, keyExpr: String, m: Int, r: Int): DataFrame =

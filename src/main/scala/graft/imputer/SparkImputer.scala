@@ -316,7 +316,13 @@ class SparkImputer(
   private[imputer] def maybeRound(target: String, c: org.apache.spark.sql.Column) =
     // floor(x+0.5) not native round(): cross-engine-exact (SF1_GATE
     // class 1); cast back to double — round(c, 0) preserved the type and
-    // downstream coalesce promotion must not change
+    // downstream coalesce promotion must not change. TIE BEHAVIOR is an
+    // intentional divergence from the reference: np.round is half-to-even
+    // (banker's), Spark's round() was HALF_UP (away from zero), and this
+    // idiom rounds halves toward +∞ — ties in real-valued regression
+    // predictions are measure-zero, and cross-ENGINE exactness (the same
+    // bits from Spark and the DuckDB oracle) outranks reference tie
+    // parity here.
     if (roundColumns.contains(target)) floor(c + lit(0.5)).cast("double") else c
 
   /** Scaled feature matrix (ref fit scales features, L201) via the

@@ -9,6 +9,24 @@ class AnnIndexSpec extends SparkSpec {
 
   private val sf = "/root/testdata/sf0.001"
 
+  /** True iff some scan's `PartitionFilters: [...]` carries the STATIC
+    * probed-list membership filter — the bracket-extraction discipline
+    * (SourcesSpec), tightened one level: FileSourceScanExec prints the
+    * `PartitionFilters` key (and the `list` output attribute) on EVERY
+    * partitioned-parquet scan, and the equality join pushes
+    * `isnotnull(list#…)` plus a `dynamicpruningexpression(list#… IN
+    * dynamicpruning#…)` into the bracket even with the static filter
+    * deleted — so neither a bare substring check nor "`list` inside a
+    * bracket" can fail. Only the literal value form is the plan-time
+    * pruning the index exists for — `list#62 IN (0,1)` / `list#62 INSET
+    * 0,1`, or `list#62 = 3` (Catalyst folds a one-element isin to
+    * equality at nProbe=1); verified by hand to FAIL when the
+    * `isin(probedLists)` filter is removed. */
+  private def hasProbedListFilter(planStr: String): Boolean =
+    """PartitionFilters: \[([^\]]*)\]""".r
+      .findAllMatchIn(planStr).map(_.group(1))
+      .exists(c => """list#\d+ (IN \(|INSET |= \d)""".r.findFirstIn(c).isDefined)
+
   test("persisted-index results equal the in-query ivfTopK bitwise") {
     val e = graft.Tables(spark, sf, "embeddings")
     val queries = e.filter(col("vec_id") % 97 === 0)
@@ -52,7 +70,8 @@ class AnnIndexSpec extends SparkSpec {
     assert(Set(100L, 104L).contains(top(0).getLong(1)),
       s"appended vector not served first: ${top.toSeq}")
     val planStr = out.queryExecution.executedPlan.toString
-    assert(planStr.contains("PartitionFilters"), "append broke partition pruning")
+    assert(hasProbedListFilter(planStr),
+      s"append broke partition pruning:\n$planStr")
   }
 
   test("pairsIncremental: exact precision, planted recall, fold visibility, self-drop") {
@@ -174,7 +193,7 @@ class AnnIndexSpec extends SparkSpec {
     // the layout-pruning property the incremental probe exists for: the
     // corpus side must scan ONLY the probed lists' partitions
     val planStr = out.queryExecution.executedPlan.toString
-    assert(planStr.contains("PartitionFilters") && planStr.contains("list"),
+    assert(hasProbedListFilter(planStr),
       s"no partition filter on the corpus scan:\n$planStr")
     // these vectors are all positive multiples of the ones vector =>
     // cosine 1 within AND across lists; the probe finds its 2 lists' members
@@ -194,7 +213,7 @@ class AnnIndexSpec extends SparkSpec {
     // the scan must carry a partition filter on the probed lists — the
     // layout-pruning property the index exists for
     val planStr = out.queryExecution.executedPlan.toString
-    assert(planStr.contains("PartitionFilters") && planStr.contains("list"),
+    assert(hasProbedListFilter(planStr),
       s"no partition filter on the vectors scan:\n$planStr")
     assert(out.count() == 3)
   }
