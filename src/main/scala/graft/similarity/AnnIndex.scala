@@ -32,13 +32,45 @@ object AnnIndex {
     c.write.mode("overwrite").partitionBy("list").parquet(s"$path/vectors")
   }
 
+  /** One maintenance lease per index root — held by [[append]] across its
+    * write and by [[compact]]/[[retrain]] across their snapshot/publish
+    * windows (the band/fingerprint index family contract,
+    * [[graft.sources.Sources.withSwapLock]]). Probes stay lock-free. */
+  private def maintenanceLock(path: String): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(s"$path/_maintenance_lock")
+
+  /** NON-MUTATING reader-side swap resolution: the table path to read now
+    * — live, or the `_old` backup while a [[compact]]/[[retrain]] publish
+    * is in flight (or crashed mid-swap). Partition discovery works under
+    * an explicitly-given `_`-prefixed root, so the pruned probe reads the
+    * backup's `list=` layout identically. */
+  private def resolvedTable(spark: SparkSession, path: String,
+                            sub: String): String = {
+    val live = new org.apache.hadoop.fs.Path(s"$path/$sub")
+    graft.sources.Sources.resolveSwap(
+      live.getFileSystem(spark.sparkContext.hadoopConfiguration), live,
+      new org.apache.hadoop.fs.Path(s"$path/_${sub}_old")).toString
+  }
+
+  /** APPENDER-side restore — call only while HOLDING the maintenance
+    * lease: a missing live table with a backup present can only be a
+    * crashed [[compact]]/[[retrain]] publish. */
+  private def restoreIndexUnderLock(spark: SparkSession, path: String): Unit = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    for (sub <- Seq("vectors", "centroids")) {
+      val live = new org.apache.hadoop.fs.Path(s"$path/$sub")
+      graft.sources.Sources.restoreUnderLock(live.getFileSystem(hconf), live,
+        new org.apache.hadoop.fs.Path(s"$path/_${sub}_old"))
+    }
+  }
+
   /** Assign each batch vector to its nearest persisted centroid (cosine,
     * ties to the lower list id — the ivfTopK probe rule at nProbe=1).
     * Centroids broadcast; the batch streams once. */
   private def assignLists(spark: SparkSession, path: String, batch: DataFrame,
                           idCol: String, vecCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val centroids = spark.read.parquet(s"$path/centroids")
+    val centroids = spark.read.parquet(resolvedTable(spark, path, "centroids"))
     batch.select(col(idCol).as("vec_id"), toDouble(col(vecCol)).as("v"))
       .join(broadcast(centroids), lit(true))
       .withColumn("_cs", cosine(col("v"), col("cv")))
@@ -61,7 +93,7 @@ object AnnIndex {
     val bc = assigned.groupBy("list")
       .agg(call_function("graft_vec_avg", col("v")).as("bv"),
         count(lit(1)).as("n_batch"))
-    val trained = spark.read.parquet(s"$path/centroids")
+    val trained = spark.read.parquet(resolvedTable(spark, path, "centroids"))
     bc.join(broadcast(trained), Seq("list"))
       .select(col("list"), col("n_batch"),
         (floor((cosine(col("bv"), col("cv"))) * lit(1e6) + lit(0.5)) / lit(1e6)).as("centroid_cos"))
@@ -84,18 +116,137 @@ object AnnIndex {
     * converges: the retry appends exactly the missing ids. The guard
     * treats vec_id as an immutable content key — re-appending a CHANGED
     * vector under an old id is a no-op by design (re-train for encoder
-    * migrations). */
+    * migrations).
+    *
+    * Holds the index's maintenance lease across the write (the
+    * appendToBandIndex contract): a concurrent [[compact]] then cannot
+    * rename the table out from under the append's output committer, and
+    * the reconciling publish copies any batch that landed during its
+    * rewrite across the swap. */
   def append(spark: SparkSession, path: String, batch: DataFrame,
              idCol: String, vecCol: String): Unit = {
-    // assigned feeds the guard AND the write — pin once (lazy: no job at
-    // plan-build time; materializes inside the first action)
-    val assigned = assignLists(spark, path, batch, idCol, vecCol)
-      .localCheckpoint(eager = false)
-    val indexed = spark.read.parquet(s"$path/vectors").select("vec_id")
-    val hits = indexed.join(broadcast(assigned.select("vec_id")),
-      Seq("vec_id"), "left_semi")
-    assigned.join(broadcast(hits), Seq("vec_id"), "left_anti")
-      .write.mode("append").partitionBy("list").parquet(s"$path/vectors")
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    graft.sources.Sources.withSwapLock(fs, maintenanceLock(path)) {
+      restoreIndexUnderLock(spark, path)
+      // assigned feeds the guard AND the write — pin once (lazy: no job at
+      // plan-build time; materializes inside the first action)
+      val assigned = assignLists(spark, path, batch, idCol, vecCol)
+        .localCheckpoint(eager = false)
+      val indexed = spark.read.parquet(s"$path/vectors").select("vec_id")
+      val hits = indexed.join(broadcast(assigned.select("vec_id")),
+        Seq("vec_id"), "left_semi")
+      assigned.join(broadcast(hits), Seq("vec_id"), "left_anti")
+        .write.mode("append").partitionBy("list").parquet(s"$path/vectors")
+    }
+  }
+
+  /** Compact the appended-to vectors layout — the one index family member
+    * that was missing it (digest/band/fingerprint indexes all compact):
+    * every [[append]]/micro-batch lands one-plus parquet files into each
+    * touched `list=` partition, so months of [[graft.streaming.Streams
+    * .embedIndexed]] ingest accumulate thousands of tiny files per list
+    * and every pruned probe pays per-file open cost. Rewrites the layout
+    * to ONE sized file per list (rows per list are bounded by the
+    * occupancy contract — targetListSize at build, linear overload past
+    * the cap, at which point [[retrain]]/sharding is the answer anyway)
+    * behind the reconciling backed-up rename swap: snapshot the file list
+    * under the lease, rewrite OUTSIDE it (appenders flow; their
+    * mid-rewrite batches are copied across the swap into the right
+    * partition), publish under the lease. Any single crash leaves at
+    * worst the old layout live; probes racing the publish window resolve
+    * to the backup ([[resolvedTable]]). Geometry and content untouched —
+    * probe/serve results are bitwise-invariant (spec-pinned). Centroids
+    * are one tiny file already and never append — nothing to compact.
+    * Run on the ordinary parquet-compaction cadence. */
+  def compact(spark: SparkSession, path: String): Unit = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val live = new org.apache.hadoop.fs.Path(s"$path/vectors")
+    val tmp = new org.apache.hadoop.fs.Path(s"$path/_vectors_compacting")
+    val old = new org.apache.hadoop.fs.Path(s"$path/_vectors_old")
+    val fs = live.getFileSystem(hconf)
+    val lock = maintenanceLock(path)
+    // lease scope 1: recovery + snapshot (released during the rewrite)
+    val snapshot = graft.sources.Sources.withSwapLock(fs, lock) {
+      graft.sources.Sources.recoverSwap(fs, live, tmp, old)
+      graft.sources.Sources.dataFilesRecursive(fs, live)
+    }
+    if (snapshot.isEmpty) return
+    // rewrite the SNAPSHOT (basePath keeps the list partition column):
+    // one shuffle hash-keyed on list → each list's rows coalesce into one
+    // task → exactly one file per list partition
+    spark.read.option("basePath", live.toString)
+      .parquet(snapshot.toSeq.sorted.map(f => s"$live/$f"): _*)
+      .repartition(col("list"))
+      .write.partitionBy("list").parquet(tmp.toString)
+    // lease scope 2: the publish window
+    graft.sources.Sources.withSwapLock(fs, lock) {
+      graft.sources.Sources.publishSwapReconcileRecursive(fs, live, tmp, old,
+        snapshot)
+    }
+  }
+
+  /** Re-train a DRIFTED index from its own persisted vectors — the rekey
+    * analogue ([[graft.dedup.FingerprintIndex.rekey]] is the family
+    * precedent): when [[driftGate]] flags `retrain=true` (new encoder
+    * version, new domain force-appended), the trained partitioning no
+    * longer matches the data and probes lose recall. Deterministic
+    * angular Lloyd ([[KMeans]] — unit-sphere projection, the
+    * [[AnnIvf.selfPairs]] discipline) over the persisted vectors derives
+    * `AnnIvf.ivfLists(n, targetListSize)` fresh centroids, every vector
+    * re-assigns to its nearest new centroid (one codegen argmin pass, no
+    * join), and BOTH tables re-publish behind the backed-up rename swap —
+    * vectors first, then centroids, under ONE maintenance lease (appends
+    * block for the duration; the lease heartbeat keeps it alive across
+    * the Lloyd passes). The persisted centroids stay writeIvf-semantics:
+    * per-list mean of the RAW member vectors (magnitude is irrelevant to
+    * the cosine probes). Lock-free probes racing the inter-publish window
+    * can pair new vectors with old centroids — a RECALL-only race (the
+    * cosine verify is exact), same documented contract as rekey. A crash
+    * BETWEEN the two publishes leaves a mismatched layout/model pair —
+    * also recall-only, and re-running retrain converges: everything is
+    * re-derived from the vectors table alone.
+    * No content is dropped or re-encoded: ids and vectors are exactly the
+    * persisted set, only `list` changes. */
+  def retrain(spark: SparkSession, path: String,
+              targetListSize: Long = 256L, iters: Int = 3): Unit = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(hconf)
+    graft.sources.Sources.withSwapLock(fs, maintenanceLock(path)) {
+      restoreIndexUnderLock(spark, path)
+      // drop the stale list column; pin once — Lloyd passes, the argmin
+      // assignment, the vectors write and the centroid rollup all re-read
+      val vecs = spark.read.parquet(s"$path/vectors")
+        .select(col("vec_id"), col("v")).localCheckpoint()
+      val n = vecs.count()
+      val k = AnnIvf.ivfLists(n, targetListSize)
+      // angular objective: unit-sphere projection (zero vectors kept as-is
+      // — no cosine neighbors, any list serves them); v rides along so the
+      // assignment is a pure projection, no re-join against the corpus
+      val unit = vecs.select(col("vec_id"), col("v"),
+        when(norm(col("v")) > 0.0,
+          transform(col("v"), x => x / norm(col("v"))))
+          .otherwise(col("v")).as("u"))
+      val model = KMeans.fitCentroids(unit, "vec_id", "u", k, iters)
+      val relaid = unit.select(col("vec_id"), col("v"),
+          KMeans.assignCol(col("u"), model).as("list"))
+        .localCheckpoint(eager = false) // feeds the write + the rollup
+      val vTmp = new org.apache.hadoop.fs.Path(s"$path/_vectors_retraining")
+      val vLive = new org.apache.hadoop.fs.Path(s"$path/vectors")
+      val vOld = new org.apache.hadoop.fs.Path(s"$path/_vectors_old")
+      graft.sources.Sources.recoverSwap(fs, vLive, vTmp, vOld)
+      relaid.repartition(col("list"))
+        .write.partitionBy("list").parquet(vTmp.toString)
+      val newCentroids = relaid.groupBy("list")
+        .agg(call_function("graft_vec_avg", col("v")).as("cv"))
+      val cTmp = new org.apache.hadoop.fs.Path(s"$path/_centroids_retraining")
+      val cLive = new org.apache.hadoop.fs.Path(s"$path/centroids")
+      val cOld = new org.apache.hadoop.fs.Path(s"$path/_centroids_old")
+      graft.sources.Sources.recoverSwap(fs, cLive, cTmp, cOld)
+      newCentroids.coalesce(1).write.parquet(cTmp.toString)
+      graft.sources.Sources.publishSwap(fs, vLive, vTmp, vOld)
+      graft.sources.Sources.publishSwap(fs, cLive, cTmp, cOld)
+    }
   }
 
   /** The refresh policy in one call: gate the batch, APPEND if every
@@ -136,7 +287,7 @@ object AnnIndex {
                        nProbe: Int = 2,
                        smallBatch: Boolean = true): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val centroids = spark.read.parquet(s"$path/centroids")
+    val centroids = spark.read.parquet(resolvedTable(spark, path, "centroids"))
     val b = batch.select(col(idCol).as("vec_id"), toDouble(col(vecCol)).as("v"))
       .dropDuplicates("vec_id")
     val probes = b.join(broadcast(centroids), lit(true))
@@ -153,7 +304,7 @@ object AnnIndex {
     val bside = if (smallBatch) broadcast(bq) else bq
     // batch vs corpus: pruned scan of the probed lists only; hamming
     // discipline — verify INSIDE the join projection, pair-dedup after
-    val corpus = spark.read.parquet(s"$path/vectors")
+    val corpus = spark.read.parquet(resolvedTable(spark, path, "vectors"))
       .filter(col("list").isin(probedLists: _*))
       .withColumn("_nv", norm(col("v")))
     val bc = corpus.select(col("list"), col("vec_id").as("_cid"),
@@ -183,7 +334,7 @@ object AnnIndex {
   def ivfTopK(spark: SparkSession, path: String, queries: DataFrame,
               idCol: String, vecCol: String, k: Int, nProbe: Int = 2): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val centroids = spark.read.parquet(s"$path/centroids")
+    val centroids = spark.read.parquet(resolvedTable(spark, path, "centroids"))
     val q = queries.select(col(idCol).as("query_id"), toDouble(col(vecCol)).as("qv"))
     val probes = q.join(broadcast(centroids), lit(true))
       .select(col("query_id"), col("qv"), col("list"),
@@ -196,7 +347,7 @@ object AnnIndex {
     // bounded collect: ≤ queries × nProbe ids — drives STATIC partition
     // pruning on the persisted layout (the whole point of the index)
     val probedLists = probes.select("list").distinct().collect().map(_.get(0))
-    val vectors = spark.read.parquet(s"$path/vectors")
+    val vectors = spark.read.parquet(resolvedTable(spark, path, "vectors"))
       .filter(col("list").isin(probedLists: _*))
       .withColumn("_nv", norm(col("v")))
     val cands = vectors

@@ -36,8 +36,11 @@ object KMeans {
   }
 
   /** 0-based id of the nearest centroid (first index achieving the min —
-    * deterministic under distance ties). */
-  private def assignCol(v: Column, centroids: Array[Array[Double]]): Column = {
+    * deterministic under distance ties). `private[similarity]` so
+    * [[AnnIndex.retrain]] can assign with the SAME centroids it just
+    * fitted (assign() refits internally, which would double the Lloyd
+    * passes and could drift from the persisted model). */
+  private[similarity] def assignCol(v: Column, centroids: Array[Array[Double]]): Column = {
     val dists = array(centroids.map(c => sqDist(v, c)): _*)
     (array_position(dists, array_min(dists)) - 1).cast("int")
   }

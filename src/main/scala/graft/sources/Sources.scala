@@ -469,4 +469,80 @@ object Sources {
     restoreSwap(fs, live, old)
     fs.delete(tmp, true)
   }
+
+  /** [[dataFiles]] for a PARTITIONED table directory (Hive-style
+    * `col=value/part-*.parquet` subdirs, e.g. the IVF layout's `list=N`):
+    * the table-relative paths of every visible data file, descending only
+    * into visible subdirectories — `_SUCCESS`, checksums, and in-flight
+    * `_temporary`/`.`-prefixed state excluded at every level. Relative
+    * paths (not bare names) because a reconciling compactor must copy a
+    * late-appended file back into the SAME partition subdirectory. */
+  def dataFilesRecursive(fs: org.apache.hadoop.fs.FileSystem,
+                         dir: org.apache.hadoop.fs.Path): Set[String] = {
+    def walk(d: org.apache.hadoop.fs.Path, prefix: String): Iterator[String] =
+      fs.listStatus(d).iterator.filter { st =>
+        val n = st.getPath.getName
+        !n.startsWith("_") && !n.startsWith(".")
+      }.flatMap { st =>
+        if (st.isDirectory) walk(st.getPath, s"$prefix${st.getPath.getName}/")
+        else Iterator(prefix + st.getPath.getName)
+      }
+    if (!fs.exists(dir)) Set.empty else walk(dir, "").toSet
+  }
+
+  /** [[publishSwapReconcile]] for a PARTITIONED table: `snapshot` holds
+    * table-RELATIVE paths from [[dataFilesRecursive]], and a file that
+    * landed after the snapshot is copied into the matching partition
+    * subdirectory of `tmp` (created on demand) — so a cooperating
+    * appender's micro-batch that raced the rewrite survives the swap in
+    * the right partition, never flattened into the table root. Same
+    * contract as the flat variant: run under the table's
+    * [[withSwapLock]] lease, single-compactor, late copies may duplicate
+    * rows a crash-retried append also left (removed by the next
+    * compact). */
+  def publishSwapReconcileRecursive(fs: org.apache.hadoop.fs.FileSystem,
+                                    live: org.apache.hadoop.fs.Path,
+                                    tmp: org.apache.hadoop.fs.Path,
+                                    old: org.apache.hadoop.fs.Path,
+                                    snapshot: Set[String]): Unit = {
+    require(fs.exists(live) || !fs.exists(old),
+      s"backup $old is the only copy — run recoverSwap before publishSwapReconcileRecursive")
+    if (fs.exists(old)) require(fs.delete(old, true), s"stale backup stuck: $old")
+    if (fs.exists(live))
+      require(fs.rename(live, old), s"backup rename failed: $live -> $old")
+    if (fs.exists(old)) {
+      dataFilesRecursive(fs, old).iterator.filter(!snapshot.contains(_))
+        .foreach { rel =>
+          val src = new org.apache.hadoop.fs.Path(old, rel)
+          val dst = new org.apache.hadoop.fs.Path(tmp, rel)
+          fs.mkdirs(dst.getParent)
+          require(org.apache.hadoop.fs.FileUtil.copy(fs, src, fs, dst,
+            false, fs.getConf),
+            s"late-append reconcile copy failed: $src -> $dst")
+        }
+    }
+    absorbRecreatedLiveRecursive(fs, live, tmp)
+    require(fs.rename(tmp, live), s"publish rename failed: $tmp -> $live")
+    fs.delete(old, true)
+  }
+
+  /** [[absorbRecreatedLive]] for a PARTITIONED table: a non-cooperating
+    * writer's recreated `live` has its visible data files moved into the
+    * matching partition subdirectories of `tmp` (committed rows survive;
+    * the writer's `_temporary` half-state is discarded and its commit
+    * fails loudly — the correct outcome for a lock violation), then the
+    * recreated directory is cleared so the final rename lands clean. */
+  def absorbRecreatedLiveRecursive(fs: org.apache.hadoop.fs.FileSystem,
+                                   live: org.apache.hadoop.fs.Path,
+                                   tmp: org.apache.hadoop.fs.Path): Unit = {
+    if (!fs.exists(live)) return
+    dataFilesRecursive(fs, live).foreach { rel =>
+      val src = new org.apache.hadoop.fs.Path(live, rel)
+      val dst = new org.apache.hadoop.fs.Path(tmp, rel)
+      fs.mkdirs(dst.getParent)
+      require(fs.rename(src, dst),
+        s"recreated-live absorb failed: $src -> $dst")
+    }
+    require(fs.delete(live, true), s"recreated live dir stuck: $live")
+  }
 }

@@ -306,6 +306,68 @@ object StreamScalingBench {
       } finally q.stop()
     }
 
+    // stream_embed_indexed: C corpus vectors in 16 lists; streamed ids
+    // unique, every 3rd row a verbatim copy of a corpus vector (the alert
+    // path stays hot at minCos 0.95). Laws, gated: vectors rows = C + n
+    // exactly (id-guarded append); and the FILES-PER-LIST law — each
+    // micro-batch appends one-plus files into its touched list partitions
+    // (recorded before), and AnnIndex.compact must collapse every list to
+    // exactly ONE file with the row law intact (probe/serve bitwise
+    // invariance is pinned in AnnIndexSpec) — the unbounded small-file
+    // growth this face would otherwise accumulate over months of ingest.
+    for (n <- Seq(2000, 8000)) {
+      val dir = java.nio.file.Files.createTempDirectory("graft_ssb_em").toString
+      val c = 1000
+      val rnd = new java.util.Random(0xE3BED + n)
+      def rvec(): Array[Float] = Array.fill(8)(rnd.nextGaussian().toFloat)
+      val corpusV = (0 until c).map(i => (i.toLong, rvec(), i % 16))
+      graft.similarity.AnnIndex.writeIvf(
+        corpusV.toDF("vec_id", "embedding", "label"),
+        "vec_id", "embedding", "label", s"$dir/index")
+      val streamed = (0 until n).map { i =>
+        val id = (c + i).toLong
+        if (i % 3 == 2) (id, corpusV(i % c)._2) else (id, rvec())
+      }
+      val input = MemoryStream[(Long, Array[Float])]
+      val q = graft.streaming.Streams.embedIndexed(
+          input.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+          s"$dir/index", s"$dir/alerts", minCos = 0.95)
+        .option("checkpointLocation", s"$dir/ckpt").start()
+      try {
+        val batchSecs = streamed.grouped(n / nBatches).map { g =>
+          val t0 = System.nanoTime()
+          input.addData(g: _*); q.processAllAvailable()
+          (System.nanoTime() - t0) / 1e9
+        }.toSeq
+        def filesPerList(): Seq[Int] =
+          new java.io.File(s"$dir/index/vectors").listFiles
+            .filter(f => f.isDirectory && f.getName.startsWith("list="))
+            .map(_.listFiles.count(f => f.isFile && f.getName.endsWith(".parquet")))
+            .toSeq
+        val vecRows = spark.read.parquet(s"$dir/index/vectors").count()
+        gate("stream_embed_indexed", "vector_rows", vecRows, c + n)
+        val fplBefore = filesPerList()
+        if (fplBefore.max < 2)
+          lawViolations += "stream_embed_indexed: ingest left no file pileup to compact"
+        graft.similarity.AnnIndex.compact(spark, s"$dir/index")
+        val fplAfter = filesPerList()
+        gate("stream_embed_indexed", "files_per_list_after_compact",
+          fplAfter.max.toLong, 1L)
+        gate("stream_embed_indexed", "vector_rows_after_compact",
+          spark.read.parquet(s"$dir/index/vectors").count(), c + n)
+        val line = s"""{"face":"stream_embed_indexed","rows_in":$n,""" +
+          s""""sec":${fmt(batchSecs.sum)},"rows_per_sec":${fmt(n / batchSecs.sum)},""" +
+          s""""state_rows":$vecRows,""" +
+          s""""out_rows":${spark.read.parquet(s"$dir/alerts").count()},""" +
+          s""""batch_sec_first":${fmt(batchSecs.head)},""" +
+          s""""batch_sec_last":${fmt(batchSecs.last)},""" +
+          s""""files_per_list_before":${fplBefore.max},""" +
+          s""""files_per_list_after":${fplAfter.max}}"""
+        results += line
+        println(line)
+      } finally q.stop()
+    }
+
     val json = "[" + results.mkString(",") + "]"
     println(json)
     val outPath = sys.env.getOrElse("SPARK_GRAFT_STREAM_SCALING_OUT",

@@ -218,6 +218,98 @@ class AnnIndexSpec extends SparkSpec {
     assert(out.count() == 3)
   }
 
+  test("compact rewrites each list to one file; probe and serve are bitwise-invariant") {
+    import spark.implicits._
+    def vec(i: Long): Array[Float] = {
+      val rnd = new scala.util.Random(i)
+      Array.fill(8)(rnd.nextGaussian().toFloat)
+    }
+    val vecs = (0L until 60L).map(i => (i, vec(i), (i % 5).toInt))
+      .toDF("vec_id", "embedding", "label")
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_cpt").toString
+    AnnIndex.writeIvf(vecs, "vec_id", "embedding", "label", dir)
+    // three ingest batches: the per-append small-file pileup compact stops
+    for (b <- 0 until 3) {
+      val batch = (100L + b * 10 until 110L + b * 10)
+        .map(i => (i, vec(i))).toDF("vec_id", "embedding")
+      AnnIndex.append(spark, dir, batch, "vec_id", "embedding")
+    }
+    def filesPerList(): Map[String, Int] = {
+      val root = new java.io.File(s"$dir/vectors")
+      root.listFiles.filter(f => f.isDirectory && f.getName.startsWith("list="))
+        .map(d => d.getName ->
+          d.listFiles.count(f => f.isFile && f.getName.endsWith(".parquet")))
+        .toMap
+    }
+    val before = filesPerList()
+    assert(before.values.exists(_ > 1), s"append pileup not created: $before")
+    val queries = vecs.filter(col("vec_id") % 7 === 0)
+    def serve() = AnnIndex.ivfTopK(spark, dir, queries, "vec_id", "embedding",
+        k = 5, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    val probeBatch = Seq((900L, vec(5L))).toDF("vec_id", "embedding")
+    def probe() = AnnIndex.pairsIncremental(spark, dir, probeBatch,
+        "vec_id", "embedding", minCos = 0.5, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val (sBefore, pBefore) = (serve(), probe())
+    assert(sBefore.nonEmpty && pBefore.nonEmpty)
+    AnnIndex.compact(spark, dir)
+    val after = filesPerList()
+    assert(after.keySet == before.keySet, "compact must not drop a list partition")
+    assert(after.values.forall(_ == 1), s"compact must leave one file per list: $after")
+    assert(serve() == sBefore, "serve changed across compact")
+    assert(probe() == pBefore, "probe changed across compact")
+    // content identical, not just query-visible: every (id) row survives
+    assert(spark.read.parquet(s"$dir/vectors").count() == 90)
+  }
+
+  test("retrain recovers recall after an off-manifold domain lands in the index") {
+    import spark.implicits._
+    def oneHot(l: Int) = Array.tabulate(4)(d => if (d == l) 1f else 0.1f)
+    val vecs = (0L until 40L).map(i => (i, oneHot((i % 4).toInt), (i % 4).toInt))
+      .toDF("vec_id", "embedding", "label")
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_rt").toString
+    AnnIndex.writeIvf(vecs, "vec_id", "embedding", "label", dir)
+    // drifted domain: a tight diagonal cluster whose max coordinate
+    // rotates member-by-member, so the OLD one-hot geometry scatters the
+    // cluster across ALL four lists (3 members each)
+    def diag(i: Int) = Array.tabulate(4)(d => if (d == i % 4) 0.55f else 0.5f)
+    val drifted = (200L until 212L).map(i => (i, diag((i - 200L).toInt)))
+      .toDF("vec_id", "embedding")
+    val gate1 = AnnIndex.driftGate(spark, dir, drifted, "vec_id", "embedding")
+    assert(gate1.filter(col("retrain")).count() > 0,
+      "off-manifold batch must trip the gate")
+    // the operator rules the new domain legitimate: force-append (append
+    // IS the gate bypass), then retrain the geometry it broke
+    AnnIndex.append(spark, dir, drifted, "vec_id", "embedding")
+    // drifted-slice recall: how much of the diagonal cluster a diagonal
+    // query can SEE through the pruned nProbe=2 serve (all 12 members tie
+    // on cosine, so id-set counting, not rank, is the honest measure)
+    val q = Seq((999L, Array(0.5f, 0.5f, 0.5f, 0.5f))).toDF("vec_id", "embedding")
+    def driftedVisible(): Double = {
+      val got = AnnIndex.ivfTopK(spark, dir, q, "vec_id", "embedding",
+          k = 12, nProbe = 2)
+        .collect().map(_.getLong(1)).toSet
+      got.count(_ >= 200L) / 12.0
+    }
+    val before = driftedVisible()
+    assert(before <= 0.5, s"old geometry should scatter the cluster: $before")
+    AnnIndex.retrain(spark, dir, targetListSize = 8L)
+    val after = driftedVisible()
+    assert(after == 1.0,
+      s"retrain must gather the drifted cluster: before=$before after=$after")
+    // the re-trained model accepts the new domain: a fresh batch passes
+    val fresh = (300L until 306L).map(i => (i, diag((i - 300L).toInt + 2)))
+      .toDF("vec_id", "embedding")
+    val gate2 = AnnIndex.driftGate(spark, dir, fresh, "vec_id", "embedding")
+    assert(gate2.filter(col("retrain")).count() == 0,
+      gate2.collect().mkString(", "))
+    // nothing dropped, nothing re-encoded: exactly the 52 persisted ids
+    assert(spark.read.parquet(s"$dir/vectors")
+      .select("vec_id").distinct().count() == 52)
+  }
+
   test("ann_index_recall face audits the persisted index before AND after append") {
     val rows = graft.queries.Q.annIndexRecall(spark, "/root/testdata/sf0.001")
       .orderBy("phase").collect()

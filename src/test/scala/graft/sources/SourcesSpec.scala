@@ -242,6 +242,38 @@ class SourcesSpec extends SparkSpec {
     assert(!fs.exists(lock), "lease file leaked after release")
   }
 
+  test("recursive reconcile swap preserves a late-appended partition file in place") {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val base = java.nio.file.Files.createTempDirectory("graft_swap_rec").toString
+    val live = new org.apache.hadoop.fs.Path(s"$base/vectors")
+    val tmp = new org.apache.hadoop.fs.Path(s"$base/_vectors_compacting")
+    val old = new org.apache.hadoop.fs.Path(s"$base/_vectors_old")
+    def put(p: org.apache.hadoop.fs.Path, body: String): Unit = {
+      fs.mkdirs(p.getParent)
+      val o = fs.create(p, true); try o.write(body.getBytes("UTF-8")) finally o.close()
+    }
+    // a Hive-partitioned layout with hidden state at both levels
+    put(new org.apache.hadoop.fs.Path(live, "list=0/a.parquet"), "a")
+    put(new org.apache.hadoop.fs.Path(live, "list=1/b.parquet"), "b")
+    put(new org.apache.hadoop.fs.Path(live, "_SUCCESS"), "")
+    put(new org.apache.hadoop.fs.Path(live, "list=1/.b.parquet.crc"), "x")
+    val snapshot = Sources.dataFilesRecursive(fs, live)
+    assert(snapshot == Set("list=0/a.parquet", "list=1/b.parquet"),
+      s"hidden files must stay out of the snapshot: $snapshot")
+    // the compactor's rewrite of the snapshot
+    put(new org.apache.hadoop.fs.Path(tmp, "list=0/c.parquet"), "c")
+    put(new org.apache.hadoop.fs.Path(tmp, "list=1/d.parquet"), "d")
+    // a cooperating appender lands a micro-batch AFTER the snapshot
+    put(new org.apache.hadoop.fs.Path(live, "list=1/late.parquet"), "late")
+    Sources.publishSwapReconcileRecursive(fs, live, tmp, old, snapshot)
+    val after = Sources.dataFilesRecursive(fs, live)
+    assert(after == Set("list=0/c.parquet", "list=1/d.parquet",
+      "list=1/late.parquet"),
+      s"late append must survive the swap IN ITS PARTITION: $after")
+    assert(!fs.exists(old) && !fs.exists(tmp))
+  }
+
   test("withSwapLock mutually excludes, releases on failure, steals a stale lease") {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
