@@ -295,7 +295,13 @@ object Analytics {
       .groupBy(expr("ts div 86400000000000").as("d"))
       .agg(count(lit(1)).as("n_events")))
 
-  /** Generic robust-z face over a pre-aggregated (d, n_events) frame. */
+  /** Generic robust-z face over a pre-aggregated (d, n_events) frame.
+    * MAD = 0 (half the days share the median count) yields NULL, guarded
+    * in BOTH engines: the floor(x+0.5) rounding idiom is cross-engine-
+    * exact only on FINITE inputs — Spark's floor(double) returns LongType
+    * (±Inf saturates, NaN → 0) while DuckDB's floor keeps DOUBLE, so an
+    * unguarded /0 here would diverge face-from-oracle on degenerate data
+    * instead of matching (SF1_GATE "finite-input precondition"). */
   def robustZDaily(daily: DataFrame): DataFrame = {
     val med = daily.agg(expr("percentile(n_events, 0.5)").as("_med"))
     val mad = daily.crossJoin(broadcast(med))
@@ -303,8 +309,10 @@ object Analytics {
       .agg(expr("percentile(_dev, 0.5)").as("_mad"))
     daily.crossJoin(broadcast(med)).crossJoin(broadcast(mad))
       .select(col("d"), col("n_events"),
-        (floor(((col("n_events").cast("double") - col("_med"))
-          / (lit(1.4826) * col("_mad"))) * lit(1e6) + lit(0.5)) / lit(1e6)).as("robust_z"))
+        when(col("_mad") =!= 0.0,
+          floor(((col("n_events").cast("double") - col("_med"))
+            / (lit(1.4826) * col("_mad"))) * lit(1e6) + lit(0.5)) / lit(1e6))
+          .as("robust_z"))
   }
 
   /** Cohort retention matrix: users grouped by first-activity day, distinct

@@ -144,7 +144,12 @@ object Profile {
       val num = (col("_n") * col(s"_sp_${a}_${b}") - col(s"_s_$a") * col(s"_s_$b")).cast("double")
       val da = (col("_n") * col(s"_ss_$a") - col(s"_s_$a") * col(s"_s_$a")).cast("double")
       val db = (col("_n") * col(s"_ss_$b") - col(s"_s_$b") * col(s"_s_$b")).cast("double")
-      (lit(a), lit(b), (floor((num / (sqrt(da) * sqrt(db))) * lit(1e6) + lit(0.5)) / lit(1e6)))
+      // constant column ⇒ zero variance ⇒ NULL corr, guarded in BOTH
+      // engines: floor(x+0.5) is cross-engine-exact only on FINITE inputs
+      // (Spark floor(double) is LongType — ±Inf/NaN saturate; DuckDB's
+      // stays DOUBLE), so /0 must never reach the rounding idiom
+      (lit(a), lit(b), when(da =!= 0.0 && db =!= 0.0,
+        floor((num / (sqrt(da) * sqrt(db))) * lit(1e6) + lit(0.5)) / lit(1e6)))
     }
     val rows = stackArgs.map { case (a, b, c) =>
       struct(a.as("col_a"), b.as("col_b"), c.as("corr"))

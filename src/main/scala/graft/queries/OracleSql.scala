@@ -257,7 +257,9 @@ object OracleSql {
         |mad AS (SELECT quantile_cont(abs(CAST(n_events AS DOUBLE) - m), 0.5) AS mad
         |        FROM daily CROSS JOIN med)
         |SELECT d, n_events,
-        | floor(((CAST(n_events AS DOUBLE) - m) / (1.4826 * mad)) * 1000000.0 + 0.5) / 1000000.0 AS robust_z
+        | CASE WHEN mad <> 0 THEN
+        |  floor(((CAST(n_events AS DOUBLE) - m) / (1.4826 * mad)) * 1000000.0 + 0.5) / 1000000.0
+        | END AS robust_z
         |FROM daily CROSS JOIN med CROSS JOIN mad""".stripMargin,
 
     "events_cohort" ->
@@ -1505,9 +1507,12 @@ object OracleSql {
         ("d", "l_discount"), ("t", "l_tax"))
       val corrRow = (a: String, an: String, b: String, bn: String) =>
         s"""SELECT '$an' AS col_a, '$bn' AS col_b,
+           | CASE WHEN CAST(n*ss_$a - s_$a*s_$a AS DOUBLE) <> 0
+           |   AND CAST(n*ss_$b - s_$b*s_$b AS DOUBLE) <> 0 THEN
            | floor((CAST(n*sp_$a$b - s_$a*s_$b AS DOUBLE)
            |  / (sqrt(CAST(n*ss_$a - s_$a*s_$a AS DOUBLE))
-           |     * sqrt(CAST(n*ss_$b - s_$b*s_$b AS DOUBLE)))) * 1000000.0 + 0.5) / 1000000.0 AS corr FROM m""".stripMargin
+           |     * sqrt(CAST(n*ss_$b - s_$b*s_$b AS DOUBLE)))) * 1000000.0 + 0.5) / 1000000.0
+           | END AS corr FROM m""".stripMargin
       val rows = pairs.combinations(2).map { case Seq((a, an), (b, bn)) =>
         corrRow(a, an, b, bn)
       }.mkString("\nUNION ALL\n")

@@ -44,12 +44,58 @@ object GeometryRecall {
     nForced70: Long, forcedRecall70: Double,
     ivfLists: Int, nIvf: Long, ivfRecall: Double,
     nIvf70: Long, ivfRecall70: Double,
-    ivfOLists: Int, ivfORecall: Double, ivfORecall70: Double)
+    ivfOLists: Int, ivfORecall: Double, ivfORecall70: Double,
+    incLists: Int, nInc: Long, incRecall: Double,
+    nInc70: Long, incRecall70: Double)
 
   private case class Overload(
     factor: Int, nVecs: Long, lists: Int, occupancy: Long,
     nExact: Long, recall: Double, nExact70: Long, recall70: Double,
-    secs: Double)
+    secs: Double, incRecall: Double, incRecall70: Double)
+
+  /** Recall of the INCREMENTAL-PROBE geometry
+    * ([[graft.similarity.AnnIndex.pairsIncremental]] at nProbe=2 — the
+    * embed_dedup_incremental / stream_embed_indexed serving shape, which
+    * the ivf_pairs_* selfPairs rows do NOT directly measure: there the
+    * corpus is multi-assigned `assign` ways per side; here the persisted
+    * corpus is single-assigned and only the BATCH side probes 2 lists).
+    * Protocol: the non-sample vectors persist through writeIvf + retrain
+    * (the registered maintenance path — production Lloyd lists at the
+    * given occupancy), the sample becomes the ingest batch, and recall is
+    * the fraction of the exact batch-touching ground truth the probe
+    * reports (batch-corpus AND batch-internal pairs both count).
+    * Precision is exact by construction (cosine verify). Returns
+    * (lists, found, recall, found70, recall70); the index temp dir is
+    * deleted after the measurement. */
+  private def incrementalRecall(spark: SparkSession,
+      e: org.apache.spark.sql.DataFrame, exact: org.apache.spark.sql.DataFrame,
+      nExact: Long, nExact70: Long, minCos: Double,
+      targetListSize: Long): (Int, Long, Double, Long, Double) = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_georec_inc").toString
+    try {
+      val corpus = e.filter(col("vec_id") % 97 =!= 0)
+      // bootstrap layout with a hash list, then retrain to the production
+      // Lloyd geometry — the exact path a drifted production index takes
+      graft.similarity.AnnIndex.writeIvf(
+        corpus.withColumn("_l", pmod(xxhash64(col("vec_id")), lit(16)).cast("int")),
+        "vec_id", "embedding", "_l", dir)
+      graft.similarity.AnnIndex.retrain(spark, dir, targetListSize)
+      val lists = spark.read.parquet(s"$dir/centroids").count().toInt
+      val found = graft.similarity.AnnIndex.pairsIncremental(spark, dir,
+          e.filter(col("vec_id") % 97 === 0), "vec_id", "embedding",
+          minCos = minCos, nProbe = 2, smallBatch = false)
+        .join(exact, Seq("id_a", "id_b"), "left_semi")
+        .localCheckpoint()
+      val nInc = found.count()
+      val nInc70 = found.join(exact.filter(col("cos") >= 0.7),
+        Seq("id_a", "id_b"), "left_semi").count()
+      (lists, nInc, if (nExact == 0) 1.0 else nInc.toDouble / nExact,
+        nInc70, if (nExact70 == 0) 1.0 else nInc70.toDouble / nExact70)
+    } finally {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+  }
 
   /** One deterministic perturbed high-cosine copy of every vec_id %% 97
     * vector (cos ~ [0.76, 0.99]) — the synthetic embeddings have no
@@ -222,6 +268,10 @@ object GeometryRecall {
       val ivfORecall = if (nExact == 0) 1.0 else nIvfO.toDouble / nExact
       val ivfORecall70 = if (nExact70 == 0) 1.0 else nIvfO70.toDouble / nExact70
 
+      // THE INCREMENTAL-PROBE tier, floored per decade like the rest
+      val (incLists, nInc, incRecall, nInc70, incRecall70) =
+        incrementalRecall(spark, e, exact, nExact, nExact70, minCos, 256L)
+
       System.err.println(f"[recall] $dir docs=$nDocs d=$dAdapt sim=$simRecall%.4f " +
         f"trunc(h=$hTrunc)=$truncRecall%.4f perm(w=$wPerm,t=$tPerm)=$permRecall%.4f " +
         f"vecs=$nVecs planes=$planes probes=$probes " +
@@ -229,14 +279,16 @@ object GeometryRecall {
         f"lsh70=$lshRecall70%.4f ($nFound70/$nExact70) " +
         f"forced(p=$fPlanes,t=$fTables)=$forcedRecall%.4f/70=$forcedRecall70%.4f " +
         f"ivf(l=$nIvfLists)=$ivfRecall%.4f/70=$ivfRecall70%.4f " +
-        f"ivfO(l=$ivfOLists)=$ivfORecall%.4f/70=$ivfORecall70%.4f")
+        f"ivfO(l=$ivfOLists)=$ivfORecall%.4f/70=$ivfORecall70%.4f " +
+        f"inc(l=$incLists,p=2)=$incRecall%.4f/70=$incRecall70%.4f")
       Decade(dir, nDocs, dAdapt, nFace, nLegacy, simRecall, hTrunc, truncRecall,
         wPerm, tPerm, nPerm, permRecall,
         nVecs, planes, probes, tables, nPlanted, nExact, nFound, lshRecall,
         nExact70, nFound70, lshRecall70,
         fPlanes, fTables, nForced, forcedRecall, nForced70, forcedRecall70,
         nIvfLists, nIvf, ivfRecall, nIvf70, ivfRecall70,
-        ivfOLists, ivfORecall, ivfORecall70)
+        ivfOLists, ivfORecall, ivfORecall70,
+        incLists, nInc, incRecall, nInc70, incRecall70)
     }
 
     // PAST-maxLists ENDGAME — the family discipline ("measure the next
@@ -266,9 +318,16 @@ object GeometryRecall {
         // xxhash64(vec_id, dim) — pads occupancy like real growth (random
         // 64-dim pairs still cross cos 0.35 in the tail, so the exact
         // ground truth grows too; the planted copies keep the cos70 tier
-        // populated). Fill ids sit past a second offset, ≢ 0 (mod 97).
+        // populated). Fill ids are FILTERED out of the vec_id % 97 query
+        // sample explicitly: the r15 offset arithmetic (fillOffset ≡ 1
+        // mod 97) silently let every id ≡ 96 (mod 97) fill vector — ~1/97
+        // of the fill, hundreds at factor 2-4 — participate as a QUERY,
+        // which the protocol text never described (ADVICE r15; the
+        // superlinear exact_sampled_pairs growth came from exactly those
+        // noise-as-query rows). Now the sample is provably corpus+planted.
         val fillOffset = 97L * 20310000L + 1L
         val fill = spark.range((factor - 1L) * n0)
+          .filter((col("id") + fillOffset) % 97 =!= 0)
           .select((col("id") + fillOffset).as("vec_id"),
             transform(sequence(lit(0), lit(63)), i =>
               ((pmod(xxhash64(col("id"), i), lit(20001)) - 10000).cast("double")
@@ -297,11 +356,18 @@ object GeometryRecall {
           Seq("id_a", "id_b"), "left_semi").count()
         val rec = if (nExact == 0) 1.0 else nFound.toDouble / nExact
         val rec70 = if (nExact70 == 0) 1.0 else nFound70.toDouble / nExact70
+        // the incremental probe at the SAME frozen-geometry overload:
+        // targetListSize scales with the factor so retrain derives the
+        // pinned list count and occupancy grows exactly like the cap
+        val (_, _, incR, _, incR70) = incrementalRecall(spark, eo, exact,
+          nExact, nExact70, minCos,
+          math.max(1L, (nV + listsPinned - 1) / listsPinned))
         System.err.println(f"[recall] overload x$factor vecs=$nV lists=$listsPinned " +
           f"occ=${nV / listsPinned} recall=$rec%.4f ($nFound/$nExact) " +
-          f"recall70=$rec70%.4f ($nFound70/$nExact70) secs=$secs%.1f")
+          f"recall70=$rec70%.4f ($nFound70/$nExact70) secs=$secs%.1f " +
+          f"inc=$incR%.4f/70=$incR70%.4f")
         Overload(factor, nV, listsPinned, nV / listsPinned,
-          nExact, rec, nExact70, rec70, secs)
+          nExact, rec, nExact70, rec70, secs, incR, incR70)
       }
     }
 
@@ -332,23 +398,30 @@ object GeometryRecall {
            |     "ivf_pairs_recall_cos70": ${f(r.ivfRecall70)},
            |     "ivf_overall_lists": ${r.ivfOLists},
            |     "ivf_overall_recall": ${f(r.ivfORecall)},
-           |     "ivf_overall_recall_cos70": ${f(r.ivfORecall70)}}""".stripMargin
+           |     "ivf_overall_recall_cos70": ${f(r.ivfORecall70)},
+           |     "ivf_incremental_lists": ${r.incLists},
+           |     "ivf_incremental_found": ${r.nInc},
+           |     "ivf_incremental_recall": ${f(r.incRecall)},
+           |     "ivf_incremental_found_cos70": ${r.nInc70},
+           |     "ivf_incremental_recall_cos70": ${f(r.incRecall70)}}""".stripMargin
     }.mkString(",\n")
     val overloadJson = overloadRows.map { o =>
       s"""    {"factor": ${o.factor}, "vectors": ${o.nVecs}, "lists_pinned": ${o.lists},
          |     "occupancy": ${o.occupancy}, "exact_sampled_pairs": ${o.nExact},
          |     "recall": ${f(o.recall)}, "exact_sampled_pairs_cos70": ${o.nExact70},
-         |     "recall_cos70": ${f(o.recall70)}, "generator_secs": ${f(o.secs)}}""".stripMargin
+         |     "recall_cos70": ${f(o.recall70)}, "generator_secs": ${f(o.secs)},
+         |     "ivf_incremental_recall": ${f(o.incRecall)},
+         |     "ivf_incremental_recall_cos70": ${f(o.incRecall70)}}""".stripMargin
     }.mkString(",\n")
     val w = new java.io.PrintWriter(outPath, "UTF-8")
     try w.println(
       s"""{
-  "protocol": "per decade: the registered simhash face (radius 7, adaptive block-combination pigeonhole) is exact by construction, so simhash_recall_vs_legacy is an IDENTITY TRIPWIRE (both sides exact hamming<=7 pair sets); simhash_trunc_fallback_recall is the superseded radius-truncation fallback kept for the record; simhash_permuted_forced_recall is the SATURATED-REGIME tier (SimHash.pairsFromFingerprintsPermuted) measured at the production-shaped geometry forced by targetOccupancy=1 (the mask width the regime switch would derive at ~32x this corpus) against the same exact ground truth — the number dedup_simhash/mm_phash actually pay past ~8M docs. lsh recall = fraction of the EXACT cosine>=$minCos pairs touching the deterministic vec_id%97 sample that the registered selfPairs geometry (adaptive planes, adaptive tables, adaptive margin-aware multi-probe) reports, overall and restricted to cos>=0.7. The corpus is augmented with one deterministic perturbed copy of every sampled vector (cos in ~[0.76, 0.99]) so the cos>=0.7 dedup-regime tier measures real pairs instead of 0/0. lsh_forced_saturated_* is the CLIFF ROW kept for the record (no floor): the capped-table geometry at the first plane width past AnnLsh.tablesExhausted — what a ~1M-vector corpus would pay if the table dial were left to saturate. ivf_pairs_* is the ROUTED TIER (AnnIvf.selfPairs at this decade's derived list count and IvfSweep-measured assign — the generator embed_cluster_lsh switches to past the gate, registered as the embed_cluster_ivf face), FLOORED: the routing answer stays measured, not asserted. Note the regime split the forced rows expose: the saturated-LSH cos70 recall stays 1.0 (near-dups never cliff, even past the cap), so the routing buys back the LOW-COS tier (overall 0.32 -> 0.58 at sf1) and the linear cost law. ivf_overall_* is the OVERALL-RECALL PRESET (AnnIvf.overallRecallListSize: doubled cells, same assign — the semantic-grouping knob). FLOORS: the tool exits nonzero when any decade (or overload point) measures below its floor — a silent next-decade regression fails the build instead of a narrative",
-  "floors": {"simhash_recall_vs_legacy": 1.0, "simhash_permuted_forced_recall": 0.8, "lsh_recall_vs_exact_sample": 0.8, "lsh_recall_cos70": 0.99, "ivf_pairs_recall": 0.5, "ivf_pairs_recall_cos70": 0.98, "ivf_overall_recall": 0.5, "ivf_overall_recall_cos70": 0.98, "ivf_overload_recall": 0.5, "ivf_overload_recall_cos70": 0.98},
+  "protocol": "per decade: the registered simhash face (radius 7, adaptive block-combination pigeonhole) is exact by construction, so simhash_recall_vs_legacy is an IDENTITY TRIPWIRE (both sides exact hamming<=7 pair sets); simhash_trunc_fallback_recall is the superseded radius-truncation fallback kept for the record; simhash_permuted_forced_recall is the SATURATED-REGIME tier (SimHash.pairsFromFingerprintsPermuted) measured at the production-shaped geometry forced by targetOccupancy=1 (the mask width the regime switch would derive at ~32x this corpus) against the same exact ground truth — the number dedup_simhash/mm_phash actually pay past ~8M docs. lsh recall = fraction of the EXACT cosine>=$minCos pairs touching the deterministic vec_id%97 sample that the registered selfPairs geometry (adaptive planes, adaptive tables, adaptive margin-aware multi-probe) reports, overall and restricted to cos>=0.7. The corpus is augmented with one deterministic perturbed copy of every sampled vector (cos in ~[0.76, 0.99]) so the cos>=0.7 dedup-regime tier measures real pairs instead of 0/0. lsh_forced_saturated_* is the CLIFF ROW kept for the record (no floor): the capped-table geometry at the first plane width past AnnLsh.tablesExhausted — what a ~1M-vector corpus would pay if the table dial were left to saturate. ivf_pairs_* is the ROUTED TIER (AnnIvf.selfPairs at this decade's derived list count and IvfSweep-measured assign — the generator embed_cluster_lsh switches to past the gate, registered as the embed_cluster_ivf face), FLOORED: the routing answer stays measured, not asserted. Note the regime split the forced rows expose: the saturated-LSH cos70 recall stays 1.0 (near-dups never cliff, even past the cap), so the routing buys back the LOW-COS tier (overall 0.32 -> 0.58 at sf1) and the linear cost law. ivf_overall_* is the OVERALL-RECALL PRESET (AnnIvf.overallRecallListSize: doubled cells, same assign — the semantic-grouping knob). ivf_incremental_* is the INCREMENTAL-PROBE geometry (AnnIndex.pairsIncremental at nProbe=2 — the embed_dedup_incremental / stream_embed_indexed serving shape: persisted corpus single-assigned through writeIvf+retrain at targetListSize 256, sample as the ingest batch, recall = fraction of the exact batch-touching truth reported; structurally below the selfPairs assign=4 rows because only the batch side multi-probes), floored per decade AND at the overload points. FLOORS: the tool exits nonzero when any decade (or overload point) measures below its floor — a silent next-decade regression fails the build instead of a narrative",
+  "floors": {"simhash_recall_vs_legacy": 1.0, "simhash_permuted_forced_recall": 0.8, "lsh_recall_vs_exact_sample": 0.8, "lsh_recall_cos70": 0.99, "ivf_pairs_recall": 0.5, "ivf_pairs_recall_cos70": 0.98, "ivf_overall_recall": 0.5, "ivf_overall_recall_cos70": 0.98, "ivf_overload_recall": 0.5, "ivf_overload_recall_cos70": 0.98, "ivf_incremental_recall": 0.35, "ivf_incremental_recall_cos70": 0.95, "ivf_incremental_overload_recall": 0.35, "ivf_incremental_overload_recall_cos70": 0.95},
   "decades": [
 $json
   ],
-  "ivf_overload_protocol": "past-maxLists endgame, measured BEFORE any corpus crosses the 16.7M-vector cap: lists pinned at the largest decade's at-cap shape (occupancy ~ targetListSize), corpus doubled twice with deterministic hash-fill vectors (plus the planted high-cos copies for the cos70 tier) while the pinned lists freeze the cell geometry exactly as the cap does in production; exact sampled ground truth recomputes per corpus. The frozen-geometry claim under test: a pair's split probability depends on its angle vs the FIXED cell size, not occupancy, so recall stays FLAT while generator cost grows linearly with the overload factor — past the cap IVF pays COST, never a recall cliff (the opposite failure mode from saturated LSH), so the routing answer is: stay on IVF and pay the linear occupancy term (or shard the corpus); the two-level coarse quantizer is a cost optimization, not a recall rescue",
+  "ivf_overload_protocol": "past-maxLists endgame, measured BEFORE any corpus crosses the 16.7M-vector cap: lists pinned at the largest decade's at-cap shape (occupancy ~ targetListSize), corpus doubled twice with deterministic hash-fill vectors (plus the planted high-cos copies for the cos70 tier) while the pinned lists freeze the cell geometry exactly as the cap does in production; exact sampled ground truth recomputes per corpus. Fill vectors are excluded from the vec_id % 97 query sample by an explicit filter (r16: the r15 offset arithmetic let ~1/97 of fill vectors query, inflating exact_sampled_pairs superlinearly — corrected and re-measured). ivf_incremental_recall rides each overload point at the same frozen geometry (retrain targetListSize scaled by the factor). The frozen-geometry claim under test: a pair's split probability depends on its angle vs the FIXED cell size, not occupancy, so recall stays FLAT while generator cost grows linearly with the overload factor — past the cap IVF pays COST, never a recall cliff (the opposite failure mode from saturated LSH), so the routing answer is: stay on IVF and pay the linear occupancy term (or shard the corpus); the two-level coarse quantizer is a cost optimization, not a recall rescue",
   "ivf_overload": [
 $overloadJson
   ]
@@ -365,7 +438,11 @@ $overloadJson
       ("ivf_overall_recall", rows.map(_.ivfORecall).min, 0.5),
       ("ivf_overall_recall_cos70", rows.map(_.ivfORecall70).min, 0.98),
       ("ivf_overload_recall", overloadRows.map(_.recall).min, 0.5),
-      ("ivf_overload_recall_cos70", overloadRows.map(_.recall70).min, 0.98))
+      ("ivf_overload_recall_cos70", overloadRows.map(_.recall70).min, 0.98),
+      ("ivf_incremental_recall", rows.map(_.incRecall).min, 0.35),
+      ("ivf_incremental_recall_cos70", rows.map(_.incRecall70).min, 0.95),
+      ("ivf_incremental_overload_recall", overloadRows.map(_.incRecall).min, 0.35),
+      ("ivf_incremental_overload_recall_cos70", overloadRows.map(_.incRecall70).min, 0.95))
     val broken = floors.filter { case (_, v, fl) => v < fl }
     broken.foreach { case (name, v, fl) =>
       System.err.println(f"[recall] GATE FAIL: $name measured $v%.4f < floor $fl%.4f") }

@@ -64,6 +64,16 @@ class Round5Spec extends SparkSpec {
     assert(m(("y", "z")) == -1.0)
   }
 
+  test("corrMatrix: a constant column yields NULL corr, not a saturated /0") {
+    // zero variance ⇒ the sqrt denominator is 0; the guard must emit NULL
+    // in both engines instead of letting ±Inf/NaN reach floor rounding
+    // (Spark floor(double) is LongType — saturating — DuckDB's is DOUBLE)
+    val df = (1 to 50).map(i => (i.toDouble, 7.0)).toDF("x", "k")
+    val rows = Profile.corrMatrix(df, Seq("x" -> 2, "k" -> 2)).collect()
+    assert(rows.length == 1)
+    assert(rows.head.isNullAt(2), s"constant column must give NULL corr: ${rows.head}")
+  }
+
   test("q22: anti-join keeps exactly the above-average never-ordered customers") {
     val out = Analytics.q22(spark, sf).as[(Long, Long, Double)].collect()
     val c = graft.Tables(spark, sf, "customer")

@@ -155,6 +155,18 @@ class Round5cSpec extends SparkSpec {
     assert((1 to 29).forall(d => math.abs(z(d.toLong) - noSpike(d.toLong)) < 1.5))
   }
 
+  test("robust z is NULL when MAD is 0 — the /0 never reaches floor rounding") {
+    // an (almost-)constant series: median = 100, every deviation 0 except
+    // one ⇒ MAD = 0. Unguarded, Spark's floor(±Inf) saturates to a Long
+    // while DuckDB's floor keeps ±Inf — the cross-engine divergence the
+    // guard exists to prevent (ADVICE r15 / SF1_GATE finite-input class)
+    val daily = ((1 to 9).map(d => (d.toLong, 100L)) :+ (10L, 500L))
+      .toDF("d", "n_events")
+    val z = Analytics.robustZDaily(daily).collect()
+    assert(z.length == 10)
+    assert(z.forall(_.isNullAt(2)), "MAD=0 must yield NULL robust_z everywhere")
+  }
+
   test("categorical profile keeps a row for an all-null column") {
     import org.apache.spark.sql.functions.{col => c}
     val df = Seq(("a", Option.empty[String]), ("b", None), ("a", None))
