@@ -1571,7 +1571,8 @@ object Q {
         "vec_id", "embedding", "label", path)
       graft.similarity.AnnIndex.pairsIncremental(s, path,
           e.filter(col("vec_id") % 13 === 5), "vec_id", "embedding",
-          minCos = 0.35, nProbe = 2, smallBatch = false)
+          minCos = 0.35, nProbe = graft.similarity.AnnIndex.dedupNProbe,
+          smallBatch = false)
         .localCheckpoint()
     } finally {
       val fs = org.apache.hadoop.fs.FileSystem.getLocal(

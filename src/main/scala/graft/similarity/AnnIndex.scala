@@ -21,6 +21,28 @@ import graft.functions.VectorFunctions._
   */
 object AnnIndex {
 
+  /** Default probe width for the near-dup INGEST path
+    * ([[pairsIncremental]] / the embed_dedup_incremental and
+    * stream_embed_indexed faces) — MEASURED, not guessed
+    * (tools/IncProbeSweep, sf1 decade at 78 Lloyd lists, exact sampled
+    * cos≥0.35 ground truth, cos≥0.7 dedup-regime tier):
+    *   nProbe 1 → recall 0.084 / cos70 0.448
+    *   nProbe 2 → recall 0.148 / cos70 0.776   (the r15-shipped value)
+    *   nProbe 3 → recall 0.202 / cos70 0.930
+    *   nProbe 4 → recall 0.247 / cos70 0.980
+    *   nProbe 6 → recall 0.323 / cos70 1.000
+    * at FLAT wall time (~33-35s incl index build — the probe's pruned
+    * scan is nProbe/lists of the corpus, small either way). The
+    * incremental geometry is structurally weaker than selfPairs'
+    * assign=4 (the persisted corpus is SINGLE-assigned, so a pair is
+    * found only when the partner's one list lands among the batch
+    * vector's probes — nProbe×1 chances vs 4×4), so the dial needs 4
+    * probes to clear the same 0.98 cos70 floor the batch tier clears at
+    * assign=4 — the identical first-width-over-the-floor rule as
+    * [[AnnIvf.ivfAssign]]. GEOMETRY_RECALL floors the shipped value per
+    * decade AND at the overload points. */
+  val dedupNProbe = 4
+
   /** Train and persist: per-list centroids (tiny) + vectors repartitioned
     * into one layout partition per list. */
   def writeIvf(df: DataFrame, idCol: String, vecCol: String, listCol: String,
@@ -284,7 +306,7 @@ object AnnIndex {
     * false for corpus-proportional batches. */
   def pairsIncremental(spark: SparkSession, path: String, batch: DataFrame,
                        idCol: String, vecCol: String, minCos: Double,
-                       nProbe: Int = 2,
+                       nProbe: Int = dedupNProbe,
                        smallBatch: Boolean = true): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val centroids = spark.read.parquet(resolvedTable(spark, path, "centroids"))

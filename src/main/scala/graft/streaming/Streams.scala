@@ -623,7 +623,7 @@ object Streams {
     * recall (GEOMETRY_RECALL floors). */
   def embedIndexed(docs: DataFrame, idCol: String, vecCol: String,
                    indexPath: String, alertPath: String, minCos: Double,
-                   nProbe: Int = 2)
+                   nProbe: Int = graft.similarity.AnnIndex.dedupNProbe)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     docs.writeStream
       .outputMode(OutputMode.Append())
@@ -638,7 +638,8 @@ object Streams {
     * leaves exactly one copy of the batch's alert rows and index rows. */
   def embedIndexedBatch(batch: DataFrame, batchId: Long, idCol: String,
                         vecCol: String, indexPath: String, alertPath: String,
-                        minCos: Double, nProbe: Int = 2): Unit = {
+                        minCos: Double,
+                        nProbe: Int = graft.similarity.AnnIndex.dedupNProbe): Unit = {
     val spark = batch.sparkSession
     // the batch feeds the probe AND the append — pin it once (eager: the
     // append must see exactly the probed rows)
