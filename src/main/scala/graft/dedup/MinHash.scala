@@ -258,6 +258,57 @@ object MinHash {
     }
   }
 
+  /** Re-derive `buckets/` from the persisted `shingles/` for a NEW banding
+    * dial — the [[FingerprintIndex.rekey]] / AnnIndex.retrain analogue for
+    * the LSH band index: a user moving the near-dup recall target (more
+    * bands ⇒ lower effective Jaccard knee s* ≈ (1/b)^(1/r)) re-bands
+    * WITHOUT re-shingling the corpus. Pure hash math over the persisted
+    * (id, sh) arrays — the signature, banding and bucket keys all derive
+    * from `sh`, so k, bands, seed AND the verify threshold can all change;
+    * the shingle width `n` CANNOT (that needs the text, which never
+    * persists — rebuild with [[writeBandIndex]]). A threshold-only change
+    * skips the bucket rewrite entirely (threshold is verify-time; buckets
+    * don't depend on it) and rewrites just the params row. Runs under the
+    * maintenance lease across snapshot, publish and params rewrite
+    * (appenders blocked for the duration); lock-free probes racing the
+    * window may band a batch with mixed geometry — a RECALL-only race (the
+    * Jaccard verify is exact), the [[FingerprintIndex.rekey]] contract. A
+    * crash after the buckets publish but before the params rewrite leaves
+    * probes in that same recall-only state; re-running with the same dial
+    * converges (params still read as the old dial, so the rebuild redoes
+    * and the params rewrite completes). No-op when the dial equals the
+    * pinned one. */
+  def rebandIndex(spark: SparkSession, path: String, k: Int = 32,
+                  bands: Int = 8, threshold: Double = 0.5,
+                  seed: Long = 42L): Unit = {
+    require(k % bands == 0, "k must be divisible by bands")
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    graft.sources.Sources.withSwapLock(fs, maintenanceLock(path)) {
+      restoreIndexUnderLock(spark, path)
+      val p = spark.read.parquet(s"$path/params").collect()(0)
+      val sameBanding = p.getAs[Int]("k") == k &&
+        p.getAs[Int]("bands") == bands && p.getAs[Long]("seed") == seed
+      if (!(sameBanding && p.getAs[Double]("threshold") == threshold)) {
+        if (!sameBanding) {
+          val parts = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+          val live = new org.apache.hadoop.fs.Path(s"$path/buckets")
+          val tmp = new org.apache.hadoop.fs.Path(s"$path/_buckets_rebanding")
+          val old = new org.apache.hadoop.fs.Path(s"$path/_buckets_old")
+          graft.sources.Sources.recoverSwap(fs, live, tmp, old)
+          graft.sources.Sources.writeClustered(
+            bandBuckets(spark.read.parquet(s"$path/shingles"), k, bands, seed),
+            tmp.toString, Seq("band", "bucket"), parts)
+          graft.sources.Sources.publishSwap(fs, live, tmp, old)
+        }
+        import spark.implicits._
+        Seq((p.getAs[Int]("n"), k, bands, threshold, seed))
+          .toDF("n", "k", "bands", "threshold", "seed")
+          .coalesce(1).write.mode("overwrite").parquet(s"$path/params")
+      }
+    }
+  }
+
   /** Candidate (id_a, id_b) pairs for [[pairsIncremental]], BEFORE its
     * checkpoint pin — factored out so the plan tripwire can assert the
     * bucket probe's scan/join properties, which the checkpoint hides from

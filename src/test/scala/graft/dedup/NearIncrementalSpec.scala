@@ -172,6 +172,68 @@ class NearIncrementalSpec extends SparkSpec {
     assert(subs == Set("buckets", "shingles", "params"))
   }
 
+  test("rebandIndex re-derives buckets for a new dial; probe ≡ one-shot pairs at that dial") {
+    val corpus = Seq(
+      (100L, base),
+      (101L, edited(20, "xx")),
+      (102L, "completely unrelated text about catalyst optimizer rule ordering internals")
+    ).toDF("doc_id", "text")
+    val path = tmp()
+    MinHash.writeBandIndex(corpus, "doc_id", "text", path,
+      n = 3, k = 32, bands = 8, threshold = 0.3)
+    // grow it first so the reband covers appended rows too
+    MinHash.appendToBandIndex(spark, path,
+      Seq((1L, edited(12, "cc"))).toDF("doc_id", "text"), "doc_id", "text")
+    MinHash.rebandIndex(spark, path, k = 32, bands = 16, threshold = 0.3)
+    // params row carries the new dial; every indexed doc has 16 bucket rows
+    val p = spark.read.parquet(s"$path/params").collect()(0)
+    assert(p.getAs[Int]("bands") == 16 && p.getAs[Int]("k") == 32)
+    assert(spark.read.parquet(s"$path/buckets")
+      .filter(col("id") === 100L).count() == 16)
+    assert(spark.read.parquet(s"$path/buckets")
+      .filter(col("id") === 1L).count() == 16) // appended doc rebanded too
+    // probe equivalence at the NEW dial: ≡ one-shot pairs(bands = 16)
+    // restricted to batch-touching pairs
+    val batch = Seq((2L, edited(30, "yy"))).toDF("doc_id", "text")
+    val inc = MinHash.pairsIncremental(spark, path, batch, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().toSet
+    val b1 = Seq((1L, edited(12, "cc"))).toDF("doc_id", "text")
+    val full = MinHash.pairs(corpus.union(b1).union(batch), "doc_id", "text",
+        n = 3, k = 32, bands = 16, threshold = 0.3)
+      .filter(col("id_a") === 2L || col("id_b") === 2L)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(inc == full)
+    assert(inc.nonEmpty)
+    // no temp/backup dirs survive the swap
+    val subs = new java.io.File(path).listFiles().map(_.getName).toSet
+    assert(subs == Set("buckets", "shingles", "params"))
+  }
+
+  test("threshold-only reband rewrites params without touching buckets") {
+    val corpus = Seq((100L, base)).toDF("doc_id", "text")
+    val path = tmp()
+    MinHash.writeBandIndex(corpus, "doc_id", "text", path,
+      n = 3, k = 32, bands = 8, threshold = 0.3)
+    def bucketFiles() = new java.io.File(s"$path/buckets").listFiles()
+      .map(f => (f.getName, f.lastModified())).toSet
+    val before = bucketFiles()
+    MinHash.rebandIndex(spark, path, k = 32, bands = 8, threshold = 0.99)
+    assert(bucketFiles() == before) // verify-time dial: no bucket rewrite
+    // and the probe now enforces the tightened threshold from the index
+    val got = MinHash.pairsIncremental(spark, path,
+        Seq((1L, base), (2L, edited(10, "zz"))).toDF("doc_id", "text"),
+        "doc_id", "text")
+      .as[(Long, Long, Double)].collect().toSet
+    // only the exact dup survives 0.99 — the ~0.85 near-dups (1,2)/(2,100) drop
+    assert(got.map { case (a, b, _) => (a, b) } == Set((1L, 100L)))
+    // same-dial reband is a full no-op (params untouched too)
+    def paramsFiles() = new java.io.File(s"$path/params").listFiles()
+      .map(f => (f.getName, f.lastModified())).toSet
+    val pBefore = paramsFiles()
+    MinHash.rebandIndex(spark, path, k = 32, bands = 8, threshold = 0.99)
+    assert(bucketFiles() == before && paramsFiles() == pBefore)
+  }
+
   test("intra-batch repeated id appends once to the band index") {
     val corpus = Seq((100L, base)).toDF("doc_id", "text")
     val path = tmp()
