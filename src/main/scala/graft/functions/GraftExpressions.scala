@@ -1009,6 +1009,104 @@ case class BloomMightContainExpr(
     copy(child = newChild)
 }
 
+/** 0-based argmin over k literal centroids by squared L2 distance —
+  * [[graft.similarity.KMeans]]'s assignment step as ONE data-driven codegen
+  * loop. The expression-tree formulation (k `graft_dot`s against k literal
+  * arrays + array_min/array_position) generates O(k·dim) Java source and
+  * crosses the JVM's 64 KB method limit near k ≈ 250 at dim 64 — Janino
+  * throws "Code grows beyond 64 KB" and Spark silently drops the whole
+  * projection out of codegen into interpreted eval, exactly where a big
+  * coarse quantizer needs the speed most (caught live by the r16
+  * tools/TwoLevelIvf 256-cell run). Here the centroid matrix ships as a
+  * flattened REFERENCE OBJECT (data, not code): generated source is
+  * constant-size for any k, and the matrix serializes with the plan so it
+  * reaches every executor on a real cluster.
+  *
+  * Bitwise-identical to the tree formulation: per centroid j,
+  * d_j = (Σᵢ vᵢ²) − 2.0·(Σᵢ vᵢ·cⱼᵢ) + (Σᵢ cⱼᵢ²), every sum accumulated
+  * left-to-right, winner = FIRST index achieving the total-order minimum
+  * (java.lang.Double.compare — the same double ordering Catalyst's
+  * array_min/array_position use, so −0.0/NaN corners agree too). Not in
+  * the SQL registry: a centroid matrix has no SQL-text spelling (the
+  * [[BloomMightContainExpr]] contract); construct through KMeans. */
+case class ArgminSqDistExpr(child: Expression, centroids: Array[Array[Double]])
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  require(centroids.nonEmpty, "graft_argmin_sqdist: need at least one centroid")
+  require(centroids.forall(_.length == centroids(0).length),
+    "graft_argmin_sqdist: ragged centroid matrix")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_argmin_sqdist expects array<double>, got $t")
+  }
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "graft_argmin_sqdist"
+
+  // flattened row-major matrix + per-centroid Σc² (the literal the tree
+  // formulation folds): primitive locality in the inner loop, computed
+  // once per plan instance on each JVM (the case-class field serializes)
+  @transient private lazy val dim = centroids(0).length
+  @transient private lazy val flat: Array[Double] = {
+    val f = new Array[Double](centroids.length * dim)
+    var j = 0
+    while (j < centroids.length) {
+      System.arraycopy(centroids(j), 0, f, j * dim, dim); j += 1
+    }
+    f
+  }
+  @transient private lazy val ccs: Array[Double] = centroids.map { c =>
+    var s = 0.0; var i = 0
+    while (i < c.length) { s += c(i) * c(i); i += 1 }
+    s
+  }
+
+  override protected def nullSafeEval(a: Any): Any =
+    ArgminSqDistExpr.argmin(a.asInstanceOf[ArrayData].toDoubleArray(), flat, ccs, dim)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val flatRef = ctx.addReferenceObj("argminCentroids", flat, "double[]")
+    val ccRef = ctx.addReferenceObj("argminCcs", ccs, "double[]")
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.ArgminSqDistExpr.argmin(" +
+        s"$a.toDoubleArray(), $flatRef, $ccRef, $dim);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ArgminSqDistExpr =
+    copy(child = newChild)
+}
+
+object ArgminSqDistExpr {
+  /** Shared by interpreted eval and generated code — one implementation,
+    * zero drift between the two paths (the BoundedLevenshteinExpr rule). */
+  def argmin(v: Array[Double], flat: Array[Double], ccs: Array[Double],
+             dim: Int): Int = {
+    // truncating would return a silently-wrong nearest centroid for a
+    // malformed vector — the graft_dot mixed-dimensions contract
+    if (v.length != dim)
+      throw new IllegalArgumentException(
+        s"graft_argmin_sqdist: mixed vector dimensions (${v.length} vs $dim) — " +
+          "fix or filter the column")
+    var selfd = 0.0
+    var i = 0
+    while (i < dim) { selfd += v(i) * v(i); i += 1 }
+    var best = 0
+    var bestd = 0.0
+    var j = 0
+    while (j < ccs.length) {
+      var dot = 0.0
+      val off = j * dim
+      i = 0
+      while (i < dim) { dot += v(i) * flat(off + i); i += 1 }
+      val d = selfd - 2.0 * dot + ccs(j)
+      if (j == 0 || java.lang.Double.compare(d, bestd) < 0) { bestd = d; best = j }
+      j += 1
+    }
+    best
+  }
+}
+
 object GraftFunctions {
 
   /** Scalar args like k/seed parameterize generated code, so they must be

@@ -15,9 +15,10 @@ import graft.functions.VectorFunctions.toDouble
   *     id-ordered seed would start Lloyd with k copies of the same
   *     neighborhood — the same diversity argument as [[Pq]]'s codebook
   *     seeding);
-  *   - assign: argmin over k LITERAL centroids computed with the native
-  *     `graft_dot` loops — a pure whole-stage-codegen projection, no
-  *     shuffle, no broadcast join;
+  *   - assign: argmin over k centroids as ONE data-driven codegen loop
+  *     ([[graft.functions.ArgminSqDistExpr]] — the matrix is a reference
+  *     object, so generated code is constant-size at any k) — a pure
+  *     whole-stage-codegen projection, no shuffle, no broadcast join;
   *   - update: per-cluster mean via the mergeable `graft_vec_avg`
   *     aggregate — map-side partials, shuffle carries executors × k tiny
   *     rows; centroids are k·dim doubles of driver state (KBs).
@@ -28,22 +29,21 @@ import graft.functions.VectorFunctions.toDouble
   */
 object KMeans {
 
-  /** Squared L2 distance of vector column `v` to a literal centroid. */
-  private def sqDist(v: Column, c: Array[Double]): Column = {
-    val dotc = call_function("graft_dot", v, lit(c))
-    val selfd = call_function("graft_dot", v, v)
-    selfd - lit(2.0) * dotc + lit(c.map(x => x * x).sum)
-  }
-
   /** 0-based id of the nearest centroid (first index achieving the min —
-    * deterministic under distance ties). `private[similarity]` so
+    * deterministic under distance ties). One data-driven codegen loop
+    * ([[graft.functions.ArgminSqDistExpr]] — the centroid matrix is a
+    * reference object, so generated code stays constant-size at ANY k;
+    * the old k-literal expression tree blew the JVM 64 KB method limit
+    * near k ≈ 250 × dim 64 and silently fell back to interpreted eval).
+    * Bitwise-identical assignments to that tree — same left-to-right
+    * sums, same first-min tie-break. `private[similarity]` so
     * [[AnnIndex.retrain]] can assign with the SAME centroids it just
     * fitted (assign() refits internally, which would double the Lloyd
     * passes and could drift from the persisted model). */
-  private[similarity] def assignCol(v: Column, centroids: Array[Array[Double]]): Column = {
-    val dists = array(centroids.map(c => sqDist(v, c)): _*)
-    (array_position(dists, array_min(dists)) - 1).cast("int")
-  }
+  private[similarity] def assignCol(v: Column, centroids: Array[Array[Double]]): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.functions.ArgminSqDistExpr(
+        org.apache.spark.sql.graft.ColumnBridge.expression(v), centroids))
 
   /** Lloyd passes over a pre-built (id, v) frame — the shared core of
     * [[assign]] and [[fitCentroids]]. The caller owns the checkpoint. */

@@ -39,20 +39,17 @@ object Pq {
   private def slice(v: Column, s: Int, subDim: Int): Column =
     org.apache.spark.sql.functions.slice(v, s * subDim + 1, subDim)
 
-  /** Squared L2 distance between a subvector column and a literal codeword. */
-  private def sqDist(sub: Column, codeword: Array[Double]): Column = {
-    // ||x-c||² = ||x||² − 2·x·c + ||c||²; graft_dot gives the fused loops
-    val dotc = call_function("graft_dot", sub, lit(codeword))
-    val selfd = call_function("graft_dot", sub, sub)
-    selfd - lit(2.0) * dotc + lit(codeword.map(x => x * x).sum)
-  }
-
-  /** Code (0-based) of the nearest codeword for subspace `s`. */
-  private def encodeSub(v: Column, s: Int, model: Model): Column = {
-    val dists = array(model.centroids(s).map(c => sqDist(slice(v, s, model.subDim), c)): _*)
-    // deterministic argmin: first index achieving the min
-    (array_position(dists, array_min(dists)) - 1).cast("int")
-  }
+  /** Code (0-based) of the nearest codeword for subspace `s` —
+    * deterministic argmin (first index achieving the min), one
+    * data-driven codegen loop over the codebook
+    * ([[graft.functions.ArgminSqDistExpr]], bitwise-identical to the
+    * old k-literal ||x−c||² expression tree). */
+  private def encodeSub(v: Column, s: Int, model: Model): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.functions.ArgminSqDistExpr(
+        org.apache.spark.sql.graft.ColumnBridge.expression(
+          slice(v, s, model.subDim)),
+        model.centroids(s)))
 
   /** Train a PQ codebook on (idCol, vecCol) with `iters` Lloyd passes. */
   def fit(df: DataFrame, idCol: String, vecCol: String, dim: Int,

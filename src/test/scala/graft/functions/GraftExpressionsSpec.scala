@@ -194,4 +194,56 @@ class ShingleTopKSpec extends SparkSpec {
     }
     assert(e3.getMessage.contains("graft_shingle_hashes"))
   }
+
+  test("graft_argmin_sqdist is bitwise-identical to the k-literal tree past the 64KB codegen wall") {
+    // k = 300 literal centroids × dim 64 is PAST the point where the old
+    // expression tree blew Janino's 64 KB method limit (caught live by the
+    // r16 TwoLevelIvf 256-cell run) — the tree still EXECUTES there via
+    // Spark's interpreted fallback, so it remains a valid oracle; the
+    // native loop must match it assignment-for-assignment while staying
+    // inside codegen at any k
+    val k = 300
+    val dim = 64
+    val centroids = Array.tabulate(k, dim)((j, i) =>
+      math.sin(j * 131 + i * 17) * 2.5)
+    // spark.range keeps the probe column non-foldable (codegen path runs)
+    val df = spark.range(1, 201).select(col("id"),
+      transform(sequence(lit(0), lit(dim - 1)),
+        d => sin(col("id") * 13 + d) * 3.1).as("v"))
+      .localCheckpoint()
+    def treeArgmin(v: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+      val dists = array(centroids.map { c =>
+        val dotc = call_function("graft_dot", v, lit(c))
+        val selfd = call_function("graft_dot", v, v)
+        selfd - lit(2.0) * dotc + lit(c.map(x => x * x).sum)
+      }: _*)
+      (array_position(dists, array_min(dists)) - 1).cast("int")
+    }
+    val native = org.apache.spark.sql.graft.ColumnBridge.column(
+      ArgminSqDistExpr(
+        org.apache.spark.sql.graft.ColumnBridge.expression(col("v")), centroids))
+    val got = df.select(col("id"), native.as("c")).orderBy("id")
+      .collect().map(_.getInt(1)).toSeq
+    val want = df.select(col("id"), treeArgmin(col("v")).as("c")).orderBy("id")
+      .collect().map(_.getInt(1)).toSeq
+    assert(got == want)
+    assert(got.distinct.size > 1) // the assignment actually discriminates
+  }
+
+  test("graft_argmin_sqdist: first-min tie-break, dim mismatch fails loudly") {
+    import spark.implicits._
+    // two identical centroids: the FIRST index must win (array_position rule)
+    val cs = Array(Array(1.0, 0.0), Array(5.0, 5.0), Array(1.0, 0.0))
+    val df = Seq(Tuple1(Seq(1.0, 0.0)), Tuple1(Seq(4.0, 4.0))).toDF("v")
+    val native = org.apache.spark.sql.graft.ColumnBridge.column(
+      ArgminSqDistExpr(
+        org.apache.spark.sql.graft.ColumnBridge.expression(col("v")), cs))
+    assert(df.select(native).collect().map(_.getInt(0)).toSeq == Seq(0, 1))
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    val e = intercept[Exception] {
+      Seq(Tuple1(Seq(1.0, 2.0, 3.0))).toDF("v").select(native).collect()
+    }
+    assert(msgs(e).exists(_.contains("mixed vector dimensions")), msgs(e).mkString(" | "))
+  }
 }
