@@ -1107,6 +1107,123 @@ object ArgminSqDistExpr {
   }
 }
 
+/** Top-`k` nearest centroids of a vector, as the array<bigint> of 0-based
+  * centroid INDICES ordered best-first — the coarse-quantizer multi-assign
+  * / multi-probe step as ONE data-driven projection. Replaces the
+  * `join(broadcast(centroids), lit(true))` + score + rank formulations,
+  * which materialize rows×nLists intermediate rows and then pay either a
+  * hash aggregation (graft_topk) or a window SHUFFLE (row_number over
+  * rows×nLists) to keep k of them; here the only thing downstream of the
+  * scan is rows×k exploded longs. Same reference-object discipline as
+  * [[ArgminSqDistExpr]]: constant generated-code size at any nLists.
+  *
+  * Two score modes, each bitwise-identical to the column formulation it
+  * replaces, ties broken by LOWER INDEX (callers order their centroid
+  * matrix by list id, making index order = `asc(list)`):
+  *   - `cosineScore = false`: s_j = 2.0·(v·cⱼ) − (v·v) − Σcⱼ² — the
+  *     unit-sphere L2 ranking of [[graft.similarity.AnnIvf.selfPairs]]
+  *     (same left-to-right sums, same association);
+  *   - `cosineScore = true`: s_j = (v·cⱼ) / (√(v·v) · √(Σcⱼ²)) — the
+  *     `cosine(v, cv)` ranking of the index probe paths.
+  * Selection order is (score desc, index asc) under
+  * java.lang.Double.compare — identical to both `graft_topk`'s heap
+  * order and a Spark `orderBy(desc(score), asc(list))` window, NaN-first
+  * included. Not in the SQL registry (matrix parameter); construct via
+  * ColumnBridge. */
+case class TopListsExpr(child: Expression, centroids: Array[Array[Double]],
+                        k: Int, cosineScore: Boolean)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  require(centroids.nonEmpty, "graft_top_lists: need at least one centroid")
+  require(centroids.forall(_.length == centroids(0).length),
+    "graft_top_lists: ragged centroid matrix")
+  require(k >= 1 && k <= centroids.length,
+    s"graft_top_lists: k in [1, ${centroids.length}], got $k")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_top_lists expects array<double>, got $t")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_top_lists"
+
+  @transient private lazy val dim = centroids(0).length
+  @transient private lazy val flat: Array[Double] = {
+    val f = new Array[Double](centroids.length * dim)
+    var j = 0
+    while (j < centroids.length) {
+      System.arraycopy(centroids(j), 0, f, j * dim, dim); j += 1
+    }
+    f
+  }
+  @transient private lazy val ccs: Array[Double] = centroids.map { c =>
+    var s = 0.0; var i = 0
+    while (i < c.length) { s += c(i) * c(i); i += 1 }
+    s
+  }
+
+  override protected def nullSafeEval(a: Any): Any =
+    TopListsExpr.topLists(a.asInstanceOf[ArrayData].toDoubleArray(),
+      flat, ccs, dim, k, cosineScore)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val flatRef = ctx.addReferenceObj("topListsCentroids", flat, "double[]")
+    val ccRef = ctx.addReferenceObj("topListsCcs", ccs, "double[]")
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.TopListsExpr.topLists(" +
+        s"$a.toDoubleArray(), $flatRef, $ccRef, $dim, $k, $cosineScore);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): TopListsExpr =
+    copy(child = newChild)
+}
+
+object TopListsExpr {
+  /** Shared by interpreted eval and generated code (the
+    * BoundedLevenshteinExpr rule). Insertion into a size-≤k best-first
+    * array: ascending j means an equal score NEVER displaces — exactly
+    * (score desc, index asc). */
+  def topLists(v: Array[Double], flat: Array[Double], ccs: Array[Double],
+               dim: Int, k: Int, cosineScore: Boolean): ArrayData = {
+    if (v.length != dim)
+      throw new IllegalArgumentException(
+        s"graft_top_lists: mixed vector dimensions (${v.length} vs $dim) — " +
+          "fix or filter the column")
+    var selfd = 0.0
+    var i = 0
+    while (i < dim) { selfd += v(i) * v(i); i += 1 }
+    val na = if (cosineScore) Math.sqrt(selfd) else 0.0
+    val n = ccs.length
+    val bestS = new Array[Double](k)
+    val bestJ = new Array[Long](k)
+    var size = 0
+    var j = 0
+    while (j < n) {
+      var dot = 0.0
+      val off = j * dim
+      i = 0
+      while (i < dim) { dot += v(i) * flat(off + i); i += 1 }
+      val s =
+        if (cosineScore) dot / (na * Math.sqrt(ccs(j)))
+        else 2.0 * dot - selfd - ccs(j)
+      if (size < k || java.lang.Double.compare(s, bestS(size - 1)) > 0) {
+        // binary-search-free insertion (k is tiny): walk up from the tail
+        var p = if (size < k) size else k - 1
+        while (p > 0 && java.lang.Double.compare(s, bestS(p - 1)) > 0) {
+          bestS(p) = bestS(p - 1); bestJ(p) = bestJ(p - 1); p -= 1
+        }
+        bestS(p) = s
+        bestJ(p) = j.toLong
+        if (size < k) size += 1
+      }
+      j += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(if (size == k) bestJ else bestJ.take(size))
+  }
+}
+
 object GraftFunctions {
 
   /** Scalar args like k/seed parameterize generated code, so they must be

@@ -86,19 +86,46 @@ object AnnIndex {
     }
   }
 
+  /** Collected centroid model + the (matrix index → list value) mapping
+    * frame — the probe-side driver state, bounded by the list count (the
+    * Pq/centroid collect contract). Rows sort by `list`, so matrix index
+    * order ≡ `asc(list)` and [[graft.functions.TopListsExpr]]'s
+    * lower-index tie-break reproduces the old `orderBy(desc(_cs),
+    * asc(list))` window rule exactly; the mapping join stays
+    * TYPE-AGNOSTIC on the list key (int/long/string layouts all work —
+    * the PqSpec contract) and is a broadcast equality join on rows×nProbe
+    * exploded indices, replacing a rows×nLists cross join plus a
+    * rows×nLists window SHUFFLE. */
+  private def centroidModel(spark: SparkSession, path: String)
+      : (Array[Array[Double]], DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
+    val cDf = spark.read.parquet(resolvedTable(spark, path, "centroids"))
+    val matrix = cDf.orderBy("list").select("cv").collect()
+      .map(_.getSeq[Double](0).toArray)
+    val idxMap = cDf.select("list")
+      .withColumn("_li", row_number().over(Window.orderBy("list")).cast("long") - 1)
+    (matrix, idxMap)
+  }
+
+  /** `explode`-ready top-`k` probed matrix indices of a vector column
+    * (cosine ranking — the probe-path score). */
+  private def topProbes(v: org.apache.spark.sql.Column,
+                        matrix: Array[Array[Double]], k: Int) =
+    explode(org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.functions.TopListsExpr(
+        org.apache.spark.sql.graft.ColumnBridge.expression(v),
+        matrix, math.min(k, matrix.length), cosineScore = true)))
+
   /** Assign each batch vector to its nearest persisted centroid (cosine,
     * ties to the lower list id — the ivfTopK probe rule at nProbe=1).
-    * Centroids broadcast; the batch streams once. */
+    * One data-driven projection + the tiny mapping join; the batch
+    * streams once. */
   private def assignLists(spark: SparkSession, path: String, batch: DataFrame,
                           idCol: String, vecCol: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val centroids = spark.read.parquet(resolvedTable(spark, path, "centroids"))
+    val (matrix, idxMap) = centroidModel(spark, path)
     batch.select(col(idCol).as("vec_id"), toDouble(col(vecCol)).as("v"))
-      .join(broadcast(centroids), lit(true))
-      .withColumn("_cs", cosine(col("v"), col("cv")))
-      .withColumn("_pr", row_number().over(
-        Window.partitionBy("vec_id").orderBy(desc("_cs"), asc("list"))))
-      .filter(col("_pr") === 1)
+      .select(col("vec_id"), col("v"), topProbes(col("v"), matrix, 1).as("_li"))
+      .join(broadcast(idxMap), Seq("_li"))
       .select(col("vec_id"), col("list"), col("v"))
   }
 
@@ -308,16 +335,12 @@ object AnnIndex {
                        idCol: String, vecCol: String, minCos: Double,
                        nProbe: Int = dedupNProbe,
                        smallBatch: Boolean = true): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val centroids = spark.read.parquet(resolvedTable(spark, path, "centroids"))
+    val (matrix, idxMap) = centroidModel(spark, path)
     val b = batch.select(col(idCol).as("vec_id"), toDouble(col(vecCol)).as("v"))
       .dropDuplicates("vec_id")
-    val probes = b.join(broadcast(centroids), lit(true))
-      .select(col("vec_id"), col("v"), col("list"),
-        cosine(col("v"), col("cv")).as("_cs"))
-      .withColumn("_pr", row_number().over(
-        Window.partitionBy("vec_id").orderBy(desc("_cs"), asc("list"))))
-      .filter(col("_pr") <= nProbe)
+    val probes = b
+      .select(col("vec_id"), col("v"), topProbes(col("v"), matrix, nProbe).as("_li"))
+      .join(broadcast(idxMap), Seq("_li"))
       .select(col("list"), col("vec_id"), col("v"))
       .localCheckpoint() // three consumers: list collect + two candidate joins
     // bounded collect (≤ batch × nProbe): drives STATIC partition pruning
@@ -355,15 +378,11 @@ object AnnIndex {
     * top-k), different data source — the spec pins result equality. */
   def ivfTopK(spark: SparkSession, path: String, queries: DataFrame,
               idCol: String, vecCol: String, k: Int, nProbe: Int = 2): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val centroids = spark.read.parquet(resolvedTable(spark, path, "centroids"))
+    val (matrix, idxMap) = centroidModel(spark, path)
     val q = queries.select(col(idCol).as("query_id"), toDouble(col(vecCol)).as("qv"))
-    val probes = q.join(broadcast(centroids), lit(true))
-      .select(col("query_id"), col("qv"), col("list"),
-        cosine(col("qv"), col("cv")).as("_cs"))
-      .withColumn("_pr", row_number().over(
-        Window.partitionBy("query_id").orderBy(desc("_cs"), asc("list"))))
-      .filter(col("_pr") <= nProbe)
+    val probes = q
+      .select(col("query_id"), col("qv"), topProbes(col("qv"), matrix, nProbe).as("_li"))
+      .join(broadcast(idxMap), Seq("_li"))
       .select("query_id", "qv", "list")
       .localCheckpoint() // two consumers: the list collect + the rerank join
     // bounded collect: ≤ queries × nProbe ids — drives STATIC partition

@@ -130,24 +130,20 @@ object AnnIvf {
       // Lloyd passes + the assignment pass re-read this frame
       .localCheckpoint()
     val centroids = KMeans.fitCentroids(unit, "id", "u", nLists, iters)
-    // centroid frame (tiny — ≤ maxLists rows) broadcasts into the
-    // assignment cross join; ||c||² precomputes per centroid
-    import spark.implicits._
-    val cf = broadcast(centroids.zipWithIndex.toSeq
-      .map { case (c, i) => (i.toLong, c.toSeq, c.map(x => x * x).sum) }
-      .toDF("list", "cv", "cc"))
     // top-`assign` nearest lists per vector by L2 on the unit sphere
-    // (= the training metric): score = −(||u||² − 2u·c + ||c||²); the
-    // bounded-heap graft_topk keeps `assign` per vector with MAP-SIDE
-    // partials, so the shuffle carries assign narrow rows per id
-    val listed = unit.join(cf, lit(true))
-      .select(col("id"),
-        (lit(2.0) * dot(col("u"), col("cv")) - dot(col("u"), col("u")) - col("cc")).as("_s"),
-        col("list"))
-      .groupBy("id")
-      .agg(call_function("graft_topk", col("_s"), col("list"), lit(assign)).as("_tk"))
-      .select(col("id"), explode(col("_tk")).as("_e"))
-      .select(col("id"), col("_e.id").as("list"))
+    // (= the training metric) as ONE data-driven projection
+    // ([[graft.functions.TopListsExpr]] — the centroid matrix is a
+    // reference object): nothing downstream of the scan but n×assign
+    // exploded longs. The old formulation cross-joined the broadcast
+    // centroid frame (n×nLists materialized rows, each carrying the
+    // dim-64 vector) and paid a hash aggregation to keep `assign` of
+    // them; scores, ranks and ties (score desc, list asc) are
+    // bitwise-identical.
+    val listed = unit.select(col("id"),
+      explode(org.apache.spark.sql.graft.ColumnBridge.column(
+        graft.functions.TopListsExpr(
+          org.apache.spark.sql.graft.ColumnBridge.expression(col("u")),
+          centroids, assign, cosineScore = false))).as("list"))
     // within-list collisions: same narrow-pair + shuffle-hash discipline
     // as AnnLsh.selfPairs (duplicate-heavy list keys stream through the
     // per-partition hashmap; rows are ~24 bytes — vectors re-join AFTER

@@ -230,6 +230,66 @@ class ShingleTopKSpec extends SparkSpec {
     assert(got.distinct.size > 1) // the assignment actually discriminates
   }
 
+  test("graft_top_lists matches BOTH rank formulations it replaces, bitwise") {
+    import spark.implicits._
+    val k = 40
+    val dim = 16
+    val assign = 4
+    val centroids = Array.tabulate(k, dim)((j, i) => math.cos(j * 37 + i * 11) * 1.9)
+    val df = spark.range(1, 101).select(col("id"),
+      transform(sequence(lit(0), lit(dim - 1)),
+        d => sin(col("id") * 7 + d) * 2.2).as("v"))
+      .localCheckpoint()
+    val cf = broadcast(centroids.zipWithIndex.map { case (c, i) =>
+      (i.toLong, c.toSeq, c.map(x => x * x).sum)
+    }.toSeq.toDF("list", "cv", "cc"))
+    def native(cosine: Boolean) = df.select(col("id"),
+      explode(org.apache.spark.sql.graft.ColumnBridge.column(
+        TopListsExpr(org.apache.spark.sql.graft.ColumnBridge.expression(col("v")),
+          centroids, assign, cosineScore = cosine))).as("list"))
+      .orderBy("id", "list").as[(Long, Long)].collect().toSeq
+    // (a) the unit-L2 graft_topk aggregate formulation (AnnIvf.selfPairs)
+    val topkForm = df.join(cf, lit(true))
+      .select(col("id"),
+        (lit(2.0) * VectorFunctions.dot(col("v"), col("cv"))
+          - VectorFunctions.dot(col("v"), col("v")) - col("cc")).as("_s"),
+        col("list"))
+      .groupBy("id")
+      .agg(call_function("graft_topk", col("_s"), col("list"), lit(assign)).as("_tk"))
+      .select(col("id"), explode(col("_tk")).as("_e"))
+      .select(col("id"), col("_e.id").as("list"))
+      .orderBy("id", "list").as[(Long, Long)].collect().toSeq
+    assert(native(cosine = false) == topkForm)
+    // (b) the cosine row_number window formulation (the index probe paths)
+    import org.apache.spark.sql.expressions.Window
+    val windowForm = df.join(cf, lit(true))
+      .select(col("id"), col("list"),
+        VectorFunctions.cosine(col("v"), col("cv")).as("_cs"))
+      .withColumn("_pr", row_number().over(
+        Window.partitionBy("id").orderBy(desc("_cs"), asc("list"))))
+      .filter(col("_pr") <= assign)
+      .select("id", "list")
+      .orderBy("id", "list").as[(Long, Long)].collect().toSeq
+    assert(native(cosine = true) == windowForm)
+  }
+
+  test("graft_top_lists: duplicate-centroid ties go to the lower index; k clamps nowhere (require)") {
+    import spark.implicits._
+    val cs = Array(Array(3.0, 3.0), Array(1.0, 0.0), Array(1.0, 0.0))
+    val df = Seq(Tuple1(Seq(2.0, 0.0))).toDF("v")
+    val got = df.select(org.apache.spark.sql.graft.ColumnBridge.column(
+        TopListsExpr(org.apache.spark.sql.graft.ColumnBridge.expression(col("v")),
+          cs, 2, cosineScore = false)))
+      .collect().head.getSeq[Long](0)
+    // both copies of (1,0) beat (3,3) for (2,0); the FIRST copy ranks first
+    assert(got == Seq(1L, 2L))
+    val e = intercept[IllegalArgumentException] {
+      TopListsExpr(org.apache.spark.sql.graft.ColumnBridge.expression(col("v")),
+        cs, 4, cosineScore = false)
+    }
+    assert(e.getMessage.contains("k in [1, 3]"))
+  }
+
   test("graft_argmin_sqdist: first-min tie-break, dim mismatch fails loudly") {
     import spark.implicits._
     // two identical centroids: the FIRST index must win (array_position rule)
