@@ -32,9 +32,11 @@ import graft.functions.VectorFunctions._
   *   3. Assign every vector to its `assign` NEAREST lists (multi-assign
   *      is the recall mechanism: a true pair split by one Voronoi
   *      boundary still co-occurs in a second-nearest list). Assignment
-  *      is a broadcast of the centroid frame + the bounded-heap
-  *      `graft_topk` aggregate — map-side partial, the shuffle carries
-  *      `assign` narrow rows per vector, never the vectors.
+  *      is ONE data-driven codegen projection
+  *      ([[graft.functions.TopListsExpr]] — the centroid matrix rides
+  *      the plan as a reference object): downstream of the scan there
+  *      are only n·assign exploded list ids, no cross join, no
+  *      aggregation, no shuffle.
   *   4. Candidate pairs are within-list collisions (shuffle-hash join on
   *      the list key, id_a < id_b, deduped across assignments), verified
   *      by EXACT cosine on the original vectors — precision is exact,

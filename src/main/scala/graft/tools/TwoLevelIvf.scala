@@ -53,20 +53,17 @@ object TwoLevelIvf {
       .localCheckpoint()
     // LEVEL 1: 256-way Lloyd over the full corpus (n·256 evals/pass)
     val l1 = graft.similarity.KMeans.fitCentroids(unit, "id", "u", l1Cells, iters)
-    val l1f = broadcast(l1.zipWithIndex.toSeq
-      .map { case (c, i) => (i.toLong, c.toSeq, c.map(x => x * x).sum) }
-      .toDF("cell", "cv", "cc"))
     def l2score(u: org.apache.spark.sql.Column, cv: org.apache.spark.sql.Column,
                 cc: org.apache.spark.sql.Column) =
       lit(2.0) * dot(u, cv) - dot(u, u) - cc
-    // home cell per vector (top-1) — drives seeding and refinement
-    val celled = unit.join(l1f, lit(true))
-      .select(col("id"), col("u"), l2score(col("u"), col("cv"), col("cc")).as("_s"),
-        col("cell"))
-      .groupBy("id")
-      .agg(call_function("graft_topk", col("_s"), col("cell"), lit(1)).as("_tk"),
-        first(col("u")).as("u"))
-      .select(col("id"), col("u"), col("_tk").getItem(0).getField("id").as("cell"))
+    // home cell per vector (top-1) — drives seeding and refinement; the
+    // native top-lists projection (same unit-L2 score, lower-index ties)
+    def cellsOf(k: Int) = org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.functions.TopListsExpr(
+        org.apache.spark.sql.graft.ColumnBridge.expression(col("u")),
+        l1, k, cosineScore = false))
+    val celled = unit
+      .select(col("id"), col("u"), cellsOf(1).getItem(0).as("cell"))
       .localCheckpoint()
     // LEVEL 2 seeds: ceil(cellN/targetListSize) lowest-hash members per
     // cell (the KMeans diversity seeding, applied within each cell)
@@ -102,14 +99,8 @@ object TwoLevelIvf {
     }
     // FINAL multi-assign: top-2 cells, then top-`assign` (cell, sub)
     // lists among those cells' subs — n·(256 + 2·occ_sub) evals total
-    val cells2 = unit.join(l1f, lit(true))
-      .select(col("id"), col("u"), l2score(col("u"), col("cv"), col("cc")).as("_s"),
-        col("cell"))
-      .groupBy("id")
-      .agg(call_function("graft_topk", col("_s"), col("cell"), lit(2)).as("_tk"),
-        first(col("u")).as("u"))
-      .select(col("id"), col("u"), explode(col("_tk")).as("_e"))
-      .select(col("id"), col("u"), col("_e.id").as("cell"))
+    val cells2 = unit
+      .select(col("id"), col("u"), explode(cellsOf(2)).as("cell"))
     val listed = cells2.join(broadcast(subs), Seq("cell"))
       .select(col("id"),
         l2score(col("u"), col("sc"), col("scc")).as("_s"),
