@@ -62,9 +62,8 @@ object Graph {
     * deliberate (exactness over mass conservation) and identical in the
     * oracle's unrolled CTE chain. */
   def pageRank(edges: DataFrame, iters: Int): DataFrame = {
-    val e = edges.localCheckpoint(eager = false)
+    val e = edges
     val outw = e.groupBy("u").agg(sum(col("w")).as("wu"))
-      .localCheckpoint(eager = false)
     val nRow = outw.agg(count(lit(1)).as("n"))
     // dangling-mass guard: every target must appear as a source
     val dangRow = e.select(col("v"))
@@ -80,8 +79,12 @@ object Graph {
       // frames per iteration. Two measured non-wins, for the record: an
       // explicit broadcast(r) hint serializes each iteration on a
       // driver-side collect barrier (+20%), and pre-folding outw into
-      // the edge frame widens the checkpointed 2M-row frame for a
-      // smaller saving than the fold costs (+15%).
+      // the edge frame widens the 2M-row frame for a smaller saving than
+      // the fold costs (+15%). A third measured non-win this round:
+      // folding outw into the NODE-side rank frame before the edge join
+      // (one edge-side join instead of two) re-measured SLOWER (warm
+      // floor 7.4s vs 5.0s) — the fold join breaks the canonical-subtree
+      // reuse AQE's stage cache gets from the repeated r⋈e shape.
       r = r.join(e, col("node") === e("u"))
         .join(outw.select(col("u").as("ou"), col("wu")), col("ou") === col("node"))
         .crossJoin(broadcast(nRow))
@@ -90,7 +93,6 @@ object Graph {
         .select(col("v").as("node"),
           (expr(s"(15 * ${Scale}L) div (100 * n)") +
             expr("(85 * contrib) div 100")).as("rank"))
-        .localCheckpoint(eager = false)
     }
     r.join(outw, col("node") === outw("u"))
       .select(col("node").as("part"), col("wu").as("out_weight"),
@@ -136,11 +138,11 @@ object Graph {
     * total, O(E) per key, vs deg² on one key for a low-id hub). */
   def triangleStats(edges: DataFrame, minW: Long): DataFrame = {
     val und = edges.filter(col("w") >= minW && col("u") < col("v"))
-      .select("u", "v").localCheckpoint(eager = false)
+      .select("u", "v")
     val nodes = und.select(col("u").as("x"))
       .union(und.select(col("v").as("x")))
       .agg(count_distinct(col("x")).as("n_nodes"))
-    val o = orient(und).localCheckpoint(eager = false)
+    val o = orient(und)
     val tri = orientedWedges(o)
       .join(o.select(col("s").as("a"), col("t").as("b")), Seq("a", "b"),
         "left_semi")
@@ -171,10 +173,9 @@ object Graph {
   def linkPrediction(edges: DataFrame, minW: Long, minCommon: Long,
                      topK: Int, maxCenterDeg: Long = Long.MaxValue): DataFrame = {
     val und = edges.filter(col("w") >= minW && col("u") < col("v"))
-      .select("u", "v").localCheckpoint(eager = false)
+      .select("u", "v")
     val nbrs = und.select(col("u").as("z"), col("v").as("x"))
       .union(und.select(col("v").as("z"), col("u").as("x")))
-      .localCheckpoint(eager = false)
     val deg = nbrs.groupBy("x").agg(count(lit(1)).as("d"))
     val centered = nbrs.join(
       deg.filter(col("d") <= maxCenterDeg).select(col("x").as("z")),
