@@ -23,8 +23,43 @@ object Tables {
     * generated column orders are deterministic. */
   val eventTypes: Seq[String] = Seq("click", "error", "purchase", "signup", "view")
 
+  // (session → (dir, table, content-fingerprint) → resolved DataFrame),
+  // session-lifetime. `spark.read.parquet` costs 80-330 ms of DRIVER time
+  // per call (DataSource resolution + file listing + footer schema read —
+  // measured by tools/LoadOverhead at sf0.1), and every registered query
+  // pays it 1-6× per execution, so a full bench pass was spending tens of
+  // seconds re-resolving ten immutable paths. The cache holds the LAZY
+  // plan only — file listing and schema, never rows — so every action
+  // still computes from the parquet inputs; the content fingerprint
+  // (same walk as countCache) drops the entry the moment the files
+  // change. WeakHashMap on the session so stopped test sessions unpin.
+  // The key also carries the session TIMEZONE: the events NTZ→nanos
+  // normalization is only sound under UTC and `load` guards that loudly —
+  // a session whose timezone changes mid-life must MISS the cache and
+  // re-trip the guard, never be served a frame analyzed under the old
+  // zone (Round9Spec pins this).
+  private val frameCache =
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[(String, String, Long, String), DataFrame]]()
+
+  private def sessionFrames(spark: SparkSession) = frameCache.synchronized {
+    frameCache.computeIfAbsent(spark,
+      _ => new java.util.concurrent.ConcurrentHashMap[(String, String, Long, String), DataFrame]())
+  }
+
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
+    contentFingerprint(spark.sparkContext.hadoopConfiguration,
+        s"$dir/$name.parquet") match {
+      case Some(f) =>
+        val tz = spark.conf.get("spark.sql.session.timeZone", "")
+        sessionFrames(spark).computeIfAbsent((dir, name, f, tz),
+          _ => load(spark, dir, name))
+      case None => load(spark, dir, name) // unfingerprintable: never cache
+    }
+  }
+
+  private def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$dir/$name.parquet")
     // The events stream keys every operator on integer NANOSECONDS since
     // epoch. The driver's parquet has carried `ts` as int64 nanos and as a

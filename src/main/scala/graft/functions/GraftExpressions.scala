@@ -1315,9 +1315,15 @@ object GraftFunctions {
 
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
-    builders.foreach { case (name, builder) =>
-      registry.createOrReplaceTempFunction(name, builder, "built-in")
-    }
+    // idempotence guard: re-registering ~40 builders per Tables() call is
+    // harmless but emits one "replaced a previously registered function"
+    // WARN per builder per call — thousands of synchronous log lines over
+    // a bench pass. The last-registered name is the sentinel.
+    if (!registry.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier("graft_topk_str")))
+      builders.foreach { case (name, builder) =>
+        registry.createOrReplaceTempFunction(name, builder, "built-in")
+      }
     // optimizer rewrites (extraOptimizations reaches an EXISTING session,
     // where injectOptimizerRule can't); guard keeps register() idempotent
     if (!spark.experimental.extraOptimizations.contains(graft.plans.BoundedLevRewrite))
