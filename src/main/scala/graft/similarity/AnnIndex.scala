@@ -98,12 +98,21 @@ object AnnIndex {
     * rows×nLists window SHUFFLE. */
   private def centroidModel(spark: SparkSession, path: String)
       : (Array[Array[Double]], DataFrame) = {
-    import org.apache.spark.sql.expressions.Window
     val cDf = spark.read.parquet(resolvedTable(spark, path, "centroids"))
-    val matrix = cDf.orderBy("list").select("cv").collect()
-      .map(_.getSeq[Double](0).toArray)
-    val idxMap = cDf.select("list")
-      .withColumn("_li", row_number().over(Window.orderBy("list")).cast("long") - 1)
+    // ONE bounded collect feeds BOTH the matrix and the mapping frame: the
+    // previous window-ranked idxMap plan re-scanned the centroids parquet
+    // inside every probe's broadcast build (one extra job + exchange per
+    // ivfTopK/assign call); a local relation built from the same collected
+    // rows broadcasts identically and keeps the type-agnostic list key.
+    val rows = cDf.orderBy("list").select("list", "cv").collect()
+    val matrix = rows.map(_.getSeq[Double](1).toArray)
+    val idxMap = spark.createDataFrame(
+      java.util.Arrays.asList(rows.zipWithIndex.map { case (r, i) =>
+        org.apache.spark.sql.Row(r.get(0), i.toLong) }: _*),
+      org.apache.spark.sql.types.StructType(Seq(
+        cDf.schema("list"),
+        org.apache.spark.sql.types.StructField("_li",
+          org.apache.spark.sql.types.LongType, nullable = false))))
     (matrix, idxMap)
   }
 
@@ -342,7 +351,10 @@ object AnnIndex {
       .select(col("vec_id"), col("v"), topProbes(col("v"), matrix, nProbe).as("_li"))
       .join(broadcast(idxMap), Seq("_li"))
       .select(col("list"), col("vec_id"), col("v"))
-      .localCheckpoint() // three consumers: list collect + two candidate joins
+      // three consumers: list collect + two candidate joins. LAZY: the
+      // collect below materializes it in its own job anyway — an eager
+      // checkpoint just ran that job twice.
+      .localCheckpoint(eager = false)
     // bounded collect (≤ batch × nProbe): drives STATIC partition pruning
     val probedLists = probes.select("list").distinct().collect().map(_.get(0))
     val bq = probes.withColumn("_nq", norm(col("v")))
@@ -384,7 +396,9 @@ object AnnIndex {
       .select(col("query_id"), col("qv"), topProbes(col("qv"), matrix, nProbe).as("_li"))
       .join(broadcast(idxMap), Seq("_li"))
       .select("query_id", "qv", "list")
-      .localCheckpoint() // two consumers: the list collect + the rerank join
+      // two consumers: the list collect + the rerank join (lazy — the
+      // collect materializes it)
+      .localCheckpoint(eager = false)
     // bounded collect: ≤ queries × nProbe ids — drives STATIC partition
     // pruning on the persisted layout (the whole point of the index)
     val probedLists = probes.select("list").distinct().collect().map(_.get(0))
