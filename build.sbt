@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output goes through sbt's logger by default, prefixing every
+// line with "[info] " — which breaks any consumer that tails stdout for the
+// bench's one-line JSON summary. StdoutOutput hands the forked process the
+// real stdout so the summary line lands verbatim.
+outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
