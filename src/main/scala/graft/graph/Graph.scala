@@ -35,6 +35,22 @@ object Graph {
   /** Fixed-point scale: ranks live in units of 1e-12. */
   val Scale = 1000000000000L
 
+  // Lineage policy (r17 A/B, 5 fresh JVMs × 3 runs per variant, sf0.1,
+  // quiet sentinel-checked window — settles the r15/r16 conflict the
+  // driver flagged): the RE-JOINED FRAMES (edges/out-weights, und/oriented,
+  // nbrs) are lazily checkpointed — every consumer after the first then
+  // reads a materialized RDD instead of re-analyzing/re-planning the whole
+  // upstream tree per execution — but per-iteration rank checkpoints are
+  // NOT (r15's form measured 8.9s warm vs 6.1-6.5 without: five extra
+  // materialization barriers of node-sized frames for nothing). pageRank
+  // additionally truncates lineage every 3rd iteration, which both won the
+  // A/B at iters=5 (warm 6.08 vs 6.51 frames-only, cold 13.9 vs 20.7 —
+  // analysis cost of the unrolled tail) and bounds plan growth to ≤3
+  // unrolled iterations for ANY caller-supplied iters (the unbounded-plan
+  // liability flagged in r16's review). Full numbers: OPTIMIZATION_r17.md.
+  private def pinned(df: DataFrame): DataFrame =
+    df.localCheckpoint(eager = false)
+
   /** Directed, weighted part co-occurrence edges from lineitem: (u, v, w)
     * where w counts orders containing both parts (both directions emitted;
     * self-pairs excluded). ONE orderkey-keyed self-join (never parts²) +
@@ -62,8 +78,8 @@ object Graph {
     * deliberate (exactness over mass conservation) and identical in the
     * oracle's unrolled CTE chain. */
   def pageRank(edges: DataFrame, iters: Int): DataFrame = {
-    val e = edges
-    val outw = e.groupBy("u").agg(sum(col("w")).as("wu"))
+    val e = pinned(edges)
+    val outw = pinned(e.groupBy("u").agg(sum(col("w")).as("wu")))
     val nRow = outw.agg(count(lit(1)).as("n"))
     // dangling-mass guard: every target must appear as a source
     val dangRow = e.select(col("v"))
@@ -74,7 +90,7 @@ object Graph {
         lit("pageRank: edge targets with no out-edges would lose rank mass;" +
           " symmetrize the input or drop sink edges")).isNull)
       .select(col("u").as("node"), expr(s"${Scale}L div n").as("rank"))
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       // AQE picks broadcast vs shuffle for the node-sized rank/outw
       // frames per iteration. Two measured non-wins, for the record: an
       // explicit broadcast(r) hint serializes each iteration on a
@@ -93,6 +109,7 @@ object Graph {
         .select(col("v").as("node"),
           (expr(s"(15 * ${Scale}L) div (100 * n)") +
             expr("(85 * contrib) div 100")).as("rank"))
+      if (i % 3 == 0) r = pinned(r) // bound plan depth to 3 unrolled iters
     }
     r.join(outw, col("node") === outw("u"))
       .select(col("node").as("part"), col("wu").as("out_weight"),
@@ -137,12 +154,12 @@ object Graph {
     * id-ordered plan's; only the join fan-out bound changes (O(E^1.5)
     * total, O(E) per key, vs deg² on one key for a low-id hub). */
   def triangleStats(edges: DataFrame, minW: Long): DataFrame = {
-    val und = edges.filter(col("w") >= minW && col("u") < col("v"))
-      .select("u", "v")
+    val und = pinned(
+      edges.filter(col("w") >= minW && col("u") < col("v")).select("u", "v"))
     val nodes = und.select(col("u").as("x"))
       .union(und.select(col("v").as("x")))
       .agg(count_distinct(col("x")).as("n_nodes"))
-    val o = orient(und)
+    val o = pinned(orient(und))
     val tri = orientedWedges(o)
       .join(o.select(col("s").as("a"), col("t").as("b")), Seq("a", "b"),
         "left_semi")
@@ -172,10 +189,11 @@ object Graph {
     * TakeOrderedAndProject under a total order. */
   def linkPrediction(edges: DataFrame, minW: Long, minCommon: Long,
                      topK: Int, maxCenterDeg: Long = Long.MaxValue): DataFrame = {
-    val und = edges.filter(col("w") >= minW && col("u") < col("v"))
-      .select("u", "v")
-    val nbrs = und.select(col("u").as("z"), col("v").as("x"))
-      .union(und.select(col("v").as("z"), col("u").as("x")))
+    val und = pinned(
+      edges.filter(col("w") >= minW && col("u") < col("v")).select("u", "v"))
+    val nbrs = pinned(
+      und.select(col("u").as("z"), col("v").as("x"))
+        .union(und.select(col("v").as("z"), col("u").as("x"))))
     val deg = nbrs.groupBy("x").agg(count(lit(1)).as("d"))
     val centered = nbrs.join(
       deg.filter(col("d") <= maxCenterDeg).select(col("x").as("z")),
