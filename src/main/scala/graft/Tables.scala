@@ -32,28 +32,43 @@ object Tables {
   // plan only — file listing and schema, never rows — so every action
   // still computes from the parquet inputs; the content fingerprint
   // (same walk as countCache) drops the entry the moment the files
-  // change. WeakHashMap on the session so stopped test sessions unpin.
-  // The key also carries the session TIMEZONE: the events NTZ→nanos
+  // change. A WeakHashMap alone can NOT unpin entries: the cached
+  // DataFrame values strongly reference their SparkSession
+  // (Dataset.sparkSession), so every sessionFrames call also sweeps
+  // sessions whose SparkContext has stopped — the actual end-of-life
+  // signal a test suite emits. A stopped context can serve no frame, so
+  // the sweep can never evict a live entry.
+  // The key also carries the session TIMEZONE plus the other
+  // analysis-affecting confs baked into a resolved parquet plan
+  // (caseSensitive, parquet nanosAsLong): the events NTZ→nanos
   // normalization is only sound under UTC and `load` guards that loudly —
-  // a session whose timezone changes mid-life must MISS the cache and
-  // re-trip the guard, never be served a frame analyzed under the old
-  // zone (Round9Spec pins this).
+  // a session that flips any of these mid-life must MISS the cache and
+  // re-resolve (Round9Spec pins the timezone case), never be served a
+  // frame analyzed under the old conf.
   private val frameCache =
-    new java.util.WeakHashMap[SparkSession,
+    new java.util.HashMap[SparkSession,
       java.util.concurrent.ConcurrentHashMap[(String, String, Long, String), DataFrame]]()
 
   private def sessionFrames(spark: SparkSession) = frameCache.synchronized {
+    // unpin dead sessions: value frames reference their session, so only
+    // an explicit liveness sweep (not weak refs) releases SessionState
+    val it = frameCache.keySet().iterator()
+    while (it.hasNext) if (it.next().sparkContext.isStopped) it.remove()
     frameCache.computeIfAbsent(spark,
       _ => new java.util.concurrent.ConcurrentHashMap[(String, String, Long, String), DataFrame]())
   }
+
+  private def analysisConfKey(spark: SparkSession): String =
+    spark.conf.get("spark.sql.session.timeZone", "") + "|" +
+      spark.conf.get("spark.sql.caseSensitive", "false") + "|" +
+      spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false")
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     contentFingerprint(spark.sparkContext.hadoopConfiguration,
         s"$dir/$name.parquet") match {
       case Some(f) =>
-        val tz = spark.conf.get("spark.sql.session.timeZone", "")
-        sessionFrames(spark).computeIfAbsent((dir, name, f, tz),
+        sessionFrames(spark).computeIfAbsent((dir, name, f, analysisConfKey(spark)),
           _ => load(spark, dir, name))
       case None => load(spark, dir, name) // unfingerprintable: never cache
     }
@@ -108,12 +123,18 @@ object Tables {
 
   /** Driver-side metadata fingerprint of the files under `path`, resolved
     * through the Hadoop FileSystem so HDFS/S3A table paths fingerprint the
-    * same way local ones do (lengths ⊕ mtimes; object stores report both).
-    * Entries keyed by superseded fingerprints stay in the map for the
-    * session — bounded by regens-per-session × tables, negligible.
-    * Pipelines that MUTATE a table in place between reads should still
-    * pass their own post-mutation count rather than rely on mtime
-    * granularity (some stores round mtimes to seconds).
+    * same way local ones do (file names ⊕ lengths ⊕ mtimes; object stores
+    * report all three). Entries keyed by superseded fingerprints stay in
+    * the map for the session — bounded by regens-per-session × tables,
+    * negligible. Pipelines that MUTATE a table in place between reads
+    * should still pass their own post-mutation count rather than rely on
+    * mtime granularity (some stores round mtimes to seconds): an in-place
+    * regen producing the same file names, lengths AND mtime-seconds
+    * collides, and since the FRAME cache also keys on this fingerprint,
+    * such a collision now serves a stale file listing (pre-frame-cache it
+    * only served a stale count). The name component means any regen that
+    * changes part-file names — every normal Spark overwrite does — misses
+    * regardless of mtime granularity.
     *
     * `None` means "do not cache": a missing root path, a transient
     * mid-walk FileNotFound (file compacted/deleted between listStatus and
@@ -130,7 +151,8 @@ object Tables {
     def fp(st: org.apache.hadoop.fs.FileStatus): Long =
       if (st.isDirectory)
         fs.listStatus(st.getPath).map(fp).foldLeft(0L)(_ ^ _)
-      else st.getLen + st.getModificationTime * 0x9E3779B97F4A7C15L
+      else st.getLen + st.getModificationTime * 0x9E3779B97F4A7C15L +
+        st.getPath.getName.hashCode * 0xC2B2AE3D27D4EB4FL
     try Some(fp(fs.getFileStatus(p)))
     catch { case _: java.io.IOException => None }
   }

@@ -1318,12 +1318,14 @@ object GraftFunctions {
     // idempotence guard: re-registering ~40 builders per Tables() call is
     // harmless but emits one "replaced a previously registered function"
     // WARN per builder per call — thousands of synchronous log lines over
-    // a bench pass. The last-registered name is the sentinel.
-    if (!registry.functionExists(
-        org.apache.spark.sql.catalyst.FunctionIdentifier("graft_topk_str")))
-      builders.foreach { case (name, builder) =>
+    // a bench pass. Guarded PER NAME (not by a single sentinel): a builder
+    // appended after the sentinel, or one function dropped/shadowed in the
+    // session, must still be (re)registered — ~40 hash lookups per call.
+    builders.foreach { case (name, builder) =>
+      if (!registry.functionExists(
+          org.apache.spark.sql.catalyst.FunctionIdentifier(name)))
         registry.createOrReplaceTempFunction(name, builder, "built-in")
-      }
+    }
     // optimizer rewrites (extraOptimizations reaches an EXISTING session,
     // where injectOptimizerRule can't); guard keeps register() idempotent
     if (!spark.experimental.extraOptimizations.contains(graft.plans.BoundedLevRewrite))
