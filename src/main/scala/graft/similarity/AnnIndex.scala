@@ -44,14 +44,21 @@ object AnnIndex {
   val dedupNProbe = 4
 
   /** Train and persist: per-list centroids (tiny) + vectors repartitioned
-    * into one layout partition per list. */
+    * into one layout partition per list. The vectors land hash-clustered
+    * on `list` (one shuffle at build time), so every `list=` partition is
+    * exactly ONE sized file — the layout [[compact]] rewrites appended
+    * indexes into, produced directly at build. Without it each list
+    * collected one file per upstream task, and every pruned probe paid
+    * nProbe × upstream-parallelism file opens instead of nProbe (guide §6:
+    * output file sizing; invisible at test SFs, real at 100 TB). */
   def writeIvf(df: DataFrame, idCol: String, vecCol: String, listCol: String,
                path: String): Unit = {
     val c = df.select(col(idCol).as("vec_id"), col(listCol).as("list"),
       toDouble(col(vecCol)).as("v"))
     c.groupBy("list").agg(call_function("graft_vec_avg", col("v")).as("cv"))
       .write.mode("overwrite").parquet(s"$path/centroids")
-    c.write.mode("overwrite").partitionBy("list").parquet(s"$path/vectors")
+    c.repartition(col("list"))
+      .write.mode("overwrite").partitionBy("list").parquet(s"$path/vectors")
   }
 
   /** One maintenance lease per index root — held by [[append]] across its

@@ -18,10 +18,16 @@ object IndexFaceProfile {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // per-step wall time AND Spark job count (statusTracker) — explain()
+    // can't show job counts for collect/checkpoint-driven workflows, and
+    // job count is exactly what the probe-path optimizations change
     def t[A](label: String)(f: => A): A = {
+      val st = spark.sparkContext.statusTracker
+      val j0 = st.getJobIdsForGroup(null).length
       val t0 = System.nanoTime()
       val r = f
-      println(f"[prof] $label%-38s ${(System.nanoTime() - t0) / 1e9}%7.3f s")
+      val dj = st.getJobIdsForGroup(null).length - j0
+      println(f"[prof] $label%-38s ${(System.nanoTime() - t0) / 1e9}%7.3f s  $dj%3d jobs")
       r
     }
     import graft.similarity.{AnnIndex, AnnLsh}

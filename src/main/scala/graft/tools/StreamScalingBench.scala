@@ -324,6 +324,11 @@ object StreamScalingBench {
       graft.similarity.AnnIndex.writeIvf(
         corpusV.toDF("vec_id", "embedding", "label"),
         "vec_id", "embedding", "label", s"$dir/index")
+      val fplAtBuild: Seq[Int] =
+        new java.io.File(s"$dir/index/vectors").listFiles
+          .filter(f => f.isDirectory && f.getName.startsWith("list="))
+          .map(_.listFiles.count(f => f.isFile && f.getName.endsWith(".parquet")))
+          .toSeq
       val streamed = (0 until n).map { i =>
         val id = (c + i).toLong
         if (i % 3 == 2) (id, corpusV(i % c)._2) else (id, rvec())
@@ -344,6 +349,11 @@ object StreamScalingBench {
             .filter(f => f.isDirectory && f.getName.startsWith("list="))
             .map(_.listFiles.count(f => f.isFile && f.getName.endsWith(".parquet")))
             .toSeq
+        // BUILD-layout law (r17): writeIvf lands ONE sized file per list
+        // directly (hash-clustered write) — only INGEST appends pile up,
+        // and compact returns the layout to the same 1-file-per-list law.
+        gate("stream_embed_indexed", "files_per_list_at_build",
+          fplAtBuild.max.toLong, 1L)
         val vecRows = spark.read.parquet(s"$dir/index/vectors").count()
         gate("stream_embed_indexed", "vector_rows", vecRows, c + n)
         val fplBefore = filesPerList()
