@@ -396,9 +396,12 @@ object Dedup {
     * cluster_id so per-cluster reads prune files. */
   def writeClusterLabels(labels: DataFrame, path: String,
                          targetPartitions: Int = 0): Unit = {
-    val parts = if (targetPartitions > 0) targetPartitions
-      else labels.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
-    graft.sources.Sources.writeClustered(labels, path, Seq("cluster_id"), parts)
+    if (targetPartitions > 0)
+      graft.sources.Sources.writeClustered(labels, path, Seq("cluster_id"),
+        targetPartitions)
+    else // default: file count sized by data via AQE, not by core count
+      graft.sources.Sources.writeClusteredAdaptive(labels, path,
+        Seq("cluster_id"))
   }
 
   /** Duplication report from a PERSISTED label table: identical output to

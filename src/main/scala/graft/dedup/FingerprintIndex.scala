@@ -107,9 +107,8 @@ object FingerprintIndex {
     val n = fps.count()
     val g = SimHash.adaptiveGeometry(n, maxHamming, targetOccupancy, maxD,
       targetRecall, seed)
-    val parts = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
-    graft.sources.Sources.writeClustered(
-      keyRows(fps, g), s"$path/keys", Seq("comb", "ckey"), parts)
+    graft.sources.Sources.writeClusteredAdaptive(
+      keyRows(fps, g), s"$path/keys", Seq("comb", "ckey"))
     fps.write.mode("overwrite").parquet(s"$path/fps")
     // params LAST: a half-built index has no params row, so probes fail
     // loudly on the missing path instead of joining against partial keys
@@ -148,9 +147,8 @@ object FingerprintIndex {
         .distinct()
       val novelFps = novel.select("fp").distinct()
         .join(broadcast(fpHits), Seq("fp"), "left_anti")
-      val parts = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
-      graft.sources.Sources.writeClustered(
-        keyRows(novelFps, g), s"$indexPath/keys", Seq("comb", "ckey"), parts,
+      graft.sources.Sources.writeClusteredAdaptive(
+        keyRows(novelFps, g), s"$indexPath/keys", Seq("comb", "ckey"),
         mode = "append")
       novel.write.mode("append").parquet(s"$indexPath/fps")
     }
@@ -230,15 +228,17 @@ object FingerprintIndex {
       .unionByName(bfp.select("fp"))
       .distinct()
     val cfps = spark.read.parquet(resolvedTable(spark, indexPath, "fps"))
-    val batchIds = bfp.select(col("id"), lit(true).as("_bm"))
-    val members = bfp
+    // batch copies tagged _b=true, corpus copies false, then ONE id-keyed
+    // aggregation (max(_b), any fp — same id ⇒ same document ⇒ same fp)
+    // replaces the old dropDuplicates + batch-id join: one exchange and
+    // one stage fewer per probe, and "touches the batch" stays
+    // deterministic however the duplicate-id tie used to break.
+    val members = bfp.withColumn("_b", lit(true))
       .unionByName(
         cfps.join(if (smallBatch) broadcast(candFps) else candFps,
-          Seq("fp"), "left_semi"))
-      .dropDuplicates("id")
-      .join(if (smallBatch) broadcast(batchIds) else batchIds, Seq("id"), "left")
-      .withColumn("_b", coalesce(col("_bm"), lit(false)))
-      .drop("_bm")
+            Seq("fp"), "left_semi")
+          .withColumn("_b", lit(false)))
+      .groupBy("id").agg(first(col("fp")).as("fp"), max(col("_b")).as("_b"))
     // cross-fingerprint expansion, restricted to batch-touching pairs
     val cross = fpPairs
       .join(members.select(col("fp").as("fp_a"), col("id").as("_ia"),
@@ -274,7 +274,6 @@ object FingerprintIndex {
     * across the swap; single-compactor contract). Geometry untouched;
     * run [[rekey]] instead when the corpus has outgrown it. */
   def compact(spark: SparkSession, path: String): Unit = {
-    val parts = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
     val hconf = spark.sparkContext.hadoopConfiguration
     def swap(sub: String)(write: (Seq[String], String) => Unit): Unit = {
       val live = new org.apache.hadoop.fs.Path(s"$path/$sub")
@@ -293,11 +292,14 @@ object FingerprintIndex {
       }
     }
     swap("keys") { (files, out) =>
-      graft.sources.Sources.writeClustered(
-        spark.read.parquet(files: _*), out, Seq("comb", "ckey"), parts)
+      graft.sources.Sources.writeClusteredAdaptive(
+        spark.read.parquet(files: _*), out, Seq("comb", "ckey"))
     }
     swap("fps") { (files, out) =>
-      spark.read.parquet(files: _*).repartition(parts).write.parquet(out)
+      // id-range clustering sizes the files adaptively AND lets the
+      // append path's id anti-join prune row groups
+      spark.read.parquet(files: _*)
+        .repartitionByRange(col("id")).write.parquet(out)
     }
   }
 
@@ -322,13 +324,12 @@ object FingerprintIndex {
       val g = SimHash.adaptiveGeometry(n, g0.maxHamming, targetOccupancy,
         maxD, targetRecall, g0.seed)
       if (g != g0) {
-        val parts = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
         val live = new org.apache.hadoop.fs.Path(s"$path/keys")
         val tmp = new org.apache.hadoop.fs.Path(s"$path/_keys_rekeying")
         val old = new org.apache.hadoop.fs.Path(s"$path/_keys_old")
         graft.sources.Sources.recoverSwap(fs, live, tmp, old)
-        graft.sources.Sources.writeClustered(
-          keyRows(fps, g), tmp.toString, Seq("comb", "ckey"), parts)
+        graft.sources.Sources.writeClusteredAdaptive(
+          keyRows(fps, g), tmp.toString, Seq("comb", "ckey"))
         graft.sources.Sources.publishSwap(fs, live, tmp, old)
         writeParams(spark, path, g, n)
       } else writeParams(spark, path, g0, n) // refresh nAtBuild only

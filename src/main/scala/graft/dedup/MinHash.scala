@@ -108,11 +108,9 @@ object MinHash {
     // lazy-checkpoint: the shingle scan feeds both the bucket write and
     // the shingle write; without the pin the corpus tokenizes twice
     val sh = shingleFrame(corpus, idCol, textCol, n).localCheckpoint(eager = false)
-    val parts = corpus.sparkSession.conf
-      .get("spark.sql.shuffle.partitions", "32").toInt
-    graft.sources.Sources.writeClustered(
+    graft.sources.Sources.writeClusteredAdaptive(
       bandBuckets(sh, k, bands, seed), s"$path/buckets",
-      Seq("band", "bucket"), parts)
+      Seq("band", "bucket"))
     sh.write.mode("overwrite").parquet(s"$path/shingles")
     val spark = corpus.sparkSession
     import spark.implicits._
@@ -199,10 +197,9 @@ object MinHash {
       val novel = bsh.join(broadcast(hits), Seq("id"), "left_anti")
         .dropDuplicates("id")
         .localCheckpoint(eager = false)
-      val parts = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
-      graft.sources.Sources.writeClustered(
+      graft.sources.Sources.writeClusteredAdaptive(
         bandBuckets(novel, k, bands, seed), s"$indexPath/buckets",
-        Seq("band", "bucket"), parts, mode = "append")
+        Seq("band", "bucket"), mode = "append")
       novel.write.mode("append").parquet(s"$indexPath/shingles")
     }
   }
@@ -222,7 +219,6 @@ object MinHash {
     * recovers and redoes it — never a window with no live copy. Run on
     * the ordinary parquet-compaction cadence (docs/SCALE_BOUNDS.md). */
   def compactBandIndex(spark: SparkSession, path: String): Unit = {
-    val parts = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
     val hconf = spark.sparkContext.hadoopConfiguration
     // each table rewrites a FILE-LIST SNAPSHOT and publishes through the
     // reconciling swap: a streaming appendToBandIndex micro-batch landing
@@ -249,12 +245,14 @@ object MinHash {
       }
     }
     swap("buckets") { (files, out) =>
-      graft.sources.Sources.writeClustered(
-        spark.read.parquet(files: _*), out, Seq("band", "bucket"), parts)
+      graft.sources.Sources.writeClusteredAdaptive(
+        spark.read.parquet(files: _*), out, Seq("band", "bucket"))
     }
     swap("shingles") { (files, out) =>
+      // id-range clustering sizes the files adaptively AND lets the
+      // probe's candidate-id semi join prune row groups
       spark.read.parquet(files: _*)
-        .repartition(parts).write.parquet(out)
+        .repartitionByRange(col("id")).write.parquet(out)
     }
   }
 
@@ -291,14 +289,13 @@ object MinHash {
         p.getAs[Int]("bands") == bands && p.getAs[Long]("seed") == seed
       if (!(sameBanding && p.getAs[Double]("threshold") == threshold)) {
         if (!sameBanding) {
-          val parts = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
           val live = new org.apache.hadoop.fs.Path(s"$path/buckets")
           val tmp = new org.apache.hadoop.fs.Path(s"$path/_buckets_rebanding")
           val old = new org.apache.hadoop.fs.Path(s"$path/_buckets_old")
           graft.sources.Sources.recoverSwap(fs, live, tmp, old)
-          graft.sources.Sources.writeClustered(
+          graft.sources.Sources.writeClusteredAdaptive(
             bandBuckets(spark.read.parquet(s"$path/shingles"), k, bands, seed),
-            tmp.toString, Seq("band", "bucket"), parts)
+            tmp.toString, Seq("band", "bucket"))
           graft.sources.Sources.publishSwap(fs, live, tmp, old)
         }
         import spark.implicits._

@@ -75,6 +75,25 @@ object Sources {
       .write.mode(mode).parquet(path)
   }
 
+  /** [[writeClustered]] with the partition (= file) count chosen by AQE
+    * from DATA SIZE instead of a caller constant: a range repartition with
+    * no explicit N participates in AQE partition coalescing, so the same
+    * call writes a couple of sized files at test scale and thousands at
+    * cluster scale (guide §2.2/§6). Every previous call site passed
+    * `spark.sql.shuffle.partitions` — a CORE-count constant that produced
+    * 32 kilobyte-sized files per table locally and would produce
+    * core-count-many multi-GB files on a cluster; neither is a file
+    * sizing law. Range clustering and within-file sort are unchanged
+    * (AQE merges only ADJACENT range partitions). */
+  def writeClusteredAdaptive(df: DataFrame, path: String,
+                             clusterCols: Seq[String],
+                             mode: String = "overwrite"): Unit = {
+    require(clusterCols.nonEmpty, "clusterCols must be non-empty")
+    df.repartitionByRange(clusterCols.map(col): _*)
+      .sortWithinPartitions(clusterCols.map(col): _*)
+      .write.mode(mode).parquet(path)
+  }
+
   /** Morton (Z-order) interleave of two non-negative integer keys, `bits`
     * bits each — pure shift/mask column arithmetic, whole-stage codegen.
     * Range-sorting on the Z-value keeps files tight in BOTH dimensions at
