@@ -76,7 +76,7 @@ object FingerprintIndex {
   }
 
   private def readParams(spark: SparkSession, path: String): (SimHash.FpGeometry, Long) = {
-    val p = spark.read.parquet(s"$path/params").collect()(0)
+    val p = graft.sources.Sources.parquetCached(spark, s"$path/params").collect()(0)
     (SimHash.FpGeometry(p.getAs[String]("regime"), p.getAs[Int]("max_hamming"),
       p.getAs[Int]("d"), p.getAs[Int]("mask_bits"), p.getAs[Int]("tables"),
       p.getAs[Long]("seed")),
@@ -134,7 +134,7 @@ object FingerprintIndex {
       val bfp = batch.select(col(idCol).as("id"), col(fpCol).as("fp"))
         .dropDuplicates("id")
         .localCheckpoint(eager = false)
-      val indexed = spark.read.parquet(s"$indexPath/fps")
+      val indexed = graft.sources.Sources.parquetCached(spark, s"$indexPath/fps")
       // novel ids: index side reduced to ≤ batch rows by the broadcast
       // semi join, then the anti join broadcasts too (band-index rule)
       val idHits = indexed.select("id")
@@ -173,7 +173,8 @@ object FingerprintIndex {
     * properties, which the checkpoint hides from the final plan. */
   private[graft] def incrementalFpPairs(spark: SparkSession, indexPath: String,
       bkeys: DataFrame, maxHamming: Int, smallBatch: Boolean): DataFrame = {
-    val ckeys = spark.read.parquet(resolvedTable(spark, indexPath, "keys"))
+    val ckeys = graft.sources.Sources.parquetCached(spark,
+      resolvedTable(spark, indexPath, "keys"))
     // batch-vs-corpus fingerprint candidates: broadcast batch banding
     // against the clustered corpus keys scan; hamming-filter INSIDE the
     // join stage, BEFORE the pair dedup (the pairsViaGroupKeys rule —
@@ -227,7 +228,8 @@ object FingerprintIndex {
       .select(explode(array(col("fp_a"), col("fp_b"))).as("fp"))
       .unionByName(bfp.select("fp"))
       .distinct()
-    val cfps = spark.read.parquet(resolvedTable(spark, indexPath, "fps"))
+    val cfps = graft.sources.Sources.parquetCached(spark,
+      resolvedTable(spark, indexPath, "fps"))
     // batch copies tagged _b=true, corpus copies false, then ONE id-keyed
     // aggregation (max(_b), any fp — same id ⇒ same document ⇒ same fp)
     // replaces the old dropDuplicates + batch-id join: one exchange and

@@ -179,10 +179,12 @@ object MinHash {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     graft.sources.Sources.withSwapLock(fs, maintenanceLock(indexPath)) {
       restoreIndexUnderLock(spark, indexPath)
-      val p = spark.read.parquet(s"$indexPath/params").collect()(0)
+      val p = graft.sources.Sources.parquetCached(spark, s"$indexPath/params")
+        .collect()(0)
       val (n, k, bands) = (p.getAs[Int]("n"), p.getAs[Int]("k"), p.getAs[Int]("bands"))
       val seed = p.getAs[Long]("seed")
-      val indexed = spark.read.parquet(s"$indexPath/shingles").select("id")
+      val indexed = graft.sources.Sources
+        .parquetCached(spark, s"$indexPath/shingles").select("id")
       val bsh = shingleFrame(batch, idCol, textCol, n)
         .localCheckpoint(eager = false)
       // novel batch docs only. Corpus ids are scanned, never shuffled: the
@@ -324,7 +326,8 @@ object MinHash {
       indexPath: String, bsh: DataFrame, k: Int, bands: Int,
       seed: Long, smallBatch: Boolean = true): DataFrame = {
     val bban = bandBuckets(bsh, k, bands, seed)
-    val cban = spark.read.parquet(resolvedTable(spark, indexPath, "buckets"))
+    val cban = graft.sources.Sources.parquetCached(spark,
+      resolvedTable(spark, indexPath, "buckets"))
     val bside = bban.select(col("band"), col("bucket"), col("id").as("_x"))
     val bc = (if (smallBatch) broadcast(bside) else bside)
       .join(cban.select(col("band"), col("bucket"), col("id").as("_y")),
@@ -362,12 +365,14 @@ object MinHash {
                        batch: DataFrame, idCol: String,
                        textCol: String,
                        smallBatch: Boolean = true): DataFrame = {
-    val p = spark.read.parquet(s"$indexPath/params").collect()(0)
+    val p = graft.sources.Sources.parquetCached(spark, s"$indexPath/params")
+      .collect()(0)
     val (n, k, bands) = (p.getAs[Int]("n"), p.getAs[Int]("k"), p.getAs[Int]("bands"))
     val (threshold, seed) = (p.getAs[Double]("threshold"), p.getAs[Long]("seed"))
     // batch shingles feed the banding AND both verify sides — pin once
     val bsh = shingleFrame(batch, idCol, textCol, n).localCheckpoint(eager = false)
-    val csh = spark.read.parquet(resolvedTable(spark, indexPath, "shingles"))
+    val csh = graft.sources.Sources.parquetCached(spark,
+      resolvedTable(spark, indexPath, "shingles"))
     // cands feeds the verify joins AND the lookup restriction — pin once
     // (the checkpoint hides the bucket probe from the final plan, so the
     // PushdownSpec tripwire asserts on incrementalCandidates directly)

@@ -105,7 +105,8 @@ object AnnIndex {
     * rows×nLists window SHUFFLE. */
   private def centroidModel(spark: SparkSession, path: String)
       : (Array[Array[Double]], DataFrame) = {
-    val cDf = spark.read.parquet(resolvedTable(spark, path, "centroids"))
+    val cDf = graft.sources.Sources.parquetCached(spark,
+      resolvedTable(spark, path, "centroids"))
     // ONE bounded collect feeds BOTH the matrix and the mapping frame: the
     // previous window-ranked idxMap plan re-scanned the centroids parquet
     // inside every probe's broadcast build (one extra job + exchange per
@@ -158,7 +159,8 @@ object AnnIndex {
     val bc = assigned.groupBy("list")
       .agg(call_function("graft_vec_avg", col("v")).as("bv"),
         count(lit(1)).as("n_batch"))
-    val trained = spark.read.parquet(resolvedTable(spark, path, "centroids"))
+    val trained = graft.sources.Sources.parquetCached(spark,
+      resolvedTable(spark, path, "centroids"))
     bc.join(broadcast(trained), Seq("list"))
       .select(col("list"), col("n_batch"),
         (floor((cosine(col("bv"), col("cv"))) * lit(1e6) + lit(0.5)) / lit(1e6)).as("centroid_cos"))
@@ -198,7 +200,8 @@ object AnnIndex {
       // plan-build time; materializes inside the first action)
       val assigned = assignLists(spark, path, batch, idCol, vecCol)
         .localCheckpoint(eager = false)
-      val indexed = spark.read.parquet(s"$path/vectors").select("vec_id")
+      val indexed = graft.sources.Sources.parquetCached(spark, s"$path/vectors")
+        .select("vec_id")
       val hits = indexed.join(broadcast(assigned.select("vec_id")),
         Seq("vec_id"), "left_semi")
       assigned.join(broadcast(hits), Seq("vec_id"), "left_anti")
@@ -368,7 +371,8 @@ object AnnIndex {
     val bside = if (smallBatch) broadcast(bq) else bq
     // batch vs corpus: pruned scan of the probed lists only; hamming
     // discipline — verify INSIDE the join projection, pair-dedup after
-    val corpus = spark.read.parquet(resolvedTable(spark, path, "vectors"))
+    val corpus = graft.sources.Sources.parquetCached(spark,
+        resolvedTable(spark, path, "vectors"))
       .filter(col("list").isin(probedLists: _*))
       .withColumn("_nv", norm(col("v")))
     val bc = corpus.select(col("list"), col("vec_id").as("_cid"),
@@ -409,7 +413,8 @@ object AnnIndex {
     // bounded collect: ≤ queries × nProbe ids — drives STATIC partition
     // pruning on the persisted layout (the whole point of the index)
     val probedLists = probes.select("list").distinct().collect().map(_.get(0))
-    val vectors = spark.read.parquet(resolvedTable(spark, path, "vectors"))
+    val vectors = graft.sources.Sources.parquetCached(spark,
+        resolvedTable(spark, path, "vectors"))
       .filter(col("list").isin(probedLists: _*))
       .withColumn("_nv", norm(col("v")))
     val cands = vectors

@@ -31,6 +31,61 @@ object Sources {
   def parquet(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  // Session-lifetime (path, content-fingerprint, analysis-conf) → resolved
+  // DataFrame cache for the PERSISTED INDEX tables (keys/fps, buckets/
+  // shingles, vectors/centroids, params): every probe re-paid 30-300 ms of
+  // single-threaded driver DataSource resolution per table per call
+  // (measured by tools/LoadOverhead for the same operation on testdata
+  // tables) — the graft.Tables frame-cache idiom applied to index roots.
+  // The cache holds the LAZY plan only (file listing + footer schema,
+  // never rows); the fingerprint walk (names ⊕ lengths ⊕ mtimes, the
+  // Tables.contentFingerprint idiom) drops an entry the moment append/
+  // compact/rekey publishes new files. Sessions unpin via the same
+  // stopped-context sweep; a size cap bounds the scratch-index paths the
+  // bench protocol creates per run.
+  private val readCache =
+    new java.util.HashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[(String, Long, String), DataFrame]]()
+
+  private def sessionReads(spark: SparkSession) = readCache.synchronized {
+    val it = readCache.keySet().iterator()
+    while (it.hasNext) if (it.next().sparkContext.isStopped) it.remove()
+    readCache.computeIfAbsent(spark,
+      _ => new java.util.concurrent.ConcurrentHashMap[(String, Long, String), DataFrame]())
+  }
+
+  /** Driver-side metadata fingerprint (names ⊕ lengths ⊕ mtimes) of the
+    * files under `path` via the Hadoop FileSystem; None = do not cache
+    * (missing path, mid-walk races, store errors — the Tables rule). */
+  private def contentFingerprint(hconf: org.apache.hadoop.conf.Configuration,
+                                 path: String): Option[Long] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(hconf)
+    def fp(st: org.apache.hadoop.fs.FileStatus): Long =
+      if (st.isDirectory)
+        fs.listStatus(st.getPath).map(fp).foldLeft(0L)(_ ^ _)
+      else st.getLen + st.getModificationTime * 0x9E3779B97F4A7C15L +
+        st.getPath.getName.hashCode * 0xC2B2AE3D27D4EB4FL
+    try Some(fp(fs.getFileStatus(p)))
+    catch { case _: java.io.IOException => None }
+  }
+
+  /** [[parquet]] with the resolved (lazy) frame cached per session, keyed
+    * on the path's content fingerprint — every action still computes from
+    * the files; only the driver-side re-resolution is skipped. An
+    * unfingerprintable path always re-resolves. */
+  def parquetCached(spark: SparkSession, path: String): DataFrame =
+    contentFingerprint(spark.sparkContext.hadoopConfiguration, path) match {
+      case Some(f) =>
+        val confKey = spark.conf.get("spark.sql.session.timeZone", "") + "|" +
+          spark.conf.get("spark.sql.caseSensitive", "false") + "|" +
+          spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false")
+        val m = sessionReads(spark)
+        if (m.size > 512) m.clear() // scratch-index paths: bound the map
+        m.computeIfAbsent((path, f, confKey), _ => spark.read.parquet(path))
+      case None => spark.read.parquet(path)
+    }
+
   /** Partitioned parquet sink: directory layout `partitionCols` for
     * partition pruning downstream. */
   def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String],
